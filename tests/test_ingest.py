@@ -1,0 +1,168 @@
+"""Ingest dataflow tests (SURVEY §5.3-5.4): end-to-end load, write-mode
+matrix, session/pattern gates, lineage, error budget, row conservation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from xeloader_spark.catalog import load_table
+from xeloader_spark.operators import ingest as ing
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def xel_dir(spark, tmp_path_factory):
+    """Simulate a directory of XE session files: the events fixture split
+    into 4 parquet files named SessionA_<part>_<stamp>.parquet, plus one
+    foreign-session file and one file dense with malformed payloads."""
+    root = str(tmp_path_factory.mktemp("xel_in"))
+    ev = load_table(spark, SF, "events")
+    parts = ev.randomSplit([1.0, 1.0, 1.0, 1.0], seed=42)
+    stage = os.path.join(root, "_stage")
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(stage, src),
+            os.path.join(root, f"SessionA_{i}_13200{i}.parquet"),
+        )
+    # foreign session file (should be gated out by S3)
+    parts[0].limit(50).coalesce(1).write.mode("overwrite").parquet(stage)
+    src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, src), os.path.join(root, "OtherSess_0_999.parquet"))
+    # bad file: same session naming, malformed props on 150 rows
+    bad = parts[1].limit(200).withColumn(
+        "props",
+        F.when(F.col("event_id") % 4 != 0, F.lit("not-json")).otherwise(
+            F.col("props")
+        ),
+    )
+    bad.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, src), os.path.join(root, "SessionA_9_132009.parquet"))
+    shutil.rmtree(stage)
+    n_bad_rows = bad.count()
+    n_bad_errors = bad.filter(F.col("props") == "not-json").count()
+    return root, n_bad_rows, n_bad_errors
+
+
+def test_leading_file_pattern():
+    # FileProcessor.cs:336-378 semantics
+    assert ing.get_leading_file_pattern("XESess_0_132435.xel") == "XESess*"
+    assert ing.get_leading_file_pattern("/a/b/My_Trace_7_99.xel") == "My_Trace*"
+    assert ing.get_leading_file_pattern("plain.xel") == "plain*"
+    assert ing.get_leading_file_pattern("one_seg.xel") == "one_seg*"
+
+
+def test_wildcard_to_regex():
+    rx = ing.wildcard_to_regex("Sess?on*_1.par*")
+    import re
+
+    assert re.match(rx, "SessIon_ABC_1.parquet")
+    assert not re.match(rx, "Session_1.txt")
+
+
+def test_end_to_end_ingest(spark, xel_dir, tmp_path):
+    root, n_bad_rows, n_bad_errors = xel_dir
+    out = str(tmp_path / "out")
+    cfg = ing.IngestConfig(write_mode="overwrite", max_errors_per_file=100)
+    rep = ing.ingest(spark, root, out, cfg)
+
+    # session gate: OtherSess file excluded; 4 good + 1 bad session files
+    assert rep.n_files == 5
+    assert rep.n_files_aborted == 1  # malformed count ≥ budget of 100
+    assert rep.n_errors == n_bad_errors
+
+    result = spark.read.parquet(out)
+    # demux produced one partition dir per event type
+    types = {r.event_type for r in result.select("event_type").distinct().collect()}
+    assert types == {"click", "error", "purchase", "signup", "view"}
+    # row conservation: 1000 fixture rows in the 4 good files; the aborted
+    # file contributes nothing
+    assert result.count() == 1000
+    assert rep.n_events == 1000
+    # flat schema contract
+    for c in (
+        "e_imported_file_id",
+        "e_time_of_event",
+        "e_time_of_event_utc",
+        "e_time_of_event_local",
+        "c_event_sequence",
+        "c_value",
+        "c_props",
+        "a_user_id",
+    ):
+        assert c in result.columns, c
+    # lineage stamped and consistent
+    lineage = spark.read.parquet(out + "_lineage")
+    assert lineage.count() == 5
+    joined = result.join(
+        lineage, result.e_imported_file_id == lineage.file_id, "left_anti"
+    )
+    assert joined.count() == 0
+
+
+def test_demux_partition_union_reconstructs(spark, xel_dir, tmp_path):
+    root, _, _ = xel_dir
+    out = str(tmp_path / "out2")
+    cfg = ing.IngestConfig(write_mode="overwrite")
+    ing.ingest(spark, root, out, cfg)
+    result = spark.read.parquet(out)
+    per_type = [
+        result.filter(F.col("event_type") == t).count()
+        for t in ("click", "error", "purchase", "signup", "view")
+    ]
+    assert sum(per_type) == result.count()
+
+
+def test_write_mode_matrix(spark, xel_dir, tmp_path):
+    root, _, _ = xel_dir
+    out = str(tmp_path / "modes")
+    cfg_o = ing.IngestConfig(write_mode="overwrite")
+    ing.ingest(spark, root, out, cfg_o)
+    n1 = spark.read.parquet(out).count()
+
+    # append: re-import duplicates rows (reference re-imports happily,
+    # SURVEY §7.3 append idempotence note)
+    cfg_a = ing.IngestConfig(write_mode="append")
+    ing.ingest(spark, root, out, cfg_a)
+    assert spark.read.parquet(out).count() == 2 * n1
+
+    # truncate: arriving event types replaced, not appended
+    cfg_t = ing.IngestConfig(write_mode="truncate")
+    ing.ingest(spark, root, out, cfg_t)
+    assert spark.read.parquet(out).count() == n1
+
+    # overwrite wipes
+    ing.ingest(spark, root, out, cfg_o)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_truncation_counted(spark, xel_dir, tmp_path):
+    root, _, _ = xel_dir
+    out = str(tmp_path / "trunc")
+    cfg = ing.IngestConfig(write_mode="overwrite", bound_widths=True, string_trunc=8)
+    rep = ing.ingest(spark, root, out, cfg)
+    assert rep.n_truncated > 0
+    maxlen = (
+        spark.read.parquet(out)
+        .select(F.max(F.length("c_props")).alias("m"))
+        .first()
+        .m
+    )
+    assert maxlen <= 8
+
+
+def test_error_budget_disabled_keeps_file(spark, xel_dir, tmp_path):
+    root, n_bad_rows, n_bad_errors = xel_dir
+    out = str(tmp_path / "lenient")
+    cfg = ing.IngestConfig(write_mode="overwrite", max_errors_per_file=10_000)
+    rep = ing.ingest(spark, root, out, cfg)
+    assert rep.n_files_aborted == 0
+    # bad rows are still excluded, but the good rows of the bad file load
+    assert rep.n_events == 1000 + (n_bad_rows - n_bad_errors)

@@ -1,0 +1,248 @@
+"""Ingest-dataflow operators (SURVEY §2.1) as oracle-checkable queries.
+
+Each query exercises one S-operator's semantics over the `events` fixture
+so the driver's DuckDB gate covers the ingest surface, not just the query
+surface. The full pipeline (multi-file demux write, write modes, lineage
+persistence) is exercised in tests/test_ingest.py — file-system effects
+can't be a SELECT.
+
+Conventions: synthesized per-row "file names" derive from `user_id % 4`
+(the fixture is a single parquet per scale factor, so provenance is
+simulated deterministically — both engines compute the identical name);
+pseudo-errors derive from md5(props) so error counting is exercised on
+data that is actually all-valid JSON.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.callstack import callstack_debugcmd_expr
+
+_FNAME = "concat('SessionA_', CAST(user_id % 4 AS STRING), '_13200', CAST(user_id % 4 AS STRING), '.parquet')"
+_FNAME_DUCK = "concat('SessionA_', CAST(user_id % 4 AS VARCHAR), '_13200', CAST(user_id % 4 AS VARCHAR), '.parquet')"
+_IS_ERR = "CASE WHEN substr(md5(props), 1, 1) IN ('0','1') THEN 1 ELSE 0 END"
+
+
+def q_flatten_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+S10: the flat c_/a_/e_ row model (EventHolder.cs:99-271) — engine
+    time columns, prefixed field/action columns, routing key last."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("c_event_sequence"),
+        F.date_trunc("minute", F.col("ts")).alias("e_time_of_event"),
+        F.col("ts").alias("e_time_of_event_utc"),
+        (F.col("ts") + F.expr("INTERVAL 330 MINUTES")).alias("e_time_of_event_local"),
+        F.col("value").alias("c_value"),
+        F.col("props").alias("c_props"),
+        F.col("user_id").alias("a_user_id"),
+        "event_type",
+    )
+
+
+def q_string_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: width-bounding string truncation with per-row flag
+    (EventHolder.cs:273-293), width 8 to actually truncate fixture data."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.substring("props", 1, 8).alias("c_props"),
+        (F.length("props") > 8).cast("long").alias("was_truncated"),
+    )
+
+
+def q_hash_bin_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: UInt64 → big-endian hex image (the string form of the
+    `a_query_hash_bin` dual column, EventHolder.cs:218-225). The binary
+    form is `unhex` of this — pinned in unit tests; hex keeps the oracle
+    comparable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("a_query_hash"),
+        F.lpad(F.hex("user_id"), 16, "0").alias("a_query_hash_bin_hex"),
+    )
+
+
+def q_callstack_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: callstack frame decode (EventHolder.cs:341-358) on a
+    deterministic synthetic callstack (md5(props) = 16 bytes = two 8-byte
+    frames), via the pure-JVM expression variant."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cs", F.unhex(F.md5("props")))
+        .select(
+            "event_id",
+            callstack_debugcmd_expr("cs", 8, "ln ").alias("a_callstack_debugcmd"),
+        )
+    )
+
+
+def q_session_pattern_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: session-prefix inference (GetLeadingFilePattern,
+    FileProcessor.cs:336-378) as a regex over synthesized file names,
+    aggregated per derived session prefix."""
+    ev = load_table(spark, sf_dir, "events")
+    fname = F.expr(_FNAME)
+    stem = F.regexp_replace(fname, r"\.[^.]*$", "")
+    prefix = F.regexp_extract(stem, r"^(.*)_[^_]+_[^_]+$", 1)
+    return (
+        ev.select(prefix.alias("session_prefix"), fname.alias("file_name"))
+        .groupBy("session_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("file_name").alias("n_files"),
+        )
+    )
+
+
+def q_lineage_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23: lineage dimension + per-row file-id stamping
+    (EventHolder.cs:446-511). The dimension is the distinct file set with
+    a dense surrogate key; the stamp is a broadcast join; result is rows
+    per file — the reference's per-file tracking row."""
+    ev = load_table(spark, sf_dir, "events").withColumn("file_name", F.expr(_FNAME))
+    lineage = (
+        ev.select("file_name")
+        .distinct()
+        .withColumn(
+            "file_id", F.row_number().over(Window.orderBy("file_name")).cast("long")
+        )
+    )
+    return (
+        ev.join(F.broadcast(lineage), "file_name")
+        .groupBy("file_id", "file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_seq"),
+            F.max("event_id").alias("max_seq"),
+        )
+    )
+
+
+def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: bounded error tolerance (EventHolder.cs:76-96) — per-file
+    pseudo-error counts and the abort decision at budget 100."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.expr(_FNAME).alias("file_name"),
+            F.expr(_IS_ERR).cast("long").alias("is_error"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("is_error").alias("n_errors"),
+        )
+        .withColumn("aborted", F.col("n_errors") >= 100)
+    )
+
+
+def q_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: demultiplex by event name (EventHolder.cs:54-57) — the routing
+    scatter as its per-type cardinality + sequence range."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_seq"),
+        F.max("event_id").alias("max_seq"),
+    )
+
+
+def q_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27: global run statistics (TrackStatus.cs:16-63) — one row of
+    engine counters."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(F.expr(_IS_ERR).cast("long")).alias("n_errors"),
+        F.sum((F.length("props") > 64).cast("long")).alias("n_truncated"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+_CS_FRAME1 = "||".join(f"substr(h, {i}, 2)" for i in range(15, 0, -2))
+_CS_FRAME2 = "||".join(f"substr(h, {i}, 2)" for i in range(31, 16, -2))
+
+ORACLES: dict[str, str] = {
+    "q_flatten_projection": """
+        SELECT event_id AS c_event_sequence,
+               date_trunc('minute', ts) AS e_time_of_event,
+               ts AS e_time_of_event_utc,
+               ts + INTERVAL 330 MINUTE AS e_time_of_event_local,
+               value AS c_value,
+               props AS c_props,
+               user_id AS a_user_id,
+               event_type
+        FROM events
+    """,
+    "q_string_truncation": """
+        SELECT event_id,
+               substr(props, 1, 8) AS c_props,
+               CAST(CASE WHEN length(props) > 8 THEN 1 ELSE 0 END AS BIGINT) AS was_truncated
+        FROM events
+    """,
+    "q_hash_bin_derivation": """
+        SELECT event_id,
+               user_id AS a_query_hash,
+               lpad(upper(to_hex(user_id)), 16, '0') AS a_query_hash_bin_hex
+        FROM events
+    """,
+    "q_callstack_decode": f"""
+        SELECT event_id,
+               'ln ' || upper({_CS_FRAME1}) || ';' || 'ln ' || upper({_CS_FRAME2})
+                   AS a_callstack_debugcmd
+        FROM (SELECT event_id, md5(props) AS h FROM events)
+    """,
+    "q_session_pattern_extract": f"""
+        SELECT regexp_extract(regexp_replace({_FNAME_DUCK}, '\\.[^.]*$', ''),
+                              '^(.*)_[^_]+_[^_]+$', 1) AS session_prefix,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT {_FNAME_DUCK}) AS n_files
+        FROM events
+        GROUP BY 1
+    """,
+    "q_lineage_stamp": f"""
+        WITH named AS (SELECT *, {_FNAME_DUCK} AS file_name FROM events),
+        lineage AS (
+            SELECT file_name,
+                   ROW_NUMBER() OVER (ORDER BY file_name) AS file_id
+            FROM (SELECT DISTINCT file_name FROM named)
+        )
+        SELECT l.file_id, n.file_name,
+               COUNT(*) AS n_rows,
+               MIN(n.event_id) AS min_seq,
+               MAX(n.event_id) AS max_seq
+        FROM named n JOIN lineage l USING (file_name)
+        GROUP BY 1, 2
+    """,
+    "q_error_budget": f"""
+        SELECT {_FNAME_DUCK} AS file_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM({_IS_ERR}) AS BIGINT) AS n_errors,
+               (SUM({_IS_ERR}) >= 100) AS aborted
+        FROM events
+        GROUP BY 1
+    """,
+    "q_demux_counts": """
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               MIN(event_id) AS min_seq,
+               MAX(event_id) AS max_seq
+        FROM events
+        GROUP BY 1
+    """,
+    "q_run_stats": f"""
+        SELECT COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_event_types,
+               CAST(SUM({_IS_ERR}) AS BIGINT) AS n_errors,
+               CAST(SUM(CASE WHEN length(props) > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts
+        FROM events
+    """,
+}
