@@ -1,0 +1,371 @@
+"""Relational operator surface over the TPC-H-ish fixtures.
+
+The reference has no relational executor (SURVEY §2.3) — its whole design
+goal is handing a columnstore to SQL Server for exactly these shapes
+(README.md:29). In this engine they are native Catalyst plans; this module
+is the line-checkable evidence: equi/outer/semi/anti/cross joins,
+hash + sort aggregates, windows (rank, running totals), set operators,
+scalar and correlated subqueries, rollup/grouping sets, having, distinct
+aggregation, conditional pivot.
+
+Determinism: see queries/__init__ docstring — decimal accumulators for
+float sums; per-row double arithmetic (IEEE, engine-identical) is allowed
+before the decimal cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_DEC = "decimal(25,6)"
+
+
+def _dsum(col, alias: str):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical columnstore aggregate workload
+    (scan-heavy, tiny group cardinality; map-side partial agg means the
+    shuffle carries ~8 groups regardless of scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    All dimension sides are broadcast (region/nation always; customer and
+    orders up to the autoBroadcast threshold — at 100 TB orders would
+    shuffle-join on o_orderkey while the dims still broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _dsum(revenue, "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned window rank: top-3 customers by total order value within
+    each nation. The window shuffles once on n_name; rank ties broken by
+    custkey for engine-independence."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(_dsum("o_totalprice", "total_spend"))
+    )
+    joined = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("total_spend"), F.asc("o_custkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", F.col("o_custkey").alias("custkey"), "total_spend", "rk")
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate per customer over order date — the
+    event-sequencing workload the precise timestamp column enables.
+    Decimal accumulator keeps the running sum exact and order-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT: symmetric difference between the
+    'BUILDING'-segment customers and the high-balance customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct().exceptAll(a.intersect(b)).distinct()
+
+
+def q_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: customers that placed at least one
+    high-value order. No columns from the probe side are needed, so the
+    semi join avoids materializing the join product."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_not_exists_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_outer_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-producing side: every nation with its
+    supplier count (suppliers are sparse → most nations have zero)."""
+    nat = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        nat.join(sup, nat.n_nationkey == sup.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+def q_cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian of two tiny sets (region × order status) — the
+    only join shape where a cartesian is acceptable; both sides broadcast."""
+    reg = load_table(spark, sf_dir, "region").select("r_name")
+    st = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return reg.crossJoin(st)
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price. The average
+    is the exact decimal mean so the comparison boundary is identical in
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg_row = orders.agg(
+        (F.sum(F.col("o_totalprice").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("a")
+    ).first()
+    return orders.filter(F.col("o_totalprice") > avg_row.a).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (decorrelated to a self-join on the group key —
+    what Catalyst does internally): parts priced above their brand's
+    average retail price."""
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy(F.col("p_brand").alias("b")).agg(
+        (F.sum(F.col("p_retailprice").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), part.p_brand == F.col("b"))
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING id — subtotal rows per returnflag and grand
+    total, distinguished from genuine NULL groups by the grouping bitmask."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum("l_quantity", "sum_qty"),
+            F.grouping_id().cast("long").alias("grp"),
+        )
+    )
+
+
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING: parts types stocked in more than 20 variants."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .filter(F.col("n_parts") > 20)
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggregates (Spark plans this as an
+    expand + two-phase aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice", "sum_price"),
+    )
+
+
+def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional pivot: customers per market segment as columns, one row
+    per nation (fixed segment list → plain conditional aggregation, which
+    is also exactly what a SQL pivot compiles to)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    aggs = [
+        F.sum(F.when(F.col("c_mktsegment") == s, 1).otherwise(0)).cast("long").alias(f"n_{s.lower()}")
+        for s in segs
+    ]
+    return joined.groupBy("n_name").agg(*aggs)
+
+
+_AVG_PRICE = "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM orders)"
+
+ORACLES: dict[str, str] = {
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+    "q_region_revenue": """
+        SELECT r.r_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1
+    """,
+    "q_top_customer_per_nation": """
+        SELECT n_name, custkey, total_spend, rk FROM (
+            SELECT n.n_name,
+                   s.o_custkey AS custkey,
+                   s.total_spend,
+                   ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                      ORDER BY s.total_spend DESC, s.o_custkey ASC) AS rk
+            FROM (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spend
+                FROM orders GROUP BY 1
+            ) s
+            JOIN customer c ON s.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ) WHERE rk <= 3
+    """,
+    "q_running_total": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_spend
+        FROM orders
+    """,
+    "q_set_operations": """
+        SELECT c_custkey FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+        EXCEPT
+        SELECT c_custkey FROM (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        )
+    """,
+    "q_exists_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    "q_not_exists_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_outer_join_coverage": """
+        SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+        FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1
+    """,
+    "q_cross_join_small": """
+        SELECT r.r_name, s.o_orderstatus
+        FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    "q_scalar_subquery": f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > {_AVG_PRICE}
+    """,
+    "q_correlated_subquery": """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part p
+        WHERE p_retailprice > (
+            SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+            FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+    """,
+    "q_rollup_agg": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_having_filter": """
+        SELECT p_type, COUNT(*) AS n_parts
+        FROM part
+        GROUP BY 1
+        HAVING COUNT(*) > 20
+    """,
+    "q_distinct_agg": """
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY 1
+    """,
+    "q_pivot_segments": """
+        SELECT n.n_name,
+               CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_automobile,
+               CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+               CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS n_furniture,
+               CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS n_household,
+               CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    """,
+}
