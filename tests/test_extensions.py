@@ -1,0 +1,185 @@
+"""Engine-API tests for the extension operators (dedup / similarity /
+text / multimodal) — the paths not already exact-checked by the DuckDB
+oracle gate: float cosine vs numpy, LSH recall, mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xeloader_spark.catalog import load_table
+from xeloader_spark.operators import dedup as dd
+from xeloader_spark.operators import multimodal as mm
+from xeloader_spark.operators import similarity as sim
+from xeloader_spark.operators import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+class TestDedup:
+    def test_exact_dedup_no_dups_in_fixture(self, spark, docs):
+        out = dd.exact_dedup(docs)
+        assert out.filter(F.col("is_dup")).count() == 0
+        assert out.count() == docs.count()
+
+    def test_exact_dedup_finds_planted_dup(self, spark, docs):
+        dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+        out = dd.exact_dedup(docs.unionByName(dup))
+        assert out.filter(F.col("is_dup")).count() == 5
+        # keeper is always the original (lower id)
+        keepers = out.filter(F.col("is_dup")).select("keeper_doc_id").collect()
+        assert all(r.keeper_doc_id < 100000 for r in keepers)
+
+    def test_lsh_candidates_superset_recall(self, spark, docs):
+        """LSH candidates must contain most true near-dup pairs (recall of
+        banding at j≥0.7 with 4 bands × 3 rows ≈ 0.96+) and the verified
+        output must be candidates ∩ true pairs."""
+        sh = dd.shingles(docs, n=3)
+        true_pairs = {
+            (r.id_a, r.id_b)
+            for r in dd.jaccard_pairs(sh, threshold=0.7).collect()
+        }
+        out = dd.minhash_neardup(docs, threshold=0.7)
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        assert got.issubset(true_pairs)
+        assert len(got) >= 0.5 * len(true_pairs), (len(got), len(true_pairs))
+
+    def test_hamming_blocking_is_complete(self, spark, docs):
+        """Pigeonhole blocking must find exactly the brute-force pair set."""
+        sigs = dd.simhash(dd.tokenize(docs.limit(80)), bits=16)
+        blocked = {
+            (r.id_a, r.id_b)
+            for r in dd.hamming_neardup(sigs, max_dist=3, bits=16).collect()
+        }
+        rows = sigs.collect()
+        brute = set()
+        for i, a in enumerate(rows):
+            for b in rows[i + 1 :]:
+                x, y = (a, b) if a.id < b.id else (b, a)
+                if bin(x.simhash ^ y.simhash).count("1") <= 3:
+                    brute.add((x.id, y.id))
+        assert blocked == brute
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark, emb):
+        pdf = emb.toPandas().sort_values("vec_id")
+        E = np.vstack(pdf["embedding"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        n = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = n @ n.T
+        qpos = {v: i for i, v in enumerate(ids)}
+
+        qids = [0, 7, 33]
+        out = sim.cosine_topk(
+            emb, emb.filter(F.col("vec_id").isin(qids)), k=5
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: (r.query_id, r.rk)):
+            by_q.setdefault(r.query_id, []).append(r)
+        for q in qids:
+            sims = S[qpos[q]].copy()
+            sims[qpos[q]] = -2
+            exp_order = sorted(
+                [(float(sims[qpos[c]]), int(c)) for c in ids if c != q],
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            got = [(r.candidate_id, pytest.approx(r.cosine, abs=1e-5)) for r in by_q[q]]
+            for (exp_cos, exp_id), (got_id, got_cos) in zip(exp_order, got):
+                assert exp_id == got_id
+                assert exp_cos == got_cos
+
+    def test_lsh_ann_returns_bucket_ranked(self, spark, emb):
+        out = sim.lsh_ann_topk(emb, [0, 1, 2], k=5, n_planes=4)
+        rows = out.collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.rk <= 5 and r.candidate_id != r.query_id
+
+    def test_quantized_dot_deterministic(self, spark, emb):
+        a = sim.dot_topk_quantized(emb, [0, 1], k=3).collect()
+        b = sim.dot_topk_quantized(emb, [0, 1], k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestText:
+    def test_stats_sane(self, spark, docs):
+        row = tx.text_stats(docs).filter(F.col("doc_id") == 0).first()
+        assert row.n_chars == len(row.text)
+        assert row.n_tokens == len(row.text.split())
+        assert 0 <= row.punct_ratio <= 1
+        assert 0 <= row.stopword_ratio <= 1
+
+    def test_lang_id_deterministic_and_covers(self, spark, docs):
+        out = tx.lang_id(docs).select("doc_id", "lang_guess")
+        a = {(r.doc_id, r.lang_guess) for r in out.collect()}
+        b = {(r.doc_id, r.lang_guess) for r in out.collect()}
+        assert a == b
+        guesses = {g for _, g in a}
+        assert guesses.issubset({"en", "de", "fr", "es", "und"})
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.fingerprint for r in tx.doc_fingerprint(df).collect()}
+        assert out[1] == out[2]
+        assert out[1] != out[3]
+
+    def test_rolling_fingerprint_stable_under_suffix_edit(self, spark):
+        base = "a b c d e f g h i j"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " k")], ["doc_id", "text"]
+        )
+        out = tx.rolling_fingerprint(df, n=5)
+        fps = {r.doc_id: r.rolling_fp for r in out.collect()}
+        # min-hash over shingles usually survives appending one token
+        # (the min shingle is unlikely to be the new one) — at minimum
+        # both are non-null deterministic hex strings
+        assert all(len(v) == 32 for v in fps.values())
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark, docs):
+        media = mm.attach_fake_media(docs.limit(50))
+        feats = mm.extract_features(media)
+        rows = feats.collect()
+        assert len(rows) == 50
+        for r in rows:
+            assert r.n_bytes == 32  # two md5 blocks
+            assert len(r.features) == mm.FEATURE_DIM
+            assert all(0.0 <= f <= 1.0 for f in r.features)
+        # deterministic across runs
+        again = {r.media_id: r.features for r in feats.collect()}
+        for r in rows:
+            assert again[r.media_id] == r.features
+
+    def test_frame_sampling_expansion(self, spark, docs):
+        media = mm.attach_fake_media(docs.limit(20))
+        frames = mm.sample_frames(media, every=2)
+        meta = {r.media_id: r.meta.n_frames for r in media.collect()}
+        counts: dict[int, int] = {}
+        for r in frames.collect():
+            counts[r.media_id] = counts.get(r.media_id, 0) + 1
+        for mid, n in meta.items():
+            assert counts.get(mid, 0) == (n + 1) // 2
+
+    def test_real_decoder_is_stubbed(self, spark, docs):
+        media = mm.attach_fake_media(docs.limit(2))
+        with pytest.raises(Exception) as err:
+            mm.extract_features(media, use_real_decoder=True).collect()
+        assert "NotImplementedError" in str(err.value) or isinstance(
+            err.value, NotImplementedError
+        )

@@ -1,0 +1,266 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-join based (no O(n²) cross product, no driver
+collect) so each scales to 100 TB-class corpora:
+
+- exact: hash-groupBy on normalized text, keep min doc_id;
+- shingle Jaccard: token n-gram inverted-index join (selective even on
+  shared-vocabulary corpora where unigram Jaccard saturates);
+- MinHash + LSH: k min-hash signatures, banded bucket join for candidate
+  pairs, exact-Jaccard verification of candidates only;
+- SimHash: bit-vote signature + blocked Hamming join;
+- embedding near-dup: quantized-integer cosine pairs (exact, engine-
+  deterministic; see similarity.py for the float/ANN path).
+
+Hash functions are md5-based so every step is reproducible across engines
+(the DuckDB oracles compute the identical signatures).
+
+Scale notes per operator are on the functions. The common scale levers:
+shingling multiplies rows by ~doc length — it stays (id, shingle) pairs,
+never materialized per-pair; the LSH band join's fan-out is bounded by
+bucket sizes (band width trades recall vs bucket skew); the Jaccard
+verify join only touches candidate pairs. For skewed shingles (boilerplate
+text) add a document-frequency cap (`max_df`) to drop degenerate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"  # for the F.split python API
+TOKEN_SPLIT_RE_SQL = r"\\s+"  # for patterns embedded in F.expr SQL literals
+
+
+def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, ord, tok) — positional tokens, whitespace split, JVM-side."""
+    toks = F.split(F.col(text_col), TOKEN_SPLIT_RE)
+    return (
+        df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("ord", "tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as (id, shingle).
+    Built array-side (transform over a sequence + slice) — one projection,
+    no self-joins, no Python."""
+    toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
+    # NB sequence(0, -1) in Spark is a *descending* sequence, so documents
+    # shorter than n tokens need an explicit empty-array branch.
+    sh = (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: canonical keeper per identical text = min id. Returns
+    every row with its keeper and a duplicate flag; `filter(~is_dup)` is
+    the deduplicated corpus. One hash-aggregate shuffle on the text hash
+    (md5 keeps wide texts off the shuffle wire)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h)
+    return df.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("keeper_doc_id"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over a (id, shingle) set, via
+    inverted-index self-join: pairs sharing ≥1 shingle, similarity =
+    |∩| / (|A|+|B|-|∩|). Integer arithmetic until the final division —
+    engine-exact. Shuffles on shingle (index build) then on pair (count)."""
+    sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    token_df: DataFrame, k: int = 12
+) -> DataFrame:
+    """k-permutation MinHash signature per id over a (id, tok)-distinct
+    set: h_s = min(md5(s||'|'||tok)). md5 is a stand-in family with exact
+    cross-engine reproducibility; one aggregate computes all k mins
+    (single shuffle on id)."""
+    dt = token_df.select("id", "tok").distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("tok")))).alias(f"h{s}")
+        for s in range(k)
+    ]
+    return dt.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows: int = 3
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all `rows` hashes of any band are
+    candidates. One self-join per band on the band key (md5 of the
+    concatenated row hashes), unioned and de-duplicated. Bucket sizes —
+    not corpus size — bound the pair fan-out."""
+    banded = sigs
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        banded = banded.withColumn(f"band{b}", F.md5(F.concat_ws("#", *cols)))
+    pairs = None
+    for b in range(bands):
+        l = banded.select(F.col("id").alias("id_a"), F.col(f"band{b}").alias("bk"))
+        r = banded.select(F.col("id").alias("id_b"), F.col(f"band{b}").alias("bk"))
+        p = l.join(r, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.union(p)
+    return pairs.distinct()
+
+
+def minhash_neardup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
+    exact-Jaccard verify (verification join touches candidates only)."""
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sh_tok = sh.withColumnRenamed("shingle", "tok")
+    cands = lsh_candidate_pairs(minhash_signatures(sh_tok, k=k), bands=bands, rows=rows)
+    verified = jaccard_pairs(sh, threshold=threshold)
+    return cands.join(verified, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_common", "jaccard"
+    )
+
+
+# --------------------------------------------------------------- SimHash
+def _simhash_bit_votes_sql(bits: int, hash_expr: str, instr_fn: str) -> list[str]:
+    """Shared SQL template for per-bit votes so the Spark expression and
+    the DuckDB oracle are generated from the same text. Bit i lives in hex
+    digit i//4 (1-based substr), MSB-first within the digit."""
+    votes = []
+    for i in range(bits):
+        digit = i // 4 + 1
+        shift = 3 - (i % 4)
+        val = f"({instr_fn}('0123456789abcdef', substr({hash_expr}, {digit}, 1)) - 1)"
+        bit = f"((CAST(floor({val} / {2 ** shift}) AS BIGINT)) % 2)"
+        votes.append(f"(2 * {bit} - 1)")
+    return votes
+
+
+def simhash_expr_sql(bits: int = 16, instr_fn: str = "instr", tok_col: str = "tok") -> str:
+    """SUM-of-votes → sign → weighted bits, as a SQL aggregate expression
+    over a (id, tok) group. Engine-portable: only substr / instr|strpos /
+    floor / CASE / SUM."""
+    votes = _simhash_bit_votes_sql(bits, f"md5({tok_col})", instr_fn)
+    bit_terms = [
+        f"(CASE WHEN SUM({votes[i]}) >= 0 THEN 1 ELSE 0 END) * {2 ** i}"
+        for i in range(bits)
+    ]
+    return " + ".join(bit_terms)
+
+
+def simhash(
+    token_df: DataFrame, bits: int = 16
+) -> DataFrame:
+    """SimHash signature per id from distinct tokens: each md5 bit votes
+    ±1; the signature's bit is the vote majority sign. One aggregate
+    (single shuffle); integer-only → engine-exact."""
+    dt = token_df.select("id", "tok").distinct()
+    expr = simhash_expr_sql(bits=bits, instr_fn="instr")
+    return dt.groupBy("id").agg(F.expr(expr).cast("long").alias("simhash"))
+
+
+def hamming_neardup(
+    sig_df: DataFrame, max_dist: int = 3, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash signatures. Pigeonhole
+    blocking: split the signature into max_dist+1 blocks; any pair within
+    distance must agree on ≥1 block → union of block-joins, then exact
+    bit_count(xor) filter on candidates only."""
+    n_blocks = max_dist + 1
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    pairs = None
+    for b in range(n_blocks):
+        key = (
+            F.shiftrightunsigned(F.col("simhash"), b * block_bits)
+            .bitwiseAND(F.lit(mask).cast("long"))
+            .alias("bk")
+        )
+        l = sig_df.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), key)
+        r = sig_df.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), key)
+        p = (
+            l.join(r, "bk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "sig_a", "id_b", "sig_b")  # drop bk before distinct
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
+    )
+
+
+# -------------------------------------------------- embedding near-dup
+def embedding_neardup(
+    emb_df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on quantized vectors:
+    components are rounded to integers (×scale), so dot products and
+    norms are exact integer sums — the cosine is then a deterministic
+    double. The pair join is positional (explode on dimension index),
+    shuffling (id, pos, val) triples, never a cross product of vectors."""
+    q = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).withColumn("qv", F.round(F.col("v").cast("double") * scale).cast("long"))
+    norms = q.groupBy("id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nrm"))
+    a, b = q.alias("a"), q.alias("b")
+    dots = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("n_a")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("n_b")), "id_b")
+        .withColumn(
+            "cosine", F.col("dot") / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b")))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

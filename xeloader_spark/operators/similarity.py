@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Three tiers:
+- `dot_topk_quantized`: exact top-k by integer-quantized dot product —
+  the oracle-checkable baseline (integer sums are order-independent and
+  engine-exact);
+- `cosine_topk`: float cosine brute force, vectors kept as arrays and
+  reduced JVM-side (`zip_with`/`aggregate`) — the correctness baseline,
+  validated against numpy in tests;
+- `lsh_ann_topk`: random-hyperplane LSH bucketing — the 100 TB path:
+  signature buckets shrink the candidate set from |corpus| to |bucket|,
+  then exact cosine re-ranks candidates only.
+
+Scale notes: all shapes are join+aggregate over (id, pos, val) triples or
+bucket keys — no driver-side matrices, no cross product of the full
+corpus. For a real deployment the quantized path maps directly onto
+IVF-style coarse quantization: replace the hyperplane signature with a
+centroid id from a trained codebook.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_quantized(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, pos, qv): integer-quantized components."""
+    return (
+        emb_df.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "v"))
+        .withColumn("qv", F.round(F.col("v").cast("double") * scale).cast("long"))
+        .drop("v")
+    )
+
+
+def dot_topk_quantized(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector by quantized dot product.
+    Ties broken by candidate id — the result *set* is engine-exact."""
+    q = explode_quantized(emb_df, id_col, vec_col, scale)
+    queries = q.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), "pos", F.col("qv").alias("q_qv")
+    )
+    dots = (
+        queries.join(q, "pos")
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("candidate_id"))
+        .agg(F.sum(F.col("q_qv") * F.col("qv")).alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("candidate_id"))
+    return (
+        dots.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "dot", "rk")
+    )
+
+
+def _cosine_cols(a: str, b: str) -> F.Column:
+    """Float cosine of two array columns, reduced JVM-side."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)")
+    na = F.expr(f"aggregate({a}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v)")
+    nb = F.expr(f"aggregate({b}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v)")
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force float-cosine top-k: broadcast the (small) query set
+    against the corpus; one window per query ranks candidates. The
+    per-vector reduction runs in the JVM (no Python, no shuffle of
+    exploded triples)."""
+    q = F.broadcast(
+        query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = emb_df.select(F.col(id_col).alias("candidate_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_cols("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "cosine", "rk")
+    )
+
+
+def hyperplane_signature(
+    emb_df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket signature. The
+    planes are pseudo-random ±1 component signs derived deterministically
+    from md5(seed, plane, dim) — reproducible across runs and engines,
+    no plane matrix to ship: the projection of vector v on plane p is
+    Σ_d v[d] * sign(p, d), computed array-side."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.expr(
+            "aggregate(zip_with("
+            f"{vec_col}, sequence(0, size({vec_col}) - 1), "
+            "(v, d) -> CAST(v AS DOUBLE) * "
+            f"(CASE WHEN instr('0123456789abcdef', substr(md5(concat('{seed}|{p}|', CAST(d AS STRING))), 1, 1)) - 1 < 8 "
+            "THEN 1.0 ELSE -1.0 END)"
+            "), 0D, (s, x) -> s + x)"
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return emb_df.select(F.col(id_col).alias("id"), vec_col).withColumn("bucket", sig)
+
+
+def lsh_ann_topk(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket as the query (probe
+    its exact bucket), re-ranked by exact float cosine. Bucket count 2^n
+    bounds each probe's candidate set to ~|corpus|/2^n — this is the
+    shape that survives 100 TB (swap buckets for trained IVF centroids
+    for better recall)."""
+    sigs = hyperplane_signature(emb_df, n_planes, id_col, vec_col)
+    queries = sigs.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = sigs.select(
+        F.col("id").alias("candidate_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_cols("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "cosine", "rk")
+    )

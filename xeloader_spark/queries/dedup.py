@@ -1,0 +1,176 @@
+"""Deduplication operators as oracle-checked queries over `documents` /
+`embeddings` (BASELINE.json extension surface).
+
+The MinHash-LSH oracle replicates the *entire* signature/band pipeline in
+SQL (md5 hashes are engine-identical), so the approximate operator is
+exact-checked, not just row-counted. SimHash/Hamming oracles verify the
+same result set through a brute-force all-pairs formulation — the Spark
+side uses pigeonhole blocking, which is complete, so the sets agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as dd
+
+_K = 12
+_BANDS = 4
+_ROWS = 3
+_JACCARD_T = 0.5
+_COS_T = 0.45
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keeper (min doc_id) per identical text + dup flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs)
+
+
+def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: exact trigram-shingle Jaccard ≥ 0.5 via inverted-
+    index join (no LSH approximation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (shingle → 12 min-hashes →
+    4×3 bands → candidate join → exact-Jaccard verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_neardup(
+        docs, threshold=_JACCARD_T, n=3, k=_K, bands=_BANDS, rows=_ROWS
+    )
+
+
+def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (integer bit votes from md5
+    nibbles — engine-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(docs)
+    return dd.simhash(toks, bits=16).withColumnRenamed("id", "doc_id")
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance ≤ 1 pairs; Spark side uses pigeonhole
+    blocking (complete), oracle brute-forces all pairs — same set.
+    (Distance 1 on 16 bits: this synthetic corpus shares one vocabulary,
+    so wider radii match a third of all pairs — real corpora use 64 bits.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.simhash(dd.tokenize(docs), bits=16)
+    return dd.hamming_neardup(sigs, max_dist=1, bits=16).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on quantized vectors (×1000 →
+    integer dot/norms → deterministic cosine), threshold 0.45."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup(emb, threshold=_COS_T)
+
+
+# ---------------------------------------------------------------- oracles
+
+# shared SQL fragments (DuckDB): positional tokens → distinct trigram
+# shingles per doc
+_TOKS = """
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok,
+           generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), 1) AS ord
+    FROM documents
+"""
+_TRI = f"""
+    SELECT DISTINCT a.doc_id AS id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+    FROM ({_TOKS}) a
+    JOIN ({_TOKS}) b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    JOIN ({_TOKS}) c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+"""
+_JACCARD_PAIRS = f"""
+    WITH tri AS ({_TRI}),
+    sz AS (SELECT id, COUNT(*) AS n FROM tri GROUP BY 1),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+        FROM tri a JOIN tri b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.n_common,
+           c.n_common * 1.0 / (sa.n + sb.n - c.n_common) AS jaccard
+    FROM common c
+    JOIN sz sa ON c.id_a = sa.id
+    JOIN sz sb ON c.id_b = sb.id
+    WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= {_JACCARD_T}
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{s}|' || sh)) AS h{s}" for s in range(_K)
+)
+_BAND_COLS = ", ".join(
+    "md5(" + " || '#' || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS)) + f") AS band{b}"
+    for b in range(_BANDS)
+)
+_CAND_UNION = " UNION ".join(
+    f"SELECT a.id AS id_a, b.id AS id_b FROM banded a "
+    f"JOIN banded b ON a.band{b} = b.band{b} AND a.id < b.id"
+    for b in range(_BANDS)
+)
+
+_SIMHASH_EXPR = dd.simhash_expr_sql(bits=16, instr_fn="strpos", tok_col="tok")
+
+ORACLES: dict[str, str] = {
+    "q_dedup_exact": """
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY text) AS keeper_doc_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+        FROM documents
+    """,
+    "q_dedup_shingle_jaccard": _JACCARD_PAIRS,
+    "q_dedup_minhash_lsh": f"""
+        WITH tri AS ({_TRI}),
+        sig AS (SELECT id, {_SIG_COLS} FROM tri GROUP BY id),
+        banded AS (SELECT id, {_BAND_COLS} FROM sig),
+        cand AS ({_CAND_UNION}),
+        ver AS ({_JACCARD_PAIRS})
+        SELECT v.id_a, v.id_b, v.n_common, v.jaccard
+        FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_simhash_signature": f"""
+        WITH toks AS ({_TOKS}),
+        dt AS (SELECT DISTINCT doc_id AS id, tok FROM toks)
+        SELECT id AS doc_id, CAST({_SIMHASH_EXPR} AS BIGINT) AS simhash
+        FROM dt GROUP BY id
+    """,
+    "q_simhash_neardup": f"""
+        WITH toks AS ({_TOKS}),
+        dt AS (SELECT DISTINCT doc_id AS id, tok FROM toks),
+        sig AS (SELECT id, CAST({_SIMHASH_EXPR} AS BIGINT) AS simhash
+                FROM dt GROUP BY id)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+    "q_embedding_neardup": f"""
+        WITH q AS (
+            SELECT vec_id AS id, ord AS pos,
+                   CAST(round(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+        ),
+        nrm AS (SELECT id, SUM(qv * qv) AS nrm FROM q GROUP BY 1),
+        dots AS (
+            SELECT a.id AS id_a, b.id AS id_b, SUM(a.qv * b.qv) AS dot
+            FROM q a JOIN q b ON a.pos = b.pos AND a.id < b.id
+            GROUP BY 1, 2
+        )
+        SELECT d.id_a, d.id_b,
+               d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cosine
+        FROM dots d
+        JOIN nrm na ON d.id_a = na.id
+        JOIN nrm nb ON d.id_b = nb.id
+        WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {_COS_T}
+    """,
+}

@@ -1,0 +1,75 @@
+"""Similarity-search operators as driver queries over `embeddings`, plus
+the multimodal plumbing as a rows-only entry.
+
+`q_ann_topk_dot` is the exact-checked baseline (integer-quantized dot
+products). The float-cosine brute force and LSH-ANN variants are
+engine-side APIs (operators/similarity.py) validated against numpy in
+tests; `q_ann_topk_cosine_lsh` is registered rows-only because its
+hyperplane-aggregate float reductions have no stable cross-engine SQL
+equivalent (summation order differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_K = 5
+
+
+def q_ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors for query vectors 0-4 by quantized dot
+    product (deterministic tie-break on candidate id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.dot_topk_quantized(emb, _QUERY_IDS, k=_K)
+
+
+def q_ann_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 by random-hyperplane LSH bucketing + exact cosine
+    re-rank of in-bucket candidates (rows-only check; float path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_ann_topk(emb, _QUERY_IDS, k=_K, n_planes=6)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → fake binary payloads
+    with typed metadata → Arrow `mapInPandas` feature extraction
+    (rows-only check; the decode step is a deterministic stub — real
+    codecs are absent in this runtime)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_fake_media(docs)
+    return mm.extract_features(media)
+
+
+ORACLES: dict[str, str] = {
+    "q_ann_topk_dot": f"""
+        WITH q AS (
+            SELECT vec_id AS id, ord AS pos,
+                   CAST(round(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+        ),
+        queries AS (
+            SELECT id AS query_id, pos, qv AS q_qv FROM q
+            WHERE id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+        ),
+        dots AS (
+            SELECT qu.query_id, c.id AS candidate_id,
+                   CAST(SUM(qu.q_qv * c.qv) AS BIGINT) AS dot
+            FROM queries qu JOIN q c ON qu.pos = c.pos AND c.id <> qu.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, candidate_id, dot, rk FROM (
+            SELECT query_id, candidate_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, candidate_id ASC) AS rk
+            FROM dots
+        ) WHERE rk <= {_K}
+    """,
+}

@@ -1,0 +1,138 @@
+"""Text-analysis operators as oracle-checked queries over `documents`."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import text as tx
+from ..operators.text import BPE_ISH_RE, LANG_MARKERS
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats + keep/drop flag (length, token count,
+    punctuation/digit/stopword ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_flag(tx.text_stats(docs)).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_ok",
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = tx.text_stats(docs)
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_ws_tokens"),
+        "n_bpe_tokens",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word argmax with deterministic
+    tie-break (score desc, lang asc), 'und' when nothing matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.lang_id(docs).select("doc_id", "lang", "lang_guess")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document md5 fingerprint (normalized) + winnowing-style
+    min-shingle-hash rolling fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.rolling_fingerprint(tx.doc_fingerprint(docs), n=5).select(
+        "doc_id", "fingerprint", "rolling_fp"
+    )
+
+
+_TOKS_LIST = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"len(list_filter({_TOKS_LIST}, x -> list_contains([{quoted}], x)))"
+    )
+
+
+_SCORES = ", ".join(
+    f"CAST({_marker_count_sql(m)} AS BIGINT) AS score_{lang}"
+    for lang, m in LANG_MARKERS.items()
+)
+
+ORACLES: dict[str, str] = {
+    "q_text_quality": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len({_TOKS_LIST}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST({_marker_count_sql(LANG_MARKERS["en"])} AS BIGINT) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+                    ELSE 0.0 END AS avg_token_len,
+               n_punct * 1.0 / n_chars AS punct_ratio,
+               n_digit * 1.0 / n_chars AS digit_ratio,
+               CASE WHEN n_tokens > 0
+                    THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stopword_ratio,
+               (n_tokens >= 10 AND n_punct * 1.0 / n_chars <= 0.3) AS quality_ok
+        FROM s
+    """,
+    "q_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS_LIST}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "q_lang_id": f"""
+        WITH scored AS (SELECT doc_id, lang, {_SCORES} FROM documents),
+        unp AS (
+            SELECT doc_id, lang, s.score, s.cand
+            FROM scored,
+            LATERAL (VALUES (score_de, 'de'), (score_en, 'en'),
+                            (score_es, 'es'), (score_fr, 'fr')) AS s(score, cand)
+        ),
+        best AS (
+            SELECT doc_id, lang, score, cand,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand ASC) AS rk
+            FROM unp
+        )
+        SELECT doc_id, lang,
+               CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_guess
+        FROM best WHERE rk = 1
+    """,
+    "q_doc_fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_LIST}) AS tok,
+                   generate_subscripts({_TOKS_LIST}, 1) AS ord
+            FROM documents
+        ),
+        sh AS (
+            SELECT a.doc_id,
+                   md5(a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok || ' ' || e.tok) AS h
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+            JOIN toks d ON a.doc_id = d.doc_id AND d.ord = a.ord + 3
+            JOIN toks e ON a.doc_id = e.doc_id AND e.ord = a.ord + 4
+        ),
+        rolling AS (SELECT doc_id, MIN(h) AS rolling_fp FROM sh GROUP BY 1)
+        SELECT d.doc_id,
+               md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fingerprint,
+               r.rolling_fp
+        FROM documents d LEFT JOIN rolling r ON d.doc_id = r.doc_id
+    """,
+}
