@@ -1,0 +1,82 @@
+"""Streaming-parity tests (SURVEY §7.1 M6): the streamed ingest must
+produce exactly what the batch ingest produces, and the watermarked
+windowed aggregate must match the batch time-bucket aggregate on a
+bounded input."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xeloader_spark.catalog import load_table
+from xeloader_spark.operators.ingest import IngestConfig, flatten_events
+from xeloader_spark.streaming import ingest_stream as st
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_in(spark, tmp_path_factory):
+    """events fixture written as a 3-file parquet directory with the
+    micro-precision ts materialized (stream schema wants TimestampType)."""
+    root = str(tmp_path_factory.mktemp("stream_in"))
+    ev = load_table(spark, SF, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(root)
+    return root
+
+
+def test_stream_demux_matches_batch(spark, stream_in, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = st.read_event_stream(spark, stream_in, max_files_per_trigger=2)
+    flat = st.streaming_flatten(stream)
+    q = st.start_demux_sink(flat, out, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    ev = load_table(spark, SF, "events")
+    assert got.count() == ev.count()
+    # demux partition dirs exist per type
+    types = {r.event_type for r in got.select("event_type").distinct().collect()}
+    assert types == {"click", "error", "purchase", "signup", "view"}
+    # flat schema matches the batch flatten contract
+    batch_cols = set(flatten_events(ev.withColumn("e_source_file", F.input_file_name()), IngestConfig()).columns)
+    assert set(got.columns) == batch_cols
+
+    # restart with same checkpoint: no reprocessing (file-source exactly-once)
+    q2 = st.start_demux_sink(
+        st.streaming_flatten(st.read_event_stream(spark, stream_in)), out, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_windowed_agg_matches_batch(spark, stream_in, tmp_path):
+    ckpt = str(tmp_path / "ckpt_agg")
+    stream = st.read_event_stream(spark, stream_in)
+    q = st.start_windowed_agg(stream, ckpt, window="1 minute", watermark="5 minutes")
+    q.awaitTermination(120)
+    got = spark.sql("select * from windowed_agg")
+
+    ev = load_table(spark, SF, "events")
+    exp = (
+        ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    # append-mode emits only windows older than the watermark; on a bounded
+    # availableNow run the final watermark still holds back the tail, so
+    # compare on the emitted subset and require substantial coverage
+    emitted = {
+        (r.bucket_ts, r.event_type): (r.n_events, r.sum_value) for r in got.collect()
+    }
+    expected = {
+        (r.bucket_ts, r.event_type): (r.n_events, r.sum_value) for r in exp.collect()
+    }
+    assert len(emitted) > 0.5 * len(expected)
+    for k, v in emitted.items():
+        assert expected[k] == v, k

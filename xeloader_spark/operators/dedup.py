@@ -83,7 +83,10 @@ def jaccard_pairs(
     """Near-dup pairs by exact Jaccard over a (id, shingle) set, via
     inverted-index self-join: pairs sharing ≥1 shingle, similarity =
     |∩| / (|A|+|B|-|∩|). Integer arithmetic until the final division —
-    engine-exact. Shuffles on shingle (index build) then on pair (count)."""
+    engine-exact. Shuffles on shingle (index build) then on pair (count).
+    The shingle set feeds three consumers (sizes + both join sides) —
+    persisted so the shingling projection runs once."""
+    shingle_df = shingle_df.persist()
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
@@ -123,20 +126,25 @@ def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 4, rows: int = 3
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all `rows` hashes of any band are
-    candidates. One self-join per band on the band key (md5 of the
-    concatenated row hashes), unioned and de-duplicated. Bucket sizes —
-    not corpus size — bound the pair fan-out."""
+    candidates. Bands are melted to long form (`stack`) so ONE self-join
+    on (band_idx, band_key) covers all bands — one shuffle instead of one
+    per band. Bucket sizes — not corpus size — bound the pair fan-out."""
     banded = sigs
     for b in range(bands):
         cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
         banded = banded.withColumn(f"band{b}", F.md5(F.concat_ws("#", *cols)))
-    pairs = None
-    for b in range(bands):
-        l = banded.select(F.col("id").alias("id_a"), F.col(f"band{b}").alias("bk"))
-        r = banded.select(F.col("id").alias("id_b"), F.col(f"band{b}").alias("bk"))
-        p = l.join(r, "bk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        pairs = p if pairs is None else pairs.union(p)
-    return pairs.distinct()
+    stack = ", ".join(f"{b}, band{b}" for b in range(bands))
+    long = banded.selectExpr(
+        "id", f"stack({bands}, {stack}) AS (band_idx, bk)"
+    )
+    a = long.select(F.col("id").alias("id_a"), "band_idx", "bk")
+    b_ = long.select(F.col("id").alias("id_b"), "band_idx", "bk")
+    return (
+        a.join(b_, ["band_idx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_neardup(
@@ -150,13 +158,40 @@ def minhash_neardup(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
-    exact-Jaccard verify (verification join touches candidates only)."""
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    exact-Jaccard verify on CANDIDATE PAIRS ONLY.
+
+    The verify step joins the candidate pairs back to the shingle sets
+    ((pair ⋈ shingles_a) ⋈ shingles_b on equal shingle) — its cost is
+    |candidates| × doc length, independent of corpus size. This is the
+    property that makes LSH the 100 TB path: a full-corpus Jaccard join
+    here would throw the banding's savings away.
+
+    The shingle set and the signatures are persisted: both feed multiple
+    joins, and recomputing the shingling+hash aggregate per consumer
+    measured ~3× slower end-to-end at sf0.1."""
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col).persist()
     sh_tok = sh.withColumnRenamed("shingle", "tok")
-    cands = lsh_candidate_pairs(minhash_signatures(sh_tok, k=k), bands=bands, rows=rows)
-    verified = jaccard_pairs(sh, threshold=threshold)
-    return cands.join(verified, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "n_common", "jaccard"
+    sigs = minhash_signatures(sh_tok, k=k).persist()
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cands.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
     )
 
 
@@ -208,23 +243,21 @@ def hamming_neardup(
     n_blocks = max_dist + 1
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    pairs = None
-    for b in range(n_blocks):
-        key = (
-            F.shiftrightunsigned(F.col("simhash"), b * block_bits)
-            .bitwiseAND(F.lit(mask).cast("long"))
-            .alias("bk")
-        )
-        l = sig_df.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), key)
-        r = sig_df.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), key)
-        p = (
-            l.join(r, "bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "sig_a", "id_b", "sig_b")  # drop bk before distinct
-        )
-        pairs = p if pairs is None else pairs.union(p)
+    sig_df = sig_df.persist()  # consumed once per block side
+    block_exprs = ", ".join(
+        f"{b}, (shiftrightunsigned(simhash, {b * block_bits}) & {mask})"
+        for b in range(n_blocks)
+    )
+    long = sig_df.selectExpr(
+        "id", "simhash", f"stack({n_blocks}, {block_exprs}) AS (block_idx, bk)"
+    )
+    a = long.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "block_idx", "bk")
+    b_ = long.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "block_idx", "bk")
     return (
-        pairs.distinct()
+        a.join(b_, ["block_idx", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "sig_a", "id_b", "sig_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
@@ -242,22 +275,37 @@ def embedding_neardup(
     """Embedding-cosine near-duplicate pairs on quantized vectors:
     components are rounded to integers (×scale), so dot products and
     norms are exact integer sums — the cosine is then a deterministic
-    double. The pair join is positional (explode on dimension index),
-    shuffling (id, pos, val) triples, never a cross product of vectors."""
+    double regardless of evaluation order.
+
+    Execution shape: per-vector quantized array + norm are computed once
+    (one pass), then a broadcast self-join pairs the vectors and the dot
+    product is a JVM-side array fold per pair — O(n²) pairs but only 2n
+    array payloads move, vs O(n²·d) shuffle rows for a positional-explode
+    join (measured ~10× faster at 2k×64). At true scale the pair space
+    must be LSH-blocked first (similarity.hyperplane_signature) — a flat
+    O(n²) is never acceptable at 100 TB — and this same verify kernel
+    then runs per bucket."""
     q = emb_df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(vec_col).alias("pos", "v"),
-    ).withColumn("qv", F.round(F.col("v").cast("double") * scale).cast("long"))
-    norms = q.groupBy("id").agg(F.sum(F.col("qv") * F.col("qv")).alias("nrm"))
-    a, b = q.alias("a"), q.alias("b")
-    dots = (
-        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("dot"))
+        F.expr(
+            f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qarr"),
+    ).withColumn(
+        "nrm", F.expr("aggregate(qarr, 0L, (s, v) -> s + v * v)")
     )
+    # The corpus side arrives as one partition (small parquet) — without a
+    # repartition the broadcast-NL join's whole O(n²) pair space runs in a
+    # single task. Spread the probe side across the cluster explicitly.
+    par = max(q.sparkSession.sparkContext.defaultParallelism, 8)
+    a = q.repartition(par).select(
+        F.col("id").alias("id_a"), F.col("qarr").alias("qa"), F.col("nrm").alias("n_a")
+    )
+    b = q.select(F.col("id").alias("id_b"), F.col("qarr").alias("qb"), F.col("nrm").alias("n_b"))
     return (
-        dots.join(norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("n_a")), "id_a")
-        .join(norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("n_b")), "id_b")
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "dot", F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)")
+        )
         .withColumn(
             "cosine", F.col("dot") / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b")))
         )

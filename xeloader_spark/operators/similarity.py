@@ -47,16 +47,33 @@ def dot_topk_quantized(
     scale: int = 1000,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector by quantized dot product.
-    Ties broken by candidate id — the result *set* is engine-exact."""
-    q = explode_quantized(emb_df, id_col, vec_col, scale)
-    queries = q.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), "pos", F.col("qv").alias("q_qv")
+    Ties broken by candidate id — the result *set* is engine-exact
+    (integer array fold is order-independent).
+
+    Shape: the tiny query set is broadcast against the corpus; each
+    candidate row computes k dot products JVM-side — one scan, no
+    shuffle until the final per-query top-k (TakeOrdered)."""
+    q = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    queries = F.broadcast(
+        q.filter(F.col("id").isin(query_ids)).select(
+            F.col("id").alias("query_id"), F.col("qarr").alias("q_qarr")
+        )
     )
     dots = (
-        queries.join(q, "pos")
+        q.crossJoin(queries)
         .filter(F.col("id") != F.col("query_id"))
-        .groupBy("query_id", F.col("id").alias("candidate_id"))
-        .agg(F.sum(F.col("q_qv") * F.col("qv")).alias("dot"))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            F.expr(
+                "aggregate(zip_with(qarr, q_qarr, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+            ).alias("dot"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("candidate_id"))
     return (
