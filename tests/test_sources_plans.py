@@ -1,0 +1,121 @@
+"""Tests for the XML XEvent source (S4/S5 public format), the JDBC-parity
+sink construction (S18/S20), and the plan-shape assertions (§4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xeloader_spark import plans
+from xeloader_spark.catalog import load_table
+from xeloader_spark.queries import core as qcore
+from xeloader_spark.sources import jdbc_sink, xe_xml
+
+SF = "/root/testdata/sf0.001"
+
+XML_EVENTS = [
+    '<event name="wait_info" package="sqlos" timestamp="2024-01-01T00:00:01.500Z">'
+    '<data name="duration"><value>42</value></data>'
+    '<data name="wait_type"><value>PAGEIOLATCH_SH</value></data>'
+    '<action name="session_id" package="sqlserver"><value>53</value></action>'
+    "</event>",
+    '<event name="wait_info" package="sqlos" timestamp="2024-01-01T00:00:02.250Z">'
+    '<data name="duration"><value>7</value></data>'
+    '<data name="wait_type"><value>CXPACKET</value></data>'
+    '<action name="session_id" package="sqlserver"><value>54</value></action>'
+    "</event>",
+    '<event name="sql_batch_completed" package="sqlserver" timestamp="2024-01-01T00:00:03Z">'
+    '<data name="batch_text"><value>SELECT 1</value></data>'
+    '<action name="session_id" package="sqlserver"><value>53</value></action>'
+    "</event>",
+]
+
+
+class TestXmlSource:
+    @pytest.fixture(scope="class")
+    def xml_dir(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("xml_events")
+        (d / "Trace_0_1.xml").write_text("\n".join(XML_EVENTS[:2]) + "\n")
+        (d / "Trace_1_2.xml").write_text(XML_EVENTS[2] + "\n")
+        return str(d)
+
+    def test_parse_and_flatten(self, spark, xml_dir):
+        parsed = xe_xml.read_xml_events(spark, xml_dir)
+        rows = parsed.orderBy("ts").collect()
+        assert len(rows) == 3
+        assert rows[0].event_type == "wait_info"
+        assert rows[0].fields["duration"] == "42"
+        assert rows[0].actions["session_id"] == "53"
+        assert rows[0].ts.microsecond == 500000
+
+        flat = xe_xml.flatten_xml_events(
+            parsed, field_types={"duration": "UInt64", "session_id": "Int32"}
+        )
+        cols = set(flat.columns)
+        assert {"c_duration", "c_wait_type", "c_batch_text", "a_session_id"} <= cols
+        wi = flat.filter(F.col("event_type") == "wait_info").orderBy("ts").collect()
+        assert int(wi[0].c_duration) == 42  # decimal(38,0) per UInt64 mapping
+        assert wi[0].a_session_id == 53
+        # event-local fields are null on foreign event types
+        sb = flat.filter(F.col("event_type") == "sql_batch_completed").first()
+        assert sb.c_duration is None
+        assert sb.c_batch_text == "SELECT 1"
+
+
+class TestJdbcSink:
+    def test_writer_options(self, spark):
+        df = load_table(spark, SF, "events")
+        mode, opts = jdbc_sink.build_jdbc_options(
+            url="jdbc:sqlserver://localhost;database=xe",
+            table="xel.wait_info",
+            mode="truncate",
+            xevent_types={"event_id": "Int64", "props": "String"},
+        )
+        assert mode == "overwrite"
+        assert opts["batchsize"] == str(jdbc_sink.DEFAULT_BATCH_SIZE)
+        assert opts["truncate"] == "true"
+        assert "event_id bigint" in opts["createTableColumnTypes"]
+        assert "props nvarchar(512)" in opts["createTableColumnTypes"]
+        # writer construction itself must not raise
+        jdbc_sink.jdbc_writer(
+            df, "jdbc:sqlserver://localhost", "xel.t", mode="truncate"
+        )
+
+    def test_demux_builds_one_writer_per_type(self, spark):
+        df = load_table(spark, SF, "events")
+        writers = jdbc_sink.demux_jdbc_tables(df, url="jdbc:sqlserver://x")
+        assert set(writers) == {
+            "xel.click",
+            "xel.error",
+            "xel.purchase",
+            "xel.signup",
+            "xel.view",
+        }
+
+
+class TestPlanShapes:
+    """The §4 optimizations must actually appear in the physical plans."""
+
+    def test_filter_pushdown_event_type(self, spark):
+        df = qcore.q_event_type_filter_project(spark, SF)
+        plans.assert_pushed_filter(df, "event_type")
+        # 4 projected columns + the filter column
+        plans.assert_pruned_schema(df, 5)
+
+    def test_column_pruning_topk(self, spark):
+        df = qcore.q_topk_heavy_hitters(spark, SF)
+        plans.assert_pruned_schema(df, 1)  # only user_id read
+
+    def test_lineage_join_broadcasts(self, spark):
+        df = qcore.q_lineage_join(spark, SF)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+
+    def test_region_revenue_no_cartesian(self, spark):
+        from xeloader_spark.queries import relational
+
+        df = relational.q_region_revenue(spark, SF)
+        plans.assert_no_cartesian(df)
+        plans.assert_broadcast_join(df)

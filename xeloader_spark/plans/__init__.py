@@ -1,0 +1,19 @@
+"""Plan inspection utilities (SURVEY §4): assert that Catalyst produced
+the physical plan we designed for — filters pushed to the scan, columns
+pruned, small sides broadcast, codegen spans wide."""
+
+from .inspect import (
+    physical_plan,
+    assert_pushed_filter,
+    assert_pruned_schema,
+    assert_broadcast_join,
+    assert_no_cartesian,
+)
+
+__all__ = [
+    "physical_plan",
+    "assert_pushed_filter",
+    "assert_pruned_schema",
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+]
