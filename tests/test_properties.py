@@ -1,0 +1,135 @@
+"""Property-based tests (SURVEY §5.4): random event batches through the
+dataflow; invariants that must hold for ANY input.
+
+Spark round-trips are expensive per example, so Spark-touching properties
+run few examples with no deadline; pure-Python cores (callstack decode,
+pattern inference) get full Hypothesis treatment.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xeloader_spark.functions.callstack import decode_callstack_py
+from xeloader_spark.operators.ingest import (
+    IngestConfig,
+    flatten_events,
+    get_leading_file_pattern,
+    split_by_error_budget,
+    wildcard_to_regex,
+)
+
+# ---------------------------------------------------------------- pure cores
+
+
+@given(st.binary(min_size=0, max_size=200), st.sampled_from([4, 8]))
+def test_callstack_decode_frame_count(blob, fs):
+    out = decode_callstack_py(blob, fs, "ln ")
+    n_frames = len(blob) // fs
+    if n_frames == 0:
+        assert out == ""
+    else:
+        parts = out.split(";")
+        assert len(parts) == n_frames
+        for i, p in enumerate(parts):
+            assert p.startswith("ln ")
+            # each frame is the byte-reversed hex of the source frame
+            frame = blob[i * fs : (i + 1) * fs]
+            assert p[3:] == frame[::-1].hex().upper()
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", exclude_characters="/\\\x00\n\r"
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_leading_pattern_always_suffixed_star(name):
+    pat = get_leading_file_pattern(name + ".xel")
+    assert pat.endswith("*")
+    # the derived prefix must wildcard-match the original file name
+    import re
+
+    rx = wildcard_to_regex(pat)
+    assert re.match(rx, name + ".xel") or re.match(rx, name)
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_uint64_hex_roundtrip(v):
+    # the S14 transform is hex of the two's-complement long; round-trip
+    # through the signed representation must preserve the unsigned value
+    signed = v if v < 2**63 else v - 2**64
+    hx = format(signed & 0xFFFFFFFFFFFFFFFF, "016X")
+    assert int(hx, 16) == v
+
+
+# ------------------------------------------------------------ spark dataflow
+
+EVENT_TYPES = ["click", "error", "view"]
+
+event_strategy = st.fixed_dictionaries(
+    {
+        "event_id": st.integers(min_value=0, max_value=10**9),
+        "user_id": st.integers(min_value=0, max_value=1000),
+        "event_type": st.sampled_from(EVENT_TYPES),
+        "value": st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        "props": st.one_of(
+            st.just('{"k": 1}'),
+            st.text(min_size=0, max_size=120).filter(lambda s: "\x00" not in s),
+        ),
+    }
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(event_strategy, min_size=1, max_size=60))
+def test_row_conservation_and_truncation(spark, batch):
+    base_ts = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(
+            event_id=e["event_id"],
+            ts=base_ts + dt.timedelta(seconds=i),
+            user_id=e["user_id"],
+            event_type=e["event_type"],
+            value=e["value"],
+            props=e["props"],
+        )
+        for i, e in enumerate(batch)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "e_source_file", F.lit("file_a.parquet")
+    )
+    cfg = IngestConfig(bound_widths=True, string_trunc=16, max_errors_per_file=10**9)
+    flat = flatten_events(df, cfg)
+
+    # invariant 1: flatten conserves rows
+    assert flat.count() == len(batch)
+
+    # invariant 2: truncation flags count exactly the over-length payloads
+    n_over = sum(1 for e in batch if len(e["props"]) > 16)
+    got = flat.agg(F.sum("e_props_truncated").alias("n")).first().n
+    assert got == n_over
+
+    # invariant 3: good + errors == total, demux partition-union == total
+    good, report = split_by_error_budget(flat, cfg)
+    n_err = report.agg(F.sum("n_errors").alias("n")).first().n
+    assert good.count() + n_err == len(batch)
+    per_type = (
+        good.groupBy("event_type").count().agg(F.sum("count").alias("n")).first().n
+    )
+    assert (per_type or 0) == good.count()

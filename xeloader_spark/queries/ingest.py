@@ -140,6 +140,21 @@ def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_smalldatetime_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 variant: the exact SQL Server smalldatetime rounding (seconds
+    ≥ 29.998 round UP — EventMetadata.cs:307-308 stores the coarse column
+    as smalldatetime and relies on the server's cast), distinguished from
+    the default date_trunc coarse column."""
+    from ..functions.timeutil import smalldatetime_round
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        smalldatetime_round(F.col("ts")).alias("e_time_of_event_rounded"),
+        F.date_trunc("minute", F.col("ts")).alias("e_time_of_event_trunc"),
+    )
+
+
 def q_demux_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: demultiplex by event name (EventHolder.cs:54-57) — the routing
     scatter as its per-type cardinality + sequence range."""
@@ -227,6 +242,12 @@ ORACLES: dict[str, str] = {
                (SUM({_IS_ERR}) >= 100) AS aborted
         FROM events
         GROUP BY 1
+    """,
+    "q_smalldatetime_round": """
+        SELECT event_id,
+               date_trunc('minute', ts + INTERVAL '30.002 seconds') AS e_time_of_event_rounded,
+               date_trunc('minute', ts) AS e_time_of_event_trunc
+        FROM events
     """,
     "q_demux_counts": """
         SELECT event_type,
