@@ -51,6 +51,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.all_queries()
 
+    # warmup: pay JVM/codegen/session init once, outside the timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    registry["q_demux_counts"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]

@@ -107,6 +107,21 @@ class TestSimilarity:
         for r in rows:
             assert r.rk <= 5 and r.candidate_id != r.query_id
 
+    def test_matmul_equals_join(self, spark, emb):
+        """The int64-matmul kernel must produce bit-identical pairs and
+        cosines to the pure-join formulation."""
+        from xeloader_spark.operators import dedup as dd
+
+        a = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dd.embedding_neardup(emb, threshold=0.4).collect()
+        }
+        b = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dd.embedding_neardup_matmul(emb, threshold=0.4).collect()
+        }
+        assert a == b  # exact float equality, not approx
+
     def test_quantized_dot_deterministic(self, spark, emb):
         a = sim.dot_topk_quantized(emb, [0, 1], k=3).collect()
         b = sim.dot_topk_quantized(emb, [0, 1], k=3).collect()

@@ -67,9 +67,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs on quantized vectors (×1000 →
-    integer dot/norms → deterministic cosine), threshold 0.45."""
+    integer dot/norms → deterministic cosine), threshold 0.45. Uses the
+    blocked int64-matmul kernel (exact; identical values to the pure-join
+    formulation, see test_extensions.py::test_matmul_equals_join)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dd.embedding_neardup(emb, threshold=_COS_T)
+    return dd.embedding_neardup_matmul(emb, threshold=_COS_T)
 
 
 # ---------------------------------------------------------------- oracles
