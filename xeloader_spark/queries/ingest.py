@@ -140,6 +140,39 @@ def q_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S9: typed extraction from the stringified payload — the schema-
+    inference → typed-column path (ExtractMetadataFromFile +
+    GetDataFromEvent) applied to the fixture's JSON `props`: pull `k` out
+    as a typed `c_k` column next to the raw payload."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("c_k"),
+        F.col("props").alias("c_props"),
+    )
+
+
+def q_event_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sequencing with lead/lag — inter-event gaps per user over the
+    precise UTC timestamp (the `datetime2(7)` ordering use-case,
+    InputParameters.cs:624-625). Gap is exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_us = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    ).alias("gap_us")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        gap_us,
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
 def q_smalldatetime_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 variant: the exact SQL Server smalldatetime rounding (seconds
     ≥ 29.998 round UP — EventMetadata.cs:307-308 stores the coarse column
@@ -242,6 +275,19 @@ ORACLES: dict[str, str] = {
                (SUM({_IS_ERR}) >= 100) AS aborted
         FROM events
         GROUP BY 1
+    """,
+    "q_props_extract": """
+        SELECT event_id, event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS c_k,
+               props AS c_props
+        FROM events
+    """,
+    "q_event_lead_lag": """
+        SELECT user_id, event_id, ts,
+               CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS gap_us,
+               LEAD(event_id) OVER w AS next_event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "q_smalldatetime_round": """
         SELECT event_id,
