@@ -1,0 +1,113 @@
+"""Scale-knob tests: salted join equivalence, bucketed co-located joins
+(no Exchange), and the stateful streaming sessionizer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xeloader_spark.catalog import load_table
+from xeloader_spark.operators import skew
+from xeloader_spark.plans import physical_plan
+from xeloader_spark.streaming import ingest_stream as st
+from xeloader_spark.streaming.sessionize import start_sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestSaltedJoin:
+    def test_equivalence_with_plain_join(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+        plain = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        salted = (
+            skew.salted_join(
+                li.withColumnRenamed("l_orderkey", "k"),
+                orders.withColumnRenamed("o_orderkey", "k"),
+                "k",
+                salt_n=4,
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+    def test_rejects_right_joins(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        with pytest.raises(ValueError):
+            skew.salted_join(li, li, "l_orderkey", how="full")
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark, tmp_path):
+        # (warehouse dir is a static conf; managed tables land in
+        # ./spark-warehouse and are dropped in finally)
+        spark.sql("CREATE DATABASE IF NOT EXISTS buckets_db")
+        spark.sql("USE buckets_db")
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # tiny test tables would broadcast; force the sort-merge path the
+        # bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            li = load_table(spark, SF, "lineitem")
+            orders = load_table(spark, SF, "orders")
+            skew.write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+            skew.write_bucketed(orders, "b_orders", "o_orderkey", 8)
+            a = spark.table("b_lineitem")
+            b = spark.table("b_orders")
+            joined = a.join(b, a.l_orderkey == b.o_orderkey).select(
+                "l_orderkey", "o_orderpriority"
+            )
+            plan = physical_plan(joined)
+            # co-located: neither side shuffles (no hash-partitioning
+            # exchange); both scans read bucketed
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("USE default")
+
+
+class TestSessionize:
+    def test_gap_sessionization(self, spark, tmp_path):
+        # events fixture spans ~a simulated stream; use a 30-min gap
+        root = str(tmp_path / "in")
+        ev = load_table(spark, SF, "events")
+        ev.coalesce(2).write.mode("overwrite").parquet(root)
+
+        stream = st.read_event_stream(spark, root)
+        q = start_sessionize(
+            stream,
+            str(tmp_path / "ckpt"),
+            gap_seconds=1800,
+            watermark="0 seconds",
+            queryName="sessions_t",
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select * from sessions_t")
+        rows = got.collect()
+        assert len(rows) > 0
+        # invariants: sessions are well-formed and disjoint per user
+        by_user: dict[int, list] = {}
+        for r in rows:
+            assert r.session_start <= r.session_end
+            assert r.n_events >= 1
+            by_user.setdefault(r.user_id, []).append(r)
+        for sess in by_user.values():
+            sess.sort(key=lambda r: r.session_start)
+            for a, b in zip(sess, sess[1:]):
+                gap = (b.session_start - a.session_end).total_seconds()
+                assert gap > 1800, (a, b)
+        # conservation: emitted sessions cover only closed sessions; the
+        # final (open) session per user may be withheld by the watermark
+        n_emitted = sum(r.n_events for r in rows)
+        assert n_emitted <= ev.count()
