@@ -119,3 +119,20 @@ class TestPlanShapes:
         df = relational.q_region_revenue(spark, SF)
         plans.assert_no_cartesian(df)
         plans.assert_broadcast_join(df)
+
+    def test_flagship_partial_aggregation(self, spark):
+        """q_time_bucket_agg must map-side combine (two HashAggregate
+        phases) and read only the 3 needed columns — the shape that keeps
+        the shuffle tiny at any scale."""
+        df = qcore.q_time_bucket_agg(spark, SF)
+        plan = plans.physical_plan(df)
+        assert plan.count("HashAggregate") >= 2, plan
+        plans.assert_pruned_schema(df, 3)  # ts, event_type, value
+
+    def test_pricing_summary_partial_aggregation(self, spark):
+        from xeloader_spark.queries import relational
+
+        df = relational.q_pricing_summary(spark, SF)
+        plan = plans.physical_plan(df)
+        assert plan.count("HashAggregate") >= 2, plan
+        plans.assert_pruned_schema(df, 6)

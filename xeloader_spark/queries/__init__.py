@@ -45,7 +45,7 @@ def all_oracles() -> dict[str, str]:
 
 def _modules():
     mods = [core]
-    for modname in ("relational", "ingest", "dedup", "similarity", "text"):
+    for modname in ("relational", "ingest", "dedup", "similarity", "text", "scalars"):
         try:
             mods.append(__import__(f"{__name__}.{modname}", fromlist=[modname]))
         except ImportError:

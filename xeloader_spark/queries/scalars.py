@@ -1,0 +1,108 @@
+"""Scalar-function surface: string, datetime, and array functions as
+oracle-checked projections — breadth evidence that the engine's scalar
+layer (the reference's S10-S16 is its entire scalar surface; Spark's is
+vastly larger) behaves identically to the oracle engine.
+
+Functions chosen for exact cross-engine semantics: no locale-dependent
+collation, no timezone-week conventions (dayofweek differs between
+engines and is deliberately excluded), no float arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar parity: case, trim, substring, replace, padding,
+    concat, length, reverse, edit distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 20)
+    return docs.select(
+        "doc_id",
+        F.upper(head).alias("s_upper"),
+        F.lower(F.col("source")).alias("s_lower"),
+        F.trim(head).alias("s_trim"),
+        F.regexp_replace(head, "a", "_").alias("s_replace"),
+        F.lpad(F.col("lang"), 5, ".").alias("s_lpad"),
+        F.concat_ws("|", "lang", "source").alias("s_concat"),
+        F.length("text").cast("long").alias("s_len"),
+        F.expr("reverse(substring(text, 1, 20))").alias("s_rev"),
+        F.levenshtein(F.col("lang"), F.lit("en")).cast("long").alias("s_lev"),
+    )
+
+
+def q_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar parity: part extraction + arithmetic on the precise
+    event timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("t_year"),
+        F.month("ts").cast("long").alias("t_month"),
+        F.dayofmonth("ts").cast("long").alias("t_day"),
+        F.hour("ts").cast("long").alias("t_hour"),
+        F.minute("ts").cast("long").alias("t_minute"),
+        F.second("ts").cast("long").alias("t_second"),
+        F.unix_micros(F.col("ts")).alias("t_epoch_us"),
+        F.date_trunc("hour", F.col("ts")).alias("t_hour_trunc"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("t_plus_week"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar parity over the embedding vectors: size, bounds,
+    slicing, element access, containment count. Comparisons only — no
+    float arithmetic, so values are engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("a_size"),
+        F.array_max("embedding").cast("double").alias("a_max"),
+        F.array_min("embedding").cast("double").alias("a_min"),
+        F.element_at("embedding", 1).cast("double").alias("a_first"),
+        F.element_at("embedding", -1).cast("double").alias("a_last"),
+        F.expr("size(filter(embedding, x -> x > 0))").cast("long").alias("a_n_pos"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_string_funcs": """
+        SELECT doc_id,
+               upper(substr(text, 1, 20)) AS s_upper,
+               lower(source) AS s_lower,
+               trim(substr(text, 1, 20)) AS s_trim,
+               regexp_replace(substr(text, 1, 20), 'a', '_', 'g') AS s_replace,
+               lpad(lang, 5, '.') AS s_lpad,
+               concat_ws('|', lang, source) AS s_concat,
+               CAST(length(text) AS BIGINT) AS s_len,
+               reverse(substr(text, 1, 20)) AS s_rev,
+               CAST(levenshtein(lang, 'en') AS BIGINT) AS s_lev
+        FROM documents
+    """,
+    "q_datetime_parts": """
+        SELECT event_id,
+               CAST(year(ts) AS BIGINT) AS t_year,
+               CAST(month(ts) AS BIGINT) AS t_month,
+               CAST(day(ts) AS BIGINT) AS t_day,
+               CAST(hour(ts) AS BIGINT) AS t_hour,
+               CAST(minute(ts) AS BIGINT) AS t_minute,
+               CAST(CAST(extract(second FROM ts) AS INTEGER) AS BIGINT) AS t_second,
+               epoch_us(ts) AS t_epoch_us,
+               date_trunc('hour', ts) AS t_hour_trunc,
+               ts + INTERVAL 7 DAY AS t_plus_week
+        FROM events
+    """,
+    "q_array_funcs": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS a_size,
+               CAST(list_max(embedding) AS DOUBLE) AS a_max,
+               CAST(list_min(embedding) AS DOUBLE) AS a_min,
+               CAST(embedding[1] AS DOUBLE) AS a_first,
+               CAST(embedding[-1] AS DOUBLE) AS a_last,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS a_n_pos
+        FROM embeddings
+    """,
+}
