@@ -100,6 +100,23 @@ class TestSimilarity:
                 assert exp_id == got_id
                 assert exp_cos == got_cos
 
+    def test_ivf_recall_vs_bruteforce(self, spark, emb):
+        """IVF with n_probe=8 of 16 lists must recover most of the exact
+        top-5 (recall is data-dependent; random vectors are the hard
+        case, so require overlap, not equality)."""
+        qids = [0, 1, 2]
+        exact = sim.cosine_topk(emb, emb.filter(F.col("vec_id").isin(qids)), k=5)
+        exact_sets = {}
+        for r in exact.collect():
+            exact_sets.setdefault(r.query_id, set()).add(r.candidate_id)
+        ivf = sim.ivf_topk(emb, qids, k=5, n_centroids=16, n_probe=8)
+        ivf_sets = {}
+        for r in ivf.collect():
+            ivf_sets.setdefault(r.query_id, set()).add(r.candidate_id)
+        total = sum(len(v) for v in exact_sets.values())
+        hit = sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in exact_sets)
+        assert hit / total >= 0.4, (hit, total, ivf_sets)
+
     def test_lsh_ann_returns_bucket_ranked(self, spark, emb):
         out = sim.lsh_ann_topk(emb, [0, 1, 2], k=5, n_planes=4)
         rows = out.collect()

@@ -147,6 +147,73 @@ def hyperplane_signature(
     return emb_df.select(F.col(id_col).alias("id"), vec_col).withColumn("bucket", sig)
 
 
+def ivf_topk(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: a trained coarse quantizer (KMeans on the corpus)
+    partitions vectors into inverted lists; each query probes its
+    `n_probe` nearest centroids and exact-cosine re-ranks only those
+    lists' members.
+
+    This is the production shape for 100 TB similarity search: the
+    codebook is tiny (trained on a sample, broadcast everywhere), the
+    corpus is scanned once to assign `list_id`, and every query touches
+    ~n_probe/n_centroids of the data. Recall improves with n_probe at
+    linear cost. Compared to `lsh_ann_topk`, the quantizer adapts to the
+    data distribution instead of using random hyperplanes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = emb_df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
+    ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="list_id")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).select("id", "arr", "list_id")
+
+    # centroid table (tiny) → per-query probe lists by centroid distance
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = emb_df.sparkSession
+    cdf = spark.createDataFrame(centroids, ["list_id", "centroid"])
+    queries = assigned.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("arr").alias("q_arr")
+    )
+    qc = queries.crossJoin(F.broadcast(cdf)).withColumn(
+        "cdist",
+        F.expr(
+            "aggregate(zip_with(q_arr, centroid, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (s, v) -> s + v)"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("list_id"))
+    probes = (
+        qc.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= n_probe)
+        .select("query_id", "q_arr", "list_id")
+    )
+
+    cands = assigned.select(
+        F.col("id").alias("candidate_id"), F.col("arr").alias("c_arr"), "list_id"
+    )
+    scored = (
+        cands.join(F.broadcast(probes), "list_id")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_cols("q_arr", "c_arr"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "cosine", "rk")
+    )
+
+
 def lsh_ann_topk(
     emb_df: DataFrame,
     query_ids: list[int],

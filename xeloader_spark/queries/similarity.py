@@ -36,6 +36,14 @@ def q_ann_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(emb, _QUERY_IDS, k=_K, n_planes=6)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: trained KMeans coarse quantizer, n_probe nearest lists,
+    exact cosine re-rank (rows-only check: KMeans training + float
+    reductions have no cross-engine SQL equivalent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, _QUERY_IDS, k=_K, n_centroids=16, n_probe=3)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents → fake binary payloads
     with typed metadata → Arrow `mapInPandas` feature extraction
