@@ -28,6 +28,10 @@ HEADLINE = [
     "q_event_sequence_order",
     "q_topk_heavy_hitters",
     "q_hash_match_join",
+    # temporal (events 100k at sf0.1)
+    "q_asof_purchase_attribution",
+    "q_interval_error_click_window",
+    "q_rollup_gapfill_hourly",
     # relational (lineitem 600k / orders 150k at sf0.1)
     "q_pricing_summary",
     "q_region_revenue",

@@ -1,0 +1,253 @@
+"""Temporal operators: as-of join, interval join, gap-filled rollup,
+approximate distinct. Semantics pinned against naive formulations; plan
+shape pinned so the scale properties (single shuffle, no nested loop)
+don't regress."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from xeloader_spark.catalog import load_table
+from xeloader_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    rollup_gapfill,
+)
+from xeloader_spark.plans.inspect import physical_plan
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def ts(sec: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", ts=ts(1), qty=10),
+            Row(sym="A", ts=ts(5), qty=20),
+            Row(sym="A", ts=ts(10), qty=30),
+            Row(sym="B", ts=ts(3), qty=40),
+            Row(sym="C", ts=ts(7), qty=50),  # no quotes at all
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            Row(sym="A", ts=ts(0), px=1.0, qid=1),
+            Row(sym="A", ts=ts(5), px=2.0, qid=2),  # equal-ts: at-or-before
+            Row(sym="A", ts=ts(5), px=3.0, qid=3),  # tie on ts → max qid wins
+            Row(sym="A", ts=ts(8), px=4.0, qid=4),
+            Row(sym="B", ts=ts(9), px=5.0, qid=5),  # only AFTER B's trade
+        ]
+    )
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="sym", right_cols=["px", "qid"], tie_col="qid"
+        )
+        got = {(r.sym, r.ts): (r.px, r.qid) for r in out.collect()}
+        assert got[("A", ts(1))] == (1.0, 1)
+        # equal timestamp is at-or-before; tie on ts broken by max qid
+        assert got[("A", ts(5))] == (3.0, 3)
+        assert got[("A", ts(10))] == (4.0, 4)
+        # B's only quote is after the trade; C has none
+        assert got[("B", ts(3))] == (None, None)
+        assert got[("C", ts(7))] == (None, None)
+        assert out.count() == 5  # every left row survives
+
+    def test_forward_semantics(self, trades, quotes):
+        out = asof_join(
+            trades,
+            quotes,
+            on="sym",
+            right_cols=["px", "qid"],
+            tie_col="qid",
+            direction="forward",
+        )
+        got = {(r.sym, r.ts): (r.px, r.qid) for r in out.collect()}
+        # nearest at-or-after; tie on ts broken by MIN qid for forward
+        assert got[("A", ts(1))] == (2.0, 2)
+        assert got[("A", ts(5))] == (2.0, 2)
+        assert got[("A", ts(10))] == (None, None)
+        assert got[("B", ts(3))] == (5.0, 5)
+
+    def test_tolerance(self, trades, quotes):
+        out = asof_join(
+            trades,
+            quotes,
+            on="sym",
+            right_cols=["px", "qid"],
+            tie_col="qid",
+            tolerance_seconds=2,
+        )
+        got = {(r.sym, r.ts): r.qid for r in out.collect()}
+        assert got[("A", ts(1))] == 1  # 1s old: within tolerance
+        assert got[("A", ts(10))] == 4  # 2s old: inclusive boundary
+        assert got[("A", ts(5))] == 3  # exact-ts match, age 0
+
+    def test_matches_naive_on_fixture(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("pid")
+        )
+        fast = asof_join(
+            clicks, purch, on="user_id", right_cols=["pid"], tie_col="pid"
+        ).select("event_id", "pid")
+        # naive: inequality join + max_by over (ts, pid)
+        naive = (
+            clicks.alias("c")
+            .join(
+                purch.alias("p"),
+                (F.col("c.user_id") == F.col("p.user_id"))
+                & (F.col("p.ts") <= F.col("c.ts")),
+                "left",
+            )
+            .groupBy(F.col("c.event_id").alias("event_id"))
+            .agg(F.max(F.struct(F.col("p.ts"), F.col("p.pid"))).alias("m"))
+            .select("event_id", F.col("m.pid").alias("pid"))
+        )
+        assert fast.exceptAll(naive).count() == 0
+        assert naive.exceptAll(fast).count() == 0
+
+    def test_single_shuffle_plan(self, trades, quotes):
+        out = asof_join(trades, quotes, on="sym", right_cols=["px"], tie_col="px")
+        plan = physical_plan(out, mode="simple")
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"asof_join should shuffle once:\n{plan}"
+
+
+class TestIntervalJoin:
+    def test_matches_nonequi_join(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 90 SECONDS")).alias("end_ts"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        fast = interval_join(
+            clicks, errors, on="user_id", point_ts="click_ts", bucket_seconds=60
+        ).select("error_id", "click_id")
+        naive = (
+            clicks.join(
+                errors,
+                (clicks.user_id == errors.user_id)
+                & (clicks.click_ts >= errors.start_ts)
+                & (clicks.click_ts <= errors.end_ts),
+            )
+            .select("error_id", "click_id")
+        )
+        assert fast.exceptAll(naive).count() == 0
+        assert naive.exceptAll(fast).count() == 0
+
+    def test_boundaries_inclusive_and_no_dup(self, spark):
+        points = spark.createDataFrame(
+            [Row(k=1, ts=ts(0)), Row(k=1, ts=ts(60)), Row(k=1, ts=ts(61))]
+        )
+        ivs = spark.createDataFrame(
+            [Row(k=1, iv_id=1, start_ts=ts(0), end_ts=ts(60))]
+        )
+        out = interval_join(
+            points, ivs, on="k", bucket_seconds=7  # buckets misaligned on purpose
+        )
+        rows = [(r.ts, r.iv_id) for r in out.collect()]
+        assert (ts(0), 1) in rows and (ts(60), 1) in rows
+        assert all(t != ts(61) for t, _ in rows)
+        assert len(rows) == 2  # each pair exactly once despite multi-bucket span
+
+    def test_no_nested_loop_in_plan(self, spark):
+        points = spark.createDataFrame([Row(k=1, ts=ts(0))])
+        ivs = spark.createDataFrame([Row(k=1, start_ts=ts(0), end_ts=ts(60))])
+        plan = physical_plan(
+            interval_join(points, ivs, on="k"), mode="simple"
+        )
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestRollupGapfill:
+    def test_dense_spine_and_fills(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(g="x", ts=ts(0), v=1.0),
+                Row(g="x", ts=ts(3 * 3600), v=5.0),  # hours 1,2 are gaps
+                Row(g="y", ts=ts(3600), v=2.0),
+            ]
+        )
+        out = rollup_gapfill(
+            df,
+            ts_col="ts",
+            bucket_seconds=3600,
+            keys=["g"],
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(25,6)")).cast("double").alias("s"),
+            ],
+            zero_cols=["n"],
+            locf_cols=["s"],
+        ).collect()
+        by = {(r.g, r.bucket_ts): r for r in out}
+        # spine: global [hour0, hour3] × {x, y} = 8 rows
+        assert len(out) == 8
+        assert by[("x", ts(3600))].n == 0  # zero-filled gap
+        assert by[("x", ts(3600))].s == 1.0  # locf carries hour0's sum
+        assert by[("x", ts(2 * 3600))].s == 1.0
+        assert by[("x", ts(3 * 3600))].s == 5.0
+        assert by[("y", ts(0))].s is None  # leading gap stays null
+        assert by[("y", ts(0))].n == 0
+        assert by[("y", ts(3600))].s == 2.0
+
+    def test_count_type_preserved(self, spark):
+        df = spark.createDataFrame([Row(g="x", ts=ts(0), v=1.0)])
+        out = rollup_gapfill(
+            df, keys=["g"], aggs=[F.count(F.lit(1)).alias("n")], zero_cols=["n"]
+        )
+        assert dict(out.dtypes)["n"] == "bigint"
+
+
+class TestApproxDistinct:
+    def test_within_tolerance_of_exact(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        both = (
+            ev.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id").alias("approx"),
+                F.countDistinct("user_id").alias("exact"),
+            )
+            .collect()
+        )
+        assert both
+        for r in both:
+            assert abs(r.approx - r.exact) <= max(2, 0.1 * r.exact), (
+                r.event_type,
+                r.approx,
+                r.exact,
+            )
+
+    def test_hll_union_matches_global(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+        merged = per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        ).collect()[0]["est"]
+        exact = ev.select("user_id").distinct().count()
+        assert abs(merged - exact) <= max(2, 0.1 * exact)

@@ -31,6 +31,29 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT_RE = r"\s+"  # for the F.split python API
 TOKEN_SPLIT_RE_SQL = r"\\s+"  # for patterns embedded in F.expr SQL literals
 
+# Persisted intermediates registry: the pipelines below persist frames that
+# feed multiple joins; callers that own the session lifecycle (bench loops,
+# long-running services) call release_persisted() after materializing a
+# result so executor storage memory doesn't accumulate across pipelines.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every intermediate persisted by this module's pipelines;
+    returns how many were released. Safe to call at any time — Spark
+    unpersist is lazy-tolerant (no-op for already-freed blocks)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
 
 def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, ord, tok) — positional tokens, whitespace split, JVM-side."""
@@ -86,7 +109,7 @@ def jaccard_pairs(
     engine-exact. Shuffles on shingle (index build) then on pair (count).
     The shingle set feeds three consumers (sizes + both join sides) —
     persisted so the shingling projection runs once."""
-    shingle_df = shingle_df.persist()
+    shingle_df = _persist(shingle_df)
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
@@ -169,9 +192,9 @@ def minhash_neardup(
     The shingle set and the signatures are persisted: both feed multiple
     joins, and recomputing the shingling+hash aggregate per consumer
     measured ~3× slower end-to-end at sf0.1."""
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col).persist()
+    sh = _persist(shingles(df, n=n, text_col=text_col, id_col=id_col))
     sh_tok = sh.withColumnRenamed("shingle", "tok")
-    sigs = minhash_signatures(sh_tok, k=k).persist()
+    sigs = _persist(minhash_signatures(sh_tok, k=k))
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     common = (
@@ -243,7 +266,7 @@ def hamming_neardup(
     n_blocks = max_dist + 1
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    sig_df = sig_df.persist()  # consumed once per block side
+    sig_df = _persist(sig_df)  # consumed once per block side
     block_exprs = ", ".join(
         f"{b}, (shiftrightunsigned(simhash, {b * block_bits}) & {mask})"
         for b in range(n_blocks)

@@ -1,0 +1,229 @@
+"""Temporal operators: as-of join, point-in-interval join, gap-filled rollup.
+
+The reference emits three time columns per event row expressly so the
+downstream store can run time-sequencing and graphing queries
+(XELoader/InputParameters.cs:622-626, README.md:29). These operators are
+that downstream time-series surface, built Spark-first rather than as
+row-at-a-time logic:
+
+- ``asof_join``: the distributed merge-join formulation — tag both sides,
+  union, ONE shuffle on the key, sort within partition, and a
+  ``last(..., ignorenulls=True)`` running window picks the match. Cost is
+  a single hash partition + sort regardless of time-range width; there is
+  no range explosion and no per-row subquery. This is the shape that
+  survives 100 TB: skew on the key is the only hazard (salt upstream if a
+  key holds a large fraction of rows).
+- ``interval_join``: turns the inequality join ``start <= ts <= end``
+  (a nested-loop / O(|points|·|intervals|) plan in naive form) into an
+  equi-join on a time bucket: intervals explode into the buckets they
+  overlap (``len/bucket + 1`` rows each), points map to exactly one
+  bucket, and an exact refine filter runs on the equi-matches only. Since
+  each point has exactly one bucket, a (point, interval) pair can match
+  at most once — no dedup pass is needed.
+- ``rollup_gapfill``: bucketed aggregate (map-side partial agg shuffles
+  only #keys × #buckets rows) joined onto a generated dense time spine,
+  with zero-fill and LOCF (last-observation-carried-forward) fills. The
+  spine is derived data (#keys × #buckets rows), never a driver-side
+  loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join", "rollup_gapfill"]
+
+
+def _keys(on: str | Sequence[str]) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    tie_col: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, attach the nearest right row at-or-before
+    (``backward``) or at-or-after (``forward``) its timestamp, per key.
+
+    Matched right columns are appended; names colliding with left columns
+    (and the matched timestamp, always) get ``suffix``. Rows with no match
+    (or none within ``tolerance_seconds``) keep nulls.
+
+    Ties on the right timestamp are broken by ``tie_col`` (defaults to the
+    first right payload column): backward takes the greatest, forward the
+    smallest — matching the oracle formulation
+    ``ORDER BY ts DESC, tie DESC LIMIT 1`` / ``ORDER BY ts ASC, tie ASC``.
+
+    Plan shape: union of the two scans → single Exchange on the key →
+    sort-within-partition → running ``last`` — the merge-join formulation.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = _keys(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    right_cols = list(right_cols)
+    if tie_col is None:
+        tie_col = right_cols[0] if right_cols else right_ts
+
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.col(tie_col).alias("__tie"),
+        payload.alias("__payload"),
+        F.lit(0).alias("__side"),
+    )
+    lf = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    )
+    unioned = lf.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__m", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        delta = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.__rts"))
+        if direction == "forward":
+            delta = -delta
+        matched = matched.withColumn(
+            "__m", F.when(delta <= tol_us, F.col("__m"))
+        )
+
+    out_cols: list[Column] = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))
+    for c in right_cols:
+        name = f"{c}{suffix}" if c in left.columns else c
+        out_cols.append(F.col(f"__m.{c}").alias(name))
+    return matched.select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | Sequence[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 60,
+) -> DataFrame:
+    """Inner-join points into ``[start, end]`` intervals (inclusive both
+    ends) sharing the key — as an equi-join on a time bucket plus an exact
+    refine, never a nested loop.
+
+    ``bucket_seconds`` trades interval fan-out (each interval becomes
+    ``len/bucket + 1`` rows) against match selectivity; pick it near the
+    typical interval length. Column name collisions between the two inputs
+    must be resolved by the caller (select/alias before the call).
+    """
+    keys = _keys(on)
+    overlap = set(points.columns) & set(intervals.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"alias away overlapping non-key columns before the join: {sorted(overlap)}"
+        )
+    bs_us = bucket_seconds * 1_000_000
+    p = points.withColumn("__bk", F.expr(f"unix_micros({point_ts}) div {bs_us}"))
+    iv = (
+        intervals.filter(F.col(end_col) >= F.col(start_col))
+        .withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start_col}) div {bs_us}"),
+                    F.expr(f"unix_micros({end_col}) div {bs_us}"),
+                )
+            ),
+        )
+    )
+    return (
+        p.join(iv, [*keys, "__bk"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("__bk")
+    )
+
+
+def rollup_gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    keys: Sequence[str] = ("event_type",),
+    aggs: Sequence[Column] = (),
+    zero_cols: Sequence[str] = (),
+    locf_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Time-bucketed aggregate with a dense gap-filled spine per key
+    ("hypertable rollup"): every (key, bucket) between the globally first
+    and last observed bucket appears exactly once.
+
+    ``aggs`` are pre-aliased aggregate Columns. ``zero_cols`` fill missing
+    buckets with 0 (type-preserving); ``locf_cols`` carry the last
+    observed value forward per key (leading gaps stay null).
+
+    Output column ``bucket_ts`` is the bucket start. The spine is
+    #distinct-keys × #buckets rows — derived with ``sequence``/``explode``
+    on executors, no driver-side loop.
+    """
+    keys = list(keys)
+    bs_us = bucket_seconds * 1_000_000
+    bucket = F.expr(
+        f"timestamp_seconds((unix_micros({ts_col}) div {bs_us}) * {bucket_seconds})"
+    ).alias("bucket_ts")
+    agg = df.groupBy(*keys, bucket).agg(*aggs)
+
+    bounds = agg.agg(
+        F.min("bucket_ts").alias("__mn"), F.max("bucket_ts").alias("__mx")
+    )
+    spine_ts = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("__mn"),
+                F.col("__mx"),
+                F.expr(f"INTERVAL {bucket_seconds} SECONDS"),
+            )
+        ).alias("bucket_ts")
+    )
+    spine = df.select(*keys).distinct().crossJoin(F.broadcast(spine_ts))
+
+    filled = spine.join(agg, [*keys, "bucket_ts"], "left")
+    agg_schema = {f.name: f.dataType for f in agg.schema.fields}
+    for c in zero_cols:
+        filled = filled.withColumn(
+            c, F.coalesce(F.col(c), F.lit(0).cast(agg_schema[c]))
+        )
+    if locf_cols:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for c in locf_cols:
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled

@@ -45,7 +45,15 @@ def all_oracles() -> dict[str, str]:
 
 def _modules():
     mods = [core]
-    for modname in ("relational", "ingest", "dedup", "similarity", "text", "scalars"):
+    for modname in (
+        "relational",
+        "ingest",
+        "dedup",
+        "similarity",
+        "text",
+        "scalars",
+        "temporal",
+    ):
         try:
             mods.append(__import__(f"{__name__}.{modname}", fromlist=[modname]))
         except ImportError:

@@ -1,0 +1,218 @@
+"""Temporal query surface: as-of join, interval join, gap-filled rollup,
+and sketch-based approximate aggregates over the ``events`` fixture.
+
+These are the time-series queries the reference's three-timestamp schema
+exists to serve (XELoader/InputParameters.cs:622-626): "what happened just
+before X", "what happened within the window after X", and dense
+time-bucketed graphs. The approximate-distinct queries are the 100 TB
+variant of count-distinct: mergeable sketches instead of an exact
+global shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.temporal import asof_join, interval_join, rollup_gapfill
+from .core import _dsum
+
+
+def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the most recent purchase by the same user at or
+    before the click (classic attribution as-of join). Single shuffle on
+    user_id via the merge-join formulation — no range explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    res = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols=["purchase_event_id", "purchase_value"],
+        tie_col="purchase_event_id",
+        suffix="_purchase",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_purchase").alias("purchase_ts"),
+        "purchase_event_id",
+        "purchase_value",
+    )
+
+
+def q_interval_error_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, how many clicks the same user made within
+    the 120 s window starting at the error — a point-in-interval join,
+    executed as a bucketed equi-join (no nested loop). Errors with no
+    clicks stay at 0 via the join back to the interval set."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    hits = interval_join(
+        clicks,
+        errors,
+        on="user_id",
+        point_ts="click_ts",
+        bucket_seconds=120,
+    )
+    counts = hits.groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        errors.select("error_id", "user_id", "start_ts")
+        .join(counts, "error_id", "left")
+        .withColumn("n_clicks", F.coalesce(F.col("n_clicks"), F.lit(0).cast("long")))
+    )
+
+
+def q_rollup_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup on a dense spine: every (event_type, hour)
+    between the first and last observed hour, zero-filled counts and
+    LOCF-filled sums — the "hypertable rollup" graphing query."""
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_gapfill(
+        ev,
+        ts_col="ts",
+        bucket_seconds=3600,
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "sum_value"),
+        ],
+        zero_cols=["n_events"],
+        locf_cols=["sum_value"],
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (median + p90) — the
+    latency-distribution query a trace store serves. Both engines sort the
+    same doubles and interpolate lower + (upper-lower)*frac, so the result
+    is bit-exact cross-engine (verified, incl. non-representable
+    interpolants). At 100 TB the approx_percentile sketch replaces this;
+    the exact form is the correctness anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value"),
+        F.expr("percentile(value, 0.9)").alias("p90_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type approximate distinct users (HyperLogLog++): the scale path
+    for count-distinct — partial sketches merge instead of shuffling every
+    key. Rows-only check (estimator internals differ across engines);
+    tests pin the estimate within tolerance of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Datasketches HLL: per-type sketches built once, then
+    UNIONED into a global estimate — the pattern that lets 1000 executors
+    (or 1000 days of partial aggregates) combine distinct-counts without
+    re-scanning. Rows-only check; tests pin against exact."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total_users"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS median_value,
+               quantile_cont(value, 0.9) AS p90_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    "q_asof_purchase_attribution": """
+        SELECT a.event_id, a.user_id, a.ts,
+               b.ts AS purchase_ts,
+               b.event_id AS purchase_event_id,
+               b.value AS purchase_value
+        FROM events a
+        LEFT JOIN LATERAL (
+            SELECT p.ts, p.event_id, p.value
+            FROM events p
+            WHERE p.user_id = a.user_id
+              AND p.event_type = 'purchase'
+              AND p.ts <= a.ts
+            ORDER BY p.ts DESC, p.event_id DESC
+            LIMIT 1
+        ) b ON TRUE
+        WHERE a.event_type = 'click'
+    """,
+    "q_interval_error_click_window": """
+        SELECT e.event_id AS error_id,
+               e.user_id,
+               e.ts AS start_ts,
+               CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks
+        FROM events e
+        LEFT JOIN events c
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click'
+         AND c.ts >= e.ts
+         AND c.ts <= e.ts + INTERVAL 120 SECOND
+        WHERE e.event_type = 'error'
+        GROUP BY 1, 2, 3
+    """,
+    "q_rollup_gapfill_hourly": """
+        WITH agg AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS bucket_ts,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg),
+        spine AS (
+            SELECT t.event_type, s.bucket_ts
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_ts
+                FROM bounds
+            ) s
+        )
+        SELECT spine.event_type,
+               spine.bucket_ts,
+               COALESCE(agg.n_events, 0) AS n_events,
+               last_value(agg.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY spine.event_type
+                   ORDER BY spine.bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sum_value
+        FROM spine
+        LEFT JOIN agg USING (event_type, bucket_ts)
+    """,
+}
