@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from xeloader_spark import queries as q
+from xeloader_spark.operators.dedup import release_persisted
 from xeloader_spark.session import get_spark
 
 HEADLINE = [
@@ -68,6 +69,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        release_persisted()  # storage-memory hygiene between pipelines
 
     total = round(sum(timings.values()), 3)
     print(

@@ -224,6 +224,38 @@ class TestRollupGapfill:
         assert dict(out.dtypes)["n"] == "bigint"
 
 
+class TestSessionizeBatchStreamParity:
+    def test_closed_stream_sessions_match_batch(self, spark, sf_dir, tmp_path):
+        """The applyInPandasWithState sessionizer must produce exactly the
+        sessions the oracle-checked batch plan produces (closed sessions
+        are a subset — the watermark may withhold each user's last)."""
+        from xeloader_spark.queries.temporal import q_sessionize_gap_batch
+        from xeloader_spark.streaming import ingest_stream as st
+        from xeloader_spark.streaming.sessionize import start_sessionize
+
+        batch = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in q_sessionize_gap_batch(spark, sf_dir).collect()
+        }
+        root = str(tmp_path / "in")
+        load_table(spark, sf_dir, "events").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(root)
+        q = start_sessionize(
+            st.read_event_stream(spark, root),
+            str(tmp_path / "ckpt"),
+            gap_seconds=1800,
+            watermark="0 seconds",
+            queryName="sessions_parity",
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("select * from sessions_parity").collect()
+        assert rows
+        for r in rows:
+            key = (r.user_id, r.session_start, r.session_end, r.n_events)
+            assert key in batch, f"stream session not in batch result: {key}"
+
+
 class TestApproxDistinct:
     def test_within_tolerance_of_exact(self, spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")

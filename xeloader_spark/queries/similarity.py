@@ -44,6 +44,27 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, _QUERY_IDS, k=_K, n_centroids=16, n_probe=3)
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, centroid) —
+    the vector-aggregate behind IVF codebooks and class prototypes.
+    Quantized-integer sums keep the reduction order-independent and
+    engine-exact; the final long/long division is one deterministic
+    double op. Long form shuffles (label × dim) partial aggregates —
+    no per-row vector materialization on the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    longf = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("qv"),
+    )
+    return longf.groupBy("label", "dim").agg(
+        (F.sum("qv") / (F.count(F.lit(1)) * 1_000_000)).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents → fake binary payloads
     with typed metadata → Arrow `mapInPandas` feature extraction
@@ -55,6 +76,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_label_centroids": """
+        WITH longf AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+            FROM embeddings
+        )
+        SELECT label, dim,
+               CAST(SUM(qv) AS BIGINT) / (COUNT(*) * 1000000) AS centroid,
+               COUNT(*) AS n_vecs
+        FROM longf
+        GROUP BY 1, 2
+    """,
     "q_ann_topk_dot": f"""
         WITH q AS (
             SELECT vec_id AS id, ord AS pos,

@@ -11,7 +11,7 @@ global shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -104,6 +104,35 @@ def q_rollup_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a batch plan: a session breaks after
+    30 minutes of per-user inactivity. Two windows over ONE shuffle on
+    user_id (lag → boundary flag → running sum), then a per-session
+    aggregate. The streaming twin (streaming/sessionize.py,
+    applyInPandasWithState) computes the same sessions incrementally;
+    this batch form is the oracle-checkable anchor for those semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select("user_id", "ts", "event_id").withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(wsum).cast("long")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        ).alias("duration_sec"),
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (median + p90) — the
     latency-distribution query a trace store serves. Both engines sort the
@@ -147,6 +176,31 @@ def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_sessionize_gap_batch": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               COUNT(*) AS n_events,
+               (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_sec
+        FROM sess
+        GROUP BY 1, 2
+    """,
     "q_value_percentiles": """
         SELECT event_type,
                quantile_cont(value, 0.5) AS median_value,
