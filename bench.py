@@ -61,6 +61,12 @@ def main() -> None:
     registry["q_demux_counts"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and one Python worker per core, so the first Arrow/pandas query
+    # isn't charged for worker startup
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 1000).repartition(par).mapInPandas(
+        lambda batches: batches, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
