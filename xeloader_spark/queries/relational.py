@@ -206,6 +206,37 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING id — all four margin combinations over two
+    dimensions in one pass (Spark expands the grouping sets before the
+    partial aggregate, so the shuffle still carries only group rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "sum_price"),
+            F.grouping_id().cast("long").alias("grp"),
+        )
+    )
+
+
+def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including the
+    zero bucket (LEFT join so customers with no orders count). Two
+    aggregates back-to-back; the second one's input is already tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY … HAVING: parts types stocked in more than 20 variants."""
     part = load_table(spark, sf_dir, "part")
@@ -343,6 +374,26 @@ ORACLES: dict[str, str] = {
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_cube_agg": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q_order_count_histogram": """
+        WITH per AS (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        )
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM per
+        GROUP BY 1
     """,
     "q_having_filter": """
         SELECT p_type, COUNT(*) AS n_parts

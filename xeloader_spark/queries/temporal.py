@@ -133,6 +133,30 @@ def q_sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-second moving sum/avg per user — a RANGE frame over
+    event time (not a row count), the smoothing query behind rate graphs.
+    Frame bounds are on unix micros, so peers and boundaries are exact;
+    the sum uses the decimal accumulator so frame evaluation order can't
+    change the float result."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-30_000_000, 0)
+    )
+    dsum = F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        dsum.alias("sum_30s"),
+        cnt.alias("n_30s"),
+        (dsum / cnt).alias("avg_30s"),
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (median + p90) — the
     latency-distribution query a trace store serves. Both engines sort the
@@ -200,6 +224,19 @@ ORACLES: dict[str, str] = {
                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_sec
         FROM sess
         GROUP BY 1, 2
+    """,
+    "q_moving_avg_time_range": """
+        SELECT event_id, user_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_30s,
+               COUNT(*) OVER w AS n_30s,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+                   / (COUNT(*) OVER w) AS avg_30s
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY ts
+            RANGE BETWEEN INTERVAL 30 SECOND PRECEDING AND CURRENT ROW
+        )
     """,
     "q_value_percentiles": """
         SELECT event_type,
