@@ -275,6 +275,20 @@ class TestApproxDistinct:
                 r.exact,
             )
 
+    def test_approx_percentile_near_exact(self, spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        rows = (
+            ev.groupBy("event_type")
+            .agg(
+                F.percentile_approx("value", 0.5).alias("approx_med"),
+                F.expr("percentile(value, 0.5)").alias("exact_med"),
+            )
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            assert abs(r.approx_med - r.exact_med) <= 2.0, r
+
     def test_hll_union_matches_global(self, spark, sf_dir):
         ev = load_table(spark, sf_dir, "events")
         per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))

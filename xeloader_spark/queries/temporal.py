@@ -184,6 +184,19 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per event type — the 100 TB replacement
+    for exact percentile (mergeable digest instead of a global sort).
+    Rows-only check (sketch internals are engine-specific); tests pin the
+    estimates against the exact values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.percentile_approx("value", 0.9).alias("approx_p90"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Datasketches HLL: per-type sketches built once, then
     UNIONED into a global estimate — the pattern that lets 1000 executors

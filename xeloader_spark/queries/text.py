@@ -53,7 +53,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source by frequency (lowercased, whitespace
+    tokens, ties broken by term) — corpus term statistics, integer-only so
+    engine-exact. Scale shape: explode stays (source, tok) pairs with
+    map-side partial counts; the rank window runs on the already-tiny
+    aggregate."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import TOKEN_SPLIT_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
 _TOKS_LIST = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+_TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
 
 
 def _marker_count_sql(markers: tuple[str, ...]) -> str:
@@ -69,6 +93,22 @@ _SCORES = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "q_top_terms_per_source": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS_LOWER}) AS tok FROM documents
+        ),
+        counts AS (
+            SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT source, tok, n,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, tok ASC
+                   ) AS BIGINT) AS rk
+            FROM counts
+        )
+        SELECT source, tok, n, rk FROM ranked WHERE rk <= 5
+    """,
     "q_text_quality": f"""
         WITH s AS (
             SELECT doc_id,
