@@ -68,18 +68,22 @@ def shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct word n-gram shingles per document as (id, shingle).
-    Built array-side (transform over a sequence + slice) — one projection,
-    no self-joins, no Python."""
+    Built array-side (transform over a sequence + slice), no self-joins,
+    no Python. The token array is materialized in its OWN projection
+    first: higher-order functions run interpreted (outside codegen), so
+    inlining the split into every size()/slice() reference re-splits the
+    text several times per row — measured 5× slower at sf0.1."""
     toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
     # NB sequence(0, -1) in Spark is a *descending* sequence, so documents
     # shorter than n tokens need an explicit empty-array branch.
     sh = (
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE transform(sequence(0, size({toks}) - {n}), "
-        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')) END"
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(_toks) - {n}), "
+        f"i -> array_join(slice(_toks, i + 1, {n}), ' ')) END"
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("shingle"))
+        df.select(F.col(id_col).alias("id"), F.expr(toks).alias("_toks"))
+        .select("id", F.explode(F.expr(sh)).alias("shingle"))
         .distinct()
     )
 
