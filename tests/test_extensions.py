@@ -72,6 +72,130 @@ class TestDedup:
         assert blocked == brute
 
 
+class TestClusterResolution:
+    def _uf_clusters(self, pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    def test_chain_worst_case_diameter(self, spark):
+        # a path graph 0-1-2-...-9: min label must walk the full diameter.
+        # local_threshold=0 forces the DISTRIBUTED propagation path (the
+        # union-find parity test below covers the driver-local path).
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+        )
+        got = {
+            (r.node, r.cluster)
+            for r in dd.connected_components(pairs, local_threshold=0).collect()
+        }
+        assert got == {(i, 0) for i in range(10)}
+        dd.release_persisted()
+
+    def test_local_and_distributed_paths_agree(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        local = {
+            (r.node, r.cluster)
+            for r in dd.connected_components(pairs).collect()
+        }
+        dist = {
+            (r.node, r.cluster)
+            for r in dd.connected_components(pairs, local_threshold=0).collect()
+        }
+        assert local == dist
+        dd.release_persisted()
+
+    def test_components_match_union_find(self, spark, docs):
+        pairs = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=0.3)
+        pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+        nodes = sorted({x for p in pair_rows for x in p})
+        expect = self._uf_clusters(pair_rows, nodes)
+        got = {
+            r.node: r.cluster
+            for r in dd.connected_components(
+                spark.createDataFrame(pair_rows, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == expect
+        dd.release_persisted()
+
+    def test_resolve_duplicates_covers_corpus(self, spark, docs):
+        pairs = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=0.3)
+        res = dd.resolve_duplicates(docs.select("doc_id"), pairs)
+        rows = res.collect()
+        assert len(rows) == docs.count()  # every doc labeled
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            assert cid == min(m.doc_id for m in members)
+            canon = [m for m in members if m.is_canonical]
+            assert len(canon) == 1 and canon[0].doc_id == cid
+        dd.release_persisted()
+
+
+class TestSampling:
+    def test_deterministic_across_partitionings(self, spark, docs):
+        from xeloader_spark.operators import sampling as sp
+
+        a = {r.doc_id for r in sp.bernoulli_sample(docs, "doc_id", 0.2).collect()}
+        b = {
+            r.doc_id
+            for r in sp.bernoulli_sample(
+                docs.repartition(13), "doc_id", 0.2
+            ).collect()
+        }
+        assert a == b and a  # same SET, partitioning-independent
+
+    def test_rate_close_to_nominal(self, spark, docs):
+        from xeloader_spark.operators import sampling as sp
+
+        n = docs.count()
+        k = sp.bernoulli_sample(docs, "doc_id", 0.5).count()
+        assert abs(k / n - 0.5) < 0.15
+
+    def test_split_disjoint_and_stable(self, spark, docs):
+        from xeloader_spark.operators import sampling as sp
+
+        s = sp.split_train_test(docs, "doc_id", test_fraction=0.25)
+        rows = s.select("doc_id", "split").collect()
+        assert len({r.doc_id for r in rows}) == len(rows)
+        again = {
+            (r.doc_id, r.split)
+            for r in sp.split_train_test(
+                docs.repartition(7), "doc_id", test_fraction=0.25
+            ).select("doc_id", "split").collect()
+        }
+        assert {(r.doc_id, r.split) for r in rows} == again
+
+    def test_stratified_rates(self, spark, docs):
+        from xeloader_spark.operators import sampling as sp
+
+        out = sp.stratified_sample(
+            docs, "source", "doc_id", {"src0": 1.0}, default_fraction=0.0
+        )
+        got = {r.source for r in out.select("source").distinct().collect()}
+        assert got == {"src0"}
+        assert out.count() == docs.filter(F.col("source") == "src0").count()
+
+
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, spark, emb):
         pdf = emb.toPandas().sort_values("vec_id")

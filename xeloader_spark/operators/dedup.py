@@ -222,6 +222,120 @@ def minhash_neardup(
     )
 
 
+# ------------------------------------------------ cluster resolution
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    local_threshold: int = 4_000_000,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (node, cluster)
+    where cluster = MIN node id in the component. This is the step that
+    turns near-dup PAIRS into dedup DECISIONS: duplicates are transitive
+    (A≈B, B≈C ⇒ one cluster), so keeping "one of each pair" over-deletes.
+
+    Min-label propagation on DataFrames: each round every node takes the
+    min of its own label and its neighbors' labels; fixpoint when the
+    label sum stops falling (the sum is strictly monotone decreasing
+    until convergence). Rounds needed = graph diameter — near-dup
+    clusters are shallow (star-ish around a template), so this converges
+    in a handful of rounds. Labels are `localCheckpoint`ed per round to
+    truncate the growing lineage. At extreme scale swap the propagation
+    step for the large-star/small-star contraction (same DataFrame
+    shape, O(log n) rounds on any topology).
+
+    Hybrid execution: the PAIR list is orders of magnitude smaller than
+    the corpus (it only names the near-duplicates), so when it fits on
+    the driver (≤ `local_threshold` edges) a driver-side union-find
+    replaces the iterative joins — one collect + one createDataFrame
+    instead of diameter×3 Spark jobs. The distributed loop remains the
+    path for pathological dup rates; both paths are equivalence-tested."""
+    # The union reads `pairs` twice; persisting it first keeps the
+    # (possibly expensive) upstream pair pipeline to a single execution.
+    pairs = _persist(pairs.select(id_a, id_b))
+    if pairs.count() <= local_threshold:
+        rows = pairs.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = row[0], row[1]
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        nodes = {n for row in rows for n in (row[0], row[1])}
+        return pairs.sparkSession.createDataFrame(
+            sorted((n, find(n)) for n in nodes),
+            f"node {id_type}, cluster {id_type}",
+        )
+    edges = _persist(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("cluster"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("cluster").alias("neigh_min"))
+        )
+        labels = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("neigh_min", "cluster")
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus dedup resolution: every row gets its near-dup cluster
+    id (its own id when it matched nothing) and a canonical flag —
+    `filter(is_canonical)` is the deduplicated corpus, one keeper per
+    cluster. The component labels are a tiny frame (pairs only) —
+    broadcast-joined back onto the corpus, so the corpus itself moves
+    through exactly zero shuffles."""
+    comps = connected_components(pairs)
+    return (
+        df.join(
+            F.broadcast(comps.withColumnRenamed("node", id_col)),
+            id_col,
+            "left",
+        )
+        .withColumn("cluster_id", F.coalesce("cluster", F.col(id_col)))
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+        .drop("cluster")
+    )
+
+
 # --------------------------------------------------------------- SimHash
 def _simhash_bit_votes_sql(bits: int, hash_expr: str, instr_fn: str) -> list[str]:
     """Shared SQL template for per-bit votes so the Spark expression and
@@ -254,9 +368,19 @@ def simhash(
 ) -> DataFrame:
     """SimHash signature per id from distinct tokens: each md5 bit votes
     ±1; the signature's bit is the vote majority sign. One aggregate
-    (single shuffle); integer-only → engine-exact."""
-    dt = token_df.select("id", "tok").distinct()
-    expr = simhash_expr_sql(bits=bits, instr_fn="instr")
+    (single shuffle); integer-only → engine-exact. The md5 is
+    materialized once per token row — the vote terms reference it
+    `bits` times, and interpreted aggregate exprs don't CSE it."""
+    dt = (
+        token_df.select("id", "tok")
+        .distinct()
+        .withColumn("_h", F.md5(F.col("tok")))
+    )
+    votes = _simhash_bit_votes_sql(bits, "_h", "instr")
+    expr = " + ".join(
+        f"(CASE WHEN SUM({votes[i]}) >= 0 THEN 1 ELSE 0 END) * {2 ** i}"
+        for i in range(bits)
+    )
     return dt.groupBy("id").agg(F.expr(expr).cast("long").alias("simhash"))
 
 

@@ -1,0 +1,71 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Everything here is HASH-based, never RNG-based: a row's fate depends only
+on its key (+ salt), so samples are reproducible across runs, engines,
+partitionings, and retries — the property a 100 TB pipeline needs so a
+re-run (or a different engine checking the run) selects the identical
+subset. `rand()`-based sampling can't promise that (Spark seeds are
+per-partition, so the selected SET changes with the partitioning).
+
+The hash is the first 8 hex chars of md5(salt || key) read as an integer
+— engine-portable (DuckDB: `('0x' || substr(md5(..),1,8))::BIGINT`), and
+uniform enough for bucketing. All operators are pure narrow projections /
+filters: no shuffle, fully pushdown-friendly, trivially parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # fraction resolution = 0.01%
+
+
+def hash_bucket(key: Column | str, salt: str = "", buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from md5(salt || key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("bigint") % buckets).alias("bucket")
+
+
+def bernoulli_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen deterministically by key hash."""
+    return df.filter(hash_bucket(key_col, salt) < int(fraction * BUCKETS))
+
+
+def split_train_test(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Add a `split` column ('train' | 'test') by key hash. Keyed on a
+    stable id so the assignment survives re-runs and joins — no row is
+    ever on both sides, even across engines."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(key_col, salt) < int(test_fraction * BUCKETS), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix operator
+    ("50% of src0, 10% of the web crawl, drop the rest"). The per-stratum
+    thresholds compile to a CASE expression evaluated row-side: no join,
+    no shuffle, any number of strata."""
+    thr = F.lit(int(default_fraction * BUCKETS))
+    expr = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == value
+        branch = F.lit(int(frac * BUCKETS))
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return df.filter(hash_bucket(key_col, salt) < thr)

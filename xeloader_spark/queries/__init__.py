@@ -53,6 +53,7 @@ def _modules():
         "text",
         "scalars",
         "temporal",
+        "sampling",
     ):
         try:
             mods.append(__import__(f"{__name__}.{modname}", fromlist=[modname]))

@@ -65,6 +65,19 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: trigram-Jaccard pairs → connected
+    components (duplicates are transitive) → every doc labeled with its
+    cluster and a canonical keeper flag. `filter(is_canonical)` is the
+    deduplicated corpus. Oracle replays the component closure as a
+    recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
+    return dd.resolve_duplicates(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs on quantized vectors (×1000 →
     integer dot/norms → deterministic cosine), threshold 0.45. Uses the
@@ -129,6 +142,24 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "q_dedup_shingle_jaccard": _JACCARD_PAIRS,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comp AS (SELECT src, MIN(node) AS cluster FROM reach GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(c.cluster, d.doc_id) AS cluster_id,
+               (d.doc_id = COALESCE(c.cluster, d.doc_id)) AS is_canonical
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+    """,
     "q_dedup_minhash_lsh": f"""
         WITH tri AS ({_TRI}),
         sig AS (SELECT id, {_SIG_COLS} FROM tri GROUP BY id),

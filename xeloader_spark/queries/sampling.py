@@ -1,0 +1,88 @@
+"""Deterministic sampling / splitting as oracle-checked queries.
+
+The operators (operators/sampling.py) are hash-gated filters, so the
+oracle replays the identical md5-bucket arithmetic in DuckDB and the
+selected row SETS match exactly — reproducible sampling is the whole
+point of hash-gating, and the oracle check proves it cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import sampling as sp
+
+_STRATA = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_DEFAULT_FRAC = 0.05
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% Bernoulli sample of documents, hash-gated on doc_id — the same
+    rows come back on every run, engine, and partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.bernoulli_sample(docs, "doc_id", 0.10).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test assignment keyed on doc_id,
+    summarized per (source, split) — leakage-free by construction (a key
+    hashes to exactly one side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sp.split_train_test(docs, "doc_id", test_fraction=0.10)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: per-source keep rates (80% src0, 50% src1,
+    25% src2, 5% everything else), hash-gated per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.stratified_sample(
+        docs, "source", "doc_id", _STRATA, default_fraction=_DEFAULT_FRAC
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------- oracles
+
+_B = sp.BUCKETS
+
+
+def _bucket_sql(key: str, salt: str = "") -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_B})"
+    )
+
+
+_STRATA_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN source = '{v}' THEN {int(f * _B)}"
+        for v, f in sorted(_STRATA.items())
+    )
+    + f" ELSE {int(_DEFAULT_FRAC * _B)} END"
+)
+
+ORACLES: dict[str, str] = {
+    "q_sample_deterministic": f"""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE {_bucket_sql('doc_id')} < {int(0.10 * _B)}
+    """,
+    "q_train_test_split": f"""
+        SELECT source,
+               CASE WHEN {_bucket_sql('doc_id', 'split')} < {int(0.10 * _B)}
+                    THEN 'test' ELSE 'train' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """,
+    "q_stratified_sample": f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_bucket_sql('doc_id')} < {_STRATA_CASE}
+    """,
+}
