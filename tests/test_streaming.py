@@ -80,3 +80,35 @@ def test_windowed_agg_matches_batch(spark, stream_in, tmp_path):
     assert len(emitted) > 0.5 * len(expected)
     for k, v in emitted.items():
         assert expected[k] == v, k
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """An at-least-once input (every event delivered twice, in two files)
+    must come out exactly-once, matching the batch distinct."""
+    src = str(tmp_path / "dup_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    ev = load_table(spark, SF, "events").limit(2000).cache()
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # the redelivery
+
+    stream = st.read_event_stream(spark, src, max_files_per_trigger=2)
+    deduped = st.streaming_dedup(
+        stream.drop("e_source_file"), key_cols=("event_id",), watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    n_expected = ev.count()
+    assert spark.read.parquet(src).count() == 2 * n_expected
+    assert got.count() == n_expected
+    assert got.select("event_id").distinct().count() == n_expected
+    ev.unpersist()

@@ -15,7 +15,7 @@ filters: no shuffle, fully pushdown-friendly, trivially parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000  # fraction resolution = 0.01%
@@ -46,6 +46,38 @@ def split_train_test(
         F.when(
             hash_bucket(key_col, salt) < int(test_fraction * BUCKETS), F.lit("test")
         ).otherwise(F.lit("train")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    part_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Contiguous sequence packing for training-batch assembly: documents
+    are laid end-to-end in deterministic (`part_col`, `order_col`) order
+    and cut into fixed token-budget sequences. Each row gets `seq_id`
+    (which packed sequence its FIRST token lands in) and `seq_offset`
+    (position within it) — the downstream tokenizer uses these to emit
+    fixed-length samples, splitting a doc that straddles a boundary.
+
+    Pure window arithmetic (exclusive running sum, integer div/mod), so
+    it is engine-exact and shuffles once on `part_col`. Partitions pack
+    independently — at 100 TB `part_col` is the shard key (source, date,
+    …), giving per-shard determinism with full cluster parallelism."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+    return (
+        df.withColumn("_cum_before", cum_before)
+        .withColumn("seq_id", F.expr(f"_cum_before div {budget}"))
+        .withColumn("seq_offset", F.col("_cum_before") % budget)
+        .drop("_cum_before")
     )
 
 

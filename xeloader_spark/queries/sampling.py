@@ -48,6 +48,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: docs laid end-to-end per source in
+    doc_id order, cut into 512-token sequences — each doc labeled with
+    its packed sequence id and offset (integer window arithmetic,
+    engine-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    return sp.pack_sequences(
+        toks, "n_tokens", budget=512, part_col="source", order_col="doc_id"
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _B = sp.BUCKETS
@@ -84,5 +102,25 @@ ORACLES: dict[str, str] = {
     "q_stratified_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE {_bucket_sql('doc_id')} < {_STRATA_CASE}
+    """,
+    "q_pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                        x -> x != '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT *,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               cum_before // 512 AS seq_id,
+               cum_before % 512 AS seq_offset
+        FROM c
     """,
 }

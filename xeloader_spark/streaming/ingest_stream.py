@@ -89,6 +89,29 @@ def start_demux_sink(
     return writer.start()
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key while it
+    is inside the watermark horizon (`dropDuplicatesWithinWatermark`).
+
+    This is the streaming analog of the lineage table's "skip already-
+    loaded input" role (S23) pushed down to row granularity: an at-least-
+    once upstream (redelivered files, replayed Kafka offsets) becomes
+    exactly-once rows downstream. State is ONE entry per key seen within
+    the horizon — bounded by arrival rate × watermark, independent of
+    stream lifetime, which is what lets it run forever at cluster scale.
+    Dups arriving later than the watermark are passed through (state for
+    their key has been reclaimed) — choose the horizon from the
+    redelivery window, not from politeness."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def start_windowed_agg(
     stream: DataFrame,
     checkpoint_path: str,
