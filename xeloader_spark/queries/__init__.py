@@ -54,6 +54,7 @@ def _modules():
         "scalars",
         "temporal",
         "sampling",
+        "pipeline",
     ):
         try:
             mods.append(__import__(f"{__name__}.{modname}", fromlist=[modname]))

@@ -89,22 +89,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- oracles
 
-# shared SQL fragments (DuckDB): positional tokens → distinct trigram
-# shingles per doc
-_TOKS = """
+# shared SQL builders (DuckDB), parameterized on the corpus relation so
+# composed pipelines can run the same dedup over a filtered CTE
+
+
+def toks_sql(rel: str = "documents") -> str:
+    return f"""
     SELECT doc_id,
            unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok,
            generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), 1) AS ord
-    FROM documents
+    FROM {rel}
 """
-_TRI = f"""
+
+
+def tri_sql(rel: str = "documents") -> str:
+    t = toks_sql(rel)
+    return f"""
     SELECT DISTINCT a.doc_id AS id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
-    FROM ({_TOKS}) a
-    JOIN ({_TOKS}) b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
-    JOIN ({_TOKS}) c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+    FROM ({t}) a
+    JOIN ({t}) b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+    JOIN ({t}) c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
 """
-_JACCARD_PAIRS = f"""
-    WITH tri AS ({_TRI}),
+
+
+def jaccard_pairs_sql(rel: str = "documents", threshold: float = _JACCARD_T) -> str:
+    return f"""
+    WITH tri AS ({tri_sql(rel)}),
     sz AS (SELECT id, COUNT(*) AS n FROM tri GROUP BY 1),
     common AS (
         SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
@@ -116,8 +126,38 @@ _JACCARD_PAIRS = f"""
     FROM common c
     JOIN sz sa ON c.id_a = sa.id
     JOIN sz sb ON c.id_b = sb.id
-    WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= {_JACCARD_T}
+    WHERE c.n_common * 1.0 / (sa.n + sb.n - c.n_common) >= {threshold}
 """
+
+
+def clusters_sql(pairs_rel: str = "pairs", docs_rel: str = "documents") -> str:
+    """Recursive-CTE component closure over a pair relation → every
+    doc_id in `docs_rel` labeled (cluster_id, is_canonical). Must appear
+    under a WITH RECURSIVE header."""
+    return f"""
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM {pairs_rel}
+            UNION
+            SELECT id_b AS a, id_a AS b FROM {pairs_rel}
+        ),
+        reach(src, node) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        comp AS (SELECT src, MIN(node) AS cluster FROM reach GROUP BY 1),
+        resolved AS (
+            SELECT d.doc_id,
+                   COALESCE(c.cluster, d.doc_id) AS cluster_id,
+                   (d.doc_id = COALESCE(c.cluster, d.doc_id)) AS is_canonical
+            FROM {docs_rel} d LEFT JOIN comp c ON d.doc_id = c.src
+        )
+"""
+
+
+_TOKS = toks_sql()
+_TRI = tri_sql()
+_JACCARD_PAIRS = jaccard_pairs_sql()
 
 _SIG_COLS = ", ".join(
     f"min(md5('{s}|' || sh)) AS h{s}" for s in range(_K)
@@ -144,21 +184,8 @@ ORACLES: dict[str, str] = {
     "q_dedup_shingle_jaccard": _JACCARD_PAIRS,
     "q_dedup_clusters": f"""
         WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
-        edges AS (
-            SELECT id_a AS a, id_b AS b FROM pairs
-            UNION
-            SELECT id_b AS a, id_a AS b FROM pairs
-        ),
-        reach(src, node) AS (
-            SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-            UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
-        ),
-        comp AS (SELECT src, MIN(node) AS cluster FROM reach GROUP BY 1)
-        SELECT d.doc_id,
-               COALESCE(c.cluster, d.doc_id) AS cluster_id,
-               (d.doc_id = COALESCE(c.cluster, d.doc_id)) AS is_canonical
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+        {clusters_sql('pairs', 'documents')}
+        SELECT doc_id, cluster_id, is_canonical FROM resolved
     """,
     "q_dedup_minhash_lsh": f"""
         WITH tri AS ({_TRI}),
