@@ -68,11 +68,12 @@ def main() -> None:
         lambda batches: batches, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # The host is multi-tenant and a single sample can be inflated several-fold
-    # by transient external load, so each query is timed twice and the MIN is
-    # reported (standard steady-state practice). A global budget caps the
-    # second pass so a contended run degrades to single samples instead of
-    # blowing the driver's time box.
+    # The host is multi-tenant and transient external load inflates samples
+    # several-fold in BURSTS lasting tens of seconds, so each query is timed
+    # in two full passes over the suite (a query's two samples are separated
+    # by a whole pass, decorrelating them from any one burst) and the MIN is
+    # reported. A global budget caps the second pass so a contended run
+    # degrades to single samples instead of blowing the driver's time box.
     bench_start = time.perf_counter()
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
 
@@ -85,12 +86,52 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry[name]
-        best = run_once(fn)
-        if time.perf_counter() - bench_start < budget:
-            best = min(best, run_once(fn))
-        timings[name] = round(best, 3)
+        timings[name] = round(run_once(registry[name]), 3)
+    for name in HEADLINE:
+        if time.perf_counter() - bench_start >= budget:
+            break
+        timings[name] = round(min(timings[name], run_once(registry[name])), 3)
+    for name in HEADLINE:
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    # Bulk-load throughput — the reference's core function (read →
+    # flatten → demux-partitioned write), timed end-to-end into a scratch
+    # dir including the actual parquet write, not a noop sink.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from xeloader_spark.catalog import load_table
+    from xeloader_spark.operators.ingest import (
+        IngestConfig,
+        demux_write,
+        flatten_events,
+    )
+
+    cfg = IngestConfig(write_mode="overwrite", session_filter=False)
+
+    def run_ingest() -> float:
+        tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+        try:
+            t0 = time.perf_counter()
+            ev = load_table(spark, sf_dir, "events").withColumn(
+                "e_source_file", F.input_file_name()
+            )
+            demux_write(flatten_events(ev, cfg), tmp, cfg)
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    best = run_ingest()
+    if time.perf_counter() - bench_start < budget:
+        best = min(best, run_ingest())
+    timings["ingest_demux_write"] = round(best, 3)
+    print(
+        f"[bench] ingest_demux_write: {timings['ingest_demux_write']}s",
+        file=sys.stderr,
+        flush=True,
+    )
 
     total = round(sum(timings.values()), 3)
     print(

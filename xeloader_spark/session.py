@@ -36,6 +36,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # One BLAS/OMP thread per Python worker: Spark already runs `cpus`
+    # workers side-by-side, so per-process thread pools (numpy links
+    # OpenBLAS/MKL) would oversubscribe the box cpus× during pandas-UDF
+    # stages. Workers inherit the driver env — set before they spawn.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
