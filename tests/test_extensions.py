@@ -151,6 +151,39 @@ class TestClusterResolution:
         dd.release_persisted()
 
 
+class TestContaminationAndRepetition:
+    def test_planted_leak_detected(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated content with no overlap at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "we note the quick brown fox jumps over the fence")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dd.cross_contamination(train, ev, n=5).collect()}
+        assert set(out) == {1}  # only doc 1 shares a 5-gram
+        assert out[1].n_eval_docs == 1
+        assert out[1].n_shared_ngrams >= 1
+
+    def test_repetition_flags_boilerplate(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spam spam spam spam spam spam spam spam"),
+                (2, "all words here are fully distinct tokens friend"),
+                (3, "x y"),  # shorter than n → zero ngrams, ratio 0
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in tx.repetition_stats(df, n=3).collect()}
+        assert out[1].rep_ratio > 0.8
+        assert out[2].rep_ratio == 0.0
+        assert out[3].n_ngrams == 0 and out[3].rep_ratio == 0.0
+
+
 class TestSampling:
     def test_deterministic_across_partitionings(self, spark, docs):
         from xeloader_spark.operators import sampling as sp

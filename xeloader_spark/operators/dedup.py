@@ -222,6 +222,40 @@ def minhash_neardup(
     )
 
 
+def cross_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram with an evaluation document (the classic 8-to-13-gram
+    overlap rule). Returns one row per contaminated train doc:
+    (doc_id, n_shared_ngrams, n_eval_docs).
+
+    Shape: inverted-index semi-join on the shingle — the train side
+    streams through one shuffle-free map (shingling is narrow), and the
+    EVAL side is broadcast: eval sets are tiny by construction, so at
+    100 TB the train corpus is never shuffled at all. n_shared_ngrams
+    counts distinct leaked n-grams (dedup'd across eval docs),
+    n_eval_docs how many eval docs are implicated."""
+    tr = shingles(train_df, n=n, text_col=text_col, id_col=id_col)
+    ev = (
+        shingles(eval_df, n=n, text_col=text_col, id_col=id_col)
+        .withColumnRenamed("id", "eval_id")
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 # ------------------------------------------------ cluster resolution
 def connected_components(
     pairs: DataFrame,

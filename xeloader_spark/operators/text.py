@@ -115,6 +115,34 @@ def quality_flag(
     )
 
 
+def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition: total vs distinct word n-grams and the
+    repeated fraction (1 - distinct/total) — the boilerplate/spam signal
+    quality filters key on. Entirely array-side (one narrow projection,
+    no explode, no shuffle); the token array is materialized once so the
+    interpreted higher-order functions don't re-split the text."""
+    toks = _tok_array(text_col)
+    sh = (
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(_toks) - {n}), "
+        f"i -> array_join(slice(_toks, i + 1, {n}), ' ')) END"
+    )
+    return (
+        df.withColumn("_toks", F.expr(toks))
+        .withColumn("_sh", F.expr(sh))
+        .withColumn("n_ngrams", F.expr("size(_sh)").cast("long"))
+        .withColumn("n_distinct_ngrams", F.expr("size(array_distinct(_sh))").cast("long"))
+        .withColumn(
+            "rep_ratio",
+            F.when(
+                F.col("n_ngrams") > 0,
+                (F.col("n_ngrams") - F.col("n_distinct_ngrams")) / F.col("n_ngrams"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_toks", "_sh")
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whole-document fingerprint: md5 over the normalized text (lowercase,
     whitespace collapsed) — the exact-dedup key that survives formatting

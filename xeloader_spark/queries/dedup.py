@@ -78,6 +78,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVAL_BUCKET = 500  # 5% of documents act as the held-out eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 5% of the corpus plays
+    the eval set; every TRAIN doc sharing a word n-gram with any eval doc
+    is flagged with leak counts. Eval shingles broadcast — the train
+    corpus is never shuffled."""
+    from ..operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = sp.hash_bucket("doc_id", salt="eval") < _EVAL_BUCKET
+    # n=5 (not the classic 8-13) so the synthetic corpus yields a dense
+    # enough overlap set to be a meaningful correctness check
+    return dd.cross_contamination(
+        docs.filter(~is_eval), docs.filter(is_eval), n=5
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs on quantized vectors (×1000 →
     integer dot/norms → deterministic cosine), threshold 0.45. Uses the
@@ -195,6 +214,29 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5('eval' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                       < {_EVAL_BUCKET} AS is_eval,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, is_eval, unnest(
+                CASE WHEN len(t) < 5 THEN []
+                     ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                        i -> array_to_string(t[i:i+4], ' ')))
+                END) AS sh
+            FROM toks
+        )
+        SELECT tr.doc_id,
+               CAST(COUNT(DISTINCT tr.sh) AS BIGINT) AS n_shared_ngrams,
+               CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        FROM (SELECT * FROM sh WHERE NOT is_eval) tr
+        JOIN (SELECT * FROM sh WHERE is_eval) ev ON tr.sh = ev.sh
+        GROUP BY 1
     """,
     "q_simhash_signature": f"""
         WITH toks AS ({_TOKS}),

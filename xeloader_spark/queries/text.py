@@ -44,6 +44,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(docs).select("doc_id", "lang", "lang_guess")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: total vs distinct trigrams and the
+    repeated fraction — array-side, no explode, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.repetition_stats(docs, n=3).select(
+        "doc_id", "n_ngrams", "n_distinct_ngrams", "rep_ratio"
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document md5 fingerprint (normalized) + winnowing-style
     min-shingle-hash rolling fingerprint."""
@@ -93,6 +102,28 @@ _SCORES = ", ".join(
 )
 
 ORACLES: dict[str, str] = {
+    "q_repetition_stats": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN []
+                        ELSE list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(toks[i:i+2], ' '))
+                   END AS sh
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(sh) AS BIGINT) AS n_ngrams,
+               CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_ngrams,
+               CASE WHEN len(sh) > 0
+                    THEN (len(sh) - len(list_distinct(sh))) * 1.0 / len(sh)
+                    ELSE 0.0 END AS rep_ratio
+        FROM s
+    """,
     "q_top_terms_per_source": f"""
         WITH toks AS (
             SELECT source, unnest({_TOKS_LOWER}) AS tok FROM documents
