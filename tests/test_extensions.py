@@ -151,6 +151,42 @@ class TestClusterResolution:
         dd.release_persisted()
 
 
+class TestDocumentFrequencyCap:
+    def test_cap_equals_manual_filter(self, spark):
+        # one boilerplate trigram planted in every doc; capped pipeline
+        # must equal the pipeline over manually-filtered shingle sets
+        rows = [
+            (i, f"standard legal header w{i} x{i} y{i} z{i} common tail")
+            for i in range(8)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dd.shingles(docs, n=3)
+        capped = dd.cap_document_frequency(sh, max_df=4)
+        dfc = sh.groupBy("shingle").count()
+        keep = {r.shingle for r in dfc.filter(F.col("count") <= 4).collect()}
+        manual = {(r.id, r.shingle) for r in sh.collect() if r.shingle in keep}
+        assert {(r.id, r.shingle) for r in capped.collect()} == manual
+        # boilerplate trigram ('standard legal header', df=8) is gone
+        assert all("standard legal header" != s for _, s in manual)
+        dd.release_persisted()
+
+    def test_capped_jaccard_bounds_fanout(self, spark):
+        rows = [
+            (i, f"boiler plate every doc has this unique{i} part{i} here{i}")
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=0.01)
+        capped = dd.jaccard_pairs(
+            dd.shingles(docs, n=3), threshold=0.01, max_df=3
+        )
+        # without the cap the shared boilerplate links every pair;
+        # with it the degenerate bucket disappears entirely
+        assert full.count() == 45
+        assert capped.count() == 0
+        dd.release_persisted()
+
+
 class TestContaminationAndRepetition:
     def test_planted_leak_detected(self, spark):
         train = spark.createDataFrame(

@@ -104,15 +104,42 @@ def exact_dedup(
     )
 
 
+def cap_document_frequency(
+    shingle_df: DataFrame, max_df: int
+) -> DataFrame:
+    """Drop shingles appearing in more than `max_df` documents — the
+    boilerplate/stopword-phrase guard. This is THE skew lever for
+    inverted-index joins at scale: a shingle shared by d documents
+    contributes O(d²) candidate pairs, so one boilerplate header in a
+    100 TB corpus (d ~ 10⁹) is a job-killing hot key. Capping df bounds
+    every bucket's fan-out at max_df² while barely moving Jaccard values
+    (ubiquitous shingles carry no dedup signal). One extra aggregate on
+    the already-shuffled shingle key."""
+    df_counts = shingle_df.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    return (
+        shingle_df.join(df_counts.filter(F.col("_df") <= max_df), "shingle")
+        .select("id", "shingle")
+    )
+
+
 def jaccard_pairs(
-    shingle_df: DataFrame, threshold: float = 0.5
+    shingle_df: DataFrame, threshold: float = 0.5, max_df: int | None = None
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over a (id, shingle) set, via
     inverted-index self-join: pairs sharing ≥1 shingle, similarity =
     |∩| / (|A|+|B|-|∩|). Integer arithmetic until the final division —
     engine-exact. Shuffles on shingle (index build) then on pair (count).
     The shingle set feeds three consumers (sizes + both join sides) —
-    persisted so the shingling projection runs once."""
+    persisted so the shingling projection runs once.
+
+    `max_df` (off by default — the oracle-checked exact mode) applies
+    `cap_document_frequency` first; sizes and intersections are then both
+    computed on the capped sets, so the reported Jaccard stays internally
+    consistent (it IS the Jaccard of the capped shingle sets)."""
+    if max_df is not None:
+        shingle_df = cap_document_frequency(shingle_df, max_df)
     shingle_df = _persist(shingle_df)
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.alias("a")
