@@ -136,3 +136,43 @@ class TestPlanShapes:
         plan = plans.physical_plan(df)
         assert plan.count("HashAggregate") >= 2, plan
         plans.assert_pruned_schema(df, 6)
+
+
+class TestNewOperatorPlanShapes:
+    """Shuffle/broadcast budgets for the training-pipeline operators:
+    these assertions are the 100×-scale-up contract — a regression here
+    means an operator stopped being shuffle-frugal, not just got slower."""
+
+    def test_sampling_is_shuffle_free(self, spark):
+        from xeloader_spark.queries import sampling as qs
+
+        # hash-gated filters are narrow: zero shuffles, corpus never moves
+        plans.assert_max_shuffles(qs.q_sample_deterministic(spark, SF), 0)
+        plans.assert_max_shuffles(qs.q_stratified_sample(spark, SF), 0)
+
+    def test_pack_sequences_single_shuffle(self, spark):
+        from xeloader_spark.queries import sampling as qs
+
+        # one Exchange for the per-source window; nothing else may move
+        plans.assert_max_shuffles(qs.q_pack_sequences(spark, SF), 1)
+
+    def test_decontaminate_broadcasts_eval_side(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        df = qd.q_decontaminate(spark, SF)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+
+    def test_repetition_stats_shuffle_free(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        plans.assert_max_shuffles(qt.q_repetition_stats(spark, SF), 0)
+
+    def test_pipeline_no_cartesian(self, spark):
+        from xeloader_spark.queries import pipeline as qp
+
+        df = qp.q_corpus_clean_pipeline(spark, SF)
+        plans.assert_no_cartesian(df)
+        from xeloader_spark.operators.dedup import release_persisted
+
+        release_persisted()

@@ -8,6 +8,8 @@ from .inspect import (
     assert_pruned_schema,
     assert_broadcast_join,
     assert_no_cartesian,
+    assert_max_shuffles,
+    count_exchanges,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "assert_pruned_schema",
     "assert_broadcast_join",
     "assert_no_cartesian",
+    "assert_max_shuffles",
+    "count_exchanges",
 ]

@@ -48,3 +48,27 @@ def assert_broadcast_join(df: DataFrame) -> None:
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan
+    (broadcast exchanges excluded — those move the SMALL side). Counts
+    the formatted plan's detail headers `(n) Exchange`, which appear
+    exactly once per operator (tree lines would double-count)."""
+    import re
+
+    plan = physical_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", line.strip())
+    )
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    """The plan must shuffle at most `n` times — the budget that decides
+    whether an operator survives a 100× scale-up."""
+    got = count_exchanges(df)
+    assert got <= n, (
+        f"{got} shuffle Exchanges (budget {n}):\n{physical_plan(df)}"
+    )
