@@ -165,12 +165,24 @@ def minhash_signatures(
     token_df: DataFrame, k: int = 12
 ) -> DataFrame:
     """k-permutation MinHash signature per id over a (id, tok)-distinct
-    set: h_s = min(md5(s||'|'||tok)). md5 is a stand-in family with exact
-    cross-engine reproducibility; one aggregate computes all k mins
-    (single shuffle on id)."""
+    set. Hash family: md5(j||'|'||tok) split into its two 16-hex-char
+    halves — each 64-bit half is an independent-enough permutation, so k
+    signatures cost ⌈k/2⌉ md5 evaluations. The digests are materialized
+    in a projection BEFORE the aggregate (interpreted agg expressions
+    don't CSE — inline they'd be computed once per substring reference).
+    Fixed-width lowercase hex compares lexicographically = numerically,
+    so MIN over the hex string is MIN over the 64-bit value, and the
+    DuckDB oracle replays it exactly. One shuffle on id."""
+    n_md5 = (k + 1) // 2
     dt = token_df.select("id", "tok").distinct()
+    for j in range(n_md5):
+        dt = dt.withColumn(
+            f"_m{j}", F.md5(F.concat(F.lit(f"{j}|"), F.col("tok")))
+        )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("tok")))).alias(f"h{s}")
+        F.min(
+            F.substring(F.col(f"_m{s // 2}"), 1 + 16 * (s % 2), 16)
+        ).alias(f"h{s}")
         for s in range(k)
     ]
     return dt.groupBy("id").agg(*aggs)

@@ -179,7 +179,8 @@ _TRI = tri_sql()
 _JACCARD_PAIRS = jaccard_pairs_sql()
 
 _SIG_COLS = ", ".join(
-    f"min(md5('{s}|' || sh)) AS h{s}" for s in range(_K)
+    f"min(substr(md5('{s // 2}|' || sh), {1 + 16 * (s % 2)}, 16)) AS h{s}"
+    for s in range(_K)
 )
 _BAND_COLS = ", ".join(
     "md5(" + " || '#' || ".join(f"h{b * _ROWS + r}" for r in range(_ROWS)) + f") AS band{b}"
