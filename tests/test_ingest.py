@@ -166,3 +166,20 @@ def test_error_budget_disabled_keeps_file(spark, xel_dir, tmp_path):
     assert rep.n_files_aborted == 0
     # bad rows are still excluded, but the good rows of the bad file load
     assert rep.n_events == 1000 + (n_bad_rows - n_bad_errors)
+
+
+def test_cli_entry_point(spark, xel_dir, tmp_path, capsys):
+    """S28 CLI parity: the module entry point runs the full ingest with
+    reference-style flags and prints the run-stats JSON."""
+    import json as _json
+
+    from xeloader_spark.__main__ import main
+
+    root, _, _ = xel_dir
+    out = str(tmp_path / "cli_out")
+    rc = main(["-D", root, "-o", out, "-w", "-e", "100", "-L", "1024"])
+    printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2  # the malformed file aborts (error budget)
+    assert printed["n_files"] == 5 and printed["n_files_aborted"] == 1
+    assert printed["n_events"] == 1000
+    assert spark.read.parquet(out).count() == 1000

@@ -1,0 +1,79 @@
+"""CLI entry point — the reference's flag surface (SURVEY §2.1 S28,
+XELoader/InputParameters.cs:63-301) mapped onto `IngestConfig`, so a
+reference user's invocation translates flag-for-flag:
+
+    python -m xeloader_spark -D /data/xe_parquet -o /warehouse/xe \
+        -p '*.parquet' -L 1024 -X 4000 -B 1024 -e 100 -z UTC -I ColumnStore -w
+
+Differences from the reference, by design: the sink is a path (parquet
+demux tables; use the JDBC-parity sink programmatically for SQL Server),
+and -t/-b/-R have no effect (Spark owns task parallelism, writer
+batching, and read-ahead — see SURVEY S17/S24/S25).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="xeloader_spark",
+        description="Bulk-load event files into demuxed columnar tables (PySpark).",
+    )
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("-D", "--directory", help="input directory (entry point A)")
+    src.add_argument("-f", "--file", help="single input file (entry point B)")
+    ap.add_argument("-o", "--output", required=True, help="output path (demux root)")
+    ap.add_argument("-p", "--pattern", default="*.parquet", help="file wildcard (-p)")
+    ap.add_argument("--no-session-filter", action="store_true",
+                    help="disable the S3 session-prefix gate")
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument("-w", dest="mode", action="store_const", const="overwrite",
+                      help="wipe & reload (reference -w)")
+    mode.add_argument("-c", dest="mode", action="store_const", const="truncate",
+                      help="replace arriving event types (reference -c)")
+    mode.add_argument("-a", dest="mode", action="store_const", const="append",
+                      help="append (reference -a, default)")
+    ap.add_argument("-L", type=int, default=1024, help="string truncation chars")
+    ap.add_argument("-X", type=int, default=4000, help="XML truncation chars")
+    ap.add_argument("-B", type=int, default=1024, help="binary truncation bytes")
+    ap.add_argument("-e", type=int, default=100, help="error budget per file")
+    ap.add_argument("-z", default="UTC", help="timezone for local-time column")
+    ap.add_argument("-I", default="ColumnStore", choices=["ColumnStore", "RowStore"],
+                    help="physical layout")
+    ap.add_argument("-t", type=int, default=None,
+                    help="accepted for parity; Spark schedules tasks itself")
+    ap.add_argument("-b", type=int, default=None,
+                    help="accepted for parity; parquet row-groups are writer-sized")
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .operators.ingest import IngestConfig, ingest
+    from .session import get_spark
+
+    cfg = IngestConfig(
+        file_pattern=args.pattern,
+        session_filter=not args.no_session_filter,
+        timezone=args.z,
+        string_trunc=args.L,
+        xml_trunc=args.X,
+        binary_trunc=args.B,
+        max_errors_per_file=args.e,
+        write_mode=args.mode or "append",
+        layout=args.I.lower(),
+    )
+    spark = get_spark(app_name="xeloader-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    report = ingest(spark, args.directory or args.file, args.output, cfg)
+    print(json.dumps(report.as_dict()))
+    return 0 if report.n_files_aborted == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
