@@ -133,3 +133,54 @@ def test_row_conservation_and_truncation(spark, batch):
         good.groupBy("event_type").count().agg(F.sum("count").alias("n")).first().n
     )
     assert (per_type or 0) == good.count()
+
+
+# ---------------------------------------------- sampling / packing laws
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 400)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.sampled_from([64, 128, 512]),
+)
+def test_pack_sequences_invariants(spark, rows, budget):
+    """Packing laws for any corpus and budget: offsets stay inside the
+    budget; each partition's (seq_id, seq_offset) equals the exclusive
+    running token sum div/mod the budget; ids start at 0 and never
+    decrease in doc order."""
+    from xeloader_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n, "s") for i, n in rows], "doc_id long, n_tokens long, src string"
+    )
+    out = pack_sequences(df, "n_tokens", budget, "src", "doc_id").collect()
+    out.sort(key=lambda r: r.doc_id)
+    cum = 0
+    for r in out:
+        assert 0 <= r.seq_offset < budget
+        assert r.seq_id == cum // budget and r.seq_offset == cum % budget
+        cum += r.n_tokens
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(st.floats(0.0, 1.0), st.text(st.characters(codec="ascii"), max_size=8))
+def test_split_fractions_partition_rows(spark, frac, salt):
+    """train/test is a PARTITION of the input for any fraction and salt:
+    every row lands in exactly one side, deterministically."""
+    from xeloader_spark.operators.sampling import split_train_test
+
+    df = spark.range(300).withColumnRenamed("id", "k")
+    out = split_train_test(df, "k", test_fraction=frac, salt=salt)
+    got = [(r.k, r.split) for r in out.collect()]
+    assert len(got) == 300
+    assert {s for _, s in got} <= {"train", "test"}
+    again = dict(
+        (r.k, r.split)
+        for r in split_train_test(
+            df.repartition(5), "k", test_fraction=frac, salt=salt
+        ).collect()
+    )
+    assert dict(got) == again
