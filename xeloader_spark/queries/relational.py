@@ -72,6 +72,46 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem with
+    date predicates on BOTH fact sides, revenue aggregate, top-10 with a
+    total tie-break. The two date filters reach the parquet scans
+    (pushdown), the filtered customer side broadcasts, and the group-by
+    shuffles only l_orderkey-level partials."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-06-01"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_supplier_breadth_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape on the lineitem link (fixture has no partsupp):
+    distinct supplier count per (p_brand, p_size). COUNT(DISTINCT) is a
+    two-phase aggregate — partial distinct per partition, exact merge —
+    so the shuffle carries (group, supplier) pairs, not line items."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned window rank: top-3 customers by total order value within
     each nation. The window shuffles once on n_name; rank ties broken by
@@ -297,6 +337,25 @@ ORACLES: dict[str, str] = {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY 1
+    """,
+    "q_shipping_priority": """
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q_supplier_breadth_per_part": """
+        SELECT p.p_brand, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
     """,
     "q_top_customer_per_nation": """
         SELECT n_name, custkey, total_spend, rk FROM (
