@@ -183,3 +183,34 @@ def test_cli_entry_point(spark, xel_dir, tmp_path, capsys):
     assert printed["n_files"] == 5 and printed["n_files_aborted"] == 1
     assert printed["n_events"] == 1000
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_incremental_ingest_skips_loaded_files(spark, xel_dir, tmp_path):
+    """S23 as a gate: second run on an unchanged directory loads nothing;
+    after a new file appears only IT is loaded; file_ids keep ascending."""
+    root, _, _ = xel_dir
+    out = str(tmp_path / "inc_out")
+    cfg = ing.IngestConfig(write_mode="append", max_errors_per_file=100)
+
+    rep1 = ing.ingest_incremental(spark, root, out, cfg)
+    assert rep1.n_files == 5
+    n1 = spark.read.parquet(out).count()
+
+    rep2 = ing.ingest_incremental(spark, root, out, cfg)
+    assert rep2.n_files == 0  # idempotent: nothing new
+    assert spark.read.parquet(out).count() == n1
+
+    # a new session file appears
+    ev = load_table(spark, SF, "events").limit(120)
+    stage = str(tmp_path / "stage")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.rename(os.path.join(stage, src), os.path.join(root, "SessionA_7_132007.parquet"))
+
+    rep3 = ing.ingest_incremental(spark, root, out, cfg)
+    assert rep3.n_files == 1
+    assert spark.read.parquet(out).count() == n1 + 120
+    # id sequence continues past the first run's max
+    lin = spark.read.parquet(out + "_lineage")
+    ids = sorted(r.file_id for r in lin.collect())
+    assert len(ids) == len(set(ids)) == 6 and ids[-1] == 6

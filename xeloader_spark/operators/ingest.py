@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
@@ -84,7 +84,7 @@ def wildcard_to_regex(pattern: str) -> str:
 # ----------------------------------------------------------------- S1/S2/S4
 def scan_events(
     spark: SparkSession,
-    input_path: str,
+    input_path: str | list[str],
     cfg: IngestConfig | None = None,
     schema=None,
 ) -> DataFrame:
@@ -95,12 +95,15 @@ def scan_events(
     skipping them, FileProcessor.cs:148-174) and `input_file_name()`
     carries per-row provenance. An explicit `schema` skips inference —
     the S5 XEL+XEM sidecar-metadata path (FileProcessor.cs:280-334).
+    `input_path` may be a directory or an explicit file list (the
+    incremental path passes exactly the not-yet-loaded files).
     """
     cfg = cfg or IngestConfig()
+    paths = [input_path] if isinstance(input_path, str) else list(input_path)
     reader = spark.read.option("pathGlobFilter", cfg.file_pattern)
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.parquet(input_path)
+    df = reader.parquet(*paths)
     df = df.withColumn("e_source_file", F.input_file_name())
     if cfg.session_filter:
         df = filter_session_files(df)
@@ -134,17 +137,18 @@ def filter_session_files(
 
 
 # --------------------------------------------------------------------- S23
-def build_lineage(df: DataFrame) -> DataFrame:
+def build_lineage(df: DataFrame, id_offset: int = 0) -> DataFrame:
     """Lineage dimension — `dbo.tbl_ImportedXEventFiles`
     (InputParameters.cs:543-558): one row per source file with a dense
     surrogate `file_id`. The reference uses an IDENTITY column; we use
-    row_number over file name, which is deterministic across retries
+    row_number over file name (+ `id_offset` so incremental runs continue
+    the sequence), which is deterministic across retries
     (monotonically_increasing_id is not). The dimension is tiny (#files)
     — always broadcastable."""
     files = df.select(F.col("e_source_file").alias("file_path")).distinct()
     w = Window.orderBy("file_path")
     return files.select(
-        F.row_number().over(w).cast("long").alias("file_id"),
+        (F.row_number().over(w).cast("long") + F.lit(id_offset)).alias("file_id"),
         F.regexp_extract("file_path", r"^(.*)/[^/]+$", 1).alias("file_folder"),
         F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
         F.col("file_path"),
@@ -323,9 +327,10 @@ class IngestReport:
 
 def ingest(
     spark: SparkSession,
-    input_path: str,
+    input_path: str | list[str],
     output_path: str,
     cfg: IngestConfig | None = None,
+    file_id_offset: int = 0,
 ) -> IngestReport:
     """End-to-end ingest — entry point A of the reference
     (Main → ProcessFiles → ProcessOneFile, SURVEY §3.1), one lazy plan:
@@ -338,7 +343,7 @@ def ingest(
     """
     cfg = cfg or IngestConfig()
     raw = scan_events(spark, input_path, cfg)
-    lineage = build_lineage(raw).cache()
+    lineage = build_lineage(raw, id_offset=file_id_offset).cache()
     stamped = stamp_lineage(raw, lineage)
     flat = flatten_events(stamped, cfg)
     good, file_report = split_by_error_budget(flat, cfg)
@@ -369,4 +374,49 @@ def ingest(
         n_truncated=int(metrics.get("n_truncated") or 0),
         event_types=int(metrics.get("event_types") or 0),
         lineage=lineage_rows,
+    )
+
+
+def ingest_incremental(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    cfg: IngestConfig | None = None,
+) -> IngestReport:
+    """Idempotent incremental load — the tracking table's real job (S23):
+    the reference registers every file in `tbl_ImportedXEventFiles` so an
+    operator can see what's loaded; here that registry actively GATES the
+    next run. Files already present in the lineage table are skipped, so
+    re-running on a growing directory (or after a crash) loads exactly
+    the new files and nothing twice — restart granularity is the file,
+    same as the reference's per-file processing loop.
+
+    Cost model: the candidate listing and the lineage table are both
+    O(#files) and handled driver-side; no event data is read for already-
+    loaded files (the pruned listing is passed to the scan as an explicit
+    file list). Files whose load ABORTED (error budget) are registered,
+    and therefore not retried — matching the reference, which registers
+    the file before loading it; delete its lineage row to force a retry.
+    """
+    cfg = cfg or IngestConfig()
+    listing = scan_events(spark, input_path, cfg).select(
+        F.col("e_source_file").alias("file_path")
+    )
+    candidates = {r.file_path for r in listing.distinct().collect()}
+    lineage_path = output_path + "_lineage"
+    loaded: set[str] = set()
+    max_id = 0
+    try:
+        prev = spark.read.parquet(lineage_path).select("file_path", "file_id")
+        rows = prev.collect()
+        loaded = {r.file_path for r in rows}
+        max_id = max((r.file_id for r in rows), default=0)
+    except Exception:  # no lineage yet — first run
+        pass
+    new_files = sorted(candidates - loaded)
+    if not new_files:
+        return IngestReport()
+    inc_cfg = replace(cfg, write_mode="append")  # incremental ⇒ append
+    return ingest(
+        spark, new_files, output_path, inc_cfg, file_id_offset=max_id
     )
