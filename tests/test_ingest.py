@@ -184,6 +184,12 @@ def test_cli_entry_point(spark, xel_dir, tmp_path, capsys):
     assert printed["n_events"] == 1000
     assert spark.read.parquet(out).count() == 1000
 
+    # --incremental re-run: nothing new, exit clean, output unchanged
+    rc2 = main(["-D", root, "-o", out, "--incremental", "-e", "100"])
+    printed2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0 and printed2["n_files"] == 0
+    assert spark.read.parquet(out).count() == 1000
+
 
 def test_incremental_ingest_skips_loaded_files(spark, xel_dir, tmp_path):
     """S23 as a gate: second run on an unchanged directory loads nothing;

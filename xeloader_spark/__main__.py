@@ -48,13 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="accepted for parity; Spark schedules tasks itself")
     ap.add_argument("-b", type=int, default=None,
                     help="accepted for parity; parquet row-groups are writer-sized")
+    ap.add_argument("--incremental", action="store_true",
+                    help="skip files already in the lineage table (idempotent re-run)")
     return ap
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
-    from .operators.ingest import IngestConfig, ingest
+    from .operators.ingest import IngestConfig, ingest, ingest_incremental
     from .session import get_spark
 
     cfg = IngestConfig(
@@ -70,7 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark(app_name="xeloader-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    report = ingest(spark, args.directory or args.file, args.output, cfg)
+    run = ingest_incremental if args.incremental else ingest
+    report = run(spark, args.directory or args.file, args.output, cfg)
     print(json.dumps(report.as_dict()))
     return 0 if report.n_files_aborted == 0 else 2
 
