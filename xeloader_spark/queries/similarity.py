@@ -75,7 +75,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_multimodal_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal feature pipeline, exploded to (media_id, dim,
+    feature) long form so the Arrow mapInPandas boundary is EXACT-checked:
+    the fake decoder is md5-byte-window means, which DuckDB replays
+    bit-for-bit (integer byte sums, one double division, float32 round)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.attach_fake_media(docs))
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("features").alias("dim", "feature")
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("feature").cast("double").alias("feature"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_multimodal_feature_values": """
+        WITH h AS (
+            SELECT doc_id AS media_id, md5(text) || md5('x' || text) AS hx
+            FROM documents
+        ),
+        d AS (SELECT media_id, hx, unnest(generate_series(0, 7)) AS dim FROM h),
+        f AS (
+            SELECT media_id, dim,
+                   (  ('0x' || substr(hx, 8*dim + 1, 2))::BIGINT
+                    + ('0x' || substr(hx, 8*dim + 3, 2))::BIGINT
+                    + ('0x' || substr(hx, 8*dim + 5, 2))::BIGINT
+                    + ('0x' || substr(hx, 8*dim + 7, 2))::BIGINT) / 1020.0 AS v
+            FROM d
+        )
+        SELECT media_id,
+               CAST(32 AS BIGINT) AS n_bytes,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(CAST(v AS REAL) AS DOUBLE) AS feature
+        FROM f
+    """,
     "q_label_centroids": """
         WITH longf AS (
             SELECT label,
