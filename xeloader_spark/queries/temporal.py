@@ -133,6 +133,27 @@ def q_sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregate (vs the window-function
+    formulation in q_sessionize_gap_batch): one hash-aggregate with a
+    dynamic-gap session key, no lag/running-sum chain. Boundary semantics
+    differ from the custom sessionizer by design: session_window closes
+    when gap >= gapDuration (end = last event + gap), replayed exactly in
+    the oracle. Same single shuffle on user_id; this is the form that
+    also runs unchanged as a streaming aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_moving_avg_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 30-second moving sum/avg per user — a RANGE frame over
     event time (not a row count), the smoothing query behind rate graphs.
@@ -237,6 +258,30 @@ ORACLES: dict[str, str] = {
                (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS duration_sec
         FROM sess
         GROUP BY 1, 2
+    """,
+    "q_session_window_agg": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_idx
     """,
     "q_moving_avg_time_range": """
         SELECT event_id, user_id, ts,
