@@ -33,19 +33,27 @@ HEADLINE = [
     "q_asof_purchase_attribution",
     "q_interval_error_click_window",
     "q_rollup_gapfill_hourly",
+    "q_session_window_agg",
     # relational (lineitem 600k / orders 150k at sf0.1)
     "q_pricing_summary",
     "q_region_revenue",
     "q_top_customer_per_nation",
     "q_running_total",
     "q_rollup_agg",
+    "q_shipping_priority",
     # extension operators (documents 5k / embeddings 2k at sf0.1)
     "q_dedup_minhash_lsh",
     "q_dedup_shingle_jaccard",
+    "q_dedup_clusters",
     "q_simhash_neardup",
     "q_embedding_neardup",
     "q_ann_topk_dot",
     "q_text_quality",
+    # training-data assembly
+    "q_sample_deterministic",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_corpus_clean_pipeline",
 ]
 
 
