@@ -30,7 +30,10 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus cleaning end-to-end, reported as per-(source, split) doc and
     token counts of the kept canonical documents."""
     docs = load_table(spark, sf_dir, "documents")
-    kept = (
+    # the filtered frame feeds both the shingle pipeline and the resolve
+    # join — persisted (into the dedup module's registry, so callers'
+    # release_persisted() frees it) to run the quality stats once
+    kept = dd._persist(
         tx.quality_flag(tx.text_stats(docs))
         .filter(F.col("quality_ok"))
         .select("doc_id", "source", "n_tokens", "text")
