@@ -106,6 +106,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_neardup_matmul(emb, threshold=_COS_T)
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup resolution: embedding-cosine near-dup pairs →
+    connected components → every vector labeled with its semantic cluster
+    and canonical flag. Same closure machinery as the text path — the
+    operator family composes across modalities."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_neardup_matmul(emb, threshold=_COS_T)
+    return (
+        dd.resolve_duplicates(emb.select("vec_id"), pairs, id_col="vec_id")
+        .select("vec_id", "cluster_id", "is_canonical")
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 # shared SQL builders (DuckDB), parameterized on the corpus relation so
@@ -149,10 +162,14 @@ def jaccard_pairs_sql(rel: str = "documents", threshold: float = _JACCARD_T) -> 
 """
 
 
-def clusters_sql(pairs_rel: str = "pairs", docs_rel: str = "documents") -> str:
+def clusters_sql(
+    pairs_rel: str = "pairs",
+    docs_rel: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
     """Recursive-CTE component closure over a pair relation → every
-    doc_id in `docs_rel` labeled (cluster_id, is_canonical). Must appear
-    under a WITH RECURSIVE header."""
+    `id_col` in `docs_rel` labeled (cluster_id, is_canonical). Must
+    appear under a WITH RECURSIVE header."""
     return f"""
         edges AS (
             SELECT id_a AS a, id_b AS b FROM {pairs_rel}
@@ -166,10 +183,10 @@ def clusters_sql(pairs_rel: str = "pairs", docs_rel: str = "documents") -> str:
         ),
         comp AS (SELECT src, MIN(node) AS cluster FROM reach GROUP BY 1),
         resolved AS (
-            SELECT d.doc_id,
-                   COALESCE(c.cluster, d.doc_id) AS cluster_id,
-                   (d.doc_id = COALESCE(c.cluster, d.doc_id)) AS is_canonical
-            FROM {docs_rel} d LEFT JOIN comp c ON d.doc_id = c.src
+            SELECT d.{id_col},
+                   COALESCE(c.cluster, d.{id_col}) AS cluster_id,
+                   (d.{id_col} = COALESCE(c.cluster, d.{id_col})) AS is_canonical
+            FROM {docs_rel} d LEFT JOIN comp c ON d.{id_col} = c.src
         )
 """
 
@@ -255,7 +272,7 @@ ORACLES: dict[str, str] = {
         FROM sig a JOIN sig b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     """,
-    "q_embedding_neardup": f"""
+    "q_embedding_neardup": (_EMB_PAIRS := f"""
         WITH q AS (
             SELECT vec_id AS id, ord AS pos,
                    CAST(round(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS qv
@@ -275,5 +292,11 @@ ORACLES: dict[str, str] = {
         JOIN nrm na ON d.id_a = na.id
         JOIN nrm nb ON d.id_b = nb.id
         WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {_COS_T}
-    """,
+    """),
 }
+
+ORACLES["q_embedding_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({_EMB_PAIRS}),
+    {clusters_sql('pairs', 'embeddings', 'vec_id')}
+    SELECT vec_id, cluster_id, is_canonical FROM resolved
+"""
