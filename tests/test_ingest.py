@@ -220,3 +220,29 @@ def test_incremental_ingest_skips_loaded_files(spark, xel_dir, tmp_path):
     lin = spark.read.parquet(out + "_lineage")
     ids = sorted(r.file_id for r in lin.collect())
     assert len(ids) == len(set(ids)) == 6 and ids[-1] == 6
+
+
+def test_compaction_conserves_rows_and_merges_files(spark, xel_dir, tmp_path):
+    """Fragmented demux output (many tiny appends) compacts into few
+    ~target-row files with identical data."""
+    root, _, _ = xel_dir
+    out = str(tmp_path / "frag_out")
+    cfg = ing.IngestConfig(write_mode="append", max_errors_per_file=100)
+    # fragment: three incremental-style appends of the same small corpus
+    for _ in range(3):
+        ing.ingest(spark, root, out, cfg)
+    frag = spark.read.parquet(out)
+    n_rows = frag.count()
+    n_frag_files = len(frag.inputFiles())
+
+    compacted_path = str(tmp_path / "compact_out")
+    ing.compact_output(spark, out, compacted_path, target_rows_per_file=2000)
+    comp = spark.read.parquet(compacted_path)
+    assert comp.count() == n_rows
+    assert len(comp.inputFiles()) < n_frag_files
+    # same data, not just same count (hash both sides, order-free)
+    cols = sorted(c for c in frag.columns if c != "e_imported_file_id")
+    h = lambda df: df.select(*cols).selectExpr(
+        "sum(crc32(concat_ws('|', *))) AS h"
+    ).collect()[0].h
+    assert h(frag) == h(comp)

@@ -420,3 +420,36 @@ def ingest_incremental(
     return ingest(
         spark, new_files, output_path, inc_cfg, file_id_offset=max_id
     )
+
+
+def compact_output(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    target_rows_per_file: int = 1_048_576,
+) -> int:
+    """Small-file compaction for a demuxed output directory — S17's ideal
+    1M-row columnstore rowgroup (EventHolder.cs:70, README.md:31) applied
+    in reverse. Streaming appends and incremental loads fragment the
+    event_type partitions into many tiny files; tiny files mean tiny
+    row-groups, which forfeit columnstore compression and scan
+    efficiency — the same degradation the reference's batching exists to
+    avoid on SQL Server.
+
+    One range-partitioned rewrite: `repartitionByRange(event_type, id)`
+    keeps each output file inside one event_type partition (no
+    cross-partition salad) at ~target rows. Row count is conserved (the
+    rewrite is a straight copy); returns the file count written. Compacts
+    into a NEW directory — an in-place rewrite of a path being read is
+    not atomic in Spark; swap directories (or partitions) at the catalog
+    layer."""
+    df = spark.read.parquet(input_path)
+    total = df.count()
+    n_files = max(1, -(-total // target_rows_per_file))
+    (
+        df.repartitionByRange(n_files, "event_type", "c_event_sequence")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(output_path)
+    )
+    return n_files
