@@ -75,6 +75,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media)
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through mapInPandas (every 2nd frame;
+    payload slices stand in for demuxed frames). Exact-checked: the fake
+    payload is md5-derived, so DuckDB replays the byte slicing on the hex
+    string and the BINARY frame payloads hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.attach_fake_media(docs), every=2)
+    # frame bytes surfaced as lowercase hex: BINARY cells canonicalize
+    # differently across drivers (bytes vs bytearray), hex strings don't
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.lower(F.hex("frame_payload")).alias("frame_hex"),
+    )
+
+
 def q_multimodal_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal feature pipeline, exploded to (media_id, dim,
     feature) long form so the Arrow mapInPandas boundary is EXACT-checked:
@@ -93,6 +109,23 @@ def q_multimodal_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_frame_sample": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5('x' || text) AS hx,
+                   length(text) % 8 + 1 AS n_frames
+            FROM documents
+        ),
+        fr AS (
+            SELECT media_id, hx,
+                   unnest(generate_series(0, n_frames - 1)) AS fi
+            FROM h
+        )
+        SELECT media_id,
+               CAST(fi AS INT) AS frame_index,
+               substr(hx, 2 * (fi % 32) + 1, 16) AS frame_hex
+        FROM fr WHERE fi % 2 = 0
+    """,
     "q_multimodal_feature_values": """
         WITH h AS (
             SELECT doc_id AS media_id, md5(text) || md5('x' || text) AS hx
