@@ -170,6 +170,18 @@ class TestDocumentFrequencyCap:
         assert all("standard legal header" != s for _, s in manual)
         dd.release_persisted()
 
+    def test_capped_minhash_drops_boilerplate_pairs(self, spark):
+        rows = [
+            (i, f"boiler plate every doc has this unique{i} part{i} here{i}")
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = dd.minhash_neardup(docs, threshold=0.01)
+        capped = dd.minhash_neardup(docs, threshold=0.01, max_df=3)
+        assert full.count() > 0
+        assert capped.count() == 0
+        dd.release_persisted()
+
     def test_capped_jaccard_bounds_fanout(self, spark):
         rows = [
             (i, f"boiler plate every doc has this unique{i} part{i} here{i}")

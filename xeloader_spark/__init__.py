@@ -14,9 +14,11 @@ aggregation, event ordering, lineage/hash joins, top-k). Here:
   callstack decode, XML/map coercion) is `xeloader_spark.functions`;
 - the query surface (SURVEY §2.2) and the relational operators Catalyst
   supplies are `xeloader_spark.queries`;
-- LLM-data-pipeline extension operators (dedup, similarity search, text
-  analysis, multimodal plumbing) are `xeloader_spark.operators.{dedup,
-  similarity, text, multimodal}`.
+- LLM-data-pipeline extension operators (dedup incl. cluster resolution
+  and decontamination, similarity search, text analysis, multimodal
+  plumbing, deterministic sampling/splitting/packing) are
+  `xeloader_spark.operators.{dedup, similarity, text, multimodal,
+  sampling}`; skew/co-location levers in `operators.skew`.
 
 Everything is DataFrame-declarative so Catalyst handles pushdown, pruning,
 join selection and AQE; Python UDFs appear only where semantics require

@@ -222,6 +222,7 @@ def minhash_neardup(
     rows: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
     exact-Jaccard verify on CANDIDATE PAIRS ONLY.
@@ -234,8 +235,14 @@ def minhash_neardup(
 
     The shingle set and the signatures are persisted: both feed multiple
     joins, and recomputing the shingling+hash aggregate per consumer
-    measured ~3× slower end-to-end at sf0.1."""
-    sh = _persist(shingles(df, n=n, text_col=text_col, id_col=id_col))
+    measured ~3× slower end-to-end at sf0.1. `max_df` (off by default)
+    drops boilerplate shingles first — on the LSH path this bounds BOTH
+    the band-bucket skew and the verify fan-out (see
+    cap_document_frequency)."""
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        sh = cap_document_frequency(sh, max_df)
+    sh = _persist(sh)
     sh_tok = sh.withColumnRenamed("shingle", "tok")
     sigs = _persist(minhash_signatures(sh_tok, k=k))
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
