@@ -102,6 +102,22 @@ class TestClusterResolution:
         assert got == {(i, 0) for i in range(10)}
         dd.release_persisted()
 
+    def test_chain_string_ids_distributed(self, spark):
+        # regression: convergence check must be id-type-independent.
+        # A SUM-of-labels fixpoint is NULL for string ids every round, so
+        # the loop stopped after one propagation and mislabeled any
+        # component with diameter > 1 on the distributed path.
+        pairs = spark.createDataFrame(
+            [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(9)],
+            "id_a string, id_b string",
+        )
+        got = {
+            (r.node, r.cluster)
+            for r in dd.connected_components(pairs, local_threshold=0).collect()
+        }
+        assert got == {(f"doc{i:02d}", "doc00") for i in range(10)}
+        dd.release_persisted()
+
     def test_local_and_distributed_paths_agree(self, spark):
         import random
 

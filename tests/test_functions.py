@@ -201,6 +201,24 @@ class TestCallstack:  # S15
 
 
 class TestCoercion:  # S16
+    def test_complex_types_stringify_as_json(self, spark):
+        import json
+
+        from xeloader_spark.functions import stringify_columns
+
+        df = spark.createDataFrame(
+            [({"k": "v"}, [1, 2, 3], ("a", 7), "plain", 42)],
+            "m map<string,string>, arr array<int>, "
+            "st struct<x:string,y:int>, s string, i int",
+        )
+        row = stringify_columns(df).collect()[0]
+        # complex types are real JSON (parseable), not Spark's {k -> v}
+        assert json.loads(row.m) == {"k": "v"}
+        assert json.loads(row.arr) == [1, 2, 3]
+        assert json.loads(row.st) == {"x": "a", "y": 7}
+        # primitives are plain casts
+        assert row.s == "plain" and row.i == "42"
+
     def test_module_statement_nulled(self, spark):
         df = spark.createDataFrame(
             [

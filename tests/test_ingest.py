@@ -143,6 +143,36 @@ def test_write_mode_matrix(spark, xel_dir, tmp_path):
     assert spark.read.parquet(out).count() == n1
 
 
+def test_register_then_load_crash_never_duplicates(
+    spark, xel_dir, tmp_path, monkeypatch
+):
+    # Register-then-load order (reference inserts tbl_ImportedXEventFiles
+    # before loading): a crash between the lineage write and the data
+    # write must leave the files REGISTERED, so a rerun skips them rather
+    # than appending the same events twice.
+    root, _, _ = xel_dir
+    out = str(tmp_path / "crash")
+
+    real_demux = ing.demux_write
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during data write")
+
+    monkeypatch.setattr(ing, "demux_write", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ing.ingest(spark, root, out, ing.IngestConfig(write_mode="append"))
+    # lineage registered BEFORE the (failed) data write
+    lineage = spark.read.parquet(out + "_lineage")
+    n_registered = lineage.count()
+    assert n_registered == 5
+
+    monkeypatch.setattr(ing, "demux_write", real_demux)
+    # rerun: registered files are skipped — zero rows double-loaded
+    rep = ing.ingest_incremental(spark, root, out, ing.IngestConfig())
+    assert rep.n_files == 0
+    assert spark.read.parquet(out + "_lineage").count() == n_registered
+
+
 def test_truncation_counted(spark, xel_dir, tmp_path):
     root, _, _ = xel_dir
     out = str(tmp_path / "trunc")

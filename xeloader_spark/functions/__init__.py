@@ -10,7 +10,7 @@ from .truncation import (
 )
 from .hashes import uint64_hex, uint64_to_bin
 from .callstack import decode_callstack_py, callstack_debugcmd_expr, callstack_debugcmd_udf
-from .coercion import stringify_to_flat, null_module_statement
+from .coercion import stringify_to_flat, stringify_columns, null_module_statement
 
 __all__ = [
     "three_timestamp_projection",
@@ -25,5 +25,6 @@ __all__ = [
     "callstack_debugcmd_expr",
     "callstack_debugcmd_udf",
     "stringify_to_flat",
+    "stringify_columns",
     "null_module_statement",
 ]

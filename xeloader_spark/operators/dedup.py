@@ -316,9 +316,10 @@ def connected_components(
     (A≈B, B≈C ⇒ one cluster), so keeping "one of each pair" over-deletes.
 
     Min-label propagation on DataFrames: each round every node takes the
-    min of its own label and its neighbors' labels; fixpoint when the
-    label sum stops falling (the sum is strictly monotone decreasing
-    until convergence). Rounds needed = graph diameter — near-dup
+    min of its own label and its neighbors' labels; fixpoint when no
+    node's label changed in a round (counted on the frame itself, so the
+    check is id-type-independent — string and numeric ids converge
+    identically). Rounds needed = graph diameter — near-dup
     clusters are shallow (star-ish around a template), so this converges
     in a handful of rounds. Labels are `localCheckpoint`ed per round to
     truncate the growing lineage. At extreme scale swap the propagation
@@ -368,27 +369,32 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("cluster"))
         .localCheckpoint()
     )
-    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("cluster").alias("neigh_min"))
         )
-        labels = (
+        # Carry the previous label alongside the new one so convergence is
+        # a count on this same frame — works for any id type (a SUM-based
+        # check returns NULL for string ids and stops after one round).
+        updated = (
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 "node",
+                F.col("cluster").alias("prev_cluster"),
                 F.least(
                     F.col("cluster"), F.coalesce("neigh_min", "cluster")
                 ).alias("cluster"),
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
-        if cur_sum == prev_sum:
+        changed = updated.filter(
+            F.col("cluster") != F.col("prev_cluster")
+        ).count()
+        labels = updated.select("node", "cluster")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     return labels
 
 

@@ -355,14 +355,23 @@ def ingest(
         F.sum("e_props_truncated").alias("n_truncated"),
         F.approx_count_distinct("event_type").alias("event_types"),
     )
-    demux_write(observed, output_path, cfg)
 
-    rep_rows = file_report.collect()
+    # Register-then-load (the reference inserts the tbl_ImportedXEventFiles
+    # row before loading the file): the lineage table is written BEFORE the
+    # data so a crash mid-ingest leaves files registered-but-unloaded —
+    # `ingest_incremental` then skips them rather than appending the same
+    # events twice. Recovery from that state is explicit (delete the
+    # lineage rows to force a retry), matching the reference's handling of
+    # aborted files. The failure mode is "missing until retried", never
+    # "silently duplicated".
     lineage_rows = lineage.collect()
-    # persist lineage next to the data (the tracking table, S23)
     lineage.write.mode(
         "overwrite" if cfg.write_mode != "append" else "append"
     ).parquet(os.path.join(output_path + "_lineage"))
+
+    demux_write(observed, output_path, cfg)
+
+    rep_rows = file_report.collect()
     lineage.unpersist()
 
     metrics = obs.get
@@ -397,6 +406,10 @@ def ingest_incremental(
     file list). Files whose load ABORTED (error budget) are registered,
     and therefore not retried — matching the reference, which registers
     the file before loading it; delete its lineage row to force a retry.
+    The same register-then-load order applies to crashes: `ingest` writes
+    the lineage rows before the data, so a file interrupted mid-load shows
+    up registered-but-unloaded and is skipped, never double-appended —
+    deleting its lineage row is the explicit retry path.
     """
     cfg = cfg or IngestConfig()
     listing = scan_events(spark, input_path, cfg).select(
