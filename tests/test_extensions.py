@@ -347,18 +347,85 @@ class TestSimilarity:
 
     def test_matmul_equals_join(self, spark, emb):
         """The int64-matmul kernel must produce bit-identical pairs and
-        cosines to the pure-join formulation."""
+        cosines to the flat pure-join formulation."""
         from xeloader_spark.operators import dedup as dd
 
         a = {
             (r.id_a, r.id_b): r.cosine
-            for r in dd.embedding_neardup(emb, threshold=0.4).collect()
+            for r in dd.embedding_neardup(emb, threshold=0.4, blocked=False).collect()
         }
         b = {
             (r.id_a, r.id_b): r.cosine
             for r in dd.embedding_neardup_matmul(emb, threshold=0.4).collect()
         }
         assert a == b  # exact float equality, not approx
+
+    def test_blocked_neardup_subset_with_recall(self, spark, emb):
+        """The default LSH-blocked path returns a SUBSET of the flat pairs
+        (candidates must share a band) with bit-identical cosines, and at
+        16 planes / 4 bands recovers most of them on this corpus."""
+        from xeloader_spark.operators import dedup as dd
+
+        flat = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dd.embedding_neardup(emb, threshold=0.4, blocked=False).collect()
+        }
+        blocked = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dd.embedding_neardup(emb, threshold=0.4).collect()
+        }
+        assert set(blocked) <= set(flat)
+        for pair, cos in blocked.items():
+            assert cos == flat[pair]  # identical verify arithmetic
+        assert len(blocked) >= 0.5 * len(flat), (len(blocked), len(flat))
+        dd.release_persisted()
+
+    def test_blocked_neardup_no_driver_collect_no_nl_join(self, spark, emb):
+        """Scale-shape pins for the DEFAULT embedding near-dup: the plan
+        must contain no BroadcastNestedLoopJoin (no O(n²) pair space) and
+        no CollectLimit/toPandas driver materialization — candidates come
+        from a band equi-join."""
+        from xeloader_spark.operators import dedup as dd
+
+        plan = (
+            dd.embedding_neardup(emb, threshold=0.4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        dd.release_persisted()
+
+    def test_matmul_row_cap_fails_loudly(self, spark, emb):
+        from xeloader_spark.operators import dedup as dd
+
+        with pytest.raises(ValueError, match="max_rows"):
+            dd.embedding_neardup_matmul(emb, max_rows=10)
+
+    def test_lsh_quantized_matches_bucket_bruteforce(self, spark, emb):
+        """Quantized LSH ANN: candidates are exactly the query's signature
+        bucket, ranked by integer dot — verify against a python replay."""
+        sigs = {
+            r.id: (list(r.qarr), r.sig)
+            for r in sim.quantized_hyperplane_signature(emb, n_planes=6).collect()
+        }
+        out = sim.lsh_ann_topk_quantized(emb, [0, 1, 2], k=5, n_planes=6)
+        got: dict[int, list] = {}
+        for r in sorted(out.collect(), key=lambda r: (r.query_id, r.rk)):
+            got.setdefault(r.query_id, []).append((r.candidate_id, r.dot))
+        for q in (0, 1, 2):
+            q_arr, q_sig = sigs[q]
+            cands = [
+                (sum(x * y for x, y in zip(arr, q_arr)), cid)
+                for cid, (arr, sig) in sigs.items()
+                if sig == q_sig and cid != q
+            ]
+            exp = [
+                (cid, dot)
+                for dot, cid in sorted(cands, key=lambda t: (-t[0], t[1]))[:5]
+            ]
+            assert got.get(q, []) == exp
 
     def test_quantized_dot_deterministic(self, spark, emb):
         a = sim.dot_topk_quantized(emb, [0, 1], k=3).collect()

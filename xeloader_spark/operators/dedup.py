@@ -508,6 +508,7 @@ def embedding_neardup_matmul(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact embedding near-dup via blocked integer matrix multiply: the
     quantized corpus matrix is broadcast (numpy int64), and each partition
@@ -516,14 +517,25 @@ def embedding_neardup_matmul(
     Same integers as `embedding_neardup` (int64 matmul is exact;
     quantization replicates SQL round-half-away-from-zero), so oracle
     results are identical — this is the fast kernel for the
-    corpus-fits-in-broadcast case (≲10⁶ × dim); beyond that, LSH-block
-    first (similarity.hyperplane_signature) and run this kernel per
-    bucket. Measured ~8× faster than the join formulation at 2k×64.
+    corpus-fits-in-broadcast case ONLY. It collects the corpus to the
+    driver to build the broadcast block, so it fails loudly past
+    `max_rows` (default 10⁶) rather than silently becoming a driver-side
+    bottleneck; past that, use `embedding_neardup` (blocked LSH default —
+    no driver collect) or run this kernel per LSH bucket. Measured ~8×
+    faster than the join formulation at 2k×64.
     """
     import numpy as np
     import pandas as pd
 
     spark = emb_df.sparkSession
+    n_rows = emb_df.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_neardup_matmul: corpus has {n_rows} rows > "
+            f"max_rows={max_rows}; this kernel builds its broadcast block "
+            "on the driver. Use embedding_neardup(blocked=True) at scale, "
+            "or raise max_rows explicitly if the driver can hold the matrix."
+        )
     pdf = emb_df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64) * scale
@@ -565,20 +577,34 @@ def embedding_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    blocked: bool = True,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs on quantized vectors:
     components are rounded to integers (×scale), so dot products and
     norms are exact integer sums — the cosine is then a deterministic
     double regardless of evaluation order.
 
-    Execution shape: per-vector quantized array + norm are computed once
-    (one pass), then a broadcast self-join pairs the vectors and the dot
-    product is a JVM-side array fold per pair — O(n²) pairs but only 2n
-    array payloads move, vs O(n²·d) shuffle rows for a positional-explode
-    join (measured ~10× faster at 2k×64). At true scale the pair space
-    must be LSH-blocked first (similarity.hyperplane_signature) — a flat
-    O(n²) is never acceptable at 100 TB — and this same verify kernel
-    then runs per bucket."""
+    Default path (`blocked=True`) is the 100 TB shape: a quantized
+    random-hyperplane signature (integer projections — engine-exact, see
+    `similarity.quantized_hyperplane_signature`) is split into `bands`
+    bands; candidate pairs share at least one band (single stack+equi-join,
+    exactly the MinHash-LSH banding shape); the exact integer cosine then
+    verifies candidates only. No driver collect, no O(n²) pair space, no
+    nested-loop join — shuffles are on band keys and candidate ids. Like
+    any LSH blocking it is approximate (a pair colliding in no band is
+    missed); recall rises with `n_planes`/`bands` and the oracle replays
+    the same banding, so the operator is exact-checked, not just sampled.
+
+    `blocked=False` is the flat broadcast self-join: O(n²) pairs with only
+    2n array payloads moving — the exhaustive-verification mode for small
+    corpora and the recall yardstick in tests."""
+    if blocked:
+        return _embedding_neardup_blocked(
+            emb_df, threshold, id_col, vec_col, scale, n_planes, bands, seed
+        )
     q = emb_df.select(
         F.col(id_col).alias("id"),
         F.expr(
@@ -599,6 +625,71 @@ def embedding_neardup(
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "dot", F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)")
+        )
+        .withColumn(
+            "cosine", F.col("dot") / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b")))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _embedding_neardup_blocked(
+    emb_df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    n_planes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """LSH-banded candidate generation + exact integer-cosine verify.
+
+    sig (n_planes bits) → `bands` band values by bit-slicing → stack to
+    (id, band_id, band_val) → self-equi-join per band (hot boilerplate
+    buckets are the same skew `max_df`/AQE handle on the text path) →
+    distinct candidate pairs → join arrays back for candidates only."""
+    from ..operators import similarity as sim
+
+    rows_per_band = n_planes // bands
+    mask = (1 << rows_per_band) - 1
+    sigs = sim.quantized_hyperplane_signature(
+        emb_df, n_planes, id_col, vec_col, scale, seed
+    ).withColumn("nrm", F.expr("aggregate(qarr, 0L, (s, v) -> s + v * v)"))
+    sigs = _persist(sigs)
+
+    band_pairs = ", ".join(
+        f"{b}, CAST(shiftright(sig, {b * rows_per_band}) & {mask} AS BIGINT)"
+        for b in range(bands)
+    )
+    banded = sigs.select(
+        "id",
+        F.expr(f"stack({bands}, {band_pairs}) AS (band_id, band_val)"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sigs.select(
+        F.col("id").alias("id_a"), F.col("qarr").alias("qa"), F.col("nrm").alias("n_a")
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"), F.col("qarr").alias("qb"), F.col("nrm").alias("n_b")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"),
         )
         .withColumn(
             "cosine", F.col("dot") / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b")))

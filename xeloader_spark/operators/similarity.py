@@ -156,26 +156,40 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_fraction: float = 1.0,
+    model=None,
 ) -> DataFrame:
-    """IVF-style ANN: a trained coarse quantizer (KMeans on the corpus)
-    partitions vectors into inverted lists; each query probes its
-    `n_probe` nearest centroids and exact-cosine re-ranks only those
-    lists' members.
+    """IVF-style ANN: a trained coarse quantizer (KMeans) partitions
+    vectors into inverted lists; each query probes its `n_probe` nearest
+    centroids and exact-cosine re-ranks only those lists' members.
 
     This is the production shape for 100 TB similarity search: the
-    codebook is tiny (trained on a sample, broadcast everywhere), the
-    corpus is scanned once to assign `list_id`, and every query touches
+    codebook is tiny (trained on a SAMPLE — codebook quality doesn't need
+    the full corpus — and broadcast everywhere), the corpus is scanned
+    once to assign `list_id`, and every query touches
     ~n_probe/n_centroids of the data. Recall improves with n_probe at
     linear cost. Compared to `lsh_ann_topk`, the quantizer adapts to the
-    data distribution instead of using random hyperplanes."""
+    data distribution instead of using random hyperplanes.
+
+    At scale pass `train_fraction` ≪ 1 (the fit is the only full-pass
+    non-linear step) or a pre-trained `model` (e.g. fitted offline on
+    yesterday's corpus) to skip the fit entirely."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     with_vec = emb_df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("arr")
     ).withColumn("features", array_to_vector(F.col("arr").cast("array<double>")))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="list_id")
-    model = km.fit(with_vec)
+    if model is None:
+        train = (
+            with_vec.sample(False, train_fraction, seed)
+            if train_fraction < 1.0
+            else with_vec
+        )
+        km = KMeans(
+            k=n_centroids, seed=seed, featuresCol="features", predictionCol="list_id"
+        )
+        model = km.fit(train)
     assigned = model.transform(with_vec).select("id", "arr", "list_id")
 
     # centroid table (tiny) → per-query probe lists by centroid distance
@@ -211,6 +225,132 @@ def ivf_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "candidate_id", "cosine", "rk")
+    )
+
+
+# ---------------------------------------- quantized hyperplane LSH
+#
+# The float hyperplane signature above is fine as an API, but its
+# per-plane projection is a float sum whose value (near zero) can differ
+# across engines by reduction order — so queries built on it can only be
+# rows-only checked. The quantized variant below projects the
+# integer-quantized vector instead: Σ_d q[d]·sign(p,d) is an int64 sum —
+# order-independent and engine-exact — so LSH bucketing, banded blocking,
+# and bucket-restricted ANN all become *exactly* oracle-checkable (same
+# trick as `simhash_expr_sql`). Signs are pseudo-random ±1 derived from
+# md5(seed|plane|dim): md5 is engine-identical and no plane matrix ships.
+
+
+def _plane_sign_case(p: int, seed: int, dim_expr: str, instr_fn: str) -> str:
+    """±1 sign of plane `p` at dimension `dim_expr` (0-based), as a SQL
+    CASE shared verbatim by the Spark expression and the DuckDB oracle
+    (only the instr/strpos spelling differs)."""
+    return (
+        f"(CASE WHEN {instr_fn}('0123456789abcdef', "
+        f"substr(md5('{seed}|{p}|' || CAST({dim_expr} AS STRING)), 1, 1)) - 1 < 8 "
+        "THEN 1 ELSE -1 END)"
+    )
+
+
+def quantized_hyperplane_signature(
+    emb_df: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, qarr, sig): integer-quantized vector + n_planes-bit hyperplane
+    signature, all JVM-side. `qarr` is materialized in its own projection
+    before the per-plane aggregates reference it (higher-order-function
+    lambdas run interpreted and re-evaluate inlined expressions)."""
+    q = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sign = _plane_sign_case(p, seed, "d", "instr")
+        proj = F.expr(
+            "aggregate(zip_with(qarr, sequence(0, size(qarr) - 1), "
+            f"(v, d) -> v * {sign}), 0L, (s, x) -> s + x)"
+        )
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return q.withColumn("sig", sig.cast("long"))
+
+
+def quantized_sig_sql(
+    n_planes: int = 16,
+    scale: int = 1000,
+    seed: int = 42,
+    rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of `quantized_hyperplane_signature` → (id, sig).
+    Same md5-derived signs, same integer projections (SUM over ints is
+    order-independent), so the signatures match bit-for-bit."""
+    terms = []
+    for p in range(n_planes):
+        sign = _plane_sign_case(p, seed, "pos", "strpos").replace(
+            "AS STRING", "AS VARCHAR"
+        )
+        terms.append(f"(CASE WHEN SUM(qv * {sign}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return f"""
+        SELECT id, CAST({" + ".join(terms)} AS BIGINT) AS sig
+        FROM (SELECT {id_col} AS id,
+                     generate_subscripts({vec_col}, 1) - 1 AS pos,
+                     CAST(round(CAST(unnest({vec_col}) AS DOUBLE) * {scale}) AS BIGINT) AS qv
+              FROM {rel})
+        GROUP BY id
+    """
+
+
+def lsh_ann_topk_quantized(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with an EXACT cross-engine contract: candidates
+    are the query's LSH bucket (quantized signature equality), ranked by
+    integer-quantized dot product with an id tie-break. Every step —
+    signature, bucket join, dot, rank — is integer/deterministic, so the
+    DuckDB oracle reproduces the result set bit-for-bit while the plan
+    keeps the 100 TB shape (bucketed candidate sets, broadcast queries,
+    no all-pairs)."""
+    sigs = quantized_hyperplane_signature(
+        emb_df, n_planes, id_col, vec_col, scale, seed
+    )
+    queries = F.broadcast(
+        sigs.filter(F.col("id").isin(query_ids)).select(
+            F.col("id").alias("query_id"),
+            F.col("qarr").alias("q_qarr"),
+            F.col("sig").alias("q_sig"),
+        )
+    )
+    scored = (
+        sigs.join(queries, F.col("sig") == F.col("q_sig"))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            F.expr(
+                "aggregate(zip_with(qarr, q_qarr, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("candidate_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "dot", "rk")
     )
 
 

@@ -42,6 +42,9 @@ _ROUND_PRIORITY = [
     "q_train_test_split",
     "q_repetition_stats",
     "q_multimodal_feature_values",
+    # new this round: exact-checkable quantized LSH ANN (replaces the
+    # rows-only float-LSH registry entry; float path stays as an API)
+    "q_ann_topk_lsh_quantized",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

@@ -97,22 +97,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_PLANES = 16
+_EMB_BANDS = 4
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs on quantized vectors (×1000 →
-    integer dot/norms → deterministic cosine), threshold 0.45. Uses the
-    blocked int64-matmul kernel (exact; identical values to the pure-join
-    formulation, see test_extensions.py::test_matmul_equals_join)."""
+    """Embedding-cosine near-dup pairs, LSH-BLOCKED default path: quantized
+    hyperplane signature (integer projections) → 4 bands → candidate
+    equi-join → exact integer-cosine verify (×1000 quantization →
+    deterministic double), threshold 0.45. No driver collect, no O(n²)
+    pair space — the oracle replays the identical banding pipeline in SQL,
+    so the approximate operator is exact-checked (same methodology as
+    `q_dedup_minhash_lsh`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dd.embedding_neardup_matmul(emb, threshold=_COS_T)
+    return dd.embedding_neardup(
+        emb, threshold=_COS_T, blocked=True, n_planes=_EMB_PLANES, bands=_EMB_BANDS
+    )
 
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SEMANTIC dedup resolution: embedding-cosine near-dup pairs →
+    """SEMANTIC dedup resolution: LSH-blocked embedding near-dup pairs →
     connected components → every vector labeled with its semantic cluster
     and canonical flag. Same closure machinery as the text path — the
     operator family composes across modalities."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dd.embedding_neardup_matmul(emb, threshold=_COS_T)
+    pairs = dd.embedding_neardup(
+        emb, threshold=_COS_T, blocked=True, n_planes=_EMB_PLANES, bands=_EMB_BANDS
+    )
     return (
         dd.resolve_duplicates(emb.select("vec_id"), pairs, id_col="vec_id")
         .select("vec_id", "cluster_id", "is_canonical")
@@ -211,6 +222,58 @@ _CAND_UNION = " UNION ".join(
 
 _SIMHASH_EXPR = dd.simhash_expr_sql(bits=16, instr_fn="strpos", tok_col="tok")
 
+
+def _emb_blocked_pairs_sql(
+    threshold: float = _COS_T,
+    n_planes: int = _EMB_PLANES,
+    bands: int = _EMB_BANDS,
+    scale: int = 1000,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of the LSH-blocked embedding near-dup: identical
+    quantized signatures (integer projections — engine-exact), identical
+    band slicing, identical candidate join, identical integer-cosine
+    verify. The operator's banding recall is therefore checked exactly,
+    not sampled."""
+    from ..operators.similarity import quantized_sig_sql
+
+    rows_per_band = n_planes // bands
+    mask = (1 << rows_per_band) - 1
+    band_cols = ", ".join(
+        f"(sig >> {b * rows_per_band}) & {mask} AS band{b}" for b in range(bands)
+    )
+    cand_union = " UNION ".join(
+        f"SELECT a.id AS id_a, b.id AS id_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.id < b.id"
+        for b in range(bands)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS id, ord AS pos,
+                   CAST(round(CAST(val AS DOUBLE) * {scale}) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+        ),
+        sig AS ({quantized_sig_sql(n_planes, scale, seed)}),
+        banded AS (SELECT id, {band_cols} FROM sig),
+        cand AS ({cand_union}),
+        nrm AS (SELECT id, SUM(qv * qv) AS nrm FROM q GROUP BY 1),
+        dots AS (
+            SELECT c.id_a, c.id_b, SUM(a.qv * b.qv) AS dot
+            FROM cand c
+            JOIN q a ON a.id = c.id_a
+            JOIN q b ON b.id = c.id_b AND b.pos = a.pos
+            GROUP BY 1, 2
+        )
+        SELECT d.id_a, d.id_b,
+               d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cosine
+        FROM dots d
+        JOIN nrm na ON d.id_a = na.id
+        JOIN nrm nb ON d.id_b = nb.id
+        WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {threshold}
+    """
+
 ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT doc_id,
@@ -272,27 +335,7 @@ ORACLES: dict[str, str] = {
         FROM sig a JOIN sig b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     """,
-    "q_embedding_neardup": (_EMB_PAIRS := f"""
-        WITH q AS (
-            SELECT vec_id AS id, ord AS pos,
-                   CAST(round(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS qv
-            FROM (SELECT vec_id, unnest(embedding) AS val,
-                         generate_subscripts(embedding, 1) AS ord
-                  FROM embeddings)
-        ),
-        nrm AS (SELECT id, SUM(qv * qv) AS nrm FROM q GROUP BY 1),
-        dots AS (
-            SELECT a.id AS id_a, b.id AS id_b, SUM(a.qv * b.qv) AS dot
-            FROM q a JOIN q b ON a.pos = b.pos AND a.id < b.id
-            GROUP BY 1, 2
-        )
-        SELECT d.id_a, d.id_b,
-               d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cosine
-        FROM dots d
-        JOIN nrm na ON d.id_a = na.id
-        JOIN nrm nb ON d.id_b = nb.id
-        WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= {_COS_T}
-    """),
+    "q_embedding_neardup": (_EMB_PAIRS := _emb_blocked_pairs_sql()),
 }
 
 ORACLES["q_embedding_clusters"] = f"""

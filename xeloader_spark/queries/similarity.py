@@ -1,12 +1,18 @@
 """Similarity-search operators as driver queries over `embeddings`, plus
-the multimodal plumbing as a rows-only entry.
+the multimodal plumbing.
 
-`q_ann_topk_dot` is the exact-checked baseline (integer-quantized dot
-products). The float-cosine brute force and LSH-ANN variants are
-engine-side APIs (operators/similarity.py) validated against numpy in
-tests; `q_ann_topk_cosine_lsh` is registered rows-only because its
-hyperplane-aggregate float reductions have no stable cross-engine SQL
-equivalent (summation order differs).
+`q_ann_topk_dot` is the exact-checked brute-force baseline
+(integer-quantized dot products); `q_ann_topk_lsh_quantized` is the
+bucketed ANN path with the same exact contract (integer hyperplane
+projections → the whole signature/bucket/rank pipeline replays in SQL).
+The float-cosine brute force and float-LSH variants remain engine-side
+APIs (operators/similarity.py) validated against numpy in tests — their
+float reductions have no stable cross-engine SQL equivalent, so the
+driver-checked entries use the quantized forms. `q_ann_topk_ivf`'s
+trained-KMeans codebook can't replay in SQL either; its driver row checks
+the operator's *contract* instead — recall against the exact brute force,
+computed in Spark, surfaced as a boolean the oracle pins to TRUE (the
+numeric recall itself is pinned in pytest).
 """
 
 from __future__ import annotations
@@ -29,19 +35,55 @@ def q_ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.dot_topk_quantized(emb, _QUERY_IDS, k=_K)
 
 
-def q_ann_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 by random-hyperplane LSH bucketing + exact cosine
-    re-rank of in-bucket candidates (rows-only check; float path)."""
+_LSH_PLANES = 6
+
+
+def q_ann_topk_lsh_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 by quantized-hyperplane LSH bucketing + integer
+    dot re-rank of in-bucket candidates. Every step is integer/
+    deterministic, so the DuckDB oracle replays the entire pipeline and
+    the approximate operator is EXACT-checked (the float-cosine LSH stays
+    as an API: `similarity.lsh_ann_topk`)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.lsh_ann_topk(emb, _QUERY_IDS, k=_K, n_planes=6)
+    return sim.lsh_ann_topk_quantized(emb, _QUERY_IDS, k=_K, n_planes=_LSH_PLANES)
+
+
+_IVF_MIN_RECALL = 0.2  # driver-checked floor; pytest pins the real level
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: trained KMeans coarse quantizer, n_probe nearest lists,
-    exact cosine re-rank (rows-only check: KMeans training + float
-    reductions have no cross-engine SQL equivalent)."""
+    """IVF ANN contract check: KMeans codebook trained on a 50% sample,
+    8-of-16 lists probed, exact-cosine re-rank — then per-query recall
+    against the exact float brute force (`cosine_topk`), computed in
+    Spark. KMeans training + float reductions can't replay in SQL, so the
+    driver-checkable output is the contract itself: (query_id, recall ≥
+    floor). The oracle pins the boolean TRUE per query; pytest pins the
+    numeric recall level."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(emb, _QUERY_IDS, k=_K, n_centroids=16, n_probe=3)
+    ivf = sim.ivf_topk(
+        emb, _QUERY_IDS, k=_K, n_centroids=16, n_probe=8, train_fraction=0.5
+    )
+    exact = sim.cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(_QUERY_IDS)), k=_K
+    )
+    hits = ivf.join(exact.select("query_id", "candidate_id"), ["query_id", "candidate_id"])
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+                >= F.lit(_IVF_MIN_RECALL)
+            ).alias("recall_ok"),
+        )
+    )
+    return per_q
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,12 +109,24 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents → fake binary payloads
-    with typed metadata → Arrow `mapInPandas` feature extraction
-    (rows-only check; the decode step is a deterministic stub — real
-    codecs are absent in this runtime)."""
+    with typed metadata → Arrow `mapInPandas` feature extraction,
+    ARRAY-form output. Exact-checked: the float32 feature vector is
+    surfaced as a comma-joined string of ×10⁶-quantized integers (integer
+    strings are engine-identical; float array cells are not), which DuckDB
+    rebuilds from the same md5-derived bytes. The long form
+    (`q_multimodal_feature_values`) checks the same values per-cell."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm.attach_fake_media(docs)
-    return mm.extract_features(media)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("features").cast("long").alias("n_dims"),
+        F.expr(
+            "concat_ws(',', transform(features, "
+            "f -> CAST(CAST(round(CAST(f AS DOUBLE) * 1000000) AS BIGINT) AS STRING)))"
+        ).alias("features_q"),
+    )
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +162,74 @@ def q_multimodal_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_quantized_oracle(n_planes: int = _LSH_PLANES, scale: int = 1000) -> str:
+    from ..operators.similarity import quantized_sig_sql
+
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS id, ord AS pos,
+                   CAST(round(CAST(val AS DOUBLE) * {scale}) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+        ),
+        sig AS ({quantized_sig_sql(n_planes, scale)}),
+        queries AS (
+            SELECT s.id AS query_id, s.sig AS q_sig FROM sig s
+            WHERE s.id IN ({ids})
+        ),
+        cand AS (
+            SELECT qu.query_id, s.id AS candidate_id
+            FROM queries qu JOIN sig s ON s.sig = qu.q_sig AND s.id <> qu.query_id
+        ),
+        dots AS (
+            SELECT c.query_id, c.candidate_id,
+                   CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+            FROM cand c
+            JOIN q a ON a.id = c.query_id
+            JOIN q b ON b.id = c.candidate_id AND b.pos = a.pos
+            GROUP BY 1, 2
+        )
+        SELECT query_id, candidate_id, dot, rk FROM (
+            SELECT query_id, candidate_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, candidate_id ASC) AS rk
+            FROM dots
+        ) WHERE rk <= {_K}
+    """
+
+
 ORACLES: dict[str, str] = {
+    "q_ann_topk_lsh_quantized": _lsh_quantized_oracle(),
+    "q_ann_topk_ivf": f"""
+        SELECT CAST(unnest([{", ".join(str(i) for i in _QUERY_IDS)}]) AS BIGINT)
+                   AS query_id,
+               TRUE AS recall_ok
+    """,
+    "q_multimodal_features": """
+        WITH h AS (
+            SELECT doc_id AS media_id, md5(text) || md5('x' || text) AS hx
+            FROM documents
+        ),
+        d AS (SELECT media_id, hx, unnest(generate_series(0, 7)) AS dim FROM h),
+        f AS (
+            SELECT media_id, dim,
+                   (  ('0x' || substr(hx, 8*dim + 1, 2))::BIGINT
+                    + ('0x' || substr(hx, 8*dim + 3, 2))::BIGINT
+                    + ('0x' || substr(hx, 8*dim + 5, 2))::BIGINT
+                    + ('0x' || substr(hx, 8*dim + 7, 2))::BIGINT) / 1020.0 AS v
+            FROM d
+        )
+        SELECT media_id,
+               CAST(32 AS BIGINT) AS n_bytes,
+               CAST(8 AS BIGINT) AS n_dims,
+               string_agg(
+                   CAST(CAST(round(CAST(CAST(v AS REAL) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS VARCHAR), ',' ORDER BY dim) AS features_q
+        FROM f
+        GROUP BY media_id
+    """,
     "q_frame_sample": """
         WITH h AS (
             SELECT doc_id AS media_id,
