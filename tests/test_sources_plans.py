@@ -83,6 +83,48 @@ class TestJdbcSink:
             df, "jdbc:sqlserver://localhost", "xel.t", mode="truncate"
         )
 
+    def test_schema_evolution_matrix(self, spark):
+        """EnsureTableSchemaMatches parity (EventMetadata.cs:400-455):
+        new frame columns → ALTER ADD with GetSQLType DDL; server-only
+        columns → appended to the frame as null strings; matching columns
+        (case-insensitively) → untouched."""
+        df = spark.createDataFrame(
+            [(1, "x", 2.5, None)],
+            "event_id long, C_Props string, c_duration double, c_payload binary",
+        )
+        existing = ["event_id", "c_props", "legacy_note"]
+        alters, server_only = jdbc_sink.schema_evolution_plan(
+            df, existing, schema_name="xel", table="wait_info",
+            xevent_types={"c_duration": "float"},
+        )
+        # c_duration: declared XEvent type wins (float → real);
+        # c_payload: Spark BinaryType → varbinary(max) via GetSQLType
+        assert alters == [
+            "ALTER TABLE [xel].[wait_info] ADD [c_duration] real NULL",
+            "ALTER TABLE [xel].[wait_info] ADD [c_payload] varbinary(max) NULL",
+        ]
+        assert server_only == ["legacy_note"]
+
+        ran: list[str] = []
+        aligned = jdbc_sink.ensure_table_schema_matches(
+            df, lambda: existing, ran.append,
+            schema_name="xel", table="wait_info",
+            xevent_types={"c_duration": "float"},
+        )
+        assert ran == alters
+        assert aligned.schema["legacy_note"].dataType.simpleString() == "string"
+        assert aligned.select("legacy_note").first().legacy_note is None
+
+    def test_schema_evolution_noop_when_matching(self, spark):
+        df = spark.createDataFrame([(1, "x")], "event_id long, c_props string")
+        alters, server_only = jdbc_sink.schema_evolution_plan(
+            df, ["EVENT_ID", "C_PROPS"]
+        )
+        assert alters == [] and server_only == []
+        assert "INFORMATION_SCHEMA.COLUMNS" in jdbc_sink.existing_columns_query(
+            "xel", "t"
+        )
+
     def test_demux_builds_one_writer_per_type(self, spark):
         df = load_table(spark, SF, "events")
         writers = jdbc_sink.demux_jdbc_tables(df, url="jdbc:sqlserver://x")

@@ -19,7 +19,11 @@ Mapping of reference knobs:
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterable
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schema import LayoutConfig, sql_server_type_for
 
@@ -78,6 +82,112 @@ def jdbc_writer(
     for k, v in opts.items():
         writer = writer.option(k, v)
     return writer
+
+
+# ------------------------------------------------- schema evolution (S6)
+#
+# The reference diffs the inferred event schema against the live table and
+# evolves BOTH sides (EnsureTableSchemaMatches, EventMetadata.cs:400-455):
+# frame columns missing from the table become `ALTER TABLE … ADD … NULL`,
+# and table columns missing from the frame are appended to the in-memory
+# DataTable as strings so the bulk copy column lists line up. The plan
+# computation is pure (testable without a server); execution takes caller
+# callbacks since no SQL Server exists in this runtime.
+
+# Spark type → reference XEvent type name, so the ALTER DDL runs through
+# the same GetSQLType rules as initial table creation (single source of
+# truth for widths/LOB selection).
+_SPARK_TO_XEVENT: dict[type, str] = {
+    T.LongType: "int64",
+    T.IntegerType: "int32",
+    T.ShortType: "int16",
+    T.ByteType: "int8",
+    T.BooleanType: "boolean",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.TimestampType: "datetime",
+    T.BinaryType: "binary",
+    T.DecimalType: "uint64",
+}
+
+
+def _xevent_type_for_spark(dt: T.DataType) -> str:
+    return _SPARK_TO_XEVENT.get(type(dt), "unicode_string")
+
+
+def existing_columns_query(schema_name: str, table: str) -> str:
+    """The reference's live-table introspection (EventMetadata.cs:416-418),
+    parameterized the JDBC way (run via a `query` option or connection)."""
+    return (
+        "SELECT COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS "
+        f"WHERE TABLE_SCHEMA = '{schema_name}' AND TABLE_NAME = '{table}'"
+    )
+
+
+def schema_evolution_plan(
+    df: DataFrame,
+    existing_columns: Iterable[str],
+    schema_name: str = "xel",
+    table: str = "events",
+    layout: LayoutConfig | None = None,
+    xevent_types: dict[str, str] | None = None,
+) -> tuple[list[str], list[str]]:
+    """Diff the frame's schema against the live table's column set →
+    (`ALTER TABLE … ADD` statements, server-only column names).
+
+    Mirrors EnsureTableSchemaMatches exactly: comparison is
+    case-insensitive (the reference uses an OrdinalIgnoreCase set), added
+    columns are NULLable (history rows can't backfill), and DDL types come
+    from the GetSQLType rules — via the declared XEvent type when known
+    (`xevent_types`), else from the Spark type. Server-only columns are
+    reported for `align_frame` (the reference appends them to the DataTable
+    as strings, EventMetadata.cs:445-452)."""
+    existing = {c.lower() for c in existing_columns}
+    frame_cols = {f.name.lower() for f in df.schema.fields}
+    alters: list[str] = []
+    for f in df.schema.fields:
+        if f.name.lower() in existing:
+            continue
+        xet = (xevent_types or {}).get(f.name) or _xevent_type_for_spark(f.dataType)
+        sql_type = sql_server_type_for(xet, f.name, layout)
+        alters.append(
+            f"ALTER TABLE [{schema_name}].[{table}] ADD [{f.name}] {sql_type} NULL"
+        )
+    server_only = [c for c in existing_columns if c.lower() not in frame_cols]
+    return alters, server_only
+
+
+def align_frame(df: DataFrame, server_only_columns: Iterable[str]) -> DataFrame:
+    """Append the table's extra columns to the frame as null strings so the
+    write's column list matches the table (EventMetadata.cs:445-452 adds
+    them to the DataTable as typeof(string))."""
+    out = df
+    for c in server_only_columns:
+        out = out.withColumn(c, F.lit(None).cast("string"))
+    return out
+
+
+def ensure_table_schema_matches(
+    df: DataFrame,
+    fetch_existing_columns: Callable[[], Iterable[str]],
+    run_sql: Callable[[str], None],
+    schema_name: str = "xel",
+    table: str = "events",
+    layout: LayoutConfig | None = None,
+    xevent_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Full EnsureTableSchemaMatches parity: introspect, ALTER the table
+    for new frame columns, and return the frame aligned with the table's
+    server-only columns. `fetch_existing_columns` / `run_sql` wrap the
+    caller's JDBC connection (kept abstract — no live server here; both
+    sides are unit-tested via the pure plan)."""
+    existing = list(fetch_existing_columns())
+    alters, server_only = schema_evolution_plan(
+        df, existing, schema_name, table, layout, xevent_types
+    )
+    for stmt in alters:
+        run_sql(stmt)
+    return align_frame(df, server_only)
 
 
 def demux_jdbc_tables(
