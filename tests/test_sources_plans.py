@@ -63,6 +63,46 @@ class TestXmlSource:
         assert sb.c_duration is None
         assert sb.c_batch_text == "SELECT 1"
 
+    def test_nested_value_text_and_entities(self, spark):
+        """The SDK's readable-map shape nests values under <value><text>;
+        plain values sit in the element text; entities unescape. All three
+        must parse structurally (no regex extraction)."""
+        xml = (
+            '<event name="wait_info" package="sqlos" '
+            'timestamp="2024-01-01T00:00:01.500Z">'
+            '<data name="wait_type"><value><text>PAGEIOLATCH_SH</text></value></data>'
+            '<data name="note"><value>a &amp; b &lt;tag&gt;</value></data>'
+            '<action name="query"><value><text>SELECT &amp;x FROM t</text></value></action>'
+            "</event>"
+        )
+        row = xe_xml.parse_events_xml(
+            spark.createDataFrame([(xml,)], "xml string")
+        ).first()
+        assert row.fields["wait_type"] == "PAGEIOLATCH_SH"
+        assert row.fields["note"] == "a & b <tag>"
+        assert row.actions["query"] == "SELECT &x FROM t"
+
+    def test_build_event_xml_roundtrip(self, spark):
+        """build_event_xml → parse_events_xml is lossless, including
+        entity-escaped text and the nested readable-map form."""
+        df = spark.createDataFrame(
+            [(7, "err & <warn>", "2024-01-02 03:04:05.123456")],
+            "event_id long, msg string, ts_s string",
+        ).select("event_id", "msg", F.to_timestamp("ts_s").alias("ts"))
+        xml_df = df.select(
+            xe_xml.build_event_xml(
+                F.lit("error_reported"),
+                F.col("ts"),
+                data={"event_id": F.col("event_id"), "message": F.col("msg")},
+                nested_text={"message"},
+            ).alias("xml")
+        )
+        row = xe_xml.parse_events_xml(xml_df).first()
+        assert row.event_type == "error_reported"
+        assert row.ts.microsecond == 123456
+        assert row.fields["message"] == "err & <warn>"
+        assert row.fields["event_id"] == "7"
+
 
 class TestJdbcSink:
     def test_writer_options(self, spark):

@@ -45,6 +45,8 @@ _ROUND_PRIORITY = [
     # new this round: exact-checkable quantized LSH ANN (replaces the
     # rows-only float-LSH registry entry; float path stays as an API)
     "q_ann_topk_lsh_quantized",
+    # new this round: structural XML source round-trip (S4-as-XML)
+    "q_xml_roundtrip",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

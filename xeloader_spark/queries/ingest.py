@@ -216,7 +216,46 @@ def q_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CS_FRAME1 = "||".join(f"substr(h, {i}, 2)" for i in range(15, 0, -2))
 _CS_FRAME2 = "||".join(f"substr(h, {i}, 2)" for i in range(31, 16, -2))
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-as-XML, end-to-end and EXACT-checked: every events row is
+    rendered as a public `fn_xe_file_target_read_file` document
+    (`sources/xe_xml.build_event_xml` — entity-escaped, `props` in the
+    SDK's nested `<value><text>…</text></value>` readable-map form, ts at
+    microsecond precision), parsed back through the structural `from_xml`
+    source, and projected to typed columns. The oracle is simply the
+    original table: any parse loss — nested payloads, entity unescaping,
+    timestamp precision, numeric round-trip — breaks the hash match."""
+    from ..sources import xe_xml
+
+    ev = load_table(spark, sf_dir, "events")
+    xml_df = ev.select(
+        xe_xml.build_event_xml(
+            F.col("event_type"),
+            F.col("ts"),
+            data={
+                "event_id": F.col("event_id"),
+                "value": F.col("value"),
+                "props": F.col("props"),
+            },
+            actions={"user_id": F.col("user_id")},
+            nested_text={"props"},
+        ).alias("xml")
+    )
+    parsed = xe_xml.parse_events_xml(xml_df)
+    return parsed.select(
+        F.element_at("fields", "event_id").cast("long").alias("event_id"),
+        "event_type",
+        "ts",
+        F.element_at("fields", "value").cast("double").alias("value"),
+        F.element_at("fields", "props").alias("props"),
+        F.element_at("actions", "user_id").cast("long").alias("user_id"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_xml_roundtrip": """
+        SELECT event_id, event_type, ts, value, props, user_id FROM events
+    """,
     "q_flatten_projection": """
         SELECT event_id AS c_event_sequence,
                date_trunc('minute', ts) AS e_time_of_event,

@@ -30,7 +30,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # from_xml schema for one <event> document: repeated <data> and <action>
-# elements, each with a name attribute and a <value> child.
+# elements, each with a name attribute and a <value> child. The <value>
+# node is structural: plain text lands in the element text (`_VALUE`),
+# while the SDK's readable-map shape nests it under <text>
+# (`<value><text>PAGEIOLATCH_SH</text></value>`) — both are captured and
+# coalesced, text-form preferred (that is what the map renders).
+_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("_VALUE", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
 _EVENT_XML_SCHEMA = T.StructType(
     [
         T.StructField("_name", T.StringType()),
@@ -41,7 +51,7 @@ _EVENT_XML_SCHEMA = T.StructType(
                 T.StructType(
                     [
                         T.StructField("_name", T.StringType()),
-                        T.StructField("value", T.StringType()),
+                        T.StructField("value", _VALUE_SCHEMA),
                     ]
                 )
             ),
@@ -52,7 +62,7 @@ _EVENT_XML_SCHEMA = T.StructType(
                 T.StructType(
                     [
                         T.StructField("_name", T.StringType()),
-                        T.StructField("value", T.StringType()),
+                        T.StructField("value", _VALUE_SCHEMA),
                     ]
                 )
             ),
@@ -73,7 +83,8 @@ def parse_events_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         return F.map_from_entries(
             F.expr(
                 f"transform(coalesce(ev.{col}, array()), "
-                f"x -> struct(x._name as key, x.value as value))"
+                f"x -> struct(x._name as key, "
+                f"coalesce(x.value.text, x.value._VALUE) as value))"
             )
         )
 
@@ -83,6 +94,62 @@ def parse_events_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         entries("data").alias("fields"),
         entries("action").alias("actions"),
     )
+
+
+def xml_escape(col: F.Column) -> F.Column:
+    """Entity-escape element text (&, <, > — the minimum for well-formed
+    content); `from_xml` unescapes on parse, so escape→parse round-trips
+    exactly."""
+    return F.replace(
+        F.replace(
+            F.replace(col, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+
+
+def build_event_xml(
+    event_type: F.Column,
+    ts: F.Column,
+    data: dict[str, F.Column],
+    actions: dict[str, F.Column] | None = None,
+    nested_text: frozenset[str] | set[str] = frozenset(),
+) -> F.Column:
+    """Render typed columns as one `<event>` document in the public
+    `fn_xe_file_target_read_file` shape — the inverse of
+    `parse_events_xml`, used by tests and the round-trip driver query to
+    prove the parse is lossless. Fields named in `nested_text` render the
+    SDK's readable-map form (`<value><text>…</text></value>`); the rest
+    render plain `<value>…</value>`."""
+    parts: list[F.Column] = [
+        F.lit('<event name="'),
+        event_type,
+        F.lit('" package="test" timestamp="'),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit('Z">'),
+    ]
+    for name, col in data.items():
+        open_v, close_v = (
+            ("<value><text>", "</text></value>")
+            if name in nested_text
+            else ("<value>", "</value>")
+        )
+        parts += [
+            F.lit(f'<data name="{name}">{open_v}'),
+            xml_escape(col.cast("string")),
+            F.lit(f"{close_v}</data>"),
+        ]
+    for name, col in (actions or {}).items():
+        parts += [
+            F.lit(f'<action name="{name}" package="test"><value>'),
+            xml_escape(col.cast("string")),
+            F.lit("</value></action>"),
+        ]
+    parts.append(F.lit("</event>"))
+    return F.concat(*parts)
 
 
 def read_xml_events(
