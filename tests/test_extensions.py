@@ -472,6 +472,53 @@ class TestText:
 
 
 class TestMultimodal:
+    def test_ppm_codec_roundtrip_and_strictness(self):
+        pixels = bytes(range(24))
+        img = mm.encode_ppm(4, 2, pixels)
+        dec = mm.decode_ppm(img)
+        assert (dec["width"], dec["height"], dec["maxval"]) == (4, 2, 255)
+        assert dec["pixels"] == pixels
+        # comments in header are legal P6
+        commented = b"P6\n# a comment\n4 2\n255\n" + pixels
+        assert mm.decode_ppm(commented)["pixels"] == pixels
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            mm.decode_ppm(b"P5\n4 2\n255\n" + pixels)  # wrong magic
+        with _pt.raises(ValueError):
+            mm.decode_ppm(b"P6\n4 2\n255\n" + pixels[:-1])  # short data
+        with _pt.raises(ValueError):
+            mm.encode_ppm(4, 2, pixels[:-1])
+
+    def test_real_decoder_dispatch(self, spark, docs):
+        """use_real_decoder=True must run the registered PPM parser (header
+        stripped → features differ from raw-payload features) and fail
+        loudly for formats with no decoder."""
+        media = mm.attach_ppm_media(docs.limit(10))
+        rows = mm.extract_features(media, use_real_decoder=True).collect()
+        assert len(rows) == 10
+        raw = {
+            r.media_id: r.features
+            for r in mm.extract_features(media, use_real_decoder=False).collect()
+        }
+        for r in rows:
+            assert r.n_bytes == 35  # 11-byte header + 24 pixel bytes
+            assert r.features != raw[r.media_id]  # header actually stripped
+        import pytest as _pt
+
+        fake = mm.attach_fake_media(docs.limit(2))  # format fake/png
+        with _pt.raises(Exception, match="no decoder registered"):
+            mm.extract_features(fake, use_real_decoder=True).collect()
+
+    def test_register_decoder_plugs_in(self, spark, docs):
+        mm.register_decoder("fake/png", lambda p: [float(len(p))] * mm.FEATURE_DIM)
+        try:
+            media = mm.attach_fake_media(docs.limit(3))
+            rows = mm.extract_features(media, use_real_decoder=True).collect()
+            assert all(r.features == [32.0] * mm.FEATURE_DIM for r in rows)
+        finally:
+            del mm.DECODERS["fake/png"]
+
     def test_feature_extraction_plumbing(self, spark, docs):
         media = mm.attach_fake_media(docs.limit(50))
         feats = mm.extract_features(media)

@@ -79,7 +79,8 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def _decode_image_real(payload: bytes) -> list[float]:
-    """The real decode path — requires an image library, absent here."""
+    """Compressed-format decode path — requires an image library, absent
+    here (kept as the honest stub for png/jpeg payloads)."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - environment-dependent
@@ -88,6 +89,80 @@ def _decode_image_real(payload: bytes) -> list[float]:
             "runtime — use deterministic_features (fake) or install a codec"
         ) from exc
     raise NotImplementedError("real decoder wiring goes here")
+
+
+# ------------------------------------------------ pluggable codecs
+#
+# Decoders are a registry keyed by `meta.format`: each takes the payload
+# bytes and returns the feature vector. Compressed formats (png/jpeg)
+# dispatch to the library-backed stub above; `image/ppm` is a REAL codec —
+# a pure-python parse of the binary NetPBM P6 format (public spec:
+# magic, whitespace-separated width/height/maxval header, raw RGB
+# samples) — so `use_real_decoder=True` has a fully tested path with no
+# external libraries.
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6) encoder — test/builder inverse of `decode_ppm`."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"P6 {width}x{height} needs {width * height * 3} RGB bytes, "
+            f"got {len(pixels)}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Parse a binary PPM (P6) image → {width, height, maxval, pixels}.
+    Strict: bad magic, short pixel data, or maxval > 255 raise ValueError
+    (a codec that guesses is worse than one that fails)."""
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic + 3 whitespace-separated ints; comments (#) allowed
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raw samples
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pixels = payload[i : i + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("PPM pixel data shorter than header promises")
+    return {"width": width, "height": height, "maxval": maxval, "pixels": pixels}
+
+
+def _ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real-decode features: parse the P6 container, then byte-window
+    means over the DECODED pixel buffer (not the container bytes — the
+    header must be stripped by a real parse for these to come out right).
+    """
+    return deterministic_features(decode_ppm(payload)["pixels"], dim)
+
+
+DECODERS: dict[str, object] = {
+    "image/ppm": _ppm_features,
+    "image/png": _decode_image_real,
+    "image/jpeg": _decode_image_real,
+}
+
+
+def register_decoder(fmt: str, fn) -> None:
+    """Plug in a decoder for a format: fn(payload: bytes) -> list[float]."""
+    DECODERS[fmt] = fn
 
 
 def deterministic_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -104,16 +179,51 @@ def deterministic_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float
     return feats
 
 
+def attach_ppm_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build a media table of REAL encoded images: a 4×2 binary PPM whose
+    24 RGB bytes derive from md5(text) — a valid image any PPM reader
+    decodes, yet fully replayable in SQL (header is a fixed 11-byte
+    prefix, pixels are hex-derived). Exercises the real-codec path
+    end-to-end with exact oracles."""
+    pixels_hex = F.concat(
+        F.md5(F.col(text_col)),
+        F.substring(F.md5(F.concat(F.lit("x"), F.col(text_col))), 1, 16),
+    )
+    payload = F.concat(
+        F.encode(F.lit("P6\n4 2\n255\n"), "UTF-8"), F.unhex(pixels_hex)
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/ppm").alias("format"),
+            F.lit(4).cast("int").alias("width"),
+            F.lit(2).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(media_df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     """Image feature extraction over `mapInPandas`: one Arrow batch in,
     one out; columns pruned to what the UDF needs before the Python
     boundary."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(payload: bytes, fmt: str) -> list[float]:
+            if not use_real_decoder:
+                return deterministic_features(payload)
+            dec = DECODERS.get(fmt)
+            if dec is None:
+                raise NotImplementedError(f"no decoder registered for {fmt!r}")
+            return dec(payload)
+
         for pdf in batches:
             feats = [
-                _decode_image_real(p) if use_real_decoder else deterministic_features(p)
-                for p in pdf["payload"]
+                decode(p, m["format"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
             ]
             yield pd.DataFrame(
                 {
@@ -136,20 +246,33 @@ def sample_frames(media_df: DataFrame, every: int = 2) -> DataFrame:
     materialization per row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            out_ids, out_idx, out_payload = [], [], []
-            for _, row in pdf.iterrows():
-                n = int(row["meta"]["n_frames"])
-                payload = row["payload"] or b""
-                for fi in range(0, n, every):
-                    sl = payload[fi % max(len(payload), 1) :][:8]
-                    out_ids.append(row["media_id"])
-                    out_idx.append(fi)
-                    out_payload.append(sl)
+            # vectorized row→frames explosion: frame counts → np.repeat for
+            # ids, concatenated aranges for indices (frame explosion is the
+            # hot loop for video — no per-row python iteration)
+            ids = pdf["media_id"].to_numpy()
+            counts = np.array(
+                [(int(m["n_frames"]) + every - 1) // every for m in pdf["meta"]],
+                dtype=np.int64,
+            )
+            out_ids = np.repeat(ids, counts)
+            out_idx = (
+                np.concatenate([np.arange(c) * every for c in counts])
+                if len(counts)
+                else np.array([], dtype=np.int64)
+            )
+            payloads = pdf["payload"].to_numpy()
+            row_of = np.repeat(np.arange(len(ids)), counts)
+            out_payload = [
+                (payloads[r] or b"")[fi % max(len(payloads[r] or b""), 1):][:8]
+                for r, fi in zip(row_of, out_idx)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": out_ids,
-                    "frame_index": out_idx,
+                    "frame_index": out_idx.astype("int32"),
                     "frame_payload": out_payload,
                 }
             )

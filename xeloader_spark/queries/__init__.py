@@ -47,6 +47,8 @@ _ROUND_PRIORITY = [
     "q_ann_topk_lsh_quantized",
     # new this round: structural XML source round-trip (S4-as-XML)
     "q_xml_roundtrip",
+    # new this round: real pure-python PPM codec through mapInPandas
+    "q_multimodal_real_codec",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

@@ -145,6 +145,26 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal path, exact-checked: documents → valid binary
+    PPM (P6) images (md5-derived pixels) → `extract_features(
+    use_real_decoder=True)` dispatches the pure-python PPM parser, which
+    must strip the 11-byte header and feature-ize the DECODED pixel
+    buffer. The oracle replays the pixel arithmetic from the hex — if the
+    parser mis-handles the header or pixel offsets, every value shifts."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_ppm_media(docs)
+    feats = mm.extract_features(media, use_real_decoder=True)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("features").alias("dim", "feature")
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("feature").cast("double").alias("feature"),
+    )
+
+
 def q_multimodal_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal feature pipeline, exploded to (media_id, dim,
     feature) long form so the Arrow mapInPandas boundary is EXACT-checked:
@@ -229,6 +249,26 @@ ORACLES: dict[str, str] = {
                         AS BIGINT) AS VARCHAR), ',' ORDER BY dim) AS features_q
         FROM f
         GROUP BY media_id
+    """,
+    "q_multimodal_real_codec": """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || substr(md5('x' || text), 1, 16) AS px
+            FROM documents
+        ),
+        d AS (SELECT media_id, px, unnest(generate_series(0, 7)) AS dim FROM h),
+        f AS (
+            SELECT media_id, dim,
+                   (  ('0x' || substr(px, 6*dim + 1, 2))::BIGINT
+                    + ('0x' || substr(px, 6*dim + 3, 2))::BIGINT
+                    + ('0x' || substr(px, 6*dim + 5, 2))::BIGINT) / 765.0 AS v
+            FROM d
+        )
+        SELECT media_id,
+               CAST(35 AS BIGINT) AS n_bytes,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(CAST(v AS REAL) AS DOUBLE) AS feature
+        FROM f
     """,
     "q_frame_sample": """
         WITH h AS (
