@@ -200,6 +200,42 @@ class TestCallstack:  # S15
         assert out[1].cmd is None
 
 
+class TestWindowsTz:  # -z parity (InputParameters.cs:276-279)
+    def test_common_sql_server_zones_map(self):
+        from xeloader_spark.functions import to_iana
+        from zoneinfo import ZoneInfo
+
+        cases = {
+            "Pacific Standard Time": "America/Los_Angeles",
+            "Eastern Standard Time": "America/New_York",
+            "Central Europe Standard Time": "Europe/Budapest",
+            "GMT Standard Time": "Europe/London",
+            "India Standard Time": "Asia/Kolkata",
+            "China Standard Time": "Asia/Shanghai",
+            "AUS Eastern Standard Time": "Australia/Sydney",
+            "UTC": "Etc/UTC",
+        }
+        for win, iana in cases.items():
+            assert to_iana(win) == iana
+            ZoneInfo(iana)  # every mapped target must be a real zone
+
+    def test_every_mapping_target_resolves(self):
+        from xeloader_spark.functions import WINDOWS_TO_IANA
+        from zoneinfo import ZoneInfo
+
+        for iana in WINDOWS_TO_IANA.values():
+            ZoneInfo(iana)
+
+    def test_iana_passthrough_and_error_lists_zones(self):
+        import pytest as _pt
+
+        from xeloader_spark.functions import to_iana
+
+        assert to_iana("America/Chicago") == "America/Chicago"
+        with _pt.raises(ValueError, match="Pacific Standard Time"):
+            to_iana("Not A Zone")
+
+
 class TestCoercion:  # S16
     def test_complex_types_stringify_as_json(self, spark):
         import json

@@ -41,7 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-X", type=int, default=4000, help="XML truncation chars")
     ap.add_argument("-B", type=int, default=1024, help="binary truncation bytes")
     ap.add_argument("-e", type=int, default=100, help="error budget per file")
-    ap.add_argument("-z", default="UTC", help="timezone for local-time column")
+    ap.add_argument("-z", default="UTC",
+                    help="timezone for local-time column — Windows ID "
+                         "(reference convention) or IANA id, see "
+                         "functions/windows_tz.py")
     ap.add_argument("-I", default="ColumnStore", choices=["ColumnStore", "RowStore"],
                     help="physical layout")
     ap.add_argument("-t", type=int, default=None,
@@ -56,13 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
+    from .functions.windows_tz import to_iana
     from .operators.ingest import IngestConfig, ingest, ingest_incremental
     from .session import get_spark
 
     cfg = IngestConfig(
         file_pattern=args.pattern,
         session_filter=not args.no_session_filter,
-        timezone=args.z,
+        timezone=to_iana(args.z),
         string_trunc=args.L,
         xml_trunc=args.X,
         binary_trunc=args.B,

@@ -11,6 +11,7 @@ from .truncation import (
 from .hashes import uint64_hex, uint64_to_bin
 from .callstack import decode_callstack_py, callstack_debugcmd_expr, callstack_debugcmd_udf
 from .coercion import stringify_to_flat, stringify_columns, null_module_statement
+from .windows_tz import to_iana, WINDOWS_TO_IANA
 
 __all__ = [
     "three_timestamp_projection",
@@ -27,4 +28,6 @@ __all__ = [
     "stringify_to_flat",
     "stringify_columns",
     "null_module_statement",
+    "to_iana",
+    "WINDOWS_TO_IANA",
 ]
