@@ -102,6 +102,54 @@ def main() -> None:
     for name in HEADLINE:
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    # Skew-path proof over a corpus where 30% of docs share a 24-token
+    # boilerplate header (the hot-key scenario). Two families, capped vs
+    # uncapped, result sets asserted IDENTICAL (the cap removes hot keys,
+    # not signal):
+    #   - exact inverted-index Jaccard: each hot shingle contributes
+    #     O(df²) join rows, so uncapped pays ~22 shingles x 1800²/2 pairs
+    #     — THE path max_df exists for. Expect uncapped >> capped.
+    #   - MinHash-LSH: bands on signatures, so hot shingles only leak in
+    #     via band collisions among boilerplate docs — much weaker than
+    #     O(df²), but the cap still removes that candidate inflation.
+    from xeloader_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_neardup,
+        shingles,
+    )
+    from xeloader_spark.operators.skew import make_skewed_corpus
+
+    skewed = make_skewed_corpus(
+        spark, n_docs=6000, boiler_tokens=24, body_min=30, body_span=60
+    ).localCheckpoint()
+
+    def run_skew(fn, max_df):
+        t0 = time.perf_counter()
+        pairs = {(r.id_a, r.id_b) for r in fn(max_df).collect()}
+        dt = time.perf_counter() - t0
+        release_persisted()
+        return pairs, dt
+
+    skew_runs = {
+        "skew_jaccard": lambda max_df: jaccard_pairs(
+            shingles(skewed, n=3), threshold=0.5, max_df=max_df
+        ),
+        "skew_lsh": lambda max_df: minhash_neardup(
+            skewed, threshold=0.5, max_df=max_df
+        ),
+    }
+    for fam, fn in skew_runs.items():
+        uncapped_pairs, t_uncapped = run_skew(fn, None)
+        capped_pairs, t_capped = run_skew(fn, 100)
+        assert uncapped_pairs == capped_pairs, f"max_df changed {fam} results"
+        if time.perf_counter() - bench_start < budget:  # min-of-2
+            t_uncapped = min(t_uncapped, run_skew(fn, None)[1])
+            t_capped = min(t_capped, run_skew(fn, 100)[1])
+        timings[f"{fam}_uncapped"] = round(t_uncapped, 3)
+        timings[f"{fam}_capped"] = round(t_capped, 3)
+        for n in (f"{fam}_uncapped", f"{fam}_capped"):
+            print(f"[bench] {n}: {timings[n]}s", file=sys.stderr, flush=True)
+
     # Bulk-load throughput — the reference's core function (read →
     # flatten → demux-partitioned write), timed end-to-end into a scratch
     # dir including the actual parquet write, not a noop sink.

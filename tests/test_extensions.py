@@ -215,6 +215,41 @@ class TestDocumentFrequencyCap:
         dd.release_persisted()
 
 
+class TestSkewedCorpus:
+    def test_cap_preserves_result_set_and_bounds_fanout(self, spark):
+        """The skew-path proof: on a corpus where 30% of docs share a
+        boilerplate header, `max_df` must (a) leave the near-dup RESULT
+        SET identical — the planted duplicate pairs — and (b) collapse the
+        inverted-index fan-out by orders of magnitude (the deterministic
+        stand-in for wall-time; bench.py measures the time itself)."""
+        from xeloader_spark.operators import dedup as dd
+        from xeloader_spark.operators.skew import make_skewed_corpus
+
+        docs = make_skewed_corpus(spark, n_docs=600)
+        expected = {(i, i + 10_000_000) for i in range(0, 600, 20)}
+
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dd.minhash_neardup(docs, threshold=0.5).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dd.minhash_neardup(docs, threshold=0.5, max_df=50).collect()
+        }
+        assert uncapped == expected
+        assert capped == expected  # the cap removed hot keys, not signal
+
+        # fan-out: count the pre-threshold pair space of the inverted index
+        sh = dd.shingles(docs, n=3)
+        full_fanout = dd.jaccard_pairs(sh, threshold=0.0).count()
+        capped_fanout = dd.jaccard_pairs(
+            dd.shingles(docs, n=3), threshold=0.0, max_df=50
+        ).count()
+        # 180 boilerplate docs → ~16k cross pairs uncapped; ~30 planted capped
+        assert full_fanout > 100 * capped_fanout, (full_fanout, capped_fanout)
+        dd.release_persisted()
+
+
 class TestContaminationAndRepetition:
     def test_planted_leak_detected(self, spark):
         train = spark.createDataFrame(

@@ -45,6 +45,68 @@ def salted_join(
     return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
 
 
+def make_skewed_corpus(
+    spark,
+    n_docs: int = 5000,
+    boiler_tokens: int = 8,
+    boiler_pct: int = 30,
+    dup_every: int = 20,
+    body_min: int = 10,
+    body_span: int = 90,
+) -> DataFrame:
+    """Deterministic skewed dedup fixture — the boilerplate-header
+    scenario that kills naive inverted-index joins at 100 TB:
+
+    - every doc's BODY is globally unique (`u<id>t<j>` tokens, lengths
+      `body_min`..`body_min+body_span-1`), so the corpus has zero
+      accidental near-dups;
+    - `boiler_pct`% of docs (id-gated) carry the same `boiler_tokens`-token
+      header → its shingles reach df ≈ n_docs×pct — the hot keys;
+    - every `dup_every`-th doc is duplicated (id + 10⁷, one appended
+      token) → the TRUE near-dup pairs, jaccard ≈ (n-2)/(n-1). Copies are
+      made AFTER the header gate, so both members of a pair share
+      boilerplate status and the expected result set is identical with
+      and without `max_df` — the cap removes the hot keys, not the signal.
+
+    Callers must size boilerplate-only overlap under their threshold: two
+    boiler docs share `boiler_tokens-2` 3-shingles, so the shortest pair
+    has j = (bt-2) / (2*(bt+body_min-2) - (bt-2)). Defaults give j ≤ 0.23
+    at threshold 0.5. All engine-side (sequence/transform) — no
+    driver-side text building.
+    """
+    base = (
+        spark.range(n_docs)
+        .withColumn(
+            "n_body", (F.col("id") % body_span + body_min).cast("int")
+        )
+        .withColumn(
+            "body",
+            F.expr(
+                "concat_ws(' ', transform(sequence(1, n_body), "
+                "j -> concat('u', CAST(id AS STRING), 't', CAST(j AS STRING))))"
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("id") % 100 < boiler_pct,
+                F.concat(
+                    F.lit(
+                        " ".join(f"boiler{i}" for i in range(boiler_tokens)) + " "
+                    ),
+                    F.col("body"),
+                ),
+            ).otherwise(F.col("body")),
+        )
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    dups = base.filter(F.col("doc_id") % dup_every == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
