@@ -506,6 +506,41 @@ class TestText:
         assert all(len(v) == 32 for v in fps.values())
 
 
+class TestGopherAndPII:
+    def test_gopher_rules_edge_cases(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, ""),  # empty: everything zero, keep = False
+                (2, "the a of and to in is " + " ".join(f"w{i}" for i in range(20))),
+                (3, "# # # # # " + "the a " + " ".join(f"w{i}" for i in range(20))),
+                (4, " ".join("12345" for _ in range(30))),  # no alpha words
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in tx.gopher_quality(df).collect()}
+        assert out[1].n_words == 0 and not out[1].gopher_keep
+        assert out[2].gopher_keep
+        assert not out[3].rule_symbol_ratio  # 5 '#' / 27 words > 0.1
+        assert not out[4].rule_alpha_words and not out[4].rule_stopwords
+
+    def test_pii_redact_counts_and_placeholders(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@ex-ample.org and b@x.io call 555-123-4567"),
+                (2, "host 10.0.0.1 and +1 555 123 4567"),
+                (3, "clean text only"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in tx.pii_redact(df).collect()}
+        assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (2, 1, 0)
+        assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+        assert "@" not in out[1].redacted
+        assert out[2].n_ipv4 == 1 and "<IPV4>" in out[2].redacted
+        assert out[2].n_phone == 1  # '555 123 4567' space-separated form
+        assert out[3].redacted == "clean text only"
+
+
 class TestMultimodal:
     def test_ppm_codec_roundtrip_and_strictness(self):
         pixels = bytes(range(24))

@@ -143,6 +143,108 @@ def repetition_stats(df: DataFrame, n: int = 3, text_col: str = "text") -> DataF
     )
 
 
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    Models", appendix A — the public MassiveWeb filter recipe), one
+    boolean per rule plus the conjunction:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (# and ... occurrences / words) below cap;
+    - >= min_alpha_word_ratio of words contain an alphabetic char;
+    - at least min_stop_hits stopword occurrences.
+
+    Defaults are tuned down from the paper's web-scale numbers (50 words
+    min) to the synthetic corpus; production callers pass the paper's
+    values. All single-pass array/regex expressions — no shuffle, no UDF,
+    whole-stage codegen."""
+    toks = _tok_array(text_col)
+    n_words = F.expr(f"size({toks})").cast("long")
+    # mean over word lengths (not chars/words — separators excluded)
+    sum_word_len = F.expr(
+        f"aggregate({toks}, 0L, (acc, x) -> acc + length(x))"
+    ).cast("long")
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"#")).cast("long")
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")).cast("long")
+    )
+    n_alpha_words = F.expr(
+        f"size(filter({toks}, x -> x rlike '[A-Za-z]'))"
+    ).cast("long")
+    n_stop = marker_count(text_col, STOPWORDS_EN)
+    mean_wl = F.when(n_words > 0, sum_word_len / n_words).otherwise(F.lit(0.0))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn(
+            "rule_word_count",
+            (n_words >= min_words) & (n_words <= max_words),
+        )
+        .withColumn(
+            "rule_mean_word_len",
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len),
+        )
+        .withColumn(
+            "rule_symbol_ratio",
+            F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+            <= max_symbol_word_ratio,
+        )
+        .withColumn(
+            "rule_alpha_words",
+            F.when(n_words > 0, n_alpha_words / n_words).otherwise(F.lit(0.0))
+            >= min_alpha_word_ratio,
+        )
+        .withColumn("rule_stopwords", n_stop >= min_stop_hits)
+    )
+    return out.withColumn(
+        "gopher_keep",
+        F.col("rule_word_count")
+        & F.col("rule_mean_word_len")
+        & F.col("rule_symbol_ratio")
+        & F.col("rule_alpha_words")
+        & F.col("rule_stopwords"),
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 dialect (no lookaround,
+# no backrefs) so the same pattern string runs in Spark and the oracle.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII from text: count then replace emails, phone numbers and
+    IPv4 literals with <EMAIL>/<PHONE>/<IPV4> placeholders — the standard
+    pre-training privacy pass. Order matters: emails first (an address
+    would otherwise survive as user@<IP> if the host looks numeric),
+    phones before bare IP matching. Pure regexp expressions — no UDF, one
+    narrow projection."""
+    out = df
+    redacted = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+        )
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return out.withColumn("redacted", redacted)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whole-document fingerprint: md5 over the normalized text (lowercase,
     whitespace collapsed) — the exact-dedup key that survives formatting

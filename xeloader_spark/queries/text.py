@@ -85,6 +85,87 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021 appendix A, public
+    MassiveWeb recipe): per-rule booleans + conjunction. Single-pass
+    array/regex expressions, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.gopher_quality(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_alpha_words",
+        "rule_stopwords",
+        "gopher_keep",
+    )
+
+
+def _inject_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII engine-side (the synthetic corpus has
+    none): doc_id-gated email/phone/IP suffixes. The oracle replays the
+    same injection, so redaction is exact-checked end-to-end."""
+    did = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" host 192.168.1.42")).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with planted emails/phones/IPs: per-kind
+    match counts + the redacted text. Patterns live in the shared
+    Java-regex ∩ RE2 dialect so Spark and the oracle agree byte-for-byte."""
+    docs = _inject_pii(load_table(spark, sf_dir, "documents"))
+    return tx.pii_redact(docs).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing weights per (lang, source): token counts and
+    temperature-scaled sampling weights w ∝ tokens^0.5 (the public
+    multilingual-sampling recipe, e.g. mBERT/XLM exponent-smoothed
+    distributions). sqrt is IEEE-exact in both engines; the weight
+    normalization goes through the decimal-accumulator pattern so the
+    cross-group sum is order-independent. Aggregate is map-side partial →
+    one shuffle on (lang, source); the window runs on the tiny group
+    frame."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"size({tx._tok_array('text')})").cast("long")
+    grp = (
+        docs.select("lang", "source", toks.alias("_n"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+        )
+        .withColumn(
+            "_w", F.sqrt(F.col("n_tokens")).cast("decimal(25,6)")
+        )
+    )
+    total = F.sum("_w").over(Window.partitionBy())
+    return grp.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("_w").cast("double") / total.cast("double")).alias("mix_weight"),
+    )
+
+
 _TOKS_LIST = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 _TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
 
@@ -101,7 +182,82 @@ _SCORES = ", ".join(
     for lang, m in LANG_MARKERS.items()
 )
 
+_PII_INJECT = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' host 192.168.1.42' ELSE '' END
+               AS text
+        FROM documents
+"""
+
+from ..operators.text import PII_PATTERNS as _PII  # noqa: E402
+
 ORACLES: dict[str, str] = {
+    "q_gopher_quality": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS_LIST} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_wl,
+                   CAST(len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+                   CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                   CAST({_marker_count_sql(LANG_MARKERS["en"])} AS BIGINT) AS n_stop
+            FROM t
+        ),
+        m AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0 THEN sum_wl * 1.0 / n_words ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words ELSE 0.0 END AS sym_ratio,
+                   CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END AS alpha_ratio,
+                   n_stop
+            FROM s
+        )
+        SELECT doc_id, n_words, mean_word_len,
+               (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+               (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+               (sym_ratio <= 0.1) AS rule_symbol_ratio,
+               (alpha_ratio >= 0.8) AS rule_alpha_words,
+               (n_stop >= 2) AS rule_stopwords,
+               ((n_words >= 20 AND n_words <= 100000)
+                AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+                AND (sym_ratio <= 0.1)
+                AND (alpha_ratio >= 0.8)
+                AND (n_stop >= 2)) AS gopher_keep
+        FROM m
+    """,
+    "q_pii_redaction": f"""
+        WITH inj AS ({_PII_INJECT})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text, '{_PII["ipv4"]}')) AS BIGINT) AS n_ipv4,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_PII["email"]}', '<EMAIL>', 'g'),
+                       '{_PII["phone"]}', '<PHONE>', 'g'),
+                   '{_PII["ipv4"]}', '<IPV4>', 'g') AS redacted
+        FROM inj
+    """,
+    "q_mix_weights": f"""
+        WITH g AS (
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(len({_TOKS_LIST})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(25,6)) AS _w FROM g
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(_w AS DOUBLE) / CAST(SUM(_w) OVER () AS DOUBLE) AS mix_weight
+        FROM w
+    """,
     "q_repetition_stats": """
         WITH t AS (
             SELECT doc_id,
