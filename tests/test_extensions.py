@@ -71,6 +71,45 @@ class TestDedup:
                     brute.add((x.id, y.id))
         assert blocked == brute
 
+    def test_chunk_documents_empty_doc_guard(self, spark):
+        """sequence(0, -1) is DESCENDING in Spark — empty docs must yield
+        zero chunks, not a phantom chunk."""
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "a b c")], ["doc_id", "text"]
+        )
+        out = dd.chunk_documents(df, chunk_tokens=2).collect()
+        assert {r.doc_id for r in out} == {3}
+        got = sorted((r.chunk_ord, r.chunk) for r in out)
+        assert got == [(0, "a b"), (1, "c")]
+
+    def test_chunk_dedup_planted_boilerplate(self, spark):
+        hdr = "h1 h2 h3 h4"  # one full chunk at chunk_tokens=4
+        df = spark.createDataFrame(
+            [
+                (10, f"{hdr} alpha beta gamma delta"),
+                (20, f"{hdr} epsilon zeta"),
+                (30, "unrelated words only here"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in dd.chunk_dedup(df, chunk_tokens=4).collect()}
+        # doc 10 is first occurrence of the header: keeps both chunks
+        assert (out[10].n_chunks, out[10].n_kept) == (2, 2)
+        assert out[10].deduped_text == f"{hdr} alpha beta gamma delta"
+        # doc 20 loses the header chunk, keeps its unique tail
+        assert (out[20].n_chunks, out[20].n_kept) == (2, 1)
+        assert out[20].deduped_text == "epsilon zeta"
+        assert (out[30].n_chunks, out[30].n_kept) == (1, 1)
+
+    def test_chunk_dedup_full_duplicate_reassembles_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y z w"), (2, "x y z w")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in dd.chunk_dedup(df, chunk_tokens=4).collect()}
+        assert out[1].deduped_text == "x y z w"
+        assert out[2].deduped_text == ""
+        assert out[2].n_kept == 0
+
 
 class TestClusterResolution:
     def _uf_clusters(self, pairs, nodes):

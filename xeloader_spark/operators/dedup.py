@@ -104,6 +104,81 @@ def exact_dedup(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks (RAG-style passages):
+    (doc_id, chunk_ord, chunk) rows. Chunks are built array-side
+    (transform over slice) and exploded once — rows scale as
+    corpus_tokens / chunk_tokens, never per-pair. The empty-doc guard
+    matters: sequence(0, -1) in Spark is DESCENDING, not empty."""
+    k = int(chunk_tokens)
+    toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
+    chunks = (
+        f"CASE WHEN size(_toks) = 0 THEN array() "
+        f"ELSE transform(sequence(0, CAST(ceil(size(_toks) / {k}.0) AS INT) - 1), "
+        f"i -> array_join(slice(_toks, i * {k} + 1, {k}), ' ')) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.expr(toks).alias("_toks"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(chunks)).alias("chunk_ord", "chunk"),
+        )
+        .withColumn("chunk_ord", F.col("chunk_ord").cast("long"))
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level exact dedup + document reassembly — the passage-
+    granularity dedup pass (boilerplate headers/footers repeat verbatim
+    across documents even when whole documents don't; cf. CCNet's
+    paragraph-level dedup, public recipe). Keeper of each distinct chunk
+    = first occurrence in (doc_id, chunk_ord) order; every later copy is
+    dropped, and each document is reassembled from its surviving chunks
+    in order.
+
+    Returns (doc_id, n_chunks, n_kept, deduped_text) for EVERY input
+    document (fully-duplicated docs reassemble to '').
+
+    Scale shape: one shuffle on md5(chunk) for the keeper window (the
+    digest shuffles, not the chunk text), one shuffle on doc_id for
+    reassembly. No self-joins, no pair space, no driver state."""
+    chunks = chunk_documents(df, chunk_tokens, text_col, id_col)
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        "doc_id", "chunk_ord"
+    )
+    marked = chunks.withColumn("_rk", F.row_number().over(w))
+    kept = marked.filter(F.col("_rk") == 1)
+    stats = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0)).alias("n_kept"),
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_ord", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("deduped_text")
+    )
+    return (
+        stats.join(reassembled, "doc_id", "left")
+        .withColumn("deduped_text", F.coalesce("deduped_text", F.lit("")))
+    )
+
+
 def cap_document_frequency(
     shingle_df: DataFrame, max_df: int
 ) -> DataFrame:

@@ -49,6 +49,12 @@ _ROUND_PRIORITY = [
     "q_xml_roundtrip",
     # new this round: real pure-python PPM codec through mapInPandas
     "q_multimodal_real_codec",
+    # new this round: Gopher-rule quality, PII redaction, mixture weights,
+    # passage-level chunk dedup
+    "q_gopher_quality",
+    "q_pii_redaction",
+    "q_mix_weights",
+    "q_chunk_dedup",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

@@ -78,6 +78,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exactly one chunk (8 tokens) so seeded docs share chunk 0 verbatim
+_BOILER = "the quick brown fox jumps over the lazy"
+_CHUNK_TOKENS = 8
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (chunk) dedup: docs are split into 8-token chunks,
+    each distinct chunk keeps its first occurrence in (doc_id, chunk_ord)
+    order, and documents reassemble from surviving chunks. A deterministic
+    8-token boilerplate header is planted on every 5th doc so the corpus
+    actually HAS repeated passages (synthetic chunks are otherwise unique)
+    — chunk 0 of all seeded docs dedups down to one keeper. Oracle replays
+    chunking + keeper window + ordered reassembly."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dd.chunk_dedup(seeded, chunk_tokens=_CHUNK_TOKENS)
+
+
 _EVAL_BUCKET = 500  # 5% of documents act as the held-out eval set
 
 
@@ -336,6 +362,45 @@ ORACLES: dict[str, str] = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
     """,
     "q_embedding_neardup": (_EMB_PAIRS := _emb_blocked_pairs_sql()),
+    "q_chunk_dedup": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN '{_BOILER} ' || text
+                        ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+            FROM base
+        ),
+        ch AS (
+            SELECT doc_id, unnest(cl) AS chunk,
+                   generate_subscripts(cl, 1) - 1 AS chunk_ord
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(t) = 0 THEN []
+                            ELSE list_transform(
+                                generate_series(0, CAST(ceil(len(t) / {_CHUNK_TOKENS}.0) AS INT) - 1),
+                                i -> array_to_string(t[i*{_CHUNK_TOKENS}+1 : i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS}], ' '))
+                       END AS cl
+                FROM toks
+            )
+        ),
+        marked AS (
+            SELECT doc_id, chunk_ord, chunk,
+                   ROW_NUMBER() OVER (PARTITION BY chunk
+                                      ORDER BY doc_id, chunk_ord) AS rk
+            FROM ch
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN rk = 1 THEN chunk END, ' '
+                                   ORDER BY chunk_ord), '') AS deduped_text
+        FROM marked
+        GROUP BY doc_id
+    """,
 }
 
 ORACLES["q_embedding_clusters"] = f"""
