@@ -53,6 +53,8 @@ HEADLINE = [
     "q_sample_deterministic",
     "q_pack_sequences",
     "q_decontaminate",
+    "q_gopher_quality",
+    "q_chunk_dedup",
     "q_corpus_clean_pipeline",
 ]
 
