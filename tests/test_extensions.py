@@ -366,6 +366,55 @@ class TestSampling:
         assert got == {"src0"}
         assert out.count() == docs.filter(F.col("source") == "src0").count()
 
+    def test_per_group_cap_counts_and_stability(self, spark, docs):
+        from xeloader_spark.operators import sampling as sp
+
+        slim = docs.select("doc_id", "source")
+        out = sp.per_group_cap(slim, cap=3).collect()
+        per_src = {}
+        for r in out:
+            per_src.setdefault(r.source, []).append(r)
+        for src, rows in per_src.items():
+            n_kept = sum(r.kept for r in rows)
+            assert n_kept == min(3, len(rows)), (src, n_kept)
+            # ranks are a permutation of 1..n within the group
+            assert sorted(r.grp_rank for r in rows) == list(
+                range(1, len(rows) + 1)
+            )
+        again = {
+            (r.doc_id, r.kept)
+            for r in sp.per_group_cap(slim.repartition(7), cap=3).collect()
+        }
+        assert {(r.doc_id, r.kept) for r in out} == again
+
+    def test_token_budget_take_greedy_prefix(self, spark, docs):
+        from xeloader_spark.operators import sampling as sp
+
+        toks = docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)"
+            ).alias("n_tokens"),
+        )
+        out = sp.token_budget_take(
+            toks, "n_tokens", F.lit(120), part_col="source"
+        ).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        for rows in by_src.values():
+            rows.sort(key=lambda r: r.cum_before)
+            cum = 0
+            for r in rows:
+                assert r.cum_before == cum  # exclusive running sum is exact
+                assert r.kept == (cum < 120)  # greedy-prefix contract
+                cum += r.n_tokens
+            kept_tokens = sum(r.n_tokens for r in rows if r.kept)
+            dropped = [r for r in rows if not r.kept]
+            if dropped:  # never stop early: budget actually exhausted
+                assert kept_tokens >= 120
+
 
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, spark, emb):

@@ -81,6 +81,63 @@ def pack_sequences(
     )
 
 
+def per_group_cap(
+    df: DataFrame,
+    cap: int,
+    part_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Domain/source capping (the CC-pipeline "domain cap": no single
+    site may contribute more than `cap` documents). Priority is the
+    deterministic key hash, so the surviving subset is independent of
+    engine, partitioning, and run — a re-run keeps the SAME documents.
+
+    Adds `grp_rank` (1-based position in hash order within the group) and
+    `kept` (rank <= cap). One shuffle on `part_col`; call on a slim
+    (key, group) projection and semi-join survivors back if the payload
+    is wide. Skew note: a hot domain serializes into one window task —
+    at 100 TB prefilter with an approximate per-group hash-quantile
+    threshold (margin >= 3x cap/n, then verify count >= cap) before the
+    exact window so the window input is O(cap) per group, not O(n)."""
+    w = Window.partitionBy(part_col).orderBy(
+        hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return df.withColumn(
+        "grp_rank", F.row_number().over(w).cast("long")
+    ).withColumn("kept", F.col("grp_rank") <= cap)
+
+
+def token_budget_take(
+    df: DataFrame,
+    tokens_col: str,
+    budget_col: Column | str,
+    part_col,
+    key_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Greedy token-budget selection per group: documents are considered
+    in deterministic key-hash order and a document is KEPT iff the running
+    token total BEFORE it is still under the group's budget (so the take
+    may overshoot by at most one document — the standard greedy-prefix
+    contract). `budget_col` may be a literal or a per-group column (e.g.
+    floor(mix_weight * total_budget) from temperature mixing weights).
+
+    Adds `cum_before` (exclusive running sum, engine-exact integer
+    arithmetic) and `kept`. One shuffle on `part_col`; same skew note as
+    `per_group_cap`."""
+    b = F.col(budget_col) if isinstance(budget_col, str) else budget_col
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(hash_bucket(key_col, salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn("cum_before", cum_before).withColumn(
+        "kept", F.col("cum_before") < b
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

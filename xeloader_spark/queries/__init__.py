@@ -55,6 +55,8 @@ _ROUND_PRIORITY = [
     "q_pii_redaction",
     "q_mix_weights",
     "q_chunk_dedup",
+    "q_source_cap",
+    "q_token_budget_mix",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

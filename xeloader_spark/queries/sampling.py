@@ -66,6 +66,62 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAP = 10
+_TOTAL_BUDGET = 10_000
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most 10 docs survive per source, priority =
+    deterministic doc_id hash — no site dominates the training mix, and a
+    re-run keeps the identical subset. Slim (doc_id, source) projection;
+    one shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sp.per_group_cap(docs, cap=_CAP, part_col="source", key_col="doc_id")
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling under a global token budget: per-(lang, source)
+    temperature weights (w ∝ sqrt(tokens), the q_mix_weights recipe)
+    allocate integer token budgets out of a 10k total, then each group
+    greedily takes docs in hash order until its budget is spent. The
+    group-budget dim is tiny → broadcast back onto the corpus; the only
+    corpus shuffle is the per-group selection window. End-to-end
+    engine-exact: integer token counts, decimal weight accumulator,
+    IEEE double division, floor to integer budgets."""
+    from pyspark.sql import Window
+
+    from ..operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"CAST(size({tx._tok_array('text')}) AS BIGINT)").alias("n_tokens"),
+    )
+    grp = (
+        toks.groupBy("lang", "source")
+        .agg(F.sum("n_tokens").alias("_gt"))
+        .withColumn("_w", F.sqrt(F.col("_gt")).cast("decimal(25,6)"))
+    )
+    total = F.sum("_w").over(Window.partitionBy())
+    budgets = grp.select(
+        "lang",
+        "source",
+        F.floor(
+            F.col("_w").cast("double") / total.cast("double") * _TOTAL_BUDGET
+        )
+        .cast("bigint")
+        .alias("budget"),
+    )
+    joined = toks.join(F.broadcast(budgets), ["lang", "source"])
+    return sp.token_budget_take(
+        joined, "n_tokens", "budget", part_col=["lang", "source"]
+    ).select(
+        "doc_id", "lang", "source", "n_tokens", "budget", "cum_before", "kept"
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _B = sp.BUCKETS
@@ -124,3 +180,49 @@ ORACLES: dict[str, str] = {
         FROM c
     """,
 }
+
+ORACLES["q_source_cap"] = f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_bucket_sql('doc_id', 'cap')}, doc_id
+               ) AS grp_rank
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(grp_rank AS BIGINT) AS grp_rank,
+           grp_rank <= {_CAP} AS kept
+    FROM r
+"""
+
+ORACLES["q_token_budget_mix"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, source,
+               CAST(sqrt(CAST(SUM(n_tokens) AS BIGINT)) AS DECIMAL(25,6)) AS _w
+        FROM t GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT lang, source,
+               CAST(floor(CAST(_w AS DOUBLE) / CAST(SUM(_w) OVER () AS DOUBLE)
+                          * {_TOTAL_BUDGET}) AS BIGINT) AS budget
+        FROM g
+    ),
+    j AS (
+        SELECT t.doc_id, t.lang, t.source, t.n_tokens, b.budget,
+               CAST(COALESCE(SUM(t.n_tokens) OVER (
+                   PARTITION BY t.lang, t.source
+                   ORDER BY {_bucket_sql('t.doc_id', 'budget')}, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cum_before
+        FROM t JOIN b ON t.lang = b.lang AND t.source = b.source
+    )
+    SELECT doc_id, lang, source, n_tokens, budget, cum_before,
+           cum_before < budget AS kept
+    FROM j
+"""
