@@ -250,6 +250,31 @@ class TestNewOperatorPlanShapes:
 
         plans.assert_max_shuffles(qt.q_repetition_stats(spark, SF), 0)
 
+    def test_chunk_dedup_two_shuffles(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        # one on md5(chunk) for the keeper window, one on doc_id for the
+        # combined stats+reassembly aggregate — and a single corpus scan
+        df = qd.q_chunk_dedup(spark, SF)
+        plans.assert_max_shuffles(df, 2)
+        assert df._jdf.queryExecution().executedPlan().toString().count(
+            "Scan parquet"
+        ) == 1
+
+    def test_group_take_single_window_shuffle(self, spark):
+        from xeloader_spark.queries import sampling as qs
+
+        plans.assert_max_shuffles(qs.q_source_cap(spark, SF), 1)
+        df = qs.q_token_budget_mix(spark, SF)
+        plans.assert_broadcast_join(df)  # group budgets must broadcast
+        plans.assert_no_cartesian(df)
+
+    def test_unigram_score_shuffle_budget(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # explode+freq agg on tok, per-doc agg, global-total window
+        plans.assert_max_shuffles(qt.q_unigram_doc_prob(spark, SF), 3)
+
     def test_pipeline_no_cartesian(self, spark):
         from xeloader_spark.queries import pipeline as qp
 

@@ -149,33 +149,32 @@ def chunk_dedup(
     Returns (doc_id, n_chunks, n_kept, deduped_text) for EVERY input
     document (fully-duplicated docs reassemble to '').
 
-    Scale shape: one shuffle on md5(chunk) for the keeper window (the
-    digest shuffles, not the chunk text), one shuffle on doc_id for
-    reassembly. No self-joins, no pair space, no driver state."""
+    Scale shape: exactly TWO shuffles and ONE corpus scan — md5(chunk)
+    for the keeper window (the digest shuffles, not the chunk text), then
+    doc_id for a single combined stats+reassembly aggregate
+    (`collect_list` skips the NULLed non-keepers, so no separate
+    kept-branch join is needed; plan-pinned). No self-joins, no pair
+    space, no driver state."""
     chunks = chunk_documents(df, chunk_tokens, text_col, id_col)
     w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
         "doc_id", "chunk_ord"
     )
     marked = chunks.withColumn("_rk", F.row_number().over(w))
-    kept = marked.filter(F.col("_rk") == 1)
-    stats = marked.groupBy("doc_id").agg(
+    is_keeper = F.col("_rk") == 1
+    return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("_rk") == 1, 1).otherwise(0)).alias("n_kept"),
-    )
-    reassembled = kept.groupBy("doc_id").agg(
+        F.sum(F.when(is_keeper, 1).otherwise(0)).alias("n_kept"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("chunk_ord", "chunk"))
+                    F.collect_list(
+                        F.when(is_keeper, F.struct("chunk_ord", "chunk"))
+                    )
                 ),
                 lambda s: s["chunk"],
             ),
             " ",
-        ).alias("deduped_text")
-    )
-    return (
-        stats.join(reassembled, "doc_id", "left")
-        .withColumn("deduped_text", F.coalesce("deduped_text", F.lit("")))
+        ).alias("deduped_text"),
     )
 
 

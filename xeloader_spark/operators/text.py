@@ -245,6 +245,50 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("redacted", redacted)
 
 
+def unigram_doc_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram document score — the exact-arithmetic stand-in for
+    LM-perplexity quality filtering (public CC recipes score docs with a
+    KenLM model; the engine-checkable analogue is the corpus's own
+    unigram distribution). Per doc: `sum_freq` = sum over token
+    OCCURRENCES of that token's corpus count (integer, exact) and
+    `mean_tok_prob` = sum_freq / (n_tokens · total_tokens) — low means
+    the doc is dominated by rare tokens (gibberish / OCR noise), high
+    means boilerplate-common vocabulary.
+
+    Scale shape: one explode, one count-agg shuffle on token, a
+    token-frequency join that REUSES that partitioning (the agg output is
+    already hash-partitioned on token, so only the probe side shuffles),
+    then one agg shuffle on doc_id. Vocabulary never broadcasts and the
+    text column never shuffles — only (id, token) pairs move."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tok_freq").alias("sum_freq"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("n_tokens").cast("double") * total.cast("double"))
+        ).alias("mean_tok_prob"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whole-document fingerprint: md5 over the normalized text (lowercase,
     whitespace collapsed) — the exact-dedup key that survives formatting

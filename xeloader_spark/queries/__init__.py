@@ -57,6 +57,7 @@ _ROUND_PRIORITY = [
     "q_chunk_dedup",
     "q_source_cap",
     "q_token_budget_mix",
+    "q_unigram_doc_prob",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

@@ -196,6 +196,15 @@ _PII_INJECT = """
 
 from ..operators.text import PII_PATTERNS as _PII  # noqa: E402
 
+def q_unigram_doc_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document score: mean corpus-probability of the doc's
+    tokens (exact integer sum + one IEEE division) — the engine-checkable
+    analogue of perplexity-based quality filtering. Low = rare-token
+    gibberish, high = common-vocabulary boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.unigram_doc_score(docs)
+
+
 ORACLES: dict[str, str] = {
     "q_gopher_quality": f"""
         WITH t AS (
@@ -361,5 +370,26 @@ ORACLES: dict[str, str] = {
                md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fingerprint,
                r.rolling_fp
         FROM documents d LEFT JOIN rolling r ON d.doc_id = r.doc_id
+    """,
+    "q_unigram_doc_prob": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_LIST}) AS tok FROM documents
+        ),
+        freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_freq
+            FROM toks GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f.tok_freq) AS BIGINT) AS sum_freq
+            FROM toks t JOIN freq f ON t.tok = f.tok
+            GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, sum_freq,
+               CAST(sum_freq AS DOUBLE) /
+                   (CAST(n_tokens AS DOUBLE) *
+                    CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS mean_tok_prob
+        FROM per_doc
     """,
 }
