@@ -127,21 +127,25 @@ class TestClusterResolution:
                 parent[max(ra, rb)] = min(ra, rb)
         return {n: find(n) for n in nodes}
 
-    def test_chain_worst_case_diameter(self, spark):
+    @pytest.mark.parametrize("algo", ["star", "label"])
+    def test_chain_worst_case_diameter(self, spark, algo):
         # a path graph 0-1-2-...-9: min label must walk the full diameter.
-        # local_threshold=0 forces the DISTRIBUTED propagation path (the
-        # union-find parity test below covers the driver-local path).
+        # local_threshold=0 forces the DISTRIBUTED paths (the union-find
+        # parity test below covers the driver-local path).
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(9)], "id_a long, id_b long"
         )
         got = {
             (r.node, r.cluster)
-            for r in dd.connected_components(pairs, local_threshold=0).collect()
+            for r in dd.connected_components(
+                pairs, local_threshold=0, distributed_algorithm=algo
+            ).collect()
         }
         assert got == {(i, 0) for i in range(10)}
         dd.release_persisted()
 
-    def test_chain_string_ids_distributed(self, spark):
+    @pytest.mark.parametrize("algo", ["star", "label"])
+    def test_chain_string_ids_distributed(self, spark, algo):
         # regression: convergence check must be id-type-independent.
         # A SUM-of-labels fixpoint is NULL for string ids every round, so
         # the loop stopped after one propagation and mislabeled any
@@ -152,12 +156,15 @@ class TestClusterResolution:
         )
         got = {
             (r.node, r.cluster)
-            for r in dd.connected_components(pairs, local_threshold=0).collect()
+            for r in dd.connected_components(
+                pairs, local_threshold=0, distributed_algorithm=algo
+            ).collect()
         }
         assert got == {(f"doc{i:02d}", "doc00") for i in range(10)}
         dd.release_persisted()
 
-    def test_local_and_distributed_paths_agree(self, spark):
+    @pytest.mark.parametrize("algo", ["star", "label"])
+    def test_local_and_distributed_paths_agree(self, spark, algo):
         import random
 
         rng = random.Random(7)
@@ -172,9 +179,30 @@ class TestClusterResolution:
         }
         dist = {
             (r.node, r.cluster)
-            for r in dd.connected_components(pairs, local_threshold=0).collect()
+            for r in dd.connected_components(
+                pairs, local_threshold=0, distributed_algorithm=algo
+            ).collect()
         }
         assert local == dist
+        dd.release_persisted()
+
+    def test_star_converges_in_log_rounds_on_deep_chain(self, spark):
+        # a 40-edge path has diameter 40: label propagation needs 40
+        # rounds, star contraction must finish well inside 8 — this pins
+        # the O(log n) claim, not just correctness.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        )
+        got = {
+            (r.node, r.cluster)
+            for r in dd.connected_components(
+                pairs,
+                local_threshold=0,
+                max_iter=8,
+                distributed_algorithm="star",
+            ).collect()
+        }
+        assert got == {(i, 0) for i in range(41)}
         dd.release_persisted()
 
     def test_components_match_union_find(self, spark, docs):

@@ -377,35 +377,96 @@ def cross_contamination(
 
 
 # ------------------------------------------------ cluster resolution
+def _cc_star(pairs_uv: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    algorithm): each round hooks every node's larger neighbors onto its
+    neighborhood minimum (large-star), then flattens the remaining
+    big→small edges one level (small-star). Converges to per-component
+    stars rooted at the component-min id in O(log n) rounds on ANY
+    topology — a diameter-d chain needs d rounds of label propagation
+    but only ~log d rounds here, which is what matters when near-dup
+    graphs chain (A≈B≈C≈…) instead of clustering around a template.
+
+    Each round = two groupBy shuffles on node id over the EDGE list (the
+    corpus never enters). Fixpoint = edge set unchanged — a set compare,
+    so convergence is id-type-independent (strings and longs behave
+    identically). Returns (node, cluster) for every node that appears in
+    an edge."""
+    E = (
+        pairs_uv.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        und = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        # large-star: attach each strictly-larger neighbor v of u to m(u);
+        # output edges are (bigger, smaller) by construction (v > u >= m)
+        large = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the big→small orientation: every smaller
+        # neighbor (and u itself) re-attaches to u's minimum
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        attached = large.join(mins2, "u")
+        new_e = (
+            attached.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        stable = new_e.count() == E.count() and new_e.exceptAll(E).isEmpty()
+        E = new_e
+        if stable:
+            break
+    return (
+        E.select(F.col("u").alias("node"), F.col("v").alias("cluster"))
+        .union(E.select(F.col("v").alias("node"), F.col("v").alias("cluster")))
+        .groupBy("node")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
     local_threshold: int = 4_000_000,
+    distributed_algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node, cluster)
     where cluster = MIN node id in the component. This is the step that
     turns near-dup PAIRS into dedup DECISIONS: duplicates are transitive
     (A≈B, B≈C ⇒ one cluster), so keeping "one of each pair" over-deletes.
 
-    Min-label propagation on DataFrames: each round every node takes the
-    min of its own label and its neighbors' labels; fixpoint when no
-    node's label changed in a round (counted on the frame itself, so the
-    check is id-type-independent — string and numeric ids converge
-    identically). Rounds needed = graph diameter — near-dup
-    clusters are shallow (star-ish around a template), so this converges
-    in a handful of rounds. Labels are `localCheckpoint`ed per round to
-    truncate the growing lineage. At extreme scale swap the propagation
-    step for the large-star/small-star contraction (same DataFrame
-    shape, O(log n) rounds on any topology).
-
     Hybrid execution: the PAIR list is orders of magnitude smaller than
     the corpus (it only names the near-duplicates), so when it fits on
     the driver (≤ `local_threshold` edges) a driver-side union-find
     replaces the iterative joins — one collect + one createDataFrame
-    instead of diameter×3 Spark jobs. The distributed loop remains the
-    path for pathological dup rates; both paths are equivalence-tested."""
+    instead of iterated Spark jobs. Past the threshold,
+    `distributed_algorithm` picks the loop:
+
+    - "star" (default): large-star/small-star contraction (`_cc_star`) —
+      O(log n) rounds on any topology, the 100 TB-safe choice.
+    - "label": min-label propagation — each round every node takes the
+      min of its own and its neighbors' labels; fixpoint when no label
+      changed (counted on the frame itself, so the check is
+      id-type-independent). Rounds needed = graph DIAMETER, fine for the
+      shallow star-ish clusters near-dup graphs usually form, kept as
+      the simpler-to-audit fallback.
+
+    All three paths are equivalence-tested against each other. Labels /
+    edge frames are `localCheckpoint`ed per round to truncate lineage."""
     # The union reads `pairs` twice; persisting it first keeps the
     # (possibly expensive) upstream pair pipeline to a single execution.
     pairs = _persist(pairs.select(id_a, id_b))
@@ -431,6 +492,11 @@ def connected_components(
         return pairs.sparkSession.createDataFrame(
             sorted((n, find(n)) for n in nodes),
             f"node {id_type}, cluster {id_type}",
+        )
+    if distributed_algorithm == "star":
+        return _cc_star(
+            pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+            max_iter,
         )
     edges = _persist(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
