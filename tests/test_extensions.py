@@ -676,6 +676,53 @@ class TestMultimodal:
         with _pt.raises(ValueError):
             mm.encode_ppm(4, 2, pixels[:-1])
 
+    def test_wav_codec_roundtrip_and_strictness(self):
+        import struct
+
+        import pytest as _pt
+
+        pcm = struct.pack("<8h", 100, -200, 300, -32768, 32767, 0, -1, 5)
+        w = mm.decode_wav(mm.encode_wav(pcm, sample_rate=44100))
+        assert w["samples"] == [100, -200, 300, -32768, 32767, 0, -1, 5]
+        assert (w["sample_rate"], w["bits"], w["n_channels"]) == (44100, 16, 1)
+        # chunk walk must survive an extra chunk before data (word-aligned)
+        extra = (
+            mm.encode_wav(pcm)[:36]
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+        )
+        fixed = extra[:4] + struct.pack("<I", len(extra) - 8) + extra[8:]
+        assert mm.decode_wav(fixed)["samples"][0] == 100
+        with _pt.raises(ValueError):
+            mm.decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+        with _pt.raises(ValueError):
+            mm.decode_wav(mm.encode_wav(pcm)[:30])  # truncated
+        with _pt.raises(ValueError):
+            mm.encode_wav(pcm[:-1])  # odd byte count
+
+    def test_wav_features_match_python(self, spark, docs):
+        out = {
+            r.media_id: r
+            for r in mm.extract_features(
+                mm.attach_wav_media(docs.limit(20)), use_real_decoder=True
+            ).collect()
+        }
+        import hashlib
+        import struct
+
+        for r in docs.limit(20).collect():
+            payload = mm.encode_wav(
+                hashlib.md5(r.text.encode()).digest()
+            )
+            expect = mm._wav_features(payload)
+            got = out[r.doc_id]
+            assert got.n_bytes == 60
+            import numpy as np
+
+            assert np.allclose(
+                got.features, np.array(expect, dtype=np.float32)
+            )
+
     def test_real_decoder_dispatch(self, spark, docs):
         """use_real_decoder=True must run the registered PPM parser (header
         stripped → features differ from raw-payload features) and fail

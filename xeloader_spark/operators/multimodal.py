@@ -153,8 +153,99 @@ def _ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return deterministic_features(decode_ppm(payload)["pixels"], dim)
 
 
+def encode_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE encoder: mono 16-bit PCM (public container spec:
+    RIFF size header, `fmt ` chunk, `data` chunk). Test/builder inverse
+    of `decode_wav`; `samples` is raw little-endian int16 PCM."""
+    import struct
+
+    if len(samples) % 2:
+        raise ValueError("16-bit PCM needs an even byte count")
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(samples))
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(samples))
+        + samples
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE container → {sample_rate, n_channels, bits,
+    samples}. A REAL chunk-walking parse (word-aligned chunk sizes,
+    fmt/data located by id, not offset) restricted to mono/stereo 16-bit
+    PCM; anything else raises ValueError — a codec that guesses is worse
+    than one that fails."""
+    import struct
+
+    if (
+        payload is None
+        or len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAVE chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM WAVE is supported")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
+def _wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real-decode audio features over the DECODED int16 samples (header
+    must be chunk-walked off for these to come out right): count, rate,
+    mean, min, max, peak, zero-crossings, mean energy — all exact integer
+    sums + one IEEE division each, so an SQL oracle can replay them from
+    the payload hex."""
+    w = decode_wav(payload)
+    s = w["samples"]
+    if not s:
+        return [0.0] * dim
+    n = len(s)
+    zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+    return [
+        float(n),
+        float(w["sample_rate"]),
+        sum(s) / n,
+        float(min(s)),
+        float(max(s)),
+        float(max(abs(x) for x in s)),
+        float(zc),
+        sum(x * x for x in s) / n,
+    ][:dim]
+
+
 DECODERS: dict[str, object] = {
     "image/ppm": _ppm_features,
+    "audio/wav": _wav_features,
     "image/png": _decode_image_real,
     "image/jpeg": _decode_image_real,
 }
@@ -202,6 +293,34 @@ def attach_ppm_media(
             F.lit(4).cast("int").alias("width"),
             F.lit(2).cast("int").alias("height"),
             F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+_WAV_RATE = 8000
+
+
+def attach_wav_media(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build a media table of REAL encoded audio: a RIFF/WAVE mono 16-bit
+    PCM clip whose 8 samples (16 data bytes) derive from md5(text) — a
+    valid file any WAV reader decodes, yet fully replayable in SQL (the
+    44-byte header is a constant for fixed length/rate, samples are
+    hex-derived int16 LE). meta reuses the typed fields: width=sample
+    rate, height=bits, n_frames=samples."""
+    header_hex = encode_wav(b"\x00" * 16, _WAV_RATE)[:44].hex()
+    payload = F.concat(
+        F.unhex(F.lit(header_hex)), F.unhex(F.md5(F.col(text_col)))
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("format"),
+            F.lit(_WAV_RATE).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            F.lit(8).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
 

@@ -165,6 +165,27 @@ def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec AUDIO path, exact-checked: documents → valid RIFF/WAVE
+    mono 16-bit PCM clips (md5-derived samples) → `extract_features(
+    use_real_decoder=True)` dispatches the pure-python chunk-walking WAV
+    parser; features (count/rate/mean/min/max/peak/zero-crossings/energy)
+    are computed over the DECODED int16 samples. The oracle replays the
+    little-endian int16 decode and every aggregate from the hex — a
+    mis-parsed header or byte order shifts every value."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_wav_media(docs)
+    feats = mm.extract_features(media, use_real_decoder=True)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("features").alias("dim", "feature")
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("feature").cast("double").alias("feature"),
+    )
+
+
 def q_multimodal_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal feature pipeline, exploded to (media_id, dim,
     feature) long form so the Arrow mapInPandas boundary is EXACT-checked:
@@ -269,6 +290,50 @@ ORACLES: dict[str, str] = {
                CAST(dim AS BIGINT) AS dim,
                CAST(CAST(v AS REAL) AS DOUBLE) AS feature
         FROM f
+    """,
+    "q_multimodal_audio_codec": """
+        WITH h AS (
+            SELECT doc_id AS media_id, md5(text) AS hx FROM documents
+        ),
+        s AS (
+            SELECT media_id, i,
+                   ('0x' || substr(hx, 4*i + 1, 2))::BIGINT
+                   + 256 * ('0x' || substr(hx, 4*i + 3, 2))::BIGINT AS raw
+            FROM h, (SELECT unnest(generate_series(0, 7)) AS i)
+        ),
+        v AS (
+            SELECT media_id, i,
+                   CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+            FROM s
+        ),
+        l AS (
+            SELECT media_id, i, v,
+                   lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+            FROM v
+        ),
+        a AS (
+            SELECT media_id,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(v * v) AS BIGINT) AS sv2,
+                   MIN(v) AS mn, MAX(v) AS mx, MAX(ABS(v)) AS pk,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zc
+            FROM l GROUP BY 1
+        ),
+        feats AS (
+            SELECT media_id,
+                   unnest([8.0, 8000.0,
+                           CAST(sv AS DOUBLE) / 8,
+                           CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
+                           CAST(pk AS DOUBLE), CAST(zc AS DOUBLE),
+                           CAST(sv2 AS DOUBLE) / 8]) AS fv,
+                   unnest(generate_series(0, 7)) AS dim
+            FROM a
+        )
+        SELECT media_id, CAST(60 AS BIGINT) AS n_bytes,
+               CAST(dim AS BIGINT) AS dim,
+               CAST(CAST(fv AS REAL) AS DOUBLE) AS feature
+        FROM feats
     """,
     "q_frame_sample": """
         WITH h AS (
