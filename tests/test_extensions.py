@@ -101,6 +101,46 @@ class TestDedup:
         assert out[20].deduped_text == "epsilon zeta"
         assert (out[30].n_chunks, out[30].n_kept) == (1, 1)
 
+    def test_substring_dup_spans_planted_copy(self, spark):
+        """Doc B copies an 8-token passage from doc A mid-text: both get
+        exactly ONE merged span covering 8 tokens (4 overlapping 5-gram
+        windows merge); doc C shares nothing."""
+        passage = "p1 p2 p3 p4 p5 p6 p7 p8"
+        df = spark.createDataFrame(
+            [
+                (1, f"a1 a2 {passage} a3 a4"),
+                (2, f"b1 b2 b3 {passage}"),
+                (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r
+            for r in dd.substring_dup_spans(df, min_tokens=5).collect()
+        }
+        for did in (1, 2):
+            assert out[did].n_spans == 1, out[did]
+            assert out[did].n_shared_grams == 4  # windows at passage+0..3
+            assert out[did].n_dup_tokens == 8
+        assert out[3].n_spans == 0 and out[3].n_dup_tokens == 0
+        assert out[1].dup_ratio == 8 / 12
+
+    def test_substring_dup_spans_disjoint_spans_not_merged(self, spark):
+        """Two shared passages separated by a gap wider than the window
+        must stay TWO spans."""
+        p1, p2 = "x1 x2 x3 x4 x5", "y1 y2 y3 y4 y5"
+        filler = " ".join(f"f{i}" for i in range(8))
+        df = spark.createDataFrame(
+            [(1, f"{p1} {filler} {p2}"), (2, f"{p2} z1 z2 z3 z4 z5 z6 {p1}")],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r
+            for r in dd.substring_dup_spans(df, min_tokens=5).collect()
+        }
+        assert out[1].n_spans == 2 and out[1].n_dup_tokens == 10
+        assert out[2].n_spans == 2 and out[2].n_dup_tokens == 10
+
     def test_chunk_dedup_full_duplicate_reassembles_empty(self, spark):
         df = spark.createDataFrame(
             [(1, "x y z w"), (2, "x y z w")], ["doc_id", "text"]

@@ -178,6 +178,110 @@ def chunk_dedup(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    min_tokens: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication report (the public Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" recipe,
+    re-expressed relationally: their suffix-array scan finds substrings
+    ≥ L tokens shared across documents; here every L-token window is
+    hashed and a window is DUPLICATED iff its hash occurs in ≥ 2 distinct
+    documents). Overlapping duplicated windows merge into maximal spans
+    via a run-length window, giving per-document:
+
+      n_grams, n_shared_grams, n_spans, n_dup_tokens (tokens covered by
+      merged spans), dup_ratio = n_dup_tokens / n_tokens.
+
+    `filter(dup_ratio > θ)` is the cut policy; the span count tells
+    header/footer boilerplate (many short spans) from wholesale copying
+    (one long span).
+
+    Scale shape: windows explode as (doc_id, pos, md5) — 16-byte digests,
+    never text; one hash-agg shuffle on the digest, a digest join back
+    that REUSES that partitioning, then doc_id windows/aggs sharing one
+    partitioning. Hot boilerplate hashes cost O(df) join rows here (no
+    pair space — contrast `jaccard_pairs`), so no df cap is needed."""
+    n = int(min_tokens)
+    toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
+    grams = (
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(_toks) - {n}), "
+        f"i -> md5(array_join(slice(_toks, i + 1, {n}), ' '))) END"
+    )
+    g = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.expr(toks).alias("_toks")
+        )
+        .select("doc_id", F.posexplode(F.expr(grams)).alias("pos", "h"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    marked = g.join(shared, "h", "left_semi")
+    # merge overlapping/adjacent windows: [p, p+n-1] chains with the
+    # previous interval whenever the position gap is <= n
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked.withColumn("_prev", F.lag("pos").over(w))
+        .withColumn(
+            "_new_run",
+            F.when(
+                F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("_new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    span = runs.groupBy("doc_id", "run_id").agg(
+        F.count(F.lit(1)).alias("_run_grams"),
+        (F.max("pos") - F.min("pos") + n).alias("_run_tokens"),
+    )
+    per_doc = span.groupBy("doc_id").agg(
+        F.sum("_run_grams").alias("n_shared_grams"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_run_tokens").alias("n_dup_tokens"),
+    )
+    # n_grams is arithmetic (max(n_tokens - n + 1, 0)) — no second pass
+    # over the exploded windows
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+    ).withColumn(
+        "n_grams",
+        F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).cast("long"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("n_dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ),
+        )
+    )
+
+
 def cap_document_frequency(
     shingle_df: DataFrame, max_df: int
 ) -> DataFrame:

@@ -59,6 +59,7 @@ _ROUND_PRIORITY = [
     "q_token_budget_mix",
     "q_unigram_doc_prob",
     "q_multimodal_audio_codec",
+    "q_substring_dup_spans",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

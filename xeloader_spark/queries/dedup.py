@@ -78,6 +78,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_N = 5
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022 recipe,
+    window-hash formulation): every 5-token window shared by ≥ 2 docs is
+    a duplicated window; overlapping windows merge into maximal spans.
+    Per doc: gram/shared-gram counts, span count, duplicated-token
+    coverage, dup_ratio. Oracle replays windowing, the shared set, and
+    the run-length span merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.substring_dup_spans(docs, min_tokens=_SPAN_N)
+
+
 # exactly one chunk (8 tokens) so seeded docs share chunk 0 verbatim
 _BOILER = "the quick brown fox jumps over the lazy"
 _CHUNK_TOKENS = 8
@@ -402,6 +416,69 @@ ORACLES: dict[str, str] = {
         GROUP BY doc_id
     """,
 }
+
+ORACLES["q_substring_dup_spans"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(gl) AS h, generate_subscripts(gl, 1) - 1 AS pos
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN len(tk) < {_SPAN_N} THEN []
+                        ELSE list_transform(
+                            generate_series(1, len(tk) - {_SPAN_N - 1}),
+                            i -> md5(array_to_string(tk[i:i+{_SPAN_N - 1}], ' ')))
+                   END AS gl
+            FROM t
+        )
+    ),
+    shared AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    m AS (SELECT g.doc_id, g.pos FROM g JOIN shared s ON g.h = s.h),
+    r AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            > {_SPAN_N}
+                    THEN 1 ELSE 0 END AS new_run
+        FROM m
+    ),
+    rr AS (
+        SELECT doc_id, pos,
+               SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS run_id
+        FROM r
+    ),
+    sp AS (
+        SELECT doc_id, run_id, COUNT(*) AS run_grams,
+               MAX(pos) - MIN(pos) + {_SPAN_N} AS run_tokens
+        FROM rr GROUP BY 1, 2
+    ),
+    pd AS (
+        SELECT doc_id,
+               CAST(SUM(run_grams) AS BIGINT) AS n_shared_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(run_tokens) AS BIGINT) AS n_dup_tokens
+        FROM sp GROUP BY 1
+    ),
+    tot AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(tk) - {_SPAN_N - 1}, 0) AS BIGINT) AS n_grams
+        FROM t
+    )
+    SELECT tot.doc_id, tot.n_tokens, tot.n_grams,
+           CAST(COALESCE(pd.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+           CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(pd.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CASE WHEN tot.n_tokens = 0 THEN 0.0
+                ELSE CAST(COALESCE(pd.n_dup_tokens, 0) AS DOUBLE)
+                     / CAST(tot.n_tokens AS DOUBLE)
+           END AS dup_ratio
+    FROM tot LEFT JOIN pd ON tot.doc_id = pd.doc_id
+"""
 
 ORACLES["q_embedding_clusters"] = f"""
     WITH RECURSIVE pairs AS ({_EMB_PAIRS}),
