@@ -85,6 +85,41 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TOPK = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration (Sennrich et al. 2016, public
+    algorithm): corpus-wide counts of adjacent CHARACTER pairs inside
+    whitespace tokens, top-20 merge candidates with a total tie-break
+    (count desc, pair asc). Char bigrams are built array-side per token
+    (substr windows — no per-char explode), so the explode emits one row
+    per (token occurrence × char pair); one partial-agg shuffle, then
+    TakeOrdered on the tiny aggregate. This is the induction step a
+    tokenizer-training pipeline runs before tokenizing at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            F.explode(F.expr(tx._tok_array("text"))).alias("tok")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(tok) < 2 THEN array() "
+                    "ELSE transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2)) END"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(_BPE_TOPK)
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filter (Rae et al. 2021 appendix A, public
     MassiveWeb recipe): per-rule booleans + conjunction. Single-pass
@@ -370,6 +405,23 @@ ORACLES: dict[str, str] = {
                md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fingerprint,
                r.rolling_fp
         FROM documents d LEFT JOIN rolling r ON d.doc_id = r.doc_id
+    """,
+    "q_bpe_pair_counts": f"""
+        WITH toks AS (
+            SELECT unnest({_TOKS_LIST}) AS tok FROM documents
+        ),
+        p AS (
+            SELECT unnest(
+                CASE WHEN length(tok) < 2 THEN []
+                     ELSE list_transform(generate_series(1, length(tok) - 1),
+                                         i -> substr(tok, i, 2))
+                END) AS pair
+            FROM toks
+        )
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1
+        ORDER BY n DESC, pair ASC
+        LIMIT {_BPE_TOPK}
     """,
     "q_unigram_doc_prob": f"""
         WITH toks AS (
