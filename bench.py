@@ -46,9 +46,11 @@ HEADLINE = [
     "q_dedup_shingle_jaccard",
     "q_dedup_clusters",
     "q_simhash_neardup",
+    "q_substring_dup_spans",
     "q_embedding_neardup",
     "q_ann_topk_dot",
     "q_text_quality",
+    "q_unigram_doc_prob",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",
