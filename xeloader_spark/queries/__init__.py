@@ -61,6 +61,7 @@ _ROUND_PRIORITY = [
     "q_multimodal_audio_codec",
     "q_substring_dup_spans",
     "q_bpe_pair_counts",
+    "q_quality_scorecard",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

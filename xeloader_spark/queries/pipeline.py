@@ -49,6 +49,41 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_T = 0.2
+_PROB_T = 0.0002
+
+
+def q_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality SCORECARD: every filter signal family joined
+    into one decision frame — Gopher rules, intra-doc repetition,
+    corpus-unigram probability, language ID — plus the combined `keep`
+    verdict (gopher ∧ rep_ratio ≤ 0.2 ∧ mean_tok_prob > 2e-4 ∧ lang
+    identified). This is the frame a curation run materializes once and
+    slices many times; all four signal joins are on doc_id, so AQE plans
+    them as one co-partitioned join tree (the narrow signals are computed
+    in the same scan where possible). Oracle composes the four
+    already-proven signal oracles verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    gopher = tx.gopher_quality(docs).select(
+        "doc_id", "n_words", "gopher_keep"
+    )
+    rep = tx.repetition_stats(docs, n=3).select("doc_id", "rep_ratio")
+    uni = tx.unigram_doc_score(docs).select("doc_id", "mean_tok_prob")
+    lang = tx.lang_id(docs).select("doc_id", "lang_guess")
+    return (
+        gopher.join(rep, "doc_id")
+        .join(uni, "doc_id")
+        .join(lang, "doc_id")
+        .withColumn(
+            "keep",
+            F.col("gopher_keep")
+            & (F.col("rep_ratio") <= _REP_T)
+            & (F.col("mean_tok_prob") > _PROB_T)
+            & (F.col("lang_guess") != "und"),
+        )
+    )
+
+
 _QDOCS = f"""
     SELECT doc_id, source, text,
            CAST(len({_TOKS_LIST}) AS BIGINT) AS n_tokens
@@ -58,7 +93,20 @@ _QDOCS = f"""
           * 1.0 / length(text) <= 0.3
 """
 
+from .text import ORACLES as _TEXT_ORACLES
+
 ORACLES: dict[str, str] = {
+    "q_quality_scorecard": f"""
+        SELECT g.doc_id, g.n_words, g.gopher_keep,
+               r.rep_ratio, u.mean_tok_prob, l.lang_guess,
+               (g.gopher_keep AND r.rep_ratio <= {_REP_T}
+                AND u.mean_tok_prob > {_PROB_T}
+                AND l.lang_guess <> 'und') AS keep
+        FROM ({_TEXT_ORACLES['q_gopher_quality']}) g
+        JOIN ({_TEXT_ORACLES['q_repetition_stats']}) r ON g.doc_id = r.doc_id
+        JOIN ({_TEXT_ORACLES['q_unigram_doc_prob']}) u ON g.doc_id = u.doc_id
+        JOIN ({_TEXT_ORACLES['q_lang_id']}) l ON g.doc_id = l.doc_id
+    """,
     "q_corpus_clean_pipeline": f"""
         WITH RECURSIVE qdocs AS ({_QDOCS}),
         pairs AS ({jaccard_pairs_sql('qdocs')}),
