@@ -484,6 +484,39 @@ class TestSampling:
                 assert kept_tokens >= 120
 
 
+class TestCountMinSketch:
+    def test_merge_of_splits_equals_global_build(self, spark):
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.operators import sketch as sk
+
+        ev = load_table(spark, SF, "events")
+        whole = {
+            (r.d, r.bucket): r.cnt
+            for r in sk.cms_build(ev, "user_id").collect()
+        }
+        parts = [
+            sk.cms_build(ev.filter(F.col("event_id") % 3 == p), "user_id")
+            for p in range(3)
+        ]
+        merged = {
+            (r.d, r.bucket): r.cnt for r in sk.cms_merge(*parts).collect()
+        }
+        assert merged == whole
+
+    def test_estimate_never_underestimates_any_key(self, spark):
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.operators import sketch as sk
+
+        ev = load_table(spark, SF, "events")
+        sketch = sk.cms_build(ev, "user_id", width=16, depth=3)
+        truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        est = sk.cms_estimate(
+            sketch, truth, "user_id", width=16, depth=3
+        )
+        joined = truth.join(est, "user_id").collect()
+        assert joined and all(r.cms_est >= r.n for r in joined)
+
+
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, spark, emb):
         pdf = emb.toPandas().sort_values("vec_id")

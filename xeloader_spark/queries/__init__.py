@@ -62,6 +62,7 @@ _ROUND_PRIORITY = [
     "q_substring_dup_spans",
     "q_bpe_pair_counts",
     "q_quality_scorecard",
+    "q_cms_heavy_hitters",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

@@ -257,7 +257,78 @@ def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D = 64, 4
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational count-min sketch, EXACT-checked end-to-end: two partial
+    sketches (even/odd event ids) are built and MERGED, then probed for
+    the true top-10 users. The oracle computes ONE global sketch — a
+    hash-match therefore proves merge ≡ build (the mergeable-state
+    contract) and the probe arithmetic, not just a tolerance. 150 users
+    into 64 buckets forces real collisions, so estimates genuinely
+    overestimate; `never_underestimates` pins the CMS invariant."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        sk.cms_build(
+            ev.filter(F.col("event_id") % 2 == p), "user_id", _CMS_W, _CMS_D
+        )
+        for p in (0, 1)
+    ]
+    merged = sk.cms_merge(*parts)
+    true_top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = sk.cms_estimate(merged, true_top, "user_id", _CMS_W, _CMS_D)
+    return true_top.join(est, "user_id").select(
+        "user_id",
+        "true_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("true_n")).alias("never_underestimates"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_cms_heavy_hitters": f"""
+        WITH dd AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+        b AS (
+            SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT dd.d,
+                       ('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR)
+                            || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % {_CMS_W} AS bucket
+                FROM events, dd
+            ) GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rk
+            FROM events GROUP BY 1
+        ),
+        topk AS (SELECT user_id, true_n FROM t WHERE rk <= 10),
+        probe AS (
+            SELECT p.user_id, MIN(COALESCE(b.cnt, 0)) AS cms_est
+            FROM (
+                SELECT topk.user_id, dd.d,
+                       ('0x' || substr(md5('cms' || CAST(dd.d AS VARCHAR)
+                            || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % {_CMS_W} AS bucket
+                FROM topk, dd
+            ) p
+            LEFT JOIN b ON b.d = p.d AND b.bucket = p.bucket
+            GROUP BY 1
+        )
+        SELECT topk.user_id, topk.true_n,
+               CAST(probe.cms_est AS BIGINT) AS cms_est,
+               probe.cms_est >= topk.true_n AS never_underestimates
+        FROM topk JOIN probe ON topk.user_id = probe.user_id
+    """,
     # Sketch contract checks: the exact columns are real oracle
     # computations; the booleans assert the Spark-computed accuracy
     # contract held (a sketch regression flips them to FALSE → hash
