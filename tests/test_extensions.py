@@ -796,6 +796,26 @@ class TestMultimodal:
                 got.features, np.array(expect, dtype=np.float32)
             )
 
+    def test_resize_nearest_neighbor_semantics(self, spark):
+        # 2x2 image with distinct per-pixel colors: downsample to 1x1
+        # keeps pixel (0,0); upsample to 4x2 repeats each pixel twice
+        px = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+        df = spark.createDataFrame(
+            [(1, bytearray(mm.encode_ppm(2, 2, px)))],
+            "media_id long, payload binary",
+        )
+        down = mm.resize_media(df, 1, 1).collect()[0]
+        assert mm.decode_ppm(bytes(down.payload))["pixels"] == px[:3]
+        up = mm.resize_media(df, 4, 2).collect()[0]
+        dec = mm.decode_ppm(bytes(up.payload))
+        assert (dec["width"], dec["height"]) == (4, 2)
+        # row 0: p00 p00 p01 p01 ; row 1: p10 p10 p11 p11
+        expect = (
+            px[0:3] + px[0:3] + px[3:6] + px[3:6]
+            + px[6:9] + px[6:9] + px[9:12] + px[9:12]
+        )
+        assert dec["pixels"] == expect
+
     def test_real_decoder_dispatch(self, spark, docs):
         """use_real_decoder=True must run the registered PPM parser (header
         stripped → features differ from raw-payload features) and fail

@@ -61,6 +61,15 @@ FRAMES_SCHEMA = T.StructType(
     ]
 )
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
 
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build a media table from the documents fixture: payload bytes are
@@ -355,6 +364,49 @@ def extract_features(media_df: DataFrame, use_real_decoder: bool = False) -> Dat
 
     return media_df.select("media_id", "payload", "meta").mapInPandas(
         run, schema=FEATURES_SCHEMA
+    )
+
+
+def resize_media(media_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize: decode the PPM container, nearest-neighbor
+    sample the pixel grid (src index = floor(dst·src_dim/dst_dim) — the
+    standard NN mapping), re-encode. Decode→transform→encode is the whole
+    multimodal hot path in one operator; pixel gathers are numpy index
+    ops (`np.ix_` fancy indexing), not per-pixel python. Payloads stream
+    through Arrow batches; nothing touches the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        xi_cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def grid(src: int, dst: int) -> "np.ndarray":
+            key = (src, dst)
+            if key not in xi_cache:
+                xi_cache[key] = (np.arange(dst) * src) // dst
+            return xi_cache[key]
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                img = decode_ppm(payload)
+                w, h = img["width"], img["height"]
+                arr = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                resized = arr[np.ix_(grid(h, out_h), grid(w, out_w))]
+                out.append(encode_ppm(out_w, out_h, resized.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": out,
+                }
+            )
+
+    return media_df.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
     )
 
 

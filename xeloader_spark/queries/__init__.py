@@ -63,6 +63,7 @@ _ROUND_PRIORITY = [
     "q_bpe_pair_counts",
     "q_quality_scorecard",
     "q_cms_heavy_hitters",
+    "q_multimodal_resize",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

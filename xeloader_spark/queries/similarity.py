@@ -186,6 +186,22 @@ def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode→resize→re-encode: 4×2 PPM images nearest-neighbor
+    downsampled to 2×1 (src pixels (0,0) and (2,0) survive) and
+    re-encoded. The oracle rebuilds the expected output CONTAINER byte
+    for byte from the source pixel hex — header handling, NN index
+    mapping, and re-encode are all pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = mm.resize_media(mm.attach_ppm_media(docs), out_w=2, out_h=1)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
 def q_multimodal_feature_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal feature pipeline, exploded to (media_id, dim,
     feature) long form so the Arrow mapInPandas boundary is EXACT-checked:
@@ -241,6 +257,8 @@ def _lsh_quantized_oracle(n_planes: int = _LSH_PLANES, scale: int = 1000) -> str
     """
 
 
+_RESIZED_HDR_HEX = b"P6\n2 1\n255\n".hex()
+
 ORACLES: dict[str, str] = {
     "q_ann_topk_lsh_quantized": _lsh_quantized_oracle(),
     "q_ann_topk_ivf": f"""
@@ -290,6 +308,18 @@ ORACLES: dict[str, str] = {
                CAST(dim AS BIGINT) AS dim,
                CAST(CAST(v AS REAL) AS DOUBLE) AS feature
         FROM f
+    """,
+    "q_multimodal_resize": f"""
+        SELECT doc_id AS media_id,
+               CAST(2 AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+               '{_RESIZED_HDR_HEX}'
+                   || lower(substr(px, 1, 6) || substr(px, 13, 6))
+                   AS payload_hex
+        FROM (
+            SELECT doc_id,
+                   md5(text) || substr(md5('x' || text), 1, 16) AS px
+            FROM documents
+        )
     """,
     "q_multimodal_audio_codec": """
         WITH h AS (
