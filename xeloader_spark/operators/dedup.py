@@ -104,6 +104,54 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against a previously-loaded corpus
+    snapshot (the continuous-ingest analogue of `exact_dedup`; pairs with
+    the lineage table the same way `ingest_incremental` gates files —
+    reference keeps per-file lineage in XELoader/FileProcessor.cs but has
+    no content-level re-load guard).
+
+    `snapshot` carries one `digest_col` row per document already kept (in
+    production: a digest side-table appended on every load, derived from
+    lineage). Only digests ever cross the wire — the snapshot is
+    digest-only, the batch shuffles once on digest for the in-batch
+    keeper window, and the snapshot probe is a hash left-join on the same
+    digest key (broadcast when the snapshot fits, shuffle-on-digest
+    otherwise; either way the documents themselves never re-shuffle).
+
+    Returns one row per batch doc: (id, digest, status) with status in
+    'dup_in_snapshot' (content already ingested), 'dup_in_batch' (a
+    smaller id in this batch has the same content), 'keep'. Snapshot
+    match wins over in-batch rank; `filter(status = 'keep')` is exactly
+    the set whose digests should be appended to the snapshot after the
+    load commits.
+    """
+    digests = snapshot.select(F.col(digest_col).alias("_snap_digest")).distinct()
+    w = Window.partitionBy("digest").orderBy(id_col)
+    ranked = batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    ).withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(
+            digests, ranked["digest"] == digests["_snap_digest"], "left"
+        )
+        .select(
+            id_col,
+            "digest",
+            F.when(F.col("_snap_digest").isNotNull(), F.lit("dup_in_snapshot"))
+            .when(F.col("_rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 8,

@@ -64,6 +64,7 @@ _ROUND_PRIORITY = [
     "q_quality_scorecard",
     "q_cms_heavy_hitters",
     "q_multimodal_resize",
+    "q_incremental_dedup",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

@@ -118,6 +118,37 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.chunk_dedup(seeded, chunk_tokens=_CHUNK_TOKENS)
 
 
+_SNAP_BUCKET = 7000  # 70% of the corpus plays the already-ingested snapshot
+_SEEDED_PFX = "shared boilerplate passage "
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: a deterministic 70% of the corpus plays
+    the already-loaded snapshot (its digest side-table), the other 30% is
+    the new batch; every 4th doc is seeded with a shared boilerplate text
+    (2 copies per 8-id run) so duplicates exist both inside the batch and
+    across the snapshot boundary. Each batch doc gets 'dup_in_snapshot' /
+    'dup_in_batch' / 'keep' — the keep set is what the load appends to
+    the snapshot. Digest-only joins; the corpus never re-shuffles."""
+    from ..operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(_SEEDED_PFX), F.expr("CAST(doc_id DIV 8 AS STRING)")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    in_snap = sp.hash_bucket("doc_id", salt="ingest") < _SNAP_BUCKET
+    snapshot = seeded.filter(in_snap).select(F.md5("text").alias("digest"))
+    return dd.incremental_dedup(seeded.filter(~in_snap), snapshot)
+
+
 _EVAL_BUCKET = 500  # 5% of documents act as the held-out eval set
 
 
@@ -335,6 +366,28 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_incremental_dedup": f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 1
+                        THEN '{_SEEDED_PFX}' || CAST(doc_id // 8 AS VARCHAR)
+                        ELSE text END AS text,
+                   (('0x' || substr(md5('ingest' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                       < {_SNAP_BUCKET} AS in_snap
+            FROM documents
+        ),
+        snap AS (SELECT DISTINCT md5(text) AS digest FROM seeded WHERE in_snap),
+        b AS (
+            SELECT doc_id, md5(text) AS digest,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM seeded WHERE NOT in_snap
+        )
+        SELECT b.doc_id, b.digest,
+               CASE WHEN s.digest IS NOT NULL THEN 'dup_in_snapshot'
+                    WHEN b.rn > 1 THEN 'dup_in_batch'
+                    ELSE 'keep' END AS status
+        FROM b LEFT JOIN snap s ON b.digest = s.digest
     """,
     "q_decontaminate": f"""
         WITH toks AS (
