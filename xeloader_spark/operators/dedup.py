@@ -528,6 +528,89 @@ def cross_contamination(
     )
 
 
+def bloom_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    m: int = 8192,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination via a Bloom filter of eval n-grams — the shape that
+    actually runs at 100 TB: `cross_contamination` broadcasts the eval
+    gram STRINGS, which stops fitting when the eval suite is large; here
+    the eval side compresses to a fixed m-bit array (k hash positions per
+    gram) that broadcasts at m bits no matter how many grams went in.
+
+    Probe is ZERO-shuffle: each train doc's distinct n-gram array is
+    built array-side, the bit array arrives via a broadcast single-row
+    cross join, and membership is k O(1) `element_at` probes per gram
+    inside one whole-stage-codegen projection. Only the eval side
+    aggregates (one tiny collect_set).
+
+    Returns one row per train doc: (id, n_grams, n_bloom_hits,
+    n_exact_hits, contaminated). n_exact_hits (true membership, via the
+    broadcast gram array) is the small-scale AUDIT column quantifying the
+    Bloom false-positive overcount — at production scale you drop it and
+    keep only the bloom verdict. Hash positions are md5-derived integers,
+    so a SQL oracle replays build + probe bit-exactly.
+    """
+    ks = range(1, int(k) + 1)
+
+    def pos_exprs(var: str) -> list[str]:
+        return [
+            f"CAST(conv(substring(md5('{j}:' || {var}), 1, 8), 16, 10) AS BIGINT)"
+            f" % {m}"
+            for j in ks
+        ]
+
+    ev = shingles(eval_df, n=n, text_col=text_col, id_col=id_col)
+    one = ev.agg(F.sort_array(F.collect_set("shingle")).alias("egrams"))
+    pos_arr = (
+        "array_distinct(flatten(transform(egrams, g -> array("
+        + ", ".join(pos_exprs("g"))
+        + "))))"
+    )
+    one = (
+        one.withColumn("_pos", F.expr(pos_arr))
+        .withColumn(
+            "bits",
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                "i -> CASE WHEN array_contains(_pos, CAST(i AS BIGINT)) "
+                "THEN 1 ELSE 0 END)"
+            ),
+        )
+        .select("egrams", "bits")
+    )
+    toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
+    gr = (
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size(_toks) - {n}), "
+        f"i -> array_join(slice(_toks, i + 1, {n}), ' '))) END"
+    )
+    hit = " AND ".join(
+        f"element_at(bits, CAST({p} AS INT) + 1) = 1" for p in pos_exprs("g")
+    )
+    return (
+        train_df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+        .select(id_col, F.expr(gr).alias("_grams"))
+        .crossJoin(F.broadcast(one))
+        .select(
+            F.col(id_col),
+            F.expr("CAST(size(_grams) AS BIGINT)").alias("n_grams"),
+            F.expr(f"CAST(size(filter(_grams, g -> {hit})) AS BIGINT)").alias(
+                "n_bloom_hits"
+            ),
+            F.expr("CAST(size(array_intersect(_grams, egrams)) AS BIGINT)").alias(
+                "n_exact_hits"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_bloom_hits") > 0)
+    )
+
+
 # ------------------------------------------------ cluster resolution
 def _cc_star(pairs_uv: DataFrame, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star contraction (Kiveris et al.,

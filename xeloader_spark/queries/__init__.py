@@ -65,6 +65,7 @@ _ROUND_PRIORITY = [
     "q_cms_heavy_hitters",
     "q_multimodal_resize",
     "q_incremental_dedup",
+    "q_bloom_decontaminate",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

@@ -168,6 +168,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 32768
+_BLOOM_K = 3
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the 5% eval split's 5-grams compress
+    into a 32768-bit broadcast filter (3 md5 hash positions per gram);
+    every train doc probes its distinct grams with zero shuffle. The
+    n_exact_hits audit column quantifies Bloom false positives against
+    true membership. Oracle replays build + probe bit-exactly."""
+    from ..operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = sp.hash_bucket("doc_id", salt="eval") < _EVAL_BUCKET
+    return dd.bloom_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), n=5, m=_BLOOM_M, k=_BLOOM_K
+    )
+
+
 _EMB_PLANES = 16
 _EMB_BANDS = 4
 
@@ -411,6 +430,55 @@ ORACLES: dict[str, str] = {
         FROM (SELECT * FROM sh WHERE NOT is_eval) tr
         JOIN (SELECT * FROM sh WHERE is_eval) ev ON tr.sh = ev.sh
         GROUP BY 1
+    """,
+    "q_bloom_decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5('eval' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                       < {_EVAL_BUCKET} AS is_eval,
+                   list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, is_eval, unnest(
+                CASE WHEN len(t) < 5 THEN []
+                     ELSE list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                        i -> array_to_string(t[i:i+4], ' ')))
+                END) AS g
+            FROM toks
+        ),
+        eg AS (SELECT DISTINCT g FROM g WHERE is_eval),
+        bits AS (
+            SELECT DISTINCT
+                   (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g), 1, 8))::BIGINT
+                        % {_BLOOM_M}) AS pos
+            FROM eg, (SELECT unnest([1, 2, 3]) AS j)
+        ),
+        trh AS (
+            SELECT doc_id, g,
+                   (('0x' || substr(md5('1:' || g), 1, 8))::BIGINT % {_BLOOM_M})
+                       IN (SELECT pos FROM bits)
+                   AND (('0x' || substr(md5('2:' || g), 1, 8))::BIGINT % {_BLOOM_M})
+                       IN (SELECT pos FROM bits)
+                   AND (('0x' || substr(md5('3:' || g), 1, 8))::BIGINT % {_BLOOM_M})
+                       IN (SELECT pos FROM bits) AS bloom_hit,
+                   g IN (SELECT g FROM eg) AS exact_hit
+            FROM g WHERE NOT is_eval
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+                   CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits
+            FROM trh GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(a.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+               CAST(COALESCE(a.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+               COALESCE(a.n_bloom_hits, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM toks WHERE NOT is_eval) d
+        LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
     "q_simhash_signature": f"""
         WITH toks AS ({_TOKS}),
