@@ -387,6 +387,58 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingle_df: DataFrame, threshold: float = 0.7, max_df: int | None = None
+) -> DataFrame:
+    """DIRECTIONAL near-dup pairs by exact set containment
+    C(sub ⊆ super) = |sub ∩ super| / |sub| — the asymmetric complement
+    of `jaccard_pairs`: a short document quoted wholesale inside a long
+    one has low Jaccard (the union is big) but containment ≈ 1, which is
+    exactly the "this doc is subsumed by that doc" signal a dedup
+    pipeline wants for quote/expansion chains (Broder's resemblance vs
+    containment distinction).
+
+    Same inverted-index shape as `jaccard_pairs` (one shuffle on shingle,
+    one on the undirected pair), then each undirected pair fans out into
+    up to two directed verdicts — integer counts until the final
+    division, so engine-exact. Emits (id_sub, id_super, n_common, n_sub,
+    containment); `max_df` is the same hot-shingle skew cap."""
+    if max_df is not None:
+        shingle_df = cap_document_frequency(shingle_df, max_df)
+    shingle_df = _persist(shingle_df)
+    sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+    )
+    fwd = common.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        "n_common",
+        F.col("n_a").alias("n_sub"),
+    )
+    rev = common.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        "n_common",
+        F.col("n_b").alias("n_sub"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn("containment", F.col("n_common") / F.col("n_sub"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_signatures(
     token_df: DataFrame, k: int = 12
 ) -> DataFrame:

@@ -138,6 +138,52 @@ def token_budget_take(
     )
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    tokens_col: str,
+    key_col: str = "doc_id",
+    bucket_width: int = 8,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Length-bucketed batch assembly: documents are grouped into
+    fixed-width length buckets (bucket = tokens DIV width), ordered by
+    (tokens, key) inside each bucket, and cut into `batch_size`-document
+    batches — the standard padding-minimizing batching for variable-length
+    training samples (each batch pads to ITS max, not the corpus max).
+
+    Returns one row per batch: (bucket, batch_id, n_docs, pad_len,
+    real_tokens, padded_tokens, waste) — all integer window/aggregate
+    arithmetic, engine-exact. padded_tokens = pad_len * n_docs is the
+    cost the accelerator actually pays; waste is what bucketing saved
+    you from paying at a coarser granularity.
+
+    Shape: one shuffle for the per-bucket ranking window + the map-side-
+    combinable batch aggregate, over a slim (key, tokens) projection.
+    Buckets are few, so each bucket's ranking serializes into one task —
+    at 100 TB rank within (bucket, shard) instead, exactly like
+    `pack_sequences` partitions by the shard key, and batches stay
+    shard-local (a property training-data loaders want anyway)."""
+    width, bsz = int(bucket_width), int(batch_size)
+    w = Window.partitionBy("bucket").orderBy(F.col(tokens_col), F.col(key_col))
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(tokens_col),
+            F.expr(f"CAST({tokens_col} DIV {width} AS BIGINT)").alias("bucket"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("batch_id", F.expr(f"CAST((_rn - 1) DIV {bsz} AS BIGINT)"))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(tokens_col).cast("bigint").alias("pad_len"),
+            F.sum(tokens_col).cast("bigint").alias("real_tokens"),
+        )
+        .withColumn("padded_tokens", F.col("pad_len") * F.col("n_docs"))
+        .withColumn("waste", F.col("padded_tokens") - F.col("real_tokens"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -289,6 +289,76 @@ def unigram_doc_score(
     )
 
 
+def tfidf_search(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    idf_scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword search with TF-IDF ranking — the relevance-scored corpus
+    search a data-curation UI runs ("show me the docs most about X").
+    Scoring is INTEGER-exact so a SQL oracle can hash-match it: idf is
+    the scaled integer quotient (n_docs · idf_scale) DIV df(term) (no
+    logarithm — log is the one piece of libm that may differ by an ulp
+    across engines), and score = Σ_term tf · idf, a BIGINT.
+
+    Shape: one map-side-combined aggregate collapses the corpus to a
+    single (n_docs, df…) stats row that broadcasts back via cross join;
+    the probe pass computes per-term tf array-side (zero shuffle, zero
+    explode — the query has few terms, so tf is a fixed column set, not
+    a join against an inverted index); top-k compiles to
+    TakeOrderedAndProject with a doc-id tie-break. Two narrow corpus
+    scans total, nothing wide ever shuffles."""
+    for t in terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"term must not contain quotes/backslashes: {t!r}")
+    toks = _tok_array(text_col)
+    base = df.select(F.col(id_col), F.expr(toks).alias("_toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN array_contains(_toks, '{t}') THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    probe = base.crossJoin(F.broadcast(stats))
+    tf_cols = [
+        F.expr(f"CAST(size(filter(_toks, x -> x = '{t}')) AS BIGINT)").alias(
+            f"_tf{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    idf = [
+        f"CASE WHEN _df{i} = 0 THEN 0 ELSE (n_docs * {int(idf_scale)}) DIV _df{i} END"
+        for i in range(len(terms))
+    ]
+    scored = probe.select(F.col(id_col), "n_docs", *tf_cols, *[F.col(f"_df{i}") for i in range(len(terms))]).select(
+        F.col(id_col),
+        sum(
+            (F.expr(f"CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END") for i in range(len(terms))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_matched"),
+        sum(
+            (F.expr(f"_tf{i} * ({e})") for i, e in enumerate(idf)), F.lit(0)
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whole-document fingerprint: md5 over the normalized text (lowercase,
     whitespace collapsed) — the exact-dedup key that survives formatting

@@ -66,6 +66,9 @@ _ROUND_PRIORITY = [
     "q_multimodal_resize",
     "q_incremental_dedup",
     "q_bloom_decontaminate",
+    "q_length_bucket_batches",
+    "q_tfidf_search",
+    "q_containment_pairs",
     # remaining round-1-unchecked queries
     "q_frame_sample",
     "q_multimodal_features",

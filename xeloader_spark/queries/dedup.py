@@ -78,6 +78,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_T = 0.6
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup: every (sub, super) doc pair where
+    ≥ 60% of sub's trigram shingles also occur in super — catches short
+    docs subsumed by longer ones, which symmetric Jaccard misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(dd.shingles(docs, n=3), threshold=_CONTAIN_T)
+
+
 _SPAN_N = 5
 
 
@@ -372,6 +383,32 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
     "q_dedup_shingle_jaccard": _JACCARD_PAIRS,
+    "q_containment_pairs": f"""
+        WITH tri AS ({tri_sql()}),
+        sz AS (SELECT id, COUNT(*) AS n FROM tri GROUP BY 1),
+        common AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+            FROM tri a JOIN tri b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT c.id_a, c.id_b, c.n_common, sa.n AS n_a, sb.n AS n_b
+            FROM common c
+            JOIN sz sa ON c.id_a = sa.id
+            JOIN sz sb ON c.id_b = sb.id
+        ),
+        directed AS (
+            SELECT id_a AS id_sub, id_b AS id_super, n_common, n_a AS n_sub
+            FROM sized
+            UNION ALL
+            SELECT id_b AS id_sub, id_a AS id_super, n_common, n_b AS n_sub
+            FROM sized
+        )
+        SELECT id_sub, id_super, n_common,
+               n_sub, n_common * 1.0 / n_sub AS containment
+        FROM directed
+        WHERE n_common * 1.0 / n_sub >= {_CONTAIN_T}
+    """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
         {clusters_sql('pairs', 'documents')}

@@ -122,6 +122,27 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_W = 8
+_BATCH_SZ = 16
+
+
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-minimizing batch assembly: docs fall into 8-token-wide
+    length buckets, each bucket is cut into 16-doc batches in (tokens,
+    doc_id) order, and every batch reports its pad length and padding
+    waste — integer window arithmetic end-to-end, engine-exact."""
+    from ..operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({tx._tok_array('text')}) AS BIGINT)").alias("n_tokens"),
+    )
+    return sp.length_bucket_batches(
+        toks, "n_tokens", "doc_id", bucket_width=_BUCKET_W, batch_size=_BATCH_SZ
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _B = sp.BUCKETS
@@ -193,6 +214,34 @@ ORACLES["q_source_cap"] = f"""
     SELECT doc_id, source, CAST(grp_rank AS BIGINT) AS grp_rank,
            grp_rank <= {_CAP} AS kept
     FROM r
+"""
+
+ORACLES["q_length_bucket_batches"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens, n_tokens // {_BUCKET_W} AS bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_tokens // {_BUCKET_W}
+                   ORDER BY n_tokens, doc_id
+               ) AS rn
+        FROM t
+    ),
+    a AS (
+        SELECT bucket, (rn - 1) // {_BATCH_SZ} AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS pad_len,
+               CAST(SUM(n_tokens) AS BIGINT) AS real_tokens
+        FROM r GROUP BY 1, 2
+    )
+    SELECT bucket, batch_id, n_docs, pad_len, real_tokens,
+           pad_len * n_docs AS padded_tokens,
+           pad_len * n_docs - real_tokens AS waste
+    FROM a
 """
 
 ORACLES["q_token_budget_mix"] = f"""

@@ -201,6 +201,21 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_TERMS = ("spark", "merge", "window")
+_SEARCH_K = 20
+_IDF_SCALE = 1_000_000
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword search: top-20 docs by integer-exact TF-IDF over
+    the query terms (spark, merge, window), idf = scaled integer quotient
+    so no cross-engine log drift; score/tie ordering is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_search(
+        docs, _SEARCH_TERMS, k=_SEARCH_K, idf_scale=_IDF_SCALE
+    )
+
+
 _TOKS_LIST = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 _TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
 
@@ -240,7 +255,43 @@ def q_unigram_doc_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_doc_score(docs)
 
 
+def _tfidf_search_sql() -> str:
+    n = len(_SEARCH_TERMS)
+    dfs = ", ".join(
+        f"CAST(COUNT(CASE WHEN list_contains(tk, '{t}') THEN 1 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(_SEARCH_TERMS)
+    )
+    tfs = ", ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_SEARCH_TERMS)
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    score = " + ".join(
+        f"tf{i} * (CASE WHEN df{i} = 0 THEN 0"
+        f" ELSE (n_docs * {_IDF_SCALE}) // df{i} END)"
+        for i in range(n)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS_LIST} AS tk FROM documents),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, {dfs} FROM t),
+        s AS (SELECT doc_id, {tfs} FROM t),
+        sc AS (
+            SELECT s.doc_id,
+                   CAST({matched} AS BIGINT) AS n_matched,
+                   CAST({score} AS BIGINT) AS score
+            FROM s, c
+        )
+        SELECT doc_id, n_matched, score FROM sc
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {_SEARCH_K}
+    """
+
+
 ORACLES: dict[str, str] = {
+    "q_tfidf_search": _tfidf_search_sql(),
     "q_gopher_quality": f"""
         WITH t AS (
             SELECT doc_id, text, {_TOKS_LIST} AS toks FROM documents
