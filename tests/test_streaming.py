@@ -112,3 +112,38 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     assert got.count() == n_expected
     assert got.select("event_id").distinct().count() == n_expected
     ev.unpersist()
+
+
+def test_streaming_cms_matches_batch(spark, stream_in, tmp_path):
+    """Streamed count-min sketch == batch cms_build on the same rows:
+    counts are commutative, so micro-batching must not change a single
+    (d, bucket, cnt) cell; state stays sketch-sized throughout."""
+    from xeloader_spark.operators import sketch as sk
+    from xeloader_spark.streaming import sketch_stream as ss
+
+    ckpt = str(tmp_path / "cms_ckpt")
+    stream = st.read_event_stream(spark, stream_in, max_files_per_trigger=1)
+    q = ss.start_cms(stream, ckpt, "user_id", width=32, depth=3, salt="scms")
+    q.awaitTermination(120)
+
+    got = {
+        (r.d, r.bucket): r.cnt for r in spark.sql("select * from cms_sketch").collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exp = {
+        (r.d, r.bucket): r.cnt
+        for r in sk.cms_build(ev, "user_id", width=32, depth=3, salt="scms").collect()
+    }
+    assert got == exp
+    assert len(got) <= 3 * 32
+
+    # probing the streamed sketch never underestimates a true count
+    sketch_df = spark.sql("select * from cms_sketch")
+    truth = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {
+        r.user_id: r.cms_est
+        for r in sk.cms_estimate(
+            sketch_df, ev.select("user_id").distinct(), "user_id", width=32, depth=3, salt="scms"
+        ).collect()
+    }
+    assert all(est[u] >= n for u, n in truth.items())

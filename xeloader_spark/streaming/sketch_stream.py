@@ -1,0 +1,69 @@
+"""Streaming count-min sketch: the relational (d, bucket, cnt) sketch of
+operators/sketch.py maintained as a continuously-updating streaming
+aggregate.
+
+Because the sketch IS a groupBy over (d, bucket), Structured Streaming
+maintains it with its ordinary stateful-aggregation machinery: state is
+exactly depth × width rows FOREVER, independent of stream length — the
+defining sketch property carries over to streaming for free, no custom
+`applyInPandasWithState` operator needed. Each micro-batch folds its rows
+into the running counts (map-side partial agg, then a depth × width-row
+shuffle), and `complete` output re-emits the whole (tiny) sketch, so a
+downstream probe always sees a consistent snapshot.
+
+Equivalence contract (pinned in tests/test_streaming.py): after draining
+a bounded input, the streamed sketch equals `cms_build` over the same
+rows — count-min is order-insensitive (counts are commutative), so
+micro-batching cannot change the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketch import _bucket_structs
+
+
+def cms_stream(
+    stream: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Streaming sketch build — same explode + groupBy as the batch
+    `cms_build`, applied to an unbounded source."""
+    return (
+        stream.select(
+            F.explode(_bucket_structs(key_col, width, depth, salt)).alias("s")
+        )
+        .select("s.d", "s.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def start_cms(
+    stream: DataFrame,
+    checkpoint_path: str,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+    salt: str = "cms",
+    table: str = "cms_sketch",
+    trigger_once: bool = True,
+):
+    """Run the streaming sketch into an in-memory table (`table`) in
+    complete mode — legitimate here precisely because the result is
+    sketch-sized (depth × width rows), never corpus-sized."""
+    writer = (
+        cms_stream(stream, key_col, width=width, depth=depth, salt=salt)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
