@@ -400,9 +400,11 @@ def containment_pairs(
 
     Same inverted-index shape as `jaccard_pairs` (one shuffle on shingle,
     one on the undirected pair), then each undirected pair fans out into
-    up to two directed verdicts — integer counts until the final
-    division, so engine-exact. Emits (id_sub, id_super, n_common, n_sub,
-    containment); `max_df` is the same hot-shingle skew cap."""
+    its two directed verdicts via a single explode — NOT a self-union,
+    which would re-run the whole pair pipeline per direction. Integer
+    counts until the final division, so engine-exact. Emits (id_sub,
+    id_super, n_common, n_sub, containment); `max_df` is the same
+    hot-shingle skew cap."""
     if max_df is not None:
         shingle_df = cap_document_frequency(shingle_df, max_df)
     shingle_df = _persist(shingle_df)
@@ -596,10 +598,12 @@ def bloom_decontaminate(
     gram) that broadcasts at m bits no matter how many grams went in.
 
     Probe is ZERO-shuffle: each train doc's distinct n-gram array is
-    built array-side, the bit array arrives via a broadcast single-row
-    cross join, and membership is k O(1) `element_at` probes per gram
-    inside one whole-stage-codegen projection. Only the eval side
-    aggregates (one tiny collect_set).
+    built array-side, the filter arrives via a broadcast single-row
+    cross join as a WORD-PACKED bitset (a map of m/64 bigint words built
+    with a bit_or aggregate — build cost O(set bits), probe cost k O(1)
+    mask tests per gram), all inside one whole-stage-codegen projection.
+    Only the eval side aggregates (two tiny aggs: word bit_or +
+    collect_set).
 
     Returns one row per train doc: (id, n_grams, n_bloom_hits,
     n_exact_hits, contaminated). n_exact_hits (true membership, via the
@@ -617,24 +621,29 @@ def bloom_decontaminate(
             for j in ks
         ]
 
-    ev = shingles(eval_df, n=n, text_col=text_col, id_col=id_col)
-    one = ev.agg(F.sort_array(F.collect_set("shingle")).alias("egrams"))
-    pos_arr = (
-        "array_distinct(flatten(transform(egrams, g -> array("
-        + ", ".join(pos_exprs("g"))
-        + "))))"
-    )
-    one = (
-        one.withColumn("_pos", F.expr(pos_arr))
-        .withColumn(
-            "bits",
-            F.expr(
-                f"transform(sequence(0, {m - 1}), "
-                "i -> CASE WHEN array_contains(_pos, CAST(i AS BIGINT)) "
-                "THEN 1 ELSE 0 END)"
+    ev = _persist(shingles(eval_df, n=n, text_col=text_col, id_col=id_col))
+    words = (
+        ev.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in pos_exprs("shingle")])
+            ).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
             ),
         )
-        .select("egrams", "bits")
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("widx", "word")))
+            ).alias("wmap")
+        )
+    )
+    one = words.crossJoin(
+        ev.agg(F.sort_array(F.collect_set("shingle")).alias("egrams"))
     )
     toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
     gr = (
@@ -643,7 +652,9 @@ def bloom_decontaminate(
         f"i -> array_join(slice(_toks, i + 1, {n}), ' '))) END"
     )
     hit = " AND ".join(
-        f"element_at(bits, CAST({p} AS INT) + 1) = 1" for p in pos_exprs("g")
+        f"(coalesce(element_at(wmap, CAST(({p}) DIV 64 AS INT)), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0"
+        for p in pos_exprs("g")
     )
     return (
         train_df.select(F.col(id_col), F.expr(toks).alias("_toks"))
