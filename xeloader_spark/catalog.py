@@ -29,19 +29,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning + predicate pushdown reach the
     parquet scan because this stays fully declarative.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark has
-    no native type for (timestamps are microsecond precision). We read
-    nanos as int64 (``spark.sql.legacy.parquet.nanosAsLong``) and truncate
-    to microseconds — exactly what DuckDB does when materializing
-    TIMESTAMP_NS, so oracle comparisons agree.
+    Timestamp normalization: the fixtures have been generated with two
+    parquet physical shapes over time — TIMESTAMP(NANOS) (no native Spark
+    type; read as int64 via ``spark.sql.legacy.parquet.nanosAsLong`` and
+    truncated to micros) and TIMESTAMP(MICROS) without UTC adjustment
+    (which Spark 4 would infer as TIMESTAMP_NTZ). Both are normalized to
+    session TIMESTAMP at the *scan* (inferTimestampNTZ=false — a reader
+    conf, not a cast, so timestamp predicates still push down to
+    parquet). The session is pinned to UTC (`session.py`), so wall-clock
+    values agree with DuckDB's naive timestamps in oracle comparisons.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for fld in df.schema.fields:
         if fld.name == "ts" and fld.dataType.typeName() in ("long", "bigint"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif fld.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
 
 
