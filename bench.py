@@ -51,6 +51,7 @@ HEADLINE = [
     "q_ann_topk_dot",
     "q_text_quality",
     "q_unigram_doc_prob",
+    "q_domain_classifier",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

@@ -1,0 +1,79 @@
+"""Hashed-feature linear classifier: learning behavior and scale shape.
+
+Cross-engine arithmetic parity for `q_domain_classifier` is covered by
+test_oracle_parity (the oracle replays train-and-predict end to end);
+these tests pin what parity can't — that the classifier actually learns
+when signal exists, that unseen vocabulary is handled by the dense
+smoothed model, and that the scoring plan broadcasts the model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xeloader_spark.operators import classify as cl
+from xeloader_spark.plans.inspect import assert_broadcast_join
+
+
+def _fixture(spark):
+    """Three classes with disjoint planted vocabulary + shared noise."""
+    rows = []
+    vocab = {
+        "sport": "goal match team score league",
+        "cooking": "recipe flour oven bake simmer",
+        "law": "court statute ruling appeal clause",
+    }
+    i = 0
+    for label, words in vocab.items():
+        for k in range(8):
+            # planted signal tokens repeated, plus shared filler
+            text = f"{words} {words} the of and {k}"
+            rows.append((i, label, text))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "label", "text"])
+
+
+class TestLearns:
+    def test_self_accuracy_on_planted_vocab(self, spark):
+        docs = _fixture(spark)
+        feats = cl.hashed_token_features(docs, keep_cols=("label",))
+        model = cl.train_hashed_linear(feats)
+        preds = cl.classify(
+            feats.withColumnRenamed("label", "actual"),
+            model,
+            keep_cols=("actual",),
+        )
+        got = preds.select("doc_id", "actual", "label").collect()
+        assert len(got) == 24
+        acc = sum(1 for r in got if r.actual == r.label) / len(got)
+        assert acc == 1.0, f"planted-vocab self-accuracy {acc} < 1.0"
+
+    def test_unseen_vocab_still_scored_once(self, spark):
+        docs = _fixture(spark)
+        feats = cl.hashed_token_features(docs, keep_cols=("label",))
+        model = cl.train_hashed_linear(feats)
+        new = spark.createDataFrame(
+            [(100, "zzz qqq xxyyzz unseen tokens entirely")],
+            ["doc_id", "text"],
+        )
+        preds = cl.classify(cl.hashed_token_features(new), model).collect()
+        assert len(preds) == 1
+        assert preds[0].label in {"sport", "cooking", "law"}
+
+    def test_model_is_dense(self, spark):
+        docs = _fixture(spark)
+        feats = cl.hashed_token_features(docs, keep_cols=("label",))
+        model = cl.train_hashed_linear(feats)
+        assert model.count() == 3 * cl.N_BUCKETS
+        # every cell has a positive weight (smoothing floor)
+        assert model.filter(F.col("w") <= 0).count() == 0
+
+
+class TestScaleShape:
+    def test_model_broadcasts_in_scoring_plan(self, spark):
+        docs = _fixture(spark)
+        feats = cl.hashed_token_features(docs, keep_cols=("label",))
+        model = cl.train_hashed_linear(feats)
+        preds = cl.classify(feats.withColumnRenamed("label", "actual"), model,
+                            keep_cols=("actual",))
+        assert_broadcast_join(preds)

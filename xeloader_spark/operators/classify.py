@@ -1,0 +1,134 @@
+"""Hashed-feature linear document classifier (domain / quality filtering).
+
+Public recipe provenance: CCNet (Wenzek et al., LREC 2020) filters
+CommonCrawl by scoring every document with a fastText linear classifier
+trained to recognize a target domain; fastText itself (Joulin et al.,
+EACL 2017) is a linear model over hashed token features. This module is
+that shape, re-expressed engine-exact so a SQL oracle can hash-match it:
+
+- **features**: token → md5 bucket in ``[0, n_buckets)`` — the same
+  md5-prefix arithmetic as `sampling.hash_bucket`, which the samplers and
+  the count-min sketch already replay in DuckDB.
+- **weights**: Laplace-smoothed per-class conditional probabilities as
+  SCALED INTEGERS: ``w(c,b) = ((cnt(c,b)+1) · SCALE) div (total(c)+n_buckets)``
+  (integer division; no logarithm — libm logs differ by ulps across
+  engines, and the argmax of a linear scorer doesn't need them; the same
+  trick as `text.tfidf_search`).
+- **score**: ``score(doc,c) = Σ_buckets tf(doc,b) · w(c,b)`` — a BIGINT.
+- **prediction**: argmax over classes, ties to the smallest class name.
+
+Scale shape (the 100 TB story): the model is ``n_classes × n_buckets``
+rows — tiny and *dense* (every bucket materialized, so unseen features
+hit the smoothing weight through a plain inner join) — and broadcasts to
+every executor. The corpus crosses the wire once as (doc_id, bucket, tf)
+triples (map-side combined token counts), never as text. Training is one
+explode + two count aggregations; scoring is one broadcast join + one
+(doc_id, class) aggregation + a per-doc argmax window. No all-pairs
+space, no driver collect, no Python UDF anywhere.
+
+Reference parity note: XELoader has no classifier (it is a loader); this
+operator belongs to the training-data-pipeline surface the engine adds
+on top (SURVEY.md §2 extension family, alongside dedup and quality
+scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sampling import hash_bucket
+from .text import _tok_array
+
+SCALE = 1_000_000
+N_BUCKETS = 512
+FEAT_SALT = "feat"
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    salt: str = FEAT_SALT,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, keep_cols…], bucket, tf): hashed bag-of-words per doc.
+
+    One explode + one map-side-combined count aggregation; the text
+    column never leaves the scan stage — only (id, bucket) pairs shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    return (
+        toks.select(
+            "doc_id", *keep_cols, hash_bucket("tok", salt, n_buckets)
+        )
+        .groupBy("doc_id", *keep_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def train_hashed_linear(
+    feats: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = N_BUCKETS,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Train the dense (label, bucket, w) weight table from labeled
+    (doc_id, label, bucket, tf) features.
+
+    Dense on purpose: every (label, bucket) cell exists, carrying the
+    Laplace smoothing weight where the bucket was never seen — so
+    scoring is a plain inner join, and a test document full of unseen
+    vocabulary still gets a well-defined score. Size is n_classes ×
+    n_buckets rows (e.g. 20 × 512), far under any broadcast threshold.
+    """
+    counts = feats.groupBy(label_col, "bucket").agg(F.sum("tf").alias("cnt"))
+    totals = counts.groupBy(label_col).agg(F.sum("cnt").alias("total"))
+    dense = totals.select(
+        label_col,
+        "total",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+    )
+    return dense.join(counts, [label_col, "bucket"], "left").select(
+        label_col,
+        "bucket",
+        F.expr(
+            f"CAST(((coalesce(cnt, 0) + 1) * {scale}) div (total + {n_buckets})"
+            " AS BIGINT)"
+        ).alias("w"),
+    )
+
+
+def classify(
+    feats: DataFrame,
+    model: DataFrame,
+    label_col: str = "label",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score (doc_id[, keep_cols…], bucket, tf) features against a dense
+    model and keep each doc's argmax class.
+
+    Broadcast-join on bucket (model is tiny), one (doc_id, label)
+    aggregation, then a per-doc argmax window — the window keys on
+    doc_id, the same key family as the aggregation, so AQE reuses the
+    partitioning instead of adding a shuffle.
+    """
+    scored = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", *keep_cols, label_col)
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col(label_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

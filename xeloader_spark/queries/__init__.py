@@ -127,6 +127,7 @@ def _modules():
         "temporal",
         "sampling",
         "pipeline",
+        "classify",
     ):
         try:
             mods.append(__import__(f"{__name__}.{modname}", fromlist=[modname]))
