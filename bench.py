@@ -49,6 +49,7 @@ HEADLINE = [
     "q_substring_dup_spans",
     "q_embedding_neardup",
     "q_ann_topk_dot",
+    "q_kmeans_clusters",
     "q_text_quality",
     "q_unigram_doc_prob",
     "q_domain_classifier",

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import cluster as cls
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 
@@ -84,6 +85,83 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_q
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic k-means over the embedding corpus: 3 Lloyd
+    rounds, hash-ordered deterministic seeds, integer centroids — the
+    iterative-algorithm pattern with a full SQL replay (the oracle
+    unrolls the rounds as CTEs and must hash-match every assignment and
+    distance). The resulting codebook is the IVF training path made
+    driver-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cls.kmeans_exact(emb)
+
+
+def _kmeans_sql(k: int, iters: int, scale: int) -> str:
+    """Unrolled-CTE DuckDB replay of `cluster.kmeans_exact` — identical
+    quantization (+shift), seed order, tie-breaks, and floor-div update."""
+    sq = "(q.qv - c.cv) * (q.qv - c.cv)"
+    ctes = [
+        f"""q AS (
+            SELECT vec_id AS id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                        AS BIGINT) + {scale} AS qv
+            FROM embeddings
+        )""",
+        f"""seeds AS (
+            SELECT id, cluster FROM (
+                SELECT id,
+                       ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+                           - 1 AS cluster
+                FROM (SELECT DISTINCT id FROM q)
+            ) WHERE cluster < {k}
+        )""",
+        """c0 AS (
+            SELECT s.cluster, q.pos, q.qv AS cv
+            FROM seeds s JOIN q USING (id)
+        )""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""a{r} AS (
+            SELECT id, cluster FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
+                FROM q JOIN c{r - 1} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""u{r} AS (
+            SELECT a.cluster, q.pos,
+                   (CAST(SUM(q.qv) AS BIGINT) // COUNT(*)) AS cv
+            FROM a{r} a JOIN q USING (id)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""c{r} AS (
+            SELECT c.cluster, c.pos, COALESCE(u.cv, c.cv) AS cv
+            FROM c{r - 1} c LEFT JOIN u{r} u
+              ON u.cluster = c.cluster AND u.pos = c.pos
+        )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster, dist
+        FROM (
+            SELECT q.id, c.cluster,
+                   CAST(SUM({sq}) AS BIGINT) AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY q.id
+                       ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
+            FROM q JOIN c{iters} c USING (pos)
+            GROUP BY q.id, c.cluster
+        ) WHERE rn = 1
+    """
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,6 +338,7 @@ def _lsh_quantized_oracle(n_planes: int = _LSH_PLANES, scale: int = 1000) -> str
 _RESIZED_HDR_HEX = b"P6\n2 1\n255\n".hex()
 
 ORACLES: dict[str, str] = {
+    "q_kmeans_clusters": _kmeans_sql(cls.K, cls.ITERS, cls.SCALE),
     "q_ann_topk_lsh_quantized": _lsh_quantized_oracle(),
     "q_ann_topk_ivf": f"""
         SELECT CAST(unnest([{", ".join(str(i) for i in _QUERY_IDS)}]) AS BIGINT)
