@@ -34,6 +34,7 @@ HEADLINE = [
     "q_interval_error_click_window",
     "q_rollup_gapfill_hourly",
     "q_session_window_agg",
+    "q_funnel_conversion",
     # relational (lineitem 600k / orders 150k at sf0.1)
     "q_pricing_summary",
     "q_region_revenue",

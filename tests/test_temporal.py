@@ -14,10 +14,11 @@ from pyspark.sql import functions as F
 from xeloader_spark.catalog import load_table
 from xeloader_spark.operators.temporal import (
     asof_join,
+    funnel,
     interval_join,
     rollup_gapfill,
 )
-from xeloader_spark.plans.inspect import physical_plan
+from xeloader_spark.plans.inspect import count_exchanges, physical_plan
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 
@@ -297,3 +298,62 @@ class TestApproxDistinct:
         ).collect()[0]["est"]
         exact = ev.select("user_id").distinct().count()
         assert abs(merged - exact) <= max(2, 0.1 * exact)
+
+
+class TestFunnel:
+    def _fixture(self, spark):
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        s = lambda sec: t0 + dt.timedelta(seconds=sec)
+        rows = [
+            # user 1: clean view -> click -> purchase
+            (1, s(0), "view", 100),
+            (1, s(10), "click", 101),
+            (1, s(20), "purchase", 102),
+            # user 2: click BEFORE the first view must not count;
+            # no later click, so funnel stops at step 1
+            (2, s(0), "click", 200),
+            (2, s(10), "view", 201),
+            (2, s(20), "purchase", 202),
+            # user 3: purchase before the qualifying click must not count
+            (3, s(0), "view", 300),
+            (3, s(5), "purchase", 301),
+            (3, s(10), "click", 302),
+            # user 4: same-timestamp click does not count (strict >),
+            # the later one does
+            (4, s(0), "view", 400),
+            (4, s(0), "click", 401),
+            (4, s(30), "click", 402),
+        ]
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type", "event_id"]
+        )
+
+    def test_strict_ordering_semantics(self, spark):
+        per_user = {
+            r.user: r
+            for r in funnel(
+                self._fixture(spark), steps=("view", "click", "purchase")
+            ).collect()
+        }
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        u1 = per_user[1]
+        assert (u1.t_1, u1.t_2, u1.t_3) == (
+            t0,
+            t0 + dt.timedelta(seconds=10),
+            t0 + dt.timedelta(seconds=20),
+        )
+        u2 = per_user[2]
+        assert u2.t_1 == t0 + dt.timedelta(seconds=10)
+        assert u2.t_2 is None and u2.t_3 is None
+        u3 = per_user[3]
+        assert u3.t_2 == t0 + dt.timedelta(seconds=10)
+        assert u3.t_3 is None
+        u4 = per_user[4]
+        assert u4.t_2 == t0 + dt.timedelta(seconds=30)
+
+    def test_single_shuffle_regardless_of_depth(self, spark):
+        deep = funnel(
+            self._fixture(spark),
+            steps=("view", "click", "purchase", "view", "click"),
+        )
+        assert count_exchanges(deep) == 1, physical_plan(deep)

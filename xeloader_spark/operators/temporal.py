@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "rollup_gapfill"]
+__all__ = ["asof_join", "interval_join", "rollup_gapfill", "funnel"]
 
 
 def _keys(on: str | Sequence[str]) -> list[str]:
@@ -227,3 +227,51 @@ def rollup_gapfill(
         for c in locf_cols:
             filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return filled
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-sequence (funnel) analysis: per user, the first time each
+    step was reached *strictly after* the previous step — step k counts
+    only if it happens after the user's first qualifying step k-1.
+
+    Formulation: one window pass per step over the SAME window spec
+    (partition by user, order by (ts, tiebreak), running frame), so
+    Catalyst plans a single Exchange on user and sorts once; step k's
+    running ``min(CASE step-k row AND ts > t_{k-1})`` reads the previous
+    layer's running value on the same row. The per-user reduction is then
+    a plain MIN per step (min of a running min is the overall min). No
+    self-joins, no per-step scans of the corpus — cost is one shuffle on
+    user regardless of funnel depth.
+
+    Output: (user, t_1 … t_k) — t_i null where the user never reached
+    step i in order. Strict ``>`` comparisons make same-timestamp steps
+    not count as progression, so result values are independent of the
+    tie-break ordering (which exists only to total-order the sort).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(user_col, ts_col, type_col, tiebreak_col)
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(
+            f"t_{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = f"t_{i}"
+    return out.groupBy(F.col(user_col).alias("user")).agg(
+        *[F.min(f"t_{i}").alias(f"t_{i}") for i in range(1, len(steps) + 1)]
+    )

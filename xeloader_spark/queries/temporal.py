@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.temporal import asof_join, interval_join, rollup_gapfill
+from ..operators.temporal import asof_join, funnel, interval_join, rollup_gapfill
 from .core import _dsum
 
 
@@ -48,6 +48,27 @@ def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_purchase").alias("purchase_ts"),
         "purchase_event_id",
         "purchase_value",
+    )
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: how many users reached each step
+    in strict timestamp order, plus the exact total first-view→first-
+    qualifying-purchase time (microseconds, BIGINT) over converted users.
+    One shuffle on user_id regardless of funnel depth (layered running
+    windows over a single window spec)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = funnel(ev, steps=("view", "click", "purchase"))
+    return per_user.agg(
+        F.count("t_1").alias("n_step1_view"),
+        F.count("t_2").alias("n_step2_click"),
+        F.count("t_3").alias("n_step3_purchase"),
+        F.sum(
+            F.when(
+                F.col("t_3").isNotNull(),
+                F.unix_micros("t_3") - F.unix_micros("t_1"),
+            )
+        ).alias("total_conv_us"),
     )
 
 
@@ -294,6 +315,40 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_funnel_conversion": """
+        WITH l1 AS (
+            SELECT user_id, ts, event_type, event_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS t_1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        l2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_1
+                               THEN ts END) OVER w AS t_2
+            FROM l1
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        l3 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_2
+                               THEN ts END) OVER w AS t_3
+            FROM l2
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        per_user AS (
+            SELECT user_id, MIN(t_1) AS t_1, MIN(t_2) AS t_2, MIN(t_3) AS t_3
+            FROM l3 GROUP BY 1
+        )
+        SELECT CAST(COUNT(t_1) AS BIGINT) AS n_step1_view,
+               CAST(COUNT(t_2) AS BIGINT) AS n_step2_click,
+               CAST(COUNT(t_3) AS BIGINT) AS n_step3_purchase,
+               CAST(SUM(CASE WHEN t_3 IS NOT NULL
+                             THEN epoch_us(t_3) - epoch_us(t_1) END)
+                    AS BIGINT) AS total_conv_us
+        FROM per_user
+    """,
     "q_cms_heavy_hitters": f"""
         WITH dd AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
         b AS (
