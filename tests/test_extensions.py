@@ -876,3 +876,24 @@ class TestMultimodal:
         assert "NotImplementedError" in str(err.value) or isinstance(
             err.value, NotImplementedError
         )
+
+
+class TestBpeTrain:
+    def test_merged_symbol_merges_again(self, spark):
+        from xeloader_spark.operators.text import bpe_train
+
+        docs = spark.createDataFrame([(0, "abab abab")], ["doc_id", "text"])
+        got = [tuple(r) for r in bpe_train(docs, iters=5).collect()]
+        # round 1: (a,b) appears twice per word x 2 words; round 2 merges
+        # the two NEW "ab" symbols -- proves multi-char symbols merge
+        # through the boundary markers; no pairs remain after that.
+        assert got == [(1, "a", "b", 4), (2, "ab", "ab", 2)]
+
+    def test_greedy_left_to_right(self, spark):
+        from xeloader_spark.operators.text import bpe_train
+
+        docs = spark.createDataFrame([(0, "aaa")], ["doc_id", "text"])
+        got = [tuple(r) for r in bpe_train(docs, iters=2).collect()]
+        # "aaa" -> [a,a,a]: (a,a) counted twice; greedy replace leaves
+        # [aa, a] (left-to-right), so round 2 learns (aa, a) not (a, aa)
+        assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]

@@ -378,3 +378,97 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> Da
         f"i -> md5(array_join(slice({toks}, i + 1, {n}), ' '))) END"
     )
     return df.withColumn("rolling_fp", F.expr(f"array_min({sh})"))
+
+
+# ------------------------------------------------------------------ BPE train
+
+# Symbol-boundary markers for the BPE segmentation string: each symbol is
+# wrapped \x02…\x03, so a merge of (l, r) is the LITERAL replace of
+# "\x02l\x03\x02r\x03" with "\x02lr\x03" — matches can only align on whole
+# symbols (a pattern starts with \x02, which precedes only symbol starts),
+# and literal replace is left-to-right non-overlapping in Spark, Python,
+# and DuckDB alike, which is exactly BPE's greedy merge order. \x1e joins
+# (l, r) into one sortable pair key.
+BPE_L = "\x02"
+BPE_R = "\x03"
+BPE_PK = "\x1e"
+_BPE_CTRL = "[\x02\x03\x1e]"
+
+
+def bpe_train(
+    df: DataFrame, iters: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016, the public
+    algorithm): `iters` rounds of count-adjacent-pairs → merge the most
+    frequent pair everywhere, run on the canonical word-count table.
+
+    Scale shape: the corpus collapses ONCE to (word, count) — vocabulary,
+    not corpus, is the working set from then on (the same trick the
+    original implementation uses: a dict of word → count). Each round is
+    one map-side-combined aggregate over the vocab's adjacent pairs plus
+    a top-1 collect (the merge rule — driver-sized model state, like the
+    k-means centroids), and the merge itself is a literal string replace
+    projection. T rounds = T vocab-sized scans; the corpus is read once.
+
+    Returns (merge_round, left_sym, right_sym, n) — one row per learned
+    merge, assembled on the driver from the T collected rules. Ties break
+    by pair key ascending, so the rule sequence is engine-deterministic.
+    """
+    spark = df.sparkSession
+    toks = df.select(F.explode(F.expr(_tok_array(text_col))).alias("tok"))
+    words = (
+        toks.filter(~F.col("tok").rlike(_BPE_CTRL))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg0 = words.select(
+        "wc",
+        F.expr(
+            "array_join(transform(sequence(1, length(tok)), "
+            "i -> concat(char(2), substring(tok, i, 1), char(3))), '')"
+        ).alias("seg"),
+    ).persist()
+
+    merges: list[tuple[int, str, str, int]] = []
+    segs = seg0
+    for rnd in range(1, iters + 1):
+        pairs = segs.withColumn(
+            "arr",
+            F.expr(
+                "filter(split(seg, concat('[', char(2), char(3), ']+')), "
+                "x -> x != '')"
+            ),
+        ).select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(arr) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(arr) - 1), "
+                    "i -> concat(element_at(arr, i), char(30), "
+                    "element_at(arr, i + 1))) END"
+                )
+            ).alias("pk"),
+        )
+        best = (
+            pairs.groupBy("pk")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pk"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0].pk.split(BPE_PK)
+        merges.append((rnd, left, right, best[0].n))
+        segs = segs.withColumn(
+            "seg",
+            F.replace(
+                F.col("seg"),
+                F.lit(f"{BPE_L}{left}{BPE_R}{BPE_L}{right}{BPE_R}"),
+                F.lit(f"{BPE_L}{left}{right}{BPE_R}"),
+            ),
+        )
+    seg0.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round int, left_sym string, right_sym string, n long"
+    )

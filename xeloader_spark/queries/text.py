@@ -120,6 +120,81 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ITERS = 5
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five full BPE training iterations over the corpus vocabulary:
+    each round's learned merge rule (pair, weighted count). Extends
+    `q_bpe_pair_counts` (one round's candidates) to the actual iterative
+    algorithm; the oracle unrolls all five rounds in SQL — boundary-
+    marked literal replaces keep the greedy merge engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_train(docs, iters=_BPE_ITERS)
+
+
+def _bpe_train_sql(iters: int) -> str:
+    """Unrolled DuckDB replay of `text.bpe_train`."""
+    pk_l = "string_split(b.pk, chr(30))[1]"
+    pk_r = "string_split(b.pk, chr(30))[2]"
+    ctes = [
+        f"""toks AS (
+            SELECT unnest({_TOKS_LIST}) AS tok FROM documents
+        )""",
+        """words AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+            FROM toks
+            WHERE NOT regexp_matches(tok,
+                '[' || chr(2) || chr(3) || chr(30) || ']')
+            GROUP BY 1
+        )""",
+        """s0 AS (
+            SELECT wc,
+                   array_to_string(list_transform(
+                       generate_series(1, length(tok)),
+                       i -> chr(2) || substr(tok, i, 1) || chr(3)), '') AS seg
+            FROM words
+        )""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""p{r} AS (
+            SELECT wc,
+                   unnest(CASE WHEN len(arr) < 2 THEN []
+                          ELSE list_transform(generate_series(1, len(arr) - 1),
+                               i -> arr[i] || chr(30) || arr[i + 1]) END) AS pk
+            FROM (SELECT wc,
+                         list_filter(regexp_split_to_array(seg,
+                             '[' || chr(2) || chr(3) || ']+'),
+                             x -> x != '') AS arr
+                  FROM s{r - 1})
+        )"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+            SELECT pk, CAST(SUM(wc) AS BIGINT) AS n
+            FROM p{r} GROUP BY 1
+            ORDER BY n DESC, pk ASC LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+            SELECT s.wc,
+                   replace(s.seg,
+                       chr(2) || {pk_l} || chr(3) || chr(2) || {pk_r} || chr(3),
+                       chr(2) || {pk_l} || {pk_r} || chr(3)) AS seg
+            FROM s{r - 1} s CROSS JOIN b{r} b
+        )"""
+        )
+    rows = "\n            UNION ALL ".join(
+        f"""SELECT CAST({r} AS INTEGER) AS merge_round,
+                   {pk_l} AS left_sym, {pk_r} AS right_sym, b.n
+            FROM b{r} b"""
+        for r in range(1, iters + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n        {rows}"
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filter (Rae et al. 2021 appendix A, public
     MassiveWeb recipe): per-rule booleans + conjunction. Single-pass
@@ -457,6 +532,7 @@ ORACLES: dict[str, str] = {
                r.rolling_fp
         FROM documents d LEFT JOIN rolling r ON d.doc_id = r.doc_id
     """,
+    "q_bpe_train": _bpe_train_sql(_BPE_ITERS),
     "q_bpe_pair_counts": f"""
         WITH toks AS (
             SELECT unnest({_TOKS_LIST}) AS tok FROM documents
