@@ -3,6 +3,7 @@ matrix, session/pattern gates, lineage, error budget, row conservation."""
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 
@@ -141,6 +142,43 @@ def test_write_mode_matrix(spark, xel_dir, tmp_path):
     # overwrite wipes
     ing.ingest(spark, root, out, cfg_o)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_sink_format_matrix_roundtrip(spark, tmp_path):
+    """Every storage_format demuxes, honors partitioning, and reads back
+    row-identical (csv readback uses the declared schema + the writer's
+    timestamp format — the lossless-flat-columns contract)."""
+    src = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 1, 0, 0, 0, 123456), "click", 1.5, 'a,"b"'),
+            (2, dt.datetime(2026, 1, 1, 0, 0, 1, 654321), "error", -0.25, "x\ny"),
+            (3, dt.datetime(2026, 1, 1, 0, 0, 2), "click", 3.0, None),
+        ],
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE, props STRING",
+    )
+    flat_schema = "event_id BIGINT, ts TIMESTAMP, value DOUBLE, props STRING"
+    for fmt in ("parquet", "orc", "csv", "json"):
+        out = str(tmp_path / f"sink_{fmt}")
+        ing.demux_write(
+            src,
+            out,
+            ing.IngestConfig(write_mode="overwrite", storage_format=fmt),
+        )
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.schema(flat_schema).option("header", "true").option(
+                "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).option("multiLine", "true")
+        elif fmt == "json":
+            reader = reader.schema(flat_schema).option(
+                "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            )
+        back = reader.load(out).select(
+            "event_id", "ts", "event_type", "value", "props"
+        )
+        got = sorted(tuple(r) for r in back.collect())
+        want = sorted(tuple(r) for r in src.collect())
+        assert got == want, f"{fmt} readback mismatch: {got} != {want}"
 
 
 def test_register_then_load_crash_never_duplicates(

@@ -58,6 +58,7 @@ class IngestConfig:
     write_mode: str = "append"  # -a/-c/-w ↔ append/truncate/overwrite (S19)
     layout: str = "columnstore"  # -I (EventMetadata.cs:203-244)
     rounded_coarse_ts: bool = False  # exact smalldatetime rounding if True
+    storage_format: str = "parquet"  # sink format: parquet | orc | csv | json
 
 
 # --------------------------------------------------------------------- S3
@@ -277,24 +278,39 @@ def demux_write(
     - micro-batching (S17): parquet row-group sizing, handled by the
       writer — the reference's 1M-row flush is a columnstore-rowgroup
       tuning that parquet performs internally.
+    - format (`cfg.storage_format`): parquet (default) / orc for columnar
+      sinks, csv / json for flat interchange — all through the same
+      demux + write-mode matrix (readback equality pinned by tests).
     """
     cfg = cfg or IngestConfig()
     out = df
     if cfg.layout == "rowstore":
         out = out.sortWithinPartitions("event_type", "c_event_sequence")
-    writer = out.write.partitionBy("event_type")
+    fmt = cfg.storage_format
+    if fmt not in ("parquet", "orc", "csv", "json"):
+        raise ValueError(f"unknown storage_format {fmt!r}")
+    writer = out.write.partitionBy("event_type").format(fmt)
+    if fmt in ("csv", "json"):
+        # text formats default to millisecond timestamps; write explicit
+        # micro precision so a readback with the same schema/options is
+        # lossless for the flat columns
+        writer = writer.option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        )
+    if fmt == "csv":
+        writer = writer.option("header", "true")
     if cfg.write_mode == "overwrite":
-        writer.mode("overwrite").parquet(output_path)
+        writer.mode("overwrite").save(output_path)
     elif cfg.write_mode == "truncate":
         spark = df.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            writer.mode("overwrite").parquet(output_path)
+            writer.mode("overwrite").save(output_path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     elif cfg.write_mode == "append":
-        writer.mode("append").parquet(output_path)
+        writer.mode("append").save(output_path)
     else:
         raise ValueError(f"unknown write_mode {cfg.write_mode!r}")
 

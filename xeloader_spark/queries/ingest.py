@@ -252,9 +252,61 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EV_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+_TS_OPTS = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV serialization boundary, exact-checked in-plan: every events
+    row rendered to a CSV line (`to_csv` — quoting/escaping live here)
+    and parsed back with the declared schema (`from_csv`). The oracle is
+    the original table, so any quoting, timestamp-precision, or
+    float-formatting loss breaks the hash. Pure projection, zero shuffle;
+    the file-sink variant of the same boundary (demux_write
+    storage_format='csv') is pinned by the write-matrix tests."""
+    ev = load_table(spark, sf_dir, "events")
+    line = ev.select(
+        F.to_csv(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+            _TS_OPTS,
+        ).alias("line")
+    )
+    back = line.select(
+        F.from_csv(F.col("line"), F.lit(_EV_SCHEMA), _TS_OPTS).alias("r")
+    )
+    return back.select("r.*")
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines serialization boundary (the shape `sources/json_events`
+    ingests), exact-checked in-plan: `to_json` → `from_json` against the
+    identity oracle — escaping, unicode, null handling, and timestamp
+    precision all on the hook."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = ev.select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+            _TS_OPTS,
+        ).alias("doc")
+    )
+    back = doc.select(
+        F.from_json(F.col("doc"), _EV_SCHEMA, _TS_OPTS).alias("r")
+    )
+    return back.select("r.*")
+
+
 ORACLES: dict[str, str] = {
     "q_xml_roundtrip": """
         SELECT event_id, event_type, ts, value, props, user_id FROM events
+    """,
+    "q_csv_roundtrip": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    "q_jsonl_roundtrip": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
     """,
     "q_flatten_projection": """
         SELECT event_id AS c_event_sequence,
