@@ -77,3 +77,68 @@ class TestScaleShape:
         preds = cl.classify(feats.withColumnRenamed("label", "actual"), model,
                             keep_cols=("actual",))
         assert_broadcast_join(preds)
+
+
+class TestProjectionInference:
+    def test_projection_matches_aggregate_path(self, spark):
+        docs = _fixture(spark)
+        feats = cl.hashed_token_features(docs)
+        model = cl.train_hashed_linear(
+            cl.hashed_token_features(docs, keep_cols=("label",))
+        )
+        agg = {
+            r.doc_id: (r.label, r.score)
+            for r in cl.classify(feats, model).collect()
+        }
+        proj = {
+            r.doc_id: (r.label, r.score)
+            for r in cl.score_projection(docs, cl.pack_model_hex(model)).collect()
+        }
+        assert agg == proj
+
+    def test_zero_shuffle_plan(self, spark):
+        from xeloader_spark.plans.inspect import count_exchanges
+
+        docs = _fixture(spark)
+        model = cl.train_hashed_linear(
+            cl.hashed_token_features(docs, keep_cols=("label",))
+        )
+        scored = cl.score_projection(docs, cl.pack_model_hex(model))
+        assert count_exchanges(scored) == 0
+
+    def test_streaming_inference_matches_batch(self, spark, tmp_path):
+        """The stateless projection scores a document STREAM identically
+        to the batch run — model-in-the-plan inference needs no state,
+        no watermark, no output-mode caveats."""
+        docs = _fixture(spark)
+        model = cl.train_hashed_linear(
+            cl.hashed_token_features(docs, keep_cols=("label",))
+        )
+        packed = cl.pack_model_hex(model)
+        batch = {
+            r.doc_id: (r.label, r.score)
+            for r in cl.score_projection(docs, packed).collect()
+        }
+
+        src = str(tmp_path / "cls_in")
+        out = str(tmp_path / "cls_out")
+        ckpt = str(tmp_path / "cls_ckpt")
+        docs.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            cl.score_projection(stream, packed)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: (r.label, r.score)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == batch

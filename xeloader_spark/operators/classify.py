@@ -132,3 +132,75 @@ def classify(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def pack_model_hex(model: DataFrame, n_buckets: int = N_BUCKETS) -> list[tuple[str, str]]:
+    """Collect a dense (label, bucket, w) model into [(label, hexstr)]
+    where hexstr is the label's weight row packed as fixed-width (6 hex
+    chars) values — ONE string literal per class instead of n_buckets
+    literal nodes, so the inference projection's plan stays small. Safe
+    because w < SCALE ≤ 0xFFFFFF by construction (smoothed conditional
+    probabilities scaled by SCALE are always < SCALE)."""
+    rows = model.collect()
+    packed: dict[str, list[str]] = {}
+    for r in rows:
+        packed.setdefault(r[0], ["000000"] * n_buckets)[r["bucket"]] = (
+            f"{r['w']:06x}"
+        )
+    for label, vals in packed.items():
+        if any(len(v) != 6 for v in vals):
+            raise ValueError(f"weight overflow packing label {label!r}")
+    return sorted((label, "".join(vals)) for label, vals in packed.items())
+
+
+def score_projection(
+    df: DataFrame,
+    packed_model: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    salt: str = FEAT_SALT,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Model inference as a PURE PROJECTION — zero shuffle, zero joins,
+    stateless: tokenize array-side, hash each token to its bucket, sum
+    each class's packed-hex weights via substring lookup, argmax with the
+    same smallest-class tie-break as `classify` (least over
+    (-score, class) structs).
+
+    Because it is stateless it runs unchanged on a streaming DataFrame
+    (append mode, no watermark needed) — classifier inference over a
+    100 TB corpus or a live stream costs exactly one scan. Docs with no
+    tokens are dropped (same contract as the aggregate path, where they
+    have no feature rows)."""
+    from .text import _tok_array
+
+    buckets = (
+        f"transform({_tok_array(text_col)}, t -> "
+        f"CAST(conv(substring(md5(concat('{salt}', t)), 1, 8), 16, 10) "
+        f"AS BIGINT) % {n_buckets})"
+    )
+    out = df.withColumn("_bks", F.expr(buckets)).filter(
+        F.size("_bks") > 0
+    )
+    score_cols = []
+    for label, hexstr in packed_model:
+        score = F.expr(
+            f"aggregate(_bks, 0L, (acc, b) -> acc + "
+            f"CAST(conv(substring('{hexstr}', CAST(b * 6 + 1 AS INT), 6), "
+            f"16, 10) AS BIGINT))"
+        )
+        score_cols.append(
+            F.struct(
+                (-score).alias("ns"),
+                F.lit(label).alias("label"),
+                score.alias("score"),
+            )
+        )
+    best = F.least(*score_cols)
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        best.getField("label").alias("label"),
+        best.getField("score").alias("score"),
+    )

@@ -50,6 +50,31 @@ def q_domain_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle model inference: train on the 90% hash-split (two
+    aggregate jobs collect the dense model — driver-sized, like a saved
+    fastText binary), then score EVERY document as a pure projection —
+    the packed-hex model lives inside the plan, so inference over any
+    corpus size (or an unbounded stream: the operator is stateless) is
+    exactly one scan. The oracle replays the identical arithmetic
+    relationally, proving the projection encoding IS the model."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = sp.split_train_test(docs, "doc_id", test_fraction=_TEST_FRAC)
+    train = split.filter(F.col("split") == "train")
+    model = cl.train_hashed_linear(
+        cl.hashed_token_features(train, keep_cols=("source",))
+        .withColumnRenamed("source", "label")
+    )
+    packed = cl.pack_model_hex(model)
+    scored = cl.score_projection(docs, packed, keep_cols=("source",))
+    return scored.select(
+        "doc_id",
+        F.col("source").alias("actual_source"),
+        F.col("label").alias("predicted_source"),
+        F.col("score").alias("pred_score"),
+    )
+
+
 # ---------------------------------------------------------------- oracles
 
 _B = sp.BUCKETS  # split-hash resolution (10_000)
@@ -67,6 +92,59 @@ def _bucket(key: str, salt: str, buckets: int) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "q_classifier_inference": f"""
+        WITH split AS (
+            SELECT doc_id, text, source,
+                   CASE WHEN {_bucket('doc_id', 'split', _B)}
+                             < {int(_TEST_FRAC * _B)}
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        ),
+        tr_feat AS (
+            SELECT source AS label,
+                   {_bucket('tok', _SALT, _NB)} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest({_TOKS}) AS tok
+                  FROM split WHERE split = 'train')
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT label, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM tr_feat GROUP BY 1
+        ),
+        model AS (
+            SELECT t.label, b.bucket,
+                   ((COALESCE(f.cnt, 0) + 1) * {_SCALE})
+                       // (t.total + {_NB}) AS w
+            FROM totals t
+            CROSS JOIN (SELECT range AS bucket FROM range({_NB})) b
+            LEFT JOIN tr_feat f
+              ON f.label = t.label AND f.bucket = b.bucket
+        ),
+        all_feat AS (
+            SELECT doc_id, actual_source,
+                   {_bucket('tok', _SALT, _NB)} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, source AS actual_source,
+                         unnest({_TOKS}) AS tok
+                  FROM split)
+            GROUP BY 1, 2, 3
+        ),
+        scores AS (
+            SELECT f.doc_id, f.actual_source, m.label,
+                   CAST(SUM(f.tf * m.w) AS BIGINT) AS score
+            FROM all_feat f JOIN model m ON f.bucket = m.bucket
+            GROUP BY 1, 2, 3
+        )
+        SELECT doc_id, actual_source,
+               label AS predicted_source,
+               score AS pred_score
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, label ASC) AS rn
+              FROM scores)
+        WHERE rn = 1
+    """,
     "q_domain_classifier": f"""
         WITH split AS (
             SELECT doc_id, text, source,

@@ -214,6 +214,53 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (MAD) flagging — |value − median| > 3·MAD. Two aggregate passes (the
+    median must exist before deviations can), each a 5-row result that
+    broadcasts back; the corpus is scanned twice, shuffled never (joins
+    are broadcast, aggregates are map-side partial). Exact percentiles
+    make it cross-engine bit-exact; at 100 TB swap in approx_percentile
+    for the two aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+
+
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge/upsert sink semantics: latest event per user — the "target
+    table holds current state" load mode a warehouse MERGE performs.
+    One max-of-struct aggregate (ts, then event_id tie-break), so the
+    shuffle carries map-side-combined partials — one surviving row per
+    key per map task — instead of a per-key sort, which is what lets an
+    upsert over 100 TB of history behave like a count(*)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("m")
+    )
+    return latest.select(
+        "user_id",
+        F.col("m.ts").alias("ts"),
+        F.col("m.event_id").alias("event_id"),
+        F.col("m.event_type").alias("event_type"),
+        F.col("m.value").alias("value"),
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type approximate distinct users (HyperLogLog++): the scale path
     for count-distinct — partial sketches merge instead of shuffling every
@@ -469,6 +516,32 @@ ORACLES: dict[str, str] = {
             ORDER BY ts
             RANGE BETWEEN INTERVAL 30 SECOND PRECEDING AND CURRENT ROW
         )
+    """,
+    "q_value_outliers": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type, d.value, d.med, m.mad
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE d.adev > 3 * m.mad
+    """,
+    "q_upsert_latest": """
+        SELECT user_id, ts, event_id, event_type, value FROM (
+            SELECT user_id, ts, event_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
     "q_value_percentiles": """
         SELECT event_type,
