@@ -275,6 +275,20 @@ class TestNewOperatorPlanShapes:
         # explode+freq agg on tok, per-doc agg, global-total window
         plans.assert_max_shuffles(qt.q_unigram_doc_prob(spark, SF), 3)
 
+    def test_upsert_single_shuffle(self, spark):
+        from xeloader_spark.queries import temporal as qt
+
+        # max-of-struct agg: one exchange, map-side combined partials
+        plans.assert_max_shuffles(qt.q_upsert_latest(spark, SF), 1)
+
+    def test_outliers_broadcast_back(self, spark):
+        from xeloader_spark.queries import temporal as qt
+
+        # two tiny aggregates broadcast back; corpus itself never shuffles
+        df = qt.q_value_outliers(spark, SF)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+
     def test_pipeline_no_cartesian(self, spark):
         from xeloader_spark.queries import pipeline as qp
 
