@@ -41,3 +41,45 @@ def test_objective_improves_over_no_iteration(spark, sf_dir):
     obj_t = trained.agg(F.sum("dist")).collect()[0][0]
     obj_s = seeded.agg(F.sum("dist")).collect()[0][0]
     assert obj_t <= obj_s, (obj_t, obj_s)
+
+
+class TestProductQuantization:
+    def test_rerank_recall_beats_chance(self, spark, sf_dir):
+        """Deterministic pipeline → deterministic recall. On these
+        near-random fixture embeddings (PQ's worst case: no cluster
+        structure) the 50-deep ADC shortlist + exact re-rank must still
+        hold well above the chance rate of a random 50-of-500 shortlist
+        (~0.1)."""
+        import numpy as np
+
+        from xeloader_spark.catalog import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qids = [0, 1, 2, 3, 4]
+        got = cls.pq_topk(emb, qids, k=10, rerank=50).collect()
+        pq_sets: dict[int, set] = {}
+        for r in got:
+            pq_sets.setdefault(r.query_id, set()).add(r.candidate_id)
+
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        M = np.array([np.array(v) for v in pdf.embedding])
+        ids = pdf.vec_id.values
+        recalls = []
+        for q in qids:
+            qv = M[ids == q][0]
+            d = ((M - qv) ** 2).sum(axis=1)
+            order = np.argsort(d, kind="stable")
+            top = [int(ids[i]) for i in order if int(ids[i]) != q][:10]
+            recalls.append(len(pq_sets[q] & set(top)) / 10)
+        assert sum(recalls) / len(recalls) >= 0.3, recalls
+        cls.release_persisted()
+
+    def test_codes_are_compact_and_complete(self, spark, sf_dir):
+        from xeloader_spark.catalog import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = cls.pq_topk(emb, [0, 1], k=3, rerank=0)
+        rows = out.collect()
+        assert len(rows) == 6  # k per query
+        assert all(r.rk <= 3 and r.adc_dist >= 0 for r in rows)
+        cls.release_persisted()

@@ -37,7 +37,7 @@ is the driver-checkable variant of the same coarse quantizer).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 K = 8
@@ -96,20 +96,12 @@ def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_exact(
-    emb_df: DataFrame,
-    k: int = K,
-    iters: int = ITERS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = SCALE,
-) -> DataFrame:
-    """Run `iters` Lloyd rounds; return (vec_id, cluster, dist) under the
-    final centroids. `dist` is squared L2 in quantized space (BIGINT;
-    shift-invariant, so it equals the unshifted quantized distance)."""
-    q = _quantized(emb_df, id_col, vec_col, scale).persist()
-    _PERSISTED.append(q)
-
+def kmeans_fit(
+    q: DataFrame, k: int = K, iters: int = ITERS
+) -> list[list[int]]:
+    """Run `iters` Lloyd rounds over a `_quantized` frame; return the
+    final centroids (k × dim ints — the driver-sized model). The per-
+    round reduce is k × dim partial sums; the corpus never moves."""
     init_rows = (
         q.select("id", "qarr", F.md5(F.col("id").cast("string")).alias("hk"))
         .orderBy("hk", "id")
@@ -133,7 +125,185 @@ def kmeans_exact(
         for r in stats:
             new.setdefault(r.cluster, [0] * dim)[r.pos] = r.s // r.n
         centroids = [new.get(j, centroids[j]) for j in range(k)]
+    return centroids
 
+
+def kmeans_exact(
+    emb_df: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """Run `iters` Lloyd rounds; return (vec_id, cluster, dist) under the
+    final centroids. `dist` is squared L2 in quantized space (BIGINT;
+    shift-invariant, so it equals the unshifted quantized distance)."""
+    q = _quantized(emb_df, id_col, vec_col, scale).persist()
+    _PERSISTED.append(q)
+    centroids = kmeans_fit(q, k=k, iters=iters)
     return _assign(q, centroids).select(
         F.col("id").alias("vec_id"), "cluster", "dist"
+    )
+
+
+def _dist_expr(centroid: list[int], arr: Column) -> Column:
+    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(arr, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the public recipe):
+    split vectors into `m` subspaces, train a `sub_k`-centroid codebook
+    per subspace with the exact k-means, encode every vector as `m`
+    small codes, and answer queries by asymmetric distance computation
+    (ADC) — per query, a precomputed table of query↔centroid distances
+    per subspace, so a candidate's approximate distance is `m` table
+    lookups instead of a `dim`-wide float kernel.
+
+    The 100 TB shape: the index is `m` codes per vector (4 bytes here vs
+    256 for the raw floats — a 64× memory cut); codebooks and distance
+    tables are driver/plan-sized; both encoding and ADC scoring are pure
+    projections over ONE corpus scan each (codes from literal centroid
+    arrays, ADC from literal lookup tables + TakeOrdered). Everything is
+    shifted-integer arithmetic, so the full train→encode→score pipeline
+    replays in SQL — an exact-checked approximate index, like the
+    quantized-LSH ANN.
+
+    With ``rerank=N`` (the production deployment shape) the ADC pass
+    returns an N-deep shortlist per query that is then re-scored with the
+    EXACT quantized distance — only shortlist×queries rows ever touch
+    full vectors, so the expensive kernel runs on ~N rows per query
+    regardless of corpus size. Output dist is then the exact quantized
+    L2; without rerank it is the ADC approximation.
+    """
+    q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
+    _PERSISTED.append(q_full)
+    dim = len(q_full.select("qarr").first().qarr)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    def sub_arr(s: int) -> Column:
+        return F.expr(f"slice(qarr, {s * sub + 1}, {sub})")
+
+    codebooks = [
+        kmeans_fit(
+            q_full.select("id", sub_arr(s).alias("qarr")), k=sub_k, iters=iters
+        )
+        for s in range(m)
+    ]
+
+    # one-scan encode: per subspace, argmin over its literal codebook
+    code_cols = []
+    for s in range(m):
+        best = F.least(
+            *[
+                F.struct(
+                    _dist_expr(c, sub_arr(s)).alias("d"),
+                    F.lit(j).cast("int").alias("c"),
+                )
+                for j, c in enumerate(codebooks[s])
+            ]
+        )
+        code_cols.append(best.getField("c").alias(f"code_{s}"))
+    encoded = q_full.select("id", *code_cols)
+
+    # driver-side ADC tables: query × subspace × centroid (integer-exact)
+    qrows = {
+        r.id: list(r.qarr)
+        for r in q_full.filter(F.col("id").isin(query_ids)).collect()
+    }
+    dtab: dict[int, list[list[int]]] = {}
+    for qid in query_ids:
+        qv = qrows[qid]
+        dtab[qid] = [
+            [
+                sum(
+                    (qv[s * sub + d] - c[d]) ** 2 for d in range(sub)
+                )
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+
+    per_query = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    sum(
+                        (
+                            F.element_at(
+                                F.array(
+                                    *[
+                                        F.lit(int(v)).cast("long")
+                                        for v in dtab[qid][s]
+                                    ]
+                                ),
+                                F.col(f"code_{s}") + 1,
+                            )
+                            for s in range(m)
+                        ),
+                        F.lit(0).cast("long"),
+                    ).alias("adc"),
+                )
+                for qid in query_ids
+            ]
+        )
+    ).alias("qa")
+    scored = encoded.select("id", per_query).select(
+        F.col("qa.query_id").alias("query_id"),
+        F.col("id").alias("candidate_id"),
+        F.col("qa.adc").alias("adc_dist"),
+    ).filter(F.col("candidate_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("candidate_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "candidate_id", "adc_dist", "rk")
+        )
+
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= rerank)
+        .select("query_id", "candidate_id")
+    )
+    exact = F.lit(None).cast("long")
+    for qid in query_ids:
+        exact = F.when(
+            F.col("query_id") == qid,
+            _dist_expr(qrows[qid], F.col("qarr")),
+        ).otherwise(exact)
+    reranked = (
+        q_full.join(
+            F.broadcast(shortlist), q_full.id == shortlist.candidate_id
+        )
+        .select("query_id", "candidate_id", exact.alias("dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("candidate_id")
+    )
+    return (
+        reranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "dist", "rk")
     )

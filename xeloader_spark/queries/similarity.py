@@ -164,6 +164,196 @@ def _kmeans_sql(k: int, iters: int, scale: int) -> str:
     """
 
 
+_PQ_M = 4
+_PQ_SUBK = 16
+_PQ_ITERS = 2
+_PQ_K = 5
+_PQ_SHORTLIST = 50
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN in its production deployment shape,
+    exact-checked end to end: 4 subspace codebooks trained by the integer
+    k-means, vectors encoded to 4 codes, an ADC shortlist per query, and
+    an exact-distance re-rank of the shortlist — the oracle replays
+    training, encoding, ADC, AND the re-rank, so the approximate index
+    itself is hash-verified (the PQ analogue of the quantized-LSH
+    contract)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cls.pq_topk(
+        emb,
+        _QUERY_IDS,
+        k=_PQ_K,
+        m=_PQ_M,
+        sub_k=_PQ_SUBK,
+        iters=_PQ_ITERS,
+        rerank=_PQ_SHORTLIST,
+    )
+
+
+def _kmeans_ctes(
+    p: str, vec_slice: str, k: int, iters: int, scale: int
+) -> tuple[list[str], str]:
+    """Prefixed unrolled-CTE k-means over a DuckDB list-slice expression;
+    returns (ctes, final-centroid-CTE name). Mirrors `cluster.kmeans_fit`
+    including seed order, shift, tie-breaks, and floor-div updates."""
+    sq = f"(q.qv - c.cv) * (q.qv - c.cv)"
+    ctes = [
+        f"""{p}q AS (
+            SELECT vec_id AS id,
+                   CAST(generate_subscripts({vec_slice}, 1) - 1 AS BIGINT) AS pos,
+                   CAST(round(CAST(unnest({vec_slice}) AS DOUBLE) * {scale})
+                        AS BIGINT) + {scale} AS qv
+            FROM embeddings
+        )""",
+        f"""{p}seeds AS (
+            SELECT id, cluster FROM (
+                SELECT id,
+                       ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
+                           - 1 AS cluster
+                FROM (SELECT DISTINCT id FROM {p}q)
+            ) WHERE cluster < {k}
+        )""",
+        f"""{p}c0 AS (
+            SELECT s.cluster, q.pos, q.qv AS cv
+            FROM {p}seeds s JOIN {p}q q USING (id)
+        )""",
+    ]
+    for r in range(1, iters + 1):
+        ctes.append(
+            f"""{p}a{r} AS (
+            SELECT id, cluster FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
+                FROM {p}q q JOIN {p}c{r - 1} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""{p}u{r} AS (
+            SELECT a.cluster, q.pos,
+                   (CAST(SUM(q.qv) AS BIGINT) // COUNT(*)) AS cv
+            FROM {p}a{r} a JOIN {p}q q USING (id)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""{p}c{r} AS (
+            SELECT c.cluster, c.pos, COALESCE(u.cv, c.cv) AS cv
+            FROM {p}c{r - 1} c LEFT JOIN {p}u{r} u
+              ON u.cluster = c.cluster AND u.pos = c.pos
+        )"""
+        )
+    return ctes, f"{p}c{iters}"
+
+
+def _pq_sql(
+    m: int,
+    sub_k: int,
+    iters: int,
+    scale: int,
+    k: int,
+    qids: list[int],
+    rerank: int = 0,
+) -> str:
+    """DuckDB replay of `cluster.pq_topk`: per-subspace codebook training,
+    encoding, ADC distance tables, the per-query shortlist, and (when
+    `rerank` is set) the exact-distance re-rank of the shortlist."""
+    sub = 64 // m
+    ids = ", ".join(str(i) for i in qids)
+    ctes: list[str] = []
+    enc_parts, qd_parts = [], []
+    for s in range(m):
+        p = f"s{s}"
+        vec_slice = f"embedding[{s * sub + 1}:{(s + 1) * sub}]"
+        kct, cfinal = _kmeans_ctes(p, vec_slice, sub_k, iters, scale)
+        ctes.extend(kct)
+        ctes.append(
+            f"""{p}enc AS (
+            SELECT id, cluster AS code FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)) ASC,
+                                    c.cluster ASC) AS rn
+                FROM {p}q q JOIN {cfinal} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""{p}qd AS (
+            SELECT q.id AS query_id, c.cluster AS code,
+                   CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d
+            FROM {p}q q JOIN {cfinal} c USING (pos)
+            WHERE q.id IN ({ids})
+            GROUP BY 1, 2
+        )"""
+        )
+        enc_parts.append(f"SELECT id, {s} AS s, code FROM {p}enc")
+        qd_parts.append(f"SELECT query_id, {s} AS s, code, d FROM {p}qd")
+    ctes.append("codes AS (" + " UNION ALL ".join(enc_parts) + ")")
+    ctes.append("qd AS (" + " UNION ALL ".join(qd_parts) + ")")
+    ctes.append(
+        """adc AS (
+            SELECT qd.query_id, e.id AS candidate_id,
+                   CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+            FROM codes e JOIN qd ON qd.s = e.s AND qd.code = e.code
+            WHERE e.id <> qd.query_id
+            GROUP BY 1, 2
+        )"""
+    )
+    if not rerank:
+        return f"""
+        WITH {", ".join(ctes)}
+        SELECT query_id, candidate_id, adc_dist, rk FROM (
+            SELECT query_id, candidate_id, adc_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, candidate_id ASC) AS rk
+            FROM adc
+        ) WHERE rk <= {k}
+    """
+    ctes.append(
+        f"""shortlist AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT query_id, candidate_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist ASC, candidate_id ASC) AS rk
+                FROM adc
+            ) WHERE rk <= {rerank}
+        )"""
+    )
+    ctes.append(
+        f"""fullq AS (
+            SELECT vec_id AS id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                        AS BIGINT) + {scale} AS qv
+            FROM embeddings
+        )"""
+    )
+    ctes.append(
+        """rer AS (
+            SELECT s.query_id, s.candidate_id,
+                   CAST(SUM((cq.qv - qq.qv) * (cq.qv - qq.qv)) AS BIGINT) AS dist
+            FROM shortlist s
+            JOIN fullq cq ON cq.id = s.candidate_id
+            JOIN fullq qq ON qq.id = s.query_id AND qq.pos = cq.pos
+            GROUP BY 1, 2
+        )"""
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT query_id, candidate_id, dist, rk FROM (
+            SELECT query_id, candidate_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, candidate_id ASC) AS rk
+            FROM rer
+        ) WHERE rk <= {k}
+    """
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long form (label, dim, centroid) —
     the vector-aggregate behind IVF codebooks and class prototypes.
@@ -339,6 +529,15 @@ _RESIZED_HDR_HEX = b"P6\n2 1\n255\n".hex()
 
 ORACLES: dict[str, str] = {
     "q_kmeans_clusters": _kmeans_sql(cls.K, cls.ITERS, cls.SCALE),
+    "q_ann_topk_pq": _pq_sql(
+        _PQ_M,
+        _PQ_SUBK,
+        _PQ_ITERS,
+        cls.SCALE,
+        _PQ_K,
+        _QUERY_IDS,
+        rerank=_PQ_SHORTLIST,
+    ),
     "q_ann_topk_lsh_quantized": _lsh_quantized_oracle(),
     "q_ann_topk_ivf": f"""
         SELECT CAST(unnest([{", ".join(str(i) for i in _QUERY_IDS)}]) AS BIGINT)
