@@ -38,6 +38,7 @@ HEADLINE = [
     # relational (lineitem 600k / orders 150k at sf0.1)
     "q_pricing_summary",
     "q_region_revenue",
+    "q_volume_shipping",
     "q_top_customer_per_nation",
     "q_running_total",
     "q_rollup_agg",

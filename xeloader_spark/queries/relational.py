@@ -155,6 +155,68 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between supplier nation and
+    customer nation per ship year — a 6-table join with the same
+    dimension (nation) entering twice under different roles. Both nation
+    sides and supplier/customer broadcast; lineitem⋈orders is the only
+    big join, on the key both sides already share."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(_dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold,
+    rejoined to orders+customer. The HAVING aggregate runs FIRST and
+    emits only qualifying orderkeys (map-side combined), so the join
+    fan-in is the small filtered set, not all of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
 def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT: symmetric difference between the
     'BUILDING'-segment customers and the high-balance customers."""
@@ -316,6 +378,35 @@ def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AVG_PRICE = "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM orders)"
 
 ORACLES: dict[str, str] = {
+    "q_volume_shipping": """
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q_large_orders": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, big.sum_qty
+        FROM (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                       AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 250
+        ) big
+        JOIN orders o ON big.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     "q_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,

@@ -68,7 +68,49 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window-function parity per event type:
+    row_number / ntile over a total order (value, event_id); rank /
+    dense_rank / percent_rank / cume_dist over value alone (tie
+    semantics on the hook — their results don't depend on within-tie
+    order); a bounded rows-frame max. percent_rank and cume_dist are
+    integer-ratio doubles — one deterministic division in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    total = Window.partitionBy("event_type").orderBy("value", "event_id")
+    byval = Window.partitionBy("event_type").orderBy("value")
+    sliding = total.rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(total).cast("long").alias("w_rownum"),
+        F.ntile(7).over(total).cast("long").alias("w_ntile"),
+        F.rank().over(byval).cast("long").alias("w_rank"),
+        F.dense_rank().over(byval).cast("long").alias("w_dense_rank"),
+        F.percent_rank().over(byval).alias("w_pct_rank"),
+        F.cume_dist().over(byval).alias("w_cume_dist"),
+        F.max("value").over(sliding).alias("w_roll_max"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_window_funcs": """
+        SELECT event_id, event_type, value,
+               CAST(ROW_NUMBER() OVER wt AS BIGINT) AS w_rownum,
+               CAST(NTILE(7) OVER wt AS BIGINT) AS w_ntile,
+               CAST(RANK() OVER wv AS BIGINT) AS w_rank,
+               CAST(DENSE_RANK() OVER wv AS BIGINT) AS w_dense_rank,
+               PERCENT_RANK() OVER wv AS w_pct_rank,
+               CUME_DIST() OVER wv AS w_cume_dist,
+               MAX(value) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w_roll_max
+        FROM events
+        WINDOW wt AS (PARTITION BY event_type ORDER BY value, event_id),
+               wv AS (PARTITION BY event_type ORDER BY value)
+    """,
     "q_string_funcs": """
         SELECT doc_id,
                upper(substr(text, 1, 20)) AS s_upper,
