@@ -147,3 +147,45 @@ def test_streaming_cms_matches_batch(spark, stream_in, tmp_path):
         ).collect()
     }
     assert all(est[u] >= n for u, n in truth.items())
+
+
+def test_streaming_upsert_latest_matches_batch(spark, stream_in, tmp_path):
+    """Last emission per key from the streaming latest-per-key state ==
+    the batch max-of-struct upsert — micro-batch boundaries cannot change
+    a commutative max fold."""
+    from xeloader_spark.queries.temporal import q_upsert_latest
+    from xeloader_spark.streaming.upsert_stream import streaming_upsert_latest
+
+    out = str(tmp_path / "ups_out")
+    ckpt = str(tmp_path / "ups_ckpt")
+    ev = load_table(spark, SF, "events")
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_in)
+    q = (
+        streaming_upsert_latest(
+            stream.select("user_id", "ts", "event_id", "event_type", "value")
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    # the champion per key is the LAST emission: max (ts, event_id) again
+    final = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value)
+        for r in emitted.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+        .select("user_id", "m.*")
+        .collect()
+    }
+    batch = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value)
+        for r in q_upsert_latest(spark, SF).collect()
+    }
+    assert final == batch
