@@ -29,9 +29,18 @@ from . import core
 
 # The round driver checks at most ~50 queries per round, in registry
 # (dict insertion) order. Round 1 verified the first 50; this list front-
-# loads the 29 queries that had no driver CORRECTNESS row in round 1 so
-# that, across rounds, every registered query gets a driver-verified row.
-# Names not in this list keep their module/alphabetical order after it.
+# loads the 29 queries that had no driver CORRECTNESS row in round 1 plus
+# the round-2 additions up to the 50-slot budget, so that, across rounds,
+# every registered query gets a driver-verified row. Names not in this
+# list keep their module/alphabetical order after it.
+#
+# ROUND-3 ROTATION (do this first next round): replace this list with the
+# still-unverified names — diff queries() keys against the union of
+# CORRECTNESS_r01/r02 green rows. Queries added late in round 2 with no
+# driver row yet: q_domain_classifier, q_classifier_inference,
+# q_kmeans_clusters, q_ann_topk_pq, q_funnel_conversion, q_bpe_train,
+# q_csv_roundtrip, q_jsonl_roundtrip, q_value_outliers, q_upsert_latest,
+# q_volume_shipping, q_large_orders, q_window_funcs.
 _ROUND_PRIORITY = [
     # judge's explicit priority list first
     "q_corpus_clean_pipeline",
