@@ -323,6 +323,104 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — margins chosen à la carte ((status,
+    priority), (status), ()) rather than cube/rollup's fixed lattices;
+    grouping_id disambiguates the NULL-as-margin rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS sum_price,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS grp
+        FROM _gs_orders
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+        """
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiler over events: one pass computing, per
+    column, row/null/distinct counts and string-rendered min/max — the
+    ANALYZE-TABLE statistics a warehouse keeps per column, as a long-form
+    result. Single aggregate (all columns in one map-side-combined pass),
+    then a stack to long form — profiling cost is one scan regardless of
+    column count."""
+    ev = load_table(spark, sf_dir, "events")
+    # min/max rendered through engine-exact channels: integers as-is,
+    # timestamps as epoch micros, doubles through a fixed-scale decimal
+    # (double→string formatting differs across engines; decimal doesn't)
+    renders = {
+        "event_id": lambda c: c,
+        "ts": F.unix_micros,
+        "user_id": lambda c: c,
+        "event_type": lambda c: c,
+        "value": lambda c: c.cast("decimal(25,6)"),
+    }
+    cols = list(renders)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, render in renders.items():
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            render(F.min(c)).cast("string").alias(f"_mn_{c}"),
+            render(F.max(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = ev.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(column_name, n_non_null, n_distinct, min_repr, max_repr)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "column_name", "n_rows", "n_non_null", "n_distinct",
+        "min_repr", "max_repr",
+    )
+
+
+def q_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (the Deequ/dbt-test shape):
+    uniqueness, non-null, range, set-membership, and referential
+    integrity, each reported as (check, n_violations, passed). Everything
+    is a count over one scan per table plus one anti-join for the FK
+    check — the audit a loader runs after every batch."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    uniq = ev.groupBy("event_id").count().filter(F.col("count") > 1).count()
+    null_ts = ev.filter(F.col("ts").isNull()).count()
+    neg_val = ev.filter(F.col("value") < -1e6).count()
+    bad_type = ev.filter(
+        ~F.col("event_type").isin("click", "error", "purchase", "signup", "view")
+    ).count()
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .count()
+    )
+    rows = [
+        ("event_id_unique", uniq),
+        ("ts_not_null", null_ts),
+        ("value_range", neg_val),
+        ("event_type_domain", bad_type),
+        ("orders_fk_customer", orphans),
+    ]
+    return spark.createDataFrame(
+        [(name, int(n), n == 0) for name, n in rows],
+        "check_name string, n_violations long, passed boolean",
+    )
+
+
 def q_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of orders-per-customer including the
     zero bucket (LEFT join so customers with no orders count). Two
@@ -378,6 +476,79 @@ def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AVG_PRICE = "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM orders)"
 
 ORACLES: dict[str, str] = {
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                   AS sum_price,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+        FROM orders
+        GROUP BY GROUPING SETS (
+            (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+    """,
+    "q_table_profile": """
+        WITH base AS (SELECT COUNT(*) AS n_rows FROM events)
+        SELECT u.column_name, base.n_rows, u.n_non_null, u.n_distinct,
+               u.min_repr, u.max_repr
+        FROM base, (
+            SELECT 'event_id' AS column_name,
+                   COUNT(event_id) AS n_non_null,
+                   COUNT(DISTINCT event_id) AS n_distinct,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_repr,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_repr
+            FROM events
+            UNION ALL
+            SELECT 'ts', COUNT(ts), COUNT(DISTINCT ts),
+                   CAST(epoch_us(MIN(ts)) AS VARCHAR),
+                   CAST(epoch_us(MAX(ts)) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', COUNT(user_id), COUNT(DISTINCT user_id),
+                   CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(event_type), COUNT(DISTINCT event_type),
+                   MIN(event_type), MAX(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(value), COUNT(DISTINCT value),
+                   CAST(CAST(MIN(value) AS DECIMAL(25,6)) AS VARCHAR),
+                   CAST(CAST(MAX(value) AS DECIMAL(25,6)) AS VARCHAR)
+            FROM events
+        ) u
+    """,
+    "q_constraint_checks": """
+        SELECT 'event_id_unique' AS check_name,
+               CAST((SELECT COUNT(*) FROM (
+                   SELECT event_id FROM events GROUP BY 1 HAVING COUNT(*) > 1
+               )) AS BIGINT) AS n_violations,
+               (SELECT COUNT(*) FROM (
+                   SELECT event_id FROM events GROUP BY 1 HAVING COUNT(*) > 1
+               )) = 0 AS passed
+        UNION ALL
+        SELECT 'ts_not_null',
+               CAST((SELECT COUNT(*) FROM events WHERE ts IS NULL) AS BIGINT),
+               (SELECT COUNT(*) FROM events WHERE ts IS NULL) = 0
+        UNION ALL
+        SELECT 'value_range',
+               CAST((SELECT COUNT(*) FROM events WHERE value < -1e6) AS BIGINT),
+               (SELECT COUNT(*) FROM events WHERE value < -1e6) = 0
+        UNION ALL
+        SELECT 'event_type_domain',
+               CAST((SELECT COUNT(*) FROM events WHERE event_type NOT IN
+                    ('click','error','purchase','signup','view')) AS BIGINT),
+               (SELECT COUNT(*) FROM events WHERE event_type NOT IN
+                    ('click','error','purchase','signup','view')) = 0
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+                   SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+               )) AS BIGINT),
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+                   SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+               )) = 0
+    """,
     "q_volume_shipping": """
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
