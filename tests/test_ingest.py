@@ -314,3 +314,39 @@ def test_compaction_conserves_rows_and_merges_files(spark, xel_dir, tmp_path):
         "sum(crc32(concat_ws('|', *))) AS h"
     ).collect()[0].h
     assert h(frag) == h(comp)
+
+
+def test_cli_format_flag_orc(spark, xel_dir, tmp_path, capsys):
+    """--format routes the whole CLI ingest through a non-parquet sink."""
+    import json as _json
+
+    from xeloader_spark.__main__ import main
+
+    root, _, _ = xel_dir
+    out = str(tmp_path / "cli_orc")
+    rc = main(["-D", root, "-o", out, "-w", "-e", "100", "--format", "orc"])
+    printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["n_events"] == 1000
+    assert spark.read.orc(out).count() == 1000
+    assert rc == 2  # malformed-file abort unchanged by the format
+
+
+def test_json_source_reads_gzip_transparently(spark, tmp_path):
+    """Spark's text sources decompress .gz by extension — the JSON-lines
+    event source must ingest compressed logs with no config."""
+    import gzip
+
+    from xeloader_spark.sources.json_events import read_json_events
+
+    lines = [
+        '{"event_id": 1, "ts": "2026-01-01 00:00:00.000001", "user_id": 7,'
+        ' "event_type": "click", "value": 1.5, "props": "{}"}',
+        '{"event_id": 2, "ts": "2026-01-01 00:00:01.000002", "user_id": 8,'
+        ' "event_type": "view", "value": 2.5, "props": "{}"}',
+    ]
+    p = tmp_path / "events.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines))
+    got = read_json_events(spark, str(tmp_path)).collect()
+    assert len(got) == 2
+    assert {r.event_id for r in got} == {1, 2}

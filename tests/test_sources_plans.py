@@ -275,6 +275,18 @@ class TestNewOperatorPlanShapes:
         # explode+freq agg on tok, per-doc agg, global-total window
         plans.assert_max_shuffles(qt.q_unigram_doc_prob(spark, SF), 3)
 
+    def test_multiway_joins_broadcast_dims(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        # Q7 shape: all five dims broadcast, one exchange (the group-by)
+        df = qr.q_volume_shipping(spark, SF)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+        # Q18 shape: HAVING agg shuffles once; joins broadcast
+        df = qr.q_large_orders(spark, SF)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+
     def test_upsert_single_shuffle(self, spark):
         from xeloader_spark.queries import temporal as qt
 

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="accepted for parity; parquet row-groups are writer-sized")
     ap.add_argument("--incremental", action="store_true",
                     help="skip files already in the lineage table (idempotent re-run)")
+    ap.add_argument("--format", dest="storage_format", default="parquet",
+                    choices=["parquet", "orc", "csv", "json"],
+                    help="sink storage format (beyond the reference's "
+                         "SQL-Server-only target)")
     return ap
 
 
@@ -73,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         max_errors_per_file=args.e,
         write_mode=args.mode or "append",
         layout=args.I.lower(),
+        storage_format=args.storage_format,
     )
     spark = get_spark(app_name="xeloader-cli")
     spark.sparkContext.setLogLevel("ERROR")
