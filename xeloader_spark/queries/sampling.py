@@ -48,6 +48,57 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+_NEG_OFFSETS = (17, 131, 997)
+_NEG_SHARDS = 16
+
+
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each doc
+    gets 3 pseudo-random negatives by walking a hash-ordered ring —
+    within a hash SHARD, docs are ranked by md5(id) and the negatives sit
+    at fixed co-prime offsets around the ring (mod shard size). No RNG
+    (hash order IS the randomness, reproducible across engines and
+    re-runs) and no global sort: the ranking window runs per shard, so at
+    100 TB every shard ranks independently — the in-batch-negatives
+    shape. Self-pairs (shards smaller than the offset cycle) are
+    filtered. One window shuffle + one (shard, rank) self-join."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        sp.hash_bucket("doc_id", "negshard", _NEG_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    ranked = ranked.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("sn"),
+    )
+    anchors = ranked.select(
+        F.col("doc_id").alias("anchor_id"),
+        "shard",
+        F.explode(F.array(*[F.lit(o) for o in _NEG_OFFSETS])).alias("off"),
+        "rk",
+        "sn",
+    ).withColumn("neg_rk", (F.col("rk") + F.col("off")) % F.col("sn"))
+    negs = ranked.select(
+        F.col("doc_id").alias("negative_id"),
+        F.col("shard").alias("n_shard"),
+        F.col("rk").alias("n_rk"),
+    )
+    return (
+        anchors.join(
+            negs,
+            (anchors.shard == negs.n_shard) & (anchors.neg_rk == negs.n_rk),
+        )
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select("anchor_id", "negative_id", F.col("off").cast("long").alias("off"))
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: docs laid end-to-end per source in
     doc_id order, cut into 512-token sequences — each doc labeled with
@@ -179,6 +230,31 @@ ORACLES: dict[str, str] = {
     "q_stratified_sample": f"""
         SELECT doc_id, source FROM documents
         WHERE {_bucket_sql('doc_id')} < {_STRATA_CASE}
+    """,
+    "q_contrastive_negatives": f"""
+        WITH ranked AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5('negshard' || CAST(doc_id AS VARCHAR)),
+                     1, 8))::BIGINT % {_NEG_SHARDS}) AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS hk
+            FROM documents
+        ),
+        rk AS (
+            SELECT doc_id, shard,
+                   ROW_NUMBER() OVER (PARTITION BY shard
+                       ORDER BY hk, doc_id) - 1 AS rk,
+                   COUNT(*) OVER (PARTITION BY shard) AS sn
+            FROM ranked
+        ),
+        anchors AS (
+            SELECT doc_id AS anchor_id, shard, off, (rk + off) % sn AS neg_rk
+            FROM rk, (SELECT unnest([{", ".join(map(str, _NEG_OFFSETS))}]) AS off)
+        )
+        SELECT a.anchor_id, n.doc_id AS negative_id,
+               CAST(a.off AS BIGINT) AS off
+        FROM anchors a JOIN rk n
+          ON a.shard = n.shard AND a.neg_rk = n.rk
+        WHERE a.anchor_id <> n.doc_id
     """,
     "q_pack_sequences": """
         WITH t AS (
