@@ -897,3 +897,14 @@ class TestBpeTrain:
         # "aaa" -> [a,a,a]: (a,a) counted twice; greedy replace leaves
         # [aa, a] (left-to-right), so round 2 learns (aa, a) not (a, aa)
         assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+    def test_encode_is_zero_shuffle(self, spark):
+        from xeloader_spark.operators.text import bpe_encode
+        from xeloader_spark.plans.inspect import count_exchanges
+
+        docs = spark.createDataFrame([(0, "abab abab")], ["doc_id", "text"])
+        enc = bpe_encode(docs, [("a", "b"), ("ab", "ab")])
+        assert count_exchanges(enc) == 0
+        row = enc.collect()[0]
+        # "abab abab": 8 base chars; (a,b) then (ab,ab) -> 1 token per word
+        assert (row.n_base_symbols, row.n_bpe_tokens) == (8, 2)

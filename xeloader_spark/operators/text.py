@@ -472,3 +472,48 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_round int, left_sym string, right_sym string, n long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges to the corpus — the USE side of
+    `bpe_train`: per document, every word is boundary-marked and the
+    merge rules replay in training order as literal replaces (identical
+    greedy semantics), yielding the post-merge token count.
+
+    The rules live in the plan as literals, so encoding is a pure
+    projection — tokenizing 100 TB costs one scan, zero shuffles, like
+    the packed-model classifier inference. Output: (doc_id,
+    n_base_symbols, n_bpe_tokens) — characters before merging vs tokens
+    after; the gap is how much the learned vocabulary compresses."""
+    seg = (
+        "array_join(transform(sequence(1, length(t)), "
+        "i -> concat(char(2), substring(t, i, 1), char(3))), '')"
+    )
+    enc = seg
+    for left, right in merges:
+        pat = f"{BPE_L}{left}{BPE_R}{BPE_L}{right}{BPE_R}"
+        rep = f"{BPE_L}{left}{right}{BPE_R}"
+        enc = f"replace({enc}, '{pat}', '{rep}')"
+    n_tok = (
+        f"size(filter(split({enc}, concat('[', char(2), char(3), ']+')), "
+        "x -> x != ''))"
+    )
+    words = (
+        f"filter({_tok_array(text_col)}, t -> t not rlike '{_BPE_CTRL}')"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"aggregate(transform({words}, t -> length(t)), 0L, "
+            "(a, v) -> a + v)"
+        ).alias("n_base_symbols"),
+        F.expr(
+            f"aggregate(transform({words}, t -> CAST({n_tok} AS BIGINT)), "
+            "0L, (a, v) -> a + v)"
+        ).alias("n_bpe_tokens"),
+    )

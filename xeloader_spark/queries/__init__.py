@@ -41,7 +41,8 @@ from . import core
 # q_kmeans_clusters, q_ann_topk_pq, q_funnel_conversion, q_bpe_train,
 # q_csv_roundtrip, q_jsonl_roundtrip, q_value_outliers, q_upsert_latest,
 # q_volume_shipping, q_large_orders, q_window_funcs, q_grouping_sets,
-# q_table_profile, q_constraint_checks, q_contrastive_negatives.
+# q_table_profile, q_constraint_checks, q_contrastive_negatives,
+# q_bpe_encode.
 _ROUND_PRIORITY = [
     # judge's explicit priority list first
     "q_corpus_clean_pipeline",

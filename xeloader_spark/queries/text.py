@@ -133,8 +133,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_train(docs, iters=_BPE_ITERS)
 
 
-def _bpe_train_sql(iters: int) -> str:
-    """Unrolled DuckDB replay of `text.bpe_train`."""
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The USE side of the tokenizer: train 5 BPE merges, then encode
+    every document with them — merge rules become plan literals, so
+    encoding is a zero-shuffle projection (like classifier inference).
+    Output is pre-merge symbol count vs post-merge token count per doc;
+    the oracle re-derives the merges AND replays the encoding."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in tx.bpe_train(docs, iters=_BPE_ITERS).collect()
+    ]
+    return tx.bpe_encode(docs, merges)
+
+
+def _bpe_train_ctes(iters: int) -> list[str]:
+    """CTE chain shared by the train and encode oracles."""
     pk_l = "string_split(b.pk, chr(30))[1]"
     pk_r = "string_split(b.pk, chr(30))[2]"
     ctes = [
@@ -186,6 +200,14 @@ def _bpe_train_sql(iters: int) -> str:
             FROM s{r - 1} s CROSS JOIN b{r} b
         )"""
         )
+    return ctes
+
+
+def _bpe_train_sql(iters: int) -> str:
+    """Unrolled DuckDB replay of `text.bpe_train`."""
+    pk_l = "string_split(b.pk, chr(30))[1]"
+    pk_r = "string_split(b.pk, chr(30))[2]"
+    ctes = _bpe_train_ctes(iters)
     rows = "\n            UNION ALL ".join(
         f"""SELECT CAST({r} AS INTEGER) AS merge_round,
                    {pk_l} AS left_sym, {pk_r} AS right_sym, b.n
@@ -193,6 +215,63 @@ def _bpe_train_sql(iters: int) -> str:
         for r in range(1, iters + 1)
     )
     return f"WITH {', '.join(ctes)}\n        {rows}"
+
+
+def _bpe_encode_sql(iters: int) -> str:
+    """Re-derive the merges (same CTEs as the train oracle), then replay
+    the encoding: boundary-marked segs per word, the merge rules applied
+    in training order as nested literal replaces, symbol counts summed
+    per document."""
+    ctes = _bpe_train_ctes(iters)
+    parts = []
+    for r in range(1, iters + 1):
+        parts.append(
+            f"string_split(b{r}.pk, chr(30))[1] AS l{r}, "
+            f"string_split(b{r}.pk, chr(30))[2] AS r{r}"
+        )
+    ctes.append(
+        "mrg AS (SELECT "
+        + ", ".join(parts)
+        + " FROM "
+        + ", ".join(f"b{r}" for r in range(1, iters + 1))
+        + ")"
+    )
+    seg = (
+        "array_to_string(list_transform(generate_series(1, length(t)), "
+        "i -> chr(2) || substr(t, i, 1) || chr(3)), '')"
+    )
+    enc = seg
+    for r in range(1, iters + 1):
+        pat = f"chr(2) || l{r} || chr(3) || chr(2) || r{r} || chr(3)"
+        rep = f"chr(2) || l{r} || r{r} || chr(3)"
+        enc = f"replace({enc}, {pat}, {rep})"
+    ctes.append(
+        f"""docw AS (
+            SELECT doc_id,
+                   list_filter({_TOKS_LIST},
+                       t -> NOT regexp_matches(t,
+                            '[' || chr(2) || chr(3) || chr(30) || ']')) AS ws
+            FROM documents
+        )"""
+    )
+    ctes.append(
+        f"""encd AS (
+            SELECT d.doc_id, d.ws,
+                   list_transform(d.ws, t -> {enc}) AS segs
+            FROM docw d CROSS JOIN mrg
+        )"""
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT doc_id,
+               CAST(COALESCE(list_sum(list_transform(ws, t -> length(t))), 0)
+                    AS BIGINT) AS n_base_symbols,
+               CAST(COALESCE(list_sum(list_transform(segs,
+                    s -> len(list_filter(regexp_split_to_array(s,
+                         '[' || chr(2) || chr(3) || ']+'), x -> x != '')))), 0)
+                    AS BIGINT) AS n_bpe_tokens
+        FROM encd
+    """
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,6 +612,7 @@ ORACLES: dict[str, str] = {
         FROM documents d LEFT JOIN rolling r ON d.doc_id = r.doc_id
     """,
     "q_bpe_train": _bpe_train_sql(_BPE_ITERS),
+    "q_bpe_encode": _bpe_encode_sql(_BPE_ITERS),
     "q_bpe_pair_counts": f"""
         WITH toks AS (
             SELECT unnest({_TOKS_LIST}) AS tok FROM documents
