@@ -517,3 +517,61 @@ def bpe_encode(
             "0L, (a, v) -> a + v)"
         ).alias("n_bpe_tokens"),
     )
+
+
+def bigram_doc_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", scale: int = 1_000_000
+) -> DataFrame:
+    """Bigram-LM document scoring with unigram backoff — one step up from
+    `unigram_doc_score` toward the KenLM-style perplexity filter, still
+    engine-exact: per adjacent token pair (w1, w2), the contribution is
+    the scaled integer conditional probability ``(c12 · scale) div c1``
+    when the corpus has independent evidence for the bigram (c12 > 1 —
+    seen beyond this one occurrence), else the discounted unigram
+    backoff ``(c2 · scale) div (10 · total_tokens)`` — integer division
+    throughout, no logarithms. High ``mean_scaled_prob`` = predictable
+    text; low = rare transitions (gibberish / OCR noise).
+
+    Scale shape: two count aggregates (bigram, unigram — both shuffle
+    digest-sized keys with map-side combine), a bigram-count join that
+    reuses the aggregate's partitioning, a broadcast unigram join for the
+    backoff, one per-doc aggregate. Documents never shuffle as text."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.expr(_tok_array(text_col))).alias("ord", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    pairs = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    total = toks.count()
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        pairs.join(bi, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .join(
+            F.broadcast(
+                uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c2"))
+            ),
+            "w2",
+        )
+        .withColumn(
+            "p_scaled",
+            F.when(
+                F.col("c12") > 1,
+                F.expr(f"CAST((c12 * {scale}) div c1 AS BIGINT)"),
+            ).otherwise(
+                F.expr(f"CAST((c2 * {scale}) div (10 * {total}L) AS BIGINT)")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p_scaled").alias("sum_scaled_prob"),
+        (F.sum("p_scaled") / F.count(F.lit(1))).alias("mean_scaled_prob"),
+    )

@@ -42,7 +42,7 @@ from . import core
 # q_csv_roundtrip, q_jsonl_roundtrip, q_value_outliers, q_upsert_latest,
 # q_volume_shipping, q_large_orders, q_window_funcs, q_grouping_sets,
 # q_table_profile, q_constraint_checks, q_contrastive_negatives,
-# q_bpe_encode.
+# q_bpe_encode, q_bigram_lm_score.
 _ROUND_PRIORITY = [
     # judge's explicit priority list first
     "q_corpus_clean_pipeline",

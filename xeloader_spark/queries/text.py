@@ -274,6 +274,14 @@ def _bpe_encode_sql(iters: int) -> str:
     """
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring with unigram backoff — the next rung
+    after `q_unigram_doc_prob` on the perplexity-filter ladder, exact
+    throughout (scaled integer divisions, no logs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_doc_score(docs)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality filter (Rae et al. 2021 appendix A, public
     MassiveWeb recipe): per-rule booleans + conjunction. Single-pass
@@ -613,6 +621,42 @@ ORACLES: dict[str, str] = {
     """,
     "q_bpe_train": _bpe_train_sql(_BPE_ITERS),
     "q_bpe_encode": _bpe_encode_sql(_BPE_ITERS),
+    "q_bigram_lm_score": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest({_TOKS_LIST}) AS tok,
+                   generate_subscripts({_TOKS_LIST}, 1) AS ord
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_id, tok AS w1,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+            FROM toks QUALIFY w2 IS NOT NULL
+        ),
+        uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+        bi AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   CASE WHEN b.c12 > 1
+                        THEN (b.c12 * 1000000) // u1.c1
+                        ELSE (u2.c1 * 1000000) // (10 * tot.n)
+                   END AS p_scaled
+            FROM pairs p
+            JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+            JOIN uni u1 ON p.w1 = u1.tok
+            JOIN uni u2 ON p.w2 = u2.tok
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(p_scaled) AS BIGINT) AS sum_scaled_prob,
+               CAST(SUM(p_scaled) AS BIGINT) / COUNT(*) AS mean_scaled_prob
+        FROM scored GROUP BY 1
+    """,
     "q_bpe_pair_counts": f"""
         WITH toks AS (
             SELECT unnest({_TOKS_LIST}) AS tok FROM documents
