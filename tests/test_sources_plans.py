@@ -301,6 +301,13 @@ class TestNewOperatorPlanShapes:
         plans.assert_broadcast_join(df)
         plans.assert_no_cartesian(df)
 
+    def test_contrastive_negatives_shuffle_budget(self, spark):
+        from xeloader_spark.queries import sampling as qs
+
+        # per-shard ranking window + (shard, rank) self-join; a global
+        # sort sneaking in would show as a third exchange
+        plans.assert_max_shuffles(qs.q_contrastive_negatives(spark, SF), 2)
+
     def test_pipeline_no_cartesian(self, spark):
         from xeloader_spark.queries import pipeline as qp
 
