@@ -189,3 +189,61 @@ def test_streaming_upsert_latest_matches_batch(spark, stream_in, tmp_path):
         for r in q_upsert_latest(spark, SF).collect()
     }
     assert final == batch
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Latest per-user emission of the streaming funnel == the batch
+    funnel, when files arrive in event-time order (the log-shipping
+    contract the operator documents)."""
+    import time
+
+    from xeloader_spark.operators.temporal import funnel
+    from xeloader_spark.streaming.funnel_stream import streaming_funnel
+
+    src = str(tmp_path / "fun_in")
+    out = str(tmp_path / "fun_out")
+    ckpt = str(tmp_path / "fun_ckpt")
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    # three contiguous time slices, written oldest-first so the file
+    # stream (mod-time order) replays event time forward
+    ts_sorted = ev.orderBy("ts", "event_id").collect()
+    n = len(ts_sorted)
+    os.makedirs(src, exist_ok=True)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        spark.createDataFrame(
+            ts_sorted[lo : lo + (n + 2) // 3], ev.schema
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        time.sleep(1.1)  # distinct mod times → deterministic arrival order
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/slice=*")
+    q = (
+        streaming_funnel(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    # the newest emission per user = the one with the most steps filled
+    # (emissions only ever fill steps forward)
+    final = {}
+    for r in emitted.collect():
+        cur = final.get(r.user_id)
+        filled = sum(x is not None for x in (r.t_1, r.t_2, r.t_3))
+        if cur is None or filled > sum(x is not None for x in cur):
+            final[r.user_id] = (r.t_1, r.t_2, r.t_3)
+    batch = {
+        r.user: (r.t_1, r.t_2, r.t_3)
+        for r in funnel(ev, steps=("view", "click", "purchase")).collect()
+    }
+    # streaming emits only users that reached step 1; batch lists all
+    batch_reached = {u: v for u, v in batch.items() if v[0] is not None}
+    assert final == batch_reached
