@@ -28,80 +28,72 @@ from . import core
 
 
 # The round driver checks at most ~50 queries per round, in registry
-# (dict insertion) order. Round 1 verified the first 50; this list front-
-# loads the 29 queries that had no driver CORRECTNESS row in round 1 plus
-# the round-2 additions up to the 50-slot budget, so that, across rounds,
-# every registered query gets a driver-verified row. Names not in this
-# list keep their module/alphabetical order after it.
+# (dict insertion) order. Rounds 1+2 verified 99 distinct queries green
+# (union of CORRECTNESS_r01/r02 rows with rows_match and no err). This
+# list front-loads the 19 queries that still have no driver row (all late
+# round-2 additions), then fills the remaining budget with the highest-
+# complexity previously-green queries as regression re-checks, then any
+# round-3 additions. Names not in this list keep module order after it.
 #
-# ROUND-3 ROTATION (do this first next round): replace this list with the
-# still-unverified names — diff queries() keys against the union of
-# CORRECTNESS_r01/r02 green rows. Queries added late in round 2 with no
-# driver row yet: q_domain_classifier, q_classifier_inference,
-# q_kmeans_clusters, q_ann_topk_pq, q_funnel_conversion, q_bpe_train,
-# q_csv_roundtrip, q_jsonl_roundtrip, q_value_outliers, q_upsert_latest,
-# q_volume_shipping, q_large_orders, q_window_funcs, q_grouping_sets,
-# q_table_profile, q_constraint_checks, q_contrastive_negatives,
-# q_bpe_encode, q_bigram_lm_score.
+# ROUND-4 ROTATION (do this first next round): re-diff queries() keys
+# against the union of CORRECTNESS_r01/r02/r03 green rows; front-load
+# whatever is still unverified (should be only round-3 additions), then
+# rotate regression re-checks to queries whose last green row is oldest.
 _ROUND_PRIORITY = [
-    # judge's explicit priority list first
+    # the 19 still-unverified queries (no CORRECTNESS_r01/r02 row)
+    "q_ann_topk_pq",
+    "q_bigram_lm_score",
+    "q_bpe_encode",
+    "q_bpe_train",
+    "q_classifier_inference",
+    "q_constraint_checks",
+    "q_contrastive_negatives",
+    "q_csv_roundtrip",
+    "q_domain_classifier",
+    "q_funnel_conversion",
+    "q_grouping_sets",
+    "q_jsonl_roundtrip",
+    "q_kmeans_clusters",
+    "q_large_orders",
+    "q_table_profile",
+    "q_upsert_latest",
+    "q_value_outliers",
+    "q_volume_shipping",
+    "q_window_funcs",
+    # new round-3 queries go here (before regression re-checks) so they
+    # get a driver row in the same round they are added
+    "q_streaming_incremental_dedup_parity",
+    "q_ann_recall_lsh",
+    "q_ann_recall_ivf",
+    "q_ann_recall_pq",
+    # regression re-checks: highest-complexity previously-green queries
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
     "q_corpus_clean_pipeline",
+    "q_callstack_decode",
+    "q_embedding_neardup",
+    "q_ann_topk_lsh_quantized",
+    "q_ann_topk_ivf",
+    "q_simhash_neardup",
+    "q_decontaminate",
+    "q_bloom_decontaminate",
+    "q_incremental_dedup",
+    "q_chunk_dedup",
+    "q_substring_dup_spans",
+    "q_containment_pairs",
+    "q_dedup_shingle_jaccard",
+    "q_multimodal_real_codec",
+    "q_multimodal_audio_codec",
+    "q_multimodal_resize",
+    "q_xml_roundtrip",
+    "q_cms_heavy_hitters",
+    "q_tfidf_search",
+    "q_token_budget_mix",
     "q_pack_sequences",
     "q_asof_purchase_attribution",
-    "q_interval_error_click_window",
-    "q_session_window_agg",
-    "q_train_test_split",
-    "q_repetition_stats",
-    "q_multimodal_feature_values",
-    # new this round: exact-checkable quantized LSH ANN (replaces the
-    # rows-only float-LSH registry entry; float path stays as an API)
-    "q_ann_topk_lsh_quantized",
-    # new this round: structural XML source round-trip (S4-as-XML)
-    "q_xml_roundtrip",
-    # new this round: real pure-python PPM codec through mapInPandas
-    "q_multimodal_real_codec",
-    # new this round: Gopher-rule quality, PII redaction, mixture weights,
-    # passage-level chunk dedup
-    "q_gopher_quality",
-    "q_pii_redaction",
-    "q_mix_weights",
-    "q_chunk_dedup",
-    "q_source_cap",
-    "q_token_budget_mix",
-    "q_unigram_doc_prob",
-    "q_multimodal_audio_codec",
-    "q_substring_dup_spans",
-    "q_bpe_pair_counts",
-    "q_quality_scorecard",
-    "q_cms_heavy_hitters",
-    "q_multimodal_resize",
-    "q_incremental_dedup",
-    "q_bloom_decontaminate",
-    "q_length_bucket_batches",
-    "q_tfidf_search",
-    "q_containment_pairs",
-    # remaining round-1-unchecked queries
-    "q_frame_sample",
-    "q_multimodal_features",
-    "q_label_centroids",
-    "q_ann_topk_ivf",
-    "q_doc_fingerprint",
-    "q_lang_id",
-    "q_text_quality",
-    "q_token_count",
-    "q_top_terms_per_source",
-    "q_array_funcs",
-    "q_datetime_parts",
-    "q_string_funcs",
-    "q_approx_distinct_users",
-    "q_approx_percentile_value",
-    "q_hll_mergeable_distinct",
-    "q_moving_avg_time_range",
     "q_rollup_gapfill_hourly",
-    "q_sessionize_gap_batch",
-    "q_value_percentiles",
-    "q_sample_deterministic",
-    "q_stratified_sample",
+    "q_gopher_quality",
+    "q_label_centroids",
 ]
 
 
