@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 K = 8
 ITERS = 3
 SCALE = 1000
+# Fixture embedding width, shared with the DuckDB oracle builders
+# (queries/similarity.py) so the two sides can never silently disagree
+# on subspace slicing.
+EMB_DIM = 64
 
 _PERSISTED: list[DataFrame] = []
 
@@ -58,12 +62,22 @@ def release_persisted() -> int:
 def _quantized(
     emb_df: DataFrame, id_col: str, vec_col: str, scale: int
 ) -> DataFrame:
-    """(id, qarr): non-negative shifted integer vectors."""
+    """(id, qarr): non-negative shifted integer vectors.
+
+    The +scale shift guarantees non-negative integers, which is what makes
+    ``SUM div COUNT`` centroid updates agree between Spark (truncating
+    division) and DuckDB (flooring division). That guarantee only holds
+    for components in [-1, 1], so anything outside fails loudly instead of
+    silently diverging from the documented contract."""
     return emb_df.select(
         F.col(id_col).alias("id"),
         F.expr(
-            f"transform({vec_col}, v -> "
-            f"CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT) + {scale})"
+            f"transform({vec_col}, v -> CASE "
+            "WHEN CAST(v AS DOUBLE) < -1.0D OR CAST(v AS DOUBLE) > 1.0D "
+            "THEN CAST(raise_error(concat('embedding component outside "
+            "[-1, 1]: ', CAST(v AS STRING))) AS BIGINT) "
+            f"ELSE CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT) "
+            f"+ {scale} END)"
         ).alias("qarr"),
     )
 
@@ -140,8 +154,12 @@ def kmeans_exact(
     final centroids. `dist` is squared L2 in quantized space (BIGINT;
     shift-invariant, so it equals the unshifted quantized distance)."""
     q = _quantized(emb_df, id_col, vec_col, scale).persist()
-    _PERSISTED.append(q)
     centroids = kmeans_fit(q, k=k, iters=iters)
+    # The cache only pays for itself across the fit's iterative scans; the
+    # model is now driver-sized literals, so release the cached partitions
+    # rather than leaking them across a driver sweep. The returned frame
+    # recomputes the narrow quantized projection on its single final scan.
+    q.unpersist()
     return _assign(q, centroids).select(
         F.col("id").alias("vec_id"), "cluster", "dist"
     )
@@ -193,7 +211,6 @@ def pq_topk(
     L2; without rerank it is the ADC approximation.
     """
     q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
-    _PERSISTED.append(q_full)
     dim = len(q_full.select("qarr").first().qarr)
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -229,6 +246,16 @@ def pq_topk(
         r.id: list(r.qarr)
         for r in q_full.filter(F.col("id").isin(query_ids)).collect()
     }
+    absent = [qid for qid in query_ids if qid not in qrows]
+    if absent:
+        raise ValueError(
+            f"query_ids not present in {id_col}: {absent}"
+        )
+    # Codebooks and query vectors are now driver-sized; the remaining
+    # downstream scans (encode, optional re-rank join) each recompute the
+    # narrow quantized projection — cheaper than leaking cache across a
+    # driver sweep.
+    q_full.unpersist()
     dtab: dict[int, list[list[int]]] = {}
     for qid in query_ids:
         qv = qrows[qid]

@@ -395,8 +395,18 @@ BPE_PK = "\x1e"
 _BPE_CTRL = "[\x02\x03\x1e]"
 
 
+def _sql_str(s: str) -> str:
+    """Render a python string as a Spark SQL string literal. Merge symbols
+    come from arbitrary corpus tokens, so quotes and backslashes must be
+    escaped or the generated expression breaks (or silently changes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def bpe_train(
-    df: DataFrame, iters: int = 5, text_col: str = "text"
+    df: DataFrame,
+    iters: int = 5,
+    text_col: str = "text",
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Iterative BPE merge training (Sennrich et al. 2016, the public
     algorithm): `iters` rounds of count-adjacent-pairs → merge the most
@@ -413,6 +423,13 @@ def bpe_train(
     Returns (merge_round, left_sym, right_sym, n) — one row per learned
     merge, assembled on the driver from the T collected rules. Ties break
     by pair key ascending, so the rule sequence is engine-deterministic.
+
+    Plan growth is bounded: each merge appends one replace projection to
+    `segs`, so every `checkpoint_every` rounds the frame is
+    localCheckpoint-ed (materializing the vocab-sized working set and
+    truncating lineage). A realistic tokenizer train (10³–10⁴ merges)
+    therefore keeps both the logical plan and the driver round-trip O(k)
+    per action instead of O(total merges).
     """
     spark = df.sparkSession
     toks = df.select(F.explode(F.expr(_tok_array(text_col))).alias("tok"))
@@ -431,6 +448,7 @@ def bpe_train(
 
     merges: list[tuple[int, str, str, int]] = []
     segs = seg0
+    prev_ckpt: DataFrame | None = None
     for rnd in range(1, iters + 1):
         pairs = segs.withColumn(
             "arr",
@@ -468,7 +486,15 @@ def bpe_train(
                 F.lit(f"{BPE_L}{left}{right}{BPE_R}"),
             ),
         )
+        if checkpoint_every and rnd % checkpoint_every == 0:
+            ckpt = segs.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt = ckpt
+            segs = ckpt
     seg0.unpersist()
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
     return spark.createDataFrame(
         merges, "merge_round int, left_sym string, right_sym string, n long"
     )
@@ -496,9 +522,12 @@ def bpe_encode(
     )
     enc = seg
     for left, right in merges:
-        pat = f"{BPE_L}{left}{BPE_R}{BPE_L}{right}{BPE_R}"
-        rep = f"{BPE_L}{left}{right}{BPE_R}"
-        enc = f"replace({enc}, '{pat}', '{rep}')"
+        # merge symbols are corpus-derived: escape them before they are
+        # interpolated into the SQL expression (an apostrophe or backslash
+        # token must not break or alter the generated replace)
+        pat = _sql_str(f"{BPE_L}{left}{BPE_R}{BPE_L}{right}{BPE_R}")
+        rep = _sql_str(f"{BPE_L}{left}{right}{BPE_R}")
+        enc = f"replace({enc}, {pat}, {rep})"
     n_tok = (
         f"size(filter(split({enc}, concat('[', char(2), char(3), ']+')), "
         "x -> x != ''))"

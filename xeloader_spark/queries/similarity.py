@@ -180,6 +180,15 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is hash-verified (the PQ analogue of the quantized-LSH
     contract)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # The static DuckDB oracle slices subspaces by cls.EMB_DIM; fail
+    # loudly here if the fixture width ever drifts from that constant
+    # instead of letting every hash comparison mismatch confusingly.
+    width = emb.select(F.size("embedding").alias("n")).first().n
+    if width != cls.EMB_DIM:
+        raise ValueError(
+            f"embeddings fixture width {width} != cluster.EMB_DIM "
+            f"{cls.EMB_DIM}; update the shared constant"
+        )
     return cls.pq_topk(
         emb,
         _QUERY_IDS,
@@ -261,7 +270,7 @@ def _pq_sql(
     """DuckDB replay of `cluster.pq_topk`: per-subspace codebook training,
     encoding, ADC distance tables, the per-query shortlist, and (when
     `rerank` is set) the exact-distance re-rank of the shortlist."""
-    sub = 64 // m
+    sub = cls.EMB_DIM // m
     ids = ", ".join(str(i) for i in qids)
     ctes: list[str] = []
     enc_parts, qd_parts = [], []
