@@ -90,8 +90,14 @@ def main() -> None:
     # by a whole pass, decorrelating them from any one burst) and the MIN is
     # reported. A global budget caps the second pass so a contended run
     # degrades to single samples instead of blowing the driver's time box.
+    #
+    # VERDICT r2 asked the uniform 1.2-1.6x inflation between rounds to be
+    # pinned: both passes' totals AND the host load average (start/end) are
+    # now recorded in the output JSON, so a contended round is identifiable
+    # from the artifact itself instead of being a mystery ratio.
     bench_start = time.perf_counter()
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    loadavg_start = os.getloadavg()
 
     def run_once(fn) -> float:
         t0 = time.perf_counter()
@@ -101,12 +107,16 @@ def main() -> None:
         return dt
 
     timings: dict[str, float] = {}
+    pass1: dict[str, float] = {}
+    pass2: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_once(registry[name]), 3)
+        pass1[name] = round(run_once(registry[name]), 3)
+        timings[name] = pass1[name]
     for name in HEADLINE:
         if time.perf_counter() - bench_start >= budget:
             break
-        timings[name] = round(min(timings[name], run_once(registry[name])), 3)
+        pass2[name] = round(run_once(registry[name]), 3)
+        timings[name] = min(timings[name], pass2[name])
     for name in HEADLINE:
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
@@ -158,6 +168,57 @@ def main() -> None:
         for n in (f"{fam}_uncapped", f"{fam}_capped"):
             print(f"[bench] {n}: {timings[n]}s", file=sys.stderr, flush=True)
 
+    # ANN quality: recall@10 of each approximate path against the exact
+    # quantized-dot brute force (the fixture embeddings are unit-norm, so
+    # dot, cosine, and L2 rankings coincide and ONE exact baseline serves
+    # all three). Regressions in ANN tuning now show up as recall, not
+    # just wall-time.
+    from xeloader_spark.catalog import load_table as _load
+    from xeloader_spark.operators import cluster as _cl
+    from xeloader_spark.operators import similarity as _sim
+
+    emb = _load(spark, sf_dir, "embeddings").localCheckpoint()
+    rq, rk = list(range(16)), 10
+
+    def topsets(df) -> dict[int, set[int]]:
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.candidate_id)
+        return out
+
+    exact_top = topsets(_sim.dot_topk_quantized(emb, rq, k=rk))
+    ann_paths = {
+        "lsh_quantized": lambda: _sim.lsh_ann_topk_quantized(
+            emb, rq, k=rk, n_planes=6
+        ),
+        "ivf": lambda: _sim.ivf_topk(
+            emb, rq, k=rk, n_centroids=16, n_probe=8, train_fraction=0.5
+        ),
+        "pq": lambda: _cl.pq_topk(
+            emb, rq, k=rk, m=4, sub_k=16, iters=2, rerank=50
+        ),
+    }
+    recall_at_10: dict[str, float] = {}
+    for nm, mk in ann_paths.items():
+        t0 = time.perf_counter()
+        approx_top = topsets(mk())
+        timings[f"ann_recall_{nm}"] = round(time.perf_counter() - t0, 3)
+        recall_at_10[nm] = round(
+            sum(
+                len(approx_top.get(qid, set()) & hits)
+                for qid, hits in exact_top.items()
+            )
+            / (len(exact_top) * rk),
+            4,
+        )
+        print(
+            f"[bench] recall@10 {nm}: {recall_at_10[nm]} "
+            f"({timings[f'ann_recall_{nm}']}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+    emb.unpersist()
+
     # Bulk-load throughput — the reference's core function (read →
     # flatten → demux-partitioned write), timed end-to-end into a scratch
     # dir including the actual parquet write, not a noop sink.
@@ -206,6 +267,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "recall_at_10": recall_at_10,
+                "pass_totals": {
+                    "pass1": round(sum(pass1.values()), 3),
+                    "pass2": round(sum(pass2.values()), 3) if pass2 else None,
+                    "pass2_queries": len(pass2),
+                },
+                "loadavg": {
+                    "start": list(loadavg_start),
+                    "end": list(os.getloadavg()),
+                },
             }
         )
     )
