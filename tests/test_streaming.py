@@ -191,6 +191,91 @@ def test_streaming_upsert_latest_matches_batch(spark, stream_in, tmp_path):
     assert final == batch
 
 
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Streamed lineage-digest dedup == the batch `incremental_dedup`
+    applied load-by-load: batch-1 emissions match a run against an empty
+    snapshot; batch-2 emissions match a run against the digests batch 1
+    kept. State per distinct digest is one row (the keeper id)."""
+    import time
+
+    from xeloader_spark.operators.dedup import incremental_dedup
+    from xeloader_spark.streaming.dedup_stream import (
+        streaming_incremental_dedup,
+    )
+
+    src = str(tmp_path / "incdedup_in")
+    out = str(tmp_path / "incdedup_out")
+    ckpt = str(tmp_path / "incdedup_ckpt")
+
+    # distinct-text base rows so the seeded duplicates are the ONLY dups
+    base = (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .dropDuplicates(["text"])
+        .orderBy("doc_id")
+        .limit(370)
+        .collect()
+    )
+    b1 = [(int(r.doc_id), r.text) for r in base[:200]]
+    # in-batch dup inside load 1: two fresh ids share base[360]'s text
+    b1 += [(40000, base[360].text), (40001, base[360].text)]
+    b2 = [(int(r.doc_id), r.text) for r in base[200:350]]
+    # cross-load dups: 50 texts already kept by load 1
+    b2 += [(10000 + i, base[i].text) for i in range(50)]
+    # in-batch dup inside load 2: two fresh ids share base[361]'s text
+    b2 += [(30000, base[361].text), (30001, base[361].text)]
+
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string"
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)  # distinct mod times → deterministic arrival order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_incremental_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.status, r.keeper_doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    b1df = spark.createDataFrame(b1, schema)
+    b2df = spark.createDataFrame(b2, schema)
+    empty_snap = spark.createDataFrame([], "digest string")
+    exp1 = incremental_dedup(b1df, empty_snap)
+    snap_after_1 = exp1.filter(F.col("status") == "keep").select("digest")
+    exp2 = incremental_dedup(b2df, snap_after_1)
+    expected = {
+        r.doc_id: r.status
+        for r in exp1.unionByName(exp2).collect()
+    }
+
+    assert len(got) == len(b1) + len(b2)
+    assert {k: v[0] for k, v in got.items()} == expected
+    # keeper ids: every duplicate points at the minimal id that kept the
+    # content (cross-batch keepers come from load 1)
+    for i in range(50):
+        assert got[10000 + i] == ("dup_in_snapshot", b1[i][0])
+    assert got[40001] == ("dup_in_batch", 40000)
+    assert got[30001] == ("dup_in_batch", 30000)
+
+
 def test_streaming_funnel_matches_batch(spark, tmp_path):
     """Latest per-user emission of the streaming funnel == the batch
     funnel, when files arrive in event-time order (the log-shipping

@@ -115,6 +115,56 @@ def _xevent_type_for_spark(dt: T.DataType) -> str:
     return _SPARK_TO_XEVENT.get(type(dt), "unicode_string")
 
 
+class SqlServerDialect:
+    """Identifier quoting + DDL type rendering for the ALTER emission.
+    The statement TEMPLATE is dialect-independent (`ALTER TABLE s.t ADD
+    c <type> NULL` parses on SQL Server and DuckDB alike); only the
+    quoting characters and type vocabulary differ, so dialects override
+    exactly those two hooks. Default target is SQL Server (the
+    reference's engine); the DuckDB dialect exists so the evolution path
+    can be EXECUTED against a live in-process engine in tests rather
+    than only planned."""
+
+    name = "sqlserver"
+
+    def quote(self, ident: str) -> str:
+        return f"[{ident}]"
+
+    def render_type(self, sql_server_type: str) -> str:
+        return sql_server_type
+
+
+class DuckDbDialect(SqlServerDialect):
+    name = "duckdb"
+
+    _EXACT = {
+        "bit": "BOOLEAN",
+        "real": "FLOAT",
+        "float": "DOUBLE",  # SQL Server float(53) is double precision
+        "smalldatetime": "TIMESTAMP",
+        "xml": "VARCHAR",
+    }
+
+    def quote(self, ident: str) -> str:
+        return '"' + ident.replace('"', '""') + '"'
+
+    def render_type(self, sql_server_type: str) -> str:
+        t = sql_server_type.lower()
+        if t in self._EXACT:
+            return self._EXACT[t]
+        if t.startswith("datetime2"):
+            return "TIMESTAMP"
+        if t.startswith("nvarchar"):
+            return "VARCHAR"
+        if t.startswith("varbinary"):
+            return "BLOB"
+        return sql_server_type  # bigint/int/smallint/tinyint/decimal(p,s)
+
+
+SQL_SERVER = SqlServerDialect()
+DUCKDB = DuckDbDialect()
+
+
 def existing_columns_query(schema_name: str, table: str) -> str:
     """The reference's live-table introspection (EventMetadata.cs:416-418),
     parameterized the JDBC way (run via a `query` option or connection)."""
@@ -131,6 +181,7 @@ def schema_evolution_plan(
     table: str = "events",
     layout: LayoutConfig | None = None,
     xevent_types: dict[str, str] | None = None,
+    dialect: SqlServerDialect = SQL_SERVER,
 ) -> tuple[list[str], list[str]]:
     """Diff the frame's schema against the live table's column set →
     (`ALTER TABLE … ADD` statements, server-only column names).
@@ -149,9 +200,11 @@ def schema_evolution_plan(
         if f.name.lower() in existing:
             continue
         xet = (xevent_types or {}).get(f.name) or _xevent_type_for_spark(f.dataType)
-        sql_type = sql_server_type_for(xet, f.name, layout)
+        sql_type = dialect.render_type(sql_server_type_for(xet, f.name, layout))
+        q = dialect.quote
         alters.append(
-            f"ALTER TABLE [{schema_name}].[{table}] ADD [{f.name}] {sql_type} NULL"
+            f"ALTER TABLE {q(schema_name)}.{q(table)} "
+            f"ADD {q(f.name)} {sql_type} NULL"
         )
     server_only = [c for c in existing_columns if c.lower() not in frame_cols]
     return alters, server_only
@@ -175,15 +228,17 @@ def ensure_table_schema_matches(
     table: str = "events",
     layout: LayoutConfig | None = None,
     xevent_types: dict[str, str] | None = None,
+    dialect: SqlServerDialect = SQL_SERVER,
 ) -> DataFrame:
     """Full EnsureTableSchemaMatches parity: introspect, ALTER the table
     for new frame columns, and return the frame aligned with the table's
     server-only columns. `fetch_existing_columns` / `run_sql` wrap the
-    caller's JDBC connection (kept abstract — no live server here; both
-    sides are unit-tested via the pure plan)."""
+    caller's JDBC connection (no SQL Server in this runtime; the executed
+    path is exercised end-to-end against in-process DuckDB via
+    `dialect=DUCKDB` in `test_sources_plans.py`)."""
     existing = list(fetch_existing_columns())
     alters, server_only = schema_evolution_plan(
-        df, existing, schema_name, table, layout, xevent_types
+        df, existing, schema_name, table, layout, xevent_types, dialect
     )
     for stmt in alters:
         run_sql(stmt)
