@@ -51,6 +51,7 @@ HEADLINE = [
     "q_substring_dup_spans",
     "q_embedding_neardup",
     "q_ann_topk_dot",
+    "q_ann_topk_lsh_banded",
     "q_kmeans_clusters",
     "q_text_quality",
     "q_unigram_doc_prob",
@@ -191,11 +192,14 @@ def main() -> None:
         "lsh_quantized": lambda: _sim.lsh_ann_topk_quantized(
             emb, rq, k=rk, n_planes=6
         ),
+        "lsh_banded": lambda: _sim.lsh_ann_topk_banded(
+            emb, rq, k=rk, bands=8, planes_per_band=4
+        ),
         "ivf": lambda: _sim.ivf_topk(
             emb, rq, k=rk, n_centroids=16, n_probe=8, train_fraction=0.5
         ),
         "pq": lambda: _cl.pq_topk(
-            emb, rq, k=rk, m=4, sub_k=16, iters=2, rerank=50
+            emb, rq, k=rk, m=8, sub_k=16, iters=2, rerank=100
         ),
     }
     recall_at_10: dict[str, float] = {}

@@ -165,6 +165,80 @@ def kmeans_exact(
     )
 
 
+def _pq_fit_joint(
+    q_full: DataFrame, m: int, sub: int, sub_k: int, iters: int
+) -> list[list[list[int]]]:
+    """Train all `m` subspace codebooks in ONE pass per Lloyd round —
+    numerically identical to fitting each subspace separately (the
+    subspaces are independent; this only batches their scans), but
+    driver round-trips and corpus scans drop from m·iters to iters.
+    Seeds are the sub_k rows with the smallest (md5(id), id) — the same
+    row order for every subspace, so one collect seeds all m codebooks,
+    matching the per-subspace `kmeans_fit` seed rule exactly (which is
+    what the unrolled DuckDB oracle replays)."""
+    seed_rows = (
+        q_full.select(
+            "id", "qarr", F.md5(F.col("id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "id")
+        .limit(sub_k)
+        .collect()
+    )
+    codebooks = [
+        [list(r.qarr)[s * sub : (s + 1) * sub] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        code_cols = []
+        for s in range(m):
+            best = F.least(
+                *[
+                    F.struct(
+                        _dist_expr(
+                            c, F.expr(f"slice(qarr, {s * sub + 1}, {sub})")
+                        ).alias("d"),
+                        F.lit(j).cast("int").alias("c"),
+                    )
+                    for j, c in enumerate(codebooks[s])
+                ]
+            )
+            code_cols.append(best.getField("c").alias(f"code_{s}"))
+        # one aggregate covers every (subspace, cluster, dim) cell: each
+        # exploded component keys on its own subspace's assignment.
+        # NB: the struct-least assignment exprs and posexplode must live
+        # in SEPARATE projections — Spark's generator rewrite drops the
+        # struct field names when they share a select.
+        coded = q_full.select(*code_cols, "qarr")
+        stats = (
+            coded.select(
+                *[f"code_{s}" for s in range(m)],
+                F.posexplode("qarr").alias("pos", "qv"),
+            )
+            .withColumn(
+                "cl",
+                F.element_at(
+                    F.array(*[F.col(f"code_{s}") for s in range(m)]),
+                    F.expr(f"CAST(pos DIV {sub} AS INT) + 1"),
+                ),
+            )
+            .groupBy("pos", "cl")
+            .agg(F.sum("qv").alias("sv"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], list[int | None]] = {}
+        for r in stats:
+            s_idx, d = r.pos // sub, r.pos % sub
+            upd.setdefault((s_idx, r.cl), [None] * sub)[d] = r.sv // r.n
+        codebooks = [
+            [
+                upd.get((s, j), codebooks[s][j])
+                for j in range(sub_k)
+            ]
+            for s in range(m)
+        ]
+    return codebooks
+
+
 def _dist_expr(centroid: list[int], arr: Column) -> Column:
     carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
     return F.aggregate(
@@ -219,12 +293,7 @@ def pq_topk(
     def sub_arr(s: int) -> Column:
         return F.expr(f"slice(qarr, {s * sub + 1}, {sub})")
 
-    codebooks = [
-        kmeans_fit(
-            q_full.select("id", sub_arr(s).alias("qarr")), k=sub_k, iters=iters
-        )
-        for s in range(m)
-    ]
+    codebooks = _pq_fit_joint(q_full, m, sub, sub_k, iters)
 
     # one-scan encode: per subspace, argmin over its literal codebook
     code_cols = []

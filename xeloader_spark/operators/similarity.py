@@ -354,6 +354,141 @@ def lsh_ann_topk_quantized(
     )
 
 
+def banded_quantized_signatures(
+    emb_df: DataFrame,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, qarr, band, bsig): one row per (vector, band); `bsig` is the
+    band's planes_per_band-bit quantized-hyperplane signature. Plane p of
+    band b uses GLOBAL plane index b·planes_per_band + p, so every band
+    hashes with independent hyperplanes. All integer arithmetic — the
+    signatures replay bit-for-bit in SQL."""
+    q = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, v -> "
+            f"CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    band_structs = []
+    for b in range(bands):
+        bsig = F.lit(0).cast("long")
+        for p in range(planes_per_band):
+            sign = _plane_sign_case(
+                b * planes_per_band + p, seed, "d", "instr"
+            )
+            proj = F.expr(
+                "aggregate(zip_with(qarr, sequence(0, size(qarr) - 1), "
+                f"(v, d) -> v * {sign}), 0L, (s, x) -> s + x)"
+            )
+            bsig = bsig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        band_structs.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                bsig.cast("long").alias("bsig"),
+            )
+        )
+    return q.select(
+        "id", "qarr", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("id", "qarr", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+
+def lsh_ann_topk_banded(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-band quantized-LSH ANN — the recall fix over the single-
+    bucket `lsh_ann_topk_quantized` (BENCH r3 measured that baseline at
+    recall@10 ≈ 0.09): a candidate qualifies if it collides with the
+    query in ANY band (OR-amplification, the same banding construction as
+    MinHash-LSH), then in-bucket candidates re-rank by exact integer dot.
+
+    The 100 TB shape is unchanged: corpus rows fan out ×bands as
+    (band, bsig) keys, queries broadcast, the band equi-join touches only
+    colliding buckets (≈ corpus · bands / 2^planes_per_band candidate
+    rows), and no all-pairs path exists. Every step stays integer-exact,
+    so the full pipeline — banding, collision set, dot, rank — replays in
+    the DuckDB oracle."""
+    sigs = banded_quantized_signatures(
+        emb_df, bands, planes_per_band, id_col, vec_col, scale, seed
+    )
+    queries = F.broadcast(
+        sigs.filter(F.col("id").isin(query_ids)).select(
+            F.col("id").alias("query_id"),
+            F.col("qarr").alias("q_qarr"),
+            F.col("band").alias("q_band"),
+            F.col("bsig").alias("q_bsig"),
+        )
+    )
+    hits = (
+        sigs.join(
+            queries,
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bsig") == F.col("q_bsig")),
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            F.expr(
+                "aggregate(zip_with(qarr, q_qarr, (x, y) -> x * y), 0L, "
+                "(s, v) -> s + v)"
+            ).alias("dot"),
+        )
+        # a pair may collide in several bands; the dot is identical, so
+        # max() is a pure dedup (one shuffle on the pair key)
+        .groupBy("query_id", "candidate_id")
+        .agg(F.max("dot").alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("candidate_id")
+    )
+    return (
+        hits.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "dot", "rk")
+    )
+
+
+def banded_sig_sql(
+    bands: int = 8,
+    planes_per_band: int = 4,
+    scale: int = 1000,
+    seed: int = 42,
+    qv_rel: str = "qv",
+) -> str:
+    """DuckDB replay of `banded_quantized_signatures` → (id, band, bsig)
+    over a pre-exploded `(id, pos, qv)` relation. Same global plane
+    indices, same md5 signs, integer sums — bit-for-bit."""
+    selects = []
+    for b in range(bands):
+        terms = []
+        for p in range(planes_per_band):
+            sign = _plane_sign_case(
+                b * planes_per_band + p, seed, "pos", "strpos"
+            ).replace("AS STRING", "AS VARCHAR")
+            terms.append(
+                f"(CASE WHEN SUM(qv * {sign}) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT id, {b} AS band, CAST({' + '.join(terms)} AS BIGINT) "
+            f"AS bsig FROM {qv_rel} GROUP BY id"
+        )
+    return " UNION ALL ".join(selects)
+
+
 def lsh_ann_topk(
     emb_df: DataFrame,
     query_ids: list[int],

@@ -62,10 +62,7 @@ _ROUND_PRIORITY = [
     "q_window_funcs",
     # new round-3 queries go here (before regression re-checks) so they
     # get a driver row in the same round they are added
-    "q_streaming_incremental_dedup_parity",
-    "q_ann_recall_lsh",
-    "q_ann_recall_ivf",
-    "q_ann_recall_pq",
+    "q_ann_topk_lsh_banded",
     # regression re-checks: highest-complexity previously-green queries
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
