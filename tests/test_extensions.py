@@ -562,6 +562,49 @@ class TestSimilarity:
         hit = sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in exact_sets)
         assert hit / total >= 0.4, (hit, total, ivf_sets)
 
+    def test_banded_lsh_recall_beats_single_bucket(self, spark, emb):
+        """OR-amplification contract: the 8×4 banded probe must recover
+        ≥50% of the exact top-10 (deterministic md5 planes + fixed
+        fixture → stable value; measured 0.61 at this SF) and strictly
+        beat the 6-plane single-bucket probe (measured 0.05)."""
+        qids = list(range(16))
+        exact_sets: dict[int, set[int]] = {}
+        for r in sim.dot_topk_quantized(emb, qids, k=10).collect():
+            exact_sets.setdefault(r.query_id, set()).add(r.candidate_id)
+
+        def recall(df) -> float:
+            got: dict[int, set[int]] = {}
+            for r in df.collect():
+                got.setdefault(r.query_id, set()).add(r.candidate_id)
+            return sum(
+                len(got.get(q, set()) & h) for q, h in exact_sets.items()
+            ) / (len(exact_sets) * 10)
+
+        banded = recall(
+            sim.lsh_ann_topk_banded(
+                emb, qids, k=10, bands=8, planes_per_band=4
+            )
+        )
+        single = recall(sim.lsh_ann_topk_quantized(emb, qids, k=10, n_planes=6))
+        assert banded >= 0.5, banded
+        assert banded > single, (banded, single)
+
+    def test_banded_candidates_bounded_by_band_collisions(self, spark, emb):
+        """Every emitted candidate must share at least one band signature
+        with its query — no all-pairs leak past the banding."""
+        sigs = sim.banded_quantized_signatures(emb, bands=8, planes_per_band=4)
+        by_id: dict[int, set[tuple[int, int]]] = {}
+        for r in sigs.collect():
+            by_id.setdefault(r.id, set()).add((r.band, r.bsig))
+        out = sim.lsh_ann_topk_banded(
+            emb, [0, 1, 2], k=10, bands=8, planes_per_band=4
+        )
+        for r in out.collect():
+            assert by_id[r.query_id] & by_id[r.candidate_id], (
+                r.query_id,
+                r.candidate_id,
+            )
+
     def test_lsh_ann_returns_bucket_ranked(self, spark, emb):
         out = sim.lsh_ann_topk(emb, [0, 1, 2], k=5, n_planes=4)
         rows = out.collect()
