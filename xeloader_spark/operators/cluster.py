@@ -248,6 +248,72 @@ def _dist_expr(centroid: list[int], arr: Column) -> Column:
     )
 
 
+def semantic_dedup(
+    emb_df: DataFrame,
+    k: int = K,
+    iters: int = ITERS,
+    min_dot_q: int = 450_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, the
+    public recipe): cluster the embedding corpus with the exact k-means,
+    then WITHIN each cluster prune every vector whose quantized dot
+    product with a smaller-id cluster-mate reaches `min_dot_q`
+    (≈ cosine · scale² for unit-norm embeddings). The smaller id is the
+    deterministic representative, so the kept set is engine-exact and the
+    whole pipeline — clustering, pair set, dots, verdicts — replays in
+    SQL.
+
+    The 100 TB shape is the method's own: clustering bounds the pair
+    space to Σ|cluster|² instead of n², so `k` MUST grow with the corpus
+    (SemDeDup uses ~10⁵ clusters at web scale — per-cluster membership
+    stays small and the within-cluster join never degenerates toward
+    all-pairs; with few clusters the cluster key is also a hot shuffle
+    key). Emits (vec_id, cluster, is_kept)."""
+    q = _quantized(emb_df, id_col, vec_col, scale).persist()
+    centroids = kmeans_fit(q, k=k, iters=iters)
+    members = _assign(q, centroids).select("id", "cluster")
+    q.unpersist()
+    # unshifted quantized vectors for the dot (signs matter)
+    qd = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, v -> "
+            f"CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qdarr"),
+    )
+    m = members.join(qd, "id")
+    a = m.alias("a")
+    b = m.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.id") < F.col("a.id")),
+        )
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(a.qdarr, b.qdarr, (x, y) -> x * y), "
+                "0L, (s, v) -> s + v)"
+            ),
+        )
+        .filter(F.col("dot") >= min_dot_q)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        members.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster",
+            F.col("_drop").isNull().alias("is_kept"),
+        )
+    )
+
+
 def pq_topk(
     emb_df: DataFrame,
     query_ids: list[int],

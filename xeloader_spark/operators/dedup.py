@@ -104,6 +104,39 @@ def exact_dedup(
     )
 
 
+CANON_STRIP_RE = r"[^a-z0-9\s]+"
+
+
+def canonical_text(text_col: str = "text") -> F.Column:
+    """Normalization used by `canonical_dedup`: lowercase → strip
+    non-alphanumerics → collapse whitespace → trim. Pure string
+    functions, identical semantics in DuckDB (regexp_replace global)."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, CANON_STRIP_RE, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def canonical_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on the CANONICAL form of the text — catches the
+    trivial-variant duplicates raw digests miss (case changes, added
+    punctuation, re-wrapped whitespace), the cheap normalization layer a
+    corpus pipeline runs before the expensive fuzzy families. Same
+    digest-only shuffle shape as `exact_dedup`: md5(canonical) is the
+    window key, documents never shuffle as text. Emits (id, canonical
+    digest, keeper, is_dup)."""
+    h = F.md5(canonical_text(text_col))
+    w = Window.partitionBy(h)
+    return df.select(
+        F.col(id_col),
+        h.alias("canon_digest"),
+        F.min(id_col).over(w).alias("keeper_doc_id"),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     snapshot: DataFrame,

@@ -204,3 +204,41 @@ def stratified_sample(
         expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
     thr = expr.otherwise(thr) if expr is not None else thr
     return df.filter(hash_bucket(key_col, salt) < thr)
+
+
+def shard_by_tokens(
+    df: DataFrame,
+    n_shards: int,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Balanced output sharding: assign documents to `n_shards` shards so
+    per-shard token totals come out near-equal — the write-side partner
+    of `pack_sequences` (training corpora ship as N equal shard files so
+    every data-loader worker streams the same byte budget).
+
+    Deterministic and PARALLEL: documents group into length buckets
+    (``tokens div bucket_width``); within each bucket they rank by
+    (tokens DESC, id) — a total order, so engine-exact — and deal
+    round-robin to ``(bucket + rank) mod n_shards``. Within a bucket all
+    documents are within `bucket_width` tokens of each other, so
+    round-robin is near-optimal there; the per-bucket rotation stops
+    every bucket's first card landing on shard 0. Global imbalance is
+    bounded by ~n_buckets · bucket_width tokens, independent of corpus
+    size.
+
+    A GLOBAL ranking would balance marginally better but costs a
+    single-task sort — the 100 TB killer. Per-bucket windows shuffle a
+    slim (id, tokens) projection and every bucket ranks in parallel;
+    documents never move (the assignment joins back by id, or the write
+    repartitions by `shard` — a shuffle the sink pays anyway)."""
+    bucket = F.expr(f"CAST({tokens_col} DIV {bucket_width} AS BIGINT)")
+    w = Window.partitionBy(bucket).orderBy(F.desc(tokens_col), F.asc(id_col))
+    r = F.row_number().over(w) - 1
+    shard = (bucket + r) % n_shards
+    return df.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        shard.cast("int").alias("shard"),
+    )

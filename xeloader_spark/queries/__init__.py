@@ -63,6 +63,9 @@ _ROUND_PRIORITY = [
     # new round-3 queries go here (before regression re-checks) so they
     # get a driver row in the same round they are added
     "q_ann_topk_lsh_banded",
+    "q_semantic_dedup",
+    "q_shard_balance",
+    "q_canonical_dedup",
     # regression re-checks: highest-complexity previously-green queries
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",

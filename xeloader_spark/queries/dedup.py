@@ -29,6 +29,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(docs)
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase / strip punctuation /
+    collapse whitespace, then keeper-per-canonical-digest — the cheap
+    variant layer before the fuzzy dedup families. The canonical digest
+    itself is part of the result, so the oracle hash-checks the entire
+    normalization pipeline cross-engine, not just the verdicts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.canonical_dedup(docs)
+
+
 def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: exact trigram-shingle Jaccard ≥ 0.5 via inverted-
     index join (no LSH approximation)."""
@@ -381,6 +391,21 @@ ORACLES: dict[str, str] = {
                MIN(doc_id) OVER (PARTITION BY text) AS keeper_doc_id,
                doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
         FROM documents
+    """,
+    "q_canonical_dedup": r"""
+        WITH c AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]+', '', 'g'), '\s+', ' ', 'g')))
+                       AS canon_digest
+            FROM documents
+        )
+        SELECT doc_id, canon_digest,
+               MIN(doc_id) OVER (PARTITION BY canon_digest)
+                   AS keeper_doc_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY canon_digest)
+                   AS is_dup
+        FROM c
     """,
     "q_dedup_shingle_jaccard": _JACCARD_PAIRS,
     "q_containment_pairs": f"""

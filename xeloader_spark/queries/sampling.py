@@ -99,6 +99,35 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHARDS = 8
+_SHARD_BUCKET_W = 64
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus sharding: every document dealt to one of 8 output
+    shards by the parallel bucket-serpentine rule, summarized as
+    per-shard (n_docs, shard_tokens) — the near-equal totals a training
+    data-loader wants per worker. Assignment is window arithmetic over
+    length buckets (no global sort), so the oracle replays it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    return (
+        sp.shard_by_tokens(
+            toks, _N_SHARDS, "n_tokens", bucket_width=_SHARD_BUCKET_W
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: docs laid end-to-end per source in
     doc_id order, cut into 512-token sequences — each doc labeled with
@@ -277,6 +306,31 @@ ORACLES: dict[str, str] = {
         FROM c
     """,
 }
+
+ORACLES["q_shard_balance"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    a AS (
+        SELECT n_tokens,
+               CAST((b + rn - 1) % {_N_SHARDS} AS INTEGER) AS shard
+        FROM (
+            SELECT doc_id, n_tokens,
+                   n_tokens // {_SHARD_BUCKET_W} AS b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n_tokens // {_SHARD_BUCKET_W}
+                       ORDER BY n_tokens DESC, doc_id ASC
+                   ) AS rn
+            FROM t
+        )
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM a GROUP BY shard
+"""
 
 ORACLES["q_source_cap"] = f"""
     WITH r AS (

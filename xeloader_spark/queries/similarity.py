@@ -104,6 +104,52 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q
 
 
+_SEMDEDUP_DOT_Q = 450_000  # ≈ cosine 0.45 · scale² on unit-norm vectors
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup: exact k-means
+    partitions the corpus, then within-cluster quantized-dot pruning
+    keeps the smallest-id representative of every near-duplicate
+    neighborhood. Clustering AND pruning replay in the oracle (k-means
+    CTEs + a within-cluster pair join), so the kept set is
+    hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cls.semantic_dedup(emb, min_dot_q=_SEMDEDUP_DOT_Q)
+
+
+def _semantic_dedup_sql(
+    k: int, iters: int, scale: int, min_dot_q: int
+) -> str:
+    kct, _ = _kmeans_ctes("sd", "embedding", k, iters, scale)
+    return f"""
+        WITH {", ".join(kct)},
+        qd AS (
+            SELECT vec_id AS id, ord - 1 AS pos,
+                   CAST(round(CAST(val AS DOUBLE) * {scale}) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+        ),
+        members AS (SELECT id, cluster FROM sda{iters}),
+        dropped AS (
+            SELECT DISTINCT id_a AS id FROM (
+                SELECT a.id AS id_a,
+                       CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+                FROM members a
+                JOIN members b ON a.cluster = b.cluster AND b.id < a.id
+                JOIN qd qa ON qa.id = a.id
+                JOIN qd qb ON qb.id = b.id AND qb.pos = qa.pos
+                GROUP BY a.id, b.id
+            ) WHERE dot >= {min_dot_q}
+        )
+        SELECT m.id AS vec_id,
+               CAST(m.cluster AS INTEGER) AS cluster,
+               (d.id IS NULL) AS is_kept
+        FROM members m LEFT JOIN dropped d USING (id)
+    """
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-arithmetic k-means over the embedding corpus: 3 Lloyd
     rounds, hash-ordered deterministic seeds, integer centroids — the
@@ -597,6 +643,9 @@ _RESIZED_HDR_HEX = b"P6\n2 1\n255\n".hex()
 
 ORACLES: dict[str, str] = {
     "q_kmeans_clusters": _kmeans_sql(cls.K, cls.ITERS, cls.SCALE),
+    "q_semantic_dedup": _semantic_dedup_sql(
+        cls.K, cls.ITERS, cls.SCALE, _SEMDEDUP_DOT_Q
+    ),
     "q_ann_topk_pq": _pq_sql(
         _PQ_M,
         _PQ_SUBK,
