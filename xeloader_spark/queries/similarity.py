@@ -121,9 +121,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_dedup_sql(
     k: int, iters: int, scale: int, min_dot_q: int
 ) -> str:
-    kct, _ = _kmeans_ctes("sd", "embedding", k, iters, scale)
+    # NB: sda{iters} is the assignment under the PREVIOUS round's
+    # centroids; the Spark side assigns under the FINAL centroids
+    # (kmeans_fit then _assign), so the oracle needs one more assignment
+    # pass against c{iters} — same as _kmeans_sql's final select.
+    kct, cfinal = _kmeans_ctes("sd", "embedding", k, iters, scale)
     return f"""
         WITH {", ".join(kct)},
+        final_assign AS (
+            SELECT id, cluster FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)) ASC,
+                                    c.cluster ASC) AS rn
+                FROM sdq q JOIN {cfinal} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        ),
         qd AS (
             SELECT vec_id AS id, ord - 1 AS pos,
                    CAST(round(CAST(val AS DOUBLE) * {scale}) AS BIGINT) AS qv
@@ -131,7 +145,7 @@ def _semantic_dedup_sql(
                          generate_subscripts(embedding, 1) AS ord
                   FROM embeddings)
         ),
-        members AS (SELECT id, cluster FROM sda{iters}),
+        members AS (SELECT id, cluster FROM final_assign),
         dropped AS (
             SELECT DISTINCT id_a AS id FROM (
                 SELECT a.id AS id_a,
