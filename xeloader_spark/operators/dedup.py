@@ -1181,3 +1181,82 @@ def _embedding_neardup_blocked(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def minhash_search(
+    df: DataFrame,
+    query_ids: list[int],
+    topk: int = 5,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signature-space similarity SEARCH (query docs -> corpus top-k) —
+    the retrieval twin of `minhash_neardup`'s dedup pairs: shingle ->
+    k min-hashes -> banded shortlist against the QUERY set only -> rank
+    bucket-mates by estimated Jaccard = fraction of agreeing signature
+    components, deterministic tie-break (agreement desc, candidate id
+    asc). Returns (query_id, candidate_id, n_agree, jaccard_est).
+
+    Scale shape: the query side is a handful of rows, so both its band
+    table and its signature vectors BROADCAST; the corpus contributes
+    one stream of (id, band) rows and one of fixed-width signatures —
+    no corpus self-join, and document text/shingle sets are never
+    touched at ranking time (ranking on the k-component signature is
+    what makes search O(candidates), estimated-not-exact by design)."""
+    from pyspark.sql import Window
+
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sigs = _persist(
+        minhash_signatures(sh.withColumnRenamed("shingle", "tok"), k=k)
+    )
+    banded = sigs
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        banded = banded.withColumn(f"band{b}", F.md5(F.concat_ws("#", *cols)))
+    stack = ", ".join(f"{b}, band{b}" for b in range(bands))
+    long = banded.selectExpr("id", f"stack({bands}, {stack}) AS (band_idx, bk)")
+    qlong = long.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), "band_idx", "bk"
+    )
+    cands = (
+        long.join(F.broadcast(qlong), ["band_idx", "bk"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("candidate_id"))
+        .distinct()
+    )
+    qsigs = F.broadcast(
+        sigs.filter(F.col("id").isin(query_ids)).select(
+            F.col("id").alias("query_id"),
+            *[F.col(f"h{s}").alias(f"qh{s}") for s in range(k)],
+        )
+    )
+    agree = sum(
+        F.when(F.col(f"h{s}") == F.col(f"qh{s}"), 1).otherwise(0)
+        for s in range(k)
+    )
+    scored = (
+        cands.join(sigs.withColumnRenamed("id", "candidate_id"), "candidate_id")
+        .join(qsigs, "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            agree.cast("long").alias("n_agree"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_agree").desc(), F.col("candidate_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(
+            "query_id",
+            "candidate_id",
+            "n_agree",
+            (F.col("n_agree") / F.lit(k)).alias("jaccard_est"),
+        )
+    )

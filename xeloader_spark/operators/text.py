@@ -604,3 +604,99 @@ def bigram_doc_score(
         F.sum("p_scaled").alias("sum_scaled_prob"),
         (F.sum("p_scaled") / F.count(F.lit(1))).alias("mean_scaled_prob"),
     )
+
+
+def boilerplate_prefix(
+    df: DataFrame,
+    prefix_len: int = 8,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Header/footer boilerplate detection — the line-frequency cleaning
+    step of C4/CCNet-style corpus pipelines, at token granularity (this
+    engine's document model is a token stream, not a line file): digest
+    the first and the last `prefix_len` tokens of every document, count
+    each digest's document frequency across the corpus, and flag
+    documents whose prefix/suffix repeats in >= `min_df` documents
+    (shared headers / footers / navigation chrome).
+
+    Scale shape: the corpus text collapses to a slim (id, 2 digests)
+    projection before anything shuffles; the two df counts are windows
+    over that projection (digest-keyed shuffles of ~32-byte rows with
+    map-side partial aggregation under AQE). At extreme scale swap the
+    windows for an aggregate filtered to df >= min_df and broadcast the
+    hot-digest set — boilerplate digests are few by definition; the
+    full-df window form is kept here because the per-document df is part
+    of the audited output. No reference analog (XELoader is a loader,
+    not a corpus cleaner); extension per SURVEY §6."""
+    from pyspark.sql import Window
+
+    toks = _tok_array(text_col)
+    slim = df.select(
+        F.col(id_col),
+        F.md5(
+            F.expr(f"array_join(slice({toks}, 1, {prefix_len}), ' ')")
+        ).alias("prefix_digest"),
+        F.md5(
+            F.expr(
+                f"array_join(slice({toks}, "
+                f"greatest(1, size({toks}) - {prefix_len - 1}), {prefix_len}), ' ')"
+            )
+        ).alias("suffix_digest"),
+    )
+    pw = Window.partitionBy("prefix_digest")
+    sw = Window.partitionBy("suffix_digest")
+    return slim.select(
+        id_col,
+        "prefix_digest",
+        F.count(F.lit(1)).over(pw).alias("prefix_df"),
+        "suffix_digest",
+        F.count(F.lit(1)).over(sw).alias("suffix_df"),
+        (F.count(F.lit(1)).over(pw) >= min_df).alias("boiler_prefix"),
+        (F.count(F.lit(1)).over(sw) >= min_df).alias("boiler_suffix"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary statistics: token count, distinct types,
+    hapax-legomena count, and type/token ratio — the Heaps'-law corpus
+    diagnostics a data-mix curator watches while scaling a source up.
+    Scale shape: explode → (group, tok) count with map-side partial
+    aggregation (the only corpus-sized shuffle, token-sized rows), then a
+    group-sized second aggregate. All counts integer; the ratio is one
+    bigint/bigint division so it is engine-deterministic."""
+    toks = df.select(
+        F.col(group_col),
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy(group_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        (F.count(F.lit(1)) / F.sum("n")).alias("type_token_ratio"),
+    )
+
+
+def token_freq_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf diagnostic: frequency-of-frequency histogram — how many
+    distinct token types occur with a count of each decimal order of
+    magnitude (magnitude = digits in the count, an exact integer bucket
+    both engines compute identically — no floating log). A healthy
+    natural-language corpus shows the Zipf signature (many hapaxes, few
+    high-magnitude types); a corpus dominated by high-magnitude types is
+    template/boilerplate-heavy. Same scale shape as `vocab_stats`: one
+    token-sized shuffle, then vocabulary-sized aggregates."""
+    toks = df.select(F.explode(F.expr(_tok_array(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy(
+        F.length(F.col("n").cast("string")).cast("int").alias("magnitude")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("n").alias("n_occurrences"),
+    )

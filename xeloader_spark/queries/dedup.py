@@ -55,6 +55,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEARCH_IDS = list(range(10))
+_SEARCH_TOPK = 5
+
+
+def q_minhash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity SEARCH over the same MinHash index the dedup path
+    builds: 10 query docs, banded shortlist, ranked by signature
+    agreement (estimated Jaccard) with a deterministic tie-break — the
+    oracle replays signatures, banding, shortlist, and ranking in SQL,
+    so the approximate retrieval result is exact-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_search(
+        docs, _SEARCH_IDS, topk=_SEARCH_TOPK, n=3, k=_K,
+        bands=_BANDS, rows=_ROWS,
+    )
+
+
 def q_simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document (integer bit votes from md5
     nibbles — engine-exact)."""
@@ -447,6 +464,38 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_minhash_search": f"""
+        WITH tri AS ({_TRI}),
+        sig AS (SELECT id, {_SIG_COLS} FROM tri GROUP BY id),
+        banded AS (SELECT id, {_BAND_COLS} FROM sig),
+        qb AS (SELECT * FROM banded
+               WHERE id IN ({", ".join(str(i) for i in _SEARCH_IDS)})),
+        cand AS ({" UNION ".join(
+            f"SELECT q.id AS query_id, c.id AS candidate_id "
+            f"FROM qb q JOIN banded c ON q.band{b} = c.band{b} "
+            f"AND c.id <> q.id"
+            for b in range(_BANDS)
+        )}),
+        agree AS (
+            SELECT cand.query_id, cand.candidate_id,
+                   CAST({" + ".join(
+                       f"(CASE WHEN s.h{s} = q.h{s} THEN 1 ELSE 0 END)"
+                       for s in range(_K)
+                   )} AS BIGINT) AS n_agree
+            FROM cand
+            JOIN sig s ON s.id = cand.candidate_id
+            JOIN sig q ON q.id = cand.query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY n_agree DESC, candidate_id) AS rn
+            FROM agree
+        )
+        SELECT query_id, candidate_id, n_agree,
+               CAST(n_agree AS DOUBLE) / {_K} AS jaccard_est
+        FROM ranked WHERE rn <= {_SEARCH_TOPK}
     """,
     "q_incremental_dedup": f"""
         WITH seeded AS (

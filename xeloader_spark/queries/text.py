@@ -417,6 +417,73 @@ def q_unigram_doc_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.unigram_doc_score(docs)
 
 
+# Boilerplate seeding: the synthetic corpus has no shared headers, so the
+# query plants a 9-token header (2 variants) and 9-token footer (3
+# variants) on doc_id % 5 == 2 — both engines seed identically, making the
+# detector's positive path exact-checkable. Variant digits sit INSIDE the
+# digested window so each variant forms its own digest group.
+_BOILER_PFX_LEN = 8
+_BOILER_MIN_DF = 3
+
+
+def _seed_boilerplate(docs: DataFrame) -> DataFrame:
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("edition "),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit(" subscribe to our newsletter follow us on "),
+                F.col("text"),
+                F.lit(" all rights reserved copyright "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(" terms apply contact us"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style boilerplate detection over seeded headers/footers:
+    per-document prefix/suffix digests, their corpus document frequency,
+    and the boiler flags at min_df=3. The digests and dfs are in the
+    output, so the oracle hash-checks the whole pipeline (tokenize →
+    slice → digest → df count → flag), not just the verdicts."""
+    docs = _seed_boilerplate(load_table(spark, sf_dir, "documents"))
+    return tx.boilerplate_prefix(
+        docs, prefix_len=_BOILER_PFX_LEN, min_df=_BOILER_MIN_DF
+    )
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary diagnostics: tokens, types, hapaxes,
+    type/token ratio (Heaps'-law corpus growth view)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.vocab_stats(docs, group_col="source")
+
+
+def q_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf frequency-of-frequency histogram: distinct token types per
+    decimal magnitude of their corpus count — exact integer bucketing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.token_freq_histogram(docs)
+
+
+_SEED_BOILER_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 2
+                    THEN 'edition ' || CAST(doc_id % 2 AS VARCHAR)
+                         || ' subscribe to our newsletter follow us on '
+                         || text
+                         || ' all rights reserved copyright '
+                         || CAST(doc_id % 3 AS VARCHAR)
+                         || ' terms apply contact us'
+                    ELSE text END AS text
+        FROM documents
+"""
+
+
 def _tfidf_search_sql() -> str:
     n = len(_SEARCH_TERMS)
     dfs = ", ".join(
@@ -454,6 +521,50 @@ def _tfidf_search_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "q_tfidf_search": _tfidf_search_sql(),
+    "q_boilerplate_flags": f"""
+        WITH seeded AS ({_SEED_BOILER_SQL}),
+        t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM seeded),
+        d AS (
+            SELECT doc_id,
+                   md5(array_to_string(toks[1:{_BOILER_PFX_LEN}], ' '))
+                       AS prefix_digest,
+                   md5(array_to_string(
+                       toks[greatest(1, len(toks) - {_BOILER_PFX_LEN - 1}):],
+                       ' ')) AS suffix_digest
+            FROM t
+        )
+        SELECT doc_id, prefix_digest,
+               COUNT(*) OVER (PARTITION BY prefix_digest) AS prefix_df,
+               suffix_digest,
+               COUNT(*) OVER (PARTITION BY suffix_digest) AS suffix_df,
+               COUNT(*) OVER (PARTITION BY prefix_digest) >= {_BOILER_MIN_DF}
+                   AS boiler_prefix,
+               COUNT(*) OVER (PARTITION BY suffix_digest) >= {_BOILER_MIN_DF}
+                   AS boiler_suffix
+        FROM d
+    """,
+    "q_vocab_stats": f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS_LIST}) AS tok FROM documents
+        ),
+        c AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS type_token_ratio
+        FROM c GROUP BY 1
+    """,
+    "q_token_freq_histogram": f"""
+        WITH toks AS (SELECT unnest({_TOKS_LIST}) AS tok FROM documents),
+        c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1)
+        SELECT CAST(length(CAST(n AS VARCHAR)) AS INTEGER) AS magnitude,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(n) AS BIGINT) AS n_occurrences
+        FROM c GROUP BY 1
+    """,
     "q_gopher_quality": f"""
         WITH t AS (
             SELECT doc_id, text, {_TOKS_LIST} AS toks FROM documents
