@@ -469,3 +469,42 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "candidate_id", "dist", "rk")
     )
+
+
+def cluster_balanced_sample(
+    emb_df: DataFrame,
+    n_per: int = 10,
+    k: int = K,
+    iters: int = ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """Diversity-preserving downsampling: the exact k-means partitions
+    the corpus into semantic regions, then a deterministic hash-ordered
+    rank keeps the first `n_per` vectors of every cluster — a fixed
+    budget per region (SemDeDup prunes near-duplicate NEIGHBORHOODS;
+    this caps VOLUME while preserving coverage of the embedding space).
+    Returns (vec_id, cluster, samp_rank) for the kept vectors.
+
+    Scale shape: assignment is a zero-shuffle projection against literal
+    centroids (see `kmeans_exact`); the only added cost is one window
+    shuffle keyed by cluster over (id, cluster) — with heavy skew
+    (clusters are corpus-scale) swap the window for a per-partition
+    top-n_per pre-prune under the same ordering, which AQE-sized
+    partitions already approximate."""
+    from pyspark.sql import Window
+
+    assigned = kmeans_exact(
+        emb_df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.withColumn(
+            "samp_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("samp_rank") <= n_per)
+        .select("vec_id", "cluster", "samp_rank")
+    )

@@ -522,3 +522,46 @@ def lsh_ann_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "candidate_id", "cosine", "rk")
     )
+
+
+def random_project_quantized(
+    emb_df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a seeded ±1
+    projection matrix derived from md5(seed|row|dim) — no stored matrix;
+    every executor regenerates sign(p, d) locally, so the "model" ships
+    as zero bytes. Integer arithmetic end to end (quantize → signed sum),
+    making the projection engine-exact; a downstream consumer divides by
+    `scale` once if it wants floats back. Returns long-form
+    (vec_id, out_pos, proj_q).
+
+    Scale shape: a pure zero-shuffle projection inside whole-stage
+    codegen — the reduction that makes downstream ANN / clustering
+    O(out_dim) per vector runs at scan speed and never materializes a
+    matrix on any node."""
+    q = emb_df.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, "
+            f"v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    projs = []
+    for p in range(out_dim):
+        sign = _plane_sign_case(p, seed, "d", "instr")
+        projs.append(
+            F.expr(
+                "aggregate(zip_with(qarr, sequence(0, size(qarr) - 1), "
+                f"(v, d) -> v * {sign}), 0L, (s, x) -> s + x)"
+            ).alias(f"p{p}")
+        )
+    wide = q.select("vec_id", *projs)
+    stack = ", ".join(f"{p}, p{p}" for p in range(out_dim))
+    return wide.selectExpr(
+        "vec_id", f"stack({out_dim}, {stack}) AS (out_pos, proj_q)"
+    )

@@ -175,6 +175,88 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.kmeans_exact(emb)
 
 
+_CB_SAMPLE_N = 10
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling: a fixed hash-ordered budget of 10
+    vectors per k-means cluster — coverage-preserving volume cut. The
+    oracle replays clustering AND the per-cluster rank, so the kept set
+    is hash-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cls.cluster_balanced_sample(emb, n_per=_CB_SAMPLE_N)
+
+
+_RP_OUT_DIM = 16
+_RP_SEED = 7
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection 64→16 dims, seeded
+    sign matrix regenerated from md5 on both engines — integer-exact
+    long-form output (vec_id, out_pos, proj_q)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.random_project_quantized(
+        emb, out_dim=_RP_OUT_DIM, scale=cls.SCALE, seed=_RP_SEED
+    )
+
+
+def _cluster_sample_sql(k: int, iters: int, scale: int, n_per: int) -> str:
+    """`_kmeans_sql`'s final assignment + the per-cluster hash-ordered
+    rank of `cluster_balanced_sample`."""
+    kct, cfinal = _kmeans_ctes("cb", "embedding", k, iters, scale)
+    sq = "(q.qv - c.cv) * (q.qv - c.cv)"
+    return f"""
+        WITH {", ".join(kct)},
+        final_assign AS (
+            SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster
+            FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
+                FROM cbq q JOIN {cfinal} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, cluster, CAST(samp_rank AS BIGINT) AS samp_rank
+        FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                       AS samp_rank
+            FROM final_assign
+        ) WHERE samp_rank <= {n_per}
+    """
+
+
+def _random_projection_sql(out_dim: int, scale: int, seed: int) -> str:
+    """DuckDB replay of `random_project_quantized`: identical md5 sign
+    matrix, identical integer sums, unpivoted to the same long form."""
+    from ..operators.similarity import _plane_sign_case
+
+    cols = []
+    for p in range(out_dim):
+        sign = _plane_sign_case(p, seed, "pos", "strpos").replace(
+            "AS STRING", "AS VARCHAR"
+        )
+        cols.append(f"CAST(SUM(qv * {sign}) AS BIGINT) AS p{p}")
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {p} AS out_pos, p{p} AS proj_q FROM w"
+        for p in range(out_dim)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                        AS BIGINT) AS qv
+            FROM embeddings
+        ),
+        w AS (SELECT vec_id, {", ".join(cols)} FROM q GROUP BY vec_id)
+        {unpivot}
+    """
+
+
 def _kmeans_sql(k: int, iters: int, scale: int) -> str:
     """Unrolled-CTE DuckDB replay of `cluster.kmeans_exact` — identical
     quantization (+shift), seed order, tie-breaks, and floor-div update."""
@@ -657,6 +739,12 @@ _RESIZED_HDR_HEX = b"P6\n2 1\n255\n".hex()
 
 ORACLES: dict[str, str] = {
     "q_kmeans_clusters": _kmeans_sql(cls.K, cls.ITERS, cls.SCALE),
+    "q_cluster_balanced_sample": _cluster_sample_sql(
+        cls.K, cls.ITERS, cls.SCALE, _CB_SAMPLE_N
+    ),
+    "q_random_projection": _random_projection_sql(
+        _RP_OUT_DIM, cls.SCALE, _RP_SEED
+    ),
     "q_semantic_dedup": _semantic_dedup_sql(
         cls.K, cls.ITERS, cls.SCALE, _SEMDEDUP_DOT_Q
     ),
