@@ -401,3 +401,51 @@ class TestNewOperatorPlanShapes:
         from xeloader_spark.operators.dedup import release_persisted
 
         release_persisted()
+
+
+class TestRound3PlanShapes:
+    """Shuffle budgets for the round-3 operators (see SCALE.md rows)."""
+
+    def test_boilerplate_two_slim_shuffles(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # corpus collapses to (id, digest, digest) before the two df
+        # windows; only digest-sized rows may move
+        plans.assert_max_shuffles(qt.q_boilerplate_flags(spark, SF), 2)
+
+    def test_vocab_stats_budgets(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        plans.assert_max_shuffles(qt.q_vocab_stats(spark, SF), 2)
+        plans.assert_max_shuffles(qt.q_token_freq_histogram(spark, SF), 2)
+
+    def test_minhash_search_broadcasts_query_side(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        df = qd.q_minhash_search(spark, SF)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+        # shingle agg + signature agg + rank window; no corpus self-join
+        plans.assert_max_shuffles(df, 3)
+
+    def test_random_projection_zero_shuffle(self, spark):
+        from xeloader_spark.queries import similarity as qsim
+
+        plans.assert_max_shuffles(qsim.q_random_projection(spark, SF), 0)
+
+    def test_retention_cohorts_two_shuffles(self, spark):
+        from xeloader_spark.queries import temporal as qtem
+
+        plans.assert_max_shuffles(qtem.q_retention_cohorts(spark, SF), 2)
+
+    def test_relational_round3_shapes(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        plans.assert_max_shuffles(qr.q_small_quantity_revenue(spark, SF), 2)
+        plans.assert_max_shuffles(qr.q_market_share(spark, SF), 2)
+        for df in (
+            qr.q_last_ship_supplier(spark, SF),
+            qr.q_rich_inactive_customers(spark, SF),
+        ):
+            plans.assert_max_shuffles(df, 3)
+            plans.assert_no_cartesian(df)

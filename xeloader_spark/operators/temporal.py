@@ -275,3 +275,38 @@ def funnel(
     return out.groupBy(F.col(user_col).alias("user")).agg(
         *[F.min(f"t_{i}").alias(f"t_{i}") for i in range(1, len(steps) + 1)]
     )
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Classic cohort-retention matrix: users bucketed by first-seen day
+    (their cohort), counted on every later active-day offset — the
+    (cohort_day, age_days, n_users) triangle a growth dashboard plots.
+
+    Scale shape: TWO shuffles total. The event stream collapses straight
+    to one `collect_set(day)` row per user (map-side partial sets, rows
+    bounded by the date span — not event volume); cohort is `array_min`
+    of that set, so no distinct→min→join-back chain re-shuffles user_id
+    twice. The exploded (cohort, age) pairs then feed the days²-sized
+    matrix aggregate. cohort_day is emitted as 'yyyy-MM-dd' text so the
+    cross-engine value canon is date-library-free."""
+    per_user = (
+        events.select(
+            F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("day")
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    return (
+        per_user.select(
+            F.array_min("days").alias("cohort"),
+            F.explode("days").alias("day"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("long").alias("age_days"),
+        )
+        .groupBy("cohort_day", "age_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -66,7 +66,19 @@ _ROUND_PRIORITY = [
     "q_semantic_dedup",
     "q_shard_balance",
     "q_canonical_dedup",
+    "q_boilerplate_flags",
+    "q_vocab_stats",
+    "q_token_freq_histogram",
+    "q_minhash_search",
+    "q_cluster_balanced_sample",
+    "q_random_projection",
+    "q_retention_cohorts",
+    "q_small_quantity_revenue",
+    "q_last_ship_supplier",
+    "q_market_share",
+    "q_rich_inactive_customers",
     # regression re-checks: highest-complexity previously-green queries
+    # (trimmed to keep the list within the driver's ~50-query budget)
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     "q_corpus_clean_pipeline",
@@ -83,17 +95,6 @@ _ROUND_PRIORITY = [
     "q_containment_pairs",
     "q_dedup_shingle_jaccard",
     "q_multimodal_real_codec",
-    "q_multimodal_audio_codec",
-    "q_multimodal_resize",
-    "q_xml_roundtrip",
-    "q_cms_heavy_hitters",
-    "q_tfidf_search",
-    "q_token_budget_mix",
-    "q_pack_sequences",
-    "q_asof_purchase_attribution",
-    "q_rollup_gapfill_hourly",
-    "q_gopher_quality",
-    "q_label_centroids",
 ]
 
 

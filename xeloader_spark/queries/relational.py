@@ -475,7 +475,227 @@ def q_pivot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AVG_PRICE = "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) FROM orders)"
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    0.2x the part's average — the correlated-scalar-aggregate pattern.
+    The comparison is cross-multiplied (5·q·cnt < sum) so no division
+    enters the predicate, keeping it engine-exact. Scale shape: per-part
+    (sum, count) aggregate joined back on l_partkey (AQE broadcasts it
+    when small; co-partitioned shuffle join otherwise), then one global
+    decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("part_qty_sum"),
+        F.count(F.lit(1)).alias("part_qty_cnt"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(
+            F.col("l_quantity") * 5 * F.col("part_qty_cnt")
+            < F.col("part_qty_sum")
+        )
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_last_ship_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's shipdate): for orders
+    with >= 2 suppliers, the supplier whose lines shipped LAST — and
+    uniquely so — is the order's straggler; count stragglings per
+    supplier, top 10. Exercises stacked windows over a pre-aggregated
+    frame + broadcast dim join + TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("sup_last")
+    )
+    w = Window.partitionBy("l_orderkey")
+    m = per.select(
+        "l_orderkey",
+        "l_suppkey",
+        "sup_last",
+        F.max("sup_last").over(w).alias("ord_last"),
+        F.count(F.lit(1)).over(w).alias("n_sups"),
+    ).withColumn(
+        "n_last",
+        F.sum(
+            F.when(F.col("sup_last") == F.col("ord_last"), 1).otherwise(0)
+        ).over(w),
+    )
+    return (
+        m.filter(
+            (F.col("n_sups") >= 2)
+            & (F.col("n_last") == 1)
+            & (F.col("sup_last") == F.col("ord_last"))
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: each supplier nation's share of yearly revenue —
+    multiway join down to (year, nation) grain, then a window share over
+    the tiny aggregate. Decimal accumulators make the shares
+    engine-exact doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.col("n_name").alias("supp_nation"),
+        )
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            # decimal twin kept for the window denominator: decimal sums
+            # are order-independent, so the share is engine-exact
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    _DEC
+                )
+            ).alias("revenue_dec"),
+        )
+    )
+    wy = Window.partitionBy("ship_year")
+    return rev.select(
+        "ship_year",
+        "supp_nation",
+        "revenue",
+        (
+            F.col("revenue")
+            / F.sum("revenue_dec").over(wy).cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+_CHURN_CUTOFF = "2000-06-01"
+
+
+def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape, churn variant: customers with above-average
+    (positive-balance) account balance and no orders since the cutoff,
+    rolled up per nation — scalar subquery threshold + filtered anti
+    join + decimal aggregate. (The fixture gives every customer SOME
+    order, so the classic no-orders-ever predicate is vacuous; the
+    recency filter keeps the anti join meaningful.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    thr = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(_CHURN_CUTOFF).cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            _dsum("c_acctbal", "total_bal"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_small_quantity_revenue": """
+        WITH pp AS (
+            SELECT l_partkey, SUM(l_quantity) AS part_qty_sum,
+                   COUNT(*) AS part_qty_cnt
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6)))
+                    AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+        WHERE l.l_quantity * 5 * pp.part_qty_cnt < pp.part_qty_sum
+    """,
+    "q_last_ship_supplier": """
+        WITH per AS (
+            SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS sup_last
+            FROM lineitem GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT *,
+                   MAX(sup_last) OVER (PARTITION BY l_orderkey) AS ord_last,
+                   COUNT(*) OVER (PARTITION BY l_orderkey) AS n_sups
+            FROM per
+        ),
+        l AS (
+            SELECT *,
+                   SUM(CASE WHEN sup_last = ord_last THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY l_orderkey) AS n_last
+            FROM m
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE n_sups >= 2 AND n_last = 1 AND sup_last = ord_last
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    "q_market_share": """
+        WITH rev AS (
+            SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+                   n.n_name AS supp_nation,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(25,6))) AS rev_dec
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT ship_year, supp_nation,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(rev_dec AS DOUBLE) /
+                   CAST(SUM(rev_dec) OVER (PARTITION BY ship_year)
+                        AS DOUBLE) AS mkt_share
+        FROM rev
+    """,
+    "q_rich_inactive_customers": """
+        WITH thr AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                       / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_custs,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                   AS total_bal
+        FROM customer c, thr
+        WHERE c.c_acctbal > thr.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '{cutoff} 00:00:00')
+        GROUP BY 1
+    """.format(cutoff=_CHURN_CUTOFF),
     "q_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,

@@ -325,6 +325,15 @@ def q_hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over the event stream: first-seen-day
+    cohorts × active-day offsets × distinct users."""
+    from ..operators.temporal import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
 _CMS_W, _CMS_D = 64, 4
 
 
@@ -362,6 +371,20 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_retention_cohorts": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        f AS (
+            SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+        )
+        SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT)
+                   AS age_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM days d JOIN f USING (user_id)
+        GROUP BY 1, 2
+    """,
     "q_funnel_conversion": """
         WITH l1 AS (
             SELECT user_id, ts, event_type, event_id,
