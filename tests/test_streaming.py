@@ -332,3 +332,84 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     # streaming emits only users that reached step 1; batch lists all
     batch_reached = {u: v for u, v in batch.items() if v[0] is not None}
     assert final == batch_reached
+
+
+def test_streaming_boilerplate_matches_batch(spark, tmp_path):
+    """Last emission per prefix digest from the streaming df counter ==
+    the batch `boilerplate_prefix` document frequency, however the
+    corpus is sliced into micro-batches (counting is additive)."""
+    import time
+
+    from xeloader_spark.operators.text import boilerplate_prefix
+    from xeloader_spark.queries.text import _seed_boilerplate
+    from xeloader_spark.streaming.boilerplate_stream import (
+        streaming_boilerplate_counts,
+    )
+
+    src = str(tmp_path / "boiler_in")
+    out = str(tmp_path / "boiler_out")
+    ckpt = str(tmp_path / "boiler_ckpt")
+
+    docs = _seed_boilerplate(
+        load_table(spark, SF, "documents").select("doc_id", "text")
+    )
+    os.makedirs(src, exist_ok=True)
+    for i, pred in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/slice={i}"
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_boilerplate_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out).collect()
+    final = {}
+    batch_sum = {}
+    for r in emitted:
+        final[r.prefix_digest] = max(
+            final.get(r.prefix_digest, 0), r.df_total
+        )
+        batch_sum[r.prefix_digest] = (
+            batch_sum.get(r.prefix_digest, 0) + r.n_in_batch
+        )
+
+    expected = {
+        r.prefix_digest: r.prefix_df
+        for r in boilerplate_prefix(docs).select(
+            "prefix_digest", "prefix_df"
+        ).distinct().collect()
+    }
+    assert final == expected
+    # per-batch contributions also reconstruct the totals
+    assert batch_sum == expected
+    # the 2 seeded header digests must be flagged hot (the fixture also
+    # contains natural exact-duplicate texts, so other hot digests are
+    # legitimate), and they cover all doc_id % 5 == 2 documents
+    hot = {d for d, n in final.items() if n >= 3}
+    seeded = docs.filter(F.col("doc_id") % 5 == 2)
+    seeded_digests = {
+        r.prefix_digest
+        for r in boilerplate_prefix(seeded)
+        .select("prefix_digest")
+        .distinct()
+        .collect()
+    }
+    assert len(seeded_digests) == 2
+    assert seeded_digests <= hot
+    assert sum(final[d] for d in seeded_digests) == seeded.count()
