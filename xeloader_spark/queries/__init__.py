@@ -77,6 +77,7 @@ _ROUND_PRIORITY = [
     "q_last_ship_supplier",
     "q_market_share",
     "q_rich_inactive_customers",
+    "q_shot_boundaries",
     # regression re-checks: highest-complexity previously-green queries
     # (trimmed to keep the list within the driver's ~50-query budget)
     "q_dedup_minhash_lsh",
@@ -94,7 +95,6 @@ _ROUND_PRIORITY = [
     "q_substring_dup_spans",
     "q_containment_pairs",
     "q_dedup_shingle_jaccard",
-    "q_multimodal_real_codec",
 ]
 
 

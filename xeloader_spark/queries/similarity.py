@@ -584,6 +584,19 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHOT_THRESHOLD = 256
+
+
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the sampled frame stream: byte-sum
+    frame intensity + lag-window cut detection, threshold 256. The
+    oracle replays demux slicing, the byte sums, and the window — the
+    whole video-analysis pipeline hash-checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.attach_fake_media(docs), every=2)
+    return mm.shot_boundaries(frames, threshold=_SHOT_THRESHOLD)
+
+
 def q_multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec multimodal path, exact-checked: documents → valid binary
     PPM (P6) images (md5-derived pixels) → `extract_features(
@@ -862,6 +875,43 @@ ORACLES: dict[str, str] = {
                CAST(dim AS BIGINT) AS dim,
                CAST(CAST(fv AS REAL) AS DOUBLE) AS feature
         FROM feats
+    """,
+    "q_shot_boundaries": f"""
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5('x' || text) AS hx,
+                   length(text) % 8 + 1 AS n_frames
+            FROM documents
+        ),
+        fr AS (
+            SELECT media_id, hx,
+                   unnest(generate_series(0, n_frames - 1)) AS fi
+            FROM h
+        ),
+        fx AS (
+            SELECT media_id, CAST(fi AS INT) AS frame_index,
+                   substr(hx, 2 * (fi % 32) + 1, 16) AS fh
+            FROM fr WHERE fi % 2 = 0
+        ),
+        ity AS (
+            SELECT media_id, frame_index,
+                   CAST(list_sum(list_transform(
+                       generate_series(0, CAST(length(fh) / 2 AS INT) - 1),
+                       j -> ('0x' || substr(fh, j * 2 + 1, 2))::BIGINT
+                   )) AS BIGINT) AS intensity
+            FROM fx
+        ),
+        lagged AS (
+            SELECT media_id, frame_index, intensity,
+                   lag(intensity) OVER (PARTITION BY media_id
+                                        ORDER BY frame_index) AS prev
+            FROM ity
+        )
+        SELECT media_id, frame_index, intensity,
+               abs(intensity - prev) AS delta,
+               (prev IS NULL OR abs(intensity - prev) >= {_SHOT_THRESHOLD})
+                   AS is_boundary
+        FROM lagged
     """,
     "q_frame_sample": """
         WITH h AS (
