@@ -203,13 +203,13 @@ def main() -> None:
             emb, rq, k=rk, n_planes=6
         ),
         "lsh_banded": lambda: _sim.lsh_ann_topk_banded(
-            emb, rq, k=rk, bands=8, planes_per_band=4
+            emb, rq, k=rk, bands=16, planes_per_band=4
         ),
         "ivf": lambda: _sim.ivf_topk(
             emb, rq, k=rk, n_centroids=16, n_probe=8, train_fraction=0.5
         ),
         "pq": lambda: _cl.pq_topk(
-            emb, rq, k=rk, m=8, sub_k=16, iters=2, rerank=100
+            emb, rq, k=rk, m=8, sub_k=16, iters=2, rerank=200
         ),
     }
     recall_at_10: dict[str, float] = {}

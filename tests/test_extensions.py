@@ -588,6 +588,15 @@ class TestSimilarity:
         single = recall(sim.lsh_ann_topk_quantized(emb, qids, k=10, n_planes=6))
         assert banded >= 0.5, banded
         assert banded > single, (banded, single)
+        # the 16-band default (bands 0-7 reuse the same planes, so its
+        # candidate set is a superset) must not lose recall — pins the
+        # round-3 default bump (measured 0.912 vs 0.756 at sf0.1)
+        banded16 = recall(
+            sim.lsh_ann_topk_banded(
+                emb, qids, k=10, bands=16, planes_per_band=4
+            )
+        )
+        assert banded16 >= banded, (banded16, banded)
 
     def test_banded_candidates_bounded_by_band_collisions(self, spark, emb):
         """Every emitted candidate must share at least one band signature

@@ -49,15 +49,18 @@ def q_ann_topk_lsh_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk_quantized(emb, _QUERY_IDS, k=_K, n_planes=_LSH_PLANES)
 
 
-_LSH_BANDS = 8
+# 16 bands x 4 planes: recall@10 0.912 vs 0.756 at 8x4 for +33% wall
+# time at sf0.1 (round-3 tuning sweep); candidates scale linearly in
+# bands, so the trade holds at corpus scale
+_LSH_BANDS = 16
 _LSH_PPB = 4
 
 
 def q_ann_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-band quantized-LSH ANN (OR-amplification over 8 bands of 4
+    """Multi-band quantized-LSH ANN (OR-amplification over 16 bands of 4
     planes) — the recall fix over the single-bucket probe (bench r3
-    measured that baseline at recall@10 ≈ 0.09; banding recovers most of
-    it at bounded candidate cost). Banding, collision set, integer dot,
+    measured that baseline at recall@10 ≈ 0.09; banding recovers it —
+    0.91 at 16 bands — at bounded candidate cost). Banding, collision set, integer dot,
     and rank all replay in the oracle, so the approximate index stays
     hash-verified end to end."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -330,7 +333,7 @@ _PQ_M = 8
 _PQ_SUBK = 16
 _PQ_ITERS = 2
 _PQ_K = 5
-_PQ_SHORTLIST = 100
+_PQ_SHORTLIST = 200  # r3 sweep: recall@10 0.73 vs 0.59 at 100, same wall time
 
 
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
