@@ -208,6 +208,9 @@ def main() -> None:
         "ivf": lambda: _sim.ivf_topk(
             emb, rq, k=rk, n_centroids=16, n_probe=8, train_fraction=0.5
         ),
+        "ivf_exact": lambda: _cl.ivf_topk_exact(
+            emb, rq, k=rk, n_probe=8, km_k=16
+        ),
         "pq": lambda: _cl.pq_topk(
             emb, rq, k=rk, m=8, sub_k=16, iters=2, rerank=200
         ),

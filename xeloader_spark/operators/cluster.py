@@ -325,6 +325,8 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = SCALE,
+    train_fraction: float = 1.0,
+    train_salt: str = "pqtrain",
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011, the public recipe):
     split vectors into `m` subspaces, train a `sub_k`-centroid codebook
@@ -359,7 +361,32 @@ def pq_topk(
     def sub_arr(s: int) -> Column:
         return F.expr(f"slice(qarr, {s * sub + 1}, {sub})")
 
-    codebooks = _pq_fit_joint(q_full, m, sub, sub_k, iters)
+    # codebook training on a deterministic hash-gated subset: at corpus
+    # scale the Lloyd rounds must not scan 100 TB — a fraction suffices
+    # for sub_k-sized codebooks, and the md5 gate replays in the oracle
+    # so sampled training stays exact-checked (encode/ADC/re-rank always
+    # cover the FULL corpus)
+    q_train = q_full
+    if train_fraction < 1.0:
+        thresh = int(train_fraction * 10_000)
+        q_train = q_full.filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(train_salt), F.col("id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10_000
+            < thresh
+        )
+    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters)
 
     # one-scan encode: per subspace, argmin over its literal codebook
     code_cols = []
@@ -507,4 +534,91 @@ def cluster_balanced_sample(
         )
         .filter(F.col("samp_rank") <= n_per)
         .select("vec_id", "cluster", "samp_rank")
+    )
+
+
+def ivf_topk_exact(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    km_k: int = K,
+    iters: int = ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """IVF ANN with the EXACT integer k-means as the coarse quantizer —
+    the fully SQL-replayable sibling of `similarity.ivf_topk` (whose
+    float MLlib codebook can only be contract-checked). Inverted lists
+    are the k-means assignment; each query probes its `n_probe` nearest
+    centroids (quantized L2, cluster-asc tie-break) and ranks the probed
+    lists' members by quantized L2 distance with an id tie-break:
+    every step — training, assignment, probe selection, candidate join,
+    distance, rank — is integer/deterministic, so the whole index
+    hash-checks cross-engine. Returns (query_id, candidate_id, dist_q, rk).
+
+    Scale shape: centroids are plan literals (assignment and probe cost
+    no shuffles); candidates come from an equi-join on the probed
+    (query, cluster) pairs — the query side is literal-sized and
+    broadcast, so the corpus contributes only the probed lists' rows
+    (≈ corpus · n_probe / km_k) to the distance rank."""
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    q = _quantized(emb_df, id_col, vec_col, scale).persist()
+    centroids = kmeans_fit(q, k=km_k, iters=iters)
+    qrows = {
+        r.id: list(r.qarr)
+        for r in q.filter(F.col("id").isin(query_ids)).collect()
+    }
+    # cache paid for itself across the fit's iterative scans + the query
+    # collect; the final candidate scan recomputes the narrow projection
+    # (same policy as kmeans_exact — nothing leaks across a driver sweep)
+    q.unpersist()
+    assigned = _assign(q, centroids)
+    missing = sorted(set(query_ids) - set(qrows))
+    if missing:
+        raise ValueError(f"query ids not in corpus: {missing}")
+
+    # probe selection is driver-side over the model-sized centroid list:
+    # per query the n_probe nearest centroids, (dist, cluster) ordered
+    probes = []
+    for qid in query_ids:
+        d = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(qrows[qid], c)),
+                j,
+            )
+            for j, c in enumerate(centroids)
+        )[:n_probe]
+        probes.extend((qid, j) for _, j in d)
+    spark = emb_df.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+    qarr_df = spark.createDataFrame(
+        [(qid, arr) for qid, arr in qrows.items()],
+        "query_id long, q_qarr array<bigint>",
+    )
+
+    cands = (
+        assigned.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .join(F.broadcast(qarr_df), "query_id")
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            F.expr(
+                "aggregate(zip_with(qarr, q_qarr, (a, b) -> (a - b) * (a - b)), "
+                "0L, (s, x) -> s + x)"
+            ).alias("dist_q"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_q").asc(), F.col("candidate_id")
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "dist_q", "rk")
     )

@@ -78,6 +78,8 @@ _ROUND_PRIORITY = [
     "q_market_share",
     "q_rich_inactive_customers",
     "q_shot_boundaries",
+    "q_ann_topk_ivf_exact",
+    "q_ann_topk_pq_sampled",
     # regression re-checks: highest-complexity previously-green queries
     # (trimmed to keep the list within the driver's ~50-query budget)
     "q_dedup_minhash_lsh",
@@ -87,13 +89,11 @@ _ROUND_PRIORITY = [
     "q_embedding_neardup",
     "q_ann_topk_lsh_quantized",
     "q_ann_topk_ivf",
-    "q_simhash_neardup",
     "q_decontaminate",
     "q_bloom_decontaminate",
     "q_incremental_dedup",
     "q_chunk_dedup",
     "q_substring_dup_spans",
-    "q_containment_pairs",
     "q_dedup_shingle_jaccard",
 ]
 

@@ -107,6 +107,79 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q
 
 
+_IVFX_PROBE = 4
+
+
+def q_ann_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the integer k-means as coarse quantizer — the
+    EXACT-checkable IVF (unlike `q_ann_topk_ivf`, whose float MLlib
+    codebook only supports a recall-contract row): training, list
+    assignment, probe selection, candidate join, distance and rank all
+    replay in SQL and hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cls.ivf_topk_exact(
+        emb, _QUERY_IDS, k=_K, n_probe=_IVFX_PROBE
+    )
+
+
+def _ivf_exact_sql(
+    km_k: int, iters: int, scale: int, n_probe: int, k: int,
+    qids: list[int],
+) -> str:
+    """DuckDB replay of `cluster.ivf_topk_exact` — k-means CTEs, final
+    assignment, per-query probe selection, and the probed-list rank."""
+    kct, cfinal = _kmeans_ctes("iv", "embedding", km_k, iters, scale)
+    sq = "(q.qv - c.cv) * (q.qv - c.cv)"
+    ids = ", ".join(str(i) for i in qids)
+    return f"""
+        WITH {", ".join(kct)},
+        final_assign AS (
+            SELECT id, cluster FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
+                FROM ivq q JOIN {cfinal} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        ),
+        centd AS (
+            SELECT q.id AS query_id, c.cluster,
+                   SUM({sq}) AS d
+            FROM ivq q JOIN {cfinal} c USING (pos)
+            WHERE q.id IN ({ids})
+            GROUP BY 1, 2
+        ),
+        probed AS (
+            SELECT query_id, cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d ASC, cluster ASC) AS rn
+                FROM centd
+            ) WHERE rn <= {n_probe}
+        ),
+        cand AS (
+            SELECT p.query_id, f.id AS candidate_id
+            FROM probed p
+            JOIN final_assign f
+              ON f.cluster = p.cluster AND f.id <> p.query_id
+        ),
+        dists AS (
+            SELECT c.query_id, c.candidate_id,
+                   CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT)
+                       AS dist_q
+            FROM cand c
+            JOIN ivq a ON a.id = c.candidate_id
+            JOIN ivq b ON b.id = c.query_id AND b.pos = a.pos
+            GROUP BY 1, 2
+        )
+        SELECT query_id, candidate_id, dist_q, CAST(rk AS INTEGER) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY dist_q ASC, candidate_id ASC) AS rk
+            FROM dists
+        ) WHERE rk <= {k}
+    """
+
+
 _SEMDEDUP_DOT_Q = 450_000  # ≈ cosine 0.45 · scale² on unit-norm vectors
 
 
@@ -366,11 +439,15 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_ctes(
-    p: str, vec_slice: str, k: int, iters: int, scale: int
+    p: str, vec_slice: str, k: int, iters: int, scale: int,
+    train_where: str = "",
 ) -> tuple[list[str], str]:
     """Prefixed unrolled-CTE k-means over a DuckDB list-slice expression;
     returns (ctes, final-centroid-CTE name). Mirrors `cluster.kmeans_fit`
-    including seed order, shift, tie-breaks, and floor-div updates."""
+    including seed order, shift, tie-breaks, and floor-div updates.
+    `train_where` (a ``WHERE ...`` clause over ``id``) restricts the
+    TRAINING subset — seeds and Lloyd updates run on `{p}t`; consumers
+    of `{p}q` (assignment/encode over the full corpus) are unaffected."""
     sq = f"(q.qv - c.cv) * (q.qv - c.cv)"
     ctes = [
         f"""{p}q AS (
@@ -380,17 +457,20 @@ def _kmeans_ctes(
                         AS BIGINT) + {scale} AS qv
             FROM embeddings
         )""",
+        f"""{p}t AS (
+            SELECT * FROM {p}q {train_where}
+        )""",
         f"""{p}seeds AS (
             SELECT id, cluster FROM (
                 SELECT id,
                        ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)
                            - 1 AS cluster
-                FROM (SELECT DISTINCT id FROM {p}q)
+                FROM (SELECT DISTINCT id FROM {p}t)
             ) WHERE cluster < {k}
         )""",
         f"""{p}c0 AS (
             SELECT s.cluster, q.pos, q.qv AS cv
-            FROM {p}seeds s JOIN {p}q q USING (id)
+            FROM {p}seeds s JOIN {p}t q USING (id)
         )""",
     ]
     for r in range(1, iters + 1):
@@ -400,7 +480,7 @@ def _kmeans_ctes(
                 SELECT q.id, c.cluster,
                        ROW_NUMBER() OVER (PARTITION BY q.id
                            ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
-                FROM {p}q q JOIN {p}c{r - 1} c USING (pos)
+                FROM {p}t q JOIN {p}c{r - 1} c USING (pos)
                 GROUP BY q.id, c.cluster
             ) WHERE rn = 1
         )"""
@@ -409,7 +489,7 @@ def _kmeans_ctes(
             f"""{p}u{r} AS (
             SELECT a.cluster, q.pos,
                    (CAST(SUM(q.qv) AS BIGINT) // COUNT(*)) AS cv
-            FROM {p}a{r} a JOIN {p}q q USING (id)
+            FROM {p}a{r} a JOIN {p}t q USING (id)
             GROUP BY 1, 2
         )"""
         )
@@ -431,6 +511,7 @@ def _pq_sql(
     k: int,
     qids: list[int],
     rerank: int = 0,
+    train_where: str = "",
 ) -> str:
     """DuckDB replay of `cluster.pq_topk`: per-subspace codebook training,
     encoding, ADC distance tables, the per-query shortlist, and (when
@@ -442,7 +523,9 @@ def _pq_sql(
     for s in range(m):
         p = f"s{s}"
         vec_slice = f"embedding[{s * sub + 1}:{(s + 1) * sub}]"
-        kct, cfinal = _kmeans_ctes(p, vec_slice, sub_k, iters, scale)
+        kct, cfinal = _kmeans_ctes(
+            p, vec_slice, sub_k, iters, scale, train_where=train_where
+        )
         ctes.extend(kct)
         ctes.append(
             f"""{p}enc AS (
@@ -526,6 +609,38 @@ def _pq_sql(
             FROM rer
         ) WHERE rk <= {k}
     """
+
+
+_PQ_TRAIN_FRACTION = 0.5
+_PQ_TRAIN_GATE = (
+    "WHERE (('0x' || substr(md5('pqtrain' || CAST(id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 10000) < " + str(int(_PQ_TRAIN_FRACTION * 10_000))
+)
+
+
+def q_ann_topk_pq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with codebooks trained on a deterministic md5-gated HALF of
+    the corpus — the 100 TB training shape (Lloyd rounds must not scan
+    the full corpus), still exact-checked: the oracle replays the same
+    hash gate, so sampled training, full-corpus encode, ADC, and re-rank
+    all hash-match."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    width = emb.select(F.size("embedding").alias("n")).first().n
+    if width != cls.EMB_DIM:
+        raise ValueError(
+            f"embeddings fixture width {width} != cluster.EMB_DIM "
+            f"{cls.EMB_DIM}; update the shared constant"
+        )
+    return cls.pq_topk(
+        emb,
+        _QUERY_IDS,
+        k=_K,
+        m=_PQ_M,
+        sub_k=_PQ_SUBK,
+        iters=_PQ_ITERS,
+        rerank=_PQ_SHORTLIST,
+        train_fraction=_PQ_TRAIN_FRACTION,
+    )
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,6 +887,19 @@ ORACLES: dict[str, str] = {
         _PQ_K,
         _QUERY_IDS,
         rerank=_PQ_SHORTLIST,
+    ),
+    "q_ann_topk_pq_sampled": _pq_sql(
+        _PQ_M,
+        _PQ_SUBK,
+        _PQ_ITERS,
+        cls.SCALE,
+        _PQ_K,
+        _QUERY_IDS,
+        rerank=_PQ_SHORTLIST,
+        train_where=_PQ_TRAIN_GATE,
+    ),
+    "q_ann_topk_ivf_exact": _ivf_exact_sql(
+        cls.K, cls.ITERS, cls.SCALE, _IVFX_PROBE, _K, _QUERY_IDS
     ),
     "q_ann_topk_lsh_quantized": _lsh_quantized_oracle(),
     "q_ann_topk_lsh_banded": _lsh_banded_oracle(),
