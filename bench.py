@@ -56,6 +56,12 @@ HEADLINE = [
     "q_text_quality",
     "q_unigram_doc_prob",
     "q_domain_classifier",
+    # round-3 corpus diagnostics / retrieval
+    "q_boilerplate_flags",
+    "q_vocab_stats",
+    "q_minhash_search",
+    "q_retention_cohorts",
+    "q_shot_boundaries",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

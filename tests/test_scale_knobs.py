@@ -111,3 +111,32 @@ class TestSessionize:
         # final (open) session per user may be withheld by the watermark
         n_emitted = sum(r.n_events for r in rows)
         assert n_emitted <= ev.count()
+
+
+def test_zorder_layout_prunes(spark, tmp_path):
+    """Z-order write produces files whose Morton-key ranges are DISJOINT
+    (range partitioning), i.e. parquet min/max footers can prune scans
+    on either clustered column; rows are conserved."""
+    from xeloader_spark.catalog import load_table
+    from xeloader_spark.operators.skew import z_value, zorder_write
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = str(tmp_path / "zorder")
+    zorder_write(ev, out, "user_id", "event_id", bits=14, n_files=8)
+
+    back = spark.read.parquet(out).withColumn(
+        "_f", F.input_file_name()
+    ).withColumn("_z", z_value("user_id", "event_id", bits=14))
+    assert back.count() == ev.count()
+    ranges = {
+        r._f: (r.zmin, r.zmax)
+        for r in back.groupBy("_f")
+        .agg(F.min("_z").alias("zmin"), F.max("_z").alias("zmax"))
+        .collect()
+    }
+    assert len(ranges) >= 2  # actually clustered into multiple files
+    spans = sorted(ranges.values())
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (spans,)  # disjoint → footer stats prune

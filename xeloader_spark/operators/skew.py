@@ -121,3 +121,63 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def z_value(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleaving of two non-negative integer columns
+    into one locality-preserving sort key: bit i of `c1` lands at output
+    bit 2i+1, bit i of `c2` at 2i. Pure bitwise arithmetic (shiftleft /
+    AND / OR), identical in Spark and ANSI-ish SQL, so layouts built on
+    it are oracle-checkable. Inputs must fit in `bits` bits — values are
+    masked, so out-of-range inputs wrap rather than collide silently
+    across the whole range."""
+    a = (F.col(c1) if isinstance(c1, str) else c1).cast("long")
+    b = (F.col(c2) if isinstance(c2, str) else c2).cast("long")
+    mask = (1 << bits) - 1
+    a, b = a.bitwiseAND(F.lit(mask)), b.bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(a.bitwiseAND(F.lit(1 << i)), i + 1)
+            ).bitwiseOR(F.shiftleft(b.bitwiseAND(F.lit(1 << i)), i))
+        )
+    return z
+
+
+def z_value_sql(c1: str, c2: str, bits: int = 16) -> str:
+    """DuckDB replay of `z_value` — same mask, same shifts."""
+    mask = (1 << bits) - 1
+    a, b = f"(CAST({c1} AS BIGINT) & {mask})", f"(CAST({c2} AS BIGINT) & {mask})"
+    parts = []
+    for i in range(bits):
+        parts.append(f"(({a} & {1 << i}) << {i + 1})")
+        parts.append(f"(({b} & {1 << i}) << {i})")
+    return "(" + " | ".join(parts) + ")"
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    c1: str,
+    c2: str,
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write `df` Z-order-clustered on (`c1`, `c2`): range-partition by
+    the Morton key, sort within partitions, write parquet. Rows close in
+    BOTH dimensions land in the same file, so parquet min/max footer
+    stats prune scans filtered on EITHER column — the multi-dimensional
+    generalization of the reference's clustered-index layout choice
+    (EventMetadata.cs:203-244), and the layout trick Delta/Iceberg call
+    OPTIMIZE ZORDER. Pay one range shuffle at write; every later scan
+    with a selective c1/c2 predicate reads a file subset (pinned by
+    `test_zorder_layout_prunes`)."""
+    (
+        df.withColumn("_z", z_value(c1, c2, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -298,7 +298,36 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("r.*")
 
 
+_Z_BITS = 14
+
+
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys over the event stream — the sort
+    key `zorder_write` lays files out by (see SCALE.md: multi-dim scan
+    pruning). Pure bitwise arithmetic, exact both engines."""
+    from ..operators.skew import z_value
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        z_value("user_id", "event_id", bits=_Z_BITS).alias("z"),
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.skew import z_value_sql
+
+    return f"""
+        SELECT event_id, user_id,
+               CAST({z_value_sql("user_id", "event_id", _Z_BITS)} AS BIGINT)
+                   AS z
+        FROM events
+    """
+
+
 ORACLES: dict[str, str] = {
+    "q_zorder_values": _zorder_sql(),
     "q_xml_roundtrip": """
         SELECT event_id, event_type, ts, value, props, user_id FROM events
     """,
