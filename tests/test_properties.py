@@ -184,3 +184,33 @@ def test_split_fractions_partition_rows(spark, frac, salt):
         ).collect()
     )
     assert dict(got) == again
+
+
+class TestZValueProperties:
+    def test_zvalue_matches_python_interleave(self, spark):
+        """Spark `z_value` == the reference bit-interleave for random
+        pairs, and is injective over the masked domain."""
+        import random
+
+        from xeloader_spark.operators.skew import z_value
+
+        rnd = random.Random(7)
+        pairs = [
+            (rnd.randrange(0, 1 << 14), rnd.randrange(0, 1 << 14))
+            for _ in range(200)
+        ]
+
+        def py_z(a: int, b: int, bits: int = 14) -> int:
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i + 1)
+                z |= ((b >> i) & 1) << (2 * i)
+            return z
+
+        df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+            "z", z_value("a", "b", bits=14)
+        )
+        got = {(r.a, r.b): r.z for r in df.collect()}
+        for (a, b), z in got.items():
+            assert z == py_z(a, b), (a, b, z)
+        assert len(set(got.values())) == len(set(pairs))

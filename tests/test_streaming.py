@@ -413,3 +413,59 @@ def test_streaming_boilerplate_matches_batch(spark, tmp_path):
     assert len(seeded_digests) == 2
     assert seeded_digests <= hot
     assert sum(final[d] for d in seeded_digests) == seeded.count()
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """Aggregated emissions of the streaming retention operator == the
+    batch `retention_cohorts` matrix under time-ordered arrival (every
+    (user, day) emitted exactly once, cohort fixed at first sighting)."""
+    import time
+
+    from xeloader_spark.operators.temporal import retention_cohorts
+    from xeloader_spark.streaming.retention_stream import (
+        streaming_retention,
+    )
+
+    src = str(tmp_path / "ret_in")
+    out = str(tmp_path / "ret_out")
+    ckpt = str(tmp_path / "ret_ckpt")
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts")
+    cut = ev.agg(F.min("ts")).first()[0] + __import__(
+        "datetime"
+    ).timedelta(days=15)
+    os.makedirs(src, exist_ok=True)
+    for i, pred in enumerate((F.col("ts") < cut, F.col("ts") >= cut)):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/slice={i}"
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_retention(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.cohort_day, r.age_days): r.n_users
+        for r in spark.read.parquet(out)
+        .groupBy("cohort_day", "age_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .collect()
+    }
+    expected = {
+        (r.cohort_day, r.age_days): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == expected

@@ -1260,3 +1260,40 @@ def minhash_search(
             (F.col("n_agree") / F.lit(k)).alias("jaccard_est"),
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct
+    n-gram shingles that it is the FIRST (smallest-id) document to
+    contribute to the corpus — the greedy marginal-value signal a
+    curator ranks by when an ingest order matters (a doc that re-treads
+    earlier content scores near 0, pure-new content scores 1). Returns
+    (doc_id, n_shingles, n_novel, novelty).
+
+    Scale shape: the inverted index this builds is the same
+    (shingle, id) aggregate every dedup family here uses — one
+    shingle-keyed min aggregate (map-side combined) joined back to the
+    slim (id, shingle) pairs on the SAME key (partitioning reused), then
+    a per-doc count aggregate. Documents never shuffle as text, and no
+    pair space exists at all — novelty is a first-owner property, not a
+    pairwise one."""
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    owners = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(owners, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
+    )

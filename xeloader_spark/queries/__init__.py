@@ -81,6 +81,7 @@ _ROUND_PRIORITY = [
     "q_ann_topk_ivf_exact",
     "q_ann_topk_pq_sampled",
     "q_zorder_values",
+    "q_novelty_scores",
     # regression re-checks: highest-complexity previously-green queries
     # (trimmed to keep the list within the driver's ~50-query budget)
     "q_dedup_minhash_lsh",
@@ -92,7 +93,6 @@ _ROUND_PRIORITY = [
     "q_ann_topk_ivf",
     "q_decontaminate",
     "q_bloom_decontaminate",
-    "q_incremental_dedup",
     "q_substring_dup_spans",
     "q_dedup_shingle_jaccard",
 ]

@@ -55,6 +55,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy marginal-value ranking: fraction of each doc's trigram
+    shingles it contributes first (smallest doc_id wins ownership)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.novelty_scores(docs, n=3)
+
+
 _SEARCH_IDS = list(range(10))
 _SEARCH_TOPK = 5
 
@@ -464,6 +471,22 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_novelty_scores": f"""
+        WITH tri AS ({_TRI}),
+        own AS (SELECT sh, MIN(id) AS first_id FROM tri GROUP BY 1),
+        j AS (
+            SELECT t.id AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN t.id = o.first_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM tri t JOIN own o USING (sh)
+            GROUP BY 1
+        )
+        SELECT doc_id, n_shingles, n_novel,
+               CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                   AS novelty
+        FROM j
     """,
     "q_minhash_search": f"""
         WITH tri AS ({_TRI}),
