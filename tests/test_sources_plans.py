@@ -449,3 +449,23 @@ class TestRound3PlanShapes:
         ):
             plans.assert_max_shuffles(df, 3)
             plans.assert_no_cartesian(df)
+
+
+class TestRound3LateAdditionShapes:
+    def test_novelty_inverted_index_budget(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        # shingle-min ownership agg + partition-reusing join + doc agg
+        plans.assert_max_shuffles(qd.q_novelty_scores(spark, SF), 3)
+
+    def test_zorder_key_zero_shuffle(self, spark):
+        from xeloader_spark.queries import ingest as qi
+
+        plans.assert_max_shuffles(qi.q_zorder_values(spark, SF), 0)
+
+    def test_ivf_exact_assignment_is_projection(self, spark):
+        from xeloader_spark.queries import similarity as qsim
+
+        # literal centroids + broadcast probe pairs: only the rank window
+        # may shuffle
+        plans.assert_max_shuffles(qsim.q_ann_topk_ivf_exact(spark, SF), 1)
