@@ -1297,3 +1297,56 @@ def novelty_scores(
         )
         .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
     )
+
+
+def editdistance_neardup(
+    df: DataFrame,
+    block_tokens: int = 3,
+    max_ratio: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup with deterministic prefix blocking: two
+    documents are candidates when they share their first `block_tokens`
+    tokens (digest equi-join — the blocking key), and near-dups when
+    their full Levenshtein distance is at most `max_ratio` of the longer
+    text. The character-level family catches OCR noise / small edits
+    that token-shingle Jaccard over-penalizes, and both engines ship the
+    same standard DP (`levenshtein`), so the operator is exact-checkable.
+    Returns (id_a, id_b, lev, edit_ratio).
+
+    Scale shape: one digest-keyed self-join — block sizes, not corpus
+    size, bound the pair fan-out (the same property as LSH bands), and
+    the O(len²) DP kernel runs on candidate pairs only. A corpus-hot
+    prefix (boilerplate header) degenerates a block: detect those with
+    `boilerplate_prefix` and strip or cap them first, the `max_df`
+    discipline of the shingle families."""
+    blk = F.md5(
+        F.expr(
+            f"array_join(slice(filter(split({text_col}, '\\\\s+'), "
+            f"x -> x != ''), 1, {block_tokens}), ' ')"
+        )
+    )
+    slim = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t"), blk.alias("blk")
+    )
+    a = slim.select(
+        F.col("id").alias("id_a"), F.col("t").alias("t_a"), "blk"
+    )
+    b = slim.select(
+        F.col("id").alias("id_b"), F.col("t").alias("t_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("t_a", "t_b").cast("long").alias("lev"),
+            (
+                F.levenshtein("t_a", "t_b")
+                / F.greatest(F.length("t_a"), F.length("t_b"))
+            ).alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= max_ratio)
+    )

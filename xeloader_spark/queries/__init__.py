@@ -82,6 +82,7 @@ _ROUND_PRIORITY = [
     "q_ann_topk_pq_sampled",
     "q_zorder_values",
     "q_novelty_scores",
+    "q_editdistance_neardup",
     # regression re-checks: highest-complexity previously-green queries
     # (trimmed to keep the list within the driver's ~50-query budget)
     "q_dedup_minhash_lsh",
@@ -92,7 +93,6 @@ _ROUND_PRIORITY = [
     "q_ann_topk_lsh_quantized",
     "q_ann_topk_ivf",
     "q_decontaminate",
-    "q_bloom_decontaminate",
     "q_substring_dup_spans",
     "q_dedup_shingle_jaccard",
 ]

@@ -55,6 +55,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_BLOCK_TOKENS = 3
+_EDIT_MAX_RATIO = 0.4
+
+
+def q_editdistance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: 3-token-prefix blocking + full
+    Levenshtein verify at relative threshold 0.4 — the OCR-noise family
+    next to the token-shingle ones, exact both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.editdistance_neardup(
+        docs, block_tokens=_EDIT_BLOCK_TOKENS, max_ratio=_EDIT_MAX_RATIO
+    )
+
+
 def q_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy marginal-value ranking: fraction of each doc's trigram
     shingles it contributes first (smallest doc_id wins ownership)."""
@@ -339,6 +353,7 @@ def clusters_sql(
 
 _TOKS = toks_sql()
 _TRI = tri_sql()
+_TOKS_LIST_DD = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')"
 _JACCARD_PAIRS = jaccard_pairs_sql()
 
 _SIG_COLS = ", ".join(
@@ -471,6 +486,23 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_editdistance_neardup": f"""
+        WITH s AS (
+            SELECT doc_id AS id, text AS t,
+                   md5(array_to_string(
+                       {_TOKS_LIST_DD}[1:{_EDIT_BLOCK_TOKENS}], ' ')) AS blk
+            FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+               CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                   / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE)
+                   AS edit_ratio
+        FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+        WHERE CAST(levenshtein(a.t, b.t) AS DOUBLE)
+              / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE)
+              <= {_EDIT_MAX_RATIO}
     """,
     "q_novelty_scores": f"""
         WITH tri AS ({_TRI}),
