@@ -59,3 +59,41 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert merged.count() == 200
     # rows from the first load read the evolved column as null
     assert merged.filter(F.col("c_new_field").isNull()).count() == 100
+
+
+def test_partition_count_invariance(spark):
+    """The exactness contract behind every oracle hash: results must be
+    BIT-identical under different shuffle partitioning (decimal
+    accumulators, integer kernels, total tie-breaks — no
+    order-dependent float folds). Representative queries across the
+    float-agg / window / dedup / LM families, run at 3 partition
+    counts."""
+    from xeloader_spark.queries import dedup as qd
+    from xeloader_spark.queries import relational as qr
+    from xeloader_spark.queries import text as qt
+
+    sf = "/root/testdata/sf0.001"
+    cases = {
+        "pricing": lambda: qr.q_pricing_summary(spark, sf),
+        "mkt_share": lambda: qr.q_market_share(spark, sf),
+        "mix_weights": lambda: qt.q_mix_weights(spark, sf),
+        "minhash": lambda: qd.q_dedup_minhash_lsh(spark, sf),
+        "unigram": lambda: qt.q_unigram_doc_prob(spark, sf),
+    }
+
+    def canon(df):
+        cols = sorted(df.columns)
+        return sorted(
+            tuple(repr(r[c]) for c in cols) for r in df.collect()
+        )
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "8", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {k: canon(mk()) for k, mk in cases.items()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    for k in cases:
+        assert results["3"][k] == results["8"][k] == results["17"][k], k
