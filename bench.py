@@ -69,6 +69,7 @@ HEADLINE = [
     "q_gopher_quality",
     "q_chunk_dedup",
     "q_corpus_clean_pipeline",
+    "q_training_data_build",
 ]
 
 

@@ -83,6 +83,7 @@ _ROUND_PRIORITY = [
     "q_zorder_values",
     "q_novelty_scores",
     "q_editdistance_neardup",
+    "q_training_data_build",
     # regression re-checks: highest-complexity previously-green queries
     # (trimmed to keep the list within the driver's ~50-query budget)
     "q_dedup_minhash_lsh",
@@ -92,7 +93,6 @@ _ROUND_PRIORITY = [
     "q_embedding_neardup",
     "q_ann_topk_lsh_quantized",
     "q_ann_topk_ivf",
-    "q_decontaminate",
     "q_substring_dup_spans",
     "q_dedup_shingle_jaccard",
 ]

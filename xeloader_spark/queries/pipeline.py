@@ -124,3 +124,179 @@ ORACLES: dict[str, str] = {
         FROM canon GROUP BY 1, 2
     """,
 }
+
+
+_BP_LEN = 8
+_BP_MIN_DF = 3
+_SEQ_LEN = 256
+
+
+def q_training_data_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 composed build: seeded boilerplate headers/footers are
+    DETECTED (df windows) and STRIPPED, exact dedup runs on the cleaned
+    text (so header variants of the same body collapse — the reason
+    boilerplate removal precedes dedup in real pipelines), and the
+    per-source funnel is reported: input docs, boiler-stripped docs,
+    kept-after-dedup docs, kept tokens, and padded `_SEQ_LEN`-token
+    sequence counts. Every stage is an already-proven operator family;
+    this query exact-checks their COMPOSITION (strip → digest → keeper →
+    accounting all replay in SQL).
+
+    Scale shape: two digest windows + one md5 keeper window + a final
+    two-key aggregate; the corpus text crosses the wire once (as its
+    md5 for the keeper stage), prefix/suffix digests and counts are
+    ~32-byte rows throughout."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("edition "),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit(" subscribe to our newsletter follow us on "),
+                F.col("text"),
+                F.lit(" all rights reserved copyright "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(" terms apply contact us"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    tk = f"filter(split(text, '\\\\s+'), x -> x != '')"
+    base = seeded.select(
+        "doc_id",
+        "source",
+        F.expr(tk).alias("tk"),
+    ).select(
+        "doc_id",
+        "source",
+        "tk",
+        F.md5(F.expr(f"array_join(slice(tk, 1, {_BP_LEN}), ' ')")).alias(
+            "pd"
+        ),
+        F.md5(
+            F.expr(
+                f"array_join(slice(tk, greatest(1, size(tk) - {_BP_LEN - 1}),"
+                f" {_BP_LEN}), ' ')"
+            )
+        ).alias("sd"),
+    )
+    pw, sw = Window.partitionBy("pd"), Window.partitionBy("sd")
+    flagged = base.select(
+        "doc_id",
+        "source",
+        "tk",
+        (F.count(F.lit(1)).over(pw) >= _BP_MIN_DF).alias("bp"),
+        (F.count(F.lit(1)).over(sw) >= _BP_MIN_DF).alias("bs"),
+    )
+    stripped = flagged.select(
+        "doc_id",
+        "source",
+        "bp",
+        "bs",
+        F.expr(
+            f"array_join(slice(tk, "
+            f"1 + (CASE WHEN bp THEN {_BP_LEN} ELSE 0 END), "
+            f"greatest(0, size(tk) - (CASE WHEN bp THEN {_BP_LEN} ELSE 0 END)"
+            f" - (CASE WHEN bs THEN {_BP_LEN} ELSE 0 END))), ' ')"
+        ).alias("clean"),
+    ).withColumn(
+        "n_tokens",
+        F.expr(
+            "CAST(size(filter(split(clean, '\\\\s+'), x -> x != '')) AS BIGINT)"
+        ),
+    )
+    kw = Window.partitionBy(F.md5("clean")).orderBy("doc_id")
+    keeper = stripped.withColumn("rn", F.row_number().over(kw))
+    return keeper.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("bp") | F.col("bs"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stripped"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                F.expr(f"CAST((n_tokens + {_SEQ_LEN - 1}) DIV {_SEQ_LEN} AS BIGINT)"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_padded_seqs"),
+    )
+
+
+ORACLES["q_training_data_build"] = f"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 2
+                    THEN 'edition ' || CAST(doc_id % 2 AS VARCHAR)
+                         || ' subscribe to our newsletter follow us on '
+                         || text
+                         || ' all rights reserved copyright '
+                         || CAST(doc_id % 3 AS VARCHAR)
+                         || ' terms apply contact us'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS tk
+        FROM seeded
+    ),
+    dig AS (
+        SELECT doc_id, source, tk,
+               md5(array_to_string(tk[1:{_BP_LEN}], ' ')) AS pd,
+               md5(array_to_string(
+                   tk[greatest(1, len(tk) - {_BP_LEN - 1}):], ' ')) AS sd
+        FROM base
+    ),
+    flg AS (
+        SELECT doc_id, source, tk,
+               COUNT(*) OVER (PARTITION BY pd) >= {_BP_MIN_DF} AS bp,
+               COUNT(*) OVER (PARTITION BY sd) >= {_BP_MIN_DF} AS bs
+        FROM dig
+    ),
+    stripped AS (
+        SELECT doc_id, source, bp, bs,
+               array_to_string(
+                   tk[1 + (CASE WHEN bp THEN {_BP_LEN} ELSE 0 END) :
+                      (CASE WHEN bp THEN {_BP_LEN} ELSE 0 END)
+                      + greatest(0, len(tk)
+                          - (CASE WHEN bp THEN {_BP_LEN} ELSE 0 END)
+                          - (CASE WHEN bs THEN {_BP_LEN} ELSE 0 END))],
+                   ' ') AS clean
+        FROM flg
+    ),
+    toked AS (
+        SELECT *,
+               CAST(len(list_filter(regexp_split_to_array(clean, '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM stripped
+    ),
+    keeper AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(clean)
+                                     ORDER BY doc_id) AS rn
+        FROM toked
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN bp OR bs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stripped,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(SUM(CASE WHEN rn = 1
+                         THEN (n_tokens + {_SEQ_LEN - 1}) // {_SEQ_LEN}
+                         ELSE 0 END) AS BIGINT) AS n_padded_seqs
+    FROM keeper
+    GROUP BY 1
+"""
