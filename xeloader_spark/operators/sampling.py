@@ -242,3 +242,20 @@ def shard_by_tokens(
         F.col(tokens_col),
         shard.cast("int").alias("shard"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col, salt: str = "wsample"
+) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep a row iff its
+    md5 bucket falls below weight·BUCKETS, so each row's keep
+    probability equals its weight in [0, 1] — quality- or
+    length-weighted corpus thinning with the same re-run / cross-engine
+    stability as `bernoulli_sample` (no RNG state; the selected SET is a
+    pure function of keys and weights). The comparison stays in double
+    space (bucket < w·BUCKETS) — no float→int cast, whose
+    truncate-vs-round semantics differ across engines. Zero shuffle."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(
+        hash_bucket(key_col, salt) < w * F.lit(float(BUCKETS))
+    )

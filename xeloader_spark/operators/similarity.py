@@ -565,3 +565,59 @@ def random_project_quantized(
     return wide.selectExpr(
         "vec_id", f"stack({out_dim}, {stack}) AS (out_pos, proj_q)"
     )
+
+
+def knn_graph(
+    emb_df: DataFrame,
+    k: int = 3,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole corpus — per-vector top-k
+    neighbors, the batch primitive under graph clustering and
+    agglomerative semantic dedup. Same banded quantized-LSH construction
+    as `lsh_ann_topk_banded`, but the band equi-join is a SELF-join:
+    candidate volume is Σ bucket² per band — bucket sizes, not corpus
+    size, bound the fan-out, and no all-pairs path exists. A pair
+    colliding in several bands scores once (pair-key groupBy dedup);
+    ranking is per source node. Returns (src, dst, dot, rk).
+
+    At extreme scale, join the (band, bsig) keys on ids FIRST and attach
+    the two quantized vectors in a second pass — here the vectors ride
+    the band join directly, which is one shuffle cheaper while rows
+    remain modest."""
+    sigs = banded_quantized_signatures(
+        emb_df, bands, planes_per_band, id_col, vec_col, scale, seed
+    )
+    a = sigs.select(
+        F.col("id").alias("src"), F.col("qarr").alias("s_qarr"),
+        "band", "bsig",
+    )
+    b = sigs.select(
+        F.col("id").alias("dst"), F.col("qarr").alias("d_qarr"),
+        "band", "bsig",
+    )
+    hits = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "aggregate(zip_with(s_qarr, d_qarr, (x, y) -> x * y), 0L, "
+                "(s, v) -> s + v)"
+            ).alias("dot"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("dot").alias("dot"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("dot"), F.asc("dst"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst", "dot", "rk")
+    )

@@ -84,13 +84,13 @@ _ROUND_PRIORITY = [
     "q_novelty_scores",
     "q_editdistance_neardup",
     "q_training_data_build",
+    "q_knn_graph",
+    "q_weighted_sample",
+    "q_top_revenue_supplier",
     # regression re-checks: highest-complexity previously-green queries
     # (trimmed to keep the list within the driver's ~50-query budget)
     "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
     "q_corpus_clean_pipeline",
-    "q_callstack_decode",
-    "q_embedding_neardup",
     "q_ann_topk_lsh_quantized",
     "q_ann_topk_ivf",
     "q_substring_dup_spans",

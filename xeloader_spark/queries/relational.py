@@ -623,7 +623,60 @@ def q_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q15_START = "1996-01-01"
+_Q15_END = "1996-04-01"
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    scalar-max subquery with an EQUALITY predicate on an aggregate (the
+    ties-included variant top-k can't express). Revenue stays a decimal
+    through the comparison so the equality is exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    _DEC
+                )
+            ).alias("rev_dec")
+        )
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_rev"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_top_revenue_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(25,6))) AS rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{_Q15_START} 00:00:00'
+              AND l_shipdate < TIMESTAMP '{_Q15_END} 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.rev_dec AS DOUBLE) AS total_rev
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM rev)
+    """,
     "q_small_quantity_revenue": """
         WITH pp AS (
             SELECT l_partkey, SUM(l_quantity) AS part_qty_sum,

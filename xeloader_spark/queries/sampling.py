@@ -103,6 +103,28 @@ _N_SHARDS = 8
 _SHARD_BUCKET_W = 64
 
 
+_W_CAP_TOKENS = 60.0
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling: keep probability
+    min(1, n_tokens/60) per document — the quality-weighted thinning
+    step, hash-gated so the kept SET is engine/re-run stable. Output is
+    the kept docs with their weights (the whole gate is in the result,
+    so the oracle checks weights AND selection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)"
+        ).alias("n_tokens"),
+    ).withColumn(
+        "weight", F.least(F.lit(1.0), F.col("n_tokens") / F.lit(_W_CAP_TOKENS))
+    )
+    return sp.weighted_sample(toks, "doc_id", "weight")
+
+
 def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced corpus sharding: every document dealt to one of 8 output
     shards by the parallel bucket-serpentine rule, summarized as
@@ -306,6 +328,21 @@ ORACLES: dict[str, str] = {
         FROM c
     """,
 }
+
+ORACLES["q_weighted_sample"] = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    w AS (
+        SELECT *, least(1.0, n_tokens / {_W_CAP_TOKENS}) AS weight FROM t
+    )
+    SELECT doc_id, source, n_tokens, weight
+    FROM w
+    WHERE {_bucket_sql('doc_id', 'wsample')} < weight * {_B}.0
+"""
 
 ORACLES["q_shard_balance"] = f"""
     WITH t AS (

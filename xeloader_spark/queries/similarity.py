@@ -107,6 +107,58 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_q
 
 
+_KNN_K = 3
+_KNN_BANDS = 8
+_KNN_PPB = 4
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN graph (3 neighbors per vector) via
+    the banded quantized-LSH self-join — banding, pair dedup, integer
+    dots, and per-node rank all replay in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_graph(
+        emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
+    )
+
+
+def _knn_graph_sql(
+    k: int, bands: int, planes_per_band: int, scale: int = 1000
+) -> str:
+    from ..operators.similarity import banded_sig_sql
+
+    return f"""
+        WITH qv AS (
+            SELECT vec_id AS id, ord - 1 AS pos,
+                   CAST(round(CAST(val AS DOUBLE) * {scale}) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+        ),
+        sigs AS ({banded_sig_sql(bands, planes_per_band, scale)}),
+        pairs AS (
+            SELECT DISTINCT a.id AS src, c.id AS dst
+            FROM sigs a JOIN sigs c
+              ON c.band = a.band AND c.bsig = a.bsig
+            WHERE c.id <> a.id
+        ),
+        dots AS (
+            SELECT p.src, p.dst,
+                   CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+            FROM pairs p
+            JOIN qv a ON a.id = p.src
+            JOIN qv b ON b.id = p.dst AND b.pos = a.pos
+            GROUP BY 1, 2
+        )
+        SELECT src, dst, dot, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT src, dst, dot,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY dot DESC, dst ASC) AS rk
+            FROM dots
+        ) WHERE rk <= {k}
+    """
+
+
 _IVFX_PROBE = 4
 
 
@@ -888,6 +940,7 @@ ORACLES: dict[str, str] = {
         _QUERY_IDS,
         rerank=_PQ_SHORTLIST,
     ),
+    "q_knn_graph": _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB),
     "q_ann_topk_pq_sampled": _pq_sql(
         _PQ_M,
         _PQ_SUBK,
