@@ -30,15 +30,19 @@ from . import core
 # The round driver checks at most ~50 queries per round, in registry
 # (dict insertion) order. Rounds 1+2 verified 99 distinct queries green
 # (union of CORRECTNESS_r01/r02 rows with rows_match and no err). This
-# list front-loads the 19 queries that still have no driver row (all late
-# round-2 additions), then fills the remaining budget with the highest-
-# complexity previously-green queries as regression re-checks, then any
-# round-3 additions. Names not in this list keep module order after it.
+# list front-loads the 44 queries that have no driver row yet — the 19
+# late round-2 additions first, then the round-3 additions in the order
+# they landed — and spends the remaining budget on regression re-checks
+# of the highest-complexity previously-green queries. Names not in this
+# list keep module order after it. (The generated ledger at the end of
+# COVERAGE.md is the authoritative per-query verification status;
+# regenerate with tools/gen_coverage_ledger.py.)
 #
 # ROUND-4 ROTATION (do this first next round): re-diff queries() keys
 # against the union of CORRECTNESS_r01/r02/r03 green rows; front-load
-# whatever is still unverified (should be only round-3 additions), then
-# rotate regression re-checks to queries whose last green row is oldest.
+# whatever is still unverified (late round-3 additions past the driver's
+# ~50 cap, if any), then rotate regression re-checks to queries whose
+# last green row is oldest.
 _ROUND_PRIORITY = [
     # the 19 still-unverified queries (no CORRECTNESS_r01/r02 row)
     "q_ann_topk_pq",
