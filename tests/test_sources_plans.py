@@ -469,3 +469,28 @@ class TestRound3LateAdditionShapes:
         # literal centroids + broadcast probe pairs: only the rank window
         # may shuffle
         plans.assert_max_shuffles(qsim.q_ann_topk_ivf_exact(spark, SF), 1)
+
+    def test_knn_graph_banded_budget(self, spark):
+        from xeloader_spark.queries import similarity as qsim
+
+        df = qsim.q_knn_graph(spark, SF)
+        plans.assert_max_shuffles(df, 2)
+        plans.assert_no_cartesian(df)
+
+    def test_editdistance_blocked_budget(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        df = qd.q_editdistance_neardup(spark, SF)
+        plans.assert_max_shuffles(df, 1)
+        plans.assert_no_cartesian(df)
+
+    def test_weighted_sample_zero_shuffle(self, spark):
+        from xeloader_spark.queries import sampling as qsp
+
+        plans.assert_max_shuffles(qsp.q_weighted_sample(spark, SF), 0)
+
+    def test_training_build_window_budget(self, spark):
+        from xeloader_spark.queries import pipeline as qp
+
+        # 2 digest windows + keeper window + final aggregate
+        plans.assert_max_shuffles(qp.q_training_data_build(spark, SF), 4)
