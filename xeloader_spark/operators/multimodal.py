@@ -491,3 +491,48 @@ def shot_boundaries(frames_df: DataFrame, threshold: int = 256) -> DataFrame:
         delta.alias("delta"),
         (prev.isNull() | (delta >= threshold)).alias("is_boundary"),
     )
+
+
+def decimate_audio(media_df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio downsample: chunk-walk the RIFF/WAVE container, keep
+    every `factor`-th PCM sample (decimation — the resample strategy
+    that needs no filter arithmetic, so it stays byte-exact), re-encode
+    at rate/factor. The audio twin of `resize_media`'s
+    decode→transform→encode path; payloads stream through Arrow
+    batches, nothing touches the driver. Returns (media_id,
+    sample_rate, n_samples, payload)."""
+    import struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates, counts = [], [], []
+            for payload in pdf["payload"]:
+                w = decode_wav(bytes(payload))
+                s = w["samples"][::factor]
+                rate = w["sample_rate"] // factor
+                payloads.append(
+                    encode_wav(struct.pack(f"<{len(s)}h", *s), rate)
+                )
+                rates.append(rate)
+                counts.append(len(s))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "payload": payloads,
+                }
+            )
+
+    return media_df.select("media_id", "payload").mapInPandas(
+        run, schema=out_schema
+    )

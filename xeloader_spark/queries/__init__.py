@@ -91,9 +91,9 @@ _ROUND_PRIORITY = [
     "q_knn_graph",
     "q_weighted_sample",
     "q_top_revenue_supplier",
+    "q_audio_decimate",
     # regression re-checks: highest-complexity previously-green queries
     # (trimmed to keep the list within the driver's ~50-query budget)
-    "q_dedup_minhash_lsh",
     "q_corpus_clean_pipeline",
     "q_ann_topk_lsh_quantized",
     "q_ann_topk_ivf",

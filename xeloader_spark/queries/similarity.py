@@ -808,6 +808,44 @@ def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECIMATE_FACTOR = 2
+
+
+def q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample path, byte-exact: WAV decode → keep every
+    2nd sample → re-encode at half rate. The oracle rebuilds the output
+    container from the constant header plus the selected sample bytes of
+    the md5-derived input, so decode, decimation, and re-encode all
+    hash-check (the audio twin of `q_multimodal_resize`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_wav_media(docs)
+    out = mm.decimate_audio(media, factor=_DECIMATE_FACTOR)
+    return out.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    )
+
+
+def _audio_decimate_sql() -> str:
+    # 8 input samples (16 md5 bytes) decimated by 2 → samples 0,2,4,6 =
+    # hex char spans (1,4),(9,4),(17,4),(25,4); output header is the
+    # constant 44-byte mono 16-bit container for 8 data bytes @ 4000 Hz
+    out_rate = mm._WAV_RATE // _DECIMATE_FACTOR
+    hdr = mm.encode_wav(b"\x00" * 8, out_rate)[:44].hex()
+    spans = " || ".join(
+        f"substr(md5(text), {4 * i + 1}, 4)" for i in range(0, 8, 2)
+    )
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST({out_rate} AS BIGINT) AS sample_rate,
+               CAST(4 AS BIGINT) AS n_samples,
+               '{hdr}' || {spans} AS payload_hex
+        FROM documents
+    """
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode→resize→re-encode: 4×2 PPM images nearest-neighbor
     downsampled to 2×1 (src pixels (0,0) and (2,0) survive) and
@@ -941,6 +979,7 @@ ORACLES: dict[str, str] = {
         rerank=_PQ_SHORTLIST,
     ),
     "q_knn_graph": _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB),
+    "q_audio_decimate": _audio_decimate_sql(),
     "q_ann_topk_pq_sampled": _pq_sql(
         _PQ_M,
         _PQ_SUBK,
