@@ -1033,3 +1033,24 @@ class TestBpeTrain:
         # generous bound: O(iters^2) lineage growth would take many
         # minutes; linear rounds on a 1-word vocab run in well under this
         assert elapsed < 240, f"bpe_train(256) took {elapsed:.0f}s"
+
+
+def test_decimate_audio_python_parity(spark):
+    """Decimated container decodes to exactly input_samples[::factor] at
+    rate/factor — checked through a real decode of the operator output."""
+    from xeloader_spark.catalog import load_table
+    from xeloader_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = mm.attach_wav_media(docs)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for factor in (2, 4):
+        out = {
+            r.media_id: bytes(r.payload)
+            for r in mm.decimate_audio(media, factor=factor).collect()
+        }
+        for mid, payload in out.items():
+            w_in = mm.decode_wav(src[mid])
+            w_out = mm.decode_wav(payload)
+            assert w_out["samples"] == w_in["samples"][::factor]
+            assert w_out["sample_rate"] == w_in["sample_rate"] // factor
