@@ -469,3 +469,89 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
         for r in retention_cohorts(ev).collect()
     }
     assert got == expected
+
+
+def test_streaming_sql_batch_sink_exactly_once(spark, tmp_path):
+    """Streaming bulk-load into live DuckDB (the reference's job shape,
+    streamed): schema evolution EXECUTES mid-stream (target pre-created
+    with a legacy column and missing frame columns), every micro-batch
+    lands once, and a full redelivery (fresh checkpoint, same files) is
+    absorbed by the batch_id load log — at-least-once in, exactly-once
+    effects out."""
+    import time
+
+    import duckdb
+
+    from xeloader_spark.streaming.sql_batch_sink import (
+        make_duckdb_batch_loader,
+    )
+
+    src = str(tmp_path / "sqlsink_in")
+    db = str(tmp_path / "sink.duckdb")
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    os.makedirs(src, exist_ok=True)
+    for i, pred in enumerate(
+        (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+    ):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/slice={i}"
+        )
+        time.sleep(1.1)
+
+    con = duckdb.connect(db)
+    con.execute("CREATE SCHEMA xel")
+    con.execute(
+        "CREATE TABLE xel.events "
+        "(event_id BIGINT, user_id BIGINT, legacy_note VARCHAR)"
+    )
+    con.close()
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/slice=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                make_duckdb_batch_loader(db, "xel", "events")
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    con = duckdb.connect(db)
+    n = con.execute("SELECT COUNT(*) FROM xel.events").fetchone()[0]
+    assert n == ev.count()
+    cols = {
+        r[0]
+        for r in con.execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_schema='xel' AND table_name='events'"
+        ).fetchall()
+    }
+    # evolution executed: frame columns added, legacy column preserved
+    assert {"event_type", "value", "legacy_note"} <= cols
+    log1 = con.execute(
+        "SELECT batch_id, n_rows FROM xel._load_log ORDER BY batch_id"
+    ).fetchall()
+    assert len(log1) == 2 and sum(r[1] for r in log1) == n
+    con.close()
+
+    # full redelivery with a FRESH checkpoint: same files, same batch ids
+    # → the load log must absorb every batch
+    run("ckpt2")
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM xel.events").fetchone()[0] == n
+    assert (
+        con.execute("SELECT COUNT(*) FROM xel._load_log").fetchone()[0] == 2
+    )
+    con.close()
