@@ -494,3 +494,68 @@ class TestRound3LateAdditionShapes:
 
         # 2 digest windows + keeper window + final aggregate
         plans.assert_max_shuffles(qp.q_training_data_build(spark, SF), 4)
+
+
+class TestTpchCompletionPlanShapes:
+    """Plan pins for the round-3 TPC-H completion set (Q4/Q6/Q10/Q12/Q14/
+    Q19 shapes): the semi-join, top-k, pushdown, and broadcast choices
+    each query's docstring promises must be visible in the physical plan."""
+
+    def test_order_priority_semi_join(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        df = qr.q_order_priority_check(spark, SF)
+        plan = plans.physical_plan(df)
+        assert "LeftSemi" in plan, plan
+        plans.assert_no_cartesian(df)
+        # orders date window must reach the scan
+        plans.assert_pushed_filter(df, "o_orderdate")
+
+    def test_returned_items_topk_no_global_sort(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        df = qr.q_returned_item_customers(spark, SF)
+        plan = plans.physical_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        plans.assert_no_cartesian(df)
+        plans.assert_pushed_filter(df, "l_returnflag")
+
+    def test_ship_delay_partial_agg(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        df = qr.q_ship_delay_priority(spark, SF)
+        plan = plans.physical_plan(df)
+        assert plan.count("HashAggregate") >= 2, plan
+        plans.assert_pushed_filter(df, "l_shipdate")
+
+    def test_promo_revenue_broadcasts_part(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        df = qr.q_promo_revenue(spark, SF)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+        # join + final agg: only the broadcast moves, plus the 1-row
+        # single-partition gather for the global aggregate
+        plans.assert_max_shuffles(df, 1)
+
+    def test_disjunctive_hull_pushdown(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        df = qr.q_disjunctive_filter_revenue(spark, SF)
+        plans.assert_broadcast_join(df)
+        # the part-side disjunction is fully part-local, so Catalyst
+        # must push the OR of brand/size conjuncts into the part scan
+        plans.assert_pushed_filter(df, "p_brand")
+        plans.assert_no_cartesian(df)
+
+    def test_forecast_revenue_scan_shape(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        df = qr.q_forecast_revenue_change(spark, SF)
+        plans.assert_pushed_filter(df, "l_shipdate")
+        plans.assert_pushed_filter(df, "l_discount")
+        plans.assert_pushed_filter(df, "l_quantity")
+        # reads exactly the 4 touched columns
+        plans.assert_pruned_schema(df, 4)
+        plan = plans.physical_plan(df)
+        assert plan.count("HashAggregate") >= 2, plan

@@ -40,8 +40,9 @@ from . import core
 #
 # ROUND-4 ROTATION (do this first next round): re-diff queries() keys
 # against the union of CORRECTNESS_r01/r02/r03 green rows; front-load
-# whatever is still unverified (late round-3 additions past the driver's
-# ~50 cap, if any), then rotate regression re-checks to queries whose
+# whatever is still unverified (at minimum `q_forecast_revenue_change`,
+# which deliberately landed past round 3's 50-slot cap, plus any late
+# round-3 additions), then rotate regression re-checks to queries whose
 # last green row is oldest.
 _ROUND_PRIORITY = [
     # the 19 still-unverified queries (no CORRECTNESS_r01/r02 row)
@@ -92,13 +93,16 @@ _ROUND_PRIORITY = [
     "q_weighted_sample",
     "q_top_revenue_supplier",
     "q_audio_decimate",
-    # regression re-checks: highest-complexity previously-green queries
-    # (trimmed to keep the list within the driver's ~50-query budget)
-    "q_corpus_clean_pipeline",
-    "q_ann_topk_lsh_quantized",
-    "q_ann_topk_ivf",
-    "q_substring_dup_spans",
-    "q_dedup_shingle_jaccard",
+    # TPC-H completion set (Q4/Q10/Q12/Q14/Q19 shapes), landed round 3:
+    # with these, every TPC-H query expressible without a partsupp table
+    # has a registered shape. They take the window's last 5 slots (the
+    # previous regression re-checks rotate back in round 4) so the full
+    # 50-query driver window is exactly the still-unverified set.
+    "q_order_priority_check",
+    "q_returned_item_customers",
+    "q_ship_delay_priority",
+    "q_promo_revenue",
+    "q_disjunctive_filter_revenue",
 ]
 
 

@@ -661,7 +661,253 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: fixture has no commit/receipt dates, so
+    "late" = shipped more than 30 days after the order date): count of
+    quarter's orders per priority that had at least one late lineitem.
+    EXISTS compiles to a left-semi join — the lineitem side contributes
+    only its join key, no payload columns cross the shuffle, and each
+    order is counted once no matter how many late lines it has."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns
+    (l_returnflag = 'R') for orders placed in a quarter, with nation
+    context. Revenue is ranked as an exact decimal (engine-stable top-k
+    set) and cast to double only on output; the tie-break on c_custkey
+    makes the LIMIT row set total-order deterministic. Plan: lineitem ⋈
+    orders shuffle on orderkey, customer/nation broadcast when small,
+    TakeOrderedAndProject for the top-k (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("rev_dec")
+        )
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: fixture has no l_shipmode, so lines are
+    bucketed by ship delay instead): per delay bucket, how many lines
+    belong to high-priority orders vs low. The CASE-sum pair rides the
+    same map-side partial aggregate; only 3 groups cross the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "0-30d")
+        .when(delay <= 60, "31-60d")
+        .otherwise("60d+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of a month's revenue that came from
+    PROMO parts. part broadcasts (it is the small side at any scale that
+    matters relative to lineitem); both sums accumulate exactly in
+    decimal and the final ratio is one IEEE divide, identical in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(promo.cast(_DEC)).cast("double")
+                * F.lit(100.0)
+                / F.sum(disc.cast(_DEC)).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a hypothetical discount change —
+    a pure scan-filter-aggregate with three sargable range predicates, the
+    canonical predicate-pushdown probe. All three filters reach the
+    parquet reader (row-group stats skip non-matching chunks); a single
+    decimal accumulator crosses the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lineitems matching any of three
+    (brand, size-range, quantity-range) clauses — the canonical
+    disjunctive-predicate plan. The part-side conjuncts common to all
+    branches (p_size >= 1) and the lineitem-side hull (l_quantity
+    between the union of ranges) are separable, so Catalyst pushes a
+    sargable filter into BOTH scans before the join; the full OR is the
+    join filter. part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    clause = (
+        ((F.col("p_brand") == "Brand#13") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#19") & sz.between(1, 15) & q.between(20, 30))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(
+            _dsum(disc, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_order_priority_check": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY 1
+    """,
+    "q_returned_item_customers": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(rev_dec AS DOUBLE) AS revenue
+        FROM (
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(25,6))) AS rev_dec
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+        )
+        ORDER BY rev_dec DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q_ship_delay_priority": """
+        SELECT CASE
+                 WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) <= 30 THEN '0-30d'
+                 WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) <= 60 THEN '31-60d'
+                 ELSE '60d+'
+               END AS delay_bucket,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    "q_promo_revenue": """
+        SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(25,6))
+                             ELSE CAST(0.0 AS DECIMAL(25,6)) END)
+                    AS DOUBLE) * 100.0
+               / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(25,6))) AS DOUBLE)
+               AS promo_revenue_pct,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "q_forecast_revenue_change": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                        AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q_disjunctive_filter_revenue": """
+        SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
     "q_top_revenue_supplier": f"""
         WITH rev AS (
             SELECT l_suppkey,
