@@ -357,3 +357,43 @@ class TestFunnel:
             steps=("view", "click", "purchase", "view", "click"),
         )
         assert count_exchanges(deep) == 1, physical_plan(deep)
+
+
+class TestScd2History:
+    def test_runs_compress_and_bounds_chain(self, spark):
+        from xeloader_spark.operators.temporal import scd2_history
+
+        rows = [
+            # key 1: a a b a  -> 3 versions
+            (1, 1, 100, "a"),
+            (1, 2, 200, "a"),
+            (1, 3, 300, "b"),
+            (1, 4, 400, "a"),
+            # key 2: single run
+            (2, 5, 100, "x"),
+            (2, 6, 150, "x"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, t long, event_type string"
+        ).withColumn("ts", F.timestamp_seconds("t"))
+        out = {
+            (r.user_id, r.version): r
+            for r in scd2_history(df).collect()
+        }
+        assert len(out) == 4
+        v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+        assert (v1.event_type, v2.event_type, v3.event_type) == ("a", "b", "a")
+        assert (v1.n_events, v2.n_events, v3.n_events) == (2, 1, 1)
+        # validity bounds chain: each version closes where the next opens
+        assert v1.effective_to == v2.effective_from
+        assert v2.effective_to == v3.effective_from
+        assert v3.effective_to is None  # current version stays open
+        assert out[(2, 1)].n_events == 2
+        assert out[(2, 1)].effective_to is None
+
+    def test_single_shuffle_plan(self, spark):
+        from xeloader_spark import plans
+        from xeloader_spark.queries import temporal as qt
+
+        df = qt.q_scd2_history(spark, "/root/testdata/sf0.001")
+        plans.assert_max_shuffles(df, 1)

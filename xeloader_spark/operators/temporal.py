@@ -310,3 +310,53 @@ def retention_cohorts(
         .groupBy("cohort_day", "age_days")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: compress a mutation
+    log into one row per (key, consecutive run of equal attribute
+    values) with effective_from / effective_to validity bounds, a dense
+    version number, and the run length. The current version has
+    effective_to NULL — the standard warehouse dimension-history shape
+    (the reference loads raw change events for exactly this kind of
+    downstream modeling; here it is a native operator).
+
+    Scale shape: ONE shuffle. Every window partitions by the key —
+    change detection orders by (ts, seq) and the change-row windows
+    order by the row number derived from that same order, so Catalyst
+    reuses one hash partitioning with local sorts only. Run lengths
+    come from row-number differences (next change's position minus
+    ours), not from a second aggregation pass, so the log is scanned
+    once and only change rows survive past the first projection.
+    (ts, seq) is a total order per key, making version numbering and
+    run attribution deterministic under any partitioning.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    w_all = Window.partitionBy(key_col)
+    marked = (
+        df.select(key_col, ts_col, attr_col, seq_col)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("prev_attr", F.lag(attr_col).over(w))
+        .withColumn("n_total", F.count(F.lit(1)).over(w_all))
+    )
+    changes = marked.filter(
+        ~F.col("prev_attr").eqNullSafe(F.col(attr_col))
+    )
+    wc = Window.partitionBy(key_col).orderBy("rn")
+    return changes.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(wc).alias("effective_to"),
+        F.row_number().over(wc).cast("long").alias("version"),
+        (
+            F.coalesce(F.lead("rn").over(wc), F.col("n_total") + 1)
+            - F.col("rn")
+        ).alias("n_events"),
+    )

@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.temporal import asof_join, funnel, interval_join, rollup_gapfill
+from ..operators.temporal import (
+    asof_join,
+    funnel,
+    interval_join,
+    rollup_gapfill,
+    scd2_history,
+)
 from .core import _dsum
 
 
@@ -370,7 +376,48 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history of each user's event_type stream:
+    one row per consecutive run of equal values with validity bounds,
+    dense version numbers and run lengths (`operators/temporal.py`
+    `scd2_history`). Single shuffle on user_id; plan pinned."""
+    events = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        events,
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        seq_col="event_id",
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_scd2_history": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_type,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_attr,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_total
+            FROM events
+        ),
+        changes AS (
+            SELECT * FROM ordered
+            WHERE prev_attr IS DISTINCT FROM event_type
+        )
+        SELECT user_id, event_type,
+               ts AS effective_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY rn)
+                   AS effective_to,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS BIGINT) AS version,
+               CAST(COALESCE(LEAD(rn) OVER (PARTITION BY user_id ORDER BY rn),
+                             n_total + 1) - rn AS BIGINT) AS n_events
+        FROM changes
+    """,
     "q_retention_cohorts": """
         WITH days AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
