@@ -1054,3 +1054,44 @@ def test_decimate_audio_python_parity(spark):
             w_out = mm.decode_wav(payload)
             assert w_out["samples"] == w_in["samples"][::factor]
             assert w_out["sample_rate"] == w_in["sample_rate"] // factor
+
+
+class TestPagerank:
+    def _ranks(self, spark, edges, iters=20):
+        from xeloader_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r.id: r.rank for r in pagerank(df, iters=iters).collect()}
+
+    def test_cycle_is_uniform(self, spark):
+        # 3-cycle: symmetric, so the fixed point is uniform 1/3
+        got = self._ranks(spark, [(1, 2), (2, 3), (3, 1)])
+        assert set(got) == {1, 2, 3}
+        for v in got.values():
+            assert abs(v - 1 / 3) < 1e-6
+
+    def test_star_center_dominates(self, spark):
+        # all leaves point at the hub; hub points at one leaf
+        got = self._ranks(spark, [(1, 9), (2, 9), (3, 9), (9, 1)])
+        assert got[9] == max(got.values())
+        # leaves 2 and 3 are structurally identical -> identical rank
+        assert got[2] == got[3]
+        # node 1 receives the hub's whole outflow so it rides high too,
+        # but the teleport-only leaves stay far below the hub
+        assert got[9] > 5 * got[2]
+
+    def test_chain_matches_closed_form(self, spark):
+        # 2-node mutual link: uniform 1/2 fixed point
+        got = self._ranks(spark, [(1, 2), (2, 1)])
+        assert abs(got[1] - 0.5) < 1e-6 and abs(got[2] - 0.5) < 1e-6
+
+    def test_plan_bounded_by_checkpoint(self, spark):
+        # the returned frame is a projection over the last round's
+        # checkpoint: iterating MORE must not grow the final plan
+        from xeloader_spark import plans
+        from xeloader_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        n2 = plans.count_exchanges(pagerank(df, iters=2))
+        n8 = plans.count_exchanges(pagerank(df, iters=8))
+        assert n2 == n8 == 0

@@ -40,8 +40,8 @@ from . import core
 #
 # ROUND-4 ROTATION (do this first next round): re-diff queries() keys
 # against the union of CORRECTNESS_r01/r02/r03 green rows; front-load
-# whatever is still unverified (at minimum `q_forecast_revenue_change`
-# and `q_scd2_history`, which deliberately landed past round 3's 50-slot
+# whatever is still unverified (at minimum `q_forecast_revenue_change`,
+# `q_scd2_history`, and `q_pagerank_knn`, which deliberately landed past round 3's 50-slot
 # cap, plus any late round-3 additions), then rotate regression
 # re-checks to queries whose last green row is oldest.
 _ROUND_PRIORITY = [

@@ -159,6 +159,82 @@ def _knn_graph_sql(
     """
 
 
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+
+
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the approximate k-NN graph — which
+    embeddings sit in the densest neighborhoods (`operators/graph.py`
+    `pagerank`; quantized-integer iterations, so the whole 5-round
+    fixed point replays bit-exactly as unrolled SQL CTEs over the same
+    replayed k-NN edge list as `q_knn_graph`)."""
+    from ..operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(
+        emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
+    )
+    return pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+
+
+def _pagerank_sql(
+    iters: int, scale: int, damp_num: int = 85, damp_den: int = 100
+) -> str:
+    """Unroll the integer PageRank fixed point: one CTE per iteration,
+    seeded with the k-NN edge replay. n (node count), the uniform init
+    mass, and the teleport base are all computed IN SQL so the oracle
+    needs no runtime parameters."""
+    knn = _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)
+    head = f"""
+        WITH edges AS (SELECT src, dst FROM ({knn})),
+        nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges
+            )
+        ),
+        nn AS (
+            SELECT COUNT(*) AS n,
+                   CAST({scale} // COUNT(*) AS BIGINT) AS init,
+                   CAST((({damp_den - damp_num}) * ({scale} // COUNT(*)))
+                        // {damp_den} AS BIGINT) AS base
+            FROM nodes
+        ),
+        outdeg AS (
+            SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+        ),
+        ew AS (
+            SELECT e.src, e.dst, o.outdeg
+            FROM edges e JOIN outdeg o ON e.src = o.src
+        ),
+        r0 AS (SELECT id, nn.init AS rank FROM nodes, nn)"""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f""",
+        c{i} AS (
+            SELECT ew.dst AS id,
+                   CAST(SUM(r{i}.rank // ew.outdeg) AS BIGINT) AS s
+            FROM ew JOIN r{i} ON r{i}.id = ew.src
+            GROUP BY 1
+        ),
+        r{i + 1} AS (
+            SELECT n.id,
+                   CAST(nn.base + ({damp_num} * COALESCE(c{i}.s, 0))
+                        // {damp_den} AS BIGINT) AS rank
+            FROM nodes n CROSS JOIN nn
+            LEFT JOIN c{i} ON c{i}.id = n.id
+        )"""
+        )
+    tail = f"""
+        SELECT id, rank AS rank_micro,
+               CAST(rank AS DOUBLE) / {float(scale)} AS rank
+        FROM r{iters}
+    """
+    return head + "".join(rounds) + tail
+
+
+
 _IVFX_PROBE = 4
 
 
@@ -979,6 +1055,7 @@ ORACLES: dict[str, str] = {
         rerank=_PQ_SHORTLIST,
     ),
     "q_knn_graph": _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB),
+    "q_pagerank_knn": _pagerank_sql(_PR_ITERS, _PR_SCALE),
     "q_audio_decimate": _audio_decimate_sql(),
     "q_ann_topk_pq_sampled": _pq_sql(
         _PQ_M,
