@@ -555,3 +555,68 @@ def test_streaming_sql_batch_sink_exactly_once(spark, tmp_path):
         con.execute("SELECT COUNT(*) FROM xel._load_log").fetchone()[0] == 2
     )
     con.close()
+
+
+def test_streaming_scd2_matches_batch_closed_versions(spark, tmp_path):
+    """Streamed SCD2 == the batch operator restricted to CLOSED versions
+    (effective_to IS NOT NULL), including version numbers and run
+    lengths, under time-ordered file arrival. The open run per key stays
+    in state — the batch analogue of the effective_to-NULL row."""
+    import time
+
+    from xeloader_spark.operators.temporal import scd2_history
+    from xeloader_spark.streaming.scd2_stream import streaming_scd2_history
+
+    src = str(tmp_path / "scd2_in")
+    out = str(tmp_path / "scd2_out")
+    ckpt = str(tmp_path / "scd2_ckpt")
+
+    events = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") < 40)
+        .select("event_id", "ts", "user_id", "event_type")
+        .localCheckpoint()
+    )
+    cut = events.selectExpr(
+        "percentile_approx(cast(ts as double), 0.5) as c"
+    ).collect()[0].c
+    slices = (
+        events.filter(F.col("ts").cast("double") <= cut),
+        events.filter(F.col("ts").cast("double") > cut),
+    )
+    os.makedirs(src, exist_ok=True)
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        time.sleep(1.1)  # distinct mod times → deterministic arrival order
+
+    stream = (
+        spark.readStream.schema(slices[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_scd2_history(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.version): (
+            r.event_type, r.effective_from, r.effective_to, r.n_events
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.user_id, r.version): (
+            r.event_type, r.effective_from, r.effective_to, r.n_events
+        )
+        for r in scd2_history(events).collect()
+        if r.effective_to is not None
+    }
+    assert got == want
+    assert len(want) > 50  # the fixture actually exercises run closure
