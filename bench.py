@@ -62,6 +62,8 @@ HEADLINE = [
     "q_minhash_search",
     "q_retention_cohorts",
     "q_shot_boundaries",
+    "q_scd2_history",
+    "q_pagerank_knn",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

@@ -1095,3 +1095,24 @@ class TestPagerank:
         n2 = plans.count_exchanges(pagerank(df, iters=2))
         n8 = plans.count_exchanges(pagerank(df, iters=8))
         assert n2 == n8 == 0
+
+
+def test_plane_sign_literal_matches_md5_case(spark):
+    """The Python-precomputed literal sign arrays must equal the
+    md5-CASE signs the SQL oracles recompute — the equivalence that
+    makes the fast signature path bit-identical to every replay."""
+    from xeloader_spark.operators.similarity import (
+        _plane_sign_case,
+        _plane_signs,
+    )
+
+    for p in (0, 1, 7, 31):
+        case = _plane_sign_case(p, 42, "d", "instr")
+        got = [
+            r.s
+            for r in spark.sql(
+                "SELECT d, " + case + " AS s "
+                "FROM (SELECT explode(sequence(0, 63)) AS d) ORDER BY d"
+            ).collect()
+        ]
+        assert got == _plane_signs(p, 42, 64)

@@ -559,3 +559,15 @@ class TestTpchCompletionPlanShapes:
         plans.assert_pruned_schema(df, 4)
         plan = plans.physical_plan(df)
         assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_knn_join_width_pinned(spark):
+    """The k-NN self-join must keep its explicit pre-join repartition:
+    AQE coalesces shuffles by input size and cannot see the join's
+    Σ bucket² expansion, so without the pinned width the whole pair
+    space executes in one task."""
+    from xeloader_spark.queries import similarity as qs
+
+    df = qs.q_knn_graph(spark, SF)
+    plan = plans.physical_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan

@@ -397,3 +397,32 @@ class TestScd2History:
 
         df = qt.q_scd2_history(spark, "/root/testdata/sf0.001")
         plans.assert_max_shuffles(df, 1)
+
+    def test_conservation_and_dense_versions(self, spark):
+        """Run lengths partition the per-key event count and versions are
+        dense 1..max — on the real fixture, not a toy."""
+        from xeloader_spark.operators.temporal import scd2_history
+
+        events = load_table(
+            spark, "/root/testdata/sf0.001", "events"
+        ).filter(F.col("user_id") < 200)
+        hist = scd2_history(events).collect()
+        per_key_hist: dict[int, list] = {}
+        for r in hist:
+            per_key_hist.setdefault(r.user_id, []).append(r)
+        per_key_events = {
+            r.user_id: r.cnt
+            for r in events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert set(per_key_hist) == set(per_key_events)
+        for uid, rows in per_key_hist.items():
+            # run lengths sum to the key's event count
+            assert sum(r.n_events for r in rows) == per_key_events[uid]
+            # versions dense from 1, exactly one open version at the end
+            versions = sorted(r.version for r in rows)
+            assert versions == list(range(1, len(rows) + 1))
+            open_rows = [r for r in rows if r.effective_to is None]
+            assert len(open_rows) == 1
+            assert open_rows[0].version == len(rows)

@@ -54,7 +54,12 @@ def pagerank(
     `bpe_train`'s checkpoint cadence). The driver holds only n (one
     count scalar), never rows.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the edge list ONCE — nodes, outdegrees, and every
+    # iteration all derive from this checkpoint, so an expensive edge
+    # producer (e.g. the banded-LSH k-NN self-join) runs a single time
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
