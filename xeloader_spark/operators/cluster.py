@@ -82,26 +82,40 @@ def _quantized(
     )
 
 
-def _dist_to(centroid: list[int]) -> Column:
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with("qarr", carr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+def _dist_sql(centroid: list[int], arr_sql: str) -> str:
+    """Quantized squared-L2 distance of `arr_sql` to a literal centroid,
+    as ONE SQL string. The Column-builder equivalent (F.array of k·dim
+    F.lit casts, python-lambda zip_with) spends a Py4J round-trip per
+    node — thousands of driver calls per assignment projection, which
+    dominated pq/k-means wall time (plan CONSTRUCTION, not execution).
+    The generated expression tree is identical, so results are
+    bit-identical and the SQL oracles are untouched."""
+    carr = ",".join(f"{int(v)}L" for v in centroid)
+    return (
+        f"aggregate(zip_with({arr_sql}, array({carr}), "
+        "(x, y) -> (x - y) * (x - y)), 0L, (s, v) -> s + v)"
     )
+
+
+def _argmin_struct_sql(centroids: list[list[int]], arr_sql: str) -> str:
+    """least() over named (dist, code) structs — the argmin-by-distance
+    with code-index tie-break, identical ordering to the F.least/F.struct
+    form, built as one string for one Py4J call."""
+    structs = ",".join(
+        f"named_struct('d', {_dist_sql(c, arr_sql)}, 'c', CAST({j} AS INT))"
+        for j, c in enumerate(centroids)
+    )
+    return f"least({structs})"
+
+
+def _dist_to(centroid: list[int]) -> Column:
+    return F.expr(_dist_sql(centroid, "qarr"))
 
 
 def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Add (cluster, dist) via a pure projection: one struct-min over the
     k literal centroid arrays — zero joins, zero shuffles."""
-    best = F.least(
-        *[
-            F.struct(
-                _dist_to(c).alias("d"), F.lit(j).cast("int").alias("c")
-            )
-            for j, c in enumerate(centroids)
-        ]
-    )
+    best = F.expr(_argmin_struct_sql(centroids, "qarr"))
     return q.select(
         "id",
         "qarr",
@@ -189,20 +203,15 @@ def _pq_fit_joint(
         for s in range(m)
     ]
     for _ in range(iters):
-        code_cols = []
-        for s in range(m):
-            best = F.least(
-                *[
-                    F.struct(
-                        _dist_expr(
-                            c, F.expr(f"slice(qarr, {s * sub + 1}, {sub})")
-                        ).alias("d"),
-                        F.lit(j).cast("int").alias("c"),
-                    )
-                    for j, c in enumerate(codebooks[s])
-                ]
-            )
-            code_cols.append(best.getField("c").alias(f"code_{s}"))
+        code_cols = [
+            F.expr(
+                _argmin_struct_sql(
+                    codebooks[s], f"slice(qarr, {s * sub + 1}, {sub})"
+                )
+                + ".c"
+            ).alias(f"code_{s}")
+            for s in range(m)
+        ]
         # one aggregate covers every (subspace, cluster, dim) cell: each
         # exploded component keys on its own subspace's assignment.
         # NB: the struct-least assignment exprs and posexplode must live
@@ -239,13 +248,10 @@ def _pq_fit_joint(
     return codebooks
 
 
-def _dist_expr(centroid: list[int], arr: Column) -> Column:
-    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with(arr, carr, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+def _dist_expr(centroid: list[int], arr_sql: str) -> Column:
+    """Squared-L2 to a literal centroid over the array named by
+    `arr_sql` (see `_dist_sql` for why this is string-built)."""
+    return F.expr(_dist_sql(centroid, arr_sql))
 
 
 def semantic_dedup(
@@ -358,8 +364,8 @@ def pq_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    def sub_arr(s: int) -> Column:
-        return F.expr(f"slice(qarr, {s * sub + 1}, {sub})")
+    def sub_arr(s: int) -> str:
+        return f"slice(qarr, {s * sub + 1}, {sub})"
 
     # codebook training on a deterministic hash-gated subset: at corpus
     # scale the Lloyd rounds must not scan 100 TB — a fraction suffices
@@ -389,18 +395,12 @@ def pq_topk(
     codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters)
 
     # one-scan encode: per subspace, argmin over its literal codebook
-    code_cols = []
-    for s in range(m):
-        best = F.least(
-            *[
-                F.struct(
-                    _dist_expr(c, sub_arr(s)).alias("d"),
-                    F.lit(j).cast("int").alias("c"),
-                )
-                for j, c in enumerate(codebooks[s])
-            ]
-        )
-        code_cols.append(best.getField("c").alias(f"code_{s}"))
+    code_cols = [
+        F.expr(
+            _argmin_struct_sql(codebooks[s], sub_arr(s)) + ".c"
+        ).alias(f"code_{s}")
+        for s in range(m)
+    ]
     encoded = q_full.select("id", *code_cols)
 
     # driver-side ADC tables: query × subspace × centroid (integer-exact)
@@ -480,7 +480,7 @@ def pq_topk(
     for qid in query_ids:
         exact = F.when(
             F.col("query_id") == qid,
-            _dist_expr(qrows[qid], F.col("qarr")),
+            _dist_expr(qrows[qid], "qarr"),
         ).otherwise(exact)
     reranked = (
         q_full.join(
