@@ -149,6 +149,48 @@ def test_streaming_cms_matches_batch(spark, stream_in, tmp_path):
     assert all(est[u] >= n for u, n in truth.items())
 
 
+def test_streaming_hll_matches_batch(spark, stream_in, tmp_path):
+    """Streamed HyperLogLog register table == batch hll_build on the same
+    rows: MAX is commutative AND idempotent, so micro-batching (even
+    replays) must not change a single register; state stays at
+    groups × 2^p rows throughout. Estimates derived from equal registers
+    are equal by construction — pinned anyway as the user-facing value."""
+    from xeloader_spark.operators import sketch as sk
+    from xeloader_spark.streaming import sketch_stream as ss
+
+    ckpt = str(tmp_path / "hll_ckpt")
+    stream = st.read_event_stream(spark, stream_in, max_files_per_trigger=1)
+    q = ss.start_hll(
+        stream, ckpt, "user_id", ["event_type"], p=6, salt="shll"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.idx): r.rho
+        for r in spark.sql("select * from hll_sketch").collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exp = {
+        (r.event_type, r.idx): r.rho
+        for r in sk.hll_build(ev, "user_id", ["event_type"], p=6, salt="shll").collect()
+    }
+    assert got == exp
+    n_types = ev.select("event_type").distinct().count()
+    assert len(got) <= n_types * 64
+
+    est_s = {
+        r.event_type: (r.zsum, r.hll_est)
+        for r in sk.hll_estimate(spark.sql("select * from hll_sketch"), p=6).collect()
+    }
+    est_b = {
+        r.event_type: (r.zsum, r.hll_est)
+        for r in sk.hll_estimate(
+            sk.hll_build(ev, "user_id", ["event_type"], p=6, salt="shll"), p=6
+        ).collect()
+    }
+    assert est_s == est_b
+
+
 def test_streaming_upsert_latest_matches_batch(spark, stream_in, tmp_path):
     """Last emission per key from the streaming latest-per-key state ==
     the batch max-of-struct upsert — micro-batch boundaries cannot change

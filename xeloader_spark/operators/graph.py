@@ -102,3 +102,117 @@ def pagerank(
         F.col("rank").alias("rank_micro"),
         (F.col("rank").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED graph underlying a directed edge list (e.g. the k-NN
+    graph's mutual/one-way neighbor pairs collapse to one edge).
+
+    Algorithm: degree-ordered edge orientation + wedge closing (the
+    "compact-forward" scheme from the triangle-listing literature —
+    public algorithm). Every undirected edge is oriented from the
+    (degree, id)-smaller endpoint to the larger; a triangle {u,v,w} is
+    then counted EXACTLY once as a wedge u→v, u→w (ord v < ord w) closed
+    by the oriented edge v→w. Orientation bounds the wedge fan-out: an
+    oriented out-degree exceeds d only if ≥ d neighbors have degree ≥ d,
+    so out-degrees are O(sqrt(|E|)) regardless of hub skew — the property
+    that makes the self-join survive power-law graphs at 100 TB where a
+    naive wedge join on raw adjacency explodes on hubs.
+
+    Shuffles: undirected dedup (pair-keyed) → degree aggregate
+    (node-keyed) → orientation join → wedge self-join on the shared src
+    key → closing join on the (v, w) pair key → per-node count. All keys
+    are node/pair ids — vectors or payloads never move. Everything is
+    integer arithmetic except the final coefficient division
+    2T / (deg·(deg−1)), one IEEE op, bit-identical cross-engine.
+
+    Returns (id, degree, n_tri, clust_coeff) for every node of the
+    undirected graph; isolated orientation sinks included (n_tri = 0,
+    coefficient 0.0 for degree < 2 nodes by convention).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # total order for orientation: (degree, id) packed into one bigint
+    # comparison via struct ordering
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("deg_b"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("deg_b").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("deg_a").alias("dv"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.u", "o.v", "o.dv")
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tris.select(F.col("u").alias("id"))
+        .unionAll(tris.select(F.col("x").alias("id")))
+        .unionAll(tris.select(F.col("y").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2).cast("double") * F.coalesce("n_tri", F.lit(0)).cast("double"))
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - F.lit(1)).cast("double")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clust_coeff"),
+        )
+    )

@@ -89,3 +89,122 @@ def cms_estimate(
             F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_est")
         )
     )
+
+
+# ------------------------------------------------------------------ HLL
+#
+# HyperLogLog (Flajolet et al. 2007, public algorithm) in the same
+# relational, mergeable, engine-exact style as the count-min sketch
+# above: the sketch IS a table of (group, idx, rho) register rows, so a
+# DuckDB oracle replays build, merge, and the estimator bit-for-bit.
+# Spark's own approx_count_distinct is an opaque binary HLL++ whose
+# internals SQL cannot probe; this formulation trades a few bytes of
+# density for full cross-engine checkability and union+MAX mergeability
+# (1000 daily partials combine without rescanning raw data — register
+# tables are m rows per group, independent of input size).
+#
+# Determinism: the 64-bit "hash" is the same md5-hex arithmetic as
+# `sampling.hash_bucket` — register index from the first 4 hex chars
+# (low p bits of a uniform 16-bit value), rank word from the next 12 hex
+# chars (48 uniform bits). rho = leading-zeros-in-48-bits + 1 =
+# 49 - length(bin(word)), integer-exact in both engines. The estimator's
+# harmonic sum stays integral: zsum = Σ_j 2^(50-rho_j) (+ 2^50 per
+# never-hit register) ≤ m·2^50 fits a bigint; the final
+# alpha·m²·2^50/zsum is three IEEE-double ops in a pinned order, so even
+# the float estimate is bit-identical across engines.
+
+_HLL_RHO_MAX = 49  # 48 hash bits → rho ∈ [1, 49]
+
+
+def _hll_alpha_num_den(m: int) -> tuple[int, int]:
+    """alpha_m = 0.7213/(1+1.079/m) as an exact integer ratio
+    (alpha ≈ num/den) so the estimator has no float constants beyond
+    one literal. Rounded to 1e-5 — a shared constant, not a per-engine
+    computation, so exactness across engines is unaffected."""
+    num = round(0.7213 / (1 + 1.079 / m) * 100000)
+    return num, 100000
+
+
+def _hll_reg_cols(key_col: str, p: int, salt: str):
+    """(idx, rho) register coordinates for one key occurrence."""
+    m = 1 << p
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    idx = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % m).alias("idx")
+    word = F.conv(F.substring(h, 5, 12), 16, 10).cast("bigint")
+    rho = (
+        F.when(word == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(word)))
+        .cast("bigint")
+        .alias("rho")
+    )
+    return idx, rho
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Build per-group register tables (group..., idx, rho): one
+    map-side-combined groupBy shuffling at most groups × 2^p rows."""
+    groups = group_cols or []
+    idx, rho = _hll_reg_cols(key_col, p, salt)
+    return (
+        df.select(*groups, idx, rho)
+        .groupBy(*groups, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built with identical (p, salt):
+    union + elementwise MAX — the distributed-combine step."""
+    it = iter(sketches)
+    merged = next(it)
+    for s in it:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c != "rho"]
+    return merged.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Raw HLL estimate per group from a register table. Emits the
+    integer evidence (registers hit, zero registers, scaled harmonic
+    sum) alongside the double estimate; the small-range
+    linear-counting branch needs ln() whose cross-engine rounding is
+    unpinned, so it is reported as the `lc_regime` boolean (the caller
+    applies ln driver-side if it wants the corrected number)."""
+    m = 1 << p
+    a_num, a_den = _hll_alpha_num_den(m)
+    groups = [c for c in sketch.columns if c not in ("idx", "rho")]
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("regs_hit"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({_HLL_RHO_MAX + 1} - rho as int))")
+        )
+        .cast("long")
+        .alias("zsum_hit"),
+    )
+    zero_regs = (F.lit(m) - F.col("regs_hit")).cast("long")
+    zsum = (
+        F.col("zsum_hit")
+        + zero_regs * F.lit(1 << (_HLL_RHO_MAX + 1)).cast("long")
+    ).cast("long")
+    est = (
+        F.lit(a_num * m * m).cast("double")
+        * F.lit(1 << (_HLL_RHO_MAX + 1)).cast("double")
+        / F.lit(a_den).cast("double")
+        / zsum.cast("double")
+    )
+    return agg.select(
+        *groups,
+        "regs_hit",
+        zero_regs.alias("zero_regs"),
+        zsum.alias("zsum"),
+        est.alias("hll_est"),
+        ((F.lit(5) * m).cast("double") / F.lit(2).cast("double") >= est).alias(
+            "lc_regime"
+        ),
+    )

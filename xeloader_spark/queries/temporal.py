@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import sketch as _sk
 from ..operators.temporal import (
     asof_join,
     funnel,
@@ -376,6 +377,46 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_P = 6  # m = 64 registers: real estimator regime at sf0.01 scale
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational HyperLogLog distinct-user estimate per event type,
+    EXACT-checked end-to-end like the CMS twin above: two partial
+    register tables (even/odd event ids) are built and MERGED via
+    union+MAX, then fed to the estimator. The oracle computes ONE
+    global sketch and replays the register math and the pinned-order
+    double estimator bit-for-bit — a hash match proves merge ≡ build
+    (mergeable-state contract) plus the estimator arithmetic, not a
+    tolerance. Exact distincts ride along for scale-readable error."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        sk.hll_build(
+            ev.filter(F.col("event_id") % 2 == p_),
+            "user_id",
+            ["event_type"],
+            p=_HLL_P,
+        )
+        for p_ in (0, 1)
+    ]
+    merged = sk.hll_merge(*parts)
+    est = sk.hll_estimate(merged, p=_HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "regs_hit",
+        "zero_regs",
+        "zsum",
+        "hll_est",
+        "lc_regime",
+        "exact_users",
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history of each user's event_type stream:
     one row per consecutive run of equal values with validity bounds,
@@ -466,6 +507,56 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS total_conv_us
         FROM per_user
     """,
+    "q_hll_distinct_users": (lambda m, rmax, a_num, a_den: f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+                        1, 4))::BIGINT % {m} AS idx,
+                   ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+                        5, 12))::BIGINT AS word
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, idx,
+                   MAX(CASE WHEN word = 0 THEN {rmax}
+                            ELSE {rmax} - length(bin(word)) END) AS rho
+            FROM h GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS regs_hit,
+                   CAST(SUM(1::BIGINT << CAST({rmax + 1} - rho AS INT))
+                        AS BIGINT) AS zsum_hit
+            FROM regs GROUP BY 1
+        ),
+        z AS (
+            SELECT event_type, regs_hit,
+                   CAST({m} - regs_hit AS BIGINT) AS zero_regs,
+                   CAST(zsum_hit + ({m} - regs_hit)
+                        * (1::BIGINT << {rmax + 1}) AS BIGINT) AS zsum
+            FROM agg
+        ),
+        ex AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY 1
+        )
+        SELECT z.event_type, z.regs_hit, z.zero_regs, z.zsum,
+               CAST({a_num * m * m} AS DOUBLE)
+                   * CAST({1 << (rmax + 1)} AS DOUBLE)
+                   / CAST({a_den} AS DOUBLE)
+                   / CAST(z.zsum AS DOUBLE) AS hll_est,
+               CAST({5 * m} AS DOUBLE) / CAST(2 AS DOUBLE) >=
+                   (CAST({a_num * m * m} AS DOUBLE)
+                    * CAST({1 << (rmax + 1)} AS DOUBLE)
+                    / CAST({a_den} AS DOUBLE)
+                    / CAST(z.zsum AS DOUBLE)) AS lc_regime,
+               ex.exact_users
+        FROM z JOIN ex ON z.event_type = ex.event_type
+    """)(
+        1 << _HLL_P,
+        _sk._HLL_RHO_MAX,
+        *_sk._hll_alpha_num_den(1 << _HLL_P),
+    ),
     "q_cms_heavy_hitters": f"""
         WITH dd AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
         b AS (

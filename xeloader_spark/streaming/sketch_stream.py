@@ -67,3 +67,50 @@ def start_cms(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def hll_stream(
+    stream: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """Streaming HyperLogLog register table — same projection + groupBy
+    MAX as the batch `hll_build`. MAX is commutative and idempotent, so
+    micro-batch order (and even replayed batches) cannot change the
+    registers; state is groups × 2^p rows forever, the sketch-sized
+    bound that makes `complete` output legitimate."""
+    from ..operators.sketch import _hll_reg_cols
+
+    groups = group_cols or []
+    idx, rho = _hll_reg_cols(key_col, p, salt)
+    return (
+        stream.select(*groups, idx, rho)
+        .groupBy(*groups, "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def start_hll(
+    stream: DataFrame,
+    checkpoint_path: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    salt: str = "hll",
+    table: str = "hll_sketch",
+    trigger_once: bool = True,
+):
+    """Run the streaming register build into an in-memory table in
+    complete mode (register-table-sized output, never corpus-sized)."""
+    writer = (
+        hll_stream(stream, key_col, group_cols=group_cols, p=p, salt=salt)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
