@@ -517,6 +517,56 @@ class TestCountMinSketch:
         assert joined and all(r.cms_est >= r.n for r in joined)
 
 
+class TestHyperLogLog:
+    def test_merge_of_splits_equals_global_build(self, spark):
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.operators import sketch as sk
+
+        ev = load_table(spark, SF, "events")
+        whole = {
+            (r.event_type, r.idx): r.rho
+            for r in sk.hll_build(ev, "user_id", ["event_type"], p=6).collect()
+        }
+        parts = [
+            sk.hll_build(
+                ev.filter(F.col("event_id") % 3 == p_), "user_id", ["event_type"], p=6
+            )
+            for p_ in range(3)
+        ]
+        merged = {
+            (r.event_type, r.idx): r.rho
+            for r in sk.hll_merge(*parts).collect()
+        }
+        assert merged == whole
+        # register table never exceeds groups × m
+        n_groups = ev.select("event_type").distinct().count()
+        assert len(whole) <= n_groups * 64
+
+    def test_estimate_accuracy_at_scale(self, spark):
+        """p=8 (256 registers) over 20k known-distinct keys: the raw
+        estimator's relative error must sit within ~3 standard errors
+        (1.04/sqrt(256) ≈ 6.5% → bound 20%), well out of the
+        linear-counting regime."""
+        from xeloader_spark.operators import sketch as sk
+
+        df = spark.range(20000).withColumnRenamed("id", "k")
+        est = sk.hll_estimate(sk.hll_build(df, "k", p=8), p=8).collect()[0]
+        assert not est.lc_regime
+        assert abs(est.hll_est - 20000) / 20000 < 0.20
+
+    def test_rho_bounds_and_zero_regs_consistency(self, spark):
+        from xeloader_spark.operators import sketch as sk
+
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        regs = sk.hll_build(df, "k", p=6).collect()
+        assert all(1 <= r.rho <= 49 for r in regs)
+        est = sk.hll_estimate(sk.hll_build(df, "k", p=6), p=6).collect()[0]
+        assert est.regs_hit + est.zero_regs == 64
+        # zsum decomposes exactly into hit + zero register contributions
+        zsum_hit = sum(1 << (50 - r.rho) for r in regs)
+        assert est.zsum == zsum_hit + est.zero_regs * (1 << 50)
+
+
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, spark, emb):
         pdf = emb.toPandas().sort_values("vec_id")
@@ -1116,3 +1166,121 @@ def test_plane_sign_literal_matches_md5_case(spark):
             ).collect()
         ]
         assert got == _plane_signs(p, 42, 64)
+
+
+class TestTriangleStats:
+    def test_known_graph(self, spark):
+        """K4 with a pendant: every K4 node sits in 3 of the 4 triangles
+        (coefficient 1.0); the pendant closes nothing; the K4 node it
+        hangs off has degree 4 → coefficient 2·3/(4·3) = 0.5."""
+        from xeloader_spark.operators.graph import triangle_stats
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        edges = spark.createDataFrame(
+            k4 + [(3, 4)], "src long, dst long"
+        )
+        got = {r.id: r for r in triangle_stats(edges).collect()}
+        assert len(got) == 5
+        for n in (0, 1, 2):
+            assert got[n].n_tri == 3 and got[n].clust_coeff == 1.0
+        assert got[3].degree == 4 and got[3].n_tri == 3
+        assert got[3].clust_coeff == 0.5
+        assert got[4].n_tri == 0 and got[4].clust_coeff == 0.0
+
+    def test_direction_and_duplicate_invariance(self, spark):
+        """Reversing or duplicating directed edges must not change the
+        undirected triangle statistics."""
+        from xeloader_spark.operators.graph import triangle_stats
+
+        base = [(0, 1), (1, 2), (2, 0), (2, 3)]
+        doubled = base + [(b, a) for a, b in base] + base
+        g1 = {
+            (r.id, r.degree, r.n_tri)
+            for r in triangle_stats(
+                spark.createDataFrame(base, "src long, dst long")
+            ).collect()
+        }
+        g2 = {
+            (r.id, r.degree, r.n_tri)
+            for r in triangle_stats(
+                spark.createDataFrame(doubled, "src long, dst long")
+            ).collect()
+        }
+        assert g1 == g2
+        assert (0, 2, 1) in g1 and (3, 1, 0) in g1
+
+
+class TestPerceptualHash:
+    def test_planted_visual_neardup(self, spark):
+        """A brightness-jittered copy (±2 on a few channels) must land
+        within Hamming ≤ 1 of the original; an inverted image must not."""
+        from xeloader_spark.operators import dedup as dd
+        from xeloader_spark.operators import multimodal as mm
+
+        base = bytes(
+            [(37 * i + 11) % 256 for i in range(48)]
+        )  # 8×2 RGB, varied
+        jitter = bytearray(base)
+        for k in (0, 7, 20):
+            jitter[k] = min(255, jitter[k] + 2)
+        inverted = bytes(255 - b for b in base)
+        rows = [
+            (1, mm.encode_ppm(8, 2, base)),
+            (2, mm.encode_ppm(8, 2, bytes(jitter))),
+            (3, mm.encode_ppm(8, 2, inverted)),
+        ]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        ph = mm.perceptual_hash(media)
+        sigs = ph.select(
+            F.col("media_id").alias("id"), F.col("phash").alias("simhash")
+        )
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dd.hamming_neardup(sigs, max_dist=1, bits=16).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_ahash_core_python_parity(self, spark):
+        """Spark-side hashes equal the plain-python reference on the
+        same decoded pixels (mapInPandas plumbing adds nothing)."""
+        from xeloader_spark.operators import multimodal as mm
+
+        pix = [bytes([(i * 53 + s) % 256 for i in range(48)]) for s in range(4)]
+        media = spark.createDataFrame(
+            [(s, mm.encode_ppm(8, 2, p)) for s, p in enumerate(pix)],
+            "media_id long, payload binary",
+        )
+        got = {r.media_id: (r.phash, r.luma_total) for r in mm.perceptual_hash(media).collect()}
+        for s, p in enumerate(pix):
+            assert got[s] == mm.ahash_core(p, 16)
+
+
+class TestPmiCollocations:
+    def test_planted_collocation_ranks_first(self, spark):
+        """'hong kong' always co-occurs and its parts appear nowhere else
+        → ratio = N/n_xy (maximal); a frequent-but-independent pair
+        ranks far below."""
+        docs = [
+            ("hong kong visit one", ),
+            ("hong kong again two", ),
+            ("hong kong third time", ),
+            ("one two one two one", ),
+            ("two one two one two", ),
+        ]
+        df = spark.createDataFrame([(i, t[0]) for i, t in enumerate(docs)], ["doc_id", "text"])
+        rows = tx.pmi_collocations(df, min_count=2, top_k=5).collect()
+        assert rows[0].w1 == "hong" and rows[0].w2 == "kong"
+        assert rows[0].n_xy == 3 and rows[0].n_x == 3 and rows[0].n_y == 3
+        # every emitted ratio is consistent with its integer evidence
+        for r in rows:
+            nb = rows[0].pmi_ratio * (rows[0].n_x * rows[0].n_y) / rows[0].n_xy
+            assert r.pmi_ratio == (r.n_xy * nb) / (r.n_x * r.n_y)
+
+    def test_short_docs_make_no_bigrams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, "a b a b")], ["doc_id", "text"]
+        )
+        rows = tx.pmi_collocations(df, min_count=1, top_k=10).collect()
+        got = {(r.w1, r.w2): r.n_xy for r in rows}
+        assert got == {("a", "b"): 2, ("b", "a"): 1}

@@ -426,3 +426,51 @@ class TestScd2History:
             open_rows = [r for r in rows if r.effective_to is None]
             assert len(open_rows) == 1
             assert open_rows[0].version == len(rows)
+
+
+class TestLag1Autocorrelation:
+    def test_alternating_and_constant_series(self, spark):
+        """A strict high/low alternating hourly series has acf1 = -1;
+        a constant series is degenerate and must emit exactly 0."""
+        import datetime as dt
+
+        from xeloader_spark.operators.temporal import lag1_autocorrelation
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for h in range(24):
+            # 'alt': 3 events on even hours, 1 on odd; 'flat': always 2
+            for _ in range(3 if h % 2 == 0 else 1):
+                rows.append((eid, base + dt.timedelta(hours=h), "alt")); eid += 1
+            for _ in range(2):
+                rows.append((eid, base + dt.timedelta(hours=h), "flat")); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r.event_type: r
+            for r in lag1_autocorrelation(df, keys=("event_type",)).collect()
+        }
+        assert got["alt"].n_pairs == 23
+        assert got["alt"].acf1 == -1.0
+        assert got["flat"].acf1 == 0.0
+
+    def test_gapfill_zeros_enter_the_series(self, spark):
+        """An hour with no events must appear as x=0, not be skipped:
+        two spikes with a silent hour between them must produce pairs
+        containing zeros (sx < 2 * spike)."""
+        import datetime as dt
+
+        from xeloader_spark.operators.temporal import lag1_autocorrelation
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(i, base, "t") for i in range(4)] + [
+            (10 + i, base + dt.timedelta(hours=2), "t") for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        r = lag1_autocorrelation(df, keys=("event_type",)).collect()[0]
+        assert r.n_pairs == 2  # 3 buckets -> 2 pairs, middle is the zero
+        assert r.sx == 4 and r.sy == 4 and r.sxy == 0

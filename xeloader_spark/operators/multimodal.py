@@ -306,6 +306,33 @@ def attach_ppm_media(
     )
 
 
+def attach_ppm_media_wide(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """8×2 variant of `attach_ppm_media` (48 RGB bytes from three
+    md5 draws) — 16 pixels so the perceptual hash has 16 bits, enough
+    for pigeonhole Hamming blocking to be a real (2×8-bit block) join
+    rather than a degenerate one."""
+    pixels_hex = F.concat(
+        F.md5(F.col(text_col)),
+        F.md5(F.concat(F.lit("x"), F.col(text_col))),
+        F.md5(F.concat(F.lit("y"), F.col(text_col))),
+    )
+    payload = F.concat(
+        F.encode(F.lit("P6\n8 2\n255\n"), "UTF-8"), F.unhex(pixels_hex)
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/ppm").alias("format"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(2).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 _WAV_RATE = 8000
 
 
@@ -535,4 +562,69 @@ def decimate_audio(media_df: DataFrame, factor: int = 2) -> DataFrame:
 
     return media_df.select("media_id", "payload").mapInPandas(
         run, schema=out_schema
+    )
+
+
+# ------------------------------------------------- perceptual hashing
+
+_LUMA_R, _LUMA_G, _LUMA_B = 299, 587, 114  # ITU-R BT.601 × 1000
+
+
+def ahash_core(pixels: bytes, n_px: int) -> tuple[int, int]:
+    """Average-hash over decoded RGB pixels: integer BT.601 luma per
+    pixel (299r+587g+114b — the real aHash recipe kept in integers so
+    the threshold is exact), bit i set iff luma_i · n > Σ luma (strict
+    cross-multiplied mean compare, no division), packed MSB-first in
+    pixel order. Returns (hash, luma_total)."""
+    lumas = [
+        _LUMA_R * pixels[3 * i]
+        + _LUMA_G * pixels[3 * i + 1]
+        + _LUMA_B * pixels[3 * i + 2]
+        for i in range(n_px)
+    ]
+    total = sum(lumas)
+    h = 0
+    for i, lum in enumerate(lumas):
+        if lum * n_px > total:
+            h |= 1 << (n_px - 1 - i)
+    return h, total
+
+
+def perceptual_hash(media_df: DataFrame) -> DataFrame:
+    """Per-image average-hash (aHash — the classic perceptual-dedup
+    fingerprint: near-identical images differ in few bits, so Hamming
+    blocking finds visual near-dups without pairwise pixel compares).
+
+    Real-decode path like `extract_features(use_real_decoder=True)`:
+    the P6 container is PARSED (header stripped by the strict codec),
+    then hashed over decoded pixels — all integer, so a SQL oracle
+    replays luma, threshold, and packing bit-for-bit from the pixel hex.
+
+    Scale shape: one `mapInPandas` pass over pruned (media_id, payload)
+    Arrow batches — payloads never shuffle, output is one (id, int)
+    row per image. Downstream near-dup via `dedup.hamming_neardup`
+    pigeonhole blocking on the hash column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, totals, npx = [], [], []
+            for payload in pdf["payload"]:
+                img = decode_ppm(bytes(payload))
+                n = img["width"] * img["height"]
+                h, total = ahash_core(img["pixels"], n)
+                hashes.append(h)
+                totals.append(total)
+                npx.append(n)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_px": npx,
+                    "luma_total": totals,
+                    "phash": hashes,
+                }
+            )
+
+    return media_df.select("media_id", "payload").mapInPandas(
+        run,
+        schema="media_id long, n_px long, luma_total long, phash long",
     )

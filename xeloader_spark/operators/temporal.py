@@ -360,3 +360,65 @@ def scd2_history(
             - F.col("rn")
         ).alias("n_events"),
     )
+
+
+def lag1_autocorrelation(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = ("event_type",),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Lag-1 autocorrelation of the per-key bucketed event-count series —
+    the burstiness/periodicity diagnostic for a stream (near 0: Poisson
+    arrivals; positive: bursty/trending; negative: alternating load).
+
+    Built on the gap-filled spine (`rollup_gapfill` with zero-fill), so
+    empty buckets count as 0 rather than silently contracting the
+    series. The Pearson r over (x_t, x_{t+1}) pairs is computed from
+    integer sufficient statistics (n, Σxy, Σx, Σy, Σx², Σy²); the only
+    float ops are one multiply, one sqrt, one divide in pinned order —
+    IEEE sqrt is correctly rounded, so even the final double is
+    bit-identical across engines. Degenerate (constant) series emit 0.
+
+    Scale shape: counts aggregate map-side-combined; the lag pairing is
+    one window over the (keys × buckets)-sized spine, not the raw
+    events; final stats are key-sized. Integer sums bound: counts ≤
+    ~2^31 per bucket keep n·Σx² within bigint — at petascale swap the
+    sums to DECIMAL accumulators (same pattern as `_dsum`)."""
+    filled = rollup_gapfill(
+        df,
+        ts_col=ts_col,
+        bucket_seconds=bucket_seconds,
+        keys=keys,
+        aggs=[F.count(F.lit(1)).cast("long").alias("x")],
+        zero_cols=["x"],
+    )
+    w = Window.partitionBy(*keys).orderBy("bucket_ts")
+    p = filled.select(
+        *keys, F.col("x"), F.lead("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = p.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "long"
+    )
+    va = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    vb = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "long"
+    )
+    acf1 = F.when(
+        (va > 0) & (vb > 0),
+        num.cast("double") / F.sqrt(va.cast("double") * vb.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        *keys, "n_pairs", "sxy", "sx", "sy", "sxx", "syy",
+        acf1.alias("acf1"),
+    )

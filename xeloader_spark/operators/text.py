@@ -700,3 +700,58 @@ def token_freq_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.sum("n").alias("n_occurrences"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    token bigrams — the classic phrase-mining signal (Church & Hanks
+    1990, public method) a tokenizer/vocab curator runs before merging
+    multiword units.
+
+    Emits the PMI *ratio* p(xy)/(p(x)p(y)) = n_xy·N / (n_x·n_y) rather
+    than its log: log is monotone, so ranking and thresholds are
+    unchanged, and the ratio is two pinned-order IEEE multiplies and one
+    divide over exact integers — bit-identical across engines, where
+    log2's rounding is not. Marginals n_x / n_y are first-position /
+    second-position bigram counts, so every number derives from ONE
+    bigram count table.
+
+    Scale shape: the corpus collapses to (w1, w2) pair counts in one
+    map-side-combined shuffle (token-sized rows, text never moves);
+    marginals are type-sized re-aggregates of that table; N is one
+    scalar broadcast back; top-k is TakeOrderedAndProject with a total
+    (ratio, w1, w2) tie-break so the selected SET is engine-exact."""
+    toks = df.select(F.expr(_tok_array(text_col)).alias("toks")).filter(
+        F.expr("size(toks) >= 2")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    lx = c.groupBy("w1").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    ry = c.groupBy("w2").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    n = c.agg(F.sum("n_xy").cast("long").alias("nb"))
+    ratio = (
+        F.col("n_xy").cast("double") * F.col("nb").cast("double")
+    ) / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+    return (
+        c.join(lx, "w1")
+        .join(ry, "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("n_xy") >= min_count)
+        .select("w1", "w2", "n_xy", "n_x", "n_y", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )

@@ -235,6 +235,78 @@ def _pagerank_sql(
 
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient of the
+    undirected graph under the approximate k-NN graph — how clique-like
+    each embedding's neighborhood is (high coefficient ⇒ dense duplicate
+    cluster, the canonical curation signal on top of the k-NN edges).
+    Degree-ordered orientation + wedge closing (`operators/graph.py`
+    `triangle_stats`); every step is integer except one pinned-order
+    IEEE division, so the oracle replays the whole thing over the same
+    replayed k-NN edge list."""
+    from ..operators.graph import triangle_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(
+        emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
+    )
+    return triangle_stats(edges)
+
+
+def _triangle_sql() -> str:
+    knn = _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)
+    return f"""
+        WITH edges AS (SELECT src, dst FROM ({knn})),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges WHERE src <> dst
+        ),
+        deg AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+            ) GROUP BY 1
+        ),
+        o AS (
+            SELECT CASE WHEN (da.degree < db.degree)
+                          OR (da.degree = db.degree AND u.a < u.b)
+                        THEN u.a ELSE u.b END AS u,
+                   CASE WHEN (da.degree < db.degree)
+                          OR (da.degree = db.degree AND u.a < u.b)
+                        THEN u.b ELSE u.a END AS v,
+                   CASE WHEN (da.degree < db.degree)
+                          OR (da.degree = db.degree AND u.a < u.b)
+                        THEN db.degree ELSE da.degree END AS dv
+            FROM und u
+            JOIN deg da ON da.id = u.a
+            JOIN deg db ON db.id = u.b
+        ),
+        w AS (
+            SELECT e1.u, e1.v AS x, e2.v AS y
+            FROM o e1 JOIN o e2 ON e1.u = e2.u
+            WHERE (e1.dv < e2.dv) OR (e1.dv = e2.dv AND e1.v < e2.v)
+        ),
+        t AS (
+            SELECT w.u, w.x, w.y
+            FROM w JOIN o ON o.u = w.x AND o.v = w.y
+        ),
+        pn AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                SELECT u AS id FROM t
+                UNION ALL SELECT x AS id FROM t
+                UNION ALL SELECT y AS id FROM t
+            ) GROUP BY 1
+        )
+        SELECT deg.id, deg.degree,
+               CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri,
+               CASE WHEN deg.degree >= 2 THEN
+                   (CAST(2 AS DOUBLE) * CAST(COALESCE(pn.n_tri, 0) AS DOUBLE))
+                   / (CAST(deg.degree AS DOUBLE)
+                      * CAST(deg.degree - 1 AS DOUBLE))
+               ELSE CAST(0 AS DOUBLE) END AS clust_coeff
+        FROM deg LEFT JOIN pn ON pn.id = deg.id
+    """
+
+
 _IVFX_PROBE = 4
 
 
@@ -884,6 +956,70 @@ def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image, REAL-decode path: documents →
+    valid 8×2 binary PPMs → strict P6 parse → integer BT.601 luma →
+    strict-mean threshold bits packed MSB-first
+    (`operators/multimodal.py` `perceptual_hash`). All integer, so the
+    oracle replays luma, threshold, and packing from the pixel hex — a
+    header mis-parse or bit-order slip shifts every hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_ppm_media_wide(docs)
+    return mm.perceptual_hash(media).select(
+        "media_id", "n_px", "luma_total", "phash"
+    )
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs by Hamming distance ≤ 1 on the 16-bit
+    perceptual hashes — pigeonhole blocking (2 × 8-bit blocks) on the
+    Spark side vs a brute xor/popcount self-join in the oracle, so the
+    hash match PROVES blocking completeness at query level, the same
+    evidence shape as the SimHash family."""
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = (
+        mm.perceptual_hash(mm.attach_ppm_media_wide(docs))
+        .select(F.col("media_id").alias("id"), F.col("phash").alias("simhash"))
+    )
+    pairs = dd.hamming_neardup(sigs, max_dist=1, bits=16)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+_PHASH_LUMA_SQL = """
+        WITH h AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5('x' || text) || md5('y' || text) AS px
+            FROM documents
+        ),
+        l AS (
+            SELECT media_id, dim,
+                   299 * ('0x' || substr(px, 6 * dim + 1, 2))::BIGINT
+                 + 587 * ('0x' || substr(px, 6 * dim + 3, 2))::BIGINT
+                 + 114 * ('0x' || substr(px, 6 * dim + 5, 2))::BIGINT AS luma
+            FROM (SELECT media_id, px,
+                         unnest(generate_series(0, 15)) AS dim FROM h)
+        ),
+        t AS (
+            SELECT media_id, CAST(SUM(luma) AS BIGINT) AS total
+            FROM l GROUP BY 1
+        ),
+        ph AS (
+            SELECT l.media_id, t.total,
+                   CAST(SUM(CASE WHEN l.luma * 16 > t.total
+                                 THEN (1::BIGINT << (15 - l.dim))
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM l JOIN t ON l.media_id = t.media_id
+            GROUP BY 1, 2
+        )
+"""
+
+
 _DECIMATE_FACTOR = 2
 
 
@@ -1056,6 +1192,7 @@ ORACLES: dict[str, str] = {
     ),
     "q_knn_graph": _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB),
     "q_pagerank_knn": _pagerank_sql(_PR_ITERS, _PR_SCALE),
+    "q_triangle_stats": _triangle_sql(),
     "q_audio_decimate": _audio_decimate_sql(),
     "q_ann_topk_pq_sampled": _pq_sql(
         _PQ_M,
@@ -1131,6 +1268,17 @@ ORACLES: dict[str, str] = {
                    md5(text) || substr(md5('x' || text), 1, 16) AS px
             FROM documents
         )
+    """,
+    "q_image_phash": _PHASH_LUMA_SQL + """
+        SELECT media_id, CAST(16 AS BIGINT) AS n_px,
+               total AS luma_total, phash
+        FROM ph
+    """,
+    "q_image_phash_neardup": _PHASH_LUMA_SQL + """
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 1
     """,
     "q_multimodal_audio_codec": """
         WITH h AS (

@@ -377,6 +377,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's gap-filled hourly count
+    series (`operators/temporal.py` `lag1_autocorrelation`): integer
+    sufficient statistics plus one pinned-order multiply/sqrt/divide —
+    IEEE sqrt is correctly rounded, so the double matches bit-for-bit."""
+    from ..operators.temporal import lag1_autocorrelation
+
+    ev = load_table(spark, sf_dir, "events")
+    return lag1_autocorrelation(ev, keys=("event_type",))
+
+
 _HLL_P = 6  # m = 64 registers: real estimator regime at sf0.01 scale
 
 
@@ -742,6 +753,52 @@ ORACLES: dict[str, str] = {
          AND c.ts <= e.ts + INTERVAL 120 SECOND
         WHERE e.event_type = 'error'
         GROUP BY 1, 2, 3
+    """,
+    "q_hourly_autocorrelation": """
+        WITH agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg),
+        spine AS (
+            SELECT t.event_type, s.bucket_ts
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                    AS bucket_ts
+                FROM bounds
+            ) s
+        ),
+        f AS (
+            SELECT spine.event_type, spine.bucket_ts,
+                   COALESCE(agg.x, 0) AS x
+            FROM spine LEFT JOIN agg USING (event_type, bucket_ts)
+        ),
+        p AS (
+            SELECT event_type, x,
+                   lead(x) OVER (PARTITION BY event_type
+                                 ORDER BY bucket_ts) AS y
+            FROM f
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM p WHERE y IS NOT NULL GROUP BY 1
+        )
+        SELECT event_type, n_pairs, sxy, sx, sy, sxx, syy,
+               CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                     AND (n_pairs * syy - sy * sy) > 0
+                    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                                * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END AS acf1
+        FROM s
     """,
     "q_rollup_gapfill_hourly": """
         WITH agg AS (

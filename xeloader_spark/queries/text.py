@@ -463,6 +463,20 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_stats(docs, group_col="source")
 
 
+_PMI_MIN, _PMI_TOPK = 3, 100
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-bigram collocations by PMI ratio (min count 3)
+    over the document corpus — phrase mining for tokenizer curation
+    (`operators/text.py` `pmi_collocations`; ratio not log, so every
+    value is pinned-order IEEE arithmetic over exact integers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.pmi_collocations(
+        docs, min_count=_PMI_MIN, top_k=_PMI_TOPK
+    )
+
+
 def q_token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf frequency-of-frequency histogram: distinct token types per
     decimal magnitude of their corpus count — exact integer bucketing."""
@@ -556,6 +570,34 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
                    AS type_token_ratio
         FROM c GROUP BY 1
+    """,
+    "q_pmi_collocations": f"""
+        WITH tk AS (
+            SELECT {_TOKS_LIST} AS toks FROM documents
+        ),
+        bg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM tk WHERE len(toks) >= 2)
+        ),
+        c AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM bg GROUP BY 1, 2
+        ),
+        lx AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+        ry AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+        n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS nb FROM c)
+        SELECT c.w1, c.w2, c.n_xy, lx.n_x, ry.n_y,
+               (CAST(c.n_xy AS DOUBLE) * CAST(n.nb AS DOUBLE))
+               / (CAST(lx.n_x AS DOUBLE) * CAST(ry.n_y AS DOUBLE))
+                   AS pmi_ratio
+        FROM c
+        JOIN lx ON lx.w1 = c.w1
+        JOIN ry ON ry.w2 = c.w2
+        CROSS JOIN n
+        WHERE c.n_xy >= {_PMI_MIN}
+        ORDER BY pmi_ratio DESC, c.w1 ASC, c.w2 ASC
+        LIMIT {_PMI_TOPK}
     """,
     "q_token_freq_histogram": f"""
         WITH toks AS (SELECT unnest({_TOKS_LIST}) AS tok FROM documents),
