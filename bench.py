@@ -64,6 +64,11 @@ HEADLINE = [
     "q_shot_boundaries",
     "q_scd2_history",
     "q_pagerank_knn",
+    "q_triangle_stats",
+    "q_hll_distinct_users",
+    "q_hourly_autocorrelation",
+    "q_pmi_collocations",
+    "q_image_phash_neardup",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

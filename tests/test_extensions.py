@@ -1284,3 +1284,82 @@ class TestPmiCollocations:
         rows = tx.pmi_collocations(df, min_count=1, top_k=10).collect()
         got = {(r.w1, r.w2): r.n_xy for r in rows}
         assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+class TestCategoryDiversity:
+    def test_known_distributions(self, spark):
+        """Uniform 2-way split → Gini-Simpson 0.5, top share 0.5; a
+        single-category group → 0.0 diversity, share 1.0."""
+        rows = (
+            [(i, "g1", "a") for i in range(4)]
+            + [(i, "g1", "b") for i in range(4, 8)]
+            + [(i, "g2", "only") for i in range(3)]
+        )
+        df = spark.createDataFrame(rows, "id long, grp string, cat string")
+        got = {
+            r.grp: r for r in tx.category_diversity(df, "grp", "cat").collect()
+        }
+        assert got["g1"].gini_simpson == 0.5
+        assert got["g1"].top_share == 0.5
+        assert got["g1"].n_cats == 2
+        assert got["g2"].gini_simpson == 0.0
+        assert got["g2"].top_share == 1.0
+
+
+class TestHistogramSketch:
+    def test_merge_of_splits_equals_global(self, spark):
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.operators import sketch as sk
+
+        ev = load_table(spark, SF, "events")
+        whole = {
+            (r.event_type, r.bucket): r.cnt
+            for r in sk.hist_build(ev, "value", 0.0, 328.0, 64, ["event_type"]).collect()
+        }
+        parts = [
+            sk.hist_build(
+                ev.filter(F.col("event_id") % 3 == p_), "value", 0.0, 328.0, 64, ["event_type"]
+            )
+            for p_ in range(3)
+        ]
+        merged = {
+            (r.event_type, r.bucket): r.cnt
+            for r in sk.hist_merge(*parts).collect()
+        }
+        assert merged == whole
+        assert len(whole) <= 5 * 64
+
+    def test_estimates_within_bucket_width_of_exact(self, spark):
+        """Equi-width error bound: every estimate sits within one bucket
+        width of the exact percentile_disc value."""
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.operators import sketch as sk
+
+        ev = load_table(spark, SF, "events")
+        h = sk.hist_build(ev, "value", 0.0, 328.0, 64, ["event_type"])
+        est = {
+            (r.event_type, r.percentile): r.estimate
+            for r in sk.hist_quantiles(h, [25, 50, 90], 0.0, 328.0, 64).collect()
+        }
+        width = 328.0 / 64
+        exact = ev.groupBy("event_type").agg(
+            *[
+                F.expr(f"percentile(value, {p / 100})").alias(f"p{p}")
+                for p in (25, 50, 90)
+            ]
+        ).collect()
+        for r in exact:
+            for p in (25, 50, 90):
+                assert abs(est[(r.event_type, p)] - getattr(r, f"p{p}")) <= width + 1e-9
+
+    def test_out_of_range_clamps_not_drops(self, spark):
+        from xeloader_spark.operators import sketch as sk
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate([-5.0, 0.5, 9.5, 99.0])],
+            "id long, value double",
+        )
+        h = {r.bucket: r.cnt for r in sk.hist_build(df, "value", 0.0, 10.0, 10).collect()}
+        assert h[0] == 2  # -5 clamps into bucket 0 alongside 0.5
+        assert h[9] == 2  # 99 clamps into the top bucket alongside 9.5
+        assert sum(h.values()) == 4

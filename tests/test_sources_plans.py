@@ -576,3 +576,57 @@ def test_knn_join_width_pinned(spark):
     df = qs.q_knn_graph(spark, SF)
     plan = plans.physical_plan(df)
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+class TestFixedWidthSource:
+    def test_file_roundtrip_orders(self, spark, tmp_path):
+        """Write orders as a positional flat file, read it back via the
+        same colspec: typed equality on every row, and the on-disk lines
+        are genuinely fixed-width."""
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.sources import fixed_width as fw
+
+        orders = load_table(spark, SF, "orders")
+        path = str(tmp_path / "orders_fixed")
+        fw.write_fixed_width(orders, path, fw.ORDERS_SPEC)
+
+        raw = spark.read.text(path)
+        width = sum(f.width for f in fw.ORDERS_SPEC)
+        lens = raw.select(F.length("value").alias("l")).distinct().collect()
+        assert [r.l for r in lens] == [width]
+
+        back = fw.read_fixed_width(spark, path, fw.ORDERS_SPEC)
+        a = {
+            r.o_orderkey: (r.o_custkey, r.o_orderstatus, float(r.o_totalprice), r.o_orderdate, r.o_orderpriority)
+            for r in back.collect()
+        }
+        b = {
+            r.o_orderkey: (r.o_custkey, r.o_orderstatus, r.o_totalprice, r.o_orderdate, r.o_orderpriority)
+            for r in orders.collect()
+        }
+        assert a == b
+
+    def test_null_and_alignment_semantics(self, spark):
+        from xeloader_spark.sources import fixed_width as fw
+
+        spec = [
+            fw.FixedWidthField("k", 5, "bigint"),
+            fw.FixedWidthField("s", 6, "string"),
+        ]
+        df = spark.createDataFrame([(7, "ab"), (None, None)], "k long, s string")
+        lines = [r.line for r in fw.render_fixed_width(df, spec).collect()]
+        assert "    7ab    " in lines  # numeric right, string left aligned
+        assert "           " in lines  # nulls render as spaces
+        back = fw.parse_fixed_width(
+            spark.createDataFrame([(l,) for l in lines], "line string"), spec
+        ).collect()
+        got = {(r.k, r.s) for r in back}
+        assert got == {(7, "ab"), (None, None)}
+
+    def test_overflow_raises_not_truncates(self, spark):
+        from xeloader_spark.sources import fixed_width as fw
+
+        spec = [fw.FixedWidthField("s", 3, "string")]
+        df = spark.createDataFrame([("toolong",)], "s string")
+        with pytest.raises(Exception, match="fixed-width overflow"):
+            fw.render_fixed_width(df, spec).collect()

@@ -662,3 +662,44 @@ def test_streaming_scd2_matches_batch_closed_versions(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 50  # the fixture actually exercises run closure
+
+
+def test_streaming_histogram_matches_batch(spark, stream_in, tmp_path):
+    """Streamed histogram sketch == batch hist_build on the same rows;
+    quantile estimates derived from the streamed table equal the batch
+    ones (the estimator is a pure function of the sketch)."""
+    from xeloader_spark.operators import sketch as sk
+    from xeloader_spark.streaming import sketch_stream as ss
+
+    ckpt = str(tmp_path / "hist_ckpt")
+    stream = st.read_event_stream(spark, stream_in, max_files_per_trigger=1)
+    q = ss.start_hist(
+        stream, ckpt, "value", 0.0, 328.0, 32, ["event_type"]
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.bucket): r.cnt
+        for r in spark.sql("select * from hist_sketch").collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exp = {
+        (r.event_type, r.bucket): r.cnt
+        for r in sk.hist_build(ev, "value", 0.0, 328.0, 32, ["event_type"]).collect()
+    }
+    assert got == exp
+
+    est_s = {
+        (r.event_type, r.percentile): r.estimate
+        for r in sk.hist_quantiles(
+            spark.sql("select * from hist_sketch"), [50, 90], 0.0, 328.0, 32
+        ).collect()
+    }
+    est_b = {
+        (r.event_type, r.percentile): r.estimate
+        for r in sk.hist_quantiles(
+            sk.hist_build(ev, "value", 0.0, 328.0, 32, ["event_type"]),
+            [50, 90], 0.0, 328.0, 32,
+        ).collect()
+    }
+    assert est_s == est_b

@@ -474,3 +474,81 @@ class TestLag1Autocorrelation:
         r = lag1_autocorrelation(df, keys=("event_type",)).collect()[0]
         assert r.n_pairs == 2  # 3 buckets -> 2 pairs, middle is the zero
         assert r.sx == 4 and r.sy == 4 and r.sxy == 0
+
+
+class TestCdcApply:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, seq long, op string, v string"
+        )
+
+    def test_delete_wins_and_audit(self, spark):
+        from xeloader_spark.operators.temporal import cdc_apply
+
+        log = self._log(
+            spark,
+            [
+                (1, 1, "I", "a"), (1, 2, "U", "b"),           # live, updated
+                (2, 1, "I", "x"), (2, 2, "D", None),          # deleted
+                (3, 1, "I", "q"), (3, 2, "D", None), (3, 3, "I", "r"),  # re-inserted
+            ],
+        )
+        got = {
+            r.k: r
+            for r in cdc_apply(
+                log, ["k"], ["seq"], "op", ["v"]
+            ).collect()
+        }
+        assert set(got) == {1, 3}
+        assert got[1].v == "b" and got[1].last_op == "U"
+        assert (got[1].n_ops, got[1].n_inserts, got[1].n_updates, got[1].n_deletes) == (2, 1, 1, 0)
+        assert got[3].v == "r" and got[3].n_deletes == 1 and got[3].n_inserts == 2
+
+    def test_replay_idempotent(self, spark):
+        """Replaying the same log rows (at-least-once delivery) must not
+        change the snapshot — max is idempotent."""
+        from xeloader_spark.operators.temporal import cdc_apply
+
+        rows = [(1, 1, "I", "a"), (1, 2, "U", "b"), (2, 1, "I", "x")]
+        once = cdc_apply(self._log(spark, rows), ["k"], ["seq"], "op", ["v"])
+        twice = cdc_apply(
+            self._log(spark, rows + rows), ["k"], ["seq"], "op", ["v"]
+        )
+        o = {(r.k, r.seq, r.last_op, r.v) for r in once.collect()}
+        t = {(r.k, r.seq, r.last_op, r.v) for r in twice.collect()}
+        assert o == t
+
+    def test_single_shuffle_plan(self, spark):
+        from xeloader_spark.operators.temporal import cdc_apply
+        from xeloader_spark.plans import inspect as plans
+
+        log = self._log(spark, [(1, 1, "I", "a")])
+        plans.assert_max_shuffles(
+            cdc_apply(log, ["k"], ["seq"], "op", ["v"]), 1
+        )
+
+
+class TestDistributionDrift:
+    def test_no_drift_and_full_drift(self, spark):
+        """Identical halves → TVD 0; disjoint category sets → TVD 1."""
+        import datetime as dt
+
+        from xeloader_spark.operators.temporal import distribution_drift
+
+        base = dt.datetime(2024, 1, 1)
+        h = dt.timedelta(hours=1)
+        same = [(i, base, "a") for i in range(3)] + [
+            (i, base + 2 * h, "a") for i in range(3)
+        ]
+        df = spark.createDataFrame(same, "id long, ts timestamp, event_type string")
+        r = distribution_drift(df).collect()[0]
+        assert r.tvd_total == 0.0 and r.cross_diff == 0
+
+        flip = [(i, base, "a") for i in range(3)] + [
+            (i, base + 2 * h, "b") for i in range(4)
+        ]
+        df2 = spark.createDataFrame(flip, "id long, ts timestamp, event_type string")
+        rows = {r.event_type: r for r in distribution_drift(df2).collect()}
+        assert rows["a"].tvd_total == 1.0
+        assert rows["a"].n_first == 3 and rows["a"].n_second == 0
+        assert rows["b"].share_delta == 1.0

@@ -208,3 +208,121 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
             "lc_regime"
         ),
     )
+
+
+# ------------------------------------------------ histogram quantiles
+#
+# The third classic mergeable summary next to CMS (frequency) and HLL
+# (cardinality): an equi-width histogram sketch for quantiles. Same
+# relational discipline — the sketch IS a (group, bucket, cnt) table, so
+# merge is union+SUM and a DuckDB oracle replays build, merge, and the
+# quantile estimator exactly. Bucketization is ((v − lo)·bins)/(hi − lo)
+# then floor — two pinned-order IEEE ops, so bucket assignment is
+# bit-identical cross-engine; ranks are exact integers (ceil division);
+# only the final interpolated estimate touches floats again (two pinned
+# ops). Accuracy is the usual equi-width bound: error ≤ bucket width,
+# shrinking linearly in `bins` — the trade for exact mergeability and
+# replayability that opaque t-digest/KLL blobs can't offer SQL.
+
+
+def _hist_bucket(value_col: str, lo: float, hi: float, bins: int):
+    pos = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        * F.lit(float(bins))
+        / F.lit(float(hi) - float(lo))
+    ).cast("long")
+    return F.least(F.lit(bins - 1).cast("long"), F.greatest(F.lit(0).cast("long"), pos))
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build per-group histogram sketch tables (group..., bucket, cnt):
+    one map-side-combined groupBy of at most groups × bins rows.
+    Out-of-range values clamp into the edge buckets (they stay counted —
+    a sketch that silently drops rows lies about N)."""
+    groups = group_cols or []
+    return (
+        df.select(*groups, _hist_bucket(value_col, lo, hi, bins).alias("bucket"))
+        .groupBy(*groups, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built with identical (lo, hi, bins):
+    union + SUM — the distributed-combine step."""
+    it = iter(sketches)
+    merged = next(it)
+    for s in it:
+        merged = merged.unionByName(s)
+    keys = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*keys).agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    percentiles: list[int],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch. For percentile p the
+    target rank is ceil(N·p/100) (exact integers); the answering bucket
+    is the unique one whose cumulative count crosses the rank; the
+    estimate interpolates linearly inside it. Returns one row per
+    (group, percentile) with the integer evidence (n_rows, bucket,
+    rank, cum_before) next to the double estimate."""
+    groups = [c for c in sketch.columns if c not in ("bucket", "cnt")]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*groups).orderBy("bucket") if groups else (
+        Window.partitionBy().orderBy("bucket")
+    )
+    cum = sketch.select(
+        *groups,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy(*groups) if groups else Window.partitionBy())
+        .cast("long")
+        .alias("n_rows"),
+    ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0).cast("long")))
+    width = (float(hi) - float(lo)) / bins
+    out = None
+    for p in percentiles:
+        # ceil(N·p/100) via (N·p + 99) div 100 — all operands positive,
+        # so truncating and flooring division agree across engines
+        rank = F.expr(f"(n_rows * {int(p)} + 99) div 100")
+        frac = (rank - F.col("cum_before")).cast("double") / F.col("cnt").cast(
+            "double"
+        )
+        est = F.lit(float(lo)) + (
+            F.col("bucket").cast("double") + frac
+        ) * F.lit(width)
+        sel = (
+            cum.withColumn("rank", rank.cast("long"))
+            .filter(
+                (F.col("cum") >= F.col("rank"))
+                & (F.col("cum_before") < F.col("rank"))
+            )
+            .select(
+                *groups,
+                F.lit(int(p)).cast("long").alias("percentile"),
+                "n_rows",
+                "bucket",
+                "rank",
+                "cum_before",
+                est.alias("estimate"),
+            )
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

@@ -418,7 +418,140 @@ def lag1_autocorrelation(
         (va > 0) & (vb > 0),
         num.cast("double") / F.sqrt(va.cast("double") * vb.cast("double")),
     ).otherwise(F.lit(0.0))
+    # Fano factor (index of dispersion) over the x side of the pairs:
+    # variance/mean = (n·Σx² − (Σx)²) / (n·Σx) — 1 for Poisson arrivals,
+    # >1 bursty, <1 regular; exact integers finished by one division
+    fano = F.when(
+        F.col("sx") > 0,
+        va.cast("double") / (F.col("n_pairs") * F.col("sx")).cast("double"),
+    ).otherwise(F.lit(0.0))
     return s.select(
         *keys, "n_pairs", "sxy", "sx", "sy", "sxx", "syy",
         acf1.alias("acf1"),
+        fano.alias("fano"),
+    )
+
+
+def cdc_apply(
+    ops: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+    payload_cols: Sequence[str] = (),
+    insert_op: str = "I",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a change-data-capture log (I/U/D rows) to produce the
+    current snapshot — the full MERGE the warehouse sink performs,
+    extending `q_upsert_latest`'s upsert with delete semantics and a
+    per-key op-mix audit.
+
+    Latest-op-wins by (seq_cols) via ONE max-of-struct aggregate (the
+    shuffle carries map-side-combined partials — one candidate row per
+    key per task, no per-key sort); keys whose final op is a delete are
+    dropped AFTER the audit counts are taken, so a consumer can see how
+    much of the log was churn. Ties on seq break deterministically by
+    (op, payload) struct order — callers with a unique sequence column
+    never hit this.
+
+    Scale: state is key-sized, log scans once, snapshot = one shuffle.
+    Re-running over an extended log is idempotent for unchanged keys
+    (max is monotone) — the property that makes incremental CDC loads
+    safe to replay."""
+    key_cols = list(key_cols)
+    seq_cols = list(seq_cols)
+    payload_cols = list(payload_cols)
+    m = ops.groupBy(*key_cols).agg(
+        F.max(
+            F.struct(
+                *seq_cols, F.col(op_col).alias("__op"), *payload_cols
+            )
+        ).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_ops"),
+        F.sum((F.col(op_col) == insert_op).cast("long"))
+        .cast("long")
+        .alias("n_inserts"),
+        F.sum((F.col(op_col) == delete_op).cast("long"))
+        .cast("long")
+        .alias("n_deletes"),
+    )
+    live = m.filter(F.col("m.__op") != delete_op)
+    return live.select(
+        *key_cols,
+        *[F.col(f"m.{c}").alias(c) for c in seq_cols],
+        F.col("m.__op").alias("last_op"),
+        *[F.col(f"m.{c}").alias(c) for c in payload_cols],
+        "n_ops",
+        "n_inserts",
+        (F.col("n_ops") - F.col("n_inserts") - F.col("n_deletes"))
+        .cast("long")
+        .alias("n_updates"),
+        "n_deletes",
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Categorical-mix drift between the first and second half of the
+    observed time range — the monitoring question ("did the event/source
+    mix shift?") answered with total-variation distance instead of
+    PSI/KL: TVD = ½ Σ |p_i − q_i| needs no log, so it reduces to exact
+    integers. Per category the cross-multiplied numerator
+    |n_a·N_b − n_b·N_a| is an exact bigint; the per-category share delta
+    and the global TVD each finish with ONE IEEE division, so every
+    emitted value is engine-exact. (Bigint products bound: N_a·N_b needs
+    counts ≤ ~3·10⁹ per half; past that, swap to DECIMAL accumulators.)
+
+    Scale: one 2-scalar min/max aggregate broadcast back (the split
+    point), one map-side-combined (cat, half) count, then a
+    category-sized window for totals — the corpus shuffles count rows
+    only. Categories absent from one half get share 0 there (they count
+    fully toward drift), never dropped."""
+    bounds = df.agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("mn"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("mx"),
+    )
+    mid = bounds.select(
+        F.expr("(mn + mx) div 2").cast("long").alias("mid_us")
+    )
+    c = (
+        df.crossJoin(F.broadcast(mid))
+        .groupBy(cat_col)
+        .agg(
+            F.sum(
+                (F.unix_micros(F.col(ts_col)) <= F.col("mid_us")).cast("long")
+            )
+            .cast("long")
+            .alias("n_first"),
+            F.sum(
+                (F.unix_micros(F.col(ts_col)) > F.col("mid_us")).cast("long")
+            )
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    cross = F.abs(
+        F.col("n_first") * F.sum("n_second").over(w)
+        - F.col("n_second") * F.sum("n_first").over(w)
+    ).cast("long")
+    na = F.sum("n_first").over(w).cast("long")
+    nb = F.sum("n_second").over(w).cast("long")
+    return c.select(
+        cat_col,
+        "n_first",
+        "n_second",
+        cross.alias("cross_diff"),
+        (cross.cast("double") / (na * nb).cast("double")).alias(
+            "share_delta"
+        ),
+        (
+            F.sum(cross).over(w).cast("double")
+            / (F.lit(2).cast("long") * na * nb).cast("double")
+        ).alias("tvd_total"),
     )

@@ -755,3 +755,42 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_ratio"), F.asc("w1"), F.asc("w2"))
         .limit(top_k)
     )
+
+
+def category_diversity(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Per-group categorical concentration diagnostics for data-mix
+    curation: how dominated is each group (e.g. language) by its top
+    category (e.g. source)?
+
+    Emits the Gini-Simpson index 1 − Σ(n_i/N)² and the top-category
+    share — both exact integer rationals finished by ONE IEEE division
+    ((N² − Σn_i²)/N², max n_i/N), so values are engine-exact without
+    any entropy/log whose cross-engine rounding is unpinned (Simpson
+    diversity is the standard log-free alternative).
+
+    Scale: one (group, cat) count shuffle (map-side combined), then a
+    group-sized re-aggregate. Both outputs are bounded [0, 1]."""
+    c = df.groupBy(group_col, cat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = c.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.max("n").cast("long").alias("top_n"),
+    )
+    n2 = F.col("n_rows") * F.col("n_rows")
+    return g.select(
+        group_col,
+        "n_rows",
+        "n_cats",
+        "top_n",
+        ((n2 - F.col("sum_sq")).cast("double") / n2.cast("double")).alias(
+            "gini_simpson"
+        ),
+        (F.col("top_n").cast("double") / F.col("n_rows").cast("double")).alias(
+            "top_share"
+        ),
+    )

@@ -43,10 +43,13 @@ from . import core
 # whatever is still unverified (at minimum `q_forecast_revenue_change`,
 # `q_scd2_history`, `q_pagerank_knn`, `q_hll_distinct_users`,
 # `q_triangle_stats`, `q_image_phash`, `q_image_phash_neardup`,
-# `q_pmi_collocations`, and `q_hourly_autocorrelation`, which
-# deliberately landed past round 3's 50-slot cap, plus any late
-# round-3 additions), then rotate regression re-checks to queries whose
-# last green row is oldest.
+# `q_pmi_collocations`, `q_hourly_autocorrelation`, `q_cdc_snapshot`,
+# `q_source_diversity`, `q_hist_quantile_sketch`,
+# `q_distribution_drift`, `q_classifier_calibration`, and
+# `q_fixedwidth_roundtrip`, which
+# deliberately landed past round 3's 50-slot cap, plus any late round-3
+# additions), then rotate regression re-checks to queries whose last
+# green row is oldest.
 _ROUND_PRIORITY = [
     # the 19 still-unverified queries (no CORRECTNESS_r01/r02 row)
     "q_ann_topk_pq",

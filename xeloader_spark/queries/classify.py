@@ -199,3 +199,57 @@ ORACLES: dict[str, str] = {
         WHERE rn = 1
     """,
 }
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the replayed classifier: rank ALL scored
+    docs into score deciles (ntile over a total (score, doc_id) order)
+    and report per-decile accuracy — does higher confidence mean more
+    correct? n/accuracy are integers + one IEEE division, so the oracle
+    replays train → score → decile → rate end-to-end. Scale note: ntile
+    is a single global sort here (fine: output is decile-sized); at
+    corpus scale swap the rank decile for the histogram-sketch bucket
+    (operators/sketch.hist_build) over scores — same downstream
+    aggregate, no global sort."""
+    from pyspark.sql import Window
+
+    preds = q_classifier_inference(spark, sf_dir)
+    w = Window.orderBy(F.desc("pred_score"), F.asc("doc_id"))
+    d = preds.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            (F.col("predicted_source") == F.col("actual_source")).cast("long")
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.min("pred_score").cast("long").alias("min_score"),
+        (
+            F.sum(
+                (F.col("predicted_source") == F.col("actual_source")).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+ORACLES["q_classifier_calibration"] = f"""
+    WITH inference AS ({ORACLES["q_classifier_inference"]}),
+    d AS (
+        SELECT *,
+               CAST(NTILE(10) OVER (ORDER BY pred_score DESC, doc_id ASC)
+                    AS BIGINT) AS decile
+        FROM inference
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN predicted_source = actual_source
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(MIN(pred_score) AS BIGINT) AS min_score,
+           CAST(SUM(CASE WHEN predicted_source = actual_source
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM d GROUP BY 1
+"""

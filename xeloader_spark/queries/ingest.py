@@ -259,6 +259,29 @@ _EV_SCHEMA = (
 _TS_OPTS = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
 
 
+def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (copybook) serialization boundary, exact-checked
+    in-plan: every orders row rendered to a positional 75-char record
+    (`sources/fixed_width.py` — lpad/rpad alignment, decimal-scaled
+    price, 19-char timestamp) and parsed back by the same colspec. The
+    oracle is the original table, so an off-by-one offset, a padding/
+    trim asymmetry, or decimal-scale loss breaks the hash. Pure
+    projection, zero shuffle."""
+    from ..sources import fixed_width as fw
+
+    orders = load_table(spark, sf_dir, "orders")
+    lines = fw.render_fixed_width(orders, fw.ORDERS_SPEC)
+    back = fw.parse_fixed_width(lines, fw.ORDERS_SPEC)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV serialization boundary, exact-checked in-plan: every events
     row rendered to a CSV line (`to_csv` — quoting/escaping live here)
@@ -333,6 +356,11 @@ ORACLES: dict[str, str] = {
     """,
     "q_csv_roundtrip": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    "q_fixedwidth_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
     """,
     "q_jsonl_roundtrip": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events

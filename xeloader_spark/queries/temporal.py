@@ -268,6 +268,34 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC MERGE over the event stream read as a change log
+    (signup→INSERT, error→DELETE, else UPDATE on the user key): the
+    surviving per-user snapshot plus the op-mix audit
+    (`operators/temporal.py` `cdc_apply` — one max-of-struct shuffle,
+    delete-wins-last semantics, replay-idempotent)."""
+    from ..operators.temporal import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    return cdc_apply(
+        log,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        op_col="op",
+        payload_cols=["value"],
+    )
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type approximate distinct users (HyperLogLog++): the scale path
     for count-distinct — partial sketches merge instead of shuffling every
@@ -386,6 +414,49 @@ def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return lag1_autocorrelation(ev, keys=("event_type",))
+
+
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift between the first and second half of the stream's
+    time range: per-type share deltas and the global total-variation
+    distance (`operators/temporal.py` `distribution_drift` — log-free,
+    cross-multiplied exact integers, one IEEE division per value)."""
+    from ..operators.temporal import distribution_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return distribution_drift(ev, cat_col="event_type")
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 328.0, 64
+_HIST_PCTS = [25, 50, 90]
+
+
+def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch per event type —
+    the third sketch next to CMS (frequency) and HLL (cardinality),
+    same relational contract: two partial sketches (even/odd event ids)
+    are built and MERGED, then the p25/p50/p90 estimator runs on the
+    merged table. The oracle builds ONE global sketch and replays
+    bucketization, ranks, and interpolation — a hash match proves
+    merge ≡ build plus the whole estimator, not a tolerance."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        sk.hist_build(
+            ev.filter(F.col("event_id") % 2 == p_),
+            "value",
+            _HIST_LO,
+            _HIST_HI,
+            _HIST_BINS,
+            ["event_type"],
+        )
+        for p_ in (0, 1)
+    ]
+    merged = sk.hist_merge(*parts)
+    return sk.hist_quantiles(
+        merged, _HIST_PCTS, _HIST_LO, _HIST_HI, _HIST_BINS
+    )
 
 
 _HLL_P = 6  # m = 64 registers: real estimator regime at sf0.01 scale
@@ -517,6 +588,77 @@ ORACLES: dict[str, str] = {
                              THEN epoch_us(t_3) - epoch_us(t_1) END)
                     AS BIGINT) AS total_conv_us
         FROM per_user
+    """,
+    "q_distribution_drift": """
+        WITH bounds AS (
+            SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        c AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN epoch_us(ts) <= b.mid_us
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                   CAST(SUM(CASE WHEN epoch_us(ts) > b.mid_us
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+            FROM events, bounds b GROUP BY 1
+        ),
+        t AS (
+            SELECT event_type, n_first, n_second,
+                   CAST(abs(n_first * SUM(n_second) OVER ()
+                            - n_second * SUM(n_first) OVER ())
+                        AS BIGINT) AS cross_diff,
+                   CAST(SUM(n_first) OVER () AS BIGINT) AS na,
+                   CAST(SUM(n_second) OVER () AS BIGINT) AS nb
+            FROM c
+        )
+        SELECT event_type, n_first, n_second, cross_diff,
+               CAST(cross_diff AS DOUBLE) / CAST(na * nb AS DOUBLE)
+                   AS share_delta,
+               CAST(SUM(cross_diff) OVER () AS DOUBLE)
+                   / CAST(2 * na * nb AS DOUBLE) AS tvd_total
+        FROM t
+    """,
+    "q_hist_quantile_sketch": f"""
+        WITH b AS (
+            SELECT event_type,
+                   LEAST({_HIST_BINS - 1}, GREATEST(0,
+                       CAST(floor((CAST(value AS DOUBLE) - {_HIST_LO})
+                                  * {float(_HIST_BINS)} / {_HIST_HI - _HIST_LO})
+                            AS BIGINT))) AS bucket
+            FROM events
+        ),
+        h AS (
+            SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT event_type, bucket, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY bucket) AS BIGINT) AS cum,
+                   CAST(COALESCE(SUM(cnt) OVER (
+                       PARTITION BY event_type ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_rows
+            FROM h
+        ),
+        p AS (SELECT unnest([{", ".join(str(p) for p in _HIST_PCTS)}])
+                  AS pct)
+        SELECT c.event_type,
+               CAST(p.pct AS BIGINT) AS percentile,
+               c.n_rows, c.bucket,
+               CAST((c.n_rows * p.pct + 99) // 100 AS BIGINT) AS rank,
+               c.cum_before,
+               CAST({_HIST_LO} AS DOUBLE)
+                   + (CAST(c.bucket AS DOUBLE)
+                      + CAST((c.n_rows * p.pct + 99) // 100 - c.cum_before
+                             AS DOUBLE) / CAST(c.cnt AS DOUBLE))
+                   * CAST({(_HIST_HI - _HIST_LO) / _HIST_BINS!r} AS DOUBLE)
+                   AS estimate
+        FROM c CROSS JOIN p
+        WHERE c.cum >= (c.n_rows * p.pct + 99) // 100
+          AND c.cum_before < (c.n_rows * p.pct + 99) // 100
     """,
     "q_hll_distinct_users": (lambda m, rmax, a_num, a_den: f"""
         WITH h AS (
@@ -754,6 +896,38 @@ ORACLES: dict[str, str] = {
         WHERE e.event_type = 'error'
         GROUP BY 1, 2, 3
     """,
+    "q_cdc_snapshot": """
+        WITH log AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'signup' THEN 'I'
+                        WHEN event_type = 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+                   value
+            FROM events
+        ),
+        ranked AS (
+            SELECT user_id, ts, event_id, op, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rk
+            FROM log
+        ),
+        audit AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops,
+                   CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_inserts,
+                   CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_deletes
+            FROM log GROUP BY 1
+        )
+        SELECT r.user_id, r.ts, r.event_id, r.op AS last_op, r.value,
+               a.n_ops, a.n_inserts,
+               CAST(a.n_ops - a.n_inserts - a.n_deletes AS BIGINT)
+                   AS n_updates,
+               a.n_deletes
+        FROM ranked r JOIN audit a ON a.user_id = r.user_id
+        WHERE r.rk = 1 AND r.op <> 'D'
+    """,
     "q_hourly_autocorrelation": """
         WITH agg AS (
             SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
@@ -797,7 +971,11 @@ ORACLES: dict[str, str] = {
                     THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
                          / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
                                 * CAST(n_pairs * syy - sy * sy AS DOUBLE))
-                    ELSE CAST(0 AS DOUBLE) END AS acf1
+                    ELSE CAST(0 AS DOUBLE) END AS acf1,
+               CASE WHEN sx > 0
+                    THEN CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                         / CAST(n_pairs * sx AS DOUBLE)
+                    ELSE CAST(0 AS DOUBLE) END AS fano
         FROM s
     """,
     "q_rollup_gapfill_hourly": """

@@ -463,6 +463,14 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocab_stats(docs, group_col="source")
 
 
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source-mix concentration: Gini-Simpson index and
+    top-source share (`operators/text.py` `category_diversity` — exact
+    integer rationals, one IEEE division each, no log)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.category_diversity(docs, "lang", "source")
+
+
 _PMI_MIN, _PMI_TOPK = 3, 100
 
 
@@ -570,6 +578,25 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
                    AS type_token_ratio
         FROM c GROUP BY 1
+    """,
+    "q_source_diversity": """
+        WITH c AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT lang,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_cats,
+                   CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+                   CAST(MAX(n) AS BIGINT) AS top_n
+            FROM c GROUP BY 1
+        )
+        SELECT lang, n_rows, n_cats, top_n,
+               CAST(n_rows * n_rows - sum_sq AS DOUBLE)
+                   / CAST(n_rows * n_rows AS DOUBLE) AS gini_simpson,
+               CAST(top_n AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share
+        FROM g
     """,
     "q_pmi_collocations": f"""
         WITH tk AS (

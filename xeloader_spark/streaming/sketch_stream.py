@@ -69,6 +69,54 @@ def start_cms(
     return writer.start()
 
 
+def hist_stream(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming equi-width histogram sketch — same bucketize + groupBy
+    COUNT as the batch `hist_build`; counts are commutative, so
+    micro-batching cannot change a cell; state is groups × bins rows."""
+    from ..operators.sketch import _hist_bucket
+
+    groups = group_cols or []
+    return (
+        stream.select(
+            *groups, _hist_bucket(value_col, lo, hi, bins).alias("bucket")
+        )
+        .groupBy(*groups, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def start_hist(
+    stream: DataFrame,
+    checkpoint_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    group_cols: list[str] | None = None,
+    table: str = "hist_sketch",
+    trigger_once: bool = True,
+):
+    """Run the streaming histogram into an in-memory table in complete
+    mode (sketch-sized output)."""
+    writer = (
+        hist_stream(stream, value_col, lo, hi, bins, group_cols=group_cols)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hll_stream(
     stream: DataFrame,
     key_col: str,
