@@ -69,6 +69,11 @@ HEADLINE = [
     "q_hourly_autocorrelation",
     "q_pmi_collocations",
     "q_image_phash_neardup",
+    "q_prefix_jaccard_pairs",
+    "q_cdc_snapshot",
+    "q_hist_quantile_sketch",
+    "q_markov_transitions",
+    "q_pivot_user_matrix",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

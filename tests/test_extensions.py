@@ -1363,3 +1363,66 @@ class TestHistogramSketch:
         assert h[0] == 2  # -5 clamps into bucket 0 alongside 0.5
         assert h[9] == 2  # 99 clamps into the top bucket alongside 9.5
         assert sum(h.values()) == 4
+
+
+class TestCmsInnerProduct:
+    def test_bound_and_disjoint_zero(self, spark):
+        from xeloader_spark.operators import sketch as sk
+
+        a = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
+        b = spark.createDataFrame([(i % 7,) for i in range(21)], "k long")
+        exact = a.join(b, "k").count()
+        sk_a = sk.cms_build(a, "k", width=8, depth=3, salt="ip")
+        sk_b = sk.cms_build(b, "k", width=8, depth=3, salt="ip")
+        est = sk.cms_inner_product(sk_a, sk_b).collect()[0].join_size_est
+        assert est >= exact  # width=8 forces collisions; bound must hold
+
+        # disjoint key spaces hashed into the same width can still
+        # collide, but never below the true size of 0
+        c = spark.createDataFrame([(1000 + i,) for i in range(10)], "k long")
+        sk_c = sk.cms_build(c, "k", width=8, depth=3, salt="ip")
+        est0 = sk.cms_inner_product(sk_a, sk_c).collect()[0].join_size_est
+        assert est0 >= 0
+
+
+class TestPrefixJaccard:
+    @pytest.mark.parametrize("tn,td", [(1, 2), (2, 3), (7, 10)])
+    def test_equals_exhaustive_index(self, spark, docs, tn, td):
+        """Prefix filtering must return exactly the exhaustive
+        inverted-index pair set at every threshold (losslessness)."""
+        sh = dd.shingles(docs.limit(200), n=3)
+        exhaustive = {
+            (r.id_a, r.id_b, r.n_common)
+            for r in dd.jaccard_pairs(sh, threshold=tn / td).collect()
+        }
+        pruned = {
+            (r.id_a, r.id_b, r.n_common)
+            for r in dd.prefix_jaccard_pairs(sh, tn, td).collect()
+        }
+        assert pruned == exhaustive
+        dd.release_persisted()
+
+    def test_prefix_index_is_smaller(self, spark, docs):
+        """The point of the algorithm: the indexed (prefix) token volume
+        must be well under the full inverted index volume."""
+        sh = dd.shingles(docs, n=3).distinct()
+        full = sh.count()
+        # replicate the operator's prefix computation at t=1/2
+        from pyspark.sql import Window
+
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+        dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        rank = dfc.select(
+            "shingle",
+            F.row_number().over(Window.orderBy("df", "shingle")).alias("rnk"),
+        )
+        pos_w = Window.partitionBy("id").orderBy("rnk")
+        prefix_n = (
+            sh.join(rank, "shingle")
+            .join(sizes, "id")
+            .withColumn("pos", F.row_number().over(pos_w))
+            .filter(F.col("pos") <= F.col("n") - F.expr("(n * 1 + 1) div 2") + 1)
+            .count()
+        )
+        assert prefix_n < 0.7 * full, (prefix_n, full)
+        dd.release_persisted()

@@ -630,3 +630,51 @@ class TestFixedWidthSource:
         df = spark.createDataFrame([("toolong",)], "s string")
         with pytest.raises(Exception, match="fixed-width overflow"):
             fw.render_fixed_width(df, spec).collect()
+
+
+def test_pivot_explicit_values_shuffle_budget(spark):
+    """Pivot with a pinned value list must stay a pure two-aggregate
+    plan: the corpus shuffles ONCE into (user, type) partial counts;
+    the second exchange moves only the aggregate-sized (≤ users × 5
+    rows) matrix for pivotfirst. Crucially there is NO third job — an
+    unpinned value list adds a distinct-discovery pass over the corpus."""
+    from xeloader_spark.queries import relational as qr
+
+    df = qr.q_pivot_user_matrix(spark, SF)
+    plans.assert_max_shuffles(df, 2)
+
+
+class TestSessionAdditionShapes:
+    """Plan pins for the late round-3 additions."""
+
+    def test_prefix_jaccard_no_cartesian(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        df = qd.q_prefix_jaccard_pairs(spark, SF)
+        plans.assert_no_cartesian(df)
+
+    def test_triangle_no_cartesian(self, spark):
+        from xeloader_spark.queries import similarity as qs
+
+        plans.assert_no_cartesian(qs.q_triangle_stats(spark, SF))
+
+    def test_markov_single_corpus_shuffle_plus_matrix(self, spark):
+        from xeloader_spark.queries import temporal as qt
+
+        # window on user + states² aggregate + states-sized total window
+        plans.assert_max_shuffles(qt.q_markov_transitions(spark, SF), 3)
+
+    def test_hll_sketch_shuffle_budget(self, spark):
+        from xeloader_spark.queries import temporal as qt
+
+        # 2 partial builds + merge + estimate + exact-distinct join side
+        df = qt.q_hll_distinct_users(spark, SF)
+        plans.assert_no_cartesian(df)
+
+    def test_drift_broadcasts_split_point(self, spark):
+        from xeloader_spark.queries import temporal as qt
+
+        df = qt.q_distribution_drift(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan  # the 1-row split point
+        plans.assert_no_cartesian(df)

@@ -552,3 +552,58 @@ class TestDistributionDrift:
         assert rows["a"].tvd_total == 1.0
         assert rows["a"].n_first == 3 and rows["a"].n_second == 0
         assert rows["b"].share_delta == 1.0
+
+
+class TestMarkovTransitions:
+    def test_known_chain(self, spark):
+        """a→b→a→b for one user and a→a for another: transition rows and
+        row-normalized probabilities are fully determined."""
+        import datetime as dt
+
+        from xeloader_spark.operators.temporal import markov_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        rows = [
+            (1, base + 0 * s, 1, "a"), (2, base + 1 * s, 1, "b"),
+            (3, base + 2 * s, 1, "a"), (4, base + 3 * s, 1, "b"),
+            (5, base + 0 * s, 2, "a"), (6, base + 1 * s, 2, "a"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        got = {
+            (r.prev_state, r.next_state): (r.n_transitions, r.n_from_prev, r.p_transition)
+            for r in markov_transitions(df).collect()
+        }
+        assert got == {
+            ("a", "b"): (2, 3, 2 / 3),
+            ("a", "a"): (1, 3, 1 / 3),
+            ("b", "a"): (1, 1, 1.0),
+        }
+        # no cross-user transition (user 1 ends with b, user 2 starts with a)
+        assert ("b", "b") not in got
+
+    def test_probabilities_sum_to_one_per_row(self, spark):
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.operators.temporal import markov_transitions
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        rows = markov_transitions(ev).collect()
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for r in rows:
+            sums[r.prev_state] += r.p_transition
+        assert all(abs(v - 1.0) < 1e-9 for v in sums.values())
+
+
+class TestScd2PointInTime:
+    def test_every_fact_hits_its_containing_run(self, spark):
+        """The composed scd2 → as-of join must attach the run containing
+        each event (consistency invariant) including run-start ties."""
+        from xeloader_spark.queries.temporal import q_scd2_pointintime
+
+        rows = q_scd2_pointintime(spark, "/root/testdata/sf0.001").collect()
+        assert rows and all(r.consistent for r in rows)
+        assert all(r.effective_from <= r.ts for r in rows)

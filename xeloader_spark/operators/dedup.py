@@ -1350,3 +1350,106 @@ def editdistance_neardup(
         )
         .filter(F.col("edit_ratio") <= max_ratio)
     )
+
+
+# -------------------------------------------- prefix-filtering SSJoin
+def prefix_jaccard_pairs(
+    item_df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "id",
+    item_col: str = "shingle",
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the
+    SSJoin/PPJoin family — public algorithms): same answer as
+    `jaccard_pairs`, candidate space orders of magnitude smaller.
+
+    Tokens get a global rarity order (document frequency asc, token
+    asc); a set with J(x,y) ≥ t must share a token within each side's
+    first |x| − ⌈t·|x|⌉ + 1 rarest tokens, so ONLY prefix tokens enter
+    the inverted-index join — the frequent tokens that create the
+    O(d²) fan-out `max_df` fights are exactly the ones prefix filtering
+    never indexes, while staying lossless (no `max_df` semantics
+    change). A length filter (t·|x| ≤ |y| ≤ |x|/t, cross-multiplied)
+    prunes candidates before verification; verification counts the true
+    intersection and keeps J ≥ t by integer cross-multiplication —
+    the threshold is the exact rational threshold_num/threshold_den,
+    no float compare anywhere.
+
+    Scale: df aggregate + rank (vocabulary-sized; the rank window is a
+    global sort over token TYPES, same discipline as the BPE trainer),
+    prefix join shuffles (prefix-token, id) pairs, verify joins the
+    candidate pairs back to full sets. Output matches `jaccard_pairs`
+    (id_a, id_b, n_common, jaccard)."""
+    from pyspark.sql import Window
+
+    items = _persist(item_df.select(id_col, item_col).distinct())
+    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    dfc = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("df"))
+    rank = dfc.select(
+        item_col,
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc(item_col)))
+        .alias("rnk"),
+    )
+    ranked = (
+        items.join(rank, item_col)
+        .join(sizes, id_col)
+        .select(id_col, "rnk", "n")
+    )
+    # token's position within its set's rarity order; prefix keeps
+    # positions 1 .. n - ceil(t*n) + 1
+    pos_w = Window.partitionBy(id_col).orderBy("rnk")
+    prefix = (
+        ranked.withColumn("pos", F.row_number().over(pos_w))
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(
+                f"(n * {threshold_num} + {threshold_den - 1}) div {threshold_den}"
+            )
+            + 1
+        )
+        .select(id_col, "rnk", "n")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "rnk", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "rnk", F.col("n").alias("n_b")
+    )
+    cands = (
+        a.join(b, "rnk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: t·|x| ≤ |y| and t·|y| ≤ |x|
+            & (F.col("n_b") * threshold_den >= F.col("n_a") * threshold_num)
+            & (F.col("n_a") * threshold_den >= F.col("n_b") * threshold_num)
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    ta = items.select(F.col(id_col).alias("id_a"), item_col)
+    tb = items.select(F.col(id_col).alias("id_b"), item_col)
+    common = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", item_col])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.filter(
+            F.col("n_common") * threshold_den
+            >= (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            * threshold_num
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -326,3 +326,24 @@ def hist_quantiles(
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    with identical (width, depth, salt): |A ⋈ B| = Σ_k a_k·b_k is
+    estimated by min_d Σ_bucket a[d][b]·b[d][b] — the classic CMS
+    inner-product bound (never underestimates, error ≤ ‖a‖₁‖b‖₁/width).
+    This is how a planner sizes a join without touching either table:
+    two sketch tables in, ONE number out, all integer arithmetic.
+
+    Scale: both inputs are sketch-sized (depth × width rows) — the
+    estimate costs a broadcast join of two tiny tables regardless of
+    the joined tables' size."""
+    a = sk_a.select("d", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sk_b.select("d", "bucket", F.col("cnt").alias("cnt_b"))
+    per_d = (
+        a.join(F.broadcast(b), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("ip"))
+    )
+    return per_d.agg(F.min("ip").cast("long").alias("join_size_est"))

@@ -555,3 +555,46 @@ def distribution_drift(
             / (F.lit(2).cast("long") * na * nb).cast("double")
         ).alias("tvd_total"),
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of per-key state sequences —
+    the clickstream/session model behind "what follows a view?".
+    Each key's events are ordered by (ts, tie); consecutive (prev → next)
+    state pairs are counted and normalized per source state. Counts are
+    integers; the transition probability is ONE IEEE division, so the
+    whole matrix is engine-exact.
+
+    Scale: the lag pairing is one window shuffle on the key (the same
+    partitioning every sessionization query uses); the matrix aggregate
+    is states²-sized with map-side combine; row totals come from a
+    states-sized window, not a second scan."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    pairs = (
+        df.select(
+            key_col,
+            F.lag(state_col).over(w).alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+    )
+    c = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    tot = Window.partitionBy("prev_state")
+    return c.select(
+        "prev_state",
+        "next_state",
+        "n_transitions",
+        F.sum("n_transitions").over(tot).cast("long").alias("n_from_prev"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double")
+        ).alias("p_transition"),
+    )

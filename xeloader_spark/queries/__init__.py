@@ -45,8 +45,10 @@ from . import core
 # `q_triangle_stats`, `q_image_phash`, `q_image_phash_neardup`,
 # `q_pmi_collocations`, `q_hourly_autocorrelation`, `q_cdc_snapshot`,
 # `q_source_diversity`, `q_hist_quantile_sketch`,
-# `q_distribution_drift`, `q_classifier_calibration`, and
-# `q_fixedwidth_roundtrip`, which
+# `q_distribution_drift`, `q_classifier_calibration`,
+# `q_fixedwidth_roundtrip`, `q_join_size_sketch`,
+# `q_prefix_jaccard_pairs`, `q_markov_transitions`,
+# `q_pivot_user_matrix`, and `q_scd2_pointintime`, which
 # deliberately landed past round 3's 50-slot cap, plus any late round-3
 # additions), then rotate regression re-checks to queries whose last
 # green row is oldest.

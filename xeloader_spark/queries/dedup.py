@@ -46,6 +46,19 @@ def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join by prefix filtering (SSJoin/PPJoin
+    family): same trigram-shingle Jaccard ≥ 0.5 answer as
+    `q_dedup_shingle_jaccard`, but only each set's rarest-token prefix
+    enters the inverted index — the frequent-shingle fan-out never
+    materializes. The oracle is the EXHAUSTIVE inverted-index SQL, so
+    the hash match is a losslessness proof of the pruning (prefix +
+    length filter), the same evidence shape as the phash-blocking and
+    banding completeness checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_jaccard_pairs(dd.shingles(docs, n=3), 1, 2)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline (shingle → 12 min-hashes →
     4×3 bands → candidate join → exact-Jaccard verify)."""
@@ -447,6 +460,8 @@ ORACLES: dict[str, str] = {
         FROM c
     """,
     "q_dedup_shingle_jaccard": _JACCARD_PAIRS,
+    # the exhaustive index IS the oracle: hash match == pruning is lossless
+    "q_prefix_jaccard_pairs": _JACCARD_PAIRS,
     "q_containment_pairs": f"""
         WITH tri AS ({tri_sql()}),
         sz AS (SELECT id, COUNT(*) AS n FROM tri GROUP BY 1),

@@ -323,6 +323,32 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: the per-user × event-type activity matrix (wide form) via
+    Spark's `pivot` with an explicit value list — with the values
+    pinned, Catalyst compiles it to ONE pass of conditional aggregates
+    (no distinct-discovery job, no second shuffle), which is the only
+    pivot shape that belongs on 100 TB. The oracle is the same matrix
+    as portable conditional sums. Integer counts plus one exact decimal
+    sum per type; missing cells are true zeros."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — margins chosen à la carte ((status,
     priority), (status), ()) rather than cube/rollup's fixed lattices;
@@ -995,6 +1021,15 @@ ORACLES: dict[str, str] = {
                                 TIMESTAMP '{cutoff} 00:00:00')
         GROUP BY 1
     """.format(cutoff=_CHURN_CUTOFF),
+    "q_pivot_user_matrix": f"""
+        SELECT user_id,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS n_{t}"
+                   for t in _EVENT_TYPES
+               )}
+        FROM events GROUP BY 1
+    """,
     "q_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,

@@ -499,6 +499,44 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user sequences
+    (`operators/temporal.py` `markov_transitions` — integer counts, one
+    IEEE division per probability)."""
+    from ..operators.temporal import markov_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(ev)
+
+
+def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation without touching either table: the
+    CMS inner-product bound min_d Σ_b a[d][b]·b[d][b] ≥ |A ⋈ B| (the
+    planner-side use of count-min sketches). Sketches of events.user_id
+    and orders.o_custkey — two depth×width tables — produce the
+    estimate; the exact join size rides along and `never_underestimates`
+    pins the bound. All integer, fully replayed by the oracle."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    sk_a = sk.cms_build(ev, "user_id", _CMS_W, _CMS_D, salt="js")
+    sk_b = sk.cms_build(orders, "o_custkey", _CMS_W, _CMS_D, salt="js")
+    est = sk.cms_inner_product(sk_a, sk_b)
+    exact = (
+        ev.select(F.col("user_id").alias("k"))
+        .join(orders.select(F.col("o_custkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "exact_join_size",
+        "join_size_est",
+        (F.col("join_size_est") >= F.col("exact_join_size")).alias(
+            "never_underestimates"
+        ),
+    )
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension history of each user's event_type stream:
     one row per consecutive run of equal values with validity bounds,
@@ -514,8 +552,52 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {
-    "q_scd2_history": """
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the versioned dimension:
+    every error event picks up the SCD2 version that was ACTIVE at its
+    timestamp — the classic "join facts to the dimension as it was
+    then" warehouse query, composed from two native operators
+    (`scd2_history` → `asof_join` backward on effective_from). The
+    dimension derives from the same stream, so the active run must be
+    the one containing the event — pinned as `consistent`, making the
+    whole composition self-checking on top of the oracle replay."""
+    from ..operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_history(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", seq_col="event_id",
+    ).select(
+        "user_id",
+        "effective_from",
+        F.col("event_type").alias("dim_state"),
+        "version",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors,
+        dim,
+        on="user_id",
+        left_ts="ts",
+        right_ts="effective_from",
+        right_cols=["dim_state", "version"],
+        direction="backward",
+        tie_col="version",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("effective_from_right").alias("effective_from"),
+        "dim_state",
+        F.col("version").cast("long").alias("version"),
+        (F.col("dim_state") == F.lit("error")).alias("consistent"),
+    )
+
+
+_SCD2_SQL = """
         WITH ordered AS (
             SELECT user_id, ts, event_type,
                    CAST(ROW_NUMBER() OVER (
@@ -540,6 +622,31 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(LEAD(rn) OVER (PARTITION BY user_id ORDER BY rn),
                              n_total + 1) - rn AS BIGINT) AS n_events
         FROM changes
+"""
+
+ORACLES: dict[str, str] = {
+    "q_scd2_history": _SCD2_SQL,
+    "q_scd2_pointintime": f"""
+        WITH scd AS ({_SCD2_SQL}),
+        err AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'error'
+        ),
+        j AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   s.effective_from, s.event_type AS dim_state, s.version,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY s.effective_from DESC, s.version DESC
+                   ) AS rk
+            FROM err e
+            JOIN scd s ON s.user_id = e.user_id
+                      AND s.effective_from <= e.ts
+        )
+        SELECT event_id, user_id, ts, effective_from, dim_state,
+               CAST(version AS BIGINT) AS version,
+               dim_state = 'error' AS consistent
+        FROM j WHERE rk = 1
     """,
     "q_retention_cohorts": """
         WITH days AS (
@@ -710,6 +817,64 @@ ORACLES: dict[str, str] = {
         _sk._HLL_RHO_MAX,
         *_sk._hll_alpha_num_den(1 << _HLL_P),
     ),
+    "q_markov_transitions": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_state,
+                   event_type AS next_state
+            FROM events
+        ),
+        c AS (
+            SELECT prev_state, next_state,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM pairs WHERE prev_state IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_state, next_state, n_transitions,
+               CAST(SUM(n_transitions) OVER (PARTITION BY prev_state)
+                    AS BIGINT) AS n_from_prev,
+               CAST(n_transitions AS DOUBLE)
+                   / CAST(SUM(n_transitions) OVER (PARTITION BY prev_state)
+                          AS DOUBLE) AS p_transition
+        FROM c
+    """,
+    "q_join_size_sketch": f"""
+        WITH dd AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+        a AS (
+            SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt_a
+            FROM (
+                SELECT dd.d,
+                       ('0x' || substr(md5('js' || CAST(dd.d AS VARCHAR)
+                            || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                           % {_CMS_W} AS bucket
+                FROM events, dd
+            ) GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt_b
+            FROM (
+                SELECT dd.d,
+                       ('0x' || substr(md5('js' || CAST(dd.d AS VARCHAR)
+                            || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                           % {_CMS_W} AS bucket
+                FROM orders, dd
+            ) GROUP BY 1, 2
+        ),
+        ip AS (
+            SELECT a.d, CAST(SUM(a.cnt_a * b.cnt_b) AS BIGINT) AS ip
+            FROM a JOIN b ON a.d = b.d AND a.bucket = b.bucket
+            GROUP BY 1
+        ),
+        est AS (SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est FROM ip),
+        ex AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+            FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        )
+        SELECT ex.exact_join_size, est.join_size_est,
+               est.join_size_est >= ex.exact_join_size
+                   AS never_underestimates
+        FROM est, ex
+    """,
     "q_cms_heavy_hitters": f"""
         WITH dd AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
         b AS (
