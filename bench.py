@@ -74,6 +74,7 @@ HEADLINE = [
     "q_hist_quantile_sketch",
     "q_markov_transitions",
     "q_pivot_user_matrix",
+    "q_label_propagation",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

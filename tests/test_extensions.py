@@ -1426,3 +1426,65 @@ class TestPrefixJaccard:
         )
         assert prefix_n < 0.7 * full, (prefix_n, full)
         dd.release_persisted()
+
+
+class TestLabelPropagation:
+    def test_frontier_expansion_and_clamping(self, spark):
+        """Path 0-1-2-3 with seed at 0 (label 'a') and 3 (label 'b'):
+        round 1 labels 1←a (its only labeled out-neighbor) and 2←b;
+        clamping keeps them stable in round 2; majority tie-break takes
+        the smaller label."""
+        from xeloader_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)],
+            "src long, dst long",
+        )
+        seeds = spark.createDataFrame([(0, "a"), (3, "b")], "id long, label string")
+        got = {
+            r.id: (r.label, r.round_assigned)
+            for r in label_propagation(edges, seeds, iters=2).collect()
+        }
+        assert got[0] == ("a", 0) and got[3] == ("b", 0)
+        assert got[1] == ("a", 1) and got[2] == ("b", 1)
+
+        # tie: node with one 'a' and one 'b' neighbor takes 'a' (asc)
+        e2 = spark.createDataFrame([(9, 0), (9, 3)], "src long, dst long")
+        got2 = {
+            r.id: r.label
+            for r in label_propagation(
+                edges.unionByName(e2), seeds, iters=1
+            ).collect()
+        }
+        assert got2[9] == "a"
+
+    def test_two_cluster_graph_propagates_perfectly(self, spark):
+        """On a graph whose edges respect two ground-truth communities
+        (ring within each cluster, no cross edges), a one-seed-per-
+        cluster propagation must label every node correctly. (The
+        driver fixture's labels are geometry-independent by
+        construction — exact 1-NN agreement is ~7% — so quality is
+        pinned here on a graph where it is well-defined.)"""
+        from xeloader_spark.operators.graph import label_propagation
+
+        def ring(ids):
+            es = []
+            for i, u in enumerate(ids):
+                v = ids[(i + 1) % len(ids)]
+                es += [(u, v), (v, u)]
+            return es
+
+        edges = spark.createDataFrame(
+            ring(list(range(10))) + ring(list(range(100, 110))),
+            "src long, dst long",
+        )
+        seeds = spark.createDataFrame(
+            [(0, "blue"), (100, "red")], "id long, label string"
+        )
+        got = {
+            r.id: r.label
+            for r in label_propagation(edges, seeds, iters=6).collect()
+        }
+        assert len(got) == 20
+        assert all(got[i] == "blue" for i in range(10))
+        assert all(got[i] == "red" for i in range(100, 110))

@@ -607,3 +607,31 @@ class TestScd2PointInTime:
         rows = q_scd2_pointintime(spark, "/root/testdata/sf0.001").collect()
         assert rows and all(r.consistent for r in rows)
         assert all(r.effective_from <= r.ts for r in rows)
+
+
+def test_native_session_window_matches_gap_sessionizer(spark):
+    """Spark's built-in session_window (gap-merge semantics) must carve
+    the same sessions as the window-based batch sessionizer (and hence
+    the applyInPandasWithState streaming twin): same (user, first-event,
+    event-count) triples on the fixture. (The only semantic edge is a
+    gap of EXACTLY 30:00.000000 — `>` vs `>=` — which microsecond
+    timestamps never hit.)"""
+    from xeloader_spark.catalog import load_table
+    from xeloader_spark.queries.temporal import q_sessionize_gap_batch
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    native = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("first_ts"))
+        .select("user_id", "first_ts", "n_events")
+    )
+    batch = q_sessionize_gap_batch(spark, "/root/testdata/sf0.001").select(
+        "user_id",
+        F.col("session_start").alias("first_ts"),
+        "n_events",
+    )
+    a = {(r.user_id, r.first_ts, r.n_events) for r in native.collect()}
+    b = {(r.user_id, r.first_ts, r.n_events) for r in batch.collect()}
+    assert a == b and len(a) > 100

@@ -216,3 +216,53 @@ def triangle_stats(
             .alias("clust_coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation over a directed neighbor graph
+    (k-NN edges): seed nodes carry known labels; each round, every
+    still-unlabeled node that has ≥1 labeled out-neighbor takes the
+    majority label among them (ties → lexicographically smallest
+    label), and once assigned a label is CLAMPED — the deterministic
+    frontier-expansion variant (no oscillation, no RNG), so the whole
+    fixed point unrolls into SQL CTEs like `pagerank`.
+
+    `edges`: (src, dst); `seeds`: (id, label). Returns (id, label,
+    round_assigned) for every node ever labeled — round 0 = seed.
+
+    Scale shape: per round, one join of the edge list against the
+    label frame (node-sized) + one (node, label) vote aggregate + an
+    anti-join to restrict to the frontier — all edge-/node-keyed
+    shuffles, the vector payloads never move; the label frame is
+    localCheckpoint-ed per round so plans stay O(1) in iters."""
+    labels = seeds.select(
+        "id", "label", F.lit(0).cast("long").alias("round_assigned")
+    ).localCheckpoint(eager=True)
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    for r in range(1, iters + 1):
+        votes = (
+            e.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+            .join(
+                labels.select(F.col("id").alias("src"), F.lit(1).alias("__has")),
+                "src",
+                "left_anti",
+            )
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
+        picked = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "id", "label", F.lit(r).cast("long").alias("round_assigned")
+            )
+        )
+        labels = labels.unionByName(picked).localCheckpoint(eager=True)
+    return labels

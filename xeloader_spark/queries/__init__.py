@@ -48,7 +48,8 @@ from . import core
 # `q_distribution_drift`, `q_classifier_calibration`,
 # `q_fixedwidth_roundtrip`, `q_join_size_sketch`,
 # `q_prefix_jaccard_pairs`, `q_markov_transitions`,
-# `q_pivot_user_matrix`, and `q_scd2_pointintime`, which
+# `q_pivot_user_matrix`, `q_scd2_pointintime`, `q_label_propagation`,
+# and `q_hll_intersection`, which
 # deliberately landed past round 3's 50-slot cap, plus any late round-3
 # additions), then rotate regression re-checks to queries whose last
 # green row is oldest.

@@ -235,6 +235,105 @@ def _pagerank_sql(
 
 
 
+_LP_ITERS = 3
+_LP_SEED_THR = 3000  # of sampling.BUCKETS=10000 → 30% seeds
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the approximate k-NN
+    graph: a deterministic 30% hash-gated seed set keeps its true
+    labels; three clamped majority-vote rounds spread them along
+    k-NN edges (`operators/graph.py` `label_propagation`). Votes are
+    integer counts with a total (count desc, label asc) tie-break, so
+    the whole fixed point — banding, edges, every round — unrolls into
+    SQL CTEs and hash-matches. True labels ride along in `correct`;
+    note the fixture's labels are geometry-independent by construction
+    (exact 1-NN agreement ≈ chance), so `correct` here pins the
+    deterministic mechanics, while propagation QUALITY on a
+    label-respecting graph is pinned by the two-cluster pytest."""
+    from ..operators.graph import label_propagation
+    from ..operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(
+        emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
+    )
+    seeds = emb.filter(
+        hash_bucket("vec_id", "lpseed") < _LP_SEED_THR
+    ).select(F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label"))
+    out = label_propagation(edges, seeds, iters=_LP_ITERS)
+    return (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("label").cast("long").alias("true_label"),
+        )
+        .join(
+            out.select(
+                "id",
+                F.col("label").alias("pred_label"),
+                "round_assigned",
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            "true_label",
+            "pred_label",
+            "round_assigned",
+            F.coalesce(
+                F.col("pred_label") == F.col("true_label"), F.lit(False)
+            ).alias("correct"),
+        )
+    )
+
+
+def _label_prop_sql(iters: int, seed_thr: int) -> str:
+    knn = _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)
+    seed_gate = (
+        "('0x' || substr(md5('lpseed' || CAST(vec_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 10000 < {seed_thr}"
+    )
+    parts = [
+        f"""
+        WITH edges AS (SELECT src, dst FROM ({knn})),
+        l0 AS (
+            SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+                   CAST(0 AS BIGINT) AS round_assigned
+            FROM embeddings WHERE {seed_gate}
+        )"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+        v{r} AS (
+            SELECT e.src AS id, l.label, COUNT(*) AS n
+            FROM edges e
+            JOIN l{r - 1} l ON l.id = e.dst
+            LEFT JOIN l{r - 1} lp ON lp.id = e.src
+            WHERE lp.id IS NULL
+            GROUP BY 1, 2
+        ),
+        p{r} AS (
+            SELECT id, label, CAST({r} AS BIGINT) AS round_assigned
+            FROM (SELECT id, label,
+                         ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY n DESC, label ASC) AS rk
+                  FROM v{r})
+            WHERE rk = 1
+        ),
+        l{r} AS (SELECT * FROM l{r - 1} UNION ALL SELECT * FROM p{r})"""
+        )
+    parts.append(f"""
+        SELECT em.vec_id AS id, CAST(em.label AS BIGINT) AS true_label,
+               lf.label AS pred_label, lf.round_assigned,
+               COALESCE(lf.label = CAST(em.label AS BIGINT), FALSE)
+                   AS correct
+        FROM embeddings em
+        LEFT JOIN l{iters} lf ON lf.id = em.vec_id
+    """)
+    return "".join(parts)
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient of the
     undirected graph under the approximate k-NN graph — how clique-like
@@ -1193,6 +1292,7 @@ ORACLES: dict[str, str] = {
     "q_knn_graph": _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB),
     "q_pagerank_knn": _pagerank_sql(_PR_ITERS, _PR_SCALE),
     "q_triangle_stats": _triangle_sql(),
+    "q_label_propagation": _label_prop_sql(_LP_ITERS, _LP_SEED_THR),
     "q_audio_decimate": _audio_decimate_sql(),
     "q_ann_topk_pq_sampled": _pq_sql(
         _PQ_M,

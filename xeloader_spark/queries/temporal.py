@@ -552,6 +552,54 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |click ∩ purchase| users estimated by
+    inclusion-exclusion over three HLL estimates (est_a + est_b −
+    est_union, the union sketch being the register-wise MAX merge).
+    Every input estimate is the pinned-order exact-replay estimator, so
+    the derived intersection is engine-exact too; the true intersection
+    rides along. The union registers never rescan raw data — the merge
+    IS the algebra."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    sk_a = sk.hll_build(a, "user_id", p=_HLL_P)
+    sk_b = sk.hll_build(b, "user_id", p=_HLL_P)
+    est_a = sk.hll_estimate(sk_a, p=_HLL_P).select(
+        F.col("hll_est").alias("est_click")
+    )
+    est_b = sk.hll_estimate(sk_b, p=_HLL_P).select(
+        F.col("hll_est").alias("est_purchase")
+    )
+    est_u = sk.hll_estimate(sk.hll_merge(sk_a, sk_b), p=_HLL_P).select(
+        F.col("hll_est").alias("est_union")
+    )
+    exact = (
+        a.select("user_id")
+        .distinct()
+        .join(b.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(exact)
+        .select(
+            "est_click",
+            "est_purchase",
+            "est_union",
+            (
+                F.col("est_click")
+                + F.col("est_purchase")
+                - F.col("est_union")
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+
+
 def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (temporal) join against the versioned dimension:
     every error event picks up the SCD2 version that was ACTIVE at its
@@ -767,6 +815,60 @@ ORACLES: dict[str, str] = {
         WHERE c.cum >= (c.n_rows * p.pct + 99) // 100
           AND c.cum_before < (c.n_rows * p.pct + 99) // 100
     """,
+    "q_hll_intersection": (lambda m, rmax, a_num, a_den: (
+        lambda regs, est: f"""
+        WITH ha AS ({regs("event_type = 'click'")}),
+        hb AS ({regs("event_type = 'purchase'")}),
+        hu AS (
+            SELECT idx, MAX(rho) AS rho
+            FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)
+            GROUP BY 1
+        ),
+        ea AS ({est('ha', 'est_click')}),
+        eb AS ({est('hb', 'est_purchase')}),
+        eu AS ({est('hu', 'est_union')}),
+        ex AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+            FROM (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'click') a
+            JOIN (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase') b
+              ON a.user_id = b.user_id
+        )
+        SELECT ea.est_click, eb.est_purchase, eu.est_union,
+               ea.est_click + eb.est_purchase - eu.est_union
+                   AS est_intersection,
+               ex.exact_intersection
+        FROM ea, eb, eu, ex
+    """)(
+        lambda where: f"""
+            SELECT idx, MAX(CASE WHEN word = 0 THEN {rmax}
+                                 ELSE {rmax} - length(bin(word)) END) AS rho
+            FROM (
+                SELECT ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+                            1, 4))::BIGINT % {m} AS idx,
+                       ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+                            5, 12))::BIGINT AS word
+                FROM events WHERE {where}
+            ) GROUP BY 1
+        """,
+        lambda rel, alias: f"""
+            SELECT CAST({a_num * m * m} AS DOUBLE)
+                       * CAST({1 << (rmax + 1)} AS DOUBLE)
+                       / CAST({a_den} AS DOUBLE)
+                       / CAST(zsum AS DOUBLE) AS {alias}
+            FROM (
+                SELECT CAST(SUM(1::BIGINT << CAST({rmax + 1} - rho AS INT))
+                            + ({m} - COUNT(*))
+                              * (1::BIGINT << {rmax + 1}) AS BIGINT) AS zsum
+                FROM {rel}
+            )
+        """,
+    ))(
+        1 << _HLL_P,
+        _sk._HLL_RHO_MAX,
+        *_sk._hll_alpha_num_den(1 << _HLL_P),
+    ),
     "q_hll_distinct_users": (lambda m, rmax, a_num, a_den: f"""
         WITH h AS (
             SELECT event_type,
