@@ -635,3 +635,36 @@ def test_native_session_window_matches_gap_sessionizer(spark):
     a = {(r.user_id, r.first_ts, r.n_events) for r in native.collect()}
     b = {(r.user_id, r.first_ts, r.n_events) for r in batch.collect()}
     assert a == b and len(a) > 100
+
+
+class TestSeriesCorrelation:
+    def test_perfect_and_anti_correlation(self, spark):
+        """Two series with identical hourly counts → r = 1; a series
+        high exactly when another is low → r = -1; a constant series
+        emits 0 by convention."""
+        import datetime as dt
+
+        from xeloader_spark.operators.temporal import series_correlation
+
+        base = dt.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        for h in range(12):
+            hi = h % 2 == 0
+            for _ in range(3 if hi else 1):
+                rows.append((eid, base + dt.timedelta(hours=h), "a")); eid += 1
+                rows.append((eid, base + dt.timedelta(hours=h), "b")); eid += 1
+            for _ in range(1 if hi else 3):
+                rows.append((eid, base + dt.timedelta(hours=h), "c")); eid += 1
+            for _ in range(2):
+                rows.append((eid, base + dt.timedelta(hours=h), "d")); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        got = {
+            (r.cat_a, r.cat_b): r.pearson_r
+            for r in series_correlation(df).collect()
+        }
+        assert got[("a", "b")] == 1.0
+        assert got[("a", "c")] == -1.0
+        assert got[("a", "d")] == 0.0  # constant partner → degenerate 0
+        assert len(got) == 6

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Generate the next round's `_ROUND_PRIORITY` list.
+
+Diffs the current registry (`queries()` keys, in registry order) against
+the union of green driver rows in every CORRECTNESS_r*.json, then emits a
+ready-to-paste python list: still-unverified queries first (they need
+their first driver row), then regression re-checks ordered by the round
+of their last green row (oldest first) up to the driver's ~50-slot
+window.
+
+Usage:  python tools/gen_round_priority.py [window]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    from xeloader_spark.queries import all_queries
+
+    registry = list(all_queries())
+
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and not row.get("err")
+            )
+            if ok and name in registry:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    unverified = [q for q in registry if q not in last_green]
+    rechecks = sorted(
+        (q for q in registry if q in last_green),
+        key=lambda q: (last_green[q], registry.index(q)),
+    )
+    chosen = (unverified + rechecks)[:window]
+
+    print(
+        f"# {len(registry)} registered; {len(unverified)} unverified; "
+        f"window {window} → {len(chosen)} slots "
+        f"({max(0, len(unverified) - window)} unverified beyond the window)"
+    )
+    print("_ROUND_PRIORITY = [")
+    for q in chosen:
+        tag = "" if q in unverified else f"  # recheck (last green r{last_green[q]})"
+        print(f'    "{q}",{tag}')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()

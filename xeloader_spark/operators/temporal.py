@@ -598,3 +598,55 @@ def markov_transitions(
             / F.sum("n_transitions").over(tot).cast("double")
         ).alias("p_transition"),
     )
+
+
+def series_correlation(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two categories'
+    gap-filled bucketed count series — "do errors spike when purchases
+    spike?". Same integer-sufficient-statistics discipline as
+    `lag1_autocorrelation`: the series align on the shared dense spine
+    (zeros included), stats are exact bigints, r is one
+    multiply/sqrt/divide in pinned order. Degenerate (constant) series
+    emit 0 against everything.
+
+    Scale: the spine self-join keys on bucket_ts — (cats × buckets)
+    rows joined to itself, never raw events; output is cats²-sized."""
+    filled = rollup_gapfill(
+        df,
+        ts_col=ts_col,
+        bucket_seconds=bucket_seconds,
+        keys=(cat_col,),
+        aggs=[F.count(F.lit(1)).cast("long").alias("x")],
+        zero_cols=["x"],
+    )
+    a = filled.select(
+        F.col(cat_col).alias("cat_a"), "bucket_ts", F.col("x").alias("xa")
+    )
+    b = filled.select(
+        F.col(cat_col).alias("cat_b"), "bucket_ts", F.col("x").alias("xb")
+    )
+    p = a.join(b, "bucket_ts").filter(F.col("cat_a") < F.col("cat_b"))
+    s = p.groupBy("cat_a", "cat_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    va = (F.col("n_buckets") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    vb = (F.col("n_buckets") * F.col("syy") - F.col("sy") * F.col("sy")).cast("long")
+    num = (F.col("n_buckets") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    r = F.when(
+        (va > 0) & (vb > 0),
+        num.cast("double") / F.sqrt(va.cast("double") * vb.cast("double")),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "cat_a", "cat_b", "n_buckets", "sxy", "sx", "sy", "sxx", "syy",
+        r.alias("pearson_r"),
+    )

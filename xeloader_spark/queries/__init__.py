@@ -38,21 +38,15 @@ from . import core
 # COVERAGE.md is the authoritative per-query verification status;
 # regenerate with tools/gen_coverage_ledger.py.)
 #
-# ROUND-4 ROTATION (do this first next round): re-diff queries() keys
-# against the union of CORRECTNESS_r01/r02/r03 green rows; front-load
-# whatever is still unverified (at minimum `q_forecast_revenue_change`,
-# `q_scd2_history`, `q_pagerank_knn`, `q_hll_distinct_users`,
-# `q_triangle_stats`, `q_image_phash`, `q_image_phash_neardup`,
-# `q_pmi_collocations`, `q_hourly_autocorrelation`, `q_cdc_snapshot`,
-# `q_source_diversity`, `q_hist_quantile_sketch`,
-# `q_distribution_drift`, `q_classifier_calibration`,
-# `q_fixedwidth_roundtrip`, `q_join_size_sketch`,
-# `q_prefix_jaccard_pairs`, `q_markov_transitions`,
-# `q_pivot_user_matrix`, `q_scd2_pointintime`, `q_label_propagation`,
-# and `q_hll_intersection`, which
-# deliberately landed past round 3's 50-slot cap, plus any late round-3
-# additions), then rotate regression re-checks to queries whose last
-# green row is oldest.
+# ROUND-4 ROTATION (do this first next round): run
+#     python tools/gen_round_priority.py
+# and replace this list with its output. It diffs queries() against the
+# union of green CORRECTNESS_r*.json rows, front-loads everything still
+# unverified (~24 round-3-session additions sit past this round's
+# 50-slot cap, e.g. q_scd2_history, q_pagerank_knn, the HLL/histogram
+# sketch family, q_triangle_stats, q_label_propagation, the phash and
+# prefix-jaccard near-dup queries), then fills with regression
+# re-checks ordered by oldest last-green round.
 _ROUND_PRIORITY = [
     # the 19 still-unverified queries (no CORRECTNESS_r01/r02 row)
     "q_ann_topk_pq",

@@ -499,6 +499,35 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix between the event types'
+    gap-filled hourly count series (`operators/temporal.py`
+    `series_correlation` — exact integer statistics, IEEE-pinned r)."""
+    from ..operators.temporal import series_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    return series_correlation(ev)
+
+
+def q_json_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload surface: the events `props` JSON column
+    parsed in-plan (`get_json_object` path extraction, typed cast) and
+    aggregated per event type — the "query the raw payload without a
+    schema migration" capability every event loader needs. Counts and
+    integer sums are exact; parse failures surface as a counted column
+    instead of silent nulls."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("long").alias("n_unparsed"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.countDistinct(k).cast("long").alias("distinct_k"),
+    )
+
+
 def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-type transition matrix over per-user sequences
     (`operators/temporal.py` `markov_transitions` — integer counts, one
@@ -919,6 +948,68 @@ ORACLES: dict[str, str] = {
         _sk._HLL_RHO_MAX,
         *_sk._hll_alpha_num_den(1 << _HLL_P),
     ),
+    "q_series_correlation": """
+        WITH agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM agg),
+        spine AS (
+            SELECT t.event_type, s.bucket_ts
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR))
+                    AS bucket_ts
+                FROM bounds
+            ) s
+        ),
+        f AS (
+            SELECT spine.event_type, spine.bucket_ts,
+                   COALESCE(agg.x, 0) AS x
+            FROM spine LEFT JOIN agg USING (event_type, bucket_ts)
+        ),
+        p AS (
+            SELECT a.event_type AS cat_a, b.event_type AS cat_b,
+                   a.x AS xa, b.x AS xb
+            FROM f a JOIN f b ON a.bucket_ts = b.bucket_ts
+                             AND a.event_type < b.event_type
+        ),
+        s AS (
+            SELECT cat_a, cat_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+                   CAST(SUM(xa) AS BIGINT) AS sx,
+                   CAST(SUM(xb) AS BIGINT) AS sy,
+                   CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+                   CAST(SUM(xb * xb) AS BIGINT) AS syy
+            FROM p GROUP BY 1, 2
+        )
+        SELECT cat_a, cat_b, n_buckets, sxy, sx, sy, sxx, syy,
+               CASE WHEN (n_buckets * sxx - sx * sx) > 0
+                     AND (n_buckets * syy - sy * sy) > 0
+                    THEN CAST(n_buckets * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n_buckets * sxx - sx * sx AS DOUBLE)
+                                * CAST(n_buckets * syy - sy * sy AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END AS pearson_r
+        FROM s
+    """,
+    "q_json_payload_stats": """
+        WITH x AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unparsed,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k
+        FROM x GROUP BY 1
+    """,
     "q_markov_transitions": """
         WITH pairs AS (
             SELECT lag(event_type) OVER (PARTITION BY user_id
