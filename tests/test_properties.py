@@ -214,3 +214,65 @@ class TestZValueProperties:
         for (a, b), z in got.items():
             assert z == py_z(a, b), (a, b, z)
         assert len(set(got.values())) == len(set(pairs))
+
+
+@given(
+    st.binary(min_size=48, max_size=48),
+    st.integers(min_value=0, max_value=47),
+    st.integers(min_value=1, max_value=255),
+)
+def test_ahash_brightness_shift_monotone(pixels, idx, delta):
+    """aHash properties (pure python core): (1) the hash has exactly the
+    bits whose luma strictly exceeds the mean — recomputed independently
+    here; (2) raising one channel can only turn bits on at that pixel or
+    off elsewhere via the raised mean — never on elsewhere."""
+    from xeloader_spark.operators.multimodal import ahash_core
+
+    h, total = ahash_core(pixels, 16)
+    lumas = [
+        299 * pixels[3 * i] + 587 * pixels[3 * i + 1] + 114 * pixels[3 * i + 2]
+        for i in range(16)
+    ]
+    assert total == sum(lumas)
+    expect = 0
+    for i, lum in enumerate(lumas):
+        if lum * 16 > total:
+            expect |= 1 << (15 - i)
+    assert h == expect
+
+    bumped = bytearray(pixels)
+    bumped[idx] = min(255, bumped[idx] + delta)
+    h2, _ = ahash_core(bytes(bumped), 16)
+    changed_px = idx // 3
+    for i in range(16):
+        bit, bit2 = (h >> (15 - i)) & 1, (h2 >> (15 - i)) & 1
+        if i != changed_px:
+            assert bit2 <= bit  # mean rose: other pixels can only lose the bit
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.text(
+                st.characters(codec="ascii", exclude_characters="\x00"),
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fixed_width_python_roundtrip_model(rows):
+    """Model-level fixed-width invariant: rendering then parsing with the
+    same spec is the identity for in-width values (checked in pure
+    python against the spec arithmetic the Spark projections encode)."""
+    width_n, width_s = 12, 8
+    for n, s in rows:
+        if len(s.strip()) != len(s) or len(s) > width_s or s == "":
+            continue  # padding is not invertible for edge blanks — documented
+        line = str(n).rjust(width_n) + s.ljust(width_s)
+        assert len(line) == width_n + width_s
+        back_n = int(line[:width_n].strip())
+        back_s = line[width_n:].strip()
+        assert back_n == n and back_s == s

@@ -703,3 +703,78 @@ def test_streaming_histogram_matches_batch(spark, stream_in, tmp_path):
         ).collect()
     }
     assert est_s == est_b
+
+
+def test_streaming_cdc_matches_batch(spark, stream_in, tmp_path):
+    """Last emission per key from the streaming CDC merge (tombstones
+    included) == the batch cdc_apply on the same change log: the
+    latest-op fold is a commutative max and the audit counters are sums,
+    so micro-batching cannot change the final table."""
+    from xeloader_spark.operators.temporal import cdc_apply
+    from xeloader_spark.streaming.cdc_stream import streaming_cdc_apply
+
+    out = str(tmp_path / "cdc_out")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    ev = load_table(spark, SF, "events")
+
+    def to_ops(df):
+        return df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "signup", "I")
+            .when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+            "value",
+        )
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_in)
+    q = (
+        streaming_cdc_apply(to_ops(stream))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    # last emission per key = max n_ops (the counter is strictly increasing)
+    last = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_ops", "ts", "event_id", "last_op", "value",
+                    "n_inserts", "n_updates", "n_deletes", "is_deleted",
+                )
+            ).alias("m")
+        )
+        .select("user_id", "m.*")
+    )
+    stream_live = {
+        r.user_id: (r.ts, r.event_id, r.last_op, r.value,
+                    r.n_ops, r.n_inserts, r.n_updates, r.n_deletes)
+        for r in last.filter(~F.col("is_deleted")).collect()
+    }
+    batch = {
+        r.user_id: (r.ts, r.event_id, r.last_op, r.value,
+                    r.n_ops, r.n_inserts, r.n_updates, r.n_deletes)
+        for r in cdc_apply(
+            to_ops(ev), ["user_id"], ["ts", "event_id"], "op", ["value"]
+        ).collect()
+    }
+    assert stream_live == batch
+
+    # tombstoned keys are exactly the input keys missing from the batch
+    # live set (deleted-wins), and every input key got some emission
+    all_keys = {r.user_id for r in ev.select("user_id").distinct().collect()}
+    emitted_keys = {r.user_id for r in last.collect()}
+    assert emitted_keys == all_keys
+    dead = {r.user_id for r in last.filter(F.col("is_deleted")).collect()}
+    assert dead == all_keys - set(batch)

@@ -499,6 +499,49 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over user "baskets": for every unordered
+    pair of event types, the number of users exhibiting both (support)
+    and the lift n_ab·N / (n_a·n_b) — the frequent-itemset signal.
+    Baskets collapse to distinct (user, type) rows first, so supports
+    are user counts, not event counts; all integers, lift is two pinned
+    multiplies and one division. Scale: one distinct shuffle, a
+    per-user pair expansion bounded by (distinct types per user choose
+    2) ≤ C(5,2), then a types²-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ut.select("user_id").distinct().count()
+    singles = ut.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    lift = (
+        F.col("n_both").cast("double") * F.lit(n_users).cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.lit(n_users).cast("long").alias("n_users"),
+            lift.alias("lift"),
+        )
+    )
+
+
 def q_series_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix between the event types'
     gap-filled hourly count series (`operators/temporal.py`
@@ -948,6 +991,30 @@ ORACLES: dict[str, str] = {
         _sk._HLL_RHO_MAX,
         *_sk._hll_alpha_num_den(1 << _HLL_P),
     ),
+    "q_cooccurrence_lift": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+               FROM ut),
+        s AS (
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+            FROM ut GROUP BY 1
+        ),
+        p AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b ON a.user_id = b.user_id
+                              AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.n_both,
+               sa.n AS n_a, sb.n AS n_b, nu.n_users,
+               CAST(p.n_both AS DOUBLE) * CAST(nu.n_users AS DOUBLE)
+                   / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+        FROM p
+        JOIN s sa ON sa.event_type = p.type_a
+        JOIN s sb ON sb.event_type = p.type_b
+        CROSS JOIN nu
+    """,
     "q_series_correlation": """
         WITH agg AS (
             SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
