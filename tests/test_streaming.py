@@ -778,3 +778,125 @@ def test_streaming_cdc_matches_batch(spark, stream_in, tmp_path):
     assert emitted_keys == all_keys
     dead = {r.user_id for r in last.filter(F.col("is_deleted")).collect()}
     assert dead == all_keys - set(batch)
+
+
+def test_streaming_markov_counts_match_batch(spark, tmp_path):
+    """Cross-batch transition stitching: events split into three
+    time-range files streamed one per micro-batch must yield EXACTLY the
+    batch lag-window transition counts — the boundary-spanning pair per
+    user per batch is the whole point of the per-key stitch state."""
+    import time as _time
+
+    from xeloader_spark.operators.temporal import markov_transitions
+    from xeloader_spark.streaming import markov_stream as ms
+
+    src = str(tmp_path / "markov_in")
+    ckpt = str(tmp_path / "markov_ckpt")
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    ranges = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for part in ranges:  # modification-time order == event-time order
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = ms.start_transition_counts(stream, ckpt)
+    q.awaitTermination(180)
+
+    got = {
+        (r.prev_state, r.next_state): r.n_transitions
+        for r in spark.sql("select * from markov_counts").collect()
+    }
+    exp = {
+        (r.prev_state, r.next_state): r.n_transitions
+        for r in markov_transitions(ev).collect()
+    }
+    assert got == exp
+    assert sum(got.values()) == ev.count() - ev.select("user_id").distinct().count()
+
+
+def test_streaming_cdc_restart_recovers_state(spark, tmp_path):
+    """Stateful-operator checkpoint recovery: drain a first batch of
+    change files, STOP, add more files, restart with the same
+    checkpoint — the per-key state must carry across the restart (the
+    audit counters prove it: they count ops from BOTH runs), and the
+    final table equals the batch cdc_apply over everything."""
+    import time as _time
+
+    from xeloader_spark.operators.temporal import cdc_apply
+    from xeloader_spark.streaming.cdc_stream import streaming_cdc_apply
+
+    src = str(tmp_path / "cdc_src")
+    out = str(tmp_path / "cdc_out")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    ev = load_table(spark, SF, "events")
+    ops = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    first = ops.filter(F.col("event_id") % 2 == 0)
+    second = ops.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run_drain():
+        stream = spark.readStream.schema(ops.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            streaming_cdc_apply(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_drain()
+    _time.sleep(1.1)
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_drain()  # restart: same checkpoint, state must resume
+
+    emitted = spark.read.parquet(out)
+    last = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_ops", "ts", "event_id", "last_op", "value",
+                    "n_inserts", "n_updates", "n_deletes", "is_deleted",
+                )
+            ).alias("m")
+        )
+        .select("user_id", "m.*")
+    )
+    stream_live = {
+        r.user_id: (r.ts, r.event_id, r.last_op, r.value,
+                    r.n_ops, r.n_inserts, r.n_updates, r.n_deletes)
+        for r in last.filter(~F.col("is_deleted")).collect()
+    }
+    batch = {
+        r.user_id: (r.ts, r.event_id, r.last_op, r.value,
+                    r.n_ops, r.n_inserts, r.n_updates, r.n_deletes)
+        for r in cdc_apply(
+            ops, ["user_id"], ["ts", "event_id"], "op", ["value"]
+        ).collect()
+    }
+    assert stream_live == batch  # n_ops spans both runs ⇒ state recovered
