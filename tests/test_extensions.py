@@ -1488,3 +1488,30 @@ class TestLabelPropagation:
         assert len(got) == 20
         assert all(got[i] == "blue" for i in range(10))
         assert all(got[i] == "red" for i in range(100, 110))
+
+
+class TestGoldenRecords:
+    def test_survivorship_rules(self, spark):
+        """Planted cluster: members with different lengths, languages,
+        sources — longest text wins (tie → smallest id), modal language
+        wins (tie → lexicographic), provenance is the min source."""
+        docs = spark.createDataFrame(
+            [
+                (1, 50, "en", "web"),
+                (2, 80, "fr", "api"),
+                (3, 80, "fr", "crawl"),
+                (9, 10, "de", "zz"),  # singleton cluster
+            ],
+            "doc_id long, n_chars long, lang string, source string",
+        )
+        resolved = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (9, 9)],
+            "doc_id long, cluster_id long",
+        )
+        got = {r.cluster_id: r for r in dd.golden_records(docs, resolved).collect()}
+        g = got[1]
+        assert g.n_members == 3 and g.total_chars == 210
+        assert g.text_owner == 2 and g.text_len == 80  # tie 80/80 → id 2
+        assert g.modal_lang == "fr" and g.min_source == "api"
+        s = got[9]
+        assert (s.n_members, s.text_owner, s.modal_lang) == (1, 9, "de")

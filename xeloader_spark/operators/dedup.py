@@ -1453,3 +1453,65 @@ def prefix_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------- golden records (MDM)
+def golden_records(
+    docs: DataFrame,
+    resolved: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivorship merge over near-dup clusters — the master-data-
+    management step after `resolve_duplicates`: one GOLDEN record per
+    cluster assembled by field-level rules rather than keeping an
+    arbitrary member. Rules (each deterministic with a total
+    tie-break):
+
+    - text: the LONGEST member (ties → smallest id) — near-dups are
+      usually truncations/boilerplate variants of one another, so
+      longest-wins keeps the most complete copy;
+    - lang: the cluster's modal language (ties → lexicographically
+      first) — majority vote beats trusting any single member;
+    - source: the lexicographically first source (stable provenance
+      pick);
+    - n_members / total_chars: audit sizes.
+
+    Scale: one cluster-keyed aggregate for the struct-max picks + one
+    (cluster, lang) count with a cluster-keyed rank window — all
+    map-side-combinable, corpus text never shuffles (only lengths and
+    ids move)."""
+    j = docs.join(
+        resolved.select(id_col, "cluster_id"), id_col
+    )
+    pick = F.max(
+        F.struct(
+            F.col("n_chars").cast("long").alias("l"),
+            (-F.col(id_col)).alias("nid"),
+        )
+    ).alias("p")
+    base = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("n_chars")).cast("long").alias("total_chars"),
+        F.min("source").alias("min_source"),
+        pick,
+    )
+    base = base.select(
+        "cluster_id",
+        "n_members",
+        "total_chars",
+        "min_source",
+        (-F.col("p.nid")).cast("long").alias("text_owner"),
+        F.col("p.l").cast("long").alias("text_len"),
+    )
+    from pyspark.sql import Window
+
+    lc = j.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("lang"))
+    modal = (
+        lc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("lang").alias("modal_lang"))
+    )
+    return base.join(modal, "cluster_id")

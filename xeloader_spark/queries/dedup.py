@@ -139,6 +139,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (MDM golden record) per near-dup cluster:
+    longest-text owner, modal language, stable provenance pick, audit
+    sizes (`operators/dedup.py` `golden_records` on top of the same
+    connected-components resolution as `q_dedup_clusters`). The oracle
+    replays the recursive component closure AND every survivorship rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
+    resolved = dd.resolve_duplicates(docs.select("doc_id"), pairs)
+    return dd.golden_records(docs, resolved)
+
+
 _CONTAIN_T = 0.6
 
 
@@ -492,6 +504,45 @@ ORACLES: dict[str, str] = {
         WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
         {clusters_sql('pairs', 'documents')}
         SELECT doc_id, cluster_id, is_canonical FROM resolved
+    """,
+    "q_golden_records": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+        {clusters_sql('pairs', 'documents')},
+        j AS (
+            SELECT d.doc_id, d.n_chars, d.lang, d.source, r.cluster_id
+            FROM documents d JOIN resolved r ON r.doc_id = d.doc_id
+        ),
+        base AS (
+            SELECT cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   MIN(source) AS min_source
+            FROM j GROUP BY 1
+        ),
+        owner AS (
+            SELECT cluster_id, doc_id AS text_owner,
+                   CAST(n_chars AS BIGINT) AS text_len
+            FROM (SELECT cluster_id, doc_id, n_chars,
+                         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                            ORDER BY n_chars DESC,
+                                                     doc_id ASC) AS rk
+                  FROM j)
+            WHERE rk = 1
+        ),
+        modal AS (
+            SELECT cluster_id, lang AS modal_lang
+            FROM (SELECT cluster_id, lang, COUNT(*) AS n,
+                         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                            ORDER BY COUNT(*) DESC,
+                                                     lang ASC) AS rk
+                  FROM j GROUP BY cluster_id, lang)
+            WHERE rk = 1
+        )
+        SELECT b.cluster_id, b.n_members, b.total_chars, b.min_source,
+               o.text_owner, o.text_len, m.modal_lang
+        FROM base b
+        JOIN owner o ON o.cluster_id = b.cluster_id
+        JOIN modal m ON m.cluster_id = b.cluster_id
     """,
     "q_dedup_minhash_lsh": f"""
         WITH tri AS ({_TRI}),
