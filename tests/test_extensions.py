@@ -1515,3 +1515,45 @@ class TestGoldenRecords:
         assert g.modal_lang == "fr" and g.min_source == "api"
         s = got[9]
         assert (s.n_members, s.text_owner, s.modal_lang) == (1, 9, "de")
+
+
+class TestExactQuantileTwoPass:
+    @pytest.mark.parametrize("p", [10, 50, 90, 100])
+    def test_matches_full_sort_order_statistic(self, spark, p):
+        """Any percentile of the two-pass refinement equals the k-th
+        smallest value from a full sort, including duplicates and the
+        p=100 max edge."""
+        from xeloader_spark.catalog import load_table
+        from xeloader_spark.operators import sketch as sk
+
+        ev = load_table(spark, SF, "events")
+        got = {
+            r.event_type: (r.rank, r.exact_value)
+            for r in sk.exact_quantile_twopass(
+                ev, "value", p, 0.0, 328.0, 64, ["event_type"]
+            ).collect()
+        }
+        rows = ev.select("event_type", "value").collect()
+        from collections import defaultdict
+
+        vals = defaultdict(list)
+        for r in rows:
+            vals[r.event_type].append(r.value)
+        for t, vs in vals.items():
+            vs.sort()
+            k = (len(vs) * p + 99) // 100
+            assert got[t] == (k, vs[k - 1]), t
+
+    def test_out_of_range_values_stay_in_rank_space(self, spark):
+        """Values outside [lo, hi) clamp into edge buckets in BOTH
+        passes — the rank space is the full group, so a median query
+        with a mis-guessed range is still exact."""
+        from xeloader_spark.operators import sketch as sk
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate([-50, -40, 1, 2, 3, 99, 999])],
+            "id long, value double",
+        )
+        r = sk.exact_quantile_twopass(df, "value", 50, 0.0, 10.0, 4).collect()[0]
+        assert r.exact_value == 2.0  # 4th of 7 sorted values
+        assert r.n_rows == 7 and r.rank == 4

@@ -276,3 +276,33 @@ def test_fixed_width_python_roundtrip_model(rows):
         back_n = int(line[:width_n].strip())
         back_s = line[width_n:].strip()
         assert back_n == n and back_s == s
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100.0, max_value=1100.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=100),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_twopass_quantile_equals_sorted_order_statistic(spark, values, p):
+    """Random data (including values outside the sketch range [0, 1000))
+    and random percentiles: the two-pass refinement must always return
+    the k-th smallest value from a plain sort."""
+    from xeloader_spark.operators import sketch as sk
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "id long, value double"
+    )
+    r = sk.exact_quantile_twopass(df, "value", p, 0.0, 1000.0, 16).collect()
+    assert len(r) == 1
+    k = (len(values) * p + 99) // 100
+    assert r[0].rank == k
+    assert r[0].exact_value == sorted(values)[k - 1]

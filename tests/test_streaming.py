@@ -900,3 +900,28 @@ def test_streaming_cdc_restart_recovers_state(spark, tmp_path):
         ).collect()
     }
     assert stream_live == batch  # n_ops spans both runs ⇒ state recovered
+
+
+def test_streaming_hopping_agg_matches_batch(spark, stream_in, tmp_path):
+    """Hopping-window streaming aggregate == the batch two-window
+    assignment on the emitted (watermark-closed) subset — overlap
+    windows are ordinary grouped state, so micro-batching cannot change
+    a cell."""
+    from xeloader_spark.queries.temporal import q_hopping_window_agg
+
+    ckpt = str(tmp_path / "hop_ckpt")
+    stream = st.read_event_stream(spark, stream_in)
+    q = st.start_hopping_agg(stream, ckpt)
+    q.awaitTermination(120)
+
+    emitted = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from hopping_agg").collect()
+    }
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in q_hopping_window_agg(spark, SF).collect()
+    }
+    assert len(emitted) > 0.5 * len(expected)
+    for k, v in emitted.items():
+        assert expected[k] == v, k

@@ -347,3 +347,62 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("ip"))
     )
     return per_d.agg(F.min("ip").cast("long").alias("join_size_est"))
+
+
+def exact_quantile_twopass(
+    df: DataFrame,
+    value_col: str,
+    percentile: int,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT percentile without a global sort — the two-pass refinement
+    that makes exact medians feasible at 100 TB where
+    `percentile(...)`'s sort-based plan is not:
+
+    pass 1: the equi-width histogram sketch locates, per group, the
+            bucket containing rank ⌈N·p/100⌉ (sketch-sized state);
+    pass 2: ONLY rows inside that bucket are re-scanned and ranked —
+            expected N/bins rows per group, a per-group local problem —
+            and the (rank − cum_before)-th smallest value inside the
+            bucket is the exact answer (k-th smallest VALUE semantics,
+            well-defined under duplicates, engine-independent).
+
+    Out-of-range values clamp into edge buckets in pass 1 and are
+    admitted by unbounded edge predicates in pass 2, so the rank space
+    is the FULL group either way. Returns (group..., percentile,
+    n_rows, bucket, rank, exact_value)."""
+    groups = group_cols or []
+    sketch = hist_build(df, value_col, lo, hi, bins, groups or None)
+    located = hist_quantiles(sketch, [percentile], lo, hi, bins).select(
+        *groups, "n_rows", "bucket", "rank", "cum_before"
+    )
+    # membership MUST reuse the pass-1 bucketization expression verbatim:
+    # range predicates recomputed as lo + bucket·width can disagree with
+    # floor-arithmetic at float boundaries and silently shift the rank
+    in_bucket = _hist_bucket(value_col, lo, hi, bins) == F.col("bucket")
+    joined = (
+        df.join(F.broadcast(located), groups) if groups
+        else df.crossJoin(F.broadcast(located))
+    ).filter(in_bucket)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*groups).orderBy(F.col(value_col).cast("double"))
+        if groups
+        else Window.partitionBy().orderBy(F.col(value_col).cast("double"))
+    )
+    ranked = joined.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("__rk") == F.col("rank") - F.col("cum_before"))
+        .select(
+            *groups,
+            F.lit(int(percentile)).cast("long").alias("percentile"),
+            "n_rows",
+            "bucket",
+            "rank",
+            F.col(value_col).cast("double").alias("exact_value"),
+        )
+    )

@@ -459,6 +459,50 @@ def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows via the native `window(ts, '2 hours',
+    '1 hour')` — every event lands in exactly two epoch-aligned
+    overlapping windows, the moving-aggregate view a monitoring
+    dashboard reads. Counts are integers; sums go through the decimal
+    accumulator; the oracle replays the two-window assignment as a
+    UNION of hour-truncated shifts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median without a global sort: the histogram
+    sketch locates the rank-carrying bucket (pass 1), then only that
+    bucket's rows — expected N/bins of the group — are ranked locally
+    (pass 2). k-th-smallest-VALUE semantics make the answer
+    well-defined under duplicates and engine-independent; the oracle
+    computes the same rank over a full sort, so the hash match proves
+    the two-pass refinement finds the true order statistic
+    (`operators/sketch.py` `exact_quantile_twopass`)."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    return sk.exact_quantile_twopass(
+        ev, "value", 50, _HIST_LO, _HIST_HI, _HIST_BINS, ["event_type"]
+    )
+
+
 _HLL_P = 6  # m = 64 registers: real estimator regime at sf0.01 scale
 
 
@@ -844,6 +888,40 @@ ORACLES: dict[str, str] = {
                CAST(SUM(cross_diff) OVER () AS DOUBLE)
                    / CAST(2 * na * nb AS DOUBLE) AS tvd_total
         FROM t
+    """,
+    "q_hopping_window_agg": """
+        WITH assign AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start,
+                   event_type, value
+            FROM events
+        )
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM assign GROUP BY 1, 2
+    """,
+    "q_exact_median_twopass": f"""
+        WITH r AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(value AS DOUBLE)) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM events
+        )
+        SELECT event_type,
+               CAST(50 AS BIGINT) AS percentile,
+               n AS n_rows,
+               LEAST({_HIST_BINS - 1}, GREATEST(0,
+                   CAST(floor((v - {_HIST_LO}) * {float(_HIST_BINS)}
+                              / {_HIST_HI - _HIST_LO}) AS BIGINT)))
+                   AS bucket,
+               CAST((n * 50 + 99) // 100 AS BIGINT) AS rank,
+               v AS exact_value
+        FROM r WHERE rk = (n * 50 + 99) // 100
     """,
     "q_hist_quantile_sketch": f"""
         WITH b AS (

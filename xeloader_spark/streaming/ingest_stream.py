@@ -145,3 +145,43 @@ def start_windowed_agg(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_hopping_agg(
+    stream: DataFrame,
+    checkpoint_path: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "5 minutes",
+    table: str = "hopping_agg",
+    trigger_once: bool = True,
+):
+    """Hopping (sliding) windowed aggregate: each event enters
+    window/slide overlapping windows map-side; state is
+    (horizon/slide + overlap) × #groups windows — the streaming twin of
+    `q_hopping_window_agg`."""
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(table)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
