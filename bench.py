@@ -75,6 +75,8 @@ HEADLINE = [
     "q_markov_transitions",
     "q_pivot_user_matrix",
     "q_label_propagation",
+    "q_exact_median_twopass",
+    "q_golden_records",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

@@ -1557,3 +1557,44 @@ class TestExactQuantileTwoPass:
         r = sk.exact_quantile_twopass(df, "value", 50, 0.0, 10.0, 4).collect()[0]
         assert r.exact_value == 2.0  # 4th of 7 sorted values
         assert r.n_rows == 7 and r.rank == 4
+
+
+class TestWeightedPagerank:
+    def test_weight_proportional_flow_and_teleport(self, spark):
+        """Star a→{b, c} with weights 3:1: after one round b receives
+        3× c's contribution (floor-exact); with teleport {a}, only a
+        gets restart mass."""
+        from xeloader_spark.operators.graph import pagerank_weighted
+
+        edges = spark.createDataFrame(
+            [(0, 1, 3), (0, 2, 1)], "src long, dst long, weight long"
+        )
+        seeds = spark.createDataFrame([(0,)], "id long")
+        scale, wscale = 10**12, 10**6
+        got = {
+            r.id: r.rank_micro
+            for r in pagerank_weighted(
+                edges, iters=1, teleport=seeds, scale=scale, wscale=wscale
+            ).collect()
+        }
+        init = scale // 3
+        wn_b, wn_c = (3 * wscale) // 4, (1 * wscale) // 4
+        exp_b = (85 * ((init * wn_b) // wscale)) // 100
+        exp_c = (85 * ((init * wn_c) // wscale)) // 100
+        base_a = (15 * scale) // 100  # single seed takes all restart mass
+        assert got[1] == exp_b and got[2] == exp_c
+        assert got[0] == base_a  # no in-edges: teleport mass only
+        assert abs(exp_b - 3 * exp_c) <= 3  # 3:1 proportionality mod floor
+
+    def test_zero_and_negative_weights_dropped(self, spark):
+        from xeloader_spark.operators.graph import pagerank_weighted
+
+        edges = spark.createDataFrame(
+            [(0, 1, 5), (0, 2, 0), (0, 3, -7)],
+            "src long, dst long, weight long",
+        )
+        got = {
+            r.id
+            for r in pagerank_weighted(edges, iters=1).collect()
+        }
+        assert got == {0, 1}  # only the positive-weight edge's endpoints

@@ -266,3 +266,104 @@ def label_propagation(
         )
         labels = labels.unionByName(picked).localCheckpoint(eager=True)
     return labels
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    teleport: DataFrame | None = None,
+    scale: int = 10**12,
+    wscale: int = 10**6,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Weighted, optionally PERSONALIZED PageRank — the two standard
+    generalizations of `pagerank` in one operator, still bit-exact
+    across engines:
+
+    - edge weights (non-negative integers, e.g. the k-NN quantized dot
+      scores): a node's rank flows to neighbors proportionally to
+      weight. To keep every product inside bigint, weights are first
+      normalized per source to `wscale` units (wn = w·wscale div Σw —
+      node-local integer division), so a contribution is
+      (rank · wn) div wscale ≤ rank · 1 — no overflow for rank ≤ 2^43;
+    - personalization: with a `teleport` frame (id column), the
+      (1−d) restart mass lands ONLY on those seeds (split evenly,
+      integer div) instead of uniformly — "centrality relative to this
+      query set", the relevance-propagation form.
+
+    Same scale shape as `pagerank`: edges shuffle once (weight-sum join
+    + eager checkpoint), each round is one edge-sized join + node-sized
+    aggregate, ranks checkpoint per round so plans stay O(1) in iters.
+    Floor divisions leak O(outdeg) micro-units per node per round —
+    quantization noise, never sign-relevant."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).filter(F.col("w") > 0)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    init = scale // n
+
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = (
+        e.join(outw, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(w * {wscale}) div outw").cast("long").alias("wn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    if teleport is None:
+        base_col = F.lit(((damp_den - damp_num) * init) // damp_den).cast(
+            "long"
+        )
+        seeds = None
+    else:
+        seeds = teleport.select(F.col(teleport.columns[0]).alias("id")).distinct()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("teleport set is empty")
+        seed_base = ((damp_den - damp_num) * scale) // (damp_den * n_seeds)
+        seeds = seeds.withColumn(
+            "base", F.lit(seed_base).cast("long")
+        ).localCheckpoint(eager=True)
+        base_col = F.coalesce(F.col("base"), F.lit(0)).cast("long")
+
+    ranks = nodes.select("id", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            ew.join(ranks, ew.src == ranks.id)
+            .select(
+                F.col("dst").alias("id"),
+                F.expr(f"(rank * wn) div {wscale}").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        joined = nodes.join(contribs, "id", "left")
+        if seeds is not None:
+            joined = joined.join(seeds, "id", "left")
+        ranks = joined.select(
+            "id",
+            (
+                base_col
+                + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)
+    return ranks.select(
+        "id",
+        F.col("rank").alias("rank_micro"),
+        (F.col("rank").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

@@ -139,6 +139,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality scorecard for the MinHash-LSH dedup,
+    itself exact-checked: candidate-level precision (how much of the
+    band fan-out is signal) and pair-level recall vs the EXHAUSTIVE
+    Jaccard join, as integer counts plus pinned-order divisions. The
+    oracle replays banding AND the exhaustive join, so a banding
+    regression changes these numbers and fails the hash — quality
+    drift is caught by the correctness gate, not just by bench
+    recall rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd._persist(dd.shingles(docs, n=3))
+    true_pairs = dd.jaccard_pairs(sh, threshold=_JACCARD_T).select(
+        "id_a", "id_b"
+    )
+    sigs = dd.minhash_signatures(
+        sh.withColumnRenamed("shingle", "tok"), k=_K
+    )
+    cands = dd.lsh_candidate_pairs(sigs, bands=_BANDS, rows=_ROWS)
+    n_true = true_pairs.count()
+    n_cand = cands.count()
+    n_hit = cands.join(true_pairs, ["id_a", "id_b"]).count()
+    dd.release_persisted()  # counts are materialized; output is literal
+    out = spark.createDataFrame(
+        [(n_true, n_cand, n_hit)],
+        "n_true long, n_cand long, n_cand_true long",
+    )
+    return out.select(
+        "n_true",
+        "n_cand",
+        "n_cand_true",
+        (
+            F.col("n_cand_true").cast("double") / F.col("n_cand").cast("double")
+        ).alias("cand_precision"),
+        (
+            F.col("n_cand_true").cast("double") / F.col("n_true").cast("double")
+        ).alias("lsh_recall"),
+    )
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship merge (MDM golden record) per near-dup cluster:
     longest-text owner, modal language, stable provenance pick, audit
@@ -552,6 +591,26 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_dedup_eval": f"""
+        WITH tri AS ({_TRI}),
+        sig AS (SELECT id, {_SIG_COLS} FROM tri GROUP BY id),
+        banded AS (SELECT id, {_BAND_COLS} FROM sig),
+        cand AS ({_CAND_UNION}),
+        ver AS ({_JACCARD_PAIRS}),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM ver),
+        ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        it AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_true
+            FROM cand c JOIN ver v
+              ON c.id_a = v.id_a AND c.id_b = v.id_b
+        )
+        SELECT tt.n_true, ct.n_cand, it.n_cand_true,
+               CAST(it.n_cand_true AS DOUBLE) / CAST(ct.n_cand AS DOUBLE)
+                   AS cand_precision,
+               CAST(it.n_cand_true AS DOUBLE) / CAST(tt.n_true AS DOUBLE)
+                   AS lsh_recall
+        FROM tt, ct, it
     """,
     "q_editdistance_neardup": f"""
         WITH s AS (

@@ -235,6 +235,109 @@ def _pagerank_sql(
 
 
 
+_PPR_ITERS = 4
+_PPR_SCALE = 10**12
+_PPR_WSCALE = 10**6
+_PPR_SEED_THR = 1000  # of sampling.BUCKETS=10000 → 10% seeds
+
+
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted + personalized PageRank over the k-NN graph: rank flows
+    proportionally to the quantized dot-product edge weights and the
+    restart mass lands only on a deterministic 10% hash-gated seed set —
+    "centrality relative to these query vectors", the relevance-
+    propagation form (`operators/graph.py` `pagerank_weighted`).
+    Two-step integer weight normalization keeps every product in
+    bigint, so all four rounds unroll bit-exactly into SQL CTEs."""
+    from ..operators.graph import pagerank_weighted
+    from ..operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(
+        emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
+    ).withColumnRenamed("dot", "weight")
+    seeds = emb.filter(
+        hash_bucket("vec_id", "pprseed") < _PPR_SEED_THR
+    ).select("vec_id")
+    return pagerank_weighted(
+        edges,
+        iters=_PPR_ITERS,
+        teleport=seeds,
+        scale=_PPR_SCALE,
+        wscale=_PPR_WSCALE,
+    )
+
+
+def _pagerank_weighted_sql(
+    iters: int,
+    scale: int,
+    wscale: int,
+    seed_thr: int,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    knn = _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)
+    head = f"""
+        WITH e AS (
+            SELECT src, dst, dot AS w FROM ({knn}) WHERE dot > 0
+        ),
+        nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+            )
+        ),
+        nn AS (
+            SELECT COUNT(*) AS n,
+                   CAST({scale} // COUNT(*) AS BIGINT) AS init
+            FROM nodes
+        ),
+        outw AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+        ew AS (
+            SELECT e.src, e.dst,
+                   CAST((e.w * {wscale}) // o.outw AS BIGINT) AS wn
+            FROM e JOIN outw o ON o.src = e.src
+        ),
+        seeds AS (
+            SELECT vec_id AS id FROM embeddings
+            WHERE ('0x' || substr(md5('pprseed'
+                      || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 10000 < {seed_thr}
+        ),
+        sb AS (
+            SELECT CAST((({damp_den - damp_num}) * {scale})
+                        // ({damp_den} * COUNT(*)) AS BIGINT) AS base
+            FROM seeds
+        ),
+        r0 AS (SELECT id, nn.init AS rank FROM nodes, nn)"""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f""",
+        c{i} AS (
+            SELECT ew.dst AS id,
+                   CAST(SUM((r{i}.rank * ew.wn) // {wscale}) AS BIGINT) AS s
+            FROM ew JOIN r{i} ON r{i}.id = ew.src
+            GROUP BY 1
+        ),
+        r{i + 1} AS (
+            SELECT n.id,
+                   CAST(CASE WHEN sd.id IS NOT NULL THEN sb.base
+                             ELSE 0 END
+                        + ({damp_num} * COALESCE(c{i}.s, 0))
+                          // {damp_den} AS BIGINT) AS rank
+            FROM nodes n
+            CROSS JOIN sb
+            LEFT JOIN seeds sd ON sd.id = n.id
+            LEFT JOIN c{i} ON c{i}.id = n.id
+        )"""
+        )
+    tail = f"""
+        SELECT id, rank AS rank_micro,
+               CAST(rank AS DOUBLE) / {float(scale)} AS rank
+        FROM r{iters}
+    """
+    return head + "".join(rounds) + tail
+
+
 _LP_ITERS = 3
 _LP_SEED_THR = 3000  # of sampling.BUCKETS=10000 → 30% seeds
 
@@ -734,6 +837,54 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_k=_PQ_SUBK,
         iters=_PQ_ITERS,
         rerank=_PQ_SHORTLIST,
+    )
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two DIFFERENT approximate indexes over
+    the same queries — the standard ensemble-retrieval combiner
+    (RRF, k=60): score = Σ 1/(60 + rank_i) over the exact-checked IVF
+    and PQ rankings. Each term is one IEEE division and the two-term
+    sum is pinned-order, so the fused ranking hash-matches; both input
+    rankings are themselves fully replayed (training included) by the
+    same CTE builders their own queries use."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = cls.ivf_topk_exact(
+        emb, _QUERY_IDS, k=_K, n_probe=_IVFX_PROBE
+    ).select(
+        "query_id", "candidate_id", F.col("rk").cast("long").alias("rk_ivf")
+    )
+    pq = cls.pq_topk(
+        emb,
+        _QUERY_IDS,
+        k=_PQ_K,
+        m=_PQ_M,
+        sub_k=_PQ_SUBK,
+        iters=_PQ_ITERS,
+        rerank=_PQ_SHORTLIST,
+    ).select(
+        "query_id", "candidate_id", F.col("rk").cast("long").alias("rk_pq")
+    )
+    u = ivf.join(pq, ["query_id", "candidate_id"], "full")
+    rrf = F.coalesce(
+        F.lit(1).cast("double") / (F.lit(60) + F.col("rk_ivf")).cast("double"),
+        F.lit(0).cast("double"),
+    ) + F.coalesce(
+        F.lit(1).cast("double") / (F.lit(60) + F.col("rk_pq")).cast("double"),
+        F.lit(0).cast("double"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("candidate_id")
+    )
+    return (
+        u.withColumn("rrf_score", rrf)
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "query_id", "candidate_id", "rk_ivf", "rk_pq",
+            "rrf_score", "fused_rank",
+        )
     )
 
 
@@ -1293,6 +1444,9 @@ ORACLES: dict[str, str] = {
     "q_pagerank_knn": _pagerank_sql(_PR_ITERS, _PR_SCALE),
     "q_triangle_stats": _triangle_sql(),
     "q_label_propagation": _label_prop_sql(_LP_ITERS, _LP_SEED_THR),
+    "q_pagerank_personalized": _pagerank_weighted_sql(
+        _PPR_ITERS, _PPR_SCALE, _PPR_WSCALE, _PPR_SEED_THR
+    ),
     "q_audio_decimate": _audio_decimate_sql(),
     "q_ann_topk_pq_sampled": _pq_sql(
         _PQ_M,
@@ -1307,6 +1461,40 @@ ORACLES: dict[str, str] = {
     "q_ann_topk_ivf_exact": _ivf_exact_sql(
         cls.K, cls.ITERS, cls.SCALE, _IVFX_PROBE, _K, _QUERY_IDS
     ),
+    "q_rank_fusion": f"""
+        WITH ivf AS ({_ivf_exact_sql(
+            cls.K, cls.ITERS, cls.SCALE, _IVFX_PROBE, _K, _QUERY_IDS
+        )}),
+        pq AS ({_pq_sql(
+            _PQ_M, _PQ_SUBK, _PQ_ITERS, cls.SCALE, _PQ_K, _QUERY_IDS,
+            rerank=_PQ_SHORTLIST,
+        )}),
+        u AS (
+            SELECT COALESCE(i.query_id, p.query_id) AS query_id,
+                   COALESCE(i.candidate_id, p.candidate_id) AS candidate_id,
+                   CAST(i.rk AS BIGINT) AS rk_ivf,
+                   CAST(p.rk AS BIGINT) AS rk_pq
+            FROM ivf i FULL OUTER JOIN pq p
+              ON i.query_id = p.query_id
+             AND i.candidate_id = p.candidate_id
+        ),
+        s AS (
+            SELECT query_id, candidate_id, rk_ivf, rk_pq,
+                   COALESCE(CAST(1 AS DOUBLE)
+                            / CAST(60 + rk_ivf AS DOUBLE),
+                            CAST(0 AS DOUBLE))
+                   + COALESCE(CAST(1 AS DOUBLE)
+                              / CAST(60 + rk_pq AS DOUBLE),
+                              CAST(0 AS DOUBLE)) AS rrf_score
+            FROM u
+        )
+        SELECT query_id, candidate_id, rk_ivf, rk_pq, rrf_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_score DESC,
+                                                candidate_id ASC)
+                    AS BIGINT) AS fused_rank
+        FROM s
+    """,
     "q_ann_topk_lsh_quantized": _lsh_quantized_oracle(),
     "q_ann_topk_lsh_banded": _lsh_banded_oracle(),
     "q_ann_topk_ivf": f"""
