@@ -925,3 +925,57 @@ def test_streaming_hopping_agg_matches_batch(spark, stream_in, tmp_path):
     assert len(emitted) > 0.5 * len(expected)
     for k, v in emitted.items():
         assert expected[k] == v, k
+
+
+def test_streaming_windowed_hll_matches_batch(spark, tmp_path):
+    """Windowed HLL registers (sketch × event-time window): every
+    emitted (window, idx, rho) cell equals the batch per-hour register
+    build on the same rows. Input files are time-range ordered (the
+    log-shipping shape) so the 10-minute watermark never legitimately
+    drops rows — any cell difference is then a real state bug."""
+    import time as _time
+
+    from xeloader_spark.operators import sketch as sk
+    from xeloader_spark.streaming import sketch_stream as ss
+
+    src = str(tmp_path / "whll_in")
+    ckpt = str(tmp_path / "whll_ckpt")
+    ev0 = load_table(spark, SF, "events")
+    lo, hi = ev0.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    for part in (
+        ev0.filter(F.col("ts") < cuts[0]),
+        ev0.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev0.filter(F.col("ts") >= cuts[1]),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = spark.readStream.schema(ev0.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = ss.start_windowed_hll(stream, ckpt, "user_id")
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.idx): r.rho
+        for r in spark.sql("select * from windowed_hll").collect()
+    }
+    ev = load_table(spark, SF, "events").withColumn(
+        "window_start", F.date_trunc("hour", F.col("ts"))
+    )
+    exp_regs = sk.hll_build(
+        ev, "user_id", ["window_start"], p=6, salt="whll"
+    )
+    exp = {(r.window_start, r.idx): r.rho for r in exp_regs.collect()}
+    # append-mode emits watermark-closed windows; compare the emitted set
+    emitted_windows = {w for w, _ in got}
+    assert len(emitted_windows) > 0.5 * len({w for w, _ in exp})
+    for k, v in got.items():
+        assert exp[k] == v, k
+    # state bound: at most 2^p registers per emitted window
+    from collections import Counter
+
+    per_w = Counter(w for w, _ in got)
+    assert all(c <= 64 for c in per_w.values())

@@ -95,7 +95,90 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling parity battery: two derived nullable columns
+    (value masked above different thresholds) exercised through
+    COALESCE, aggregate null-skipping (COUNT(col) vs COUNT(*)), and
+    null-safe equality (`<=>` vs IS NOT DISTINCT FROM — rows where BOTH
+    are null must compare TRUE, the semantics plain `=` gets wrong).
+    Sums go through the decimal accumulator."""
+    ev = load_table(spark, sf_dir, "events")
+    v1 = F.when(F.col("value") <= 150, F.col("value"))
+    v2 = F.when(F.col("value") <= 200, F.col("value"))
+    d = ev.select(
+        "event_type",
+        v1.alias("v1"),
+        v2.alias("v2"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("v1").cast("long").alias("n_v1_nonnull"),
+        F.count("v2").cast("long").alias("n_v2_nonnull"),
+        F.sum(F.col("v1").eqNullSafe(F.col("v2")).cast("long"))
+        .cast("long")
+        .alias("n_nullsafe_eq"),
+        F.sum((F.col("v1") == F.col("v2")).cast("long"))
+        .cast("long")
+        .alias("n_plain_eq_true"),
+        F.sum(F.coalesce(F.col("v1"), F.lit(0)).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_v1_coalesced"),
+    )
+
+
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: each event type's distinct
+    user ids as ONE comma-joined string in ascending numeric order —
+    `collect_set` is unordered by contract, so the pipeline pins the
+    order explicitly (array_sort before join), matching the oracle's
+    ORDER BY inside string_agg. A favorite cross-engine trap: unordered
+    listagg results hash-differ run to run; ordered ones never do."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr(
+            "concat_ws(',', transform(array_sort(collect_set(user_id)),"
+            " x -> cast(x as string)))"
+        ).alias("user_list"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_null_semantics": """
+        WITH d AS (
+            SELECT event_type,
+                   CASE WHEN value <= 150 THEN value END AS v1,
+                   CASE WHEN value <= 200 THEN value END AS v2
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(v1) AS BIGINT) AS n_v1_nonnull,
+               CAST(COUNT(v2) AS BIGINT) AS n_v2_nonnull,
+               CAST(SUM(CASE WHEN v1 IS NOT DISTINCT FROM v2
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nullsafe_eq,
+               CAST(SUM(CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_plain_eq_true,
+               CAST(SUM(CAST(COALESCE(v1, 0) AS DECIMAL(25,6))) AS DOUBLE)
+                   AS sum_v1_coalesced
+        FROM d GROUP BY 1
+    """,
+    "q_string_agg_ordered": """
+        WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT event_type,
+                   string_agg(CAST(user_id AS VARCHAR), ','
+                              ORDER BY user_id) AS user_list
+            FROM u GROUP BY 1
+        )
+        SELECT c.event_type, c.n_events, s.user_list
+        FROM c JOIN s ON s.event_type = c.event_type
+    """,
     "q_window_funcs": """
         SELECT event_id, event_type, value,
                CAST(ROW_NUMBER() OVER wt AS BIGINT) AS w_rownum,

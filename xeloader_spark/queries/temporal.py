@@ -459,6 +459,99 @@ def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for the events⋈anything-on-user_id family —
+    the numbers a planner (or `skew.salted_join` caller) consults before
+    choosing a strategy: key cardinality, hottest-key share, and the
+    Gini-Simpson concentration of the key distribution, all exact
+    integer rationals (`operators/text.py` `category_diversity` over a
+    single global group)."""
+    from ..operators.text import category_diversity
+
+    ev = load_table(spark, sf_dir, "events").withColumn("_g", F.lit("all"))
+    return category_diversity(ev, "_g", "user_id").select(
+        "n_rows",
+        F.col("n_cats").alias("n_keys"),
+        F.col("top_n").alias("top_key_rows"),
+        "gini_simpson",
+        "top_share",
+    )
+
+
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credits the event type
+    that OPENED its session (30-min gap sessionization, same boundary
+    rule as `q_sessionize_gap_batch`) — the marketing-analytics join of
+    sessionize + window-first + conditional aggregate. Counts integer,
+    revenue through the decimal accumulator; session boundaries and the
+    first-event pick are totally ordered by (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(wsum).cast("long")
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts", "event_id"
+    )
+    attributed = sess.withColumn(
+        "first_touch", F.first("event_type").over(ws)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the stored hourly
+    rollup of 'old' events (event_id % 4 != 0) merged with the partial
+    aggregate of the 'new' micro-batch (event_id % 4 = 0) by union +
+    re-aggregate — never rescanning the old raw data. The oracle
+    recomputes from ALL raw events, so a hash match PROVES delta-merge ≡
+    full recompute: counts are sums and the decimal value accumulator is
+    exact, so associativity holds bit-for-bit (the property that lets a
+    100 TB rollup absorb a daily delta in delta-sized work)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def rollup(df):
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("_dsum"),
+        )
+
+    old = rollup(ev.filter(F.col("event_id") % 4 != 0))
+    new = rollup(ev.filter(F.col("event_id") % 4 == 0))
+    merged = (
+        old.unionByName(new)
+        .groupBy("bucket_ts", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("_dsum").cast("decimal(25,6)").alias("_dsum"),
+        )
+    )
+    return merged.select(
+        "bucket_ts",
+        "event_type",
+        "n_events",
+        F.col("_dsum").cast("double").alias("sum_value"),
+    )
+
+
 def q_hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) windows via the native `window(ts, '2 hours',
     '1 hour')` — every event lands in exactly two epoch-aligned
@@ -888,6 +981,65 @@ ORACLES: dict[str, str] = {
                CAST(SUM(cross_diff) OVER () AS DOUBLE)
                    / CAST(2 * na * nb AS DOUBLE) AS tvd_total
         FROM t
+    """,
+    "q_join_key_skew": """
+        WITH c AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        g AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+                   CAST(MAX(n) AS BIGINT) AS top_key_rows
+            FROM c
+        )
+        SELECT n_rows, n_keys, top_key_rows,
+               CAST(n_rows * n_rows - sum_sq AS DOUBLE)
+                   / CAST(n_rows * n_rows AS DOUBLE) AS gini_simpson,
+               CAST(top_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                   AS top_share
+        FROM g
+    """,
+    "q_attribution_first_touch": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        ),
+        att AS (
+            SELECT *,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id, session_idx
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS first_touch
+            FROM sess
+        )
+        SELECT first_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                   AS attributed_value
+        FROM att WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    "q_incremental_rollup": """
+        SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
     """,
     "q_hopping_window_agg": """
         WITH assign AS (

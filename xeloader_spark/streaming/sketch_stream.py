@@ -117,6 +117,61 @@ def start_hist(
     return writer.start()
 
 
+def windowed_hll_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    p: int = 6,
+    salt: str = "whll",
+) -> DataFrame:
+    """Per-event-time-window HLL registers — the sketch × window
+    composition: distinct-count state per hour is 2^p register rows,
+    and the watermark expires whole windows, so total state is
+    (horizon/window + 1) × 2^p rows no matter the stream rate. MAX is
+    idempotent, so replays can't corrupt a window."""
+    from ..operators.sketch import _hll_reg_cols
+
+    idx, rho = _hll_reg_cols(key_col, p, salt)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        # group on the window STRUCT produced from the watermarked column
+        # (projecting w.start first severs the watermark linkage and
+        # append mode is rejected)
+        .groupBy(F.window(ts_col, window).alias("w"), idx)
+        .agg(F.max(rho).alias("rho"))
+        .select(F.col("w.start").alias("window_start"), "idx", "rho")
+    )
+
+
+def start_windowed_hll(
+    stream: DataFrame,
+    checkpoint_path: str,
+    key_col: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    p: int = 6,
+    salt: str = "whll",
+    table: str = "windowed_hll",
+    trigger_once: bool = True,
+):
+    writer = (
+        windowed_hll_stream(
+            stream, key_col, ts_col=ts_col, window=window,
+            watermark=watermark, p=p, salt=salt,
+        )
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hll_stream(
     stream: DataFrame,
     key_col: str,
