@@ -459,6 +459,43 @@ def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type on EXACT quartiles from
+    the two-pass refinement (no global sort) — the box-plot rule
+    composed from `exact_quantile_twopass`: fences Q1 − 1.5·IQR /
+    Q3 + 1.5·IQR (1.5 is dyadic → multiplication exact), strict
+    exceedance counted. Complements the MAD family with the classic
+    quartile formulation."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    q1 = sk.exact_quantile_twopass(
+        ev, "value", 25, _HIST_LO, _HIST_HI, _HIST_BINS, ["event_type"]
+    ).select("event_type", F.col("exact_value").alias("q1"))
+    q3 = sk.exact_quantile_twopass(
+        ev, "value", 75, _HIST_LO, _HIST_HI, _HIST_BINS, ["event_type"]
+    ).select("event_type", F.col("exact_value").alias("q3"))
+    fences = q1.join(q3, "event_type").select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    j = ev.join(F.broadcast(fences), "event_type")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.first("q1").alias("q1"),
+        F.first("q3").alias("q3"),
+        F.sum((F.col("value") < F.col("lo")).cast("long"))
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.sum((F.col("value") > F.col("hi")).cast("long"))
+        .cast("long")
+        .alias("n_high_outliers"),
+    )
+
+
 def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew report for the events⋈anything-on-user_id family —
     the numbers a planner (or `skew.salted_join` caller) consults before
@@ -981,6 +1018,35 @@ ORACLES: dict[str, str] = {
                CAST(SUM(cross_diff) OVER () AS DOUBLE)
                    / CAST(2 * na * nb AS DOUBLE) AS tvd_total
         FROM t
+    """,
+    "q_iqr_outliers": """
+        WITH r AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(value AS DOUBLE)) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM events
+        ),
+        f AS (
+            SELECT a.event_type, a.v AS q1, b.v AS q3,
+                   a.v - 1.5 * (b.v - a.v) AS lo,
+                   b.v + 1.5 * (b.v - a.v) AS hi
+            FROM (SELECT * FROM r WHERE rk = (n * 25 + 99) // 100) a
+            JOIN (SELECT * FROM r WHERE rk = (n * 75 + 99) // 100) b
+              ON a.event_type = b.event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(f.q1) AS q1, MIN(f.q3) AS q3,
+               CAST(SUM(CASE WHEN CAST(e.value AS DOUBLE) < f.lo
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_outliers,
+               CAST(SUM(CASE WHEN CAST(e.value AS DOUBLE) > f.hi
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high_outliers
+        FROM events e JOIN f ON f.event_type = e.event_type
+        GROUP BY 1
     """,
     "q_join_key_skew": """
         WITH c AS (
