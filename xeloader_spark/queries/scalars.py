@@ -143,7 +143,93 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate parity: bool_and / bool_or over
+    predicates, count_if, and filtered conditional sums through the
+    decimal accumulator — the aggregate-modifier surface a SQL user
+    expects beyond plain SUM/COUNT."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bool_and(value > 0)").alias("all_positive"),
+        F.expr("bool_or(value > 300)").alias("any_over_300"),
+        F.expr("count_if(value > 100)").cast("long").alias("n_over_100"),
+        F.sum(
+            F.when(F.col("value") > 100, F.col("value")).cast(
+                "decimal(25,6)"
+            )
+        )
+        .cast("double")
+        .alias("sum_over_100"),
+        F.min(F.when(F.col("value") > 100, F.col("value")))
+        .cast("double")
+        .alias("min_over_100"),
+    )
+
+
+def q_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over each user's event_id sequence: contiguous
+    id runs collapse via the rank-difference trick (id − row_number is
+    constant within an island) — the classic sequence-integrity check a
+    loader runs to find dropped batches. Island count, longest island,
+    and covered-id span are all exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    grp = (F.col("event_id") - F.row_number().over(w)).alias("grp")
+    islands = (
+        ev.select("user_id", "event_id", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("island_len"),
+            F.min("event_id").cast("long").alias("island_start"),
+        )
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("island_len").cast("long").alias("longest_island"),
+        F.sum("island_len").cast("long").alias("n_ids"),
+        F.min("island_start").cast("long").alias("first_id"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_conditional_aggs": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bool_and(value > 0) AS all_positive,
+               bool_or(value > 300) AS any_over_300,
+               CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT)
+                   AS n_over_100,
+               CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                        FILTER (WHERE value > 100) AS DOUBLE)
+                   AS sum_over_100,
+               CAST(MIN(value) FILTER (WHERE value > 100) AS DOUBLE)
+                   AS min_over_100
+        FROM events GROUP BY 1
+    """,
+    "q_id_islands": """
+        WITH g AS (
+            SELECT user_id, event_id,
+                   event_id - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ) AS grp
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, grp,
+                   CAST(COUNT(*) AS BIGINT) AS island_len,
+                   CAST(MIN(event_id) AS BIGINT) AS island_start
+            FROM g GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(MAX(island_len) AS BIGINT) AS longest_island,
+               CAST(SUM(island_len) AS BIGINT) AS n_ids,
+               CAST(MIN(island_start) AS BIGINT) AS first_id
+        FROM islands GROUP BY 1
+    """,
     "q_null_semantics": """
         WITH d AS (
             SELECT event_type,
