@@ -194,7 +194,61 @@ def q_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-vector norm diagnostics, engine-exact: components
+    quantized to integers (the same ×1000 rounding as the ANN kernels),
+    squared-norm as an exact bigint fold, L2 norm via one IEEE sqrt,
+    plus the dominant dimension (argmax with smallest-index tie-break,
+    via array position arithmetic) — the per-vector sanity profile run
+    before any cosine pipeline (zero norms, dead dimensions)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000)"
+        " as bigint))"
+    ).alias("qv")
+    d = emb.select("vec_id", q)
+    norm2 = F.expr("aggregate(qv, 0L, (s, x) -> s + x * x)")
+    max_abs = F.expr("array_max(transform(qv, x -> abs(x)))")
+    argmax = F.expr(
+        "array_position(transform(qv, x -> abs(x)),"
+        " array_max(transform(qv, x -> abs(x))))"
+    )
+    return d.select(
+        "vec_id",
+        F.expr("size(qv)").cast("long").alias("dim"),
+        norm2.cast("long").alias("norm2_q"),
+        F.sqrt(norm2.cast("double")).alias("norm_q"),
+        max_abs.cast("long").alias("max_abs_q"),
+        argmax.cast("long").alias("argmax_dim"),
+        (norm2 == 0).alias("is_zero_vector"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_vector_norms": """
+        WITH d AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, qv,
+                   CAST(len(qv) AS BIGINT) AS dim,
+                   CAST(list_sum(list_transform(qv, x -> x * x))
+                        AS BIGINT) AS norm2_q,
+                   list_transform(qv, x -> abs(x)) AS aq
+            FROM d
+        )
+        SELECT vec_id, dim, norm2_q,
+               sqrt(CAST(norm2_q AS DOUBLE)) AS norm_q,
+               CAST(list_max(aq) AS BIGINT) AS max_abs_q,
+               CAST(list_position(aq, list_max(aq)) AS BIGINT)
+                   AS argmax_dim,
+               norm2_q = 0 AS is_zero_vector
+        FROM s
+    """,
     "q_conditional_aggs": """
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_rows,

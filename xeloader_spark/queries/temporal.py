@@ -551,6 +551,62 @@ def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup integrity: the DAILY aggregate computed by
+    re-aggregating the stored HOURLY rollup — never the raw events. The
+    oracle computes days directly from raw, so a hash match proves the
+    hour→day re-aggregation is lossless (the cube-hierarchy property
+    that lets a 100 TB warehouse serve every coarser grain from the
+    finest stored one)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("_dsum"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("bucket_ts")).alias("day_ts"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("_dsum").cast("decimal(25,6)").alias("_dsum"),
+        )
+    )
+    return daily.select(
+        "day_ts",
+        "event_type",
+        "n_events",
+        F.col("_dsum").cast("double").alias("sum_value"),
+    )
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival-time statistics over the global event
+    stream order (ts, event_id): min/max/total gap in exact
+    microseconds plus the mean as one IEEE division — the arrival-
+    process profile behind the Fano/autocorrelation diagnostics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ).alias("gap_us")
+    g = ev.select("event_type", gap).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+        (
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_gap_us"),
+    )
+
+
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-aggregate maintenance: the stored hourly
     rollup of 'old' events (event_id % 4 != 0) merged with the partial
@@ -1099,6 +1155,30 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
                    AS attributed_value
         FROM att WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    "q_rollup_hierarchy": """
+        SELECT date_trunc('day', ts) AS day_ts, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_interarrival_stats": """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   )) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+               CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_gap_us
+        FROM g WHERE gap_us IS NOT NULL
         GROUP BY 1
     """,
     "q_incremental_rollup": """
