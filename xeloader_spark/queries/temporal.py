@@ -584,6 +584,43 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly activity profile per event type — day-of-week derived as
+    (epoch_us div 86 400 000 000) mod 7 (0 = the epoch's Thursday):
+    pure integer arithmetic because the engines' dayofweek()/ISO
+    conventions disagree (the scalars battery deliberately excludes
+    them); counts + decimal sums per cell."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.expr("(unix_micros(ts) div 86400000000) % 7").cast("long")
+    return ev.groupBy(dow.alias("epoch_dow"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def q_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime summary — the entity-profile rollup a CRM-style
+    consumer reads: first/last seen, span in exact seconds, distinct
+    active days, event count, distinct types touched. One aggregate,
+    everything integer/timestamp-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        ).alias("lifetime_sec"),
+        F.countDistinct(F.expr("cast(ts as date)"))
+        .cast("long")
+        .alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type inter-arrival-time statistics over the global event
     stream order (ts, event_id): min/max/total gap in exact
@@ -1162,6 +1199,26 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "q_weekly_profile": """
+        SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT)
+                   AS epoch_dow,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "q_user_lifetime": """
+        SELECT user_id,
+               MIN(ts) AS first_seen,
+               MAX(ts) AS last_seen,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE)
+                   / CAST(1000000 AS DOUBLE) AS lifetime_sec,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                   AS active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events GROUP BY 1
     """,
     "q_interarrival_stats": """
         WITH g AS (
