@@ -323,6 +323,45 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/80-20 check): the share of total
+    order revenue held by the top ⌈20%⌉ of ordering customers. Revenue
+    per customer through the exact decimal accumulator, rank with a
+    total (revenue, custkey) tie-break, ceil via integer arithmetic,
+    one IEEE division at the end — the classic BI concentration figure,
+    engine-exact."""
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").cast(_DEC).alias("_total"),
+    ).withColumn(
+        "top20_count", F.expr("(n_customers + 4) div 5").cast("long")
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(agg))
+        .filter(F.col("rk") <= F.col("top20_count"))
+        .groupBy("n_customers", "top20_count", "_total")
+        .agg(F.sum("rev").cast(_DEC).alias("_top"))
+    )
+    return top.select(
+        "n_customers",
+        "top20_count",
+        F.col("_top").cast("double").alias("top_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        (
+            F.col("_top").cast("double") / F.col("_total").cast("double")
+        ).alias("top_share"),
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1021,6 +1060,33 @@ ORACLES: dict[str, str] = {
                                 TIMESTAMP '{cutoff} 00:00:00')
         GROUP BY 1
     """.format(cutoff=_CHURN_CUTOFF),
+    "q_revenue_pareto": """
+        WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT o_custkey, rev,
+                   ROW_NUMBER() OVER (ORDER BY rev DESC,
+                                      o_custkey ASC) AS rk
+            FROM rev
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST((COUNT(*) + 4) // 5 AS BIGINT) AS top20_count,
+                   SUM(rev) AS total
+            FROM ranked
+        )
+        SELECT a.n_customers, a.top20_count,
+               CAST(SUM(r.rev) AS DOUBLE) AS top_revenue,
+               CAST(a.total AS DOUBLE) AS total_revenue,
+               CAST(SUM(r.rev) AS DOUBLE) / CAST(a.total AS DOUBLE)
+                   AS top_share
+        FROM ranked r CROSS JOIN agg a
+        WHERE r.rk <= a.top20_count
+        GROUP BY 1, 2, a.total
+    """,
     "q_pivot_user_matrix": f"""
         SELECT user_id,
                {", ".join(

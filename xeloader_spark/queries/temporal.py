@@ -584,6 +584,40 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-metric bounce rate per entry channel: sessions (30-min gap,
+    same rule as the sessionizer family) grouped by their FIRST event
+    type; a bounce is a single-event session. Counts integer, rate is
+    one IEEE division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(wsum).cast("long")
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy(
+        F.col("first.event_type").alias("entry_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+        (
+            F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+    )
+
+
 def q_weekly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly activity profile per event type — day-of-week derived as
     (epoch_us div 86 400 000 000) mod 7 (0 = the epoch's Thursday):
@@ -1199,6 +1233,47 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
+    """,
+    "q_bounce_rate": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   CAST(SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_idx
+            FROM flagged
+        ),
+        att AS (
+            SELECT *,
+                   first_value(event_type) OVER (
+                       PARTITION BY user_id, session_idx
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS entry_type
+            FROM sess
+        ),
+        per_session AS (
+            SELECT user_id, session_idx,
+                   MIN(entry_type) AS entry_type,
+                   COUNT(*) AS n_events
+            FROM att GROUP BY 1, 2
+        )
+        SELECT entry_type,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+        FROM per_session GROUP BY 1
     """,
     "q_weekly_profile": """
         SELECT CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT)
