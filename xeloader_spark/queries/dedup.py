@@ -139,6 +139,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate pressure: docs vs distinct content
+    digests (md5 of text — the same identity the exact-dedup path
+    keys on), duplicate count and rate. The per-source triage a
+    curator reads before deciding which source needs the near-dup
+    passes at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_dups"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximation-quality scorecard for the MinHash-LSH dedup,
     itself exact-checked: candidate-level precision (how much of the
@@ -591,6 +613,16 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_source_dup_rates": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_dups,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        FROM documents GROUP BY 1
     """,
     "q_dedup_eval": f"""
         WITH tri AS ({_TRI}),

@@ -323,6 +323,52 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the load-time check a
+    warehouse runs after every batch: orphan counts via anti-joins
+    (orders→customer, lineitem→orders, customer→nation) and coverage
+    ratios, one row. Anti-joins broadcast the key side; ratios are one
+    division each."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(child, key, parent, pkey):
+        return (
+            child.select(F.col(key).alias("k"))
+            .join(
+                F.broadcast(parent.select(F.col(pkey).alias("k")).distinct()),
+                "k",
+                "left_anti",
+            )
+            .count()
+        )
+
+    n_orders = orders.count()
+    n_lineitem = lineitem.count()
+    n_customer = customer.count()
+    o_orph = orphans(orders, "o_custkey", customer, "c_custkey")
+    l_orph = orphans(lineitem, "l_orderkey", orders, "o_orderkey")
+    c_orph = orphans(customer, "c_nationkey", nation, "n_nationkey")
+    out = spark.createDataFrame(
+        [(n_orders, o_orph, n_lineitem, l_orph, n_customer, c_orph)],
+        "n_orders long, orders_orphans long, n_lineitem long,"
+        " lineitem_orphans long, n_customer long, customer_orphans long",
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("n_orders") - F.col("orders_orphans")).cast("double")
+            / F.col("n_orders").cast("double")
+        ).alias("orders_fk_coverage"),
+        (
+            (F.col("n_lineitem") - F.col("lineitem_orphans")).cast("double")
+            / F.col("n_lineitem").cast("double")
+        ).alias("lineitem_fk_coverage"),
+    )
+
+
 def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto/80-20 check): the share of total
     order revenue held by the top ⌈20%⌉ of ordering customers. Revenue
@@ -1060,6 +1106,34 @@ ORACLES: dict[str, str] = {
                                 TIMESTAMP '{cutoff} 00:00:00')
         GROUP BY 1
     """.format(cutoff=_CHURN_CUTOFF),
+    "q_referential_integrity": """
+        WITH s AS (
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                    AS orders_orphans,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+                    AS n_lineitem,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                    AS lineitem_orphans,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+                    AS n_customer,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                    AS customer_orphans
+        )
+        SELECT *,
+               CAST(n_orders - orders_orphans AS DOUBLE)
+                   / CAST(n_orders AS DOUBLE) AS orders_fk_coverage,
+               CAST(n_lineitem - lineitem_orphans AS DOUBLE)
+                   / CAST(n_lineitem AS DOUBLE) AS lineitem_fk_coverage
+        FROM s
+    """,
     "q_revenue_pareto": """
         WITH rev AS (
             SELECT o_custkey,
