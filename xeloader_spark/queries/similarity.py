@@ -1206,6 +1206,52 @@ def q_multimodal_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-corpus integrity audit: every payload strictly re-parsed by
+    its registered codec (the decode-or-fail contract — a codec that
+    guesses is worse than one that fails), per-format valid counts and
+    exact byte totals. The fixture media are valid by construction, so
+    the oracle derives the expected counts and byte arithmetic from the
+    generators — a parser regression (accepting garbage or rejecting a
+    valid container) flips a count and fails the hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.attach_ppm_media(docs).unionByName(mm.attach_wav_media(docs))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ok, nb = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                fmt = meta["format"]
+                fmts.append(fmt)
+                nb.append(len(payload))
+                try:
+                    if fmt == "image/ppm":
+                        mm.decode_ppm(bytes(payload))
+                    elif fmt == "audio/wav":
+                        mm.decode_wav(bytes(payload))
+                    else:
+                        raise ValueError(fmt)
+                    ok.append(True)
+                except Exception:
+                    ok.append(False)
+            yield pd.DataFrame(
+                {"format": fmts, "valid": ok, "n_bytes": nb}
+            )
+
+    checked = media.select("payload", "meta").mapInPandas(
+        run, schema="format string, valid boolean, n_bytes long"
+    )
+    return checked.groupBy("format").agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum(F.col("valid").cast("long")).cast("long").alias("n_valid"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )
+
+
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash per image, REAL-decode path: documents →
     valid 8×2 binary PPMs → strict P6 parse → integer BT.601 luma →
@@ -1556,6 +1602,21 @@ ORACLES: dict[str, str] = {
                    md5(text) || substr(md5('x' || text), 1, 16) AS px
             FROM documents
         )
+    """,
+    # 4×2 PPM payload = 11-byte header + 24 RGB bytes; WAV = 44-byte
+    # header + 16 PCM bytes — derived from the generators the media
+    # builders replay
+    "q_media_integrity": """
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT 'audio/wav' AS format, n_docs AS n_media,
+               n_docs AS n_valid,
+               CAST(n_docs * 60 AS BIGINT) AS total_bytes
+        FROM n
+        UNION ALL
+        SELECT 'image/ppm' AS format, n_docs AS n_media,
+               n_docs AS n_valid,
+               CAST(n_docs * 35 AS BIGINT) AS total_bytes
+        FROM n
     """,
     "q_image_phash": _PHASH_LUMA_SQL + """
         SELECT media_id, CAST(16 AS BIGINT) AS n_px,
