@@ -323,6 +323,54 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-detail reconciliation — the second standard post-load
+    audit next to the FK check: every order's header total compared to
+    the decimal-exact sum of its lines' charges
+    (extendedprice·(1−discount)·(1+tax)); orders without lines counted
+    separately. Emits match counts at the cent level and the total
+    absolute discrepancy — all through decimal accumulators, one final
+    cast; whether the synthetic fixture reconciles or not, the numbers
+    are exact and deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # every monetary/ratio column is an exact 2-decimal quantity, so the
+    # whole reconciliation quantizes to integers (cents and percent
+    # points): charge in dollar-millionths = cents·(100−d)·(100+t) —
+    # decimal-multiplication precision rules differ across engines,
+    # integer arithmetic does not
+    charge_u = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        * (F.lit(100) + F.round(F.col("l_tax") * 100).cast("long"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(charge_u).cast("long").alias("line_total_u"),
+    )
+    j = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    )
+    diff_u = F.abs(
+        F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(10_000)
+        - F.coalesce(F.col("line_total_u"), F.lit(0))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("n_lines").isNull().cast("long"))
+        .cast("long")
+        .alias("orders_without_lines"),
+        F.sum(
+            (F.col("n_lines").isNotNull() & (diff_u < 5_000)).cast("long")
+        )
+        .cast("long")
+        .alias("reconciled_at_cent"),
+        (
+            F.sum(diff_u).cast("double") / F.lit(1_000_000).cast("double")
+        ).alias("total_abs_discrepancy"),
+    )
+
+
 def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit — the load-time check a
     warehouse runs after every batch: orphan counts via anti-joins
@@ -1106,6 +1154,34 @@ ORACLES: dict[str, str] = {
                                 TIMESTAMP '{cutoff} 00:00:00')
         GROUP BY 1
     """.format(cutoff=_CHURN_CUTOFF),
+    "q_order_reconciliation": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                   ) AS BIGINT) AS line_total_u
+            FROM lineitem GROUP BY 1
+        ),
+        j AS (
+            SELECT p.n_lines,
+                   abs(CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+                       - COALESCE(p.line_total_u, 0)) AS diff_u
+            FROM orders o
+            LEFT JOIN per_order p ON p.l_orderkey = o.o_orderkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS orders_without_lines,
+               CAST(SUM(CASE WHEN n_lines IS NOT NULL AND diff_u < 5000
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS reconciled_at_cent,
+               CAST(SUM(diff_u) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                   AS total_abs_discrepancy
+        FROM j
+    """,
     "q_referential_integrity": """
         WITH s AS (
             SELECT
