@@ -35,12 +35,14 @@ def main() -> None:
         rnd = int(m.group(1)) if m else 0
         rows = json.load(open(path))
         for name, row in rows.items():
-            ok = (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and not row.get("err")
-            )
-            if ok and name in registry:
+            if not (isinstance(row, dict) and row.get("rows_match") and not row.get("err")):
+                continue
+            # A row only counts as verified-green when the value hash
+            # matched too; rows-only checks (oracle-less queries) have no
+            # hash_match key and fall back to the row count.
+            if "hash_match" in row and not row.get("hash_match"):
+                continue
+            if name in registry:
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
     unverified = [q for q in registry if q not in last_green]
@@ -50,11 +52,19 @@ def main() -> None:
     )
     chosen = (unverified + rechecks)[:window]
 
+    overflow = max(0, len(unverified) - window)
     print(
         f"# {len(registry)} registered; {len(unverified)} unverified; "
         f"window {window} → {len(chosen)} slots "
-        f"({max(0, len(unverified) - window)} unverified beyond the window)"
+        f"({overflow} unverified beyond the window)"
     )
+    if overflow:
+        print(
+            f"# WARNING: {overflow} unverified queries will NOT get a driver "
+            f"row this round. Stop adding new queries (or raise the window) "
+            f"until the backlog drains.",
+            file=sys.stderr,
+        )
     print("_ROUND_PRIORITY = [")
     for q in chosen:
         tag = "" if q in unverified else f"  # recheck (last green r{last_green[q]})"

@@ -28,84 +28,68 @@ from . import core
 
 
 # The round driver checks at most ~50 queries per round, in registry
-# (dict insertion) order. Rounds 1+2 verified 99 distinct queries green
-# (union of CORRECTNESS_r01/r02 rows with rows_match and no err). This
-# list front-loads the 44 queries that have no driver row yet — the 19
-# late round-2 additions first, then the round-3 additions in the order
-# they landed — and spends the remaining budget on regression re-checks
-# of the highest-complexity previously-green queries. Names not in this
-# list keep module order after it. (The generated ledger at the end of
-# COVERAGE.md is the authoritative per-query verification status;
-# regenerate with tools/gen_coverage_ledger.py.)
-#
-# ROUND-4 ROTATION (do this first next round): run
-#     python tools/gen_round_priority.py
-# and replace this list with its output. It diffs queries() against the
-# union of green CORRECTNESS_r*.json rows, front-loads everything still
-# unverified (~24 round-3-session additions sit past this round's
-# 50-slot cap, e.g. q_scd2_history, q_pagerank_knn, the HLL/histogram
-# sketch family, q_triangle_stats, q_label_propagation, the phash and
-# prefix-jaccard near-dup queries), then fills with regression
-# re-checks ordered by oldest last-green round.
+# (dict insertion) order. Names not in _ROUND_PRIORITY keep module order
+# after it. (The generated ledger at the end of COVERAGE.md is the
+# authoritative per-query verification status; regenerate with
+# tools/gen_coverage_ledger.py. Regenerate this list each round with
+# tools/gen_round_priority.py.)
+# ROUND-4 ROTATION (installed from tools/gen_round_priority.py output):
+# the 50 slots are exactly the 50 still-unverified registry entries, so
+# after round 4 every registered query has a green driver row across
+# r1..r4. gen_round_priority.py now warns when new additions would push
+# the unverified set past one round's window — keep round-4-session
+# additions within the headroom it reports.
 _ROUND_PRIORITY = [
-    # the 19 still-unverified queries (no CORRECTNESS_r01/r02 row)
-    "q_ann_topk_pq",
-    "q_bigram_lm_score",
-    "q_bpe_encode",
-    "q_bpe_train",
-    "q_classifier_inference",
-    "q_constraint_checks",
-    "q_contrastive_negatives",
-    "q_csv_roundtrip",
-    "q_domain_classifier",
-    "q_funnel_conversion",
-    "q_grouping_sets",
-    "q_jsonl_roundtrip",
-    "q_kmeans_clusters",
-    "q_large_orders",
-    "q_table_profile",
-    "q_upsert_latest",
-    "q_value_outliers",
-    "q_volume_shipping",
-    "q_window_funcs",
-    # new round-3 queries go here (before regression re-checks) so they
-    # get a driver row in the same round they are added
-    "q_ann_topk_lsh_banded",
-    "q_semantic_dedup",
-    "q_shard_balance",
-    "q_canonical_dedup",
-    "q_boilerplate_flags",
-    "q_vocab_stats",
-    "q_token_freq_histogram",
-    "q_minhash_search",
-    "q_cluster_balanced_sample",
-    "q_random_projection",
-    "q_retention_cohorts",
-    "q_small_quantity_revenue",
-    "q_last_ship_supplier",
-    "q_market_share",
-    "q_rich_inactive_customers",
-    "q_shot_boundaries",
-    "q_ann_topk_ivf_exact",
-    "q_ann_topk_pq_sampled",
-    "q_zorder_values",
-    "q_novelty_scores",
-    "q_editdistance_neardup",
-    "q_training_data_build",
-    "q_knn_graph",
-    "q_weighted_sample",
-    "q_top_revenue_supplier",
-    "q_audio_decimate",
-    # TPC-H completion set (Q4/Q10/Q12/Q14/Q19 shapes), landed round 3:
-    # with these, every TPC-H query expressible without a partsupp table
-    # has a registered shape. They take the window's last 5 slots (the
-    # previous regression re-checks rotate back in round 4) so the full
-    # 50-query driver window is exactly the still-unverified set.
-    "q_order_priority_check",
-    "q_returned_item_customers",
-    "q_ship_delay_priority",
-    "q_promo_revenue",
-    "q_disjunctive_filter_revenue",
+    "q_forecast_revenue_change",
+    "q_order_reconciliation",
+    "q_pivot_user_matrix",
+    "q_referential_integrity",
+    "q_revenue_pareto",
+    "q_fixedwidth_roundtrip",
+    "q_dedup_eval",
+    "q_golden_records",
+    "q_prefix_jaccard_pairs",
+    "q_source_dup_rates",
+    "q_image_phash",
+    "q_image_phash_neardup",
+    "q_label_propagation",
+    "q_media_integrity",
+    "q_pagerank_knn",
+    "q_pagerank_personalized",
+    "q_rank_fusion",
+    "q_triangle_stats",
+    "q_pmi_collocations",
+    "q_source_diversity",
+    "q_conditional_aggs",
+    "q_id_islands",
+    "q_null_semantics",
+    "q_string_agg_ordered",
+    "q_vector_norms",
+    "q_attribution_first_touch",
+    "q_bounce_rate",
+    "q_cdc_snapshot",
+    "q_cooccurrence_lift",
+    "q_distribution_drift",
+    "q_exact_median_twopass",
+    "q_hist_quantile_sketch",
+    "q_hll_distinct_users",
+    "q_hll_intersection",
+    "q_hopping_window_agg",
+    "q_hourly_autocorrelation",
+    "q_incremental_rollup",
+    "q_interarrival_stats",
+    "q_iqr_outliers",
+    "q_join_key_skew",
+    "q_join_size_sketch",
+    "q_json_payload_stats",
+    "q_markov_transitions",
+    "q_rollup_hierarchy",
+    "q_scd2_history",
+    "q_scd2_pointintime",
+    "q_series_correlation",
+    "q_user_lifetime",
+    "q_weekly_profile",
+    "q_classifier_calibration",
 ]
 
 
