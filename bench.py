@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
-"queries": {name: sec}, "sf": <scale factor>}.
+compact JSON line (≤1500 chars: total, slowest queries, recall@10,
+pass totals, loadavg); the full per-query map is written to
+BENCH_DETAIL.json (override path via $SPARK_GRAFT_BENCH_DETAIL).
 
 Queries are fully materialized through the `noop` sink (no collect, no
 column-pruning shortcuts), which is how a downstream consumer would pay
@@ -332,27 +333,56 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "recall_at_10": recall_at_10,
-                "pass_totals": {
-                    "pass1": round(sum(pass1.values()), 3),
-                    "pass2": round(sum(pass2.values()), 3) if pass2 else None,
-                    "pass2_queries": len(pass2),
-                },
-                "loadavg": {
-                    "start": list(loadavg_start),
-                    "end": list(os.getloadavg()),
-                },
-            }
-        )
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "recall_at_10": recall_at_10,
+        "pass_totals": {
+            "pass1": round(sum(pass1.values()), 3),
+            "pass2": round(sum(pass2.values()), 3) if pass2 else None,
+            "pass2_queries": len(pass2),
+        },
+        "loadavg": {
+            "start": [round(x, 2) for x in loadavg_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
+    }
+    # The driver captures only the tail of stdout (~2000 chars), and the
+    # full per-query map outgrew it in round 3 (BENCH_r03 "parsed": null).
+    # Full detail goes to a sidecar file; the FINAL stdout line is a
+    # compact summary (≤1500 chars: totals, recall, loadavg, the slowest
+    # queries, and a pointer to the sidecar).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_truncated_to_slowest": len(slowest),
+        "detail_file": os.path.basename(detail_path),
+        "recall_at_10": recall_at_10,
+        "pass_totals": detail["pass_totals"],
+        "loadavg": detail["loadavg"],
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guarantee for the driver's tail capture
+        compact.pop("queries", None)
+        compact.pop("loadavg", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

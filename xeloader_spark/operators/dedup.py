@@ -45,14 +45,17 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def release_persisted() -> int:
-    """Unpersist every intermediate persisted by this module's pipelines;
-    returns how many were released. Safe to call at any time — Spark
-    unpersist is lazy-tolerant (no-op for already-freed blocks)."""
+    """Unpersist every intermediate persisted by this module's pipelines
+    (and by operators/rank, which this module's SSJoin uses); returns how
+    many were released. Safe to call at any time — Spark unpersist is
+    lazy-tolerant (no-op for already-freed blocks)."""
+    from xeloader_spark.operators import rank as _rank
+
     n = len(_PERSISTED)
     for df in _PERSISTED:
         df.unpersist()
     _PERSISTED.clear()
-    return n
+    return n + _rank.release_persisted()
 
 
 def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1376,22 +1379,24 @@ def prefix_jaccard_pairs(
     the threshold is the exact rational threshold_num/threshold_den,
     no float compare anywhere.
 
-    Scale: df aggregate + rank (vocabulary-sized; the rank window is a
-    global sort over token TYPES, same discipline as the BPE trainer),
-    prefix join shuffles (prefix-token, id) pairs, verify joins the
-    candidate pairs back to full sets. Output matches `jaccard_pairs`
+    Scale: df aggregate + rank (vocabulary-sized — and for 5-gram
+    shingles the vocabulary grows ~linearly with the corpus, so the
+    rarity rank is computed with operators/rank.global_row_number:
+    range-partitioned distributed rank, NOT a single-task
+    `Window.orderBy` over all token types), prefix join shuffles
+    (prefix-token, id) pairs, verify joins the candidate pairs back to
+    full sets. Output matches `jaccard_pairs`
     (id_a, id_b, n_common, jaccard)."""
     from pyspark.sql import Window
+
+    from xeloader_spark.operators.rank import global_row_number
 
     items = _persist(item_df.select(id_col, item_col).distinct())
     sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     dfc = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("df"))
-    rank = dfc.select(
-        item_col,
-        F.row_number()
-        .over(Window.orderBy(F.asc("df"), F.asc(item_col)))
-        .alias("rnk"),
-    )
+    rank = global_row_number(
+        dfc, [F.asc("df"), F.asc(item_col)], out_col="rnk"
+    ).select(item_col, "rnk")
     ranked = (
         items.join(rank, item_col)
         .join(sizes, id_col)

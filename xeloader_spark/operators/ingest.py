@@ -145,11 +145,15 @@ def build_lineage(df: DataFrame, id_offset: int = 0) -> DataFrame:
     row_number over file name (+ `id_offset` so incremental runs continue
     the sequence), which is deterministic across retries
     (monotonically_increasing_id is not). The dimension is tiny (#files)
-    — always broadcastable."""
+    — always broadcastable; the rank is still computed distributed
+    (operators/rank.global_row_number) so even a multi-million-file
+    backfill never funnels through one task."""
+    from xeloader_spark.operators.rank import global_row_number
+
     files = df.select(F.col("e_source_file").alias("file_path")).distinct()
-    w = Window.orderBy("file_path")
+    files = global_row_number(files, ["file_path"], out_col="_rn")
     return files.select(
-        (F.row_number().over(w).cast("long") + F.lit(id_offset)).alias("file_id"),
+        (F.col("_rn") + F.lit(id_offset)).alias("file_id"),
         F.regexp_extract("file_path", r"^(.*)/[^/]+$", 1).alias("file_folder"),
         F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
         F.col("file_path"),

@@ -281,6 +281,13 @@ def hist_quantiles(
     groups = [c for c in sketch.columns if c not in ("bucket", "cnt")]
     from pyspark.sql import Window
 
+    if not groups:
+        # the ungrouped sketch is bins-sized by construction (buckets
+        # clamp to [0, bins-1]); the explicit limit puts that bound in
+        # the PLAN, so the global cum-sum window below is provably over
+        # a bounded frame (assert_no_global_window exempts limited
+        # inputs) — and stays a no-op on the data
+        sketch = sketch.limit(bins + 1)
     w = Window.partitionBy(*groups).orderBy("bucket") if groups else (
         Window.partitionBy().orderBy("bucket")
     )
@@ -387,14 +394,21 @@ def exact_quantile_twopass(
         df.join(F.broadcast(located), groups) if groups
         else df.crossJoin(F.broadcast(located))
     ).filter(in_bucket)
-    from pyspark.sql import Window
+    if groups:
+        from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*groups).orderBy(F.col(value_col).cast("double"))
-        if groups
-        else Window.partitionBy().orderBy(F.col(value_col).cast("double"))
-    )
-    ranked = joined.withColumn("__rk", F.row_number().over(w))
+        w = Window.partitionBy(*groups).orderBy(F.col(value_col).cast("double"))
+        ranked = joined.withColumn("__rk", F.row_number().over(w))
+    else:
+        # ungrouped: the in-bucket candidate frame is ~N/bins rows but
+        # corpus-dependent (a skewed distribution can dump most rows in
+        # one bucket), so rank it DISTRIBUTED rather than through an
+        # unpartitioned window's single task
+        from xeloader_spark.operators.rank import global_row_number
+
+        ranked = global_row_number(
+            joined, [F.col(value_col).cast("double")], out_col="__rk"
+        )
     return (
         ranked.filter(F.col("__rk") == F.col("rank") - F.col("cum_before"))
         .select(

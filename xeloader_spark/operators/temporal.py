@@ -506,10 +506,12 @@ def distribution_drift(
     counts ≤ ~3·10⁹ per half; past that, swap to DECIMAL accumulators.)
 
     Scale: one 2-scalar min/max aggregate broadcast back (the split
-    point), one map-side-combined (cat, half) count, then a
-    category-sized window for totals — the corpus shuffles count rows
-    only. Categories absent from one half get share 0 there (they count
-    fully toward drift), never dropped."""
+    point), one map-side-combined (cat, half) count, then two 1-row
+    aggregates of the category frame broadcast back via cross join
+    (grand totals, then the TVD numerator sum — grand-total WINDOWS
+    would plan single-partition exchanges) — the corpus shuffles count
+    rows only. Categories absent from one half get share 0 there (they
+    count fully toward drift), never dropped."""
     bounds = df.agg(
         F.min(F.unix_micros(F.col(ts_col))).alias("mn"),
         F.max(F.unix_micros(F.col(ts_col))).alias("mx"),
@@ -533,26 +535,31 @@ def distribution_drift(
             .alias("n_second"),
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    cross = F.abs(
-        F.col("n_first") * F.sum("n_second").over(w)
-        - F.col("n_second") * F.sum("n_first").over(w)
-    ).cast("long")
-    na = F.sum("n_first").over(w).cast("long")
-    nb = F.sum("n_second").over(w).cast("long")
-    return c.select(
+    tot = c.agg(
+        F.sum("n_first").cast("long").alias("_na"),
+        F.sum("n_second").cast("long").alias("_nb"),
+    )
+    c2 = c.crossJoin(F.broadcast(tot)).withColumn(
+        "cross_diff",
+        F.abs(
+            F.col("n_first") * F.col("_nb") - F.col("n_second") * F.col("_na")
+        ).cast("long"),
+    )
+    tvd = c2.agg(F.sum("cross_diff").cast("long").alias("_cross_sum"))
+    return c2.crossJoin(F.broadcast(tvd)).select(
         cat_col,
         "n_first",
         "n_second",
-        cross.alias("cross_diff"),
-        (cross.cast("double") / (na * nb).cast("double")).alias(
-            "share_delta"
-        ),
+        "cross_diff",
         (
-            F.sum(cross).over(w).cast("double")
-            / (F.lit(2).cast("long") * na * nb).cast("double")
+            F.col("cross_diff").cast("double")
+            / (F.col("_na") * F.col("_nb")).cast("double")
+        ).alias("share_delta"),
+        (
+            F.col("_cross_sum").cast("double")
+            / (F.lit(2).cast("long") * F.col("_na") * F.col("_nb")).cast(
+                "double"
+            )
         ).alias("tvd_total"),
     )
 

@@ -261,9 +261,10 @@ def unigram_doc_score(
     token-frequency join that REUSES that partitioning (the agg output is
     already hash-partitioned on token, so only the probe side shuffles),
     then one agg shuffle on doc_id. Vocabulary never broadcasts and the
-    text column never shuffles — only (id, token) pairs move."""
-    from pyspark.sql import Window
-
+    text column never shuffles — only (id, token) pairs move. The corpus
+    token total is a 1-row aggregate broadcast back via cross join (NOT a
+    grand-total window, which would funnel the per-doc frame through one
+    task)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(_tok_array(text_col))).alias("tok"),
@@ -277,14 +278,25 @@ def unigram_doc_score(
             F.sum("tok_freq").alias("sum_freq"),
         )
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
-    return per_doc.select(
+    # corpus token total as a scalar aggregate straight off the docs
+    # scan: map-side partial sums mean only one partial row per task
+    # crosses the wire — far cheaper than re-aggregating the exploded
+    # (id, token) pairs
+    total = df.agg(
+        F.sum(F.expr(f"size({_tok_array(text_col)})").cast("long")).alias(
+            "_total_tokens"
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         "sum_freq",
         (
             F.col("sum_freq").cast("double")
-            / (F.col("n_tokens").cast("double") * total.cast("double"))
+            / (
+                F.col("n_tokens").cast("double")
+                * F.col("_total_tokens").cast("double")
+            )
         ).alias("mean_tok_prob"),
     )
 

@@ -203,19 +203,23 @@ ORACLES: dict[str, str] = {
 
 def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the replayed classifier: rank ALL scored
-    docs into score deciles (ntile over a total (score, doc_id) order)
-    and report per-decile accuracy — does higher confidence mean more
-    correct? n/accuracy are integers + one IEEE division, so the oracle
-    replays train → score → decile → rate end-to-end. Scale note: ntile
-    is a single global sort here (fine: output is decile-sized); at
-    corpus scale swap the rank decile for the histogram-sketch bucket
-    (operators/sketch.hist_build) over scores — same downstream
-    aggregate, no global sort."""
-    from pyspark.sql import Window
+    docs into score deciles (exact NTILE over a total (score, doc_id)
+    order) and report per-decile accuracy — does higher confidence mean
+    more correct? n/accuracy are integers + one IEEE division, so the
+    oracle replays train → score → decile → rate end-to-end.
+
+    Scale note: a bare `ntile(10).over(Window.orderBy(...))` would funnel
+    every scored doc through ONE task. The deciles instead come from
+    operators/rank.global_ntile — range-partitioned global rank plus the
+    exact NTILE bucket formula — which keeps ANSI-NTILE semantics (so the
+    DuckDB NTILE oracle still hash-matches) while every task ranks only
+    its own score range. Pinned by assert_no_global_window suite-wide."""
+    from xeloader_spark.operators.rank import global_ntile
 
     preds = q_classifier_inference(spark, sf_dir)
-    w = Window.orderBy(F.desc("pred_score"), F.asc("doc_id"))
-    d = preds.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    d = global_ntile(
+        preds, 10, [F.desc("pred_score"), F.asc("doc_id")], out_col="decile"
+    )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(

@@ -63,18 +63,19 @@ def q_event_sequence_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     `datetime2(7)` UTC column / `c_event_sequence` cluster key
     (InputParameters.cs:624-625, EventMetadata.cs:207).
 
-    Scale notes: a global row_number needs a total order; Spark range-
-    partitions the sort. We bound the output (first 100 in sequence), so
-    AQE + limit pushdown keep this cheap; the unbounded variant would use
-    per-partition sequence reconstruction instead.
+    Scale notes: an unpartitioned `Window.orderBy` would move the WHOLE
+    events table through one task (Spark's "No Partition Defined for
+    Window operation" execution; the rank filter does not push through
+    the window). The 100 lowest event_ids are instead selected with
+    `orderBy().limit(100)` — a TakeOrderedAndProject, which keeps top-100
+    per partition then merges 100×partitions rows on the driver side —
+    and ONLY that bounded 100-row frame is windowed for the sequence
+    number. Pinned by assert_no_global_window (bounded inputs exempt).
     """
     ev = load_table(spark, sf_dir, "events")
+    first100 = ev.select("event_id", "ts", "event_type").orderBy("event_id").limit(100)
     w = Window.orderBy("event_id")
-    return (
-        ev.select("event_id", "ts", "event_type")
-        .withColumn("seq", F.row_number().over(w).cast("long"))
-        .filter(F.col("seq") <= 100)
-    )
+    return first100.withColumn("seq", F.row_number().over(w).cast("long"))
 
 
 def q_event_type_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:

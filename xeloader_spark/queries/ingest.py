@@ -103,13 +103,11 @@ def q_lineage_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (EventHolder.cs:446-511). The dimension is the distinct file set with
     a dense surrogate key; the stamp is a broadcast join; result is rows
     per file — the reference's per-file tracking row."""
+    from xeloader_spark.operators.rank import global_row_number
+
     ev = load_table(spark, sf_dir, "events").withColumn("file_name", F.expr(_FNAME))
-    lineage = (
-        ev.select("file_name")
-        .distinct()
-        .withColumn(
-            "file_id", F.row_number().over(Window.orderBy("file_name")).cast("long")
-        )
+    lineage = global_row_number(
+        ev.select("file_name").distinct(), ["file_name"], out_col="file_id"
     )
     return (
         ev.join(F.broadcast(lineage), "file_name")

@@ -423,7 +423,15 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per customer through the exact decimal accumulator, rank with a
     total (revenue, custkey) tie-break, ceil via integer arithmetic,
     one IEEE division at the end — the classic BI concentration figure,
-    engine-exact."""
+    engine-exact.
+
+    Scale note: the rank is operators/rank.global_row_number (range-
+    partitioned distributed rank), not `row_number` over an
+    unpartitioned window — the per-customer revenue frame is
+    customer-count-sized and would otherwise funnel through one task.
+    Same (revenue desc, custkey asc) total order, identical result."""
+    from xeloader_spark.operators.rank import global_row_number
+
     rev = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -431,8 +439,9 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
         )
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    ranked = rev.withColumn("rk", F.row_number().over(w))
+    ranked = global_row_number(
+        rev, [F.desc("rev"), F.asc("o_custkey")], out_col="rk"
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("rev").cast(_DEC).alias("_total"),

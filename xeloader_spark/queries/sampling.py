@@ -190,8 +190,6 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shuffle is the per-group selection window. End-to-end
     engine-exact: integer token counts, decimal weight accumulator,
     IEEE double division, floor to integer budgets."""
-    from pyspark.sql import Window
-
     from ..operators import text as tx
 
     docs = load_table(spark, sf_dir, "documents")
@@ -206,12 +204,14 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_tokens").alias("_gt"))
         .withColumn("_w", F.sqrt(F.col("_gt")).cast("decimal(25,6)"))
     )
-    total = F.sum("_w").over(Window.partitionBy())
-    budgets = grp.select(
+    total = grp.agg(F.sum("_w").cast("decimal(25,6)").alias("_tw"))
+    budgets = grp.crossJoin(F.broadcast(total)).select(
         "lang",
         "source",
         F.floor(
-            F.col("_w").cast("double") / total.cast("double") * _TOTAL_BUDGET
+            F.col("_w").cast("double")
+            / F.col("_tw").cast("double")
+            * _TOTAL_BUDGET
         )
         .cast("bigint")
         .alias("budget"),

@@ -336,10 +336,9 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributions). sqrt is IEEE-exact in both engines; the weight
     normalization goes through the decimal-accumulator pattern so the
     cross-group sum is order-independent. Aggregate is map-side partial →
-    one shuffle on (lang, source); the window runs on the tiny group
-    frame."""
-    from pyspark.sql import Window
-
+    one shuffle on (lang, source); the normalizer is a 1-row aggregate of
+    the group frame broadcast back via cross join (not a grand-total
+    window, which plans a single-partition exchange)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.expr(f"size({tx._tok_array('text')})").cast("long")
     grp = (
@@ -353,13 +352,15 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_w", F.sqrt(F.col("n_tokens")).cast("decimal(25,6)")
         )
     )
-    total = F.sum("_w").over(Window.partitionBy())
-    return grp.select(
+    total = grp.agg(F.sum("_w").cast("decimal(25,6)").alias("_tw"))
+    return grp.crossJoin(F.broadcast(total)).select(
         "lang",
         "source",
         "n_docs",
         "n_tokens",
-        (F.col("_w").cast("double") / total.cast("double")).alias("mix_weight"),
+        (
+            F.col("_w").cast("double") / F.col("_tw").cast("double")
+        ).alias("mix_weight"),
     )
 
 

@@ -85,7 +85,13 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> ParityRes
 
 
 def check_query(spark, sf_dir: str, name: str, qfn, sql: str | None) -> ParityResult:
-    sdf = qfn(spark, sf_dir).toPandas()
+    from .plans.inspect import assert_no_global_window
+
+    df = qfn(spark, sf_dir)
+    # Suite-wide scale gate: no query may plan a Window with an empty
+    # partition spec over an unbounded input (single-task at 100×).
+    assert_no_global_window(df)
+    sdf = df.toPandas()
     if sql is None:
         ok = len(sdf) >= 0
         return ParityResult(name, ok, len(sdf), -1, detail="rows-only check")
