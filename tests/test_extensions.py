@@ -1598,3 +1598,25 @@ class TestWeightedPagerank:
             for r in pagerank_weighted(edges, iters=1).collect()
         }
         assert got == {0, 1}  # only the positive-weight edge's endpoints
+
+    def test_teleport_seed_outside_edge_list_gets_rank_row(self, spark):
+        """A teleport seed with no edges is a dangling node: it must get
+        a rank row carrying its full share of the restart mass — not
+        vanish while still diluting the other seeds through n_seeds."""
+        from xeloader_spark.operators.graph import pagerank_weighted
+
+        edges = spark.createDataFrame(
+            [(0, 1, 3), (0, 2, 1)], "src long, dst long, weight long"
+        )
+        seeds = spark.createDataFrame([(0,), (9,)], "id long")  # 9 ∉ edges
+        scale = 10**12
+        got = {
+            r.id: r.rank_micro
+            for r in pagerank_weighted(
+                edges, iters=1, teleport=seeds, scale=scale
+            ).collect()
+        }
+        per_seed_base = (15 * scale) // (100 * 2)
+        assert 9 in got, "edge-less seed lost its rank row"
+        assert got[9] == per_seed_base  # full per-seed restart share
+        assert got[0] == per_seed_base  # a's share not silently halved-away

@@ -726,7 +726,14 @@ def test_streaming_cdc_matches_batch(spark, stream_in, tmp_path):
             .when(F.col("event_type") == "error", "D")
             .otherwise("U")
             .alias("op"),
-            "value",
+            # null change payloads included: the stream state must keep
+            # them NULL like batch cdc_apply (pandas hands them over as
+            # NaN; `is None` checks silently store NaN)
+            F.when(
+                F.col("event_type") == "view", F.lit(None).cast("double")
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
         )
 
     stream = spark.readStream.schema(ev.schema).option(
@@ -804,14 +811,29 @@ def test_streaming_markov_counts_match_batch(spark, tmp_path):
         ev.filter(F.col("ts") >= cuts[1]),
     ]
     for part in ranges:  # modification-time order == event-time order
-        part.coalesce(1).write.mode("append").parquet(src)
+        # rows WITHIN a file are scrambled (event_type order, not ts
+        # order): the stitcher must sort the whole micro-batch group,
+        # not trust or impose per-chunk order
+        part.orderBy("event_type", "event_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
         _time.sleep(1.1)
 
     stream = spark.readStream.schema(ev.schema).option(
         "maxFilesPerTrigger", 1
     ).parquet(src)
-    q = ms.start_transition_counts(stream, ckpt)
-    q.awaitTermination(180)
+    # tiny Arrow chunks force every user's micro-batch rows to span
+    # MULTIPLE pandas chunks — the cross-chunk ordering case that
+    # per-chunk sorting gets silently wrong
+    prev_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        q = ms.start_transition_counts(stream, ckpt)
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_arrow
+        )
 
     got = {
         (r.prev_state, r.next_state): r.n_transitions

@@ -305,12 +305,21 @@ def pagerank_weighted(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
     ).filter(F.col("w") > 0)
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # teleport seeds are UNIONED into the node set: a seed with no edges
+    # is a dangling node that still receives its share of the (1−d)
+    # restart mass every round (rather than silently vanishing while
+    # still diluting the other seeds' share through n_seeds)
+    seed_ids = (
+        teleport.select(F.col(teleport.columns[0]).alias("id")).distinct()
+        if teleport is not None
+        else None
     )
+    nodes = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))
+    )
+    if seed_ids is not None:
+        nodes = nodes.unionAll(seed_ids)
+    nodes = nodes.distinct().localCheckpoint(eager=True)
     n = nodes.count()
     init = scale // n
 
@@ -325,13 +334,13 @@ def pagerank_weighted(
         .localCheckpoint(eager=True)
     )
 
-    if teleport is None:
+    if seed_ids is None:
         base_col = F.lit(((damp_den - damp_num) * init) // damp_den).cast(
             "long"
         )
         seeds = None
     else:
-        seeds = teleport.select(F.col(teleport.columns[0]).alias("id")).distinct()
+        seeds = seed_ids
         n_seeds = seeds.count()
         if n_seeds == 0:
             raise ValueError("teleport set is empty")

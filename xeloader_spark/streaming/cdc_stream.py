@@ -76,7 +76,10 @@ def _apply(
             if ts_us is None or cand_key > (ts_us, event_id):
                 ts_us, event_id = cand_key
                 op = r.op
-                value = None if r.value is None else float(r.value)
+                # pandas delivers SQL nulls as NaN, which `is None` never
+                # matches — pd.isna keeps null payloads null, matching
+                # batch cdc_apply
+                value = None if pd.isna(r.value) else float(r.value)
     if touched:
         state.update((ts_us, event_id, op, value, n_ops, n_ins, n_del))
         yield pd.DataFrame(

@@ -52,9 +52,14 @@ def _stitch(
     (user_id,) = key
     last = state.get if state.exists else None  # (ts_us, seq, state)
     rows = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for r in pdf.itertuples():
+    # concat ALL Arrow chunks before sorting: a key whose micro-batch
+    # spans multiple chunks (> maxRecordsPerBatch) has no cross-chunk
+    # order guarantee, so per-chunk sorting would mis-order transitions
+    # (same discipline as funnel_stream / sessionize)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for r in batch.itertuples():
             cur = (int(r.ts.value // 1000), int(r.event_id), r.event_type)
             if last is not None:
                 rows.append((user_id, last[2], cur[2]))
