@@ -1379,52 +1379,51 @@ def prefix_jaccard_pairs(
     the threshold is the exact rational threshold_num/threshold_den,
     no float compare anywhere.
 
-    Scale: df aggregate + rank (vocabulary-sized — and for 5-gram
-    shingles the vocabulary grows ~linearly with the corpus, so the
-    rarity rank is computed with operators/rank.global_row_number:
-    range-partitioned distributed rank, NOT a single-task
-    `Window.orderBy` over all token types), prefix join shuffles
-    (prefix-token, id) pairs, verify joins the candidate pairs back to
-    full sets. Output matches `jaccard_pairs`
+    Scale: the rarity order needs no rank materialization at all — any
+    GLOBAL total order over tokens works for prefix filtering, and
+    (df asc, token asc) already is one (the vocabulary-wide rank of
+    rounds 3/4 — first a single-task window, then a distributed rank —
+    is gone entirely). Each set is materialized ONCE as its rarity-sorted
+    token array (df join → per-set collect + in-row sort, persisted);
+    the prefix is an in-row slice of the first n − ⌈t·n⌉ + 1 elements,
+    and verification is an in-row `array_intersect` after joining the
+    two candidate ids back to their arrays — no second pass over the
+    inverted index, no pair-sized groupBy. Shuffles: df join (token),
+    set collect (id), prefix self-join (token), two id joins for verify.
+    Per-row memory is one token array per document — the same bound
+    `shingles()` itself already implies. Output matches `jaccard_pairs`
     (id_a, id_b, n_common, jaccard)."""
-    from pyspark.sql import Window
-
-    from xeloader_spark.operators.rank import global_row_number
-
-    items = _persist(item_df.select(id_col, item_col).distinct())
-    sizes = items.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    items = item_df.select(id_col, item_col).distinct()
     dfc = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("df"))
-    rank = global_row_number(
-        dfc, [F.asc("df"), F.asc(item_col)], out_col="rnk"
-    ).select(item_col, "rnk")
-    ranked = (
-        items.join(rank, item_col)
-        .join(sizes, id_col)
-        .select(id_col, "rnk", "n")
-    )
-    # token's position within its set's rarity order; prefix keeps
-    # positions 1 .. n - ceil(t*n) + 1
-    pos_w = Window.partitionBy(id_col).orderBy("rnk")
-    prefix = (
-        ranked.withColumn("pos", F.row_number().over(pos_w))
-        .filter(
-            F.col("pos")
-            <= F.col("n")
-            - F.expr(
-                f"(n * {threshold_num} + {threshold_den - 1}) div {threshold_den}"
-            )
-            + 1
+    sets = _persist(
+        items.join(dfc, item_col)
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                f"array_sort(collect_list(struct(df, {item_col})))"
+            ).alias("_st")
         )
-        .select(id_col, "rnk", "n")
+        .select(
+            id_col,
+            F.expr(f"transform(_st, x -> x.{item_col})").alias("_toks"),
+            F.expr("size(_st)").cast("long").alias("n"),
+        )
+    )
+    # prefix keeps rarity positions 1 .. n - ceil(t*n) + 1 of each set
+    plen = f"n - (n * {threshold_num} + {threshold_den - 1}) div {threshold_den} + 1"
+    prefix = sets.select(
+        id_col,
+        "n",
+        F.explode(F.expr(f"slice(_toks, 1, {plen})")).alias(item_col),
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "rnk", F.col("n").alias("n_a")
+        F.col(id_col).alias("id_a"), item_col, F.col("n").alias("n_a")
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "rnk", F.col("n").alias("n_b")
+        F.col(id_col).alias("id_b"), item_col, F.col("n").alias("n_b")
     )
     cands = (
-        a.join(b, "rnk")
+        a.join(b, item_col)
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: t·|x| ≤ |y| and t·|y| ≤ |x|
@@ -1434,16 +1433,21 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    ta = items.select(F.col(id_col).alias("id_a"), item_col)
-    tb = items.select(F.col(id_col).alias("id_b"), item_col)
-    common = (
-        cands.join(ta, "id_a")
-        .join(tb, ["id_b", item_col])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_sb"))
     return (
-        common.filter(
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_sa", "_sb"))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .filter(
             F.col("n_common") * threshold_den
             >= (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             * threshold_num
@@ -1451,7 +1455,7 @@ def prefix_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.col("n_common").cast("long").alias("n_common"),
+            "n_common",
             (
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
