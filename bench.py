@@ -264,11 +264,10 @@ def main() -> None:
             emb, rq, k=rk, n_probe=8, km_k=16
         ),
         # train_fraction=0.5 is the production shape (codebook Lloyd
-        # rounds scan a sample, not the corpus) and measured recall 0.78
-        # vs 0.73 full-train at sf0.1 — sampling decorrelates seeds from
-        # the densest region, it does not cost recall here
+        # rounds scan a sample, not the corpus); m=16 (4-dim subspaces)
+        # per the r4 sweep: recall 0.93 vs 0.775 at m=8 for ~20% time
         "pq": lambda: _cl.pq_topk(
-            emb, rq, k=rk, m=8, sub_k=16, iters=2, rerank=200,
+            emb, rq, k=rk, m=16, sub_k=16, iters=2, rerank=200,
             train_fraction=0.5,
         ),
     }

@@ -79,7 +79,7 @@ def test_pq_recall_floor(emb01, exact_top):
             emb01,
             QIDS,
             k=K,
-            m=8,
+            m=16,
             sub_k=16,
             iters=2,
             rerank=200,
@@ -87,4 +87,4 @@ def test_pq_recall_floor(emb01, exact_top):
         ),
         exact_top,
     )
-    assert r >= 0.6, f"PQ recall@10 regressed: {r}"
+    assert r >= 0.8, f"PQ recall@10 regressed: {r}"  # measured 0.93 (r4)

@@ -801,10 +801,13 @@ def _kmeans_sql(k: int, iters: int, scale: int) -> str:
     """
 
 
-# m=8 subspaces: bench r3 measured recall@10 0.23 at m=4/rerank=50 vs
-# 0.59 at m=8/rerank=100 against the exact-dot baseline; the joint
-# subspace fit keeps training at iters scans regardless of m
-_PQ_M = 8
+# m=16 subspaces (4 dims each at EMB_DIM=64): r4 sweep measured
+# recall@10 0.9313 at m=16/sub_k=16 vs 0.775 at m=8/sub_k=16 and 0.8125
+# at m=8/sub_k=32 (16 centroids quantize a 4-dim subspace far better
+# than an 8-dim one) for ~20% more wall time; r3 history: 0.23 at
+# m=4/rerank=50, 0.59 at m=8/rerank=100. The joint subspace fit keeps
+# training at `iters` scans regardless of m; codes are m bytes/vector.
+_PQ_M = 16
 _PQ_SUBK = 16
 _PQ_ITERS = 2
 _PQ_K = 5
