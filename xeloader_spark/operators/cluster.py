@@ -101,11 +101,13 @@ def _argmin_struct_sql(centroids: list[list[int]], arr_sql: str) -> str:
     """least() over named (dist, code) structs — the argmin-by-distance
     with code-index tie-break, identical ordering to the F.least/F.struct
     form, built as one string for one Py4J call."""
-    structs = ",".join(
+    structs = [
         f"named_struct('d', {_dist_sql(c, arr_sql)}, 'c', CAST({j} AS INT))"
         for j, c in enumerate(centroids)
-    )
-    return f"least({structs})"
+    ]
+    if len(structs) == 1:  # least() requires >1 args
+        return structs[0]
+    return f"least({','.join(structs)})"
 
 
 def _dist_to(centroid: list[int]) -> Column:
@@ -176,6 +178,59 @@ def kmeans_exact(
     q.unpersist()
     return _assign(q, centroids).select(
         F.col("id").alias("vec_id"), "cluster", "dist"
+    )
+
+
+def kcenter_select(
+    emb_df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) DIVERSITY selection — the
+    classic 2-approximation to the k-center objective (Gonzalez 1985),
+    the shape a curator uses to pick a maximally-spread exemplar set
+    (seed prompts, eval probes, annotation batches) rather than a
+    frequency-weighted sample: seed with the smallest id, then k−1
+    rounds of "add the point farthest from everything selected so far"
+    (squared quantized L2; ties → smallest id, fully deterministic).
+
+    Returns the model-sized selection (round, vec_id,
+    dist_at_selection) — dist_at_selection is the coverage radius just
+    before that pick, a non-increasing sequence that IS the classic
+    k-vs-radius elbow curve.
+
+    Scale shape: selected vectors are driver literals (like k-means
+    centroids), so each round's min-distance is a pure zero-shuffle
+    projection (`_assign` over the selected set) followed by one
+    max-of-struct aggregate — 2 corpus scans per round, no corpus
+    shuffle anywhere, driver holds k × dim ints."""
+    q = _quantized(emb_df, id_col, vec_col, scale).persist()
+    seed = q.orderBy("id").limit(1).collect()[0]
+    picked: list[tuple[int, int, int]] = [(0, seed.id, 0)]
+    vecs = [list(seed.qarr)]
+    for r in range(1, k):
+        chosen = [p[1] for p in picked]
+        scored = _assign(q, vecs).filter(~F.col("id").isin(chosen))
+        top = (
+            scored.agg(
+                F.max(
+                    F.struct(
+                        F.col("dist").alias("d"),
+                        (-F.col("id")).alias("nid"),
+                    )
+                ).alias("m")
+            )
+            .select("m.d", "m.nid")
+            .first()
+        )
+        pid = -top.nid
+        picked.append((r, pid, top.d))
+        vecs.append(list(q.filter(F.col("id") == pid).first().qarr))
+    q.unpersist()
+    return emb_df.sparkSession.createDataFrame(
+        picked, "round long, vec_id long, dist_at_selection long"
     )
 
 

@@ -1265,6 +1265,99 @@ def minhash_search(
     )
 
 
+def minhash_incremental(
+    new_df: DataFrame,
+    snapshot_sigs: DataFrame,
+    min_agree: int = 6,
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot incremental NEAR-dup detection — the daily-crawl
+    shape: the historical corpus exists only as its retained MinHash
+    state (`snapshot_sigs`: one (id, h0..h{k-1}) row per already-ingested
+    doc — the text is gone), and each new batch is screened against that
+    state plus itself. A new doc matches when it shares an LSH band with
+    a prior doc and their signatures agree on ≥ `min_agree` of k
+    components (estimated Jaccard ≥ min_agree/k). Returns
+    (new_id, match_id, in_snapshot, n_agree, jaccard_est) — within-batch
+    matches point at the EARLIER (smaller-id) batch doc, mirroring
+    `incremental_dedup`'s keeper semantics.
+
+    Scale shape: the snapshot band table is corpus-sized but is only
+    ever PROBED — the new batch's band keys broadcast into it, so the
+    history never re-shuffles (the `minhash_search` discipline, with the
+    whole batch as the query set). Within-batch candidates come from a
+    batch-sized band self-join. Ranking compares fixed-width k-component
+    signatures; document text never crosses the wire. The estimate-only
+    verify is the point: it is what makes dedup possible after the
+    original text has been discarded."""
+    from pyspark.sql import functions as F
+
+    sh = shingles(new_df, n=n, text_col=text_col, id_col=id_col)
+    new_sigs = _persist(
+        minhash_signatures(sh.withColumnRenamed("shingle", "tok"), k=k)
+    )
+
+    def band_long(sigs: DataFrame) -> DataFrame:
+        banded = sigs
+        for b in range(bands):
+            cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+            banded = banded.withColumn(
+                f"band{b}", F.md5(F.concat_ws("#", *cols))
+            )
+        stack = ", ".join(f"{b}, band{b}" for b in range(bands))
+        return banded.selectExpr(
+            "id", f"stack({bands}, {stack}) AS (band_idx, bk)"
+        )
+
+    new_long = band_long(new_sigs)
+    snap_long = band_long(snapshot_sigs)
+    cross = (
+        snap_long.join(F.broadcast(new_long.withColumnRenamed("id", "new_id")),
+                       ["band_idx", "bk"])
+        .select("new_id", F.col("id").alias("match_id"))
+        .distinct()
+        .withColumn("in_snapshot", F.lit(True))
+    )
+    nl_a = new_long.select(F.col("id").alias("match_id"), "band_idx", "bk")
+    nl_b = new_long.select(F.col("id").alias("new_id"), "band_idx", "bk")
+    within = (
+        nl_a.join(nl_b, ["band_idx", "bk"])
+        .filter(F.col("match_id") < F.col("new_id"))
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("in_snapshot", F.lit(False))
+    )
+    cands = cross.unionByName(within)
+    match_sigs = snapshot_sigs.unionByName(new_sigs)
+    agree = sum(
+        F.when(F.col(f"h{s}") == F.col(f"nh{s}"), 1).otherwise(0)
+        for s in range(k)
+    )
+    return (
+        cands.join(
+            new_sigs.select(
+                F.col("id").alias("new_id"),
+                *[F.col(f"h{s}").alias(f"nh{s}") for s in range(k)],
+            ),
+            "new_id",
+        )
+        .join(match_sigs.withColumnRenamed("id", "match_id"), "match_id")
+        .select(
+            "new_id",
+            "match_id",
+            "in_snapshot",
+            agree.cast("long").alias("n_agree"),
+        )
+        .filter(F.col("n_agree") >= min_agree)
+        .withColumn("jaccard_est", F.col("n_agree") / F.lit(k))
+    )
+
+
 def novelty_scores(
     df: DataFrame,
     n: int = 3,

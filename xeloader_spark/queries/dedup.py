@@ -294,6 +294,126 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(seeded.filter(~in_snap), snapshot)
 
 
+def q_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD-TUNING curve in one pass: every co-occurring pair's
+    exact Jaccard, bucketed into integer deciles — the "how many pairs
+    would each threshold flag" histogram a curator reads before picking
+    t. The bucket is the integer `(10·|∩|) div |∪|` (no float boundary
+    anywhere), so the curve is engine-exact; one inverted-index pass
+    serves every candidate threshold instead of re-running dedup per t."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs, n=3)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+        .withColumn(
+            "decile", F.expr("(10 * nc) div (n_a + n_b - nc)").cast("long")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min(
+                F.col("nc") / (F.col("n_a") + F.col("n_b") - F.col("nc"))
+            ).alias("min_jaccard"),
+            F.max(
+                F.col("nc") / (F.col("n_a") + F.col("n_b") - F.col("nc"))
+            ).alias("max_jaccard"),
+        )
+    )
+
+
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage matrix BETWEEN sources: exact-Jaccard pairs
+    (t ≥ 0.5) grouped by their (source_a, source_b) corner — the
+    "is crawlX re-serving crawlY's content" diagnostic that decides
+    which source to de-prioritize. Pair sources are ordered
+    lexicographically so each unordered corner counts once."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
+    sa = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+            "jaccard",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+_MH_SNAP_SALT = "mh-snap"
+_MH_MIN_AGREE = 6  # estimated Jaccard >= 6/12 = 0.5
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental NEAR-dup detection: a deterministic 70%
+    of the corpus plays the already-ingested history, retained ONLY as
+    its MinHash signature table (text discarded — the state a daily-crawl
+    dedup job actually keeps); the other 30% is the new batch, screened
+    against that state and against itself via banded LSH + signature
+    agreement. Seeded boilerplate passages (the q_incremental_dedup
+    fixture trick) guarantee matches on both sides of the boundary. The
+    oracle replays the FULL pipeline — seeding, snapshot split, shingles,
+    signatures, bands, agreement — in SQL, so the retained-state design
+    is hash-verified end to end."""
+    from ..operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(_SEEDED_PFX), F.expr("CAST(doc_id DIV 8 AS STRING)")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    in_snap = sp.hash_bucket("doc_id", salt=_MH_SNAP_SALT) < _SNAP_BUCKET
+    snap_sh = dd.shingles(seeded.filter(in_snap), n=3)
+    snapshot_sigs = dd.minhash_signatures(
+        snap_sh.withColumnRenamed("shingle", "tok"), k=_K
+    )
+    return dd.minhash_incremental(
+        seeded.filter(~in_snap),
+        snapshot_sigs,
+        min_agree=_MH_MIN_AGREE,
+        n=3,
+        k=_K,
+        bands=_BANDS,
+        rows=_ROWS,
+    )
+
+
 _EVAL_BUCKET = 500  # 5% of documents act as the held-out eval set
 
 
@@ -613,6 +733,87 @@ ORACLES: dict[str, str] = {
         ver AS ({_JACCARD_PAIRS})
         SELECT v.id_a, v.id_b, v.n_common, v.jaccard
         FROM cand c JOIN ver v ON c.id_a = v.id_a AND c.id_b = v.id_b
+    """,
+    "q_jaccard_threshold_curve": f"""
+        WITH tri AS ({_TRI}),
+        sz AS (SELECT id, COUNT(*) AS n FROM tri GROUP BY 1),
+        common AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS nc
+            FROM tri a JOIN tri b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT c.nc, sa.n AS n_a, sb.n AS n_b
+            FROM common c
+            JOIN sz sa ON c.id_a = sa.id
+            JOIN sz sb ON c.id_b = sb.id
+        )
+        SELECT CAST((10 * nc) // (n_a + n_b - nc) AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MIN(CAST(nc AS DOUBLE) / CAST(n_a + n_b - nc AS DOUBLE))
+                   AS min_jaccard,
+               MAX(CAST(nc AS DOUBLE) / CAST(n_a + n_b - nc AS DOUBLE))
+                   AS max_jaccard
+        FROM sized GROUP BY 1
+    """,
+    "q_cross_source_contamination": f"""
+        WITH ver AS ({_JACCARD_PAIRS})
+        SELECT least(da.source, db.source) AS source_lo,
+               greatest(da.source, db.source) AS source_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MAX(v.jaccard) AS max_jaccard
+        FROM ver v
+        JOIN documents da ON v.id_a = da.doc_id
+        JOIN documents db ON v.id_b = db.doc_id
+        GROUP BY 1, 2
+    """,
+    "q_incremental_neardup": f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 1
+                        THEN '{_SEEDED_PFX}' || CAST(doc_id // 8 AS VARCHAR)
+                        ELSE text END AS text,
+                   (('0x' || substr(md5('{_MH_SNAP_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                       < {_SNAP_BUCKET} AS in_snap
+            FROM documents
+        ),
+        tri AS ({tri_sql("seeded")}),
+        sig AS (SELECT id, {_SIG_COLS} FROM tri GROUP BY id),
+        flagged AS (
+            SELECT s.*, d.in_snap FROM sig s
+            JOIN seeded d ON s.id = d.doc_id
+        ),
+        sband AS (SELECT id, {_BAND_COLS} FROM flagged WHERE in_snap),
+        nband AS (SELECT id, {_BAND_COLS} FROM flagged WHERE NOT in_snap),
+        cross_c AS ({" UNION ".join(
+            f"SELECT n.id AS new_id, s.id AS match_id "
+            f"FROM nband n JOIN sband s ON n.band{b} = s.band{b}"
+            for b in range(_BANDS)
+        )}),
+        within_c AS ({" UNION ".join(
+            f"SELECT b2.id AS new_id, a2.id AS match_id "
+            f"FROM nband a2 JOIN nband b2 "
+            f"ON a2.band{b} = b2.band{b} AND a2.id < b2.id"
+            for b in range(_BANDS)
+        )}),
+        cand AS (
+            SELECT new_id, match_id, TRUE AS in_snapshot FROM cross_c
+            UNION ALL
+            SELECT new_id, match_id, FALSE AS in_snapshot FROM within_c
+        ),
+        agree AS (
+            SELECT c.new_id, c.match_id, c.in_snapshot,
+                   CAST({" + ".join(
+                       f"(CASE WHEN nn.h{s} = mm.h{s} THEN 1 ELSE 0 END)"
+                       for s in range(_K)
+                   )} AS BIGINT) AS n_agree
+            FROM cand c
+            JOIN sig nn ON nn.id = c.new_id
+            JOIN sig mm ON mm.id = c.match_id
+        )
+        SELECT new_id, match_id, in_snapshot, n_agree,
+               CAST(n_agree AS DOUBLE) / {_K} AS jaccard_est
+        FROM agree WHERE n_agree >= {_MH_MIN_AGREE}
     """,
     "q_source_dup_rates": """
         SELECT source,

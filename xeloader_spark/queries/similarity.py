@@ -653,6 +653,73 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.kmeans_exact(emb)
 
 
+_KCENTER_K = 8
+
+
+def q_kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection over the
+    embedding corpus: seed at the smallest id, then 7 rounds of "add the
+    point farthest from everything selected" — the exemplar-picking
+    complement to frequency-weighted sampling (Gonzalez's classic
+    2-approximation). Integer quantized distances with total tie-breaks
+    make every pick deterministic; the oracle unrolls all rounds as CTEs
+    and must hash-match each pick AND its coverage radius."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cls.kcenter_select(emb, k=_KCENTER_K)
+
+
+def _kcenter_sql(k: int, scale: int) -> str:
+    """Unrolled-CTE DuckDB replay of `cluster.kcenter_select`: same
+    quantization, seed rule (min id), farthest-point argmax with
+    (distance desc, id asc) tie-break, and already-picked exclusion.
+    Per-round CTEs are MATERIALIZED: DuckDB otherwise re-expands each
+    sel{{r-1}} reference, blowing the unrolled plan up exponentially
+    (measured ~9x per extra round past k=5)."""
+    ctes = [
+        f"""q AS (
+            SELECT vec_id AS id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                        AS BIGINT) + {scale} AS qv
+            FROM embeddings
+        )""",
+        """sel0 AS (
+            SELECT CAST(0 AS BIGINT) AS round, id AS vec_id,
+                   CAST(0 AS BIGINT) AS dist_at_selection
+            FROM (SELECT id FROM q GROUP BY id ORDER BY id LIMIT 1)
+        )""",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+            SELECT id, MIN(dd) AS d FROM (
+                SELECT x.id AS id, s.vec_id AS sid,
+                       CAST(SUM((x.qv - y.qv) * (x.qv - y.qv)) AS BIGINT) AS dd
+                FROM q x
+                JOIN sel{r - 1} s ON TRUE
+                JOIN q y ON y.id = s.vec_id AND y.pos = x.pos
+                GROUP BY x.id, s.vec_id
+            ) GROUP BY id
+        )"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT CAST({r} AS BIGINT) AS round, id AS vec_id,
+                   d AS dist_at_selection
+            FROM d{r}
+            WHERE id NOT IN (SELECT vec_id FROM sel{r - 1})
+            ORDER BY d DESC, id ASC LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM p{r})"
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT round, vec_id, dist_at_selection FROM sel{k - 1}
+    """
+
+
 _CB_SAMPLE_N = 10
 
 
@@ -1471,6 +1538,7 @@ _RESIZED_HDR_HEX = b"P6\n2 1\n255\n".hex()
 
 ORACLES: dict[str, str] = {
     "q_kmeans_clusters": _kmeans_sql(cls.K, cls.ITERS, cls.SCALE),
+    "q_kcenter_diverse_sample": _kcenter_sql(_KCENTER_K, cls.SCALE),
     "q_cluster_balanced_sample": _cluster_sample_sql(
         cls.K, cls.ITERS, cls.SCALE, _CB_SAMPLE_N
     ),

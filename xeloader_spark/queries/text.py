@@ -369,6 +369,47 @@ _SEARCH_K = 20
 _IDF_SCALE = 1_000_000
 
 
+_KANON_LEN_BUCKET = 64  # token-count bucket width for the quasi-identifier
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit over the quasi-identifier
+    (lang, source, token-length bucket): per-group sizes aggregated into
+    the re-identification summary a privacy review reads — total groups,
+    docs, and the doc counts sitting in groups smaller than k ∈ {2,5,10}
+    (a doc in a singleton group is uniquely re-identifiable from its
+    quasi-identifiers alone). Integer end-to-end: one (quasi-id) count
+    shuffle plus one tiny re-aggregate; the bucket is integer division
+    so no float boundary can move a doc across groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(
+            "lang",
+            "source",
+            F.expr(
+                f"CAST(size({tx._tok_array('text')}) AS BIGINT) "
+                f"div {_KANON_LEN_BUCKET}"
+            ).alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("gsz"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("gsz").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("gsz") < 2, F.col("gsz")).otherwise(0))
+        .cast("long")
+        .alias("docs_below_k2"),
+        F.sum(F.when(F.col("gsz") < 5, F.col("gsz")).otherwise(0))
+        .cast("long")
+        .alias("docs_below_k5"),
+        F.sum(F.when(F.col("gsz") < 10, F.col("gsz")).otherwise(0))
+        .cast("long")
+        .alias("docs_below_k10"),
+        F.min("gsz").cast("long").alias("min_group_size"),
+    )
+
+
 def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus keyword search: top-20 docs by integer-exact TF-IDF over
     the query terms (spark, merge, window), idf = scaled integer quotient
@@ -544,6 +585,25 @@ def _tfidf_search_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "q_tfidf_search": _tfidf_search_sql(),
+    "q_k_anonymity": f"""
+        WITH g AS (
+            SELECT lang, source,
+                   CAST(len({_TOKS_LIST}) AS BIGINT) // {_KANON_LEN_BUCKET}
+                       AS len_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS gsz
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(gsz) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN gsz < 2 THEN gsz ELSE 0 END) AS BIGINT)
+                   AS docs_below_k2,
+               CAST(SUM(CASE WHEN gsz < 5 THEN gsz ELSE 0 END) AS BIGINT)
+                   AS docs_below_k5,
+               CAST(SUM(CASE WHEN gsz < 10 THEN gsz ELSE 0 END) AS BIGINT)
+                   AS docs_below_k10,
+               CAST(MIN(gsz) AS BIGINT) AS min_group_size
+        FROM g
+    """,
     "q_boilerplate_flags": f"""
         WITH seeded AS ({_SEED_BOILER_SQL}),
         t AS (SELECT doc_id, {_TOKS_LIST} AS toks FROM seeded),
