@@ -78,6 +78,10 @@ HEADLINE = [
     "q_label_propagation",
     "q_exact_median_twopass",
     "q_golden_records",
+    # round-4 additions
+    "q_incremental_neardup",
+    "q_kcenter_diverse_sample",
+    "q_jaccard_threshold_curve",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

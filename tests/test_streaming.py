@@ -1001,3 +1001,77 @@ def test_streaming_windowed_hll_matches_batch(spark, tmp_path):
 
     per_w = Counter(w for w, _ in got)
     assert all(c <= 64 for c in per_w.values())
+
+
+def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
+    """Streamed band-bucket MinHash near-dup == the batch
+    `minhash_incremental`: the snapshot docs arrive as micro-batch 1
+    (loading the band-bucket state), the new batch as micro-batch 2;
+    batch-2 emissions, deduped over band collisions, must equal the
+    batch operator screening the same new docs against the snapshot's
+    retained signature table."""
+    import time
+
+    from xeloader_spark.operators import dedup as dd
+    from xeloader_spark.operators import sampling as sp
+    from xeloader_spark.streaming.minhash_stream import (
+        streaming_minhash_neardup,
+    )
+
+    src = str(tmp_path / "mh_in")
+    out = str(tmp_path / "mh_out")
+    ckpt = str(tmp_path / "mh_ckpt")
+
+    docs = load_table(spark, SF, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("shared passage "), F.expr("CAST(doc_id DIV 8 AS STRING)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    in_snap = sp.hash_bucket("doc_id", salt="mh-stream") < 7000
+    snap_df = seeded.filter(in_snap)
+    new_df = seeded.filter(~in_snap)
+    new_ids = {r.doc_id for r in new_df.select("doc_id").collect()}
+
+    os.makedirs(src, exist_ok=True)
+    for i, part in enumerate((snap_df, new_df)):
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_minhash_neardup(stream, min_agree=6)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.read.parquet(out)
+    got = {
+        (r.new_id, r.match_id, r.in_snapshot, r.n_agree)
+        for r in emitted.collect()
+        if r.new_id in new_ids
+    }
+    snap_sigs = dd.minhash_signatures(
+        dd.shingles(snap_df, n=3).withColumnRenamed("shingle", "tok"), k=12
+    )
+    exp = {
+        (r.new_id, r.match_id, r.in_snapshot, r.n_agree)
+        for r in dd.minhash_incremental(
+            new_df, snap_sigs, min_agree=6
+        ).collect()
+    }
+    assert len(exp) > 0, "fixture produced no cross/within matches"
+    assert got == exp

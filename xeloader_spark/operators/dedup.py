@@ -91,6 +91,40 @@ def shingles(
     )
 
 
+def minhash_sigs_rowwise(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document computed ENTIRELY per row — same
+    values as `shingles` → `minhash_signatures` (array_min over the same
+    md5 halves; duplicates don't move a min, so skipping the distinct is
+    value-neutral) but with zero shuffles and no aggregate, which is what
+    a STREAMING pipeline needs: each doc arrives whole in one row, so its
+    signature is a projection, not a groupBy (streaming aggregations
+    would demand watermarks and forbid append mode downstream).
+    Returns (id, h0..h{k-1})."""
+    toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
+    sh = (
+        f"CASE WHEN size(_toks) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(_toks) - {n}), "
+        f"i -> array_join(slice(_toks, i + 1, {n}), ' ')) END"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.expr(toks).alias("_toks")
+    ).select("id", F.expr(sh).alias("_sh"))
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(_sh, x -> "
+            f"substr(md5('{s // 2}|' || x), {1 + 16 * (s % 2)}, 16)))"
+        ).alias(f"h{s}")
+        for s in range(k)
+    ]
+    return base.select("id", *sig_cols)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
