@@ -486,30 +486,24 @@ def pq_topk(
             for s in range(m)
         ]
 
-    per_query = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(qid).cast("long").alias("query_id"),
-                    sum(
-                        (
-                            F.element_at(
-                                F.array(
-                                    *[
-                                        F.lit(int(v)).cast("long")
-                                        for v in dtab[qid][s]
-                                    ]
-                                ),
-                                F.col(f"code_{s}") + 1,
-                            )
-                            for s in range(m)
-                        ),
-                        F.lit(0).cast("long"),
-                    ).alias("adc"),
-                )
-                for qid in query_ids
-            ]
+    # The whole query×subspace×centroid ADC table goes into ONE SQL
+    # string: building it from nested F.lit/F.array Columns is thousands
+    # of Py4J round-trips (~9s measured at m=16, 16 queries — the same
+    # driver-bound trap fixed for k-means/PQ argmins in commit f4a21a4).
+    def _adc_sql(qid: int) -> str:
+        terms = " + ".join(
+            "element_at(array({vals}), code_{s} + 1)".format(
+                vals=",".join(f"{int(v)}L" for v in dtab[qid][s]), s=s
+            )
+            for s in range(m)
         )
+        return (
+            f"named_struct('query_id', CAST({qid} AS BIGINT), "
+            f"'adc', CAST({terms} AS BIGINT))"
+        )
+
+    per_query = F.explode(
+        F.expr("array(" + ",".join(_adc_sql(qid) for qid in query_ids) + ")")
     ).alias("qa")
     scored = encoded.select("id", per_query).select(
         F.col("qa.query_id").alias("query_id"),
