@@ -678,3 +678,48 @@ class TestSessionAdditionShapes:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan  # the 1-row split point
         plans.assert_no_cartesian(df)
+
+
+class TestRound4AdditionShapes:
+    """Shuffle budgets for the round-4 additions (SCALE.md rows). The
+    suite-wide no-global-window gate already covers them via the parity
+    sweep; these pin the Exchange counts so a regression that adds a
+    corpus shuffle fails here, not in a 100x deployment."""
+
+    def test_threshold_curve_budget(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        # shingle self-join (2 sides) + pair agg + sizes agg + 2 size
+        # joins + decile agg — the inverted-index pair pass, once, for
+        # every threshold
+        df = qd.q_jaccard_threshold_curve(spark, SF)
+        plans.assert_max_shuffles(df, 8)
+        plans.assert_no_cartesian(df)
+
+    def test_contamination_matrix_budget(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        df = qd.q_cross_source_contamination(spark, SF)
+        plans.assert_max_shuffles(df, 5)
+        plans.assert_no_cartesian(df)
+
+    def test_incremental_neardup_broadcasts_batch(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        # history (snapshot) side must NEVER re-shuffle: the new batch's
+        # band keys broadcast into it (minhash_search discipline)
+        df = qd.q_incremental_neardup(spark, SF)
+        plans.assert_max_shuffles(df, 4)
+        plans.assert_no_cartesian(df)
+
+    def test_kcenter_zero_shuffle_rounds(self, spark):
+        from xeloader_spark.queries import similarity as qs
+
+        # selected vectors are driver literals: every round is a
+        # projection + max-of-struct aggregate — corpus never moves
+        plans.assert_max_shuffles(qs.q_kcenter_diverse_sample(spark, SF), 0)
+
+    def test_k_anonymity_budget(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        plans.assert_max_shuffles(qt.q_k_anonymity(spark, SF), 2)
