@@ -82,6 +82,11 @@ HEADLINE = [
     "q_incremental_neardup",
     "q_kcenter_diverse_sample",
     "q_jaccard_threshold_curve",
+    "q_dsir_resample",
+    "q_matryoshka_recall",
+    "q_label_separation",
+    "q_ewma_smooth",
+    "q_ab_test_zscore",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

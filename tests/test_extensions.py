@@ -1620,3 +1620,124 @@ class TestWeightedPagerank:
         assert 9 in got, "edge-less seed lost its rank row"
         assert got[9] == per_seed_base  # full per-seed restart share
         assert got[0] == per_seed_base  # a's share not silently halved-away
+
+
+class TestDsirScores:
+    """dsir_scores: planted target-like docs must outrank source-only
+    docs, and the ratio must be the exact closed form."""
+
+    def test_target_vocab_doc_ranks_first(self, spark):
+        from xeloader_spark.operators import text as tx
+
+        rows = [
+            (1, "alpha beta alpha beta", "tgt"),
+            (2, "alpha beta gamma delta", "mix"),
+            (3, "gamma delta gamma delta", "other"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+        out = {
+            r.doc_id: r
+            for r in tx.dsir_scores(df, F.col("src") == "tgt").collect()
+        }
+        # doc 1 is pure target vocabulary, doc 3 shares none of it
+        assert out[1].imp_ratio > out[2].imp_ratio > out[3].imp_ratio
+        # closed form for doc 3: tgt_mass=0 -> ratio 0
+        assert out[3].imp_ratio == 0.0
+        # closed form for doc 1: alpha/beta appear 3x each corpus-wide,
+        # 2x each in target; N_src=12, N_tgt=4
+        assert out[1].src_mass == 12 and out[1].tgt_mass == 8
+        assert out[1].imp_ratio == (8 / 12) * (12 / 4)
+
+
+class TestEwmaSmooth:
+    """q_ewma_smooth semantics on a hand-built series: gap-aware decay,
+    renormalized over present buckets."""
+
+    def test_weights_follow_hour_gaps(self, spark, tmp_path):
+        import pandas as pd
+
+        # one user, hours 0, 1, 9: hour 9 is >7h after both others so
+        # its EWMA must be exactly its own count
+        ts = [
+            pd.Timestamp("2024-01-01 00:10:00"),
+            pd.Timestamp("2024-01-01 00:40:00"),
+            pd.Timestamp("2024-01-01 01:20:00"),
+            pd.Timestamp("2024-01-01 09:30:00"),
+        ]
+        pdf = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": ts,
+                "user_id": [7, 7, 7, 7],
+                "event_type": ["view"] * 4,
+                "value": [0.0] * 4,
+                "props": [""] * 4,
+            }
+        )
+        path = str(tmp_path / "events.parquet")
+        pdf.to_parquet(path)
+        import shutil
+
+        sfd = str(tmp_path)
+        from xeloader_spark.queries import temporal as qt
+
+        out = {r.hour_idx % 24: r for r in qt.q_ewma_smooth(spark, sfd).collect()}
+        # hour 0: no history -> ewma = own count = 2
+        assert out[0].n_events == 2 and out[0].ewma == 2.0
+        # hour 1: (128*1 + 64*2) / (128 + 64)
+        assert out[1].ewma == (128 * 1 + 64 * 2) / (128 + 64)
+        # hour 9: both earlier buckets are 8+ hours back -> pure own count
+        assert out[9].n_events == 1 and out[9].ewma == 1.0
+
+
+class TestLabelSeparation:
+    """Two well-separated point clouds must show inter >> intra."""
+
+    def test_separated_clusters(self, spark):
+        from xeloader_spark.queries import similarity as qs
+        import xeloader_spark.queries.similarity as _m
+
+        rows = []
+        vid = 0
+        for label, base in ((0, 0.0), (1, 10.0)):
+            for jit in (0.0, 0.001, -0.001, 0.002):
+                rows.append((vid, [base + jit] * 4, label))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        # drive the operator body directly via a temp view + monkeypatched
+        # loader would be heavy; replicate through the public query by
+        # writing parquet
+        import pandas as pd
+
+        out = None
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            df.toPandas().to_parquet(os.path.join(td, "embeddings.parquet"))
+            out = {r.label: r for r in qs.q_label_separation(spark, td).collect()}
+        assert set(out) == {0, 1}
+        for r in out.values():
+            assert r.inter_min > 100 * r.intra_msd
+            assert r.separation == r.inter_min / r.intra_msd
+
+
+class TestMatryoshkaSpine:
+    """A dim where truncation destroys the ranking still yields recall
+    rows (the LEFT-join spine), with recall possibly 0 but never absent."""
+
+    def test_all_query_dim_cells_present(self, spark):
+        from xeloader_spark.queries import similarity as qs
+
+        out = qs.q_matryoshka_recall(spark, SF).collect()
+        from xeloader_spark.queries.similarity import (
+            _MATRYOSHKA_DIMS,
+            _QUERY_IDS,
+        )
+
+        assert {(r.dims, r.query_id) for r in out} == {
+            (d, q) for d in _MATRYOSHKA_DIMS for q in _QUERY_IDS
+        }
+        for r in out:
+            assert 0.0 <= r.recall_at_k <= 1.0

@@ -806,3 +806,80 @@ def category_diversity(
             "top_share"
         ),
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, the public
+    data-selection-via-importance-resampling recipe) with the repo's
+    log-free exact arithmetic: a doc's importance is how much more
+    probable its tokens are under the TARGET unigram distribution (the
+    rows matching ``target_pred``) than under the full-corpus source
+    distribution.
+
+    Per doc: ``tgt_mass`` = Σ over token occurrences of the token's
+    target-corpus count, ``src_mass`` = same against the full corpus
+    (both exact integers; src_mass ≥ the doc's own contribution, so it
+    is never zero). The ratio estimate is
+
+        imp_ratio = (tgt_mass / src_mass) · (N_src / N_tgt)
+
+    — two exact-integer IEEE divisions and one multiply, identical
+    bit-for-bit across engines (DSIR's log-likelihood-ratio ordering is
+    monotone in this ratio for unigram features; logs would be the one
+    libm call whose rounding differs cross-engine). Docs with no token
+    in the target vocabulary score 0.
+
+    Scale shape (mirrors `unigram_doc_score`): one explode, one
+    count-agg shuffle on token producing BOTH frequency columns in the
+    same aggregate (the target count is a conditional sum — no second
+    scan, no second shuffle), a token join that reuses the agg's hash
+    partitioning, one doc agg; the two corpus totals ride along as
+    1-row aggregates broadcast back via cross join. Only (id, token)
+    pairs ever move; the text column never shuffles."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("_is_tgt"),
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("src_freq"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_freq"),
+    )
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("src_freq").alias("src_mass"),
+            F.sum("tgt_freq").alias("tgt_mass"),
+        )
+    )
+    totals = df.agg(
+        F.sum(F.expr(f"size({_tok_array(text_col)})"))
+        .cast("long")
+        .alias("_n_src"),
+        F.sum(
+            F.when(
+                target_pred, F.expr(f"size({_tok_array(text_col)})")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_n_tgt"),
+    )
+    return per_doc.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tokens",
+        "src_mass",
+        "tgt_mass",
+        (
+            (F.col("tgt_mass").cast("double") / F.col("src_mass").cast("double"))
+            * (F.col("_n_src").cast("double") / F.col("_n_tgt").cast("double"))
+        ).alias("imp_ratio"),
+    )

@@ -1857,3 +1857,293 @@ ORACLES: dict[str, str] = {
         ) WHERE rk <= {_K}
     """,
 }
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32)
+_MAT_K = 10
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022, the
+    public MRL recipe): how much exact-top-k recall survives when the
+    64-dim embeddings are truncated to their leading `d` dims, for each
+    candidate `d` — the number read before shipping a cheaper index.
+    Both rankings are the exact quantized-dot brute force (deterministic
+    tie-break), so per-(d, query) overlap is engine-exact — this is a
+    *measurement of the representation*, not of an approximate index.
+
+    Scale shape: one corpus scan per candidate dim (query side literal,
+    TakeOrdered top-k — no shuffle before the rank) + tiny top-k×top-k
+    joins; the union is over `len(_MATRYOSHKA_DIMS)` bounded frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = sim.dot_topk_quantized(emb, _QUERY_IDS, k=_MAT_K).select(
+        "query_id", "candidate_id"
+    )
+    out = None
+    for d in _MATRYOSHKA_DIMS:
+        trunc = emb.select(
+            "vec_id", F.expr(f"slice(embedding, 1, {d})").alias("embedding")
+        )
+        top_d = sim.dot_topk_quantized(trunc, _QUERY_IDS, k=_MAT_K).select(
+            "query_id", "candidate_id"
+        )
+        hits = (
+            top_d.join(full, ["query_id", "candidate_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        )
+        # LEFT join from the query-id spine so a dim with ZERO surviving
+        # overlap still shows a recall-0 row (the reading that matters)
+        spine = spark.createDataFrame(
+            [(qid,) for qid in _QUERY_IDS], "query_id bigint"
+        )
+        hits = spine.join(hits, "query_id", "left").select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        row = hits.select(
+            F.lit(d).cast("long").alias("dims"),
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(_MAT_K))).alias(
+                "recall_at_k"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the approximate k-NN graph — out-degree is
+    fixed at k by construction, so the IN-degree profile is where hubness
+    (a vector that everyone lists as a neighbor) shows up; heavy hubs are
+    the classic symptom of a collapsed embedding region. Includes the
+    in-degree-0 row (vectors nobody points at). Edge-sized aggregate +
+    one node-sized join; the histogram is degree-range-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = sim.knn_graph(
+        emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
+    )
+    indeg = knn.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    per_node = (
+        emb.select("vec_id")
+        .join(indeg, "vec_id", "left")
+        .select(F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"))
+    )
+    return per_node.groupBy("in_deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation diagnostic over the labeled embeddings: per
+    label, the mean squared distance of members to their own centroid
+    (intra) vs the squared distance to the NEAREST other centroid
+    (inter), and their ratio — a Fisher-style "are these classes even
+    separable" health check run before training a probe. All scatter
+    arithmetic is division-free exact integers (distances to the
+    centroid s/n are scaled by n²: Σ_d (n·x_d − s_d)²; centroid-pair
+    distances by (n_a·n_b)²), with one final IEEE division per reported
+    column, so every value replays bit-exactly. n³ stays in bigint up
+    to ~2M members per label; past that, swap the normalizer to double.
+
+    Scale shape: one (label, pos) sum aggregate (labels × dims rows), a
+    broadcast join of those sums back onto the corpus scan for the
+    scatter aggregate, and a labels²-sized centroid cross — the corpus
+    shuffles only as (label, pos, partial-sum) rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.expr(
+            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000)"
+            " AS BIGINT))"
+        ).alias("qarr"),
+    )
+    comp = q.select(
+        "label", F.posexplode("qarr").alias("pos", "qv")
+    )
+    sums = comp.groupBy("label", "pos").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    scatter = (
+        comp.join(F.broadcast(sums), ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                (F.col("n") * F.col("qv") - F.col("s"))
+                * (F.col("n") * F.col("qv") - F.col("s"))
+            )
+            .cast("long")
+            .alias("scatter"),
+            F.max("n").cast("long").alias("n"),
+        )
+        .select(
+            "label",
+            "n",
+            # scatter = n² Σ_members ‖x−μ‖², members = n → divide by n³;
+            # the /dim makes it a per-dimension mean squared deviation
+            (
+                F.col("scatter").cast("double")
+                / (F.col("n") * F.col("n") * F.col("n")).cast("double")
+            ).alias("intra_msd"),
+        )
+    )
+    a = sums.select(
+        F.col("label").alias("la"),
+        "pos",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = sums.select(
+        F.col("label").alias("lb"),
+        "pos",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    inter = (
+        a.join(b, "pos")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(
+                (F.col("nb") * F.col("sa") - F.col("na") * F.col("sb"))
+                * (F.col("nb") * F.col("sa") - F.col("na") * F.col("sb"))
+            )
+            .cast("long")
+            .alias("cross_scatter"),
+            F.max("na").cast("long").alias("na"),
+            F.max("nb").cast("long").alias("nb"),
+        )
+        .select(
+            F.col("la").alias("label"),
+            (
+                F.col("cross_scatter").cast("double")
+                / (
+                    F.col("na") * F.col("na") * F.col("nb") * F.col("nb")
+                ).cast("double")
+            ).alias("pair_dist"),
+        )
+        .groupBy("label")
+        .agg(F.min("pair_dist").alias("inter_min"))
+    )
+    return scatter.join(inter, "label").select(
+        "label",
+        "n",
+        "intra_msd",
+        "inter_min",
+        (F.col("inter_min") / F.col("intra_msd")).alias("separation"),
+    )
+
+
+def _matryoshka_sql() -> str:
+    per_dim = []
+    for d in _MATRYOSHKA_DIMS:
+        per_dim.append(f"""
+        SELECT CAST({d} AS BIGINT) AS dims, sp.query_id,
+               CAST(COUNT(t.candidate_id) AS BIGINT) AS n_overlap,
+               CAST(COUNT(t.candidate_id) AS DOUBLE) / {float(_MAT_K)}
+                   AS recall_at_k
+        FROM (SELECT unnest(ARRAY[{", ".join(str(i) for i in _QUERY_IDS)}])
+                  AS query_id) sp
+        LEFT JOIN (
+            SELECT a.query_id, a.candidate_id FROM (
+                SELECT qu.query_id, c.id AS candidate_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qu.query_id
+                           ORDER BY SUM(qu.qv * c.qv) DESC, c.id ASC) AS rk
+                FROM qv qu JOIN qv c
+                  ON c.pos = qu.pos AND c.id <> qu.id
+                WHERE qu.id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+                  AND qu.pos < {d} AND c.pos < {d}
+                GROUP BY qu.query_id, qu.id, c.id
+            ) a
+            JOIN full_topk f
+              ON f.query_id = a.query_id AND f.candidate_id = a.candidate_id
+            WHERE a.rk <= {_MAT_K}
+        ) t ON t.query_id = sp.query_id
+        GROUP BY sp.query_id
+        """)
+    union = " UNION ALL ".join(per_dim)
+    return f"""
+        WITH qv AS (
+            SELECT vec_id AS id, vec_id AS query_id, ord - 1 AS pos,
+                   CAST(round(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS val,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+        ),
+        full_topk AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT qu.query_id, c.id AS candidate_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qu.query_id
+                           ORDER BY SUM(qu.qv * c.qv) DESC, c.id ASC) AS rk
+                FROM qv qu JOIN qv c
+                  ON c.pos = qu.pos AND c.id <> qu.id
+                WHERE qu.id IN ({", ".join(str(i) for i in _QUERY_IDS)})
+                GROUP BY qu.query_id, qu.id, c.id
+            ) WHERE rk <= {_MAT_K}
+        )
+        {union}
+    """
+
+
+ORACLES["q_matryoshka_recall"] = _matryoshka_sql()
+
+ORACLES["q_degree_distribution"] = f"""
+    WITH knn AS ({_knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)}),
+    indeg AS (
+        SELECT dst AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_deg
+        FROM knn GROUP BY 1
+    )
+    SELECT COALESCE(i.in_deg, 0) AS in_deg,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.vec_id
+    GROUP BY 1
+"""
+
+ORACLES["q_label_separation"] = """
+    WITH comp AS (
+        SELECT label, ord - 1 AS pos,
+               CAST(round(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS qv
+        FROM (SELECT label, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS ord
+              FROM embeddings)
+    ),
+    sums AS (
+        SELECT label, pos,
+               CAST(SUM(qv) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM comp GROUP BY 1, 2
+    ),
+    scatter AS (
+        SELECT c.label,
+               MAX(s.n) AS n,
+               CAST(SUM((s.n * c.qv - s.s) * (s.n * c.qv - s.s)) AS BIGINT)
+                   AS scatter
+        FROM comp c JOIN sums s ON c.label = s.label AND c.pos = s.pos
+        GROUP BY 1
+    ),
+    inter AS (
+        SELECT la AS label, MIN(pair_dist) AS inter_min FROM (
+            SELECT a.label AS la, b.label AS lb,
+                   CAST(SUM((b.n * a.s - a.n * b.s)
+                            * (b.n * a.s - a.n * b.s)) AS DOUBLE)
+                   / CAST(MAX(a.n) * MAX(a.n) * MAX(b.n) * MAX(b.n)
+                          AS DOUBLE) AS pair_dist
+            FROM sums a JOIN sums b
+              ON a.pos = b.pos AND a.label <> b.label
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT sc.label, sc.n,
+           CAST(sc.scatter AS DOUBLE)
+               / CAST(sc.n * sc.n * sc.n AS DOUBLE) AS intra_msd,
+           i.inter_min,
+           i.inter_min / (CAST(sc.scatter AS DOUBLE)
+               / CAST(sc.n * sc.n * sc.n AS DOUBLE)) AS separation
+    FROM scatter sc JOIN inter i ON sc.label = i.label
+"""

@@ -1941,3 +1941,262 @@ ORACLES: dict[str, str] = {
         LEFT JOIN agg USING (event_type, bucket_ts)
     """,
 }
+
+
+_EWMA_LAGS = 8  # current bucket + 7 trailing hours; weight 2^(7-gap)
+_AB_MIN_PURCHASES = 14  # conversion = at least this many purchase events
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware exponential smoothing of each user's hourly event-count
+    series — the classic EWMA with α = 1/2, but with EXACT integer
+    weights: a bucket `gap` hours behind the current one contributes its
+    count shifted by ``1 << (7 - gap)``, so the smoothed value is one
+    IEEE division of two exact integers (libm-free; a pow()-based decay
+    would not replay cross-engine). Missing hours contribute nothing to
+    numerator OR denominator, so the estimate renormalizes over the
+    buckets that exist (gap-aware, not row-lag-based — a 5-hour silence
+    decays the old evidence, which `lag()` over observed rows would not).
+
+    Scale shape: counts collapse to (user, hour) in one map-side-combined
+    shuffle; each bucket then fans out to its ≤8 future target hours
+    (array-side explode of a constant 8-element range — bounded ×8, not
+    pair-quadratic) and one more keyed aggregate forms the weighted sums.
+    A semi-join back to observed buckets keeps only real rows. No
+    window over the raw stream; per-user series never single-task."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    contrib = buckets.select(
+        "user_id",
+        "h",
+        "c",
+        F.explode(F.expr(f"sequence(0, {_EWMA_LAGS - 1})")).alias("gap"),
+    ).select(
+        "user_id",
+        (F.col("h") + F.col("gap")).alias("th"),
+        F.expr(f"c * shiftleft(1L, {_EWMA_LAGS - 1} - gap)").alias("wc"),
+        F.expr(f"shiftleft(1L, {_EWMA_LAGS - 1} - gap)").alias("w"),
+    )
+    sums = contrib.groupBy(
+        "user_id", F.col("th").alias("h")
+    ).agg(
+        F.sum("wc").cast("long").alias("num"),
+        F.sum("w").cast("long").alias("den"),
+    )
+    return buckets.join(sums, ["user_id", "h"]).select(
+        "user_id",
+        F.col("h").alias("hour_idx"),
+        F.col("c").alias("n_events"),
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "ewma"
+        ),
+    )
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly audit: each concrete (day, hour) traffic
+    bucket is compared against the mean of ALL buckets sharing its
+    (epoch-day-of-week, hour-of-day) cell — "is this Tuesday 3pm unusual
+    for a Tuesday 3pm". Flags are integer cross-multiplications
+    (n·n_cell vs 2·sum_cell and 2·n·n_cell vs sum_cell — no float
+    boundary decides membership); the reported cell mean is one IEEE
+    division. Two keyed aggregates; the cell table re-aggregates the
+    bucket table (calendar-cell-sized, 7×24 keys at most)."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day_idx"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24")
+        .cast("long")
+        .alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = buckets.groupBy(
+        (F.col("day_idx") % 7).alias("dow"), "hod"
+    ).agg(
+        F.sum("n").cast("long").alias("sum_cell"),
+        F.count(F.lit(1)).cast("long").alias("n_cell"),
+    )
+    return (
+        buckets.withColumn("dow", F.col("day_idx") % 7)
+        .join(F.broadcast(cells), ["dow", "hod"])
+        .select(
+            "day_idx",
+            "dow",
+            "hod",
+            "n",
+            (F.col("sum_cell").cast("double") / F.col("n_cell").cast("double")).alias(
+                "cell_mean"
+            ),
+            (F.col("n") * F.col("n_cell") > 2 * F.col("sum_cell"))
+            .alias("flag_high"),
+            (2 * F.col("n") * F.col("n_cell") < F.col("sum_cell"))
+            .alias("flag_low"),
+        )
+    )
+
+
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-score on a user-level conversion metric
+    (heavy purchaser: ≥ `_AB_MIN_PURCHASES` purchase events — "any
+    purchase" saturates at p = 1 on the fixture, which degenerates the
+    pooled variance to 0), with deterministic md5-parity arm assignment
+    (the hash-gate discipline — both engines derive the identical split,
+    no RNG). Counts are exact integers; the z statistic is the textbook
+    pooled formula evaluated in a FIXED operation order (each /, ·, sqrt
+    is a single correctly-rounded IEEE op, so the float replays
+    bit-exactly cross-engine); a degenerate pooled variance (p̄ ∈ {0,1})
+    yields NULL rather than a 0/0. One user aggregate + one 2-row arm
+    aggregate + a 1-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= _AB_MIN_PURCHASES
+        )
+        .cast("long")
+        .alias("converted")
+    )
+    arms = users.groupBy(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_users")).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_conv")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_conv")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        (pp * (F.lit(1.0) - pp))
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        F.when(se > 0.0, (p0 - p1) / se).alias("zscore"),
+    )
+
+
+ORACLES["q_ewma_smooth"] = f"""
+    WITH buckets AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT user_id, h + gap AS th,
+               c * (1 << ({_EWMA_LAGS - 1} - gap)) AS wc,
+               (1 << ({_EWMA_LAGS - 1} - gap)) AS w
+        FROM buckets, (SELECT unnest(range(0, {_EWMA_LAGS})) AS gap)
+    ),
+    sums AS (
+        SELECT user_id, th,
+               CAST(SUM(wc) AS BIGINT) AS num,
+               CAST(SUM(w) AS BIGINT) AS den
+        FROM contrib GROUP BY 1, 2
+    )
+    SELECT b.user_id, b.h AS hour_idx, b.c AS n_events, s.num, s.den,
+           CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE) AS ewma
+    FROM buckets b
+    JOIN sums s ON b.user_id = s.user_id AND b.h = s.th
+"""
+
+ORACLES["q_seasonal_anomaly"] = """
+    WITH buckets AS (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+               CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT day_idx % 7 AS dow, hod,
+               CAST(SUM(n) AS BIGINT) AS sum_cell,
+               CAST(COUNT(*) AS BIGINT) AS n_cell
+        FROM buckets GROUP BY 1, 2
+    )
+    SELECT b.day_idx, b.day_idx % 7 AS dow, b.hod, b.n,
+           CAST(c.sum_cell AS DOUBLE) / CAST(c.n_cell AS DOUBLE)
+               AS cell_mean,
+           b.n * c.n_cell > 2 * c.sum_cell AS flag_high,
+           2 * b.n * c.n_cell < c.sum_cell AS flag_low
+    FROM buckets b
+    JOIN cells c ON b.day_idx % 7 = c.dow AND b.hod = c.hod
+"""
+
+ORACLES["q_ab_test_zscore"] = f"""
+    WITH users AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        >= {_AB_MIN_PURCHASES} AS BIGINT) AS converted
+        FROM events GROUP BY 1
+    ),
+    arms AS (
+        SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 2) AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_conv
+        FROM users GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm = 0 THEN n_users ELSE 0 END) AS BIGINT)
+                AS n0,
+            CAST(SUM(CASE WHEN arm = 0 THEN n_conv ELSE 0 END) AS BIGINT)
+                AS c0,
+            CAST(SUM(CASE WHEN arm = 1 THEN n_users ELSE 0 END) AS BIGINT)
+                AS n1,
+            CAST(SUM(CASE WHEN arm = 1 THEN n_conv ELSE 0 END) AS BIGINT)
+                AS c1
+        FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+           CASE WHEN sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 0.0
+           THEN
+           (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+            - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                   * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)))
+                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+           END AS zscore
+    FROM wide
+"""

@@ -937,3 +937,134 @@ ORACLES: dict[str, str] = {
         FROM per_doc
     """,
 }
+
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_KEEP = 100
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: rank every document by how much more
+    probable its tokens are under the TARGET unigram distribution
+    (lang = 'en' docs) than under the full-corpus distribution, keep the
+    top `_DSIR_KEEP`. The importance ratio is two exact-integer IEEE
+    divisions (see `operators/text.dsir_scores` — log-free, so the
+    ordering replays bit-exactly in the oracle). Selection is
+    orderBy+limit → TakeOrderedAndProject, never a global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        tx.dsir_scores(docs, F.col("lang") == _DSIR_TARGET_LANG)
+        .orderBy(F.desc("imp_ratio"), F.asc("doc_id"))
+        .limit(_DSIR_KEEP)
+    )
+
+
+_VOCAB_COVER_NS = (100, 1_000, 10_000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size planning curve: what fraction of all token
+    OCCURRENCES a top-N frequency-ranked vocabulary covers, for the
+    candidate sizes in `_VOCAB_COVER_NS` — the number a tokenizer
+    designer reads before fixing a vocab budget. The global frequency
+    rank uses `operators/rank.global_row_number` (range-partitioned,
+    no single-partition window); coverage sums are one conditional
+    aggregate over the type-sized frequency table."""
+    from ..operators import rank as rk
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.expr(tx._tok_array("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = rk.global_row_number(
+        freq, [F.desc("freq"), F.asc("tok")], out_col="rn"
+    )
+    cover_cols = [
+        F.sum(F.when(F.col("rn") <= n, F.col("freq")).otherwise(0))
+        .cast("long")
+        .alias(f"cov_{n}")
+        for n in _VOCAB_COVER_NS
+    ]
+    agg = ranked.agg(
+        F.sum("freq").cast("long").alias("total_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        *cover_cols,
+    )
+    share_cols = [
+        (F.col(f"cov_{n}").cast("double") / F.col("total_occurrences").cast("double")).alias(
+            f"share_{n}"
+        )
+        for n in _VOCAB_COVER_NS
+    ]
+    return agg.select(
+        "total_occurrences",
+        "n_types",
+        *[F.col(f"cov_{n}") for n in _VOCAB_COVER_NS],
+        *share_cols,
+    )
+
+
+ORACLES["q_dsir_resample"] = f"""
+    WITH toks AS (
+        SELECT doc_id, (lang = '{_DSIR_TARGET_LANG}') AS is_tgt,
+               unnest({_TOKS_LIST}) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok,
+               CAST(COUNT(*) AS BIGINT) AS src_freq,
+               CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tgt_freq
+        FROM toks GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(f.src_freq) AS BIGINT) AS src_mass,
+               CAST(SUM(f.tgt_freq) AS BIGINT) AS tgt_mass
+        FROM toks t JOIN freq f ON t.tok = f.tok
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(len({_TOKS_LIST})) AS BIGINT) AS n_src,
+               CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                             THEN len({_TOKS_LIST}) ELSE 0 END) AS BIGINT)
+                   AS n_tgt
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, src_mass, tgt_mass,
+           (CAST(tgt_mass AS DOUBLE) / CAST(src_mass AS DOUBLE)) *
+           (CAST(n_src AS DOUBLE) / CAST(n_tgt AS DOUBLE)) AS imp_ratio
+    FROM per_doc, tot
+    ORDER BY imp_ratio DESC, doc_id ASC
+    LIMIT {_DSIR_KEEP}
+"""
+
+ORACLES["q_vocab_coverage"] = f"""
+    WITH freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_TOKS_LIST}) AS tok FROM documents)
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rn
+        FROM freq
+    ),
+    agg AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS total_occurrences,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               {", ".join(
+        f"CAST(SUM(CASE WHEN rn <= {n} THEN freq ELSE 0 END) AS BIGINT)"
+        f" AS cov_{n}" for n in _VOCAB_COVER_NS)}
+        FROM ranked
+    )
+    SELECT total_occurrences, n_types,
+           {", ".join(f"cov_{n}" for n in _VOCAB_COVER_NS)},
+           {", ".join(
+        f"CAST(cov_{n} AS DOUBLE) / CAST(total_occurrences AS DOUBLE)"
+        f" AS share_{n}" for n in _VOCAB_COVER_NS)}
+    FROM agg
+"""
