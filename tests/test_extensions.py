@@ -1741,3 +1741,35 @@ class TestMatryoshkaSpine:
         }
         for r in out:
             assert 0.0 <= r.recall_at_k <= 1.0
+
+
+class TestKCore:
+    """kcore: a clique survives its own peeling threshold, a pendant
+    chain peels away, and peeling is monotone in rounds."""
+
+    def test_clique_survives_chain_peels(self, spark):
+        from xeloader_spark.operators.graph import kcore
+
+        # 4-clique (ids 0-3, undirected degree 3) + chain 3-10-11
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+                 (3, 10), (10, 11)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.id: r for r in kcore(e, k=3, rounds=3).collect()}
+        assert all(out[i].in_core for i in (0, 1, 2, 3))
+        assert not out[10].in_core and not out[11].in_core
+        # the clique's surviving degree is exactly 3 once the chain is gone
+        assert all(out[i].degree == 3 for i in (0, 1, 2, 3))
+
+    def test_monotone_in_rounds(self, spark):
+        from xeloader_spark.operators.graph import kcore
+
+        # long chain: every interior node has degree 2, but peeling the
+        # endpoints cascades one node per round — more rounds, fewer kept
+        chain = [(i, i + 1) for i in range(10)]
+        e = spark.createDataFrame(chain, "src long, dst long")
+        kept = [
+            kcore(e, k=2, rounds=r).filter("in_core").count()
+            for r in (1, 2, 3)
+        ]
+        assert kept[0] >= kept[1] >= kept[2]
+        assert kept[0] > kept[2]  # the cascade is real on a chain

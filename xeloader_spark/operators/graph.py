@@ -376,3 +376,57 @@ def pagerank_weighted(
         F.col("rank").alias("rank_micro"),
         (F.col("rank").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peeling over an UNDIRECTED graph: `rounds`
+    iterations of "drop every node whose surviving degree < k", the
+    deterministic batch formulation of Matula–Beck peeling (clamped
+    rounds, like `label_propagation` — each extra round only removes
+    more, so the round-R result is a monotone over-approximation of the
+    true k-core that unrolls into SQL CTEs). Input `edges` is a directed
+    (src, dst) list; it is symmetrized and de-duplicated here so degree
+    means undirected-neighbor count.
+
+    Returns (id, degree, in_core): final surviving degree per node that
+    entered round 0, degree 0 and in_core=false for peeled nodes.
+
+    Scale shape: each round is one node-keyed degree aggregate + one
+    semi-join of the edge list against the surviving node set — both
+    edge-sized shuffles; the node frame is localCheckpoint-ed per round
+    so plans stay O(1) in rounds. The vector/doc payloads behind the
+    node ids never enter the loop."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = und.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    e = und
+    for _ in range(rounds):
+        deg = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        e = (
+            e.join(keep.select(F.col("id").alias("src")), "src")
+            .join(keep.select(F.col("id").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return all_nodes.join(final_deg, "id", "left").select(
+        "id",
+        F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+        (F.coalesce("degree", F.lit(0)) >= k).alias("in_core"),
+    )

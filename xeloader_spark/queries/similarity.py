@@ -2147,3 +2147,74 @@ ORACLES["q_label_separation"] = """
                / CAST(sc.n * sc.n * sc.n AS DOUBLE)) AS separation
     FROM scatter sc JOIN inter i ON sc.label = i.label
 """
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+_KCORE_KNN_K = 8
+_KCORE_BANDS = 16
+_KCORE_MIN_DOT = 300_000  # quantized dot (cos ~0.3 at scale=1000, unit-norm)
+
+
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership after `_KCORE_ROUNDS` bounded peeling rounds,
+    over the SIMILARITY-THRESHOLD graph (8-NN candidates kept only when
+    the quantized dot clears `_KCORE_MIN_DOT`) — a fixed-out-degree k-NN
+    graph has a near-constant degree floor, which makes its k-core
+    binary; thresholding by similarity lets degree track local density,
+    so the core isolates genuinely well-connected embedding regions.
+    Clamped rounds keep the fixed point SQL-unrollable (each round only
+    removes more, so round-R is a monotone over-approximation of the
+    true core); see `operators/graph.kcore`."""
+    from ..operators.graph import kcore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = sim.knn_graph(
+        emb, k=_KCORE_KNN_K, bands=_KCORE_BANDS, planes_per_band=_KNN_PPB
+    )
+    edges = knn.filter(F.col("dot") >= _KCORE_MIN_DOT).select("src", "dst")
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+    k{r} AS MATERIALIZED (
+        SELECT src AS id FROM {prev} GROUP BY 1
+        HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN k{r} a ON a.id = e.src
+        JOIN k{r} b ON b.id = e.dst
+    )""")
+        prev = f"e{r}"
+    return f"""
+    WITH knn AS MATERIALIZED (
+        {_knn_graph_sql(_KCORE_KNN_K, _KCORE_BANDS, _KNN_PPB)}
+    ),
+    thresholded AS MATERIALIZED (
+        SELECT src, dst FROM knn WHERE dot >= {_KCORE_MIN_DOT}
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM thresholded
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM thresholded
+        ) WHERE src <> dst
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e0),
+    {",".join(rounds)},
+    fd AS (
+        SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM {prev} GROUP BY 1
+    )
+    SELECT n.id, COALESCE(fd.degree, 0) AS degree,
+           COALESCE(fd.degree, 0) >= {_KCORE_K} AS in_core
+    FROM nodes n LEFT JOIN fd ON n.id = fd.id
+"""
+
+
+ORACLES["q_kcore_membership"] = _kcore_sql()
