@@ -1075,3 +1075,60 @@ def test_streaming_minhash_neardup_matches_batch(spark, tmp_path):
     }
     assert len(exp) > 0, "fixture produced no cross/within matches"
     assert got == exp
+
+
+def test_streaming_ewma_closed_buckets_match_batch(spark, tmp_path):
+    """Streaming EWMA emissions == the batch q_ewma_smooth rows for every
+    CLOSED bucket (all but each user's last hour bucket) under
+    time-ordered arrival — bit-exact num/den/ewma."""
+    import time
+
+    from xeloader_spark.queries.temporal import q_ewma_smooth
+    from xeloader_spark.streaming.ewma_stream import streaming_ewma
+
+    src = str(tmp_path / "ewma_in")
+    out = str(tmp_path / "ewma_out")
+    ckpt = str(tmp_path / "ewma_ckpt")
+
+    ev = load_table(spark, SF, "events").select("user_id", "ts")
+    cut = ev.agg(F.min("ts")).first()[0] + __import__(
+        "datetime"
+    ).timedelta(days=15)
+    os.makedirs(src, exist_ok=True)
+    for i, pred in enumerate((F.col("ts") < cut, F.col("ts") >= cut)):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/slice={i}"
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.hour_idx): (r.n_events, r.num, r.den, r.ewma)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = q_ewma_smooth(spark, SF).collect()
+    last = {}
+    for r in batch:
+        last[r.user_id] = max(last.get(r.user_id, -1), r.hour_idx)
+    expected = {
+        (r.user_id, r.hour_idx): (r.n_events, r.num, r.den, r.ewma)
+        for r in batch
+        if r.hour_idx != last[r.user_id]
+    }
+    assert got == expected
+    assert len(got) > 100  # the fixture produces a real emission volume
