@@ -723,3 +723,40 @@ class TestRound4AdditionShapes:
         from xeloader_spark.queries import text as qt
 
         plans.assert_max_shuffles(qt.q_k_anonymity(spark, SF), 2)
+
+
+class TestRound4LateAdditionShapes:
+    """Shuffle budgets for the DSIR/EWMA/matryoshka/k-core batch
+    (SCALE.md rows). kcore counts only the post-checkpoint tail — the
+    per-round budget is documented on the operator."""
+
+    def test_dsir_three_shuffles(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # tok agg + partition-reusing freq join + doc agg; totals ride a
+        # broadcast cross join
+        df = qt.q_dsir_resample(spark, SF)
+        plans.assert_max_shuffles(df, 3)
+        plans.assert_no_cartesian(df)
+
+    def test_vocab_coverage_budget(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # freq agg + the distributed global-rank machinery (range
+        # partition, pid window, offset join) + final 1-row agg
+        plans.assert_max_shuffles(qt.q_vocab_coverage(spark, SF), 7)
+
+    def test_temporal_round4_budgets(self, spark):
+        from xeloader_spark.queries import temporal as qt
+
+        plans.assert_max_shuffles(qt.q_ewma_smooth(spark, SF), 3)
+        plans.assert_max_shuffles(qt.q_seasonal_anomaly(spark, SF), 3)
+        plans.assert_max_shuffles(qt.q_ab_test_zscore(spark, SF), 3)
+
+    def test_embedding_round4_budgets(self, spark):
+        from xeloader_spark.queries import similarity as qs
+
+        plans.assert_max_shuffles(qs.q_degree_distribution(spark, SF), 6)
+        plans.assert_max_shuffles(qs.q_label_separation(spark, SF), 6)
+        plans.assert_no_cartesian(qs.q_label_separation(spark, SF))
+        plans.assert_max_shuffles(qs.q_kcore_membership(spark, SF), 2)
