@@ -749,7 +749,9 @@ class TestRound4LateAdditionShapes:
     def test_temporal_round4_budgets(self, spark):
         from xeloader_spark.queries import temporal as qt
 
-        plans.assert_max_shuffles(qt.q_ewma_smooth(spark, SF), 3)
+        # bucket agg + ONE per-user lag window (the explode-x8 form
+        # measured 4.8 shuffle bytes per input byte; this one ~0.6)
+        plans.assert_max_shuffles(qt.q_ewma_smooth(spark, SF), 2)
         plans.assert_max_shuffles(qt.q_seasonal_anomaly(spark, SF), 3)
         plans.assert_max_shuffles(qt.q_ab_test_zscore(spark, SF), 3)
 
