@@ -83,6 +83,7 @@ HEADLINE = [
     "q_kcenter_diverse_sample",
     "q_jaccard_threshold_curve",
     "q_dsir_resample",
+    "q_type_duration_percentiles",
     "q_matryoshka_recall",
     "q_label_separation",
     "q_ewma_smooth",
@@ -252,11 +253,14 @@ def main() -> None:
     emb = _load(spark, sf_dir, "embeddings").localCheckpoint()
     rq, rk = list(range(16)), 10
 
-    def topsets(df) -> dict[int, set[int]]:
-        out: dict[int, set[int]] = {}
+    def topranks(df) -> dict[int, dict[int, int]]:
+        out: dict[int, dict[int, int]] = {}
         for r in df.collect():
-            out.setdefault(r.query_id, set()).add(r.candidate_id)
+            out.setdefault(r.query_id, {})[r.candidate_id] = r.rk
         return out
+
+    def topsets(df) -> dict[int, set[int]]:
+        return {q: set(d) for q, d in topranks(df).items()}
 
     exact_top = topsets(_sim.dot_topk_quantized(emb, rq, k=rk))
     ann_paths = {
@@ -281,10 +285,9 @@ def main() -> None:
         ),
     }
     recall_at_10: dict[str, float] = {}
-    for nm, mk in ann_paths.items():
-        t0 = time.perf_counter()
-        approx_top = topsets(mk())
-        timings[f"ann_recall_{nm}"] = round(time.perf_counter() - t0, 3)
+    ranks_by_path: dict[str, dict[int, dict[int, int]]] = {}
+
+    def score_recall(nm: str, approx_top: dict[int, set[int]]) -> None:
         recall_at_10[nm] = round(
             sum(
                 len(approx_top.get(qid, set()) & hits)
@@ -295,11 +298,34 @@ def main() -> None:
         )
         print(
             f"[bench] recall@10 {nm}: {recall_at_10[nm]} "
-            f"({timings[f'ann_recall_{nm}']}s)",
+            f"({timings.get(f'ann_recall_{nm}', 0)}s)",
             file=sys.stderr,
             flush=True,
         )
+
+    for nm, mk in ann_paths.items():
+        t0 = time.perf_counter()
+        ranks_by_path[nm] = topranks(mk())
+        timings[f"ann_recall_{nm}"] = round(time.perf_counter() - t0, 3)
+        score_recall(nm, {q: set(d) for q, d in ranks_by_path[nm].items()})
     emb.unpersist()
+
+    # RRF fusion of the two already-collected rankings (q_rank_fusion's
+    # operator recipe, scored driver-side from the SAME collected ranks —
+    # no extra Spark work): the ensemble should beat both constituents.
+    fused: dict[int, set[int]] = {}
+    for qid in exact_top:
+        cands: dict[int, float] = {}
+        for nm in ("ivf_exact", "pq"):
+            for cid, r in ranks_by_path.get(nm, {}).get(qid, {}).items():
+                cands[cid] = cands.get(cid, 0.0) + 1.0 / (60 + r)
+        fused[qid] = {
+            cid
+            for cid, _ in sorted(
+                cands.items(), key=lambda kv: (-kv[1], kv[0])
+            )[:rk]
+        }
+    score_recall("fusion_ivf_pq", fused)
 
     # Bulk-load throughput — the reference's core function (read →
     # flatten → demux-partitioned write), timed end-to-end into a scratch

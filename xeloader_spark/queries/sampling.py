@@ -442,3 +442,92 @@ ORACLES["q_token_budget_mix"] = f"""
            cum_before < budget AS kept
     FROM j
 """
+
+
+_PACK_B = 512
+
+
+def q_packing_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality audit per source shard: contiguous packing wastes
+    no padding, so the cost that matters is BOUNDARY STRADDLING — a doc
+    whose tokens cross a sequence cut loses context at training time.
+    Per source: docs, tokens, sequences produced (⌈total/B⌉), straddler
+    count (`offset + n_tokens > B`, pure integer), straddle rate and
+    mean fill of the LAST (only partially filled) sequence. One shuffle
+    (the packing window) + a source-sized re-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    packed = sp.pack_sequences(
+        toks, "n_tokens", budget=_PACK_B, part_col="source", order_col="doc_id"
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("seq_offset") + F.col("n_tokens") > _PACK_B, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_straddlers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"CAST((n_tokens + {_PACK_B} - 1) div {_PACK_B} AS BIGINT)").alias(
+                "n_sequences"
+            ),
+            "n_straddlers",
+            (
+                F.col("n_straddlers").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("straddle_rate"),
+            (
+                (F.col("n_tokens") % _PACK_B).cast("double") / F.lit(float(_PACK_B))
+            ).alias("last_seq_fill"),
+        )
+    )
+
+
+ORACLES["q_packing_boundary_stats"] = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) % {_PACK_B} AS seq_offset
+        FROM t
+    ),
+    g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN seq_offset + n_tokens > {_PACK_B}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        FROM c GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((n_tokens + {_PACK_B} - 1) // {_PACK_B} AS BIGINT)
+               AS n_sequences,
+           n_straddlers,
+           CAST(n_straddlers AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               AS straddle_rate,
+           CAST(n_tokens % {_PACK_B} AS DOUBLE) / {float(_PACK_B)}
+               AS last_seq_fill
+    FROM g
+"""

@@ -2202,3 +2202,61 @@ ORACLES["q_ab_test_zscore"] = f"""
            END AS zscore
     FROM wide
 """
+
+
+_TAIL_PCTS = (50, 95, 99)
+
+
+def q_type_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency profile per event type — exact p50/p95/p99 of
+    `value` via the two-pass histogram refinement (`exact_quantile_
+    twopass`), the trace-analysis artifact the reference's output schema
+    exists to serve (per-event-type duration percentiles; XELoader
+    bulk-loads XEvent traces precisely so DBAs can run this query, cf.
+    XELoader/README.md). A sort-based `percentile()` buffers every group
+    value in memory; the two-pass shape keeps state sketch-sized in pass
+    1 and ranks only the rank-carrying bucket (~N/bins rows) in pass 2.
+    One operator call per percentile, unioned — each is independently
+    the proven plan shape; k-th-smallest-VALUE semantics keep duplicates
+    engine-independent."""
+    from ..operators import sketch as sk
+
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for p in _TAIL_PCTS:
+        part = sk.exact_quantile_twopass(
+            ev, "value", p, _HIST_LO, _HIST_HI, _HIST_BINS, ["event_type"]
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _tail_pct_sql() -> str:
+    parts = []
+    for p in _TAIL_PCTS:
+        parts.append(f"""
+        SELECT event_type,
+               CAST({p} AS BIGINT) AS percentile,
+               n AS n_rows,
+               LEAST({_HIST_BINS - 1}, GREATEST(0,
+                   CAST(floor((v - {_HIST_LO}) * {_HIST_BINS}.0
+                              / ({_HIST_HI} - {_HIST_LO})) AS BIGINT)))
+                   AS bucket,
+               CAST((n * {p} + 99) // 100 AS BIGINT) AS rank,
+               v AS exact_value
+        FROM r WHERE rk = (n * {p} + 99) // 100
+        """)
+    return f"""
+        WITH r AS (
+            SELECT event_type, CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY CAST(value AS DOUBLE)) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM events
+        )
+        {" UNION ALL ".join(parts)}
+    """
+
+
+ORACLES["q_type_duration_percentiles"] = _tail_pct_sql()
