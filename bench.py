@@ -88,6 +88,8 @@ HEADLINE = [
     "q_label_separation",
     "q_ewma_smooth",
     "q_ab_test_zscore",
+    "q_kcore_membership",
+    "q_degree_distribution",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

@@ -306,3 +306,83 @@ def test_twopass_quantile_equals_sorted_order_statistic(spark, values, p):
     k = (len(values) * p + 99) // 100
     assert r[0].rank == k
     assert r[0].exact_value == sorted(values)[k - 1]
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ewma_matches_python_model(spark, series):
+    """q_ewma_smooth's lag-window arithmetic == a direct python EWMA over
+    any sparse hourly series: weight 2^(7-gap) for present buckets within
+    8 hours, renormalized denominator, one final division."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from xeloader_spark.queries.temporal import q_ewma_smooth
+
+    rows = []
+    eid = 0
+    for h, c in series:
+        for _ in range(c):
+            rows.append(
+                (
+                    eid,
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h, minutes=1),
+                    1,
+                    "view",
+                    0.0,
+                    "",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        pdf.to_parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.hour_idx: (r.n_events, r.num, r.den, r.ewma)
+            for r in q_ewma_smooth(spark, td).collect()
+        }
+    base = int(pd.Timestamp("2024-01-01").timestamp()) // 3600
+    buckets = dict(sorted((base + h, c) for h, c in series))
+    for h, c in buckets.items():
+        num = den = 0
+        for h2, c2 in buckets.items():
+            gap = h - h2
+            if 0 <= gap < 8:
+                w = 1 << (7 - gap)
+                num += c2 * w
+                den += w
+        assert got[h] == (c, num, den, num / den)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.floats(0.0, 327.0, allow_nan=False), min_size=3, max_size=60),
+    st.sampled_from([50, 95, 99]),
+)
+def test_twopass_percentile_is_kth_order_statistic(spark, values, p):
+    """For any value set and percentile, the two-pass refinement returns
+    EXACTLY the ceil(n*p/100)-th smallest element (duplicates counted) —
+    the python sort is the spec."""
+    from xeloader_spark.operators.sketch import exact_quantile_twopass
+
+    df = spark.createDataFrame(
+        [(i, float(v), "t") for i, v in enumerate(values)],
+        "id long, value double, g string",
+    )
+    out = exact_quantile_twopass(df, "value", p, 0.0, 328.0, 16, ["g"]).collect()
+    assert len(out) == 1
+    n = len(values)
+    rank = (n * p + 99) // 100
+    expect = sorted(values)[rank - 1]
+    assert out[0].exact_value == expect and out[0].rank == rank
