@@ -90,6 +90,7 @@ HEADLINE = [
     "q_ab_test_zscore",
     "q_kcore_membership",
     "q_degree_distribution",
+    "q_sorted_neighborhood_pairs",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

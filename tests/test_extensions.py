@@ -1773,3 +1773,35 @@ class TestKCore:
         ]
         assert kept[0] >= kept[1] >= kept[2]
         assert kept[0] > kept[2]  # the cascade is real on a chain
+
+
+class TestSortedNeighborhood:
+    """SNM blocking: verified pairs are a subset of the exhaustive
+    inverted-index pairs WITH IDENTICAL jaccard values; adjacent planted
+    near-dups (shared prefix key) are found."""
+
+    def test_subset_of_exhaustive_with_equal_values(self, spark, docs):
+        exhaustive = {
+            (r.id_a, r.id_b): (r.n_common, r.jaccard)
+            for r in dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=0.5)
+            .collect()
+        }
+        snm = dd.sorted_neighborhood_pairs(docs, window=5).collect()
+        assert snm, "fixture should produce SNM pairs"
+        for r in snm:
+            assert (r.id_a, r.id_b) in exhaustive
+            assert exhaustive[(r.id_a, r.id_b)] == (r.n_common, r.jaccard)
+
+    def test_shared_prefix_neardups_found(self, spark):
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "completely different words here apart rows far away"),
+            (4, "zz unrelated text block with its own words inside"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dd.sorted_neighborhood_pairs(df, window=2).collect()
+        }
+        assert (1, 2) in pairs

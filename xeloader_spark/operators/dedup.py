@@ -1651,3 +1651,109 @@ def golden_records(
         .select("cluster_id", F.col("lang").alias("modal_lang"))
     )
     return base.join(modal, "cluster_id")
+
+
+# -------------------------------------- sorted-neighborhood blocking (SNM)
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    key_tokens: int = 3,
+    shingle_n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995,
+    the classic merge/purge method): sort the corpus by a normalized
+    blocking key (the lowercased first `key_tokens` tokens), slide a
+    `window`-wide neighborhood down the sorted order, and verify only
+    pairs that fall inside a common window — candidates are O(n·window)
+    by construction, whatever the key distribution (the equi-join
+    blockers fan out on hot keys; SNM's fan-out is a CONSTANT).
+
+    Distributed shape: the global sort position comes from
+    `rank.global_row_number` (range partition + per-partition
+    row_number + offset broadcast — no single-partition window); the
+    window join is TWO equi-joins on neighborhood blocks ⌊rn/window⌋
+    (a pair ≤ `window` apart is in the same or adjacent block) filtered
+    to 0 < Δrn ≤ window. Verification is the in-row `array_intersect`
+    of distinct-shingle arrays after joining candidate ids back —
+    identical Jaccard semantics (and exact rational threshold) to the
+    `jaccard_pairs`/`prefix_jaccard_pairs` family, so results are
+    comparable across blockers. Returns (id_a, id_b, rank_gap,
+    n_common, jaccard) with id_a < id_b.
+
+    The recall trade (documented, inherent to SNM): a true near-dup pair
+    whose blocking keys sort > `window` positions apart is missed —
+    multi-pass SNM with a second key is the standard mitigation."""
+    from .rank import global_row_number
+
+    toks = f"filter(split({text_col}, '{TOKEN_SPLIT_RE_SQL}'), x -> x != '')"
+    sh = (
+        f"CASE WHEN size(_toks) < {shingle_n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size(_toks) - {shingle_n}), "
+        f"i -> array_join(slice(_toks, i + 1, {shingle_n}), ' '))) END"
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("id"), F.expr(toks).alias("_toks")
+    ).select(
+        "id",
+        F.expr(
+            f"lower(array_join(slice(_toks, 1, {key_tokens}), ' '))"
+        ).alias("_sk"),
+        F.expr(sh).alias("_sh"),
+        F.expr("size(_toks)").cast("long").alias("_n_toks"),
+    )
+    ranked = global_row_number(
+        keyed, [F.asc("_sk"), F.asc("id")], out_col="rn"
+    ).select("id", "rn", "_sh")
+    a = ranked.select(
+        F.col("id").alias("_ida"),
+        F.col("rn").alias("rn_a"),
+        F.col("_sh").alias("_sa"),
+        F.expr(f"(rn - 1) div {window}").alias("_blk"),
+    )
+    b = ranked.select(
+        F.col("id").alias("_idb"),
+        F.col("rn").alias("rn_b"),
+        F.col("_sh").alias("_sb"),
+        F.expr(f"(rn - 1) div {window}").alias("_blk_b"),
+    )
+    cands = None
+    for delta in (0, 1):
+        part = (
+            a.join(b, a._blk + delta == b._blk_b)
+            .filter(
+                (F.col("rn_b") > F.col("rn_a"))
+                & (F.col("rn_b") - F.col("rn_a") <= window)
+            )
+            .drop("_blk", "_blk_b")
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    verified = cands.select(
+        F.least("_ida", "_idb").alias("id_a"),
+        F.greatest("_ida", "_idb").alias("id_b"),
+        (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap"),
+        F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_common"),
+        F.size("_sa").cast("long").alias("n_a"),
+        F.size("_sb").cast("long").alias("n_b"),
+    )
+    return (
+        verified.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .filter(
+            F.col("n_common") * threshold_den
+            >= (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            * threshold_num
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "rank_gap",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -1130,3 +1130,87 @@ ORACLES["q_embedding_clusters"] = f"""
     {clusters_sql('pairs', 'embeddings', 'vec_id')}
     SELECT vec_id, cluster_id, is_canonical FROM resolved
 """
+
+
+_SNM_WINDOW = 5
+_SNM_KEY_TOKENS = 3
+
+
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) near-dup pairs: sort by the
+    lowercased first-3-token key, verify only pairs ≤ `_SNM_WINDOW`
+    apart in the sorted order — candidate volume is O(n·window) by
+    CONSTRUCTION, immune to the hot-key fan-out every equi-join blocker
+    (shingle, band, block) has to fight. Same exact-rational Jaccard
+    threshold as the rest of the family, so blocker recall is directly
+    comparable (`operators/dedup.sorted_neighborhood_pairs`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.sorted_neighborhood_pairs(
+        docs,
+        window=_SNM_WINDOW,
+        key_tokens=_SNM_KEY_TOKENS,
+        shingle_n=3,
+        threshold_num=1,
+        threshold_den=2,
+    )
+
+
+ORACLES["q_sorted_neighborhood_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    r AS (
+        SELECT id,
+               ROW_NUMBER() OVER (
+                   ORDER BY lower(array_to_string(toks[1:{_SNM_KEY_TOKENS}],
+                                                  ' ')) ASC, id ASC
+               ) AS rn
+        FROM t
+    ),
+    cand AS (
+        SELECT LEAST(a.id, b.id) AS id_a,
+               GREATEST(a.id, b.id) AS id_b,
+               CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+        FROM r a JOIN r b
+          ON b.rn > a.rn AND b.rn - a.rn <= {_SNM_WINDOW}
+    ),
+    tri AS (
+        SELECT DISTINCT a.id,
+               a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+        FROM (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) a
+        JOIN (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) b ON a.id = b.id AND b.ord = a.ord + 1
+        JOIN (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) c ON a.id = c.id AND c.ord = a.ord + 2
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1),
+    common AS (
+        SELECT cd.id_a, cd.id_b, cd.rank_gap,
+               CAST(COUNT(x.sh) AS BIGINT) AS n_common
+        FROM cand cd
+        LEFT JOIN tri x ON x.id = cd.id_a
+        LEFT JOIN tri y ON y.id = cd.id_b AND y.sh = x.sh
+        WHERE y.sh IS NOT NULL OR x.sh IS NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT c.id_a, c.id_b, c.rank_gap, c.n_common,
+           c.n_common * 1.0 / (sa.n + sb.n - c.n_common) AS jaccard
+    FROM common c
+    JOIN sz sa ON c.id_a = sa.id
+    JOIN sz sb ON c.id_b = sb.id
+    WHERE c.n_common * 2 >= (sa.n + sb.n - c.n_common)
+"""
+
