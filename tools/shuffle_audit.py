@@ -53,6 +53,11 @@ AUDIT_QUERIES = [
     # temporal
     "q_ewma_smooth",
     "q_retention_cohorts",
+    "q_type_duration_percentiles",
+    # round-4 late additions
+    "q_sorted_neighborhood_pairs",
+    "q_matryoshka_recall",
+    "q_label_separation",
 ]
 
 

@@ -1705,19 +1705,22 @@ def sorted_neighborhood_pairs(
         F.expr(sh).alias("_sh"),
         F.expr("size(_toks)").cast("long").alias("_n_toks"),
     )
+    # rank ONLY (id, key): the shingle arrays are decompressed-text-sized
+    # and must not ride the range partition or the block joins (the
+    # shuffle-bytes audit measured 22.6 MB / 38× when they did). They
+    # rejoin by id below, for candidate ids only.
+    sets = keyed.select("id", "_sh")
     ranked = global_row_number(
-        keyed, [F.asc("_sk"), F.asc("id")], out_col="rn"
-    ).select("id", "rn", "_sh")
+        keyed.select("id", "_sk"), [F.asc("_sk"), F.asc("id")], out_col="rn"
+    ).select("id", "rn")
     a = ranked.select(
         F.col("id").alias("_ida"),
         F.col("rn").alias("rn_a"),
-        F.col("_sh").alias("_sa"),
         F.expr(f"(rn - 1) div {window}").alias("_blk"),
     )
     b = ranked.select(
         F.col("id").alias("_idb"),
         F.col("rn").alias("rn_b"),
-        F.col("_sh").alias("_sb"),
         F.expr(f"(rn - 1) div {window}").alias("_blk_b"),
     )
     cands = None
@@ -1731,13 +1734,21 @@ def sorted_neighborhood_pairs(
             .drop("_blk", "_blk_b")
         )
         cands = part if cands is None else cands.unionByName(part)
-    verified = cands.select(
-        F.least("_ida", "_idb").alias("id_a"),
-        F.greatest("_ida", "_idb").alias("id_b"),
-        (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap"),
-        F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("n_common"),
-        F.size("_sa").cast("long").alias("n_a"),
-        F.size("_sb").cast("long").alias("n_b"),
+    sa = sets.select(F.col("id").alias("_ida"), F.col("_sh").alias("_sa"))
+    sb = sets.select(F.col("id").alias("_idb"), F.col("_sh").alias("_sb"))
+    verified = (
+        cands.join(sa, "_ida")
+        .join(sb, "_idb")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap"),
+            F.size(F.array_intersect("_sa", "_sb"))
+            .cast("long")
+            .alias("n_common"),
+            F.size("_sa").cast("long").alias("n_a"),
+            F.size("_sb").cast("long").alias("n_b"),
+        )
     )
     return (
         verified.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
