@@ -762,3 +762,13 @@ class TestRound4LateAdditionShapes:
         plans.assert_max_shuffles(qs.q_label_separation(spark, SF), 6)
         plans.assert_no_cartesian(qs.q_label_separation(spark, SF))
         plans.assert_max_shuffles(qs.q_kcore_membership(spark, SF), 2)
+
+    def test_snm_ranks_slim_projection(self, spark):
+        from xeloader_spark.queries import dedup as qd
+
+        # rank machinery (range + pid window + offset) over (id, key)
+        # ONLY + 2 block joins + 2 id-keyed verify joins — the shingle
+        # arrays must never ride the rank shuffle (audit: 22.6MB → 0.5MB)
+        df = qd.q_sorted_neighborhood_pairs(spark, SF)
+        plans.assert_max_shuffles(df, 8)
+        plans.assert_no_cartesian(df)
