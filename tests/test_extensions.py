@@ -1805,3 +1805,37 @@ class TestSortedNeighborhood:
             for r in dd.sorted_neighborhood_pairs(df, window=2).collect()
         }
         assert (1, 2) in pairs
+
+    def test_multipass_recovers_suffix_only_pair(self, spark):
+        """A near-dup pair whose FIRST tokens differ (prefix keys sort
+        far apart) but whose suffix agrees is missed by pass 1 and
+        recovered by the suffix-key pass."""
+        from xeloader_spark.queries.dedup import (
+            _SNM_SUFFIX_KEY_SPARK,
+        )
+
+        shared = "omega psi chi phi upsilon tau sigma rho"
+        rows = [
+            (1, "aardvark begin " + shared),
+            (2, "zymurgy finale " + shared),
+            # spacers that sort between the two prefix keys
+            (3, "banana filler words one two three four five six"),
+            (4, "coconut filler words one two three four five six"),
+            (5, "mango filler words one two three four five six"),
+            (6, "papaya filler words one two three four five six"),
+            (7, "quince filler words one two three four five six"),
+            (8, "tomato filler words one two three four five six"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        p1 = {
+            (r.id_a, r.id_b)
+            for r in dd.sorted_neighborhood_pairs(df, window=2).collect()
+        }
+        p2 = {
+            (r.id_a, r.id_b)
+            for r in dd.sorted_neighborhood_pairs(
+                df, window=2, key_sql=_SNM_SUFFIX_KEY_SPARK
+            ).collect()
+        }
+        assert (1, 2) not in p1  # prefix order separates them
+        assert (1, 2) in p2  # suffix order adjacifies them

@@ -1663,6 +1663,7 @@ def sorted_neighborhood_pairs(
     threshold_den: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_sql: str | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995,
     the classic merge/purge method): sort the corpus by a normalized
@@ -1695,13 +1696,16 @@ def sorted_neighborhood_pairs(
         f"ELSE array_distinct(transform(sequence(0, size(_toks) - {shingle_n}), "
         f"i -> array_join(slice(_toks, i + 1, {shingle_n}), ' '))) END"
     )
+    # key_sql (over the `_toks` array) overrides the default
+    # first-`key_tokens` prefix key — multi-pass SNM sorts each pass by a
+    # DIFFERENT key so pairs missed in one order meet in another
+    if key_sql is None:
+        key_sql = f"lower(array_join(slice(_toks, 1, {key_tokens}), ' '))"
     keyed = docs.select(
         F.col(id_col).alias("id"), F.expr(toks).alias("_toks")
     ).select(
         "id",
-        F.expr(
-            f"lower(array_join(slice(_toks, 1, {key_tokens}), ' '))"
-        ).alias("_sk"),
+        F.expr(key_sql).alias("_sk"),
         F.expr(sh).alias("_sh"),
         F.expr("size(_toks)").cast("long").alias("_n_toks"),
     )

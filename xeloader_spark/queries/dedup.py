@@ -1214,3 +1214,109 @@ ORACLES["q_sorted_neighborhood_pairs"] = f"""
     WHERE c.n_common * 2 >= (sa.n + sb.n - c.n_common)
 """
 
+
+
+_SNM_SUFFIX_KEY_SPARK = (
+    "lower(array_join(slice(_toks, greatest(1, size(_toks) - "
+    f"{_SNM_KEY_TOKENS - 1}), {_SNM_KEY_TOKENS}), ' '))"
+)
+
+
+def q_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood — the standard recall mitigation
+    for SNM's window miss: pass 1 sorts by the first-3-token key, pass 2
+    by the LAST-3-token key, and a pair missed in one order meets in the
+    other. Per surviving pair: the tightest rank gap across passes and
+    how many passes found it. Each pass is the proven O(n·window)
+    shape; the union adds no pair-space term."""
+    docs = load_table(spark, sf_dir, "documents")
+    p1 = dd.sorted_neighborhood_pairs(
+        docs, window=_SNM_WINDOW, key_tokens=_SNM_KEY_TOKENS
+    )
+    p2 = dd.sorted_neighborhood_pairs(
+        docs, window=_SNM_WINDOW, key_sql=_SNM_SUFFIX_KEY_SPARK
+    )
+    return (
+        p1.unionByName(p2)
+        .groupBy("id_a", "id_b", "n_common", "jaccard")
+        .agg(
+            F.min("rank_gap").cast("long").alias("min_gap"),
+            F.count(F.lit(1)).cast("long").alias("n_passes"),
+        )
+    )
+
+
+def _snm_pass_sql(key_sql: str, tag: str) -> str:
+    return f"""
+    r{tag} AS (
+        SELECT id,
+               ROW_NUMBER() OVER (ORDER BY {key_sql} ASC, id ASC) AS rn
+        FROM t
+    ),
+    cand{tag} AS (
+        SELECT LEAST(a.id, b.id) AS id_a,
+               GREATEST(a.id, b.id) AS id_b,
+               CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+        FROM r{tag} a JOIN r{tag} b
+          ON b.rn > a.rn AND b.rn - a.rn <= {_SNM_WINDOW}
+    )"""
+
+
+ORACLES["q_snm_multipass"] = f"""
+    WITH t AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    {_snm_pass_sql(
+        f"lower(array_to_string(toks[1:{_SNM_KEY_TOKENS}], ' '))", "1")},
+    {_snm_pass_sql(
+        f"lower(array_to_string(toks[greatest(1, len(toks) - "
+        f"{_SNM_KEY_TOKENS - 1}):len(toks)], ' '))", "2")},
+    cand AS (
+        SELECT * FROM cand1 UNION ALL SELECT * FROM cand2
+    ),
+    tri AS (
+        SELECT DISTINCT a.id,
+               a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+        FROM (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) a
+        JOIN (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) b ON a.id = b.id AND b.ord = a.ord + 1
+        JOIN (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) c ON a.id = c.id AND c.ord = a.ord + 2
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1),
+    common AS (
+        SELECT cd.id_a, cd.id_b, cd.rank_gap,
+               CAST(COUNT(x.sh) AS BIGINT) AS n_common
+        FROM cand cd
+        LEFT JOIN tri x ON x.id = cd.id_a
+        LEFT JOIN tri y ON y.id = cd.id_b AND y.sh = x.sh
+        WHERE y.sh IS NOT NULL OR x.sh IS NULL
+        GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b, c.rank_gap, c.n_common,
+               c.n_common * 1.0 / (sa.n + sb.n - c.n_common) AS jaccard
+        FROM common c
+        JOIN sz sa ON c.id_a = sa.id
+        JOIN sz sb ON c.id_b = sb.id
+        WHERE c.n_common * 2 >= (sa.n + sb.n - c.n_common)
+    )
+    SELECT id_a, id_b, n_common, jaccard,
+           CAST(MIN(rank_gap) AS BIGINT) AS min_gap,
+           CAST(COUNT(*) AS BIGINT) AS n_passes
+    FROM pairs
+    GROUP BY 1, 2, 3, 4
+"""
