@@ -238,6 +238,28 @@ def main() -> None:
     if time.perf_counter() - bench_start < budget:
         t_pf = min(t_pf, run_prefix()[1])
     timings["skew_prefix_jaccard"] = round(t_pf, 3)
+
+    # Sorted-neighborhood on the same skewed corpus: candidates are
+    # O(n·window) by CONSTRUCTION, so the boilerplate hot keys cannot
+    # inflate the pair space at all — the wall-clock should track the
+    # rank machinery, not the skew. SNM is lossy-by-design (window
+    # misses), so assert containment in the exhaustive set, not equality.
+    from xeloader_spark.operators.dedup import sorted_neighborhood_pairs
+
+    def run_snm():
+        t0 = time.perf_counter()
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in sorted_neighborhood_pairs(skewed, window=5).collect()
+        }
+        return pairs, time.perf_counter() - t0
+
+    snm_pairs, t_snm = run_snm()
+    assert snm_pairs <= family_pairs["skew_jaccard"], "SNM invented pairs"
+    if time.perf_counter() - bench_start < budget:
+        t_snm = min(t_snm, run_snm()[1])
+    timings["skew_snm"] = round(t_snm, 3)
+    print(f"[bench] skew_snm: {timings['skew_snm']}s", file=sys.stderr, flush=True)
     print(
         f"[bench] skew_prefix_jaccard: {timings['skew_prefix_jaccard']}s",
         file=sys.stderr,
