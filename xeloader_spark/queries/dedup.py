@@ -1320,3 +1320,115 @@ ORACLES["q_snm_multipass"] = f"""
     FROM pairs
     GROUP BY 1, 2, 3, 4
 """
+
+
+def q_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocker-recall scorecard for sorted-neighborhood dedup, in the
+    correctness gate (the q_dedup_eval pattern): pair counts of the
+    single-pass and multi-pass SNM vs the EXHAUSTIVE inverted-index
+    join at the same threshold, plus pinned-order recall divisions.
+    SNM pairs are post-verification, so precision is 1 by construction
+    — the number that moves is recall, and the oracle replays all
+    three pair sets, so a window/key regression fails the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    true_pairs = dd.jaccard_pairs(
+        dd.shingles(docs, n=3), threshold=_JACCARD_T
+    ).select("id_a", "id_b")
+    p1 = dd.sorted_neighborhood_pairs(
+        docs, window=_SNM_WINDOW, key_tokens=_SNM_KEY_TOKENS
+    ).select("id_a", "id_b")
+    p2 = dd.sorted_neighborhood_pairs(
+        docs, window=_SNM_WINDOW, key_sql=_SNM_SUFFIX_KEY_SPARK
+    ).select("id_a", "id_b")
+    multi = p1.union(p2).distinct()
+    n_true = true_pairs.count()
+    n_p1 = p1.count()
+    n_multi = multi.count()
+    dd.release_persisted()
+    out = spark.createDataFrame(
+        [(n_true, n_p1, n_multi)],
+        "n_true long, n_pass1 long, n_multipass long",
+    )
+    return out.select(
+        "n_true",
+        "n_pass1",
+        "n_multipass",
+        (F.col("n_pass1").cast("double") / F.col("n_true").cast("double")).alias(
+            "recall_pass1"
+        ),
+        (
+            F.col("n_multipass").cast("double") / F.col("n_true").cast("double")
+        ).alias("recall_multipass"),
+    )
+
+
+def _snm_eval_sql() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id AS id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    {_snm_pass_sql(
+        f"lower(array_to_string(toks[1:{_SNM_KEY_TOKENS}], ' '))", "1")},
+    {_snm_pass_sql(
+        f"lower(array_to_string(toks[greatest(1, len(toks) - "
+        f"{_SNM_KEY_TOKENS - 1}):len(toks)], ' '))", "2")},
+    tri AS (
+        SELECT DISTINCT a.id,
+               a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+        FROM (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) a
+        JOIN (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) b ON a.id = b.id AND b.ord = a.ord + 1
+        JOIN (
+            SELECT id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS ord
+            FROM t
+        ) c ON a.id = c.id AND c.ord = a.ord + 2
+    ),
+    sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1),
+    true_pairs AS (
+        SELECT c.id_a, c.id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+            FROM tri a JOIN tri b ON a.sh = b.sh AND a.id < b.id
+            GROUP BY 1, 2
+        ) c
+        JOIN sz sa ON c.id_a = sa.id
+        JOIN sz sb ON c.id_b = sb.id
+        WHERE c.n_common * 2 >= (sa.n + sb.n - c.n_common)
+    ),
+    verify AS (
+        SELECT cd.src, cd.id_a, cd.id_b FROM (
+            SELECT 1 AS src, id_a, id_b FROM cand1
+            UNION
+            SELECT 2 AS src, id_a, id_b FROM cand2
+        ) cd
+        JOIN true_pairs tp
+          ON tp.id_a = cd.id_a AND tp.id_b = cd.id_b
+    ),
+    counts AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true,
+            (SELECT CAST(COUNT(DISTINCT (id_a, id_b)) AS BIGINT)
+             FROM verify WHERE src = 1) AS n_pass1,
+            (SELECT CAST(COUNT(DISTINCT (id_a, id_b)) AS BIGINT)
+             FROM verify) AS n_multipass
+    )
+    SELECT n_true, n_pass1, n_multipass,
+           CAST(n_pass1 AS DOUBLE) / CAST(n_true AS DOUBLE)
+               AS recall_pass1,
+           CAST(n_multipass AS DOUBLE) / CAST(n_true AS DOUBLE)
+               AS recall_multipass
+    FROM counts
+"""
+
+
+ORACLES["q_snm_recall_eval"] = _snm_eval_sql()
