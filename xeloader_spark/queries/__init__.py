@@ -33,63 +33,63 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-4 ROTATION (installed from tools/gen_round_priority.py output):
-# the 50 slots are exactly the 50 still-unverified registry entries, so
-# after round 4 every registered query has a green driver row across
-# r1..r4. gen_round_priority.py now warns when new additions would push
-# the unverified set past one round's window — keep round-4-session
-# additions within the headroom it reports.
+# ROUND-5 ROTATION (installed from tools/gen_round_priority.py output):
+# 218 registered; 19 unverified; window 50 → 50 slots (0 unverified beyond the window)
+# slots 1-19 drain the round-4 backlog (every query's first driver row);
+# slots 20-50 re-check the oldest r1 greens per the tool's oldest-first
+# ordering. Registry freeze: keep any round-5 additions within the
+# headroom the tool reports (currently 0 unverified beyond the window).
 _ROUND_PRIORITY = [
-    "q_forecast_revenue_change",
-    "q_order_reconciliation",
-    "q_pivot_user_matrix",
-    "q_referential_integrity",
-    "q_revenue_pareto",
-    "q_fixedwidth_roundtrip",
-    "q_dedup_eval",
-    "q_golden_records",
-    "q_prefix_jaccard_pairs",
-    "q_source_dup_rates",
-    "q_image_phash",
-    "q_image_phash_neardup",
-    "q_label_propagation",
-    "q_media_integrity",
-    "q_pagerank_knn",
-    "q_pagerank_personalized",
-    "q_rank_fusion",
-    "q_triangle_stats",
-    "q_pmi_collocations",
-    "q_source_diversity",
-    "q_conditional_aggs",
-    "q_id_islands",
-    "q_null_semantics",
-    "q_string_agg_ordered",
-    "q_vector_norms",
-    "q_attribution_first_touch",
-    "q_bounce_rate",
-    "q_cdc_snapshot",
-    "q_cooccurrence_lift",
-    "q_distribution_drift",
-    "q_exact_median_twopass",
-    "q_hist_quantile_sketch",
-    "q_hll_distinct_users",
-    "q_hll_intersection",
-    "q_hopping_window_agg",
-    "q_hourly_autocorrelation",
-    "q_incremental_rollup",
-    "q_interarrival_stats",
-    "q_iqr_outliers",
-    "q_join_key_skew",
-    "q_join_size_sketch",
-    "q_json_payload_stats",
-    "q_markov_transitions",
-    "q_rollup_hierarchy",
-    "q_scd2_history",
-    "q_scd2_pointintime",
-    "q_series_correlation",
-    "q_user_lifetime",
-    "q_weekly_profile",
-    "q_classifier_calibration",
+    "q_cross_source_contamination",
+    "q_incremental_neardup",
+    "q_jaccard_threshold_curve",
+    "q_snm_multipass",
+    "q_snm_recall_eval",
+    "q_sorted_neighborhood_pairs",
+    "q_degree_distribution",
+    "q_kcenter_diverse_sample",
+    "q_kcore_membership",
+    "q_label_separation",
+    "q_matryoshka_recall",
+    "q_dsir_resample",
+    "q_k_anonymity",
+    "q_vocab_coverage",
+    "q_ab_test_zscore",
+    "q_ewma_smooth",
+    "q_seasonal_anomaly",
+    "q_type_duration_percentiles",
+    "q_packing_boundary_stats",
+    "q_event_sequence_order",  # recheck (last green r1)
+    "q_event_type_filter_project",  # recheck (last green r1)
+    "q_hash_match_join",  # recheck (last green r1)
+    "q_lineage_join",  # recheck (last green r1)
+    "q_local_time_report",  # recheck (last green r1)
+    "q_time_bucket_agg",  # recheck (last green r1)
+    "q_topk_heavy_hitters",  # recheck (last green r1)
+    "q_truncation_audit",  # recheck (last green r1)
+    "q_correlated_subquery",  # recheck (last green r1)
+    "q_cross_join_small",  # recheck (last green r1)
+    "q_cube_agg",  # recheck (last green r1)
+    "q_distinct_agg",  # recheck (last green r1)
+    "q_exists_semi_join",  # recheck (last green r1)
+    "q_having_filter",  # recheck (last green r1)
+    "q_not_exists_anti_join",  # recheck (last green r1)
+    "q_order_count_histogram",  # recheck (last green r1)
+    "q_outer_join_coverage",  # recheck (last green r1)
+    "q_pivot_segments",  # recheck (last green r1)
+    "q_pricing_summary",  # recheck (last green r1)
+    "q_region_revenue",  # recheck (last green r1)
+    "q_rollup_agg",  # recheck (last green r1)
+    "q_running_total",  # recheck (last green r1)
+    "q_scalar_subquery",  # recheck (last green r1)
+    "q_set_operations",  # recheck (last green r1)
+    "q_shipping_priority",  # recheck (last green r1)
+    "q_supplier_breadth_per_part",  # recheck (last green r1)
+    "q_top_customer_per_nation",  # recheck (last green r1)
+    "q_callstack_decode",  # recheck (last green r1)
+    "q_demux_counts",  # recheck (last green r1)
+    "q_error_budget",  # recheck (last green r1)
+    "q_event_lead_lag",  # recheck (last green r1)
 ]
 
 
