@@ -151,6 +151,39 @@ class TestDedup:
         assert out[2].n_kept == 0
 
 
+class TestMinhashIncrementalReingest:
+    def test_overlapping_ids_no_self_pairs_or_fanout(self, spark, docs):
+        # A re-ingested doc (same id in the snapshot AND the new batch)
+        # must not (a) match itself with n_agree == k via the cross path
+        # or (b) fan every candidate row out into duplicates through the
+        # match_sigs union seeing the id twice.
+        base = docs.limit(6).select("doc_id", "text")
+        snap_sigs = dd.minhash_signatures(
+            dd.shingles(base, n=3).withColumnRenamed("shingle", "tok"), k=12
+        )
+        # new batch = two re-ingested snapshot docs + one genuinely new
+        # doc that duplicates a snapshot doc's text under a fresh id
+        reingested = base.limit(2)
+        clone = base.limit(1).withColumn("doc_id", F.col("doc_id") + 900000)
+        out = dd.minhash_incremental(
+            reingested.unionByName(clone), snap_sigs, min_agree=6
+        ).collect()
+        assert all(r.new_id != r.match_id for r in out)
+        keys = [(r.new_id, r.match_id) for r in out]
+        assert len(keys) == len(set(keys)), "match_sigs fan-out duplicates"
+        # the cloned doc still matches its original exactly — via the
+        # WITHIN-batch path, because the original was re-ingested in this
+        # batch (in_snapshot=True is reserved for snapshot-only docs)
+        clone_id = clone.first().doc_id
+        orig_id = base.first().doc_id
+        assert any(
+            r.new_id == clone_id and r.match_id == orig_id
+            and not r.in_snapshot and r.n_agree == 12
+            for r in out
+        )
+        dd.release_persisted()
+
+
 class TestClusterResolution:
     def _uf_clusters(self, pairs, nodes):
         parent = {n: n for n in nodes}
@@ -243,6 +276,36 @@ class TestClusterResolution:
             ).collect()
         }
         assert got == {(i, 0) for i in range(41)}
+        dd.release_persisted()
+
+    def test_star_path_engages_above_default_gate(self, spark, monkeypatch):
+        # The driver-local union-find collects every edge Row into Python
+        # heap, so the default gate must hand off to the distributed star
+        # path once the edge count exceeds local_threshold — pin both the
+        # 500k default and the dispatch (via a recording wrapper; 500k
+        # real edges would make this a slow test for no extra coverage).
+        import inspect
+
+        sig = inspect.signature(dd.connected_components)
+        assert sig.parameters["local_threshold"].default == 500_000
+        calls = []
+        real_star = dd._cc_star
+        monkeypatch.setattr(
+            dd, "_cc_star", lambda *a, **k: calls.append(1) or real_star(*a, **k)
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+        )
+        got = {
+            (r.node, r.cluster)
+            for r in dd.connected_components(pairs, local_threshold=8).collect()
+        }
+        assert calls, "edge count above local_threshold must use _cc_star"
+        assert got == {(i, 0) for i in range(10)}
+        # at-or-below the gate stays driver-local (no star call)
+        calls.clear()
+        dd.connected_components(pairs, local_threshold=9).collect()
+        assert not calls
         dd.release_persisted()
 
     def test_components_match_union_find(self, spark, docs):

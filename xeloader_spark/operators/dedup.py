@@ -822,7 +822,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
-    local_threshold: int = 4_000_000,
+    local_threshold: int = 500_000,
     distributed_algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node, cluster)
@@ -834,7 +834,11 @@ def connected_components(
     the corpus (it only names the near-duplicates), so when it fits on
     the driver (≤ `local_threshold` edges) a driver-side union-find
     replaces the iterative joins — one collect + one createDataFrame
-    instead of iterated Spark jobs. Past the threshold,
+    instead of iterated Spark jobs. The default gate is 500k edges:
+    collected `Row` objects cost ~100s of bytes each in Python heap, so
+    500k keeps the collect well under ~0.5 GB even for wide string ids —
+    safe on a busy shared production driver, not just a quiet sandbox
+    (a 4M-edge collect measured multi-GB). Past the threshold,
     `distributed_algorithm` picks the loop:
 
     - "star" (default): large-star/small-star contraction (`_cc_star`) —
@@ -1348,8 +1352,17 @@ def minhash_incremental(
             "id", f"stack({bands}, {stack}) AS (band_idx, bk)"
         )
 
+    # A re-ingested id (present in both the batch and the snapshot) is
+    # handled by the WITHIN-batch path only: anti-joining it out of the
+    # snapshot side here prevents (a) a self-pair with n_agree == k,
+    # (b) the same (new_id, match_id) pair surfacing twice with both
+    # in_snapshot values, and (c) the match_sigs equi-join below fanning
+    # candidates out against two signature rows for one id. The new
+    # batch's signature wins. No-op when ids are disjoint (the normal
+    # daily-crawl contract).
+    snapshot_only = snapshot_sigs.join(new_sigs.select("id"), "id", "left_anti")
     new_long = band_long(new_sigs)
-    snap_long = band_long(snapshot_sigs)
+    snap_long = band_long(snapshot_only)
     cross = (
         snap_long.join(F.broadcast(new_long.withColumnRenamed("id", "new_id")),
                        ["band_idx", "bk"])
@@ -1367,7 +1380,7 @@ def minhash_incremental(
         .withColumn("in_snapshot", F.lit(False))
     )
     cands = cross.unionByName(within)
-    match_sigs = snapshot_sigs.unionByName(new_sigs)
+    match_sigs = snapshot_only.unionByName(new_sigs)
     agree = sum(
         F.when(F.col(f"h{s}") == F.col(f"nh{s}"), 1).otherwise(0)
         for s in range(k)
