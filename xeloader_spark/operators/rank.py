@@ -16,11 +16,17 @@ for Window operation" behavior).
    collected to the driver, turned into cumulative offsets, and
    broadcast-joined back; ``rank = local_rn + offset``.
 
-The frame is persisted between steps 2 and 3 so the counts job and the
-final plan see the same partitioning (also: repartitionByRange's range
-boundaries come from sampling, so re-evaluation could legally shuffle
-rows across adjacent partitions; with unique order keys the final rank
-is identical either way, but persisting removes the double scan).
+The frame is eagerly ``localCheckpoint``-ed between steps 2 and 3 so the
+counts job and the final plan see the SAME materialized partitioning —
+repartitionByRange's range boundaries come from sampling, so a
+re-evaluation could legally place rows differently and desynchronize the
+collected offsets from the final plan. Checkpointing (vs ``persist``)
+also scopes the cached blocks to the returned DataFrame's lifetime: when
+the caller drops the result, the JVM reference is collected and Spark's
+ContextCleaner frees the blocks — no module-global registry for a long
+bench/parity session to grow (the old ``_PERSISTED`` list accumulated
+one pinned frame per call across ingest lineage, classify deciles,
+revenue pareto, vocab coverage, two-pass quantiles and SNM).
 
 Cost: 1 range shuffle + 1 tiny count job + 1 broadcast join — vs the
 single-task funnel of the naive window. Used by the SSJoin vocabulary
@@ -33,18 +39,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Persisted intermediates registry, same discipline as operators/dedup:
-# bench loops / long-running sessions call release via dedup.release_persisted
-# or directly here.
-_PERSISTED: list[DataFrame] = []
-
-
 def release_persisted() -> int:
-    n = len(_PERSISTED)
-    for df in _PERSISTED:
-        df.unpersist()
-    _PERSISTED.clear()
-    return n
+    """Compatibility shim: rank no longer pins frames in a module-global
+    registry (the intermediate is localCheckpoint-ed, so its blocks are
+    released when the caller drops the returned DataFrame). Kept so
+    dedup.release_persisted()'s chained call keeps working."""
+    return 0
 
 
 def global_row_number(
@@ -110,8 +110,10 @@ def _global_rank_with_total(
         "_gr_local",
         F.row_number().over(Window.partitionBy("_gr_pid").orderBy(*cols)),
     )
-    local = local.persist()
-    _PERSISTED.append(local)
+    # Eager checkpoint: materializes NOW, so the counts collect below and
+    # the returned plan read identical partition contents, and the blocks
+    # are call-scoped (freed when the caller's DataFrame is GC'd).
+    local = local.localCheckpoint(eager=True)
     counts = sorted(
         (r["_gr_pid"], r["cnt"])
         for r in local.groupBy("_gr_pid")
