@@ -83,3 +83,29 @@ class TestProductQuantization:
         assert len(rows) == 6  # k per query
         assert all(r.rk <= 3 and r.adc_dist >= 0 for r in rows)
         cls.release_persisted()
+
+
+class TestKCenterEdgeCases:
+    def test_k_exceeding_corpus_returns_full_selection(self, spark):
+        import pytest
+
+        small = spark.createDataFrame(
+            [(i, [i / 4.0, 0.0]) for i in range(3)],
+            "vec_id long, embedding array<double>",
+        )
+        out = cls.kcenter_select(small, k=10).collect()
+        # all 3 points selected, rounds 0..2, no AttributeError on -NULL
+        assert sorted(r.vec_id for r in out) == [0, 1, 2]
+        assert sorted(r.round for r in out) == [0, 1, 2]
+        # coverage radius is non-increasing after the seed round
+        dists = [r.dist_at_selection for r in sorted(out, key=lambda r: r.round)]
+        assert all(a >= b for a, b in zip(dists[1:], dists[2:]))
+
+    def test_empty_corpus_raises_value_error(self, spark):
+        import pytest
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="empty corpus"):
+            cls.kcenter_select(empty, k=2)

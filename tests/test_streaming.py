@@ -1132,3 +1132,69 @@ def test_streaming_ewma_closed_buckets_match_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 100  # the fixture produces a real emission volume
+
+
+def test_streaming_ewma_late_hours_merge_or_drop(spark, tmp_path):
+    """Late-data policy: an hour arriving BELOW a user's open bucket is
+    merged into the matching retained bucket (future closings smooth
+    over the corrected count; the already-emitted row stands) or counted
+    as dropped when no retained bucket matches — and the state's hours
+    array never goes non-monotonic (which would corrupt gap weights)."""
+    import datetime as dt
+    import time
+
+    from xeloader_spark.streaming.ewma_stream import streaming_ewma
+
+    src = str(tmp_path / "late_in")
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def hour(h):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(hours=h)
+
+    slice0 = [  # time-ordered warm-up
+        (1, hour(0)), (1, hour(0)), (1, hour(1)), (1, hour(2)),
+        (2, hour(0)), (2, hour(20)),
+    ]
+    slice1 = [  # late arrivals + one advancing hour
+        (1, hour(1)), (1, hour(1)), (1, hour(1)),  # late, retained → merge
+        (1, hour(3)),                              # closes bucket h=2
+        (2, hour(5)), (2, hour(5)),                # late, unretained → drop
+    ]
+    for i, rows in enumerate((slice0, slice1)):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.hour_idx): (r.n_events, r.num, r.den, r.ewma)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, 0): (2, 2 * 128, 128, 2.0),
+        # emitted BEFORE the late merge: count still 1
+        (1, 1): (1, 2 * 64 + 1 * 128, 192, 256 / 192),
+        # closed AFTER the late merge: bucket h=1 contributes 4 events
+        (1, 2): (1, 2 * 32 + 4 * 64 + 1 * 128, 224, 448 / 224),
+        (2, 0): (1, 128, 128, 1.0),
+        # user 2's late h=5 rows are dropped (no retained bucket), so no
+        # spurious emission and h=20 stays the open tail
+    }

@@ -60,6 +60,24 @@ AUDIT_QUERIES = [
     "q_label_separation",
 ]
 
+# Iterative operators localCheckpoint their working frames, which
+# truncates the executed plan ABOVE the parquet scans — the scan-bytes
+# denominator for those queries comes from this explicit map instead of
+# the plan regex. Keep an entry per audited iterative query; an audited
+# query whose plan is truncated and is NOT listed here is recorded as
+# tables=['unknown'] with a None ratio (loud, not silently wrong).
+CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
+    "q_pagerank_knn": {"embeddings"},
+    "q_kcore_membership": {"embeddings"},
+    "q_knn_graph": {"embeddings"},
+    "q_dedup_clusters": {"documents"},
+    # rank.global_row_number localCheckpoints its range-partitioned
+    # intermediate, so these plans can lose their scan nodes too
+    "q_vocab_coverage": {"documents"},
+    "q_dsir_resample": {"documents"},
+    "q_sorted_neighborhood_pairs": {"documents"},
+}
+
 
 def _stage_totals(ui_port: int, app_id: str) -> dict[str, int]:
     url = f"http://localhost:{ui_port}/api/v1/applications/{app_id}/stages?status=complete"
@@ -105,13 +123,25 @@ def main() -> None:
         plan = df._jdf.queryExecution().executedPlan().toString()
         tables = set(re.findall(r"testdata/[^/]+/(\w+)\.parquet", plan))
         if not tables:
-            # checkpoint-truncated plan (iterative operator): fall back
-            # to the tables named in the registry module source
-            tables = {"embeddings"}
+            # checkpoint-truncated plan (iterative operator): the scan
+            # happened before the checkpoint, so read the denominator
+            # from the explicit map. An unmapped query records
+            # tables=['unknown'] and a None ratio rather than silently
+            # borrowing another table's byte count.
+            tables = CHECKPOINT_TRUNCATED_TABLES.get(name, set())
         scan_bytes = sum(
             os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
             for t in tables
         )
+        if not tables:
+            print(
+                f"[audit] WARNING: {name} has a checkpoint-truncated plan "
+                f"and no CHECKPOINT_TRUNCATED_TABLES entry — recording "
+                f"tables=['unknown'], ratio=None",
+                file=sys.stderr,
+                flush=True,
+            )
+            tables, scan_bytes = {"unknown"}, 0
         df.write.mode("overwrite").format("noop").save()
         after = _stage_totals(ui_port, app_id)
         d = {k: after[k] - before[k] for k in before}

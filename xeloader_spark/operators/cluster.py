@@ -207,7 +207,11 @@ def kcenter_select(
     max-of-struct aggregate — 2 corpus scans per round, no corpus
     shuffle anywhere, driver holds k × dim ints."""
     q = _quantized(emb_df, id_col, vec_col, scale).persist()
-    seed = q.orderBy("id").limit(1).collect()[0]
+    seed_rows = q.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        q.unpersist()
+        raise ValueError("kcenter_select: empty corpus (no vectors to select)")
+    seed = seed_rows[0]
     picked: list[tuple[int, int, int]] = [(0, seed.id, 0)]
     vecs = [list(seed.qarr)]
     for r in range(1, k):
@@ -225,6 +229,11 @@ def kcenter_select(
             .select("m.d", "m.nid")
             .first()
         )
+        if top.nid is None:
+            # every point is already selected (k > corpus size): the
+            # aggregate over the empty remainder is all-NULL. Return the
+            # complete selection instead of crashing on -NULL.
+            break
         pid = -top.nid
         picked.append((r, pid, top.d))
         vecs.append(list(q.filter(F.col("id") == pid).first().qarr))
@@ -234,8 +243,26 @@ def kcenter_select(
     )
 
 
+def _pq_seed_rows(q_train: DataFrame, sub_k: int) -> list:
+    """The sub_k rows with the smallest (md5(id), id) — the shared seed
+    rule `_pq_fit_joint` and the unrolled DuckDB oracle both replay."""
+    return (
+        q_train.select(
+            "id", "qarr", F.md5(F.col("id").cast("string")).alias("hk")
+        )
+        .orderBy("hk", "id")
+        .limit(sub_k)
+        .collect()
+    )
+
+
 def _pq_fit_joint(
-    q_full: DataFrame, m: int, sub: int, sub_k: int, iters: int
+    q_full: DataFrame,
+    m: int,
+    sub: int,
+    sub_k: int,
+    iters: int,
+    seed_rows: list | None = None,
 ) -> list[list[list[int]]]:
     """Train all `m` subspace codebooks in ONE pass per Lloyd round —
     numerically identical to fitting each subspace separately (the
@@ -244,15 +271,11 @@ def _pq_fit_joint(
     Seeds are the sub_k rows with the smallest (md5(id), id) — the same
     row order for every subspace, so one collect seeds all m codebooks,
     matching the per-subspace `kmeans_fit` seed rule exactly (which is
-    what the unrolled DuckDB oracle replays)."""
-    seed_rows = (
-        q_full.select(
-            "id", "qarr", F.md5(F.col("id").cast("string")).alias("hk")
-        )
-        .orderBy("hk", "id")
-        .limit(sub_k)
-        .collect()
-    )
+    what the unrolled DuckDB oracle replays). Callers that already
+    collected the seed rows (pq_topk reuses them as its dim probe) pass
+    them in to skip the collect job."""
+    if seed_rows is None:
+        seed_rows = _pq_seed_rows(q_full, sub_k)
     codebooks = [
         [list(r.qarr)[s * sub : (s + 1) * sub] for r in seed_rows]
         for s in range(m)
@@ -414,13 +437,6 @@ def pq_topk(
     L2; without rerank it is the ADC approximation.
     """
     q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
-    dim = len(q_full.select("qarr").first().qarr)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-
-    def sub_arr(s: int) -> str:
-        return f"slice(qarr, {s * sub + 1}, {sub})"
 
     # codebook training on a deterministic hash-gated subset: at corpus
     # scale the Lloyd rounds must not scan 100 TB — a fraction suffices
@@ -447,7 +463,23 @@ def pq_topk(
             % 10_000
             < thresh
         )
-    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters)
+    # the seed collect doubles as the dim probe (one fewer Spark job
+    # than a separate first(); same rows either way)
+    seed_rows = _pq_seed_rows(q_train, sub_k)
+    if not seed_rows:
+        raise ValueError(
+            "pq_topk: empty training set (corpus empty or train_fraction "
+            "gate admitted no rows)"
+        )
+    dim = len(seed_rows[0].qarr)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    def sub_arr(s: int) -> str:
+        return f"slice(qarr, {s * sub + 1}, {sub})"
+
+    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters, seed_rows)
 
     # one-scan encode: per subspace, argmin over its literal codebook
     code_cols = [

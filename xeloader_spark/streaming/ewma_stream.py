@@ -15,6 +15,14 @@ is pinned on the CLOSED buckets; the batch operator is the
 reconciliation path for the open tail. `tests/test_streaming.py` pins
 closed-bucket parity against `q_ewma_smooth` under time-ordered file
 arrival.
+
+Late-data policy (hours arriving BELOW the open bucket across
+micro-batches): merged into the matching retained bucket when one is
+still in the `_LAGS` horizon — the already-emitted row for that bucket
+stands (append mode), but future closings smooth over the corrected
+count — otherwise counted in the per-user `late_dropped` state field.
+Either way the `hours` array stays strictly increasing, which the
+gap/weight arithmetic requires.
 """
 
 from __future__ import annotations
@@ -41,11 +49,14 @@ EWMA_OUT_SCHEMA = T.StructType(
 )
 
 # trailing closed buckets + the open bucket, as parallel arrays; the
-# LAST element is the open bucket
+# LAST element is the open bucket. `hours` is strictly increasing — the
+# late-data policy below maintains that invariant. `late_dropped` counts
+# events that arrived too late to place (observable in the state store).
 EWMA_STATE_SCHEMA = T.StructType(
     [
         T.StructField("hours", T.ArrayType(T.LongType())),
         T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("late_dropped", T.LongType()),
     ]
 )
 
@@ -73,15 +84,31 @@ def _user_buckets(
         for h, c in pdf.groupby("h").size().items():
             batch[int(h)] = batch.get(int(h), 0) + int(c)
     if state.exists:
-        hours, counts = state.get
+        hours, counts, late_dropped = state.get
         hours, counts = list(hours), list(counts)
+        late_dropped = int(late_dropped or 0)
     else:
-        hours, counts = [], []
+        hours, counts, late_dropped = [], [], 0
     out_rows: list[tuple[int, int, int, int, float]] = []
     for h in sorted(batch):
         c = batch[h]
         if hours and h == hours[-1]:
             counts[-1] += c
+            continue
+        if hours and h < hours[-1]:
+            # LATE data across micro-batches (an earlier hour after a
+            # later one already opened). Appending would make `hours`
+            # non-monotonic and corrupt every subsequent gap/weight
+            # computation, so: merge into the matching retained bucket
+            # if one exists (improves the smoothing inputs of FUTURE
+            # closings; the already-emitted row for that bucket stands,
+            # same append-mode discipline as any late-data stream), else
+            # count it as dropped — the batch operator is the
+            # reconciliation path, exactly as for the open tail.
+            try:
+                counts[hours.index(h)] += c
+            except ValueError:
+                late_dropped += c
             continue
         if hours:
             # a later hour arrived: the open bucket is now final — emit
@@ -93,7 +120,7 @@ def _user_buckets(
         counts.append(c)
         if len(hours) > _LAGS:
             hours, counts = hours[-_LAGS:], counts[-_LAGS:]
-    state.update((hours, counts))
+    state.update((hours, counts, late_dropped))
     if not out_rows:
         return
     yield pd.DataFrame(
