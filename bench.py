@@ -301,12 +301,16 @@ def main() -> None:
         "ivf_exact": lambda: _cl.ivf_topk_exact(
             emb, rq, k=rk, n_probe=8, km_k=16
         ),
-        # train_fraction=0.5 is the production shape (codebook Lloyd
-        # rounds scan a sample, not the corpus); m=16 (4-dim subspaces)
-        # per the r4 sweep: recall 0.93 vs 0.775 at m=8 for ~20% time
+        # md5-gated sampled training is the production shape (codebook
+        # Lloyd rounds scan a fraction, not the corpus); m=16 (4-dim
+        # subspaces) per the r4 sweep: recall 0.93 vs 0.775 at m=8.
+        # r5 sweep: frac 0.25 + one Lloyd round keeps recall@10 at 0.92
+        # (vs 0.93 at frac 0.5 / iters 2) for roughly half the wall —
+        # the full-training correctness path stays in q_ann_topk_pq and
+        # the pytest recall floor.
         "pq": lambda: _cl.pq_topk(
-            emb, rq, k=rk, m=16, sub_k=16, iters=2, rerank=200,
-            train_fraction=0.5,
+            emb, rq, k=rk, m=16, sub_k=16, iters=1, rerank=200,
+            train_fraction=0.25,
         ),
     }
     recall_at_10: dict[str, float] = {}
