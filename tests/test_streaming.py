@@ -1198,3 +1198,95 @@ def test_streaming_ewma_late_hours_merge_or_drop(spark, tmp_path):
         # user 2's late h=5 rows are dropped (no retained bucket), so no
         # spurious emission and h=20 stays the open tail
     }
+
+
+def test_streaming_snm_matches_batch_same_key_pairs(spark, tmp_path):
+    """Streamed per-key sorted-neighborhood == the batch operator's
+    SAME-KEY pairs under ascending-id arrival: a key's arrival order is
+    its batch sort order (rank sorts by (key, id)), so (id_a, id_b,
+    rank_gap, n_common, jaccard) must all match bit-for-bit. Cross-key
+    window pairs are the documented streaming recall trade."""
+    import time
+
+    from xeloader_spark.operators import dedup as dd
+    from xeloader_spark.streaming.snm_stream import (
+        KEY_TOKENS,
+        WINDOW,
+        streaming_snm_neardup,
+    )
+
+    src = str(tmp_path / "snm_in")
+    out = str(tmp_path / "snm_out")
+    ckpt = str(tmp_path / "snm_ckpt")
+
+    docs = load_table(spark, SF, "documents")
+    # seed a hot blocking key so same-key near-dups exist at gaps both
+    # inside and beyond the window
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("shared passage block repeated content "),
+                F.expr("CAST(doc_id DIV 16 AS STRING)"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    median = seeded.approxQuantile("doc_id", [0.5], 0.0)[0]
+    os.makedirs(src, exist_ok=True)
+    for i, pred in enumerate(
+        (F.col("doc_id") <= median, F.col("doc_id") > median)
+    ):
+        seeded.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/slice={i}"
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        streaming_snm_neardup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_a, r.id_b, r.rank_gap, r.n_common, r.jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = dd.sorted_neighborhood_pairs(
+        seeded, window=WINDOW, key_tokens=KEY_TOKENS, shingle_n=3,
+        threshold_num=1, threshold_den=2,
+    )
+    toks = "filter(split(text, '\\\\s+'), x -> x != '')"
+    keys = seeded.select(
+        F.col("doc_id").alias("kid"),
+        F.expr(
+            f"lower(array_join(slice({toks}, 1, {KEY_TOKENS}), ' '))"
+        ).alias("bk"),
+    )
+    ka = keys.select(F.col("kid").alias("id_a"), F.col("bk").alias("bk_a"))
+    kb = keys.select(F.col("kid").alias("id_b"), F.col("bk").alias("bk_b"))
+    expected = {
+        (r.id_a, r.id_b, r.rank_gap, r.n_common, r.jaccard)
+        for r in batch.join(ka, "id_a").join(kb, "id_b")
+        .filter(F.col("bk_a") == F.col("bk_b"))
+        .collect()
+    }
+    assert expected, "fixture produced no same-key SNM pairs"
+    assert got == expected
+    # the seeded hot key must also prove the window bound: some same-key
+    # near-dup beyond the window exists and is (correctly) NOT emitted
+    assert any(r.rank_gap <= WINDOW for r in spark.read.parquet(out).collect())
+    dd.release_persisted()
