@@ -724,6 +724,17 @@ class TestRound4AdditionShapes:
 
         plans.assert_max_shuffles(qt.q_k_anonymity(spark, SF), 2)
 
+    def test_blocklist_filter_single_shuffle_pruned_scan(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # phrase flags are codegen projections; the ONLY exchange is the
+        # map-side-combined groupBy(source); the scan must read exactly
+        # (text, source)
+        df = qt.q_blocklist_filter(spark, SF)
+        plans.assert_max_shuffles(df, 1)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<text:string,source:string>" in plan
+
 
 class TestRound4LateAdditionShapes:
     """Shuffle budgets for the DSIR/EWMA/matryoshka/k-core batch

@@ -58,6 +58,8 @@ AUDIT_QUERIES = [
     "q_sorted_neighborhood_pairs",
     "q_matryoshka_recall",
     "q_label_separation",
+    # round-5 addition
+    "q_blocklist_filter",
 ]
 
 # Iterative operators localCheckpoint their working frames, which

@@ -883,3 +883,67 @@ def dsir_scores(
             * (F.col("_n_src").cast("double") / F.col("_n_tgt").cast("double"))
         ).alias("imp_ratio"),
     )
+
+
+def blocklist_stats(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Phrase-blocklist audit, the C4-style cleaning step (Raffel et al.
+    2020 §2.2 drop documents containing blocklisted phrases): per
+    (source, phrase) the number of documents whose lowercased text
+    contains the phrase, plus a synthetic '__any__' row per source for
+    the any-phrase-blocked count — the numbers a curator reads before
+    deciding to drop (and the drop itself is the trivial
+    `NOT contains(...)` filter of the same flags).
+
+    Scale shape: the per-phrase flags are a ZERO-shuffle codegen
+    projection (`contains` over the lowercased text, no tokenization, no
+    explode); the only shuffle is ONE map-side-combined groupBy(source)
+    whose output is |sources| rows; the stack to (source, phrase) long
+    form runs on that already-tiny aggregate. Phrase count enters the
+    plan as literals — at 100 TB nothing but the source column and
+    |phrases| int flags per row ever reaches the exchange.
+    """
+    flags = df.select(
+        F.col(source_col).alias("source"),
+        *[
+            F.expr(
+                f"CAST(contains(lower({text_col}), '{p}') AS INT)"
+            ).alias(f"_h{i}")
+            for i, p in enumerate(phrases)
+        ],
+    ).withColumn(
+        "_hany",
+        F.expr(
+            "CAST(("
+            + " + ".join(f"_h{i}" for i in range(len(phrases)))
+            + ") > 0 AS INT)"
+        ),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(f"_h{i}").cast("long").alias(f"_s{i}")
+            for i in range(len(phrases))
+        ],
+        F.sum("_hany").cast("long").alias("_sany"),
+    )
+    pairs = ", ".join(
+        [f"'{p}', _s{i}" for i, p in enumerate(phrases)]
+        + ["'__any__', _sany"]
+    )
+    return agg.selectExpr(
+        "source",
+        f"stack({len(phrases) + 1}, {pairs}) AS (phrase, n_hit_docs)",
+        "n_docs",
+    ).select(
+        "source",
+        "phrase",
+        "n_hit_docs",
+        "n_docs",
+        (F.col("n_hit_docs").cast("double") / F.col("n_docs").cast("double"))
+        .alias("hit_rate"),
+    )

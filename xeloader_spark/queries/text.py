@@ -1068,3 +1068,57 @@ ORACLES["q_vocab_coverage"] = f"""
         f" AS share_{n}" for n in _VOCAB_COVER_NS)}
     FROM agg
 """
+
+
+# C4-style phrase blocklist (Raffel et al. 2020): phrases chosen from the
+# fixture vocabulary so every engine sees real hits at every SF
+_BLOCKLIST = ["table table", "scan scan", "big query", "fast slow",
+              "slow query"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-blocklist audit per (source, phrase) + '__any__' rollup —
+    the C4 cleaning step as a measurable operator: zero-shuffle contains
+    flags, ONE map-side-combined groupBy(source), stack over the
+    sources-sized aggregate (`operators/text.blocklist_stats`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.blocklist_stats(docs, _BLOCKLIST).select(
+        "source", "phrase", "n_hit_docs", "n_docs", "hit_rate"
+    )
+
+
+def _blocklist_sql() -> str:
+    hits = ",\n               ".join(
+        f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END AS h{i}"
+        for i, p in enumerate(_BLOCKLIST)
+    )
+    sums = ",\n               ".join(
+        f"CAST(SUM(h{i}) AS BIGINT) AS s{i}"
+        for i in range(len(_BLOCKLIST))
+    )
+    any_expr = " + ".join(f"h{i}" for i in range(len(_BLOCKLIST)))
+    rows = "\n        UNION ALL ".join(
+        f"SELECT source, '{p}' AS phrase, s{i} AS n_hit_docs, n_docs, "
+        f"CAST(s{i} AS DOUBLE) / CAST(n_docs AS DOUBLE) AS hit_rate FROM a"
+        for i, p in enumerate(_BLOCKLIST)
+    )
+    return f"""
+        WITH f AS (
+            SELECT source,
+               {hits}
+            FROM documents
+        ), a AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {sums},
+               CAST(SUM(CASE WHEN {any_expr} > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sany
+            FROM f GROUP BY source
+        )
+        {rows}
+        UNION ALL SELECT source, '__any__' AS phrase, sany AS n_hit_docs,
+               n_docs, CAST(sany AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS hit_rate FROM a
+    """
+
+
+ORACLES["q_blocklist_filter"] = _blocklist_sql()
