@@ -1,0 +1,187 @@
+"""Measured scaling curves: replicate the fixture corpus K× IN MEMORY
+and time headline operators at K = 1, 4, 16 — the dynamic companion to
+SCALE.md's static shuffle inventory and SHUFFLE_AUDIT.json's byte audit.
+Plan pins prove the SHAPE survives scale; this measures that wall-clock
+actually follows ~O(n) (or the documented super-linear bound) when the
+input grows 16×, on the same host, same session, back to back.
+
+Replication is semantics-preserving for near-dup operators: every
+replica's text is perturbed with a replica-unique token, so replicas are
+NOT near-duplicates of each other and true pair volume stays linear in K
+(a verbatim K× copy would multiply pair output by K² and measure output
+explosion, not engine scaling). Ids are remapped to `id * K + replica`
+so uniqueness invariants hold.
+
+Output: SCALE_STRESS.json — per operator, seconds at each K, the output
+row count at each K (so reviewers can see the work actually grew), and
+`exp16` = log(t16 / t1) / log 16, the empirical scaling exponent
+(1.0 = perfectly linear; < 1 = fixed overhead still dominates; the
+audit flags > 1.35).
+
+Usage: python tools/scale_stress.py [sf_dir]  (default sf0.1)
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from xeloader_spark.catalog import load_table
+from xeloader_spark.session import get_spark
+
+KS = [1, 4, 16]
+FLAG_EXPONENT = 1.35
+
+
+def replicate_docs(docs, k: int):
+    # Suffix EVERY token with the replica id: shingles map injectively
+    # per replica, so within-replica pair structure (Jaccard values,
+    # blocking keys, windows) is EXACTLY the K=1 structure, while
+    # replicas share zero shingles with each other — true pair volume is
+    # K × original, i.e. linear. (A plain append leaves replicas ~85%
+    # Jaccard-similar and measures K² output explosion, not scaling.)
+    reps = docs.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * k + F.col("_rep")).alias("doc_id"),
+            F.expr(
+                "array_join(transform("
+                "filter(split(text, '\\\\s+'), x -> x != ''), "
+                "t -> concat(t, '_r', CAST(_rep AS STRING))), ' ')"
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+
+
+def replicate_events(ev, k: int):
+    reps = ev.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return ev.crossJoin(reps).select(
+        (F.col("event_id") * k + F.col("_rep")).alias("event_id"),
+        "ts",
+        (F.col("user_id") * k + F.col("_rep")).alias("user_id"),
+        "event_type",
+    )
+
+
+def replicate_emb(emb, k: int):
+    # perturb one component per replica (stay inside [-1, 1]) so replicas
+    # are distinct vectors, not exact duplicates
+    reps = emb.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return emb.crossJoin(reps).select(
+        (F.col("vec_id") * k + F.col("_rep")).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (v, i) -> CAST(CASE WHEN i = 0 "
+            "THEN v * (1.0 - 0.001 * _rep) ELSE v END AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="xeloader-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from xeloader_spark.operators import dedup as dd
+    from xeloader_spark.operators import similarity as sim
+    from xeloader_spark.operators import temporal as tp
+    from xeloader_spark.operators import text as tx
+
+    docs0 = load_table(spark, sf_dir, "documents")
+    ev0 = load_table(spark, sf_dir, "events")
+    emb0 = load_table(spark, sf_dir, "embeddings")
+
+    OPS = {
+        "exact_dedup": lambda k: dd.exact_dedup(inputs[k]["docs"]),
+        "minhash_neardup": lambda k: dd.minhash_neardup(
+            inputs[k]["docs"], threshold=0.5
+        ),
+        "sorted_neighborhood": lambda k: dd.sorted_neighborhood_pairs(
+            inputs[k]["docs"]
+        ),
+        "blocklist": lambda k: tx.blocklist_stats(
+            inputs[k]["docs"],
+            ["table table", "scan scan", "big query"],
+        ),
+        "time_bucket_agg": lambda k: (
+            inputs[k]["events"]
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", "n")
+        ),
+        "lsh_banded_ann": lambda k: sim.lsh_ann_topk_banded(
+            inputs[k]["emb"], [i * k for i in range(16)], k=10
+        ),
+    }
+
+    # Materialize each replicated input ONCE before timing: the
+    # replication transform is interpreted-HOF scaffolding, and leaving
+    # it lazy lets the optimizer inline it into every downstream use of
+    # the text column — measuring the harness, not the operator.
+    inputs = {
+        k: {
+            "docs": replicate_docs(docs0, k).localCheckpoint(),
+            "events": replicate_events(ev0, k).localCheckpoint(),
+            "emb": replicate_emb(emb0, k).localCheckpoint(),
+        }
+        for k in KS
+    }
+
+    # JVM/codegen warmup so K=1 of the first operator isn't measuring
+    # session start instead of the operator
+    OPS["exact_dedup"](1).count()
+    dd.release_persisted()
+
+    out: dict[str, dict] = {}
+    for name, mk in OPS.items():
+        rows_at, secs_at = {}, {}
+        for k in KS:
+            t0 = time.perf_counter()
+            n = mk(k).count()
+            dt = time.perf_counter() - t0
+            rows_at[k], secs_at[k] = n, round(dt, 3)
+            dd.release_persisted()
+            print(
+                f"[stress] {name} K={k}: {dt:.2f}s rows={n}",
+                file=sys.stderr, flush=True,
+            )
+        exp16 = (
+            round(math.log(secs_at[16] / secs_at[1]) / math.log(16), 3)
+            if secs_at[1] > 0
+            else None
+        )
+        out[name] = {
+            "seconds": {str(k): secs_at[k] for k in KS},
+            "rows": {str(k): rows_at[k] for k in KS},
+            "exp16": exp16,
+            "flag": bool(exp16 is not None and exp16 > FLAG_EXPONENT),
+        }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_STRESS.json",
+    )
+    with open(path, "w") as fh:
+        json.dump(
+            {"sf_dir": sf_dir, "ks": KS, "flag_exponent": FLAG_EXPONENT,
+             "ops": out},
+            fh,
+            indent=1,
+        )
+    print(json.dumps({"stressed": len(out),
+                      "flagged": [n for n, v in out.items() if v["flag"]]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
