@@ -823,6 +823,54 @@ class TestSimilarity:
 
 
 class TestText:
+    def test_bm25_matches_float_reference(self, spark, docs):
+        """Fixed-point BM25 must reproduce the ordering (and closely
+        track the values) of a float reference with the same log-free
+        RSJ-ratio idf, computed in pure Python over the same corpus."""
+        terms = ("spark", "merge", "window")
+        out = tx.bm25_topk(docs, terms, k=15).collect()
+        corpus = {
+            r.doc_id: r.text.split() for r in docs.select("doc_id", "text").collect()
+        }
+        n_docs = len(corpus)
+        tot_len = sum(len(t) for t in corpus.values())
+        avgdl = tot_len / n_docs
+        dfc = {t: sum(1 for tk in corpus.values() if t in tk) for t in terms}
+        k1, b = 1.2, 0.75
+
+        def ref_score(toks):
+            dl = len(toks)
+            s = 0.0
+            for t in terms:
+                tf = toks.count(t)
+                if tf == 0 or dfc[t] == 0:
+                    continue
+                idf = (n_docs - dfc[t] + 0.5) / (dfc[t] + 0.5)
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            return s
+
+        ref = sorted(
+            ((ref_score(tk), -i) for i, tk in corpus.items()), reverse=True
+        )[:15]
+        ref_ids = [-ni for _, ni in ref]
+        assert [r.doc_id for r in out] == ref_ids
+        for r in out:
+            expect = ref_score(corpus[r.doc_id]) * 1_000_000
+            assert abs(r.score - expect) <= max(2e-3 * expect, 500)
+
+    def test_bm25_shorter_doc_scores_higher_at_equal_tf(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spark query engine"),
+                (2, "spark query engine with many extra filler tokens here"),
+                (3, "nothing relevant at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.score for r in tx.bm25_topk(df, ("spark",), k=10).collect()}
+        assert 3 not in out
+        assert out[1] > out[2] > 0
+
     def test_stats_sane(self, spark, docs):
         row = tx.text_stats(docs).filter(F.col("doc_id") == 0).first()
         assert row.n_chars == len(row.text)

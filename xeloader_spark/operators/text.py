@@ -371,6 +371,122 @@ def tfidf_search(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    idf_scale: int = 1_000_000,
+    sat_scale: int = 10_000,
+    dl_scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval over the corpus, INTEGER-exact end to end so
+    a SQL oracle can hash-match it. The two non-rational pieces of
+    textbook BM25 are replaced by deterministic fixed-point forms:
+
+    - idf: the RSJ ratio (N - df + 0.5)/(df + 0.5) kept as a scaled
+      integer quotient instead of its logarithm (log is the one libm
+      call that may drift an ulp across engines; the ratio preserves the
+      same df ordering).
+    - length-normalized saturation tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)):
+      k1 and b are exact rationals (defaults 6/5 and 3/4), dl/avgdl is
+      the scaled integer (dl·N·dl_scale) DIV total_len, and the whole
+      term is one scaled integer division — every intermediate is a
+      BIGINT with a pinned operation order, identical in Spark and
+      DuckDB.
+
+    score = Σ_term (idf_int · satur_int) DIV sat_scale, a BIGINT sum.
+    Overflow headroom at the default scales: idf_int ≲ 0.7·N·idf_scale
+    and dl·N·dl_scale must stay under 2^63 — safe to ~10^8 docs /
+    ~10^10 total positions; past that, halve the scales or move the
+    accumulator to DECIMAL(38,0) (the arithmetic stays exact either
+    way).
+
+    Shape mirrors `tfidf_search`: one map-side-combined aggregate
+    collapses the corpus to a single (n_docs, total_len, df…) stats row
+    that broadcasts back via cross join; tf/dl are computed array-side
+    per document (zero shuffle, zero explode); top-k compiles to
+    TakeOrderedAndProject with a doc-id tie-break. Two narrow corpus
+    scans total."""
+    for t in terms:
+        if "'" in t or "\\" in t:
+            raise ValueError(f"term must not contain quotes/backslashes: {t!r}")
+    a, c = (int(k1[0]), int(k1[1]))
+    p, q = (int(b[0]), int(b[1]))
+    toks = _tok_array(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.expr(toks).alias("_toks"),
+    ).withColumn("_dl", F.expr("CAST(size(_toks) AS BIGINT)"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_dl").cast("long").alias("tot_len"),
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN array_contains(_toks, '{t}') THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    probe = base.crossJoin(F.broadcast(stats))
+    tf_cols = [
+        F.expr(f"CAST(size(filter(_toks, x -> x = '{t}')) AS BIGINT)").alias(
+            f"_tf{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    # dl/avgdl as a scaled integer: avgdl = tot_len / n_docs, so
+    # dl/avgdl = dl·n_docs/tot_len — one DIV, no intermediate float.
+    dl_norm = f"(_dl * n_docs * {int(dl_scale)}) DIV tot_len"
+    sat_num = f"(_tf{{i}} * {(a + c) * q * int(dl_scale) * int(sat_scale)})"
+    sat_den = (
+        f"({c * q * int(dl_scale)} * _tf{{i}}"
+        f" + {a * (q - p) * int(dl_scale)}"
+        f" + {a * p} * _dlnorm)"
+    )
+    idf = [
+        f"CASE WHEN _df{i} = 0 THEN 0"
+        f" ELSE ((2 * (n_docs - _df{i}) + 1) * {int(idf_scale)})"
+        f" DIV (2 * _df{i} + 1) END"
+        for i in range(len(terms))
+    ]
+    contrib = [
+        f"CASE WHEN _tf{i} = 0 THEN 0 ELSE"
+        f" (({idf[i]}) * ({sat_num.format(i=i)} DIV {sat_den.format(i=i)}))"
+        f" DIV {int(sat_scale)} END"
+        for i in range(len(terms))
+    ]
+    scored = probe.select(
+        F.col(id_col),
+        F.col("_dl").alias("dl"),
+        F.expr(dl_norm).alias("_dlnorm"),
+        "n_docs",
+        "tot_len",
+        *tf_cols,
+        *[F.col(f"_df{i}") for i in range(len(terms))],
+    ).select(
+        F.col(id_col),
+        F.col("dl"),
+        sum(
+            (F.expr(f"CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END") for i in range(len(terms))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_matched"),
+        sum((F.expr(e) for e in contrib), F.lit(0)).cast("long").alias("score"),
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(int(k))
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whole-document fingerprint: md5 over the normalized text (lowercase,
     whitespace collapsed) — the exact-dedup key that survives formatting

@@ -420,6 +420,32 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K = 20
+_BM25_K1 = (6, 5)  # 1.2
+_BM25_B = (3, 4)  # 0.75
+_BM25_SAT = 10_000
+_BM25_DLS = 1_000_000
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-20 docs for the query terms (spark,
+    merge, window) under k1=1.2, b=0.75 — integer-exact fixed-point
+    BM25 (`operators/text.bm25_topk`): RSJ-ratio idf (log-free) and
+    scaled-integer length-normalized saturation, so score ordering and
+    values replay bit-exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_topk(
+        docs,
+        _SEARCH_TERMS,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        idf_scale=_IDF_SCALE,
+        sat_scale=_BM25_SAT,
+        dl_scale=_BM25_DLS,
+    )
+
+
 _TOKS_LIST = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 _TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
 
@@ -583,8 +609,72 @@ def _tfidf_search_sql() -> str:
     """
 
 
+def _bm25_search_sql() -> str:
+    n = len(_SEARCH_TERMS)
+    a, c = _BM25_K1
+    p, q = _BM25_B
+    dfs = ", ".join(
+        f"CAST(COUNT(CASE WHEN list_contains(tk, '{t}') THEN 1 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(_SEARCH_TERMS)
+    )
+    tfs = ", ".join(
+        f"CAST(len(list_filter(tk, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_SEARCH_TERMS)
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(n)
+    )
+
+    def contrib(i: int) -> str:
+        idf = (
+            f"(CASE WHEN df{i} = 0 THEN 0"
+            f" ELSE ((2 * (n_docs - df{i}) + 1) * {_IDF_SCALE})"
+            f" // (2 * df{i} + 1) END)"
+        )
+        sat = (
+            f"((tf{i} * {(a + c) * q * _BM25_DLS * _BM25_SAT})"
+            f" // ({c * q * _BM25_DLS} * tf{i}"
+            f" + {a * (q - p) * _BM25_DLS}"
+            f" + {a * p} * dlnorm))"
+        )
+        return (
+            f"(CASE WHEN tf{i} = 0 THEN 0"
+            f" ELSE ({idf} * {sat}) // {_BM25_SAT} END)"
+        )
+
+    score = " + ".join(contrib(i) for i in range(n))
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_LIST} AS tk FROM documents
+        ),
+        d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM t),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS tot_len, {dfs}
+            FROM d
+        ),
+        s AS (SELECT doc_id, dl, {tfs} FROM d),
+        sn AS (
+            SELECT s.*, c.*,
+                   (s.dl * c.n_docs * {_BM25_DLS}) // c.tot_len AS dlnorm
+            FROM s, c
+        ),
+        sc AS (
+            SELECT doc_id, dl,
+                   CAST({matched} AS BIGINT) AS n_matched,
+                   CAST({score} AS BIGINT) AS score
+            FROM sn
+        )
+        SELECT doc_id, dl, n_matched, score FROM sc
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {_BM25_K}
+    """
+
+
 ORACLES: dict[str, str] = {
     "q_tfidf_search": _tfidf_search_sql(),
+    "q_bm25_topk": _bm25_search_sql(),
     "q_k_anonymity": f"""
         WITH g AS (
             SELECT lang, source,
