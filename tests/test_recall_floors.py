@@ -88,3 +88,22 @@ def test_pq_recall_floor(emb01, exact_top):
         exact_top,
     )
     assert r >= 0.8, f"PQ recall@10 regressed: {r}"  # measured 0.93 (r4)
+
+
+def test_ivfpq_recall_floor(emb01, exact_top):
+    r = _recall(
+        cl.ivfpq_topk(
+            emb01,
+            QIDS,
+            k=K,
+            n_probe=12,
+            km_k=16,
+            m=16,
+            sub_k=16,
+            pq_iters=2,
+            rerank=200,
+            train_fraction=0.5,
+        ),
+        exact_top,
+    )
+    assert r >= 0.75, f"IVF-PQ recall@10 regressed: {r}"  # measured 0.875 (r5)

@@ -703,3 +703,181 @@ def ivf_topk_exact(
         .filter(F.col("rk") <= k)
         .select("query_id", "candidate_id", "dist_q", "rk")
     )
+
+
+def ivfpq_topk(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    km_k: int = K,
+    km_iters: int = ITERS,
+    m: int = 16,
+    sub_k: int = 16,
+    pq_iters: int = 2,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    train_fraction: float = 1.0,
+    train_salt: str = "pqtrain",
+) -> DataFrame:
+    """IVF-PQ composite ANN — the coarse-quantizer + product-code index
+    (Jégou et al. 2011's IVFADC layout, here with codes over the raw
+    vectors rather than residuals so every stage stays SQL-replayable):
+    the exact integer k-means partitions the corpus into inverted lists,
+    each query probes its `n_probe` nearest lists, and ONLY the probed
+    lists' members are scored — by `m` ADC table lookups per candidate,
+    never a `dim`-wide kernel — with an optional exact-distance re-rank
+    of the ADC shortlist.
+
+    This composes the two scale levers the standalone indexes each
+    demonstrate: IVF cuts the candidates scanned per query to
+    ~n_probe/km_k of the corpus, PQ cuts the bytes per scanned candidate
+    to `m` small codes (64× under the defaults). At 100 TB both the
+    coarse codebook and the subspace codebooks are plan literals trained
+    on an md5-gated sample (`train_fraction`); the corpus is scanned
+    once for list assignment + encoding, and the per-query work is
+    probed-lists × m lookups. Everything — training seeds, Lloyd
+    rounds, assignment, probe selection, encoding, ADC, re-rank — is
+    integer arithmetic, so the whole index hash-checks cross-engine.
+    """
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
+
+    q_train = q_full
+    if train_fraction < 1.0:
+        thresh = int(train_fraction * 10_000)
+        q_train = q_full.filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(train_salt), F.col("id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 10_000
+            < thresh
+        )
+
+    centroids = kmeans_fit(q_train, k=km_k, iters=km_iters)
+    seed_rows = _pq_seed_rows(q_train, sub_k)
+    if not seed_rows:
+        raise ValueError(
+            "ivfpq_topk: empty training set (corpus empty or "
+            "train_fraction gate admitted no rows)"
+        )
+    dim = len(seed_rows[0].qarr)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, pq_iters, seed_rows)
+
+    qrows = {
+        r.id: list(r.qarr)
+        for r in q_full.filter(F.col("id").isin(query_ids)).collect()
+    }
+    missing = sorted(set(query_ids) - set(qrows))
+    if missing:
+        raise ValueError(f"query ids not in corpus: {missing}")
+    q_full.unpersist()
+
+    # per-query probe lists over the model-sized centroid table
+    probes = []
+    for qid in query_ids:
+        d = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(qrows[qid], c)),
+                j,
+            )
+            for j, c in enumerate(centroids)
+        )[:n_probe]
+        probes.extend((qid, j) for _, j in d)
+    spark = emb_df.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+
+    # candidates = probed lists only; encode THOSE rows (the broadcast
+    # semi-shape means the corpus contributes ~n_probe/km_k of its rows
+    # to the encode + ADC projection, nothing else moves)
+    assigned = _assign(_quantized(emb_df, id_col, vec_col, scale), centroids)
+    cand = (
+        assigned.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("candidate_id"), "qarr")
+    )
+    code_cols = [
+        F.expr(
+            _argmin_struct_sql(codebooks[s], f"slice(qarr, {s * sub + 1}, {sub})")
+            + ".c"
+        ).alias(f"code_{s}")
+        for s in range(m)
+    ]
+    encoded = cand.select("query_id", "candidate_id", *code_cols)
+
+    # ADC distance tables as ONE SQL string (query CASE over literal
+    # per-subspace lookup arrays — never nested Column trees, see the
+    # Py4J plan-construction note on pq_topk)
+    dtab: dict[int, list[list[int]]] = {}
+    for qid in query_ids:
+        qv = qrows[qid]
+        dtab[qid] = [
+            [
+                sum((qv[s * sub + d] - c[d]) ** 2 for d in range(sub))
+                for c in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+
+    def _adc_case() -> str:
+        whens = []
+        for qid in query_ids:
+            terms = " + ".join(
+                "element_at(array({vals}), code_{s} + 1)".format(
+                    vals=",".join(f"{int(v)}L" for v in dtab[qid][s]), s=s
+                )
+                for s in range(m)
+            )
+            whens.append(f"WHEN query_id = {qid}L THEN CAST({terms} AS BIGINT)")
+        return "CASE " + " ".join(whens) + " END"
+
+    scored = encoded.select(
+        "query_id", "candidate_id", F.expr(_adc_case()).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("candidate_id")
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "candidate_id", "adc_dist", "rk")
+        )
+
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= rerank)
+        .select("query_id", "candidate_id")
+    )
+    exact = F.lit(None).cast("long")
+    for qid in query_ids:
+        exact = F.when(
+            F.col("query_id") == qid, _dist_expr(qrows[qid], "qarr")
+        ).otherwise(exact)
+    reranked = (
+        _quantized(emb_df, id_col, vec_col, scale)
+        .join(F.broadcast(shortlist), F.col("id") == F.col("candidate_id"))
+        .select("query_id", "candidate_id", exact.alias("dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("candidate_id")
+    )
+    return (
+        reranked.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "candidate_id", "dist", "rk")
+    )

@@ -910,6 +910,41 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_PROBE = 4
+_IVFPQ_SHORTLIST = 100
+_IVFPQ_TRAIN_FRACTION = 0.5
+
+
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN in its full production shape — coarse
+    integer-k-means inverted lists (probe 4 of 8), product codes scored
+    by ADC over ONLY the probed lists, an exact-distance re-rank of the
+    100-deep shortlist, and BOTH codebooks trained on the md5-gated half
+    of the corpus — with every stage (sampled training included)
+    replayed by the oracle, so the composed index hash-verifies exactly
+    like its IVF and PQ halves do standalone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    width = emb.select(F.size("embedding").alias("n")).first().n
+    if width != cls.EMB_DIM:
+        raise ValueError(
+            f"embeddings fixture width {width} != cluster.EMB_DIM "
+            f"{cls.EMB_DIM}; update the shared constant"
+        )
+    return cls.ivfpq_topk(
+        emb,
+        _QUERY_IDS,
+        k=_PQ_K,
+        n_probe=_IVFPQ_PROBE,
+        km_k=cls.K,
+        km_iters=cls.ITERS,
+        m=_PQ_M,
+        sub_k=_PQ_SUBK,
+        pq_iters=_PQ_ITERS,
+        rerank=_IVFPQ_SHORTLIST,
+        train_fraction=_IVFPQ_TRAIN_FRACTION,
+    )
+
+
 def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two DIFFERENT approximate indexes over
     the same queries — the standard ensemble-retrieval combiner
@@ -1136,6 +1171,144 @@ _PQ_TRAIN_GATE = (
     "WHERE (('0x' || substr(md5('pqtrain' || CAST(id AS VARCHAR)), 1, 8))"
     "::BIGINT % 10000) < " + str(int(_PQ_TRAIN_FRACTION * 10_000))
 )
+
+
+def _ivfpq_sql(
+    km_k: int,
+    km_iters: int,
+    m: int,
+    sub_k: int,
+    pq_iters: int,
+    scale: int,
+    n_probe: int,
+    k: int,
+    qids: list[int],
+    rerank: int,
+    train_where: str = "",
+) -> str:
+    """DuckDB replay of `cluster.ivfpq_topk`: coarse k-means + probe
+    selection (as in `_ivf_exact_sql`), per-subspace PQ codebooks + ADC
+    (as in `_pq_sql`) restricted to the probed lists' candidates, and
+    the exact re-rank of the ADC shortlist. Subspace CTEs use the `ip`
+    prefix so this statement composes with `_pq_sql`'s `s*` CTEs if
+    ever embedded alongside them."""
+    sub = cls.EMB_DIM // m
+    ids = ", ".join(str(i) for i in qids)
+    sq = "(q.qv - c.cv) * (q.qv - c.cv)"
+    kct, cfinal = _kmeans_ctes(
+        "ivp", "embedding", km_k, km_iters, scale, train_where=train_where
+    )
+    ctes: list[str] = list(kct)
+    ctes.append(
+        f"""coarse_assign AS (
+            SELECT id, cluster FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
+                FROM ivpq q JOIN {cfinal} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        )"""
+    )
+    ctes.append(
+        f"""ivp_centd AS (
+            SELECT q.id AS query_id, c.cluster, SUM({sq}) AS d
+            FROM ivpq q JOIN {cfinal} c USING (pos)
+            WHERE q.id IN ({ids})
+            GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(
+        f"""ivp_probed AS (
+            SELECT query_id, cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY d ASC, cluster ASC) AS rn
+                FROM ivp_centd
+            ) WHERE rn <= {n_probe}
+        )"""
+    )
+    ctes.append(
+        """ivp_cand AS (
+            SELECT p.query_id, f.id AS candidate_id
+            FROM ivp_probed p
+            JOIN coarse_assign f
+              ON f.cluster = p.cluster AND f.id <> p.query_id
+        )"""
+    )
+    enc_parts, qd_parts = [], []
+    for s in range(m):
+        p = f"ip{s}"
+        vec_slice = f"embedding[{s * sub + 1}:{(s + 1) * sub}]"
+        skct, scfinal = _kmeans_ctes(
+            p, vec_slice, sub_k, pq_iters, scale, train_where=train_where
+        )
+        ctes.extend(skct)
+        ctes.append(
+            f"""{p}enc AS (
+            SELECT id, cluster AS code FROM (
+                SELECT q.id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY q.id
+                           ORDER BY SUM({sq}) ASC, c.cluster ASC) AS rn
+                FROM {p}q q JOIN {scfinal} c USING (pos)
+                GROUP BY q.id, c.cluster
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""{p}qd AS (
+            SELECT q.id AS query_id, c.cluster AS code,
+                   CAST(SUM({sq}) AS BIGINT) AS d
+            FROM {p}q q JOIN {scfinal} c USING (pos)
+            WHERE q.id IN ({ids})
+            GROUP BY 1, 2
+        )"""
+        )
+        enc_parts.append(f"SELECT id, {s} AS s, code FROM {p}enc")
+        qd_parts.append(f"SELECT query_id, {s} AS s, code, d FROM {p}qd")
+    ctes.append("ivp_codes AS (" + " UNION ALL ".join(enc_parts) + ")")
+    ctes.append("ivp_qd AS (" + " UNION ALL ".join(qd_parts) + ")")
+    ctes.append(
+        """ivp_adc AS (
+            SELECT ca.query_id, ca.candidate_id,
+                   CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+            FROM ivp_cand ca
+            JOIN ivp_codes e ON e.id = ca.candidate_id
+            JOIN ivp_qd qd
+              ON qd.s = e.s AND qd.code = e.code
+             AND qd.query_id = ca.query_id
+            GROUP BY 1, 2
+        )"""
+    )
+    ctes.append(
+        f"""ivp_shortlist AS (
+            SELECT query_id, candidate_id FROM (
+                SELECT query_id, candidate_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist ASC, candidate_id ASC) AS rk
+                FROM ivp_adc
+            ) WHERE rk <= {rerank}
+        )"""
+    )
+    ctes.append(
+        """ivp_rer AS (
+            SELECT s.query_id, s.candidate_id,
+                   CAST(SUM((cq.qv - qq.qv) * (cq.qv - qq.qv)) AS BIGINT)
+                       AS dist
+            FROM ivp_shortlist s
+            JOIN ivpq cq ON cq.id = s.candidate_id
+            JOIN ivpq qq ON qq.id = s.query_id AND qq.pos = cq.pos
+            GROUP BY 1, 2
+        )"""
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT query_id, candidate_id, dist, rk FROM (
+            SELECT query_id, candidate_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, candidate_id ASC) AS rk
+            FROM ivp_rer
+        ) WHERE rk <= {k}
+    """
 
 
 def q_ann_topk_pq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,6 +1746,19 @@ ORACLES: dict[str, str] = {
         _PQ_K,
         _QUERY_IDS,
         rerank=_PQ_SHORTLIST,
+        train_where=_PQ_TRAIN_GATE,
+    ),
+    "q_ann_topk_ivfpq": _ivfpq_sql(
+        cls.K,
+        cls.ITERS,
+        _PQ_M,
+        _PQ_SUBK,
+        _PQ_ITERS,
+        cls.SCALE,
+        _IVFPQ_PROBE,
+        _PQ_K,
+        _QUERY_IDS,
+        rerank=_IVFPQ_SHORTLIST,
         train_where=_PQ_TRAIN_GATE,
     ),
     "q_ann_topk_ivf_exact": _ivf_exact_sql(
