@@ -44,6 +44,38 @@ class TestSaltedJoin:
             skew.salted_join(li, li, "l_orderkey", how="full")
 
 
+class TestBloomPruneJoin:
+    def test_equivalence_and_actual_pruning(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        plain = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+        joined = skew.bloom_prune_join(li, orders, "l_orderkey", "o_orderkey")
+        assert joined.count() == plain
+
+        # the prune must actually prune: fact survivors of the Bloom
+        # filter alone sit between the true match count and far below
+        # the full fact count for this selective cohort (no false
+        # negatives, few false positives at m=32768)
+        n_fact = li.count()
+        n_semi = li.join(
+            orders, li.l_orderkey == orders.o_orderkey, "left_semi"
+        ).count()
+        n_pruned = skew.bloom_prune(
+            li, orders, "l_orderkey", "o_orderkey"
+        ).count()
+        assert n_semi <= n_pruned < n_fact // 2
+
+    def test_rejects_outer_joins(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        with pytest.raises(ValueError):
+            skew.bloom_prune_join(li, li, "l_orderkey", "l_orderkey", how="left")
+
+
 class TestBucketedJoin:
     def test_colocated_join_has_no_exchange(self, spark, tmp_path):
         # (warehouse dir is a static conf; managed tables land in

@@ -1,0 +1,100 @@
+"""Frequent-itemset mining over transaction baskets — the market-basket
+association operator (a-priori pair mining), distributed the way FP-style
+miners run on Spark: the candidate space is carved per basket, never as a
+global item×item join.
+
+Reference scope note: XELoader delegates all analytics to SQL Server
+(SURVEY §2.3); this family is part of the repo's native query surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    tx: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 3,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """A-priori frequent-pair mining: unordered item pairs co-occurring in
+    at least `min_pair_support` baskets, with supports and lift.
+
+    Shape, and why it scales:
+    - baskets collapse to DISTINCT (basket, item) first, so supports are
+      basket counts, not row counts (one shuffle on the pair key).
+    - the a-priori prune runs BEFORE any pair is formed: items below
+      `min_item_support` can't be in a frequent pair (pair support ≤ item
+      support), so the item-support aggregate (item-dimension sized)
+      filters the transaction stream down to frequent items only.
+    - pairs are generated ARRAY-SIDE per basket from the sorted frequent-
+      item array — C(f, 2) candidates per basket where f is the basket's
+      frequent-item count, never the global item×item space and never a
+      basket self-join (the classic SQL formulation joins the transaction
+      table to itself on basket, shuffling it twice; here the basket
+      groupBy is the only transaction-sized shuffle and the pair explode
+      happens inside the same stage).
+    - supports join back by broadcast (item dimension) and the basket
+      total arrives via a 1-row broadcast cross join; lift is two exact
+      integer products and ONE IEEE division, so it hash-checks.
+
+    At 100 TB the skew lever is a per-basket frequent-item cap (baskets
+    with f in the thousands explode quadratically); the fixture's baskets
+    are bounded (≤ 7 lineitems), so the cap is left to the caller.
+    """
+    t = (
+        tx.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+    )
+    item_sup = t.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("item_support")
+    )
+    freq_items = item_sup.filter(
+        F.col("item_support") >= int(min_item_support)
+    )
+    n_baskets = t.agg(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    tf = t.join(F.broadcast(freq_items.select("item")), "item")
+    baskets = tf.groupBy("basket").agg(
+        F.array_sort(F.collect_set("item")).alias("items")
+    )
+    pair_expr = (
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x AS item_a, y AS item_b))))"
+    )
+    pairs = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= int(min_pair_support))
+    )
+    sup_a = freq_items.select(
+        F.col("item").alias("item_a"), F.col("item_support").alias("support_a")
+    )
+    sup_b = freq_items.select(
+        F.col("item").alias("item_b"), F.col("item_support").alias("support_b")
+    )
+    return (
+        pairs.join(F.broadcast(sup_a), "item_a")
+        .join(F.broadcast(sup_b), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            (
+                (F.col("pair_support") * F.col("n_baskets")).cast("double")
+                / (F.col("support_a") * F.col("support_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -45,6 +45,104 @@ def salted_join(
     return salted_big.join(salted_small, [key, "_salt"], how).drop("_salt")
 
 
+def bloom_prune_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 32_768,
+    k: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with an explicit Bloom runtime filter on the fact side —
+    the semi-join reduction Spark's own `spark.sql.optimizer.
+    runtimeFilter.bloomFilter.enabled` injects, made explicit and
+    engine-deterministic: the dim side's keys compress to a fixed m-bit
+    word-packed bitset (two tiny aggregates, same build as
+    `dedup.bloom_decontaminate`) that broadcasts via a single-row cross
+    join; the fact side is pre-filtered by k O(1) mask tests per row
+    inside whole-stage codegen BEFORE it reaches the join's exchange.
+
+    Result equals `fact.join(dim, fact_key == dim_key, how)` EXACTLY —
+    a Bloom filter has no false negatives, and the join itself removes
+    the false positives — which is precisely what makes the operator
+    oracle-checkable with a plain-join oracle. The win at 100 TB: when
+    the dim side is selective (a filtered date range, a sampled cohort),
+    the fact rows that would die in the join die before the shuffle
+    instead, cutting the join's exchange by the selectivity factor at
+    the cost of one broadcast m-bit array.
+
+    Only `how` values that never emit unmatched fact rows are accepted
+    (inner / left_semi): for outer joins the prune would have to keep
+    non-matching rows and nothing is saved.
+    """
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_prune_join: how={how!r} would emit unmatched fact "
+            "rows; the prune only composes with inner/left_semi"
+        )
+    pruned = bloom_prune(fact, dim, fact_key, dim_key, m=m, k=k)
+    return pruned.join(
+        dim,
+        pruned[fact_key] == dim[dim_key],
+        "inner" if how == "inner" else "left_semi",
+    )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 32_768,
+    k: int = 3,
+) -> DataFrame:
+    """The filter half of `bloom_prune_join`, exposed so callers (and
+    tests) can measure survivor counts: returns the fact rows whose key
+    passes the dim side's m-bit Bloom filter — a superset of the true
+    matches, usually a tiny one."""
+    ks = range(1, int(k) + 1)
+
+    def pos_exprs(var: str) -> list[str]:
+        return [
+            f"CAST(conv(substring(md5('{j}:' || CAST({var} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {int(m)}"
+            for j in ks
+        ]
+
+    words = (
+        dim.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in pos_exprs(dim_key)])
+            ).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("widx", "word")))
+            ).alias("_bloom_wmap")
+        )
+    )
+    hit = " AND ".join(
+        f"(coalesce(element_at(_bloom_wmap, CAST(({p}) DIV 64 AS INT)), "
+        f"CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0"
+        for p in pos_exprs(fact_key)
+    )
+    return (
+        fact.crossJoin(F.broadcast(words))
+        .filter(F.expr(hit))
+        .drop("_bloom_wmap")
+    )
+
+
 def make_skewed_corpus(
     spark,
     n_docs: int = 5000,

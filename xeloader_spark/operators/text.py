@@ -487,6 +487,50 @@ def bm25_topk(
     )
 
 
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    strip_param_prefixes: tuple[str, ...] = ("utm_", "fbclid="),
+) -> DataFrame:
+    """Canonical URL normalization — the web-crawl dedup key (Common
+    Crawl-style pipelines dedup by canonical URL before any content
+    pass). Collapses the variance that makes byte-identical pages look
+    distinct: scheme/host case, default ports (:80/:443), tracking
+    params (utm_*, fbclid), query-parameter order, fragments, and
+    trailing slashes.
+
+    Pure string/array expressions (regexp_extract + split + filter +
+    array_sort + array_join), zero shuffles, engine-deterministic —
+    the whole normalization replays in the oracle. Param filtering
+    compares exact prefixes via substr (LIKE's `_` wildcard would make
+    'utm_%' match 'utmX…')."""
+    u = url_col
+    scheme = f"lower(regexp_extract({u}, '^([a-zA-Z]+)://', 1))"
+    hostport = (
+        f"regexp_replace(lower(regexp_extract({u}, '^[a-zA-Z]+://([^/?#]+)', 1)),"
+        f" ':(443|80)$', '')"
+    )
+    path = f"regexp_extract({u}, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)"
+    path_norm = (
+        f"CASE WHEN regexp_replace({path}, '/+$', '') = '' THEN '/' "
+        f"ELSE regexp_replace({path}, '/+$', '') END"
+    )
+    keep = " AND ".join(
+        f"substr(x, 1, {len(p)}) != '{p}'" for p in strip_param_prefixes
+    )
+    qcanon = (
+        f"array_join(array_sort(filter(split("
+        f"regexp_extract({u}, '\\\\?([^#]*)', 1), '&'), "
+        f"x -> x != '' AND {keep})), '&')"
+    )
+    canonical = (
+        f"concat({scheme}, '://', {hostport}, {path_norm}, "
+        f"CASE WHEN {qcanon} = '' THEN '' ELSE concat('?', {qcanon}) END)"
+    )
+    return df.withColumn(out_col, F.expr(canonical))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whole-document fingerprint: md5 over the normalized text (lowercase,
     whitespace collapsed) — the exact-dedup key that survives formatting

@@ -34,7 +34,7 @@ from . import core
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
 # ROUND-5 ROTATION (installed from tools/gen_round_priority.py output):
-# 221 registered; 22 unverified; window 50 → 50 slots (0 unverified beyond the window)
+# 224 registered; 25 unverified; window 50 → 50 slots (0 unverified beyond the window)
 # slots 1-19 drain the round-4 backlog (every query's first driver row);
 # slots 20-50 re-check the oldest r1 greens per the tool's oldest-first
 # ordering. Registry freeze: keep any round-5 additions within the
@@ -62,6 +62,9 @@ _ROUND_PRIORITY = [
     "q_blocklist_filter",
     "q_ann_topk_ivfpq",
     "q_bm25_topk",
+    "q_bloom_join_prune",
+    "q_frequent_pairs",
+    "q_url_canonicalize",
     "q_event_sequence_order",  # recheck (last green r1)
     "q_event_type_filter_project",  # recheck (last green r1)
     "q_hash_match_join",  # recheck (last green r1)
@@ -87,9 +90,6 @@ _ROUND_PRIORITY = [
     "q_scalar_subquery",  # recheck (last green r1)
     "q_set_operations",  # recheck (last green r1)
     "q_shipping_priority",  # recheck (last green r1)
-    "q_supplier_breadth_per_part",  # recheck (last green r1)
-    "q_top_customer_per_nation",  # recheck (last green r1)
-    "q_callstack_decode",  # recheck (last green r1)
 ]
 
 

@@ -991,7 +991,101 @@ def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side Bloom runtime filter made explicit
+    (`operators/skew.bloom_prune_join`): lineitem rows are pre-filtered
+    by a broadcast m-bit bitset of the selective order cohort's keys
+    (1996-Q1 orders) BEFORE the join's shuffle, then joined; revenue per
+    priority. The oracle is the PLAIN join — Bloom has no false
+    negatives and the join removes false positives, so result equality
+    IS the filter's correctness proof (the pruning-actually-prunes
+    property is pinned separately in pytest)."""
+    from ..operators.skew import bloom_prune_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        bloom_prune_join(li, orders, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            _dsum(disc, "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+_FP_MIN_ITEM = 3
+_FP_MIN_PAIR = 2
+
+
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining over order baskets (orderkey →
+    set of partkeys): a-priori-pruned unordered pairs with basket
+    supports and lift (`operators/itemsets.frequent_pairs`). Pairs are
+    carved array-side per basket after the item-support prune — never a
+    transaction self-join, never the global item×item space; lift is two
+    exact integer products and one IEEE division."""
+    from ..operators.itemsets import frequent_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_pairs(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_item_support=_FP_MIN_ITEM,
+        min_pair_support=_FP_MIN_PAIR,
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_bloom_join_prune": """
+        SELECT o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    """,
+    "q_frequent_pairs": f"""
+        WITH t AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem
+        ),
+        sup AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS item_support
+            FROM t GROUP BY 1
+            HAVING COUNT(*) >= {_FP_MIN_ITEM}
+        ),
+        nb AS (
+            SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM t
+        ),
+        tf AS (SELECT t.* FROM t JOIN sup USING (item)),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_support
+            FROM tf a JOIN tf b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_FP_MIN_PAIR}
+        )
+        SELECT p.item_a, p.item_b, p.pair_support,
+               sa.item_support AS support_a,
+               sb.item_support AS support_b,
+               CAST(p.pair_support * nb.n_baskets AS DOUBLE)
+                   / CAST(sa.item_support * sb.item_support AS DOUBLE)
+                   AS lift
+        FROM pairs p
+        JOIN sup sa ON sa.item = p.item_a
+        JOIN sup sb ON sb.item = p.item_b
+        CROSS JOIN nb
+    """,
     "q_order_priority_check": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders o

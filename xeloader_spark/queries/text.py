@@ -420,6 +420,50 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# URL seeding: the synthetic corpus has no URL column, so the query
+# plants one per document from (doc_id, source) — the same determinism
+# trick as the PII injection below. Variants deliberately cover every
+# normalization axis: scheme/host case, default port, trailing slash,
+# tracking params, parameter order, fragments.
+_URL_SEED_SPARK = """
+    concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://',
+      CASE WHEN doc_id % 3 = 0 THEN concat('WWW.', source, '.COM')
+           ELSE concat('www.', source, '.com') END,
+      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+      '/articles/', CAST(doc_id % 50 AS STRING),
+      CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 2 = 1
+               THEN concat('?utm_source=feed&id=', CAST(doc_id % 25 AS STRING))
+           WHEN doc_id % 6 = 2
+               THEN concat('?ref=home&id=', CAST(doc_id % 25 AS STRING))
+           ELSE concat('?id=', CAST(doc_id % 25 AS STRING), '&ref=home') END,
+      CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END
+    )
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over seeded messy URLs: normalize scheme/host
+    case, default ports, tracking params, param order, fragments and
+    trailing slashes (`operators/text.url_canonicalize`), then group —
+    per canonical URL the variant count, distinct raw forms, and keeper
+    doc. The crawl-dedup pre-pass that runs before any content ever
+    moves; normalization itself is zero-shuffle string/array codegen."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SEED_SPARK)
+    )
+    return (
+        tx.url_canonicalize(docs)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("url").cast("long").alias("n_raw_forms"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
 _BM25_K = 20
 _BM25_K1 = (6, 5)  # 1.2
 _BM25_B = (3, 4)  # 0.75
@@ -672,8 +716,58 @@ def _bm25_search_sql() -> str:
     """
 
 
+_URL_SEED_DUCK = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.COM'
+             ELSE 'www.' || source || '.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 1
+                THEN '?utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+             WHEN doc_id % 6 = 2
+                THEN '?ref=home&id=' || CAST(doc_id % 25 AS VARCHAR)
+             ELSE '?id=' || CAST(doc_id % 25 AS VARCHAR) || '&ref=home' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END)
+"""
+
+_URL_CANON_DUCK = """
+        WITH u AS (
+            SELECT doc_id, {seed} AS url FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+                regexp_replace(
+                    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+                    ':(443|80)$', '') AS hostport,
+                regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS pth,
+                array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    x -> x != '' AND substr(x, 1, 4) != 'utm_'
+                         AND substr(x, 1, 7) != 'fbclid=')), '&') AS qcanon
+            FROM u
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                scheme || '://' || hostport
+                || (CASE WHEN regexp_replace(pth, '/+$', '') = '' THEN '/'
+                         ELSE regexp_replace(pth, '/+$', '') END)
+                || (CASE WHEN qcanon = '' THEN ''
+                         ELSE '?' || qcanon END) AS canonical_url
+            FROM parts
+        )
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM canon GROUP BY 1
+"""
+
+
 ORACLES: dict[str, str] = {
     "q_tfidf_search": _tfidf_search_sql(),
+    "q_url_canonicalize": _URL_CANON_DUCK.format(seed=_URL_SEED_DUCK),
     "q_bm25_topk": _bm25_search_sql(),
     "q_k_anonymity": f"""
         WITH g AS (
