@@ -1601,6 +1601,51 @@ class TestLabelPropagation:
         assert all(got[i] == "red" for i in range(100, 110))
 
 
+class TestModularity:
+    def test_two_clique_closed_form(self, spark):
+        """Two triangles joined by one bridge edge, communities = the
+        triangles: m=7, each community has e_c=3 intra edges and degree
+        sum 7, so Q = 2·(3/7 − (7/14)²) = 5/14. The perfect-partition
+        score must beat the everything-in-one-community score (0 by
+        definition) and the computed contributions must sum to it."""
+        from xeloader_spark.operators.graph import modularity
+
+        tri1 = [(0, 1), (1, 2), (0, 2)]
+        tri2 = [(3, 4), (4, 5), (3, 5)]
+        edges = spark.createDataFrame(
+            tri1 + tri2 + [(2, 3)], "src long, dst long"
+        )
+        comm = spark.createDataFrame(
+            [(i, i // 3) for i in range(6)], "id long, comm long"
+        )
+        rows = modularity(edges, comm).collect()
+        assert len(rows) == 2
+        q = sum(r.q_contribution for r in rows)
+        assert abs(q - 5 / 14) < 1e-12
+        for r in rows:
+            assert r.m_edges == 7 and r.intra_edges == 3 and r.degree_sum == 7
+
+        one = spark.createDataFrame(
+            [(i, 0) for i in range(6)], "id long, comm long"
+        )
+        q_one = sum(r.q_contribution for r in modularity(edges, one).collect())
+        assert abs(q_one) < 1e-12
+        assert q > q_one
+
+    def test_symmetrization_dedups_directed_edges(self, spark):
+        from xeloader_spark.operators.graph import modularity
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 0), (0, 0), (1, 2)], "src long, dst long"
+        )
+        comm = spark.createDataFrame(
+            [(i, 0) for i in range(3)], "id long, comm long"
+        )
+        row = modularity(edges, comm).collect()[0]
+        # (0,1)+(1,0) collapse to one pair, the self-loop drops: m=2
+        assert row.m_edges == 2 and row.intra_edges == 2
+
+
 class TestGoldenRecords:
     def test_survivorship_rules(self, spark):
         """Planted cluster: members with different lengths, languages,

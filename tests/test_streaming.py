@@ -1290,3 +1290,58 @@ def test_streaming_snm_matches_batch_same_key_pairs(spark, tmp_path):
     # near-dup beyond the window exists and is (correctly) NOT emitted
     assert any(r.rank_gap <= WINDOW for r in spark.read.parquet(out).collect())
     dd.release_persisted()
+
+
+def test_streaming_bloom_join_matches_batch(spark, tmp_path):
+    """Stream-static Bloom-pruned join twin: the literal-bitset probe on
+    the stream must lose nothing the plain stream-static join keeps —
+    parity with the batch `bloom_prune_join` on the same cohort."""
+    from xeloader_spark.operators import skew
+    from xeloader_spark.streaming.bloom_join_stream import (
+        bloom_pruned_stream_join,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    root = str(tmp_path / "li_in")
+    li.repartition(3).write.mode("overwrite").parquet(root)
+    orders = (
+        load_table(spark, SF, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(root)
+    )
+    joined = bloom_pruned_stream_join(
+        stream, orders, "l_orderkey", "o_orderkey"
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = skew.bloom_prune_join(li, orders, "l_orderkey", "o_orderkey")
+    assert got.count() == batch.count()
+    g = {
+        (r.o_orderpriority): r.n
+        for r in got.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    b = {
+        (r.o_orderpriority): r.n
+        for r in batch.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    assert g == b

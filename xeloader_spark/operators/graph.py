@@ -430,3 +430,86 @@ def kcore(
         F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
         (F.coalesce("degree", F.lit(0)) >= k).alias("in_core"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    comm_col: str = "comm",
+) -> DataFrame:
+    """Newman modularity of a community assignment over an (optionally
+    directed) edge list — the standard "did the clustering find real
+    structure?" score for label propagation / community detection.
+
+    Edges are symmetrized to distinct unordered pairs first, so the
+    caller can pass a directed k-NN top-k list directly. Per community
+    the contribution to Q = Σ_c [ e_c/m − (d_c/2m)² ] is computed in the
+    single-division integer form (4·m·e_c − d_c²) / (4·m·m): numerator
+    is exact BIGINT arithmetic (safe while m·max(e_c, d_c²/4m) < 2^62 —
+    ~10⁹ edges; past that move the two products to DECIMAL(38,0)), the
+    denominator is one pinned double product, and the division is the
+    only IEEE op — so per-community rows hash-check cross-engine, and
+    Q itself is their exact-summable total.
+
+    Shape: one distinct over (lo, hi) pairs, two broadcast-joined
+    community lookups, community-sized aggregates; the 1-row edge total
+    broadcasts back via cross join. Nothing corpus-wide shuffles more
+    than once.
+    """
+    und = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .distinct()
+    )
+    comm = communities.select(
+        F.col(id_col).alias("nid"), F.col(comm_col).alias("c")
+    )
+    tot = und.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    labeled = (
+        und.join(comm.withColumnRenamed("nid", "a").withColumnRenamed("c", "ca"), "a")
+        .join(comm.withColumnRenamed("nid", "b").withColumnRenamed("c", "cb"), "b")
+    )
+    intra = (
+        labeled.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    deg = (
+        und.select(F.col("a").alias("nid"))
+        .unionAll(und.select(F.col("b").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    comm_deg = (
+        comm.join(deg, "nid", "left")
+        .groupBy(F.col("c").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce("degree", F.lit(0))).cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        comm_deg.join(intra, "community", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            "m_edges",
+            (
+                (
+                    4 * F.col("m_edges") * F.col("intra_edges")
+                    - F.col("degree_sum") * F.col("degree_sum")
+                ).cast("double")
+                / (4.0 * F.col("m_edges").cast("double") * F.col("m_edges").cast("double"))
+            ).alias("q_contribution"),
+        )
+    )

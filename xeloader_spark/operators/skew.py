@@ -89,6 +89,48 @@ def bloom_prune_join(
     )
 
 
+def bloom_pos_exprs(var: str, m: int, k: int) -> list[str]:
+    """The k md5-derived bit positions for a join key — shared by the
+    batch prune, its oracle, and the streaming twin so all three hash
+    identically."""
+    return [
+        f"CAST(conv(substring(md5('{j}:' || CAST({var} AS STRING)), 1, 8),"
+        f" 16, 10) AS BIGINT) % {int(m)}"
+        for j in range(1, int(k) + 1)
+    ]
+
+
+def bloom_words_df(dim: DataFrame, dim_key: str, m: int, k: int) -> DataFrame:
+    """The dim side's Bloom bitset as word-packed (widx, word) rows —
+    two tiny aggregates over the key projection."""
+    return (
+        dim.select(
+            F.explode(
+                F.array(*[F.expr(p) for p in bloom_pos_exprs(dim_key, m, k)])
+            ).alias("pos")
+        )
+        .select(
+            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+
+
+def bloom_hit_expr(fact_key: str, wmap_expr: str, m: int, k: int) -> str:
+    """SQL predicate: all k bit positions of `fact_key` set in the
+    word-packed map named/denoted by `wmap_expr`."""
+    return " AND ".join(
+        f"(coalesce(element_at({wmap_expr}, CAST(({p}) DIV 64 AS INT)), "
+        f"CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0"
+        for p in bloom_pos_exprs(fact_key, m, k)
+    )
+
+
 def bloom_prune(
     fact: DataFrame,
     dim: DataFrame,
@@ -101,44 +143,14 @@ def bloom_prune(
     tests) can measure survivor counts: returns the fact rows whose key
     passes the dim side's m-bit Bloom filter — a superset of the true
     matches, usually a tiny one."""
-    ks = range(1, int(k) + 1)
-
-    def pos_exprs(var: str) -> list[str]:
-        return [
-            f"CAST(conv(substring(md5('{j}:' || CAST({var} AS STRING)), 1, 8),"
-            f" 16, 10) AS BIGINT) % {int(m)}"
-            for j in ks
-        ]
-
-    words = (
-        dim.select(
-            F.explode(
-                F.array(*[F.expr(p) for p in pos_exprs(dim_key)])
-            ).alias("pos")
-        )
-        .select(
-            F.expr("CAST(pos DIV 64 AS INT)").alias("widx"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
-            ).alias("bit"),
-        )
-        .groupBy("widx")
-        .agg(F.expr("bit_or(bit)").alias("word"))
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("widx", "word")))
-            ).alias("_bloom_wmap")
-        )
-    )
-    hit = " AND ".join(
-        f"(coalesce(element_at(_bloom_wmap, CAST(({p}) DIV 64 AS INT)), "
-        f"CAST(0 AS BIGINT))"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(({p}) % 64 AS INT))) != 0"
-        for p in pos_exprs(fact_key)
+    words = bloom_words_df(dim, dim_key, m, k).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("widx", "word")))
+        ).alias("_bloom_wmap")
     )
     return (
         fact.crossJoin(F.broadcast(words))
-        .filter(F.expr(hit))
+        .filter(F.expr(bloom_hit_expr(fact_key, "_bloom_wmap", m, k)))
         .drop("_bloom_wmap")
     )
 

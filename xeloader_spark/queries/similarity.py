@@ -437,6 +437,85 @@ def _label_prop_sql(iters: int, seed_thr: int) -> str:
     return "".join(parts)
 
 
+def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    k-NN graph (`operators/graph.modularity`) — the clustering-quality
+    score per community: nodes, intra edges, degree mass, and the
+    single-division integer-form Q contribution (4·m·e_c − d_c²)/4m².
+    Unlabeled nodes become singleton communities (id-derived label), so
+    the partition covers every node and Σ q_contribution is the graph's
+    modularity. Everything upstream (banding, edges, every LP round)
+    replays in the oracle."""
+    from ..operators.graph import label_propagation, modularity
+    from ..operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph(
+        emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
+    )
+    seeds = emb.filter(
+        hash_bucket("vec_id", "lpseed") < _LP_SEED_THR
+    ).select(
+        F.col("vec_id").alias("id"), F.col("label").cast("long").alias("label")
+    )
+    lp = label_propagation(edges, seeds, iters=_LP_ITERS)
+    comm = (
+        emb.select(F.col("vec_id").alias("id"))
+        .join(lp.select("id", "label"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("label"), F.col("id") + 1_000_000).alias("comm"),
+        )
+    )
+    return modularity(edges, comm)
+
+
+def _modularity_sql(iters: int, seed_thr: int) -> str:
+    lp = _label_prop_sql(iters, seed_thr)
+    knn = _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)
+    return f"""
+        WITH lp AS ({lp}),
+        comm AS (
+            SELECT id AS nid,
+                   COALESCE(pred_label, id + 1000000) AS c
+            FROM lp
+        ),
+        und AS (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM ({knn}) WHERE src <> dst
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM und),
+        deg AS (
+            SELECT nid, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS nid FROM und UNION ALL SELECT b AS nid FROM und)
+            GROUP BY 1
+        ),
+        cd AS (
+            SELECT c.c AS community,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(COALESCE(d.degree, 0)) AS BIGINT) AS degree_sum
+            FROM comm c LEFT JOIN deg d USING (nid)
+            GROUP BY 1
+        ),
+        intra AS (
+            SELECT ca.c AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+            FROM und u
+            JOIN comm ca ON ca.nid = u.a
+            JOIN comm cb ON cb.nid = u.b AND cb.c = ca.c
+            GROUP BY 1
+        )
+        SELECT cd.community, cd.n_nodes,
+               COALESCE(i.intra_edges, 0) AS intra_edges,
+               cd.degree_sum, tot.m_edges,
+               CAST(4 * tot.m_edges * COALESCE(i.intra_edges, 0)
+                    - cd.degree_sum * cd.degree_sum AS DOUBLE)
+                   / (4.0 * CAST(tot.m_edges AS DOUBLE)
+                      * CAST(tot.m_edges AS DOUBLE)) AS q_contribution
+        FROM cd LEFT JOIN intra i USING (community)
+        CROSS JOIN tot
+    """
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient of the
     undirected graph under the approximate k-NN graph — how clique-like
@@ -1734,6 +1813,7 @@ ORACLES: dict[str, str] = {
     "q_pagerank_knn": _pagerank_sql(_PR_ITERS, _PR_SCALE),
     "q_triangle_stats": _triangle_sql(),
     "q_label_propagation": _label_prop_sql(_LP_ITERS, _LP_SEED_THR),
+    "q_modularity_score": _modularity_sql(_LP_ITERS, _LP_SEED_THR),
     "q_pagerank_personalized": _pagerank_weighted_sql(
         _PPR_ITERS, _PPR_SCALE, _PPR_WSCALE, _PPR_SEED_THR
     ),
