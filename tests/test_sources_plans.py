@@ -323,6 +323,50 @@ class TestNewOperatorPlanShapes:
         # one Exchange for the per-source window; nothing else may move
         plans.assert_max_shuffles(qs.q_pack_sequences(spark, SF), 1)
 
+    def test_bm25_takeordered_and_stats_broadcast(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # mirrors the TF-IDF contract: the 1-row stats frame broadcasts
+        # back (tiny agg shuffle only), top-k compiles to
+        # TakeOrderedAndProject — no global sort, no wide shuffle
+        df = qt.q_bm25_topk(spark, SF)
+        plan = plans.physical_plan(df)
+        assert "TakeOrderedAndProject" in plan, plan
+        plans.assert_broadcast_join(df)
+        plans.assert_max_shuffles(df, 1)
+
+    def test_frequent_pairs_no_transaction_self_join(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        # post-checkpoint: item-support agg, frequent-item regroup, pair
+        # agg, and the two 1-row/total aggregates — slim keys only; the
+        # transaction table itself was scanned and shuffled exactly once
+        # into the checkpointed basket frame, which the final plan reads
+        # as scans, not Exchanges
+        df = qr.q_frequent_pairs(spark, SF)
+        plans.assert_max_shuffles(df, 6)
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+        plan = plans.physical_plan(df)
+        assert "Scan parquet" not in plan  # checkpoint truncates
+        assert "Generate" in plan  # array-side pair carve, no self-join
+
+    def test_bloom_prune_is_codegen_filter_on_fact(self, spark):
+        from xeloader_spark.operators import skew
+        from xeloader_spark.catalog import load_table
+
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderdate") >= "1996-01-01"
+        )
+        pruned = skew.bloom_prune(li, orders, "l_orderkey", "o_orderkey")
+        # the fact side contributes ZERO exchanges: only the dim side's
+        # two tiny bitset aggregates shuffle, the probe is a filter
+        # inside the fact scan's codegen stage
+        plans.assert_max_shuffles(pruned, 2)
+        plan = plans.physical_plan(pruned)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
     def test_decontaminate_broadcasts_eval_side(self, spark):
         from xeloader_spark.queries import dedup as qd
 

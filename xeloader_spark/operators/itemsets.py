@@ -24,19 +24,20 @@ def frequent_pairs(
     at least `min_pair_support` baskets, with supports and lift.
 
     Shape, and why it scales:
-    - baskets collapse to DISTINCT (basket, item) first, so supports are
-      basket counts, not row counts (one shuffle on the pair key).
+    - ONE scan of the transaction table, ONE transaction-sized shuffle:
+      the basket groupBy collapses rows to per-basket distinct-item
+      arrays (collect_set dedups in the aggregate itself) and is eagerly
+      checkpointed, so basket total, item supports, and the pair carve
+      all read the materialized basket frame — no re-scan per consumer.
     - the a-priori prune runs BEFORE any pair is formed: items below
       `min_item_support` can't be in a frequent pair (pair support ≤ item
       support), so the item-support aggregate (item-dimension sized)
-      filters the transaction stream down to frequent items only.
+      broadcast-filters the basket arrays down to frequent items only.
     - pairs are generated ARRAY-SIDE per basket from the sorted frequent-
       item array — C(f, 2) candidates per basket where f is the basket's
       frequent-item count, never the global item×item space and never a
       basket self-join (the classic SQL formulation joins the transaction
-      table to itself on basket, shuffling it twice; here the basket
-      groupBy is the only transaction-sized shuffle and the pair explode
-      happens inside the same stage).
+      table to itself on basket, shuffling it twice).
     - supports join back by broadcast (item dimension) and the basket
       total arrives via a 1-row broadcast cross join; lift is two exact
       integer products and ONE IEEE division, so it hash-checks.
@@ -45,24 +46,35 @@ def frequent_pairs(
     with f in the thousands explode quadratically); the fixture's baskets
     are bounded (≤ 7 lineitems), so the cap is left to the caller.
     """
-    t = (
+    # ONE fact scan + ONE fact-sized shuffle: collapse to per-basket
+    # distinct-item arrays immediately (collect_set dedups in the same
+    # aggregate), then eagerly checkpoint so the three consumers below
+    # (basket total, item supports, pair carve) share the materialized
+    # basket frame instead of re-scanning the transaction table.
+    baskets0 = (
         tx.select(
             F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
         )
-        .distinct()
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("all_items"))
+        .localCheckpoint(eager=True)
     )
-    item_sup = t.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("item_support")
+    item_sup = (
+        baskets0.select(F.explode("all_items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_support"))
     )
     freq_items = item_sup.filter(
         F.col("item_support") >= int(min_item_support)
     )
-    n_baskets = t.agg(
-        F.countDistinct("basket").cast("long").alias("n_baskets")
+    n_baskets = baskets0.agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
-    tf = t.join(F.broadcast(freq_items.select("item")), "item")
-    baskets = tf.groupBy("basket").agg(
-        F.array_sort(F.collect_set("item")).alias("items")
+    baskets = (
+        baskets0.select("basket", F.explode("all_items").alias("item"))
+        .join(F.broadcast(freq_items.select("item")), "item")
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
     )
     pair_expr = (
         "flatten(transform(items, (x, i) -> "
