@@ -1601,6 +1601,38 @@ class TestLabelPropagation:
         assert all(got[i] == "red" for i in range(100, 110))
 
 
+class TestMmrRerank:
+    def test_skips_near_duplicate_for_diverse_pick(self, spark):
+        """Candidates 1 and 2 are identical (mutual sim = own relevance),
+        candidate 3 is less relevant but diverse: pure relevance ranks
+        (1, 2); MMR at λ=1/2 must pick (1, 3) because the duplicate's
+        marginal score collapses to 0 while the diverse one keeps
+        rel − sim = 20."""
+        from xeloader_spark.operators.similarity import mmr_rerank
+
+        rows = [
+            (0, [10.0, 0.0, 0.0]),
+            (1, [5.0, 5.0, 0.0]),
+            (2, [5.0, 5.0, 0.0]),
+            (3, [4.0, 0.0, 4.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = sorted(
+            (r.pick_rank, r.candidate_id, r.mmr_score)
+            for r in mmr_rerank(emb, [0], k=2, pool=3, scale=1).collect()
+        )
+        assert [(c, s) for _, c, s in out] == [(1, 50), (3, 20)]
+
+    def test_k_beyond_pool_rejected(self, spark):
+        from xeloader_spark.operators.similarity import mmr_rerank
+
+        emb = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError):
+            mmr_rerank(emb, [0], k=9, pool=3)
+
+
 class TestModularity:
     def test_two_clique_closed_form(self, spark):
         """Two triangles joined by one bridge edge, communities = the

@@ -662,3 +662,131 @@ def knn_graph(
         .filter(F.col("rk") <= k)
         .select("src", "dst", "dot", "rk")
     )
+
+
+def mmr_rerank(
+    emb_df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-rank (Carbonell &
+    Goldstein 1998) at λ = 1/2, where the greedy objective
+    λ·rel − (1−λ)·max-sim-to-selected reduces to the INTEGER score
+    `dot − max_sim` over quantized dot products — so the whole greedy
+    selection is exact BIGINT arithmetic with a (score desc, id asc)
+    tie-break and replays in SQL, unlike float MMR.
+
+    Each query's `pool`-deep relevance shortlist (exact quantized top-k)
+    is re-ordered: pick 1 is the most relevant candidate; each later
+    pick maximizes relevance minus its worst redundancy against the
+    already-picked set. Returns (query_id, candidate_id, pick_rank,
+    rel_dot, div_penalty, mmr_score) for k picks per query.
+
+    Shape: the shortlist and its pool×pool similarity matrix are
+    checkpointed once (pool² rows per query — bounded by the SHORTLIST,
+    never the corpus); the k−1 greedy rounds are anti-join + max-agg +
+    per-query row_number over those tiny frames, each pick checkpointed
+    so the plan stays O(1) in k. Corpus cost is exactly the relevance
+    top-k scan; diversification never touches the corpus again.
+    """
+    if k > pool:
+        raise ValueError(f"k={k} exceeds the candidate pool={pool}")
+    rel = dot_topk_quantized(
+        emb_df, query_ids, k=pool, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    q = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qarr"),
+    )
+    cands = (
+        rel.join(q, rel.candidate_id == q.id)
+        .select("query_id", "candidate_id", F.col("dot").alias("rel_dot"), "qarr")
+        .localCheckpoint(eager=True)
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.candidate_id") != F.col("b.candidate_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.candidate_id").alias("ci"),
+            F.col("b.candidate_id").alias("cj"),
+            F.expr(
+                "aggregate(zip_with(a.qarr, b.qarr, (x, y) -> x * y), 0L, (s, v) -> s + v)"
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    slim = cands.select("query_id", "candidate_id", "rel_dot")
+    w = Window.partitionBy("query_id")
+    pick = (
+        slim.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.desc("rel_dot"), F.asc("candidate_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "candidate_id",
+            F.lit(1).cast("long").alias("pick_rank"),
+            "rel_dot",
+            F.lit(0).cast("long").alias("div_penalty"),
+            F.col("rel_dot").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = pick
+    for t in range(2, int(k) + 1):
+        rem = slim.join(
+            selected.select("query_id", "candidate_id"),
+            ["query_id", "candidate_id"],
+            "left_anti",
+        )
+        pen = (
+            rem.join(
+                sims,
+                (rem.query_id == sims.query_id)
+                & (rem.candidate_id == sims.ci),
+            )
+            .join(
+                selected.select(
+                    F.col("query_id").alias("sq"),
+                    F.col("candidate_id").alias("sel_cid"),
+                ),
+                (sims.query_id == F.col("sq")) & (sims.cj == F.col("sel_cid")),
+            )
+            .groupBy(rem.query_id, rem.candidate_id, rem.rel_dot)
+            .agg(F.max("sim").alias("div_penalty"))
+        )
+        nxt = (
+            pen.withColumn("mmr_score", F.col("rel_dot") - F.col("div_penalty"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    w.orderBy(F.desc("mmr_score"), F.asc("candidate_id"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "candidate_id",
+                F.lit(t).cast("long").alias("pick_rank"),
+                "rel_dot",
+                F.col("div_penalty").cast("long").alias("div_penalty"),
+                F.col("mmr_score").cast("long").alias("mmr_score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        selected = selected.unionByName(nxt)
+    return selected

@@ -989,6 +989,109 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-rank of each query's 20-deep exact relevance
+    shortlist at λ=1/2, where the greedy objective collapses to the
+    integer score rel_dot − max_sim-to-selected
+    (`operators/similarity.mmr_rerank`) — the search/RAG result
+    diversifier, here fully hash-checkable: the oracle unrolls all five
+    greedy picks as CTEs over the same quantized dot products."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(emb, _QUERY_IDS, k=_MMR_K, pool=_MMR_POOL)
+
+
+def _mmr_sql(k: int, pool: int, scale: int, qids: list[int]) -> str:
+    ids = ", ".join(str(i) for i in qids)
+    ctes = [
+        f"""mq AS (
+            SELECT vec_id AS id,
+                   CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale})
+                        AS BIGINT) AS qv
+            FROM embeddings
+        )""",
+        f"""mdots AS (
+            SELECT qq.id AS query_id, cc.id AS candidate_id,
+                   CAST(SUM(qq.qv * cc.qv) AS BIGINT) AS rel_dot
+            FROM mq qq JOIN mq cc ON cc.pos = qq.pos AND cc.id <> qq.id
+            WHERE qq.id IN ({ids})
+            GROUP BY 1, 2
+        )""",
+        f"""mpool AS (
+            SELECT query_id, candidate_id, rel_dot FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rel_dot DESC, candidate_id) AS rk
+                FROM mdots
+            ) WHERE rk <= {pool}
+        )""",
+        """msims AS (
+            SELECT a.query_id, a.candidate_id AS ci, b.candidate_id AS cj,
+                   CAST(SUM(x.qv * y.qv) AS BIGINT) AS sim
+            FROM mpool a
+            JOIN mpool b ON b.query_id = a.query_id
+                        AND b.candidate_id <> a.candidate_id
+            JOIN mq x ON x.id = a.candidate_id
+            JOIN mq y ON y.id = b.candidate_id AND y.pos = x.pos
+            GROUP BY 1, 2, 3
+        )""",
+        """msel1 AS (
+            SELECT query_id, candidate_id, CAST(1 AS BIGINT) AS pick_rank,
+                   rel_dot, CAST(0 AS BIGINT) AS div_penalty,
+                   rel_dot AS mmr_score
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rel_dot DESC, candidate_id) AS rn
+                FROM mpool
+            ) WHERE rn = 1
+        )""",
+    ]
+    for t in range(2, int(k) + 1):
+        ctes.append(
+            f"""mp{t} AS (
+            SELECT query_id, candidate_id, CAST({t} AS BIGINT) AS pick_rank,
+                   rel_dot, div_penalty, mmr_score
+            FROM (
+                SELECT p.query_id, p.candidate_id, p.rel_dot,
+                       m.div_penalty,
+                       p.rel_dot - m.div_penalty AS mmr_score,
+                       ROW_NUMBER() OVER (PARTITION BY p.query_id
+                           ORDER BY p.rel_dot - m.div_penalty DESC,
+                                    p.candidate_id) AS rn
+                FROM mpool p
+                JOIN (
+                    SELECT s.query_id, s.ci AS candidate_id,
+                           CAST(MAX(s.sim) AS BIGINT) AS div_penalty
+                    FROM msims s
+                    JOIN msel{t - 1} z
+                      ON z.query_id = s.query_id AND z.candidate_id = s.cj
+                    GROUP BY 1, 2
+                ) m ON m.query_id = p.query_id
+                   AND m.candidate_id = p.candidate_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM msel{t - 1} z2
+                    WHERE z2.query_id = p.query_id
+                      AND z2.candidate_id = p.candidate_id
+                )
+            ) WHERE rn = 1
+        )""",
+        )
+        ctes.append(
+            f"""msel{t} AS (
+            SELECT * FROM msel{t - 1} UNION ALL SELECT * FROM mp{t}
+        )"""
+        )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT query_id, candidate_id, pick_rank, rel_dot, div_penalty,
+               mmr_score
+        FROM msel{k}
+    """
+
+
 _IVFPQ_PROBE = 4
 _IVFPQ_SHORTLIST = 100
 _IVFPQ_TRAIN_FRACTION = 0.5
@@ -1814,6 +1917,7 @@ ORACLES: dict[str, str] = {
     "q_triangle_stats": _triangle_sql(),
     "q_label_propagation": _label_prop_sql(_LP_ITERS, _LP_SEED_THR),
     "q_modularity_score": _modularity_sql(_LP_ITERS, _LP_SEED_THR),
+    "q_mmr_rerank": _mmr_sql(_MMR_K, _MMR_POOL, 1000, _QUERY_IDS),
     "q_pagerank_personalized": _pagerank_weighted_sql(
         _PPR_ITERS, _PPR_SCALE, _PPR_WSCALE, _PPR_SEED_THR
     ),
