@@ -91,6 +91,13 @@ HEADLINE = [
     "q_kcore_membership",
     "q_degree_distribution",
     "q_sorted_neighborhood_pairs",
+    # round-5 additions
+    "q_bm25_topk",
+    "q_frequent_pairs",
+    "q_url_canonicalize",
+    "q_bloom_join_prune",
+    "q_modularity_score",
+    "q_mmr_rerank",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

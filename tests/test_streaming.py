@@ -1345,3 +1345,47 @@ def test_streaming_bloom_join_matches_batch(spark, tmp_path):
         for r in batch.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
     }
     assert g == b
+
+
+def test_streaming_pair_counts_match_batch(spark, tmp_path):
+    """Itemset streaming twin: running pair supports over basket-atomic
+    micro-batches must converge to the batch a-priori operator's pair
+    supports at min supports (1, 1). Update-mode memory sink emits a row
+    per changed pair per batch; supports only grow, so the max per pair
+    is the final value."""
+    from xeloader_spark.operators.itemsets import frequent_pairs
+    from xeloader_spark.streaming.itemset_stream import start_pair_counts
+
+    li = load_table(spark, SF, "lineitem")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    root = str(tmp_path / "baskets_in")
+    baskets.repartition(3).write.mode("overwrite").parquet(root)
+
+    stream = (
+        spark.readStream.schema(baskets.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = start_pair_counts(stream, "pair_counts_t", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.item_a, r.item_b): r.pair_support
+        for r in spark.sql(
+            "SELECT item_a, item_b, MAX(pair_support) AS pair_support "
+            "FROM pair_counts_t GROUP BY 1, 2"
+        ).collect()
+    }
+    expect = {
+        (r.item_a, r.item_b): r.pair_support
+        for r in frequent_pairs(
+            li, "l_orderkey", "l_partkey",
+            min_item_support=1, min_pair_support=1,
+        )
+        .select("item_a", "item_b", "pair_support")
+        .collect()
+    }
+    assert got == expect

@@ -86,17 +86,30 @@ def replicate_emb(emb, k: int):
     )
 
 
+def replicate_lineitem(li, k: int):
+    # remap both basket and item ids per replica: replicas share no
+    # baskets and no items, so frequent-pair volume is exactly K x the
+    # original (within-replica pair structure preserved bit-for-bit)
+    reps = li.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    return li.crossJoin(reps).select(
+        (F.col("l_orderkey") * k + F.col("_rep")).alias("l_orderkey"),
+        (F.col("l_partkey") * k + F.col("_rep")).alias("l_partkey"),
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="xeloader-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
     from xeloader_spark.operators import dedup as dd
+    from xeloader_spark.operators import itemsets as its
     from xeloader_spark.operators import similarity as sim
     from xeloader_spark.operators import temporal as tp
     from xeloader_spark.operators import text as tx
 
     docs0 = load_table(spark, sf_dir, "documents")
+    li0 = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     ev0 = load_table(spark, sf_dir, "events")
     emb0 = load_table(spark, sf_dir, "embeddings")
 
@@ -123,6 +136,15 @@ def main() -> None:
         "lsh_banded_ann": lambda k: sim.lsh_ann_topk_banded(
             inputs[k]["emb"], [i * k for i in range(16)], k=10
         ),
+        # terms match replica 0 only (every token carries its replica
+        # suffix); the measured cost — the full-corpus tf/df scan and
+        # the 1-row stats broadcast — is replica-independent by design
+        "bm25_topk": lambda k: tx.bm25_topk(
+            inputs[k]["docs"], ("spark_r0", "merge_r0", "window_r0"), k=20
+        ),
+        "frequent_pairs": lambda k: its.frequent_pairs(
+            inputs[k]["li"], "l_orderkey", "l_partkey"
+        ),
     }
 
     # Materialize each replicated input ONCE before timing: the
@@ -134,6 +156,7 @@ def main() -> None:
             "docs": replicate_docs(docs0, k).localCheckpoint(),
             "events": replicate_events(ev0, k).localCheckpoint(),
             "emb": replicate_emb(emb0, k).localCheckpoint(),
+            "li": replicate_lineitem(li0, k).localCheckpoint(),
         }
         for k in KS
     }

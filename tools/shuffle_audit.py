@@ -58,8 +58,14 @@ AUDIT_QUERIES = [
     "q_sorted_neighborhood_pairs",
     "q_matryoshka_recall",
     "q_label_separation",
-    # round-5 addition
+    # round-5 additions
     "q_blocklist_filter",
+    "q_bm25_topk",
+    "q_frequent_pairs",
+    "q_url_canonicalize",
+    "q_bloom_join_prune",
+    "q_modularity_score",
+    "q_mmr_rerank",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -78,6 +84,11 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_vocab_coverage": {"documents"},
     "q_dsir_resample": {"documents"},
     "q_sorted_neighborhood_pairs": {"documents"},
+    # frequent_pairs checkpoints its basket frame; modularity/MMR
+    # checkpoint LP rounds / shortlist frames
+    "q_frequent_pairs": {"lineitem"},
+    "q_modularity_score": {"embeddings"},
+    "q_mmr_rerank": {"embeddings"},
 }
 
 
