@@ -386,3 +386,203 @@ def test_twopass_percentile_is_kth_order_statistic(spark, values, p):
     rank = (n * p + 99) // 100
     expect = sorted(values)[rank - 1]
     assert out[0].exact_value == expect and out[0].rank == rank
+
+
+# ---------------------------------------------------------- round-5 operators
+
+
+_basket_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 7)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(_basket_strategy, st.integers(1, 3), st.integers(1, 3))
+def test_frequent_pairs_match_bruteforce(spark, tx_rows, min_item, min_pair):
+    """Pair supports, item supports, and the a-priori prune must match
+    an itertools brute force for ANY transaction multiset."""
+    from itertools import combinations
+
+    from xeloader_spark.operators.itemsets import frequent_pairs
+
+    df = spark.createDataFrame(tx_rows, "basket long, item long")
+    got = {
+        (r.item_a, r.item_b): (r.pair_support, r.support_a, r.support_b)
+        for r in frequent_pairs(
+            df, "basket", "item",
+            min_item_support=min_item, min_pair_support=min_pair,
+        ).collect()
+    }
+
+    baskets: dict[int, set[int]] = {}
+    for b, i in tx_rows:
+        baskets.setdefault(b, set()).add(i)
+    isup: dict[int, int] = {}
+    for items in baskets.values():
+        for i in items:
+            isup[i] = isup.get(i, 0) + 1
+    freq = {i for i, n in isup.items() if n >= min_item}
+    psup: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for a, b in combinations(sorted(items & freq), 2):
+            psup[(a, b)] = psup.get((a, b), 0) + 1
+    expect = {
+        p: (n, isup[p[0]], isup[p[1]])
+        for p, n in psup.items()
+        if n >= min_pair
+    }
+    assert got == expect
+
+
+_vec_strategy = st.lists(
+    st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+    min_size=4,
+    max_size=10,
+    unique_by=lambda v: tuple(v),
+)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(_vec_strategy)
+def test_mmr_matches_bruteforce_greedy(spark, vecs):
+    """The distributed MMR must replay a pure-Python greedy with the
+    same integer score rel − max_sim and (score desc, id asc)
+    tie-break, for ANY vector set."""
+    from xeloader_spark.operators.similarity import mmr_rerank
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pool = min(5, len(vecs) - 1)
+    k = min(3, pool)
+    got = [
+        (r.pick_rank, r.candidate_id, r.mmr_score)
+        for r in sorted(
+            mmr_rerank(emb, [0], k=k, pool=pool, scale=1).collect(),
+            key=lambda r: r.pick_rank,
+        )
+    ]
+
+    q = vecs[0]
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))
+    rel = sorted(
+        ((dot(q, v), -i) for i, v in enumerate(vecs) if i != 0), reverse=True
+    )[:pool]
+    cand = {-ni: d for d, ni in rel}
+    picks = []
+    sel: list[int] = []
+    first = max(cand.items(), key=lambda kv: (kv[1], -kv[0]))
+    picks.append((1, first[0], first[1]))
+    sel.append(first[0])
+    for t in range(2, k + 1):
+        best = None
+        for c, r_ in cand.items():
+            if c in sel:
+                continue
+            pen = max(dot(vecs[c], vecs[s]) for s in sel)
+            score = r_ - pen
+            key = (score, -c)
+            if best is None or key > best[0]:
+                best = (key, c, score)
+        picks.append((t, best[1], best[2]))
+        sel.append(best[1])
+    assert got == picks
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(2, 4),
+)
+def test_modularity_matches_python_model(spark, raw_edges, n_comm):
+    """Per-community contributions must equal the python model's
+    (4·m·e_c − d_c²)/(4m²) bit-for-bit, and sum to a valid Q ≤ 1, for
+    ANY multigraph input (self-loops dropped, duplicates collapsed)."""
+    from xeloader_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    nodes = sorted({n for e in raw_edges for n in e})
+    comm_of = {n: n % n_comm for n in nodes}
+    cdf = spark.createDataFrame(
+        [(n, comm_of[n]) for n in nodes], "id long, comm long"
+    )
+    und = {
+        (min(a, b), max(a, b)) for a, b in raw_edges if a != b
+    }
+    m = len(und)
+    got = {r.community: r for r in modularity(edges, cdf).collect()}
+    if m == 0:
+        assert all(r.q_contribution is None for r in got.values())
+        return  # division undefined; contribution is NULL by contract
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for c in sorted(set(comm_of.values())):
+        members = [n for n in nodes if comm_of[n] == c]
+        e_c = sum(1 for a, b in und if comm_of[a] == c and comm_of[b] == c)
+        d_c = sum(deg.get(n, 0) for n in members)
+        r = got[c]
+        assert r.n_nodes == len(members)
+        assert r.intra_edges == e_c
+        assert r.degree_sum == d_c
+        expect = float(4 * m * e_c - d_c * d_c) / (4.0 * float(m) * float(m))
+        assert r.q_contribution == expect
+    q = sum(r.q_contribution for r in got.values())
+    assert q <= 1.0 + 1e-12
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bm25_matches_integer_model(spark, token_lists):
+    """bm25_topk must reproduce a pure-Python replay of its fixed-point
+    arithmetic (same DIV order, same scales) EXACTLY, for any corpus."""
+    from xeloader_spark.operators.text import bm25_topk
+
+    terms = ("a", "c")
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.dl, r.n_matched, r.score)
+        for r in bm25_topk(df, terms, k=len(rows)).collect()
+    ]
+
+    IDF, SAT, DLS = 1_000_000, 10_000, 1_000_000
+    a, c, p, q = 6, 5, 3, 4
+    n = len(token_lists)
+    tot = sum(len(t) for t in token_lists)
+    dfc = {t: sum(1 for toks in token_lists if t in toks) for t in terms}
+    scored = []
+    for i, toks in enumerate(token_lists):
+        dl = len(toks)
+        dlnorm = (dl * n * DLS) // tot
+        score, matched = 0, 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = (
+                0
+                if dfc[t] == 0
+                else ((2 * (n - dfc[t]) + 1) * IDF) // (2 * dfc[t] + 1)
+            )
+            sat = (tf * (a + c) * q * DLS * SAT) // (
+                c * q * DLS * tf + a * (q - p) * DLS + a * p * dlnorm
+            )
+            score += (idf * sat) // SAT
+        if score > 0:
+            scored.append((i, dl, matched, score))
+    expect = sorted(scored, key=lambda r: (-r[3], r[0]))
+    assert got == expect

@@ -504,12 +504,17 @@ def modularity(
             "intra_edges",
             "degree_sum",
             "m_edges",
-            (
+            F.when(
+                F.col("m_edges") > 0,
                 (
                     4 * F.col("m_edges") * F.col("intra_edges")
                     - F.col("degree_sum") * F.col("degree_sum")
                 ).cast("double")
-                / (4.0 * F.col("m_edges").cast("double") * F.col("m_edges").cast("double"))
+                / (
+                    4.0
+                    * F.col("m_edges").cast("double")
+                    * F.col("m_edges").cast("double")
+                ),
             ).alias("q_contribution"),
         )
     )
