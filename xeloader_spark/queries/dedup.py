@@ -139,6 +139,85 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_TRAIN_BUCKETS = 8000  # of 10000 → 80/20
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/test split — the leakage-safe alternative to
+    hashing doc ids: near-duplicates are transitive, so the split gate
+    hashes the CLUSTER id from the same connected-components resolution
+    as `q_dedup_clusters`, putting every near-dup family wholly in one
+    split. The single-row audit quantifies why: near-dup pairs crossing
+    the cluster-aware split (0 by construction — and hash-checked, not
+    asserted) vs pairs crossing the naive per-doc split (the
+    train→test leakage a doc-hash split silently ships).
+
+    Scale shape: the pair list and cluster map are the dedup pipeline's
+    own outputs (shingle-keyed inverted-index joins, no all-pairs); the
+    split is one md5 gate per doc and the audit two broadcast-joined
+    lookups over the pair list."""
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
+    resolved = dd.resolve_duplicates(docs.select("doc_id"), pairs)
+    sp = resolved.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            hash_bucket("cluster_id", "split") < _SPLIT_TRAIN_BUCKETS,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split_aware"),
+        F.when(
+            hash_bucket("doc_id", "split") < _SPLIT_TRAIN_BUCKETS, "train"
+        )
+        .otherwise("test")
+        .alias("split_naive"),
+    )
+    a = sp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split_aware").alias("aw_a"),
+        F.col("split_naive").alias("nv_a"),
+    )
+    b = sp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split_aware").alias("aw_b"),
+        F.col("split_naive").alias("nv_b"),
+    )
+    leaks = (
+        pairs.select("id_a", "id_b")
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("aw_a") != F.col("aw_b"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("leaked_pairs_cluster_split"),
+            F.coalesce(
+                F.sum(F.when(F.col("nv_a") != F.col("nv_b"), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("leaked_pairs_naive_split"),
+        )
+    )
+    counts = sp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("split_aware") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split_aware") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    return counts.crossJoin(F.broadcast(leaks))
+
+
 def q_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplicate pressure: docs vs distinct content
     digests (md5 of text — the same identity the exact-dedup path
@@ -685,6 +764,45 @@ ORACLES: dict[str, str] = {
         WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
         {clusters_sql('pairs', 'documents')}
         SELECT doc_id, cluster_id, is_canonical FROM resolved
+    """,
+    "q_leakage_safe_split": f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
+        {clusters_sql('pairs', 'documents')},
+        sp AS (
+            SELECT doc_id, cluster_id,
+                   CASE WHEN ('0x' || substr(md5('split'
+                            || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000 < {_SPLIT_TRAIN_BUCKETS}
+                        THEN 'train' ELSE 'test' END AS split_aware,
+                   CASE WHEN ('0x' || substr(md5('split'
+                            || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            % 10000 < {_SPLIT_TRAIN_BUCKETS}
+                        THEN 'train' ELSE 'test' END AS split_naive
+            FROM resolved
+        ),
+        leaks AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN a.split_aware <> b.split_aware
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS leaked_pairs_cluster_split,
+                   CAST(COALESCE(SUM(CASE WHEN a.split_naive <> b.split_naive
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS leaked_pairs_naive_split
+            FROM pairs p
+            JOIN sp a ON a.doc_id = p.id_a
+            JOIN sp b ON b.doc_id = p.id_b
+        ),
+        counts AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN split_aware = 'train' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_train,
+                   CAST(SUM(CASE WHEN split_aware = 'test' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_test
+            FROM sp
+        )
+        SELECT c.n_docs, c.n_train, c.n_test, l.n_pairs,
+               l.leaked_pairs_cluster_split, l.leaked_pairs_naive_split
+        FROM counts c CROSS JOIN leaks l
     """,
     "q_golden_records": f"""
         WITH RECURSIVE pairs AS ({_JACCARD_PAIRS}),
