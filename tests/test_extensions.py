@@ -1601,6 +1601,42 @@ class TestLabelPropagation:
         assert all(got[i] == "red" for i in range(100, 110))
 
 
+class TestItemsets:
+    def test_mega_basket_cap_bounds_fanout_to_rarest(self, spark):
+        """One 50-item basket next to small baskets: uncapped it emits
+        C(50,2)=1225 pairs; capped at 5 it keeps only its 5 RAREST items
+        (the ones the small baskets never touch are rarer than the
+        shared ones) → C(5,2)=10 pairs from that basket."""
+        from xeloader_spark.operators.itemsets import frequent_pairs
+
+        rows = [(0, i) for i in range(50)]
+        # items 0-4 also appear in 3 small baskets each → support 4;
+        # items 5-49 appear only in the mega-basket → support 1
+        for b in range(1, 4):
+            rows += [(b, i) for i in range(5)]
+        df = spark.createDataFrame(rows, "basket long, item long")
+
+        uncapped = frequent_pairs(
+            df, "basket", "item", min_item_support=1, min_pair_support=1
+        )
+        assert uncapped.count() == 50 * 49 // 2 + 0  # small baskets add no new pairs
+
+        capped = frequent_pairs(
+            df, "basket", "item",
+            min_item_support=1, min_pair_support=1, max_basket_items=5,
+        )
+        got = {
+            (r.item_a, r.item_b): r.pair_support for r in capped.collect()
+        }
+        # mega-basket keeps its 5 rarest items (5..9, support 1, id
+        # tie-break); small baskets keep all 5 of theirs (0..4)
+        mega = {(a, b) for a in range(5, 10) for b in range(a + 1, 10)}
+        small = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+        assert set(got) == mega | small
+        assert all(got[p] == 1 for p in mega)
+        assert all(got[p] == 3 for p in small)
+
+
 class TestMmrRerank:
     def test_skips_near_duplicate_for_diverse_pick(self, spark):
         """Candidates 1 and 2 are identical (mutual sim = own relevance),

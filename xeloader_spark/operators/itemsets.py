@@ -19,6 +19,7 @@ def frequent_pairs(
     item_col: str,
     min_item_support: int = 3,
     min_pair_support: int = 2,
+    max_basket_items: int | None = None,
 ) -> DataFrame:
     """A-priori frequent-pair mining: unordered item pairs co-occurring in
     at least `min_pair_support` baskets, with supports and lift.
@@ -42,9 +43,15 @@ def frequent_pairs(
       total arrives via a 1-row broadcast cross join; lift is two exact
       integer products and ONE IEEE division, so it hash-checks.
 
-    At 100 TB the skew lever is a per-basket frequent-item cap (baskets
-    with f in the thousands explode quadratically); the fixture's baskets
-    are bounded (≤ 7 lineitems), so the cap is left to the caller.
+    At 100 TB the skew lever is `max_basket_items`: a basket with f
+    frequent items emits C(f, 2) pairs, so one pathological mega-basket
+    (a crawler session, a bot cart) can dominate the stage. With the cap
+    set, each basket keeps only its `max_basket_items` RAREST frequent
+    items (lowest item support, item-id tie-break — the rarest items
+    form the most informative associations, while the globally frequent
+    ones produce the pairs least distinguishable from chance), bounding
+    per-basket fan-out at C(cap, 2). Default None leaves the exact
+    semantics (the fixture's baskets are ≤ 7 lineitems).
     """
     # ONE fact scan + ONE fact-sized shuffle: collapse to per-basket
     # distinct-item arrays immediately (collect_set dedups in the same
@@ -70,12 +77,25 @@ def frequent_pairs(
     n_baskets = baskets0.agg(
         F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
-    baskets = (
-        baskets0.select("basket", F.explode("all_items").alias("item"))
-        .join(F.broadcast(freq_items.select("item")), "item")
-        .groupBy("basket")
-        .agg(F.array_sort(F.collect_set("item")).alias("items"))
-    )
+    exploded = baskets0.select(
+        "basket", F.explode("all_items").alias("item")
+    ).join(F.broadcast(freq_items), "item")
+    if max_basket_items is None:
+        baskets = exploded.groupBy("basket").agg(
+            F.array_sort(F.collect_set("item")).alias("items")
+        )
+    else:
+        n = int(max_basket_items)
+        baskets = (
+            exploded.groupBy("basket")
+            .agg(
+                F.expr(
+                    "array_sort(transform(slice(array_sort("
+                    "collect_list(struct(item_support, item))), 1, "
+                    f"{n}), s -> s.item))"
+                ).alias("items")
+            )
+        )
     pair_expr = (
         "flatten(transform(items, (x, i) -> "
         "transform(slice(items, i + 2, size(items)), "
