@@ -586,3 +586,75 @@ def test_bm25_matches_integer_model(spark, token_lists):
             scored.append((i, dl, matched, score))
     expect = sorted(scored, key=lambda r: (-r[3], r[0]))
     assert got == expect
+
+
+_url_scheme = st.sampled_from(["http", "https", "HTTP", "Https"])
+_url_host = st.text(
+    st.sampled_from("abcXYZ09-."), min_size=1, max_size=12
+).filter(lambda h: not h.startswith(".") )
+_url_port = st.sampled_from(["", ":80", ":443", ":8080"])
+_url_path = st.lists(
+    st.text(st.sampled_from("abc09_-."), min_size=1, max_size=5),
+    max_size=3,
+).map(lambda segs: "".join("/" + s for s in segs))
+_url_param = st.one_of(
+    st.tuples(st.sampled_from(["id", "ref", "page", "q"]),
+              st.text(st.sampled_from("abc09"), max_size=4)),
+    st.tuples(st.sampled_from(["utm_source", "utm_campaign", "fbclid"]),
+              st.text(st.sampled_from("xyz12"), max_size=4)),
+)
+_url_strategy = st.tuples(
+    _url_scheme, _url_host, _url_port, _url_path,
+    st.lists(_url_param, max_size=4),
+    st.sampled_from(["", "#frag", "#a#b"]),
+    st.sampled_from(["", "/", "//"]),
+)
+
+
+def _py_canonicalize(url: str) -> str:
+    """Pure-Python replay of url_canonicalize's exact regex semantics."""
+    import re as _re
+
+    def ext(pat):
+        m = _re.search(pat, url)
+        return m.group(1) if m else ""
+
+    scheme = ext(r"^([a-zA-Z]+)://").lower()
+    hostport = _re.sub(
+        r":(443|80)$", "", ext(r"^[a-zA-Z]+://([^/?#]+)").lower()
+    )
+    path = ext(r"^[a-zA-Z]+://[^/?#]+([^?#]*)")
+    path = _re.sub(r"/+$", "", path) or "/"
+    q = ext(r"\?([^#]*)")
+    params = sorted(
+        x for x in q.split("&")
+        if x != "" and x[:4] != "utm_" and x[:7] != "fbclid="
+    )
+    qs = "&".join(params)
+    return f"{scheme}://{hostport}{path}" + (f"?{qs}" if qs else "")
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(st.lists(_url_strategy, min_size=1, max_size=8))
+def test_url_canonicalize_matches_python_model(spark, url_parts):
+    """The Spark canonicalizer must agree with a pure-Python replay of
+    its regex pipeline on arbitrary structured URLs (case, ports,
+    tracking params, param order, fragments, trailing slashes)."""
+    from xeloader_spark.operators.text import url_canonicalize
+
+    urls = []
+    for scheme, host, port, path, params, frag, trail in url_parts:
+        q = "&".join(f"{k}={v}" for k, v in params)
+        urls.append(
+            f"{scheme}://{host}{port}{path}{trail}"
+            + (f"?{q}" if q else "")
+            + frag
+        )
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.canonical_url for r in url_canonicalize(df).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _py_canonicalize(u), (u, got[i], _py_canonicalize(u))
