@@ -871,6 +871,27 @@ class TestText:
         assert 3 not in out
         assert out[1] > out[2] > 0
 
+    def test_bm25_passages_tail_window_covers_last_tokens(self, spark):
+        """40 tokens at P=32/S=16 must produce TWO windows (ceil window
+        count): a term appearing only in the final tokens is findable in
+        the tail passage, and a sub-window doc yields one whole-doc
+        passage."""
+        long_doc = " ".join(["filler"] * 39 + ["needle"])
+        df = spark.createDataFrame(
+            [(1, long_doc), (2, "needle in short doc")],
+            ["doc_id", "text"],
+        )
+        out = tx.bm25_passages(
+            df, ("needle",), k=10, passage_len=32, stride=16
+        ).collect()
+        got = {(r.doc_id, r.pidx): r.dl for r in out}
+        # doc 1: tail window (pidx 1) holds tokens 17-40 → dl 24; the
+        # first window (pidx 0) has no needle and must NOT score
+        assert (1, 1) in got and got[(1, 1)] == 24
+        assert (1, 0) not in got
+        # doc 2 is shorter than a window: one whole-doc passage
+        assert (2, 0) in got and got[(2, 0)] == 4
+
     def test_stats_sane(self, spark, docs):
         row = tx.text_stats(docs).filter(F.col("doc_id") == 0).first()
         assert row.n_chars == len(row.text)

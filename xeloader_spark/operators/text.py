@@ -487,6 +487,62 @@ def bm25_topk(
     )
 
 
+def bm25_passages(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    k: int = 20,
+    passage_len: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pkey_base: int = 10_000,
+    **bm25_kwargs,
+) -> DataFrame:
+    """Passage-level BM25 — the RAG retrieval shape: documents are
+    chunked into overlapping token windows (`passage_len` tokens,
+    `stride` apart, short tails and sub-window docs kept whole) and the
+    windows are ranked by the same integer-exact BM25 as `bm25_topk`,
+    so relevance lands on the passage a generator would actually be fed,
+    not the whole document.
+
+    Chunking is one array-side transform + posexplode (no join, no extra
+    scan); each passage becomes a row keyed `doc_id·pkey_base + pidx`
+    and the scorer runs unchanged over the passage corpus — stats
+    (n passages, total length, per-term df) still collapse to one
+    broadcast row. Returns (doc_id, pidx, dl, n_matched, score), top-k
+    by (score desc, key asc). `pkey_base` bounds passages per doc; docs
+    needing more are a chunking-policy smell at any scale."""
+    P, S = int(passage_len), int(stride)
+    if S <= 0 or P <= 0:
+        raise ValueError("passage_len and stride must be positive")
+    toks = _tok_array(text_col)
+    nw = (
+        f"CASE WHEN size({toks}) = 0 THEN 0 "
+        f"ELSE 1 + CAST((greatest(0, size({toks}) - {P}) + {S} - 1) / {S} AS INT) END"
+    )
+    windows = (
+        f"CASE WHEN ({nw}) <= 0 THEN array() "
+        f"ELSE transform(sequence(0, ({nw}) - 1), "
+        f"w -> array_join(slice({toks}, w * {S} + 1, {P}), ' ')) END"
+    )
+    passages = df.select(
+        F.col(id_col), F.posexplode(F.expr(windows)).alias("pidx", "ptext")
+    ).select(
+        (F.col(id_col) * pkey_base + F.col("pidx")).alias("pkey"),
+        F.col("ptext").alias(text_col),
+    )
+    scored = bm25_topk(
+        passages, terms, k=k, text_col=text_col, id_col="pkey", **bm25_kwargs
+    )
+    return scored.select(
+        F.expr(f"pkey DIV {pkey_base}").alias(id_col),
+        (F.col("pkey") % pkey_base).cast("long").alias("pidx"),
+        "dl",
+        "n_matched",
+        "score",
+    )
+
+
 def url_canonicalize(
     df: DataFrame,
     url_col: str = "url",

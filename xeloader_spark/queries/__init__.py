@@ -34,7 +34,7 @@ from . import core
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
 # ROUND-5 ROTATION (installed from tools/gen_round_priority.py output):
-# 227 registered; 28 unverified; window 50 → 50 slots (0 unverified beyond the window)
+# 228 registered; 29 unverified; window 50 → 50 slots (0 unverified beyond the window)
 # slots 1-19 drain the round-4 backlog (every query's first driver row);
 # slots 20-50 re-check the oldest r1 greens per the tool's oldest-first
 # ordering. Registry freeze: keep any round-5 additions within the
@@ -68,6 +68,7 @@ _ROUND_PRIORITY = [
     "q_modularity_score",
     "q_mmr_rerank",
     "q_leakage_safe_split",
+    "q_bm25_passages",
     "q_event_sequence_order",  # recheck (last green r1)
     "q_event_type_filter_project",  # recheck (last green r1)
     "q_hash_match_join",  # recheck (last green r1)
@@ -89,7 +90,6 @@ _ROUND_PRIORITY = [
     "q_pricing_summary",  # recheck (last green r1)
     "q_region_revenue",  # recheck (last green r1)
     "q_rollup_agg",  # recheck (last green r1)
-    "q_running_total",  # recheck (last green r1)
 ]
 
 

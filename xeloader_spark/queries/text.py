@@ -490,6 +490,34 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PASSAGE_LEN = 32
+_PASSAGE_STRIDE = 16
+_PASSAGE_KEY_BASE = 10_000
+
+
+def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level BM25 retrieval — the RAG chunk-retrieval stack:
+    32-token windows at stride 16 (overlapping, short tails kept) ranked
+    by the same integer-exact BM25, so relevance lands on the passage a
+    generator would be fed (`operators/text.bm25_passages`). Chunking is
+    one array transform + posexplode; the oracle replays windows, stats,
+    and scores exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_passages(
+        docs,
+        _SEARCH_TERMS,
+        k=_BM25_K,
+        passage_len=_PASSAGE_LEN,
+        stride=_PASSAGE_STRIDE,
+        pkey_base=_PASSAGE_KEY_BASE,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        idf_scale=_IDF_SCALE,
+        sat_scale=_BM25_SAT,
+        dl_scale=_BM25_DLS,
+    )
+
+
 _TOKS_LIST = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 _TOKS_LOWER = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')"
 
@@ -653,7 +681,9 @@ def _tfidf_search_sql() -> str:
     """
 
 
-def _bm25_search_sql() -> str:
+def _bm25_search_sql(src: str = "documents") -> str:
+    """DuckDB replay of the integer-exact BM25 over any (doc_id, text)
+    relation `src` (a table name or parenthesized subquery)."""
     n = len(_SEARCH_TERMS)
     a, c = _BM25_K1
     p, q = _BM25_B
@@ -689,7 +719,7 @@ def _bm25_search_sql() -> str:
     score = " + ".join(contrib(i) for i in range(n))
     return f"""
         WITH t AS (
-            SELECT doc_id, {_TOKS_LIST} AS tk FROM documents
+            SELECT doc_id, {_TOKS_LIST} AS tk FROM {src}
         ),
         d AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM t),
         c AS (
@@ -765,9 +795,36 @@ _URL_CANON_DUCK = """
 """
 
 
+def _bm25_passages_sql() -> str:
+    P, S, B = _PASSAGE_LEN, _PASSAGE_STRIDE, _PASSAGE_KEY_BASE
+    nw = (
+        f"CASE WHEN len(tk0) = 0 THEN 0 "
+        f"ELSE 1 + ((greatest(0, len(tk0) - {P}) + {S} - 1) // {S}) END"
+    )
+    pas = f"""(
+        SELECT doc_id * {B} + (w - 1) AS doc_id,
+               array_to_string(
+                   tk0[((w - 1) * {S} + 1):((w - 1) * {S} + {P})],
+                   ' ') AS text
+        FROM (
+            SELECT doc_id, tk0,
+                   unnest(generate_series(1, {nw})) AS w
+            FROM (SELECT doc_id, {_TOKS_LIST} AS tk0 FROM documents)
+        )
+    )"""
+    inner = _bm25_search_sql(src=pas)
+    return f"""
+        SELECT doc_id // {B} AS doc_id,
+               CAST(doc_id % {B} AS BIGINT) AS pidx,
+               dl, n_matched, score
+        FROM ({inner})
+    """
+
+
 ORACLES: dict[str, str] = {
     "q_tfidf_search": _tfidf_search_sql(),
     "q_url_canonicalize": _URL_CANON_DUCK.format(seed=_URL_SEED_DUCK),
+    "q_bm25_passages": _bm25_passages_sql(),
     "q_bm25_topk": _bm25_search_sql(),
     "q_k_anonymity": f"""
         WITH g AS (
