@@ -98,6 +98,8 @@ HEADLINE = [
     "q_bloom_join_prune",
     "q_modularity_score",
     "q_mmr_rerank",
+    "q_bm25_passages",
+    "q_leakage_safe_split",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

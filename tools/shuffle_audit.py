@@ -66,6 +66,8 @@ AUDIT_QUERIES = [
     "q_bloom_join_prune",
     "q_modularity_score",
     "q_mmr_rerank",
+    "q_bm25_passages",
+    "q_leakage_safe_split",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -89,6 +91,9 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_frequent_pairs": {"lineitem"},
     "q_modularity_score": {"embeddings"},
     "q_mmr_rerank": {"embeddings"},
+    # connected_components persists/collects; the leak join reuses the
+    # cached pair frame, so the executed plan can be cache-truncated
+    "q_leakage_safe_split": {"documents"},
 }
 
 
