@@ -658,3 +658,41 @@ def test_url_canonicalize_matches_python_model(spark, url_parts):
     }
     for i, u in enumerate(urls):
         assert got[i] == _py_canonicalize(u), (u, got[i], _py_canonicalize(u))
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+    st.lists(st.integers(-50, 50), max_size=20),
+    st.sampled_from([64, 256, 32_768]),
+)
+def test_bloom_prune_join_equals_plain_join(spark, fact_keys, dim_keys, m):
+    """For ANY key multisets — including negative keys, duplicates, an
+    empty dim, and a tiny m where false positives are common — the
+    Bloom-pruned join must equal the plain join exactly, and the prune
+    alone must never drop a true match (no false negatives)."""
+    from xeloader_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "fid long, fk long"
+    )
+    dim = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(dim_keys)] or [(0, None)],
+        "did long, dk long",
+    ).filter(F.col("dk").isNotNull())
+    plain = {
+        (r.fid, r.did)
+        for r in fact.join(dim, fact.fk == dim.dk).select("fid", "did").collect()
+    }
+    pruned_join = {
+        (r.fid, r.did)
+        for r in skew.bloom_prune_join(fact, dim, "fk", "dk", m=m)
+        .select("fid", "did")
+        .collect()
+    }
+    assert pruned_join == plain
+    survivors = {
+        r.fid for r in skew.bloom_prune(fact, dim, "fk", "dk", m=m).collect()
+    }
+    true_fids = {fid for fid, _ in plain}
+    assert true_fids <= survivors
