@@ -374,6 +374,21 @@ class TestNewOperatorPlanShapes:
         plans.assert_broadcast_join(df)
         plans.assert_no_cartesian(df)
 
+    def test_leakage_split_broadcast_is_pair_bounded(self, spark):
+        """Round-5 verdict finding #1: the audit's lookup sides must be
+        LEFT-SEMI-shrunk to pair members BEFORE any broadcast hint — the
+        per-doc split frame is corpus-sized and may never broadcast. The
+        semi-joins in the plan are the pin that the shrink engages; the
+        broadcast-lint whitelist pins that no other corpus-sized frame
+        gains a hint."""
+        from xeloader_spark.queries import dedup as qd
+
+        df = qd.q_leakage_safe_split(spark, SF)
+        plan = plans.physical_plan(df)
+        assert plan.count("LeftSemi") >= 2, plan
+        plans.assert_broadcast_join(df)
+        plans.assert_no_cartesian(df)
+
     def test_repetition_stats_shuffle_free(self, spark):
         from xeloader_spark.queries import text as qt
 

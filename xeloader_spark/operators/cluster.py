@@ -37,6 +37,8 @@ is the driver-checkable variant of the same coarse quantizer).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -398,6 +400,97 @@ def semantic_dedup(
     )
 
 
+def _train_gate(
+    q: DataFrame, train_fraction: float, train_salt: str
+) -> DataFrame:
+    """Deterministic md5 training-sample gate shared by every codebook
+    fit: row admitted iff md5(salt||id)'s leading 32 bits mod 10000 fall
+    under fraction·10000. Replays exactly in the DuckDB oracle
+    (`('0x' || substr(md5(..),1,8))::BIGINT % 10000`), so sampled
+    training stays hash-checked."""
+    if train_fraction >= 1.0:
+        return q
+    thresh = int(train_fraction * 10_000)
+    return q.filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(train_salt), F.col("id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10_000
+        < thresh
+    )
+
+
+class PQModel(NamedTuple):
+    """Trained product-quantizer codebooks — the build-phase artifact of
+    `pq_fit`, reusable across `pq_topk`/`ivfpq_topk` calls (the index is
+    built once, queried forever; at 100 TB the fit cost amortizes to
+    zero per query). Driver/plan-sized: m × sub_k × sub integers."""
+
+    codebooks: list  # m × sub_k × sub (ints, quantized space)
+    m: int
+    sub: int  # dims per subspace; full dim = m · sub
+    scale: int
+
+
+def pq_fit(
+    emb_df: DataFrame,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    train_fraction: float = 1.0,
+    train_salt: str = "pqtrain",
+) -> PQModel:
+    """Build phase of the PQ index: train the `m` subspace codebooks
+    (md5-gated sample, joint one-scan-per-round Lloyd) and return them
+    as a `PQModel`. `pq_topk(..., model=...)` / `ivfpq_topk(...,
+    pq_model=...)` then skip training — the bench reports build and
+    query as separate rows, and callers composing several indexes over
+    the same corpus (pq + ivfpq) fit once."""
+    q_full = _quantized(emb_df, id_col, vec_col, scale)
+    q_train = _train_gate(q_full, train_fraction, train_salt)
+    seed_rows = _pq_seed_rows(q_train, sub_k)
+    if not seed_rows:
+        raise ValueError(
+            "pq_fit: empty training set (corpus empty or train_fraction "
+            "gate admitted no rows)"
+        )
+    dim = len(seed_rows[0].qarr)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters, seed_rows)
+    return PQModel(codebooks=codebooks, m=m, sub=sub, scale=scale)
+
+
+def ivf_fit(
+    emb_df: DataFrame,
+    km_k: int = K,
+    iters: int = ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    train_fraction: float = 1.0,
+    train_salt: str = "pqtrain",
+) -> list[list[int]]:
+    """Build phase of the IVF coarse quantizer: the exact integer
+    k-means centroids (optionally on the md5-gated sample), as plan-
+    literal-sized lists for `ivf_topk_exact(..., centroids=...)` /
+    `ivfpq_topk(..., coarse_centroids=...)`."""
+    q = _quantized(emb_df, id_col, vec_col, scale)
+    return kmeans_fit(_train_gate(q, train_fraction, train_salt), k=km_k, iters=iters)
+
+
 def pq_topk(
     emb_df: DataFrame,
     query_ids: list[int],
@@ -411,6 +504,7 @@ def pq_topk(
     scale: int = SCALE,
     train_fraction: float = 1.0,
     train_salt: str = "pqtrain",
+    model: PQModel | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011, the public recipe):
     split vectors into `m` subspaces, train a `sub_k`-centroid codebook
@@ -438,48 +532,37 @@ def pq_topk(
     """
     q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
 
-    # codebook training on a deterministic hash-gated subset: at corpus
-    # scale the Lloyd rounds must not scan 100 TB — a fraction suffices
-    # for sub_k-sized codebooks, and the md5 gate replays in the oracle
-    # so sampled training stays exact-checked (encode/ADC/re-rank always
-    # cover the FULL corpus)
-    q_train = q_full
-    if train_fraction < 1.0:
-        thresh = int(train_fraction * 10_000)
-        q_train = q_full.filter(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(train_salt), F.col("id").cast("string")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 10_000
-            < thresh
-        )
-    # the seed collect doubles as the dim probe (one fewer Spark job
-    # than a separate first(); same rows either way)
-    seed_rows = _pq_seed_rows(q_train, sub_k)
-    if not seed_rows:
-        raise ValueError(
-            "pq_topk: empty training set (corpus empty or train_fraction "
-            "gate admitted no rows)"
-        )
-    dim = len(seed_rows[0].qarr)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
+    if model is None:
+        # codebook training on a deterministic hash-gated subset: at
+        # corpus scale the Lloyd rounds must not scan 100 TB — a fraction
+        # suffices for sub_k-sized codebooks, and the md5 gate replays in
+        # the oracle so sampled training stays exact-checked
+        # (encode/ADC/re-rank always cover the FULL corpus). The seed
+        # collect doubles as the dim probe (one fewer Spark job than a
+        # separate first(); same rows either way).
+        q_train = _train_gate(q_full, train_fraction, train_salt)
+        seed_rows = _pq_seed_rows(q_train, sub_k)
+        if not seed_rows:
+            raise ValueError(
+                "pq_topk: empty training set (corpus empty or "
+                "train_fraction gate admitted no rows)"
+            )
+        dim = len(seed_rows[0].qarr)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters, seed_rows)
+    else:
+        # query phase against a prebuilt index: the fit's training knobs
+        # are the model's, not this call's
+        m, sub, codebooks = model.m, model.sub, model.codebooks
+        if model.scale != scale:
+            raise ValueError(
+                f"model trained at scale={model.scale}, query at {scale}"
+            )
 
     def sub_arr(s: int) -> str:
         return f"slice(qarr, {s * sub + 1}, {sub})"
-
-    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters, seed_rows)
 
     # one-scan encode: per subspace, argmin over its literal codebook
     code_cols = [
@@ -499,6 +582,11 @@ def pq_topk(
     if absent:
         raise ValueError(
             f"query_ids not present in {id_col}: {absent}"
+        )
+    if model is not None and any(len(v) != m * sub for v in qrows.values()):
+        raise ValueError(
+            f"corpus dim != model dim {m * sub} — wrong PQModel for this "
+            "embedding column"
         )
     # Codebooks and query vectors are now driver-sized; the remaining
     # downstream scans (encode, optional re-rank join) each recompute the
@@ -628,6 +716,7 @@ def ivf_topk_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = SCALE,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF ANN with the EXACT integer k-means as the coarse quantizer —
     the fully SQL-replayable sibling of `similarity.ivf_topk` (whose
@@ -647,7 +736,8 @@ def ivf_topk_exact(
     if not query_ids:
         raise ValueError("query_ids must be non-empty")
     q = _quantized(emb_df, id_col, vec_col, scale).persist()
-    centroids = kmeans_fit(q, k=km_k, iters=iters)
+    if centroids is None:
+        centroids = kmeans_fit(q, k=km_k, iters=iters)
     qrows = {
         r.id: list(r.qarr)
         for r in q.filter(F.col("id").isin(query_ids)).collect()
@@ -721,6 +811,8 @@ def ivfpq_topk(
     scale: int = SCALE,
     train_fraction: float = 1.0,
     train_salt: str = "pqtrain",
+    coarse_centroids: list[list[int]] | None = None,
+    pq_model: PQModel | None = None,
 ) -> DataFrame:
     """IVF-PQ composite ANN — the coarse-quantizer + product-code index
     (Jégou et al. 2011's IVFADC layout, here with codes over the raw
@@ -746,37 +838,31 @@ def ivfpq_topk(
         raise ValueError("query_ids must be non-empty")
     q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
 
-    q_train = q_full
-    if train_fraction < 1.0:
-        thresh = int(train_fraction * 10_000)
-        q_train = q_full.filter(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit(train_salt), F.col("id").cast("string"))
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % 10_000
-            < thresh
-        )
-
-    centroids = kmeans_fit(q_train, k=km_k, iters=km_iters)
-    seed_rows = _pq_seed_rows(q_train, sub_k)
-    if not seed_rows:
-        raise ValueError(
-            "ivfpq_topk: empty training set (corpus empty or "
-            "train_fraction gate admitted no rows)"
-        )
-    dim = len(seed_rows[0].qarr)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, pq_iters, seed_rows)
+    if coarse_centroids is None or pq_model is None:
+        q_train = _train_gate(q_full, train_fraction, train_salt)
+    centroids = (
+        coarse_centroids
+        if coarse_centroids is not None
+        else kmeans_fit(q_train, k=km_k, iters=km_iters)
+    )
+    if pq_model is None:
+        seed_rows = _pq_seed_rows(q_train, sub_k)
+        if not seed_rows:
+            raise ValueError(
+                "ivfpq_topk: empty training set (corpus empty or "
+                "train_fraction gate admitted no rows)"
+            )
+        dim = len(seed_rows[0].qarr)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebooks = _pq_fit_joint(q_train, m, sub, sub_k, pq_iters, seed_rows)
+    else:
+        m, sub, codebooks = pq_model.m, pq_model.sub, pq_model.codebooks
+        if pq_model.scale != scale:
+            raise ValueError(
+                f"pq_model trained at scale={pq_model.scale}, query at {scale}"
+            )
 
     qrows = {
         r.id: list(r.qarr)
@@ -785,6 +871,13 @@ def ivfpq_topk(
     missing = sorted(set(query_ids) - set(qrows))
     if missing:
         raise ValueError(f"query ids not in corpus: {missing}")
+    if pq_model is not None and any(
+        len(v) != m * sub for v in qrows.values()
+    ):
+        raise ValueError(
+            f"corpus dim != pq_model dim {m * sub} — wrong PQModel for "
+            "this embedding column"
+        )
     q_full.unpersist()
 
     # per-query probe lists over the model-sized centroid table

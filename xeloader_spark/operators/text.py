@@ -812,9 +812,9 @@ def bigram_doc_score(
         pairs.join(bi, ["w1", "w2"])
         .join(uni.withColumnRenamed("tok", "w1"), "w1")
         .join(
-            F.broadcast(
-                uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c2"))
-            ),
+            # vocab-sized (Heaps'-law sub-linear, but still ~1e8 distinct
+            # tokens at 100 TB) — no broadcast hint; optimizer decides
+            uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c2")),
             "w2",
         )
         .withColumn(

@@ -33,63 +33,63 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-5 ROTATION (installed from tools/gen_round_priority.py output):
-# 228 registered; 29 unverified; window 50 → 50 slots (0 unverified beyond the window)
-# slots 1-19 drain the round-4 backlog (every query's first driver row);
-# slots 20-50 re-check the oldest r1 greens per the tool's oldest-first
-# ordering. Registry freeze: keep any round-5 additions within the
-# headroom the tool reports (currently 0 unverified beyond the window).
+# ROUND-6 ROTATION (installed from tools/gen_round_priority.py output):
+# 228 registered; 0 unverified; window 50 → 50 slots (0 unverified beyond
+# the window). The whole backlog is drained, so every slot is an
+# oldest-first regression re-check of the stale r1/r2 greens. Registry
+# freeze: keep any round-6 additions within the headroom the tool
+# reports (re-run + reinstall after every addition).
 _ROUND_PRIORITY = [
-    "q_cross_source_contamination",
-    "q_incremental_neardup",
-    "q_jaccard_threshold_curve",
-    "q_snm_multipass",
-    "q_snm_recall_eval",
-    "q_sorted_neighborhood_pairs",
-    "q_degree_distribution",
-    "q_kcenter_diverse_sample",
-    "q_kcore_membership",
-    "q_label_separation",
-    "q_matryoshka_recall",
-    "q_dsir_resample",
-    "q_k_anonymity",
-    "q_vocab_coverage",
-    "q_ab_test_zscore",
-    "q_ewma_smooth",
-    "q_seasonal_anomaly",
-    "q_type_duration_percentiles",
-    "q_packing_boundary_stats",
-    "q_blocklist_filter",
-    "q_ann_topk_ivfpq",
-    "q_bm25_topk",
-    "q_bloom_join_prune",
-    "q_frequent_pairs",
-    "q_url_canonicalize",
-    "q_modularity_score",
-    "q_mmr_rerank",
-    "q_leakage_safe_split",
-    "q_bm25_passages",
-    "q_event_sequence_order",  # recheck (last green r1)
-    "q_event_type_filter_project",  # recheck (last green r1)
-    "q_hash_match_join",  # recheck (last green r1)
-    "q_lineage_join",  # recheck (last green r1)
-    "q_local_time_report",  # recheck (last green r1)
-    "q_time_bucket_agg",  # recheck (last green r1)
-    "q_topk_heavy_hitters",  # recheck (last green r1)
-    "q_truncation_audit",  # recheck (last green r1)
-    "q_correlated_subquery",  # recheck (last green r1)
-    "q_cross_join_small",  # recheck (last green r1)
-    "q_cube_agg",  # recheck (last green r1)
-    "q_distinct_agg",  # recheck (last green r1)
-    "q_exists_semi_join",  # recheck (last green r1)
-    "q_having_filter",  # recheck (last green r1)
-    "q_not_exists_anti_join",  # recheck (last green r1)
-    "q_order_count_histogram",  # recheck (last green r1)
-    "q_outer_join_coverage",  # recheck (last green r1)
-    "q_pivot_segments",  # recheck (last green r1)
-    "q_pricing_summary",  # recheck (last green r1)
-    "q_region_revenue",  # recheck (last green r1)
-    "q_rollup_agg",  # recheck (last green r1)
+    "q_running_total",  # recheck (last green r1)
+    "q_scalar_subquery",  # recheck (last green r1)
+    "q_set_operations",  # recheck (last green r1)
+    "q_shipping_priority",  # recheck (last green r1)
+    "q_supplier_breadth_per_part",  # recheck (last green r1)
+    "q_top_customer_per_nation",  # recheck (last green r1)
+    "q_callstack_decode",  # recheck (last green r1)
+    "q_demux_counts",  # recheck (last green r1)
+    "q_error_budget",  # recheck (last green r1)
+    "q_event_lead_lag",  # recheck (last green r1)
+    "q_flatten_projection",  # recheck (last green r1)
+    "q_hash_bin_derivation",  # recheck (last green r1)
+    "q_lineage_stamp",  # recheck (last green r1)
+    "q_props_extract",  # recheck (last green r1)
+    "q_run_stats",  # recheck (last green r1)
+    "q_session_pattern_extract",  # recheck (last green r1)
+    "q_smalldatetime_round",  # recheck (last green r1)
+    "q_string_truncation",  # recheck (last green r1)
+    "q_decontaminate",  # recheck (last green r1)
+    "q_dedup_clusters",  # recheck (last green r1)
+    "q_dedup_exact",  # recheck (last green r1)
+    "q_dedup_minhash_lsh",  # recheck (last green r1)
+    "q_dedup_shingle_jaccard",  # recheck (last green r1)
+    "q_embedding_clusters",  # recheck (last green r1)
+    "q_embedding_neardup",  # recheck (last green r1)
+    "q_simhash_neardup",  # recheck (last green r1)
+    "q_simhash_signature",  # recheck (last green r1)
+    "q_ann_topk_dot",  # recheck (last green r1)
+    "q_xml_roundtrip",  # recheck (last green r2)
+    "q_bloom_decontaminate",  # recheck (last green r2)
+    "q_chunk_dedup",  # recheck (last green r2)
+    "q_containment_pairs",  # recheck (last green r2)
+    "q_incremental_dedup",  # recheck (last green r2)
+    "q_substring_dup_spans",  # recheck (last green r2)
+    "q_ann_topk_ivf",  # recheck (last green r2)
+    "q_ann_topk_lsh_quantized",  # recheck (last green r2)
+    "q_frame_sample",  # recheck (last green r2)
+    "q_label_centroids",  # recheck (last green r2)
+    "q_multimodal_audio_codec",  # recheck (last green r2)
+    "q_multimodal_feature_values",  # recheck (last green r2)
+    "q_multimodal_features",  # recheck (last green r2)
+    "q_multimodal_real_codec",  # recheck (last green r2)
+    "q_multimodal_resize",  # recheck (last green r2)
+    "q_bpe_pair_counts",  # recheck (last green r2)
+    "q_doc_fingerprint",  # recheck (last green r2)
+    "q_gopher_quality",  # recheck (last green r2)
+    "q_lang_id",  # recheck (last green r2)
+    "q_mix_weights",  # recheck (last green r2)
+    "q_pii_redaction",  # recheck (last green r2)
+    "q_repetition_stats",  # recheck (last green r2)
 ]
 
 

@@ -94,14 +94,16 @@ def q_lineage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     InputParameters.cs:545-546). Fixture stand-in per FIXTURES.md:
     lineitem (events) ⋈ orders (lineage), aggregated per lineage attr.
 
-    Scale notes: the lineage side is small → broadcast hash join, no
-    shuffle of the big side.
+    Scale notes: no explicit broadcast hint — orders scales with the
+    corpus (1.5M rows per TPC-H SF), so the join strategy is left to the
+    optimizer: size-estimate broadcast under the 64 MB threshold at test
+    scale, sort-merge/shuffle-hash with AQE skew handling at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(
-            F.broadcast(orders),
+            orders,
             li.l_orderkey == orders.o_orderkey,
             "inner",
         )

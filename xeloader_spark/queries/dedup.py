@@ -154,14 +154,22 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair list and cluster map are the dedup pipeline's
     own outputs (shingle-keyed inverted-index joins, no all-pairs); the
-    split is one md5 gate per doc and the audit two broadcast-joined
-    lookups over the pair list."""
+    split is one md5 gate per doc. The audit's lookup sides are first
+    LEFT-SEMI-joined down to pair MEMBERS — pair-list cardinality, not
+    corpus cardinality — before the broadcast hint, so the only frames
+    that travel to every executor are bounded by the near-dup pair list
+    (the per-doc split frame itself is billions of rows at 100 TB and is
+    never broadcast)."""
     from ..operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
+    pairs = dd._persist(
+        dd.jaccard_pairs(dd.shingles(docs, n=3), threshold=_JACCARD_T)
+    )
     resolved = dd.resolve_duplicates(docs.select("doc_id"), pairs)
-    sp = resolved.select(
+    # Consumed by the member semi-join (twice) and the split-count agg —
+    # persist once so the resolution lineage isn't replayed per consumer.
+    sp = dd._persist(resolved).select(
         "doc_id",
         "cluster_id",
         F.when(
@@ -176,12 +184,22 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split_naive"),
     )
-    a = sp.select(
+    # Shrink the lookup sides to pair MEMBERS before broadcasting: the
+    # split frame is corpus-sized (one row per doc — not broadcastable at
+    # scale), but only docs that appear in some near-dup pair matter to
+    # the audit, and that set is bounded by 2x the pair list.
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sp_members = sp.join(pair_ids, "doc_id", "left_semi")
+    a = sp_members.select(
         F.col("doc_id").alias("id_a"),
         F.col("split_aware").alias("aw_a"),
         F.col("split_naive").alias("nv_a"),
     )
-    b = sp.select(
+    b = sp_members.select(
         F.col("doc_id").alias("id_b"),
         F.col("split_aware").alias("aw_b"),
         F.col("split_naive").alias("nv_b"),

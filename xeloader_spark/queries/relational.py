@@ -76,7 +76,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem with
     date predicates on BOTH fact sides, revenue aggregate, top-10 with a
     total tie-break. The two date filters reach the parquet scans
-    (pushdown), the filtered customer side broadcasts, and the group-by
+    (pushdown), the filtered customer side broadcasts when small (optimizer-chosen, no hint — customer scales with SF), and the group-by
     shuffles only l_orderkey-level partials."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -90,7 +90,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(revenue, "revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -106,7 +106,7 @@ def q_supplier_breadth_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -159,7 +159,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between supplier nation and
     customer nation per ship year — a 6-table join with the same
     dimension (nation) entering twice under different roles. Both nation
-    sides and supplier/customer broadcast; lineitem⋈orders is the only
+    sides broadcast by size estimate (nation via hint, supplier/customer optimizer-chosen since they scale with SF); lineitem⋈orders is the only
     big join, on the key both sides already share."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -175,8 +175,8 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
         .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -205,7 +205,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -375,7 +375,7 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity audit — the load-time check a
     warehouse runs after every batch: orphan counts via anti-joins
     (orders→customer, lineitem→orders, customer→nation) and coverage
-    ratios, one row. Anti-joins broadcast the key side; ratios are one
+    ratios, one row. Anti-joins leave the key-side strategy to the optimizer (parent keys scale with SF); ratios are one
     division each."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -386,7 +386,7 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             child.select(F.col(key).alias("k"))
             .join(
-                F.broadcast(parent.select(F.col(pkey).alias("k")).distinct()),
+                parent.select(F.col(pkey).alias("k")).distinct(),
                 "k",
                 "left_anti",
             )
@@ -702,7 +702,7 @@ def q_last_ship_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_last") == 1)
             & (F.col("sup_last") == F.col("ord_last"))
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -719,7 +719,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
         )
@@ -820,7 +820,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_dec") == F.col("mx"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -921,7 +921,7 @@ def q_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: percentage of a month's revenue that came from
-    PROMO parts. part broadcasts (it is the small side at any scale that
+    PROMO parts. part joins optimizer-chosen (it is the small side at any scale that
     matters relative to lineitem); both sums accumulate exactly in
     decimal and the final ratio is one IEEE divide, identical in both
     engines."""
@@ -933,7 +933,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.sum(promo.cast(_DEC)).cast("double")
@@ -970,7 +970,7 @@ def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches (p_size >= 1) and the lineitem-side hull (l_quantity
     between the union of ranges) are separable, so Catalyst pushes a
     sargable filter into BOTH scans before the join; the full OR is the
-    join filter. part broadcasts."""
+    join filter. part is the small side; the optimizer broadcasts it under the threshold (no hint — part scales with SF)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     q = F.col("l_quantity")
@@ -982,7 +982,7 @@ def q_disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(clause)
         .agg(
             _dsum(disc, "revenue"),
