@@ -459,7 +459,14 @@ def main() -> None:
         flush=True,
     )
 
-    total = round(sum(timings.values()), 3)
+    # ann_recall_{ivf_exact,pq,ivfpq} are DERIVED rows (build + query
+    # sums kept for cross-round row comparability after the r6 split);
+    # their components are already in timings, so exclude the sums from
+    # the wall-clock total or the ANN families count double.
+    derived = {f"ann_recall_{nm}" for nm in ("ivf_exact", "pq", "ivfpq")}
+    total = round(
+        sum(v for k, v in timings.items() if k not in derived), 3
+    )
     detail = {
         "metric": "headline_queries_total",
         "value": total,

@@ -32,10 +32,10 @@ WHITELIST: dict[str, list[str]] = {
     ],
     # query-set / shortlist / probe-list sized (ANN search surfaces)
     "operators/cluster.py": [
+        '.join(F.broadcast(probe_df), "cluster")',
         '.join(F.broadcast(qarr_df), "query_id")',
         '.join(F.broadcast(shortlist), F.col("id") == F.col("candidate_id"))',
         "F.broadcast(shortlist), q_full.id == shortlist.candidate_id",
-        'assigned.join(F.broadcast(probe_df), "cluster")',
         'assigned.join(F.broadcast(probe_df), "cluster")',
     ],
     # pair-node component labels, query signatures, eval/decontamination

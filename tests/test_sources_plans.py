@@ -351,6 +351,18 @@ class TestNewOperatorPlanShapes:
         assert "Scan parquet" not in plan  # checkpoint truncates
         assert "Generate" in plan  # array-side pair carve, no self-join
 
+    def test_windowed_pair_supports_no_self_join(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        # basket collapse + array-side pair carve per (basket, month) —
+        # the windowed itemsets twin must keep the no-transaction-self-
+        # join contract: join + basket agg + slim (month, pair) agg
+        df = qr.q_windowed_pair_supports(spark, SF)
+        plans.assert_no_cartesian(df)
+        plan = plans.physical_plan(df)
+        assert "Generate" in plan, plan  # explode carve, not a self-join
+        plans.assert_max_shuffles(df, 3)
+
     def test_bloom_prune_is_codegen_filter_on_fact(self, spark):
         from xeloader_spark.operators import skew
         from xeloader_spark.catalog import load_table

@@ -1447,3 +1447,138 @@ def test_streaming_pair_counts_restart_recovers_state(spark, tmp_path):
         for a, b in combinations(sorted(items), 2):
             expect[(a, b)] = expect.get((a, b), 0) + 1
     assert got == expect
+
+
+def test_streaming_pair_counts_windowed_evicts_state(spark, tmp_path):
+    """Bounded-state pin for the windowed itemset twin (r5 verdict #7):
+    (1) per-(window, pair) supports match a batch replay of the same
+    windows; (2) the watermark actually EVICTS closed windows — after a
+    second run whose data advances the watermark past the first run's
+    windows, the state-store row count must be at most the open windows'
+    pairs, strictly below the all-windows pair count the running variant
+    would hold."""
+    from datetime import datetime
+    from itertools import combinations
+
+    from xeloader_spark.streaming.itemset_stream import (
+        basket_pairs_counts_windowed,
+    )
+
+    def ts(h):
+        return datetime(2024, 1, 1, h, 30, 0)
+
+    # run 1: two one-hour windows; run 2: one window three hours later,
+    # which advances the watermark (10 min delay) far past run 1's
+    # windows and forces their state out of the store
+    run1 = [(0, ts(0), [1, 2, 3]), (1, ts(0), [1, 2]), (2, ts(1), [1, 2, 4])]
+    run2 = [(3, ts(4), [1, 2]), (4, ts(4), [2, 3])]
+    schema = "basket long, ts timestamp, items array<long>"
+    root = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(run1, schema).write.mode("append").parquet(root)
+
+    state_rows: list[int] = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(root)
+        q = (
+            basket_pairs_counts_windowed(
+                stream, window_duration="1 hour", watermark_delay="10 minutes"
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ops = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        state_rows.append(ops[-1] if ops else -1)
+
+    run()
+    spark.createDataFrame(run2, schema).write.mode("append").parquet(root)
+    run()
+
+    # (1) value parity: max emitted support per (window, pair) == batch
+    expect: dict[tuple[datetime, int, int], int] = {}
+    for _, t, items in run1 + run2:
+        wstart = t.replace(minute=0, second=0)
+        for a, b in combinations(sorted(items), 2):
+            expect[(wstart, a, b)] = expect.get((wstart, a, b), 0) + 1
+    got = {
+        (r.window_start, r.item_a, r.item_b): r.pair_support
+        for r in spark.read.parquet(out)
+        .groupBy("window_start", "item_a", "item_b")
+        .agg(F.max("pair_support").alias("pair_support"))
+        .collect()
+    }
+    assert got == expect
+
+    # (2) measured state bound: run 1 held its two open windows' pairs;
+    # run 2's watermark (03:50+) closed both, so the store must hold at
+    # most run 2's single window (2 pairs) — strictly fewer rows than
+    # the 7 distinct (window, pair) keys a running aggregate would keep
+    all_keys = len(expect)
+    assert state_rows[1] >= 0
+    assert state_rows[1] < all_keys, (state_rows, all_keys)
+    run2_pairs = len({k for k in expect if k[0] == ts(4).replace(minute=0)})
+    assert state_rows[1] <= run2_pairs, (state_rows, run2_pairs)
+
+
+def test_streaming_bm25_scores_match_batch(spark, tmp_path):
+    """Stream-static BM25 twin: documents streamed through the frozen-
+    stats scorer must produce BIT-EQUAL integer scores to the batch
+    operator (same corpus frozen into the stats, batch top-k widened to
+    the whole corpus) — the shared contribution templates make drift
+    structurally impossible, this pins it. Also pins the stateless
+    claim: zero stateOperators in the progress."""
+    from xeloader_spark.operators.text import bm25_topk
+    from xeloader_spark.streaming.bm25_stream import (
+        bm25_frozen_stats,
+        bm25_score_stream,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    terms = ("spark", "merge", "window")
+    stats = bm25_frozen_stats(docs, terms)
+
+    root = str(tmp_path / "docs_in")
+    docs.select("doc_id", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(root)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        bm25_score_stream(stream, stats, terms)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bm25_scores_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(
+        not p.get("stateOperators") for p in q.recentProgress
+    ), "stream-static scoring must carry no state operators"
+
+    got = {
+        r.doc_id: (r.dl, r.n_matched, r.score)
+        for r in spark.sql(
+            "SELECT * FROM bm25_scores_t WHERE score > 0"
+        ).collect()
+    }
+    expect = {
+        r.doc_id: (r.dl, r.n_matched, r.score)
+        for r in bm25_topk(docs, terms, k=1_000_000).collect()
+    }
+    assert got == expect
+    assert len(got) > 0

@@ -328,6 +328,47 @@ def _pq_fit_joint(
     return codebooks
 
 
+def _adc_map_exprs(
+    dtab: dict[int, list[list[int]]],
+    query_ids: list[int],
+    m: int,
+    stride: int,
+) -> tuple[str, str]:
+    """The query×subspace×centroid ADC tables as TWO SQL strings: a
+    literal MAP of query_id → ONE flat subspace-major array (stride =
+    centroids per subspace), and the m-term lookup sum indexed
+    code_s + s·stride + 1. Same literals as a per-query CASE over
+    per-subspace arrays, but the expression tree is ~m× smaller —
+    measured 7.1s → 4.0s cold-plan for the ivfpq query phase at sf0.1,
+    values identical. One SQL string per the Py4J plan-construction
+    rule (nested F.lit/F.array trees cost a driver round-trip per node,
+    ~9s at this size — commit f4a21a4)."""
+    entries = ",".join(
+        "{q}L, array({flat})".format(
+            q=qid,
+            flat=",".join(
+                f"{int(x)}L" for s in range(m) for x in dtab[qid][s]
+            ),
+        )
+        for qid in query_ids
+    )
+    terms = " + ".join(
+        f"element_at(_adc, code_{s} + {s * stride} + 1)" for s in range(m)
+    )
+    return f"element_at(map({entries}), query_id)", f"CAST({terms} AS BIGINT)"
+
+
+def _exact_case_sql(query_ids: list[int], qrows: dict[int, list[int]]) -> str:
+    """Per-query exact quantized L2 over the re-rank shortlist, as one
+    flat SQL CASE (shallow tree, one Py4J call) — branch per query, each
+    the zip_with/aggregate distance to that query's literal vector."""
+    whens = " ".join(
+        f"WHEN query_id = {qid}L THEN ({_dist_sql(qrows[qid], 'qarr')})"
+        for qid in query_ids
+    )
+    return f"CASE {whens} END"
+
+
 def _dist_expr(centroid: list[int], arr_sql: str) -> Column:
     """Squared-L2 to a literal centroid over the array named by
     `arr_sql` (see `_dist_sql` for why this is string-built)."""
@@ -606,30 +647,21 @@ def pq_topk(
             for s in range(m)
         ]
 
-    # The whole query×subspace×centroid ADC table goes into ONE SQL
-    # string: building it from nested F.lit/F.array Columns is thousands
-    # of Py4J round-trips (~9s measured at m=16, 16 queries — the same
-    # driver-bound trap fixed for k-means/PQ argmins in commit f4a21a4).
-    def _adc_sql(qid: int) -> str:
-        terms = " + ".join(
-            "element_at(array({vals}), code_{s} + 1)".format(
-                vals=",".join(f"{int(v)}L" for v in dtab[qid][s]), s=s
-            )
-            for s in range(m)
+    # ADC tables in the flat-array MAP form (see _adc_map_exprs): each
+    # corpus row fans out once per query via a literal-array explode,
+    # picks its query's flat table from the map, and sums m lookups.
+    map_sql, terms_sql = _adc_map_exprs(dtab, query_ids, m, len(codebooks[0]))
+    qid_arr = "array(" + ",".join(f"{qid}L" for qid in query_ids) + ")"
+    scored = (
+        encoded.withColumn("query_id", F.explode(F.expr(qid_arr)))
+        .withColumn("_adc", F.expr(map_sql))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            F.expr(terms_sql).alias("adc_dist"),
         )
-        return (
-            f"named_struct('query_id', CAST({qid} AS BIGINT), "
-            f"'adc', CAST({terms} AS BIGINT))"
-        )
-
-    per_query = F.explode(
-        F.expr("array(" + ",".join(_adc_sql(qid) for qid in query_ids) + ")")
-    ).alias("qa")
-    scored = encoded.select("id", per_query).select(
-        F.col("qa.query_id").alias("query_id"),
-        F.col("id").alias("candidate_id"),
-        F.col("qa.adc").alias("adc_dist"),
-    ).filter(F.col("candidate_id") != F.col("query_id"))
+        .filter(F.col("candidate_id") != F.col("query_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("candidate_id")
     )
@@ -645,12 +677,11 @@ def pq_topk(
         .filter(F.col("rk") <= rerank)
         .select("query_id", "candidate_id")
     )
-    exact = F.lit(None).cast("long")
-    for qid in query_ids:
-        exact = F.when(
-            F.col("query_id") == qid,
-            _dist_expr(qrows[qid], "qarr"),
-        ).otherwise(exact)
+    # flat CASE in ONE SQL string: the nested F.when chain builds a
+    # 16-deep CaseWhen tree the optimizer re-walks per pass (and costs a
+    # Py4J trip per level); one flat CASE is the same semantics with a
+    # shallow tree
+    exact = F.expr(_exact_case_sql(query_ids, qrows))
     reranked = (
         q_full.join(
             F.broadcast(shortlist), q_full.id == shortlist.candidate_id
@@ -894,15 +925,21 @@ def ivfpq_topk(
     spark = emb_df.sparkSession
     probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
 
-    # candidates = probed lists only; encode THOSE rows (the broadcast
-    # semi-shape means the corpus contributes ~n_probe/km_k of its rows
-    # to the encode + ADC projection, nothing else moves)
-    assigned = _assign(_quantized(emb_df, id_col, vec_col, scale), centroids)
-    cand = (
-        assigned.join(F.broadcast(probe_df), "cluster")
-        .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", F.col("id").alias("candidate_id"), "qarr")
-    )
+    # candidates = probed lists only; encode THOSE rows ONCE EACH,
+    # BEFORE attaching queries. Several queries probe the same cluster,
+    # so joining probe_df first fans each corpus row ~n_probe·q/km_k×
+    # and re-runs the m-subspace argmin encode on every (query,
+    # candidate) copy — the r6 bench split exposed that as 22.5s of
+    # "query" time at sf0.1. Order now: assignment filtered to the
+    # probed-cluster union (a literal IN over ≤ km_k ints), ONE encode
+    # per surviving row, then the broadcast probe join attaches
+    # query_ids to the already-narrow (id, cluster, m codes) frame.
+    # Same rows, same values — the encode is per-candidate
+    # deterministic — so the oracle hash is untouched.
+    probed_clusters = sorted({c for _, c in probes})
+    assigned = _assign(
+        _quantized(emb_df, id_col, vec_col, scale), centroids
+    ).filter(F.col("cluster").isin(probed_clusters))
     code_cols = [
         F.expr(
             _argmin_struct_sql(codebooks[s], f"slice(qarr, {s * sub + 1}, {sub})")
@@ -910,11 +947,19 @@ def ivfpq_topk(
         ).alias(f"code_{s}")
         for s in range(m)
     ]
-    encoded = cand.select("query_id", "candidate_id", *code_cols)
+    encoded = (
+        assigned.select("id", "cluster", *code_cols)
+        .join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("candidate_id"),
+            *[f"code_{s}" for s in range(m)],
+        )
+    )
 
-    # ADC distance tables as ONE SQL string (query CASE over literal
-    # per-subspace lookup arrays — never nested Column trees, see the
-    # Py4J plan-construction note on pq_topk)
+    # ADC distance tables in the flat-array MAP form (_adc_map_exprs) —
+    # one SQL string, never nested Column trees
     dtab: dict[int, list[list[int]]] = {}
     for qid in query_ids:
         qv = qrows[qid]
@@ -926,20 +971,10 @@ def ivfpq_topk(
             for s in range(m)
         ]
 
-    def _adc_case() -> str:
-        whens = []
-        for qid in query_ids:
-            terms = " + ".join(
-                "element_at(array({vals}), code_{s} + 1)".format(
-                    vals=",".join(f"{int(v)}L" for v in dtab[qid][s]), s=s
-                )
-                for s in range(m)
-            )
-            whens.append(f"WHEN query_id = {qid}L THEN CAST({terms} AS BIGINT)")
-        return "CASE " + " ".join(whens) + " END"
-
-    scored = encoded.select(
-        "query_id", "candidate_id", F.expr(_adc_case()).alias("adc_dist")
+    map_sql, terms_sql = _adc_map_exprs(dtab, query_ids, m, len(codebooks[0]))
+    scored = (
+        encoded.withColumn("_adc", F.expr(map_sql))
+        .select("query_id", "candidate_id", F.expr(terms_sql).alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("candidate_id")
@@ -956,11 +991,7 @@ def ivfpq_topk(
         .filter(F.col("rk") <= rerank)
         .select("query_id", "candidate_id")
     )
-    exact = F.lit(None).cast("long")
-    for qid in query_ids:
-        exact = F.when(
-            F.col("query_id") == qid, _dist_expr(qrows[qid], "qarr")
-        ).otherwise(exact)
+    exact = F.expr(_exact_case_sql(query_ids, qrows))
     reranked = (
         _quantized(emb_df, id_col, vec_col, scale)
         .join(F.broadcast(shortlist), F.col("id") == F.col("candidate_id"))

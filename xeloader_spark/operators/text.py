@@ -371,6 +371,53 @@ def tfidf_search(
     )
 
 
+def bm25_dlnorm_sql(n_docs_sql: str, tot_len_sql: str, dl_scale: int) -> str:
+    """dl/avgdl as ONE scaled-integer DIV over a `_dl` column:
+    avgdl = tot_len/n_docs so dl/avgdl = dl·n_docs/tot_len. The corpus
+    stats arrive as SQL fragments — column refs on the batch path
+    (`bm25_topk`'s 1-row stats cross join), int literals on the frozen-
+    stats streaming path (`streaming/bm25_stream`) — so both paths share
+    one template and stay arithmetically identical."""
+    return f"(_dl * {n_docs_sql} * {int(dl_scale)}) DIV {tot_len_sql}"
+
+
+def bm25_contrib_sqls(
+    n_terms: int,
+    k1: tuple[int, int],
+    b: tuple[int, int],
+    idf_scale: int,
+    sat_scale: int,
+    dl_scale: int,
+    n_docs_sql: str,
+    df_sqls: list[str],
+) -> list[str]:
+    """Per-term integer BM25 contributions (RSJ-ratio idf × scaled
+    saturation) over `_tf{i}` / `_dlnorm` columns, with the corpus stats
+    (N, per-term df) injected as SQL fragments — the single template the
+    batch operator and the frozen-stats streaming twin both render, so
+    their scores cannot drift."""
+    a, c = (int(k1[0]), int(k1[1]))
+    p, q = (int(b[0]), int(b[1]))
+    sat_num = f"(_tf{{i}} * {(a + c) * q * int(dl_scale) * int(sat_scale)})"
+    sat_den = (
+        f"({c * q * int(dl_scale)} * _tf{{i}}"
+        f" + {a * (q - p) * int(dl_scale)}"
+        f" + {a * p} * _dlnorm)"
+    )
+    idf = [
+        f"CASE WHEN {df_sqls[i]} = 0 THEN 0"
+        f" ELSE ((2 * ({n_docs_sql} - {df_sqls[i]}) + 1) * {int(idf_scale)})"
+        f" DIV (2 * {df_sqls[i]} + 1) END"
+        for i in range(n_terms)
+    ]
+    return [
+        f"CASE WHEN _tf{i} = 0 THEN 0 ELSE"
+        f" (({idf[i]}) * ({sat_num.format(i=i)} DIV {sat_den.format(i=i)}))"
+        f" DIV {int(sat_scale)} END"
+        for i in range(n_terms)
+    ]
+
+
 def bm25_topk(
     df: DataFrame,
     terms: tuple[str, ...],
@@ -382,6 +429,7 @@ def bm25_topk(
     dl_scale: int = 1_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf_form: str = "rsj",
 ) -> DataFrame:
     """BM25 ranked retrieval over the corpus, INTEGER-exact end to end so
     a SQL oracle can hash-match it. The two non-rational pieces of
@@ -391,6 +439,20 @@ def bm25_topk(
       integer quotient instead of its logarithm (log is the one libm
       call that may drift an ulp across engines; the ratio preserves the
       same df ordering).
+
+      RANKING CONSEQUENCE (not just a determinism note): scores are NOT
+      Lucene/log-idf compatible. Per term the ratio and its log order
+      documents identically, but the ratio grows ~N/df while the log
+      grows ~ln(N/df), so in MULTI-term sums rare terms carry
+      proportionally MORE weight than textbook BM25 gives them — two
+      documents matching different term subsets can swap ranks vs
+      Lucene when the terms' dfs differ by orders of magnitude (a
+      one-rare-term match can outrank a several-common-terms match
+      that log-idf would prefer). Callers wanting textbook scores pass
+      ``idf_form="log"``: the float twin with idf = ln(1 + (N − df +
+      0.5)/(df + 0.5)) (Lucene's form) and float saturation — not
+      hash-checkable cross-engine (libm), so it carries a rows-only
+      driver check; the default stays the exact-checked ratio.
     - length-normalized saturation tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)):
       k1 and b are exact rationals (defaults 6/5 and 3/4), dl/avgdl is
       the scaled integer (dl·N·dl_scale) DIV total_len, and the whole
@@ -414,6 +476,8 @@ def bm25_topk(
     for t in terms:
         if "'" in t or "\\" in t:
             raise ValueError(f"term must not contain quotes/backslashes: {t!r}")
+    if idf_form not in ("rsj", "log"):
+        raise ValueError(f"idf_form must be 'rsj' or 'log', got {idf_form!r}")
     a, c = (int(k1[0]), int(k1[1]))
     p, q = (int(b[0]), int(b[1]))
     toks = _tok_array(text_col)
@@ -442,25 +506,36 @@ def bm25_topk(
     ]
     # dl/avgdl as a scaled integer: avgdl = tot_len / n_docs, so
     # dl/avgdl = dl·n_docs/tot_len — one DIV, no intermediate float.
-    dl_norm = f"(_dl * n_docs * {int(dl_scale)}) DIV tot_len"
-    sat_num = f"(_tf{{i}} * {(a + c) * q * int(dl_scale) * int(sat_scale)})"
-    sat_den = (
-        f"({c * q * int(dl_scale)} * _tf{{i}}"
-        f" + {a * (q - p) * int(dl_scale)}"
-        f" + {a * p} * _dlnorm)"
-    )
-    idf = [
-        f"CASE WHEN _df{i} = 0 THEN 0"
-        f" ELSE ((2 * (n_docs - _df{i}) + 1) * {int(idf_scale)})"
-        f" DIV (2 * _df{i} + 1) END"
-        for i in range(len(terms))
-    ]
-    contrib = [
-        f"CASE WHEN _tf{i} = 0 THEN 0 ELSE"
-        f" (({idf[i]}) * ({sat_num.format(i=i)} DIV {sat_den.format(i=i)}))"
-        f" DIV {int(sat_scale)} END"
-        for i in range(len(terms))
-    ]
+    dl_norm = bm25_dlnorm_sql("n_docs", "tot_len", dl_scale)
+    if idf_form == "rsj":
+        contrib = bm25_contrib_sqls(
+            len(terms), k1, b, idf_scale, sat_scale, dl_scale,
+            n_docs_sql="n_docs",
+            df_sqls=[f"_df{i}" for i in range(len(terms))],
+        )
+        score_type = "long"
+    else:
+        # textbook float twin: Lucene's idf = ln(1 + (N−df+0.5)/(df+0.5))
+        # and float saturation tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+        # k1 = a/c, b = p/q. Rows-only checkable (libm log).
+        k1f, bf = a / c, p / q
+        idf_log = [
+            f"ln(1.0d + (CAST(n_docs - _df{i} AS DOUBLE) + 0.5d)"
+            f" / (CAST(_df{i} AS DOUBLE) + 0.5d))"
+            for i in range(len(terms))
+        ]
+        sat_f = (
+            f"(CAST(_tf{{i}} AS DOUBLE) * {k1f + 1.0!r})"
+            f" / (CAST(_tf{{i}} AS DOUBLE) + {k1f!r} * ({1.0 - bf!r}"
+            f" + {bf!r} * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+            f" / CAST(tot_len AS DOUBLE)))"
+        )
+        contrib = [
+            f"CASE WHEN _tf{i} = 0 THEN 0.0d ELSE"
+            f" ({idf_log[i]}) * ({sat_f.format(i=i)}) END"
+            for i in range(len(terms))
+        ]
+        score_type = "double"
     scored = probe.select(
         F.col(id_col),
         F.col("_dl").alias("dl"),
@@ -478,7 +553,9 @@ def bm25_topk(
         )
         .cast("long")
         .alias("n_matched"),
-        sum((F.expr(e) for e in contrib), F.lit(0)).cast("long").alias("score"),
+        sum((F.expr(e) for e in contrib), F.lit(0))
+        .cast(score_type)
+        .alias("score"),
     )
     return (
         scored.filter(F.col("score") > 0)

@@ -1041,7 +1041,69 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WPS_MIN_PAIR = 2
+
+
+def q_windowed_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed market-basket pair supports — the batch, oracle-exact
+    twin of `streaming/itemset_stream.basket_pairs_counts_windowed`'s
+    semantics: baskets keyed to their order's calendar month, the same
+    array-side C(f,2) pair carve (shared `PAIR_EXPR`), supports per
+    (window_start, pair) with a min-support floor. Completes the
+    itemsets family: running supports (`q_frequent_pairs` + streaming
+    twin) AND bounded-state windowed supports now both have exact
+    driver checks.
+
+    Scale shape: lineitem⋈orders strategy is optimizer-chosen (both
+    scale with SF), one basket-grain aggregate, pairs carved inside the
+    projection (never a transaction self-join), one slim
+    (month, item, item) aggregate — the same no-self-join contract as
+    `q_frequent_pairs`."""
+    from ..streaming.itemset_stream import PAIR_EXPR
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("basket"),
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"
+            ).alias("window_start"),
+        )
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    return (
+        baskets.select(
+            "window_start", F.explode(F.expr(PAIR_EXPR)).alias("p")
+        )
+        .groupBy(
+            "window_start",
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .filter(F.col("pair_support") >= _WPS_MIN_PAIR)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_windowed_pair_supports": f"""
+        WITH b AS (
+            SELECT DISTINCT l.l_orderkey AS basket,
+                   strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d')
+                       AS window_start,
+                   l.l_partkey AS item
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT a.window_start, a.item AS item_a, b2.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_support
+        FROM b a
+        JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= {_WPS_MIN_PAIR}
+    """,
     "q_bloom_join_prune": """
         SELECT o.o_orderpriority,
                CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)

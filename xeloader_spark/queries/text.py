@@ -476,7 +476,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, window) under k1=1.2, b=0.75 — integer-exact fixed-point
     BM25 (`operators/text.bm25_topk`): RSJ-ratio idf (log-free) and
     scaled-integer length-normalized saturation, so score ordering and
-    values replay bit-exactly in the oracle."""
+    values replay bit-exactly in the oracle.
+
+    NOT Lucene-compatible scores: the unlogged RSJ ratio weights rare
+    terms proportionally more than log-idf in multi-term sums, so
+    rankings can differ from textbook BM25 when the query terms' dfs
+    differ by orders of magnitude (see the ranking-consequence paragraph
+    on `operators/text.bm25_topk`). `q_bm25_topk_logidf` is the
+    textbook float twin (rows-only checked)."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.bm25_topk(
         docs,
@@ -487,6 +494,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idf_scale=_IDF_SCALE,
         sat_scale=_BM25_SAT,
         dl_scale=_BM25_DLS,
+    )
+
+
+def q_bm25_topk_logidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook (Lucene-form) BM25 twin: idf = ln(1 + (N−df+0.5)/
+    (df+0.5)), float saturation, same terms/k1/b/top-k as `q_bm25_topk`.
+    For users who need scores comparable to standard search engines; the
+    libm log makes float values engine-specific at the ulp level, so
+    this query carries a rows-only driver check (no ORACLES entry) —
+    the exactness story lives in the RSJ-ratio default."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bm25_topk(
+        docs,
+        _SEARCH_TERMS,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        idf_form="log",
     )
 
 

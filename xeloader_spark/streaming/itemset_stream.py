@@ -17,6 +17,17 @@ whole corpus) and so stays a batch/periodic concern: production streams
 prune against a broadcast frequent-item list refreshed by the batch job;
 the twin counts unpruned pairs, and parity with the batch operator at
 min supports (1, 1) is pinned in `tests/test_streaming.py`.
+
+State-bound story (r5 verdict #7): `basket_pairs_counts` accumulates
+MONOTONICALLY — one state row per distinct pair ever seen, the same
+cardinality as the batch pair table. That is the right twin for
+"running supports since epoch" but its state grows with the pair
+vocabulary; for an unbounded stream use
+`basket_pairs_counts_windowed`, which keys the aggregate on an event-
+time window under a watermark so Spark EVICTS closed windows' state —
+bounded by pairs-per-open-window × open windows regardless of stream
+age. Eviction and the measured state bound are pinned in
+`tests/test_streaming.py::test_streaming_pair_counts_windowed_evicts_state`.
 """
 
 from __future__ import annotations
@@ -40,6 +51,41 @@ def basket_pairs_counts(baskets: DataFrame) -> DataFrame:
         .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+    )
+
+
+def basket_pairs_counts_windowed(
+    baskets: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Windowed pair supports with bounded state: the same array-side
+    pair carve, aggregated per (event-time window, pair) under a
+    watermark. Closed windows' state is evicted by Spark once the
+    watermark passes window_end + delay, so total state is
+    O(pairs-per-open-window × open windows) — independent of stream
+    age, unlike the running variant. Baskets arriving later than the
+    watermark delay are dropped (the standard late-data trade; size the
+    delay to the stream's real skew). Works in update mode (emit
+    changed supports per micro-batch) or append mode (emit each window
+    once, when it finalizes — the shape a downstream batch prune job
+    consumes)."""
+    return (
+        baskets.withWatermark(ts_col, watermark_delay)
+        .select(F.col(ts_col), F.explode(F.expr(PAIR_EXPR)).alias("p"))
+        .groupBy(
+            F.window(F.col(ts_col), window_duration).alias("win"),
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_support"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "item_a",
+            "item_b",
+            "pair_support",
+        )
     )
 
 
