@@ -696,3 +696,61 @@ def test_bloom_prune_join_equals_plain_join(spark, fact_keys, dim_keys, m):
     }
     true_fids = {fid for fid, _ in plain}
     assert true_fids <= survivors
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # window index (hour)
+            st.lists(
+                st.integers(min_value=1, max_value=8),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_windowed_pair_counts_sum_to_running_counts(spark, baskets):
+    """Windowed/running itemset consistency: for ANY stream of baskets,
+    the per-window pair supports (the bounded-state windowed twin's
+    aggregate) summed across windows must equal the running pair
+    supports (the since-epoch twin's aggregate) — windowing partitions
+    the baskets, it must never create or lose a pair."""
+    from xeloader_spark.streaming.itemset_stream import (
+        PAIR_EXPR,
+        basket_pairs_counts,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, h, 30), sorted(set(items)))
+        for i, (h, items) in enumerate(baskets)
+    ]
+    df = spark.createDataFrame(
+        rows, "basket long, ts timestamp, items array<long>"
+    )
+    windowed = (
+        df.select(
+            F.window("ts", "1 hour").alias("win"),
+            F.explode(F.expr(PAIR_EXPR)).alias("p"),
+        )
+        .groupBy("win", "p.item_a", "p.item_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    summed = {
+        (r.item_a, r.item_b): r.total
+        for r in windowed.groupBy("item_a", "item_b")
+        .agg(F.sum("c").cast("long").alias("total"))
+        .collect()
+    }
+    running = {
+        (r.item_a, r.item_b): r.pair_support
+        for r in basket_pairs_counts(df).collect()
+    }
+    assert summed == running

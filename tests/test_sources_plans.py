@@ -406,6 +406,13 @@ class TestNewOperatorPlanShapes:
 
         plans.assert_max_shuffles(qt.q_repetition_stats(spark, SF), 0)
 
+    def test_token_diversity_shuffle_free(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # per-token counts via HOFs over the doc's own array — the
+        # corpus never moves
+        plans.assert_max_shuffles(qt.q_token_diversity(spark, SF), 0)
+
     def test_chunk_dedup_two_shuffles(self, spark):
         from xeloader_spark.queries import dedup as qd
 

@@ -102,6 +102,7 @@ def main() -> None:
     spark = get_spark(app_name="xeloader-scale-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from xeloader_spark.operators import cluster as cl
     from xeloader_spark.operators import dedup as dd
     from xeloader_spark.operators import itemsets as its
     from xeloader_spark.operators import similarity as sim
@@ -144,6 +145,15 @@ def main() -> None:
         ),
         "frequent_pairs": lambda k: its.frequent_pairs(
             inputs[k]["li"], "l_orderkey", "l_partkey"
+        ),
+        # r6: the restructured IVF-PQ (encode-once query phase, flat-map
+        # ADC) at its production sampled-training settings — the stress
+        # proves the probed-list query work scales with the corpus, not
+        # with corpus × queries
+        "ivfpq_ann": lambda k: cl.ivfpq_topk(
+            inputs[k]["emb"], [i * k for i in range(16)], k=10,
+            n_probe=12, km_k=16, km_iters=2, m=16, sub_k=16, pq_iters=1,
+            rerank=200, train_fraction=0.25,
         ),
     }
 

@@ -68,6 +68,10 @@ AUDIT_QUERIES = [
     "q_mmr_rerank",
     "q_bm25_passages",
     "q_leakage_safe_split",
+    # round-6 additions
+    "q_windowed_pair_supports",
+    "q_bm25_topk_logidf",
+    "q_ann_topk_ivfpq",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -94,6 +98,9 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     # connected_components persists/collects; the leak join reuses the
     # cached pair frame, so the executed plan can be cache-truncated
     "q_leakage_safe_split": {"documents"},
+    # ivfpq persists the quantized frame for the qrows collect, so the
+    # executed candidate plan can be cache-truncated
+    "q_ann_topk_ivfpq": {"embeddings"},
 }
 
 

@@ -846,7 +846,67 @@ def _bm25_passages_sql() -> str:
     """
 
 
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token diversity as the UNBIASED Simpson repeat
+    probability Σ c_i·(c_i−1) / (n·(n−1)) — the log-free quality twin
+    of token entropy (high repeat_prob = low lexical diversity, the
+    same boilerplate/spam signal entropy filters catch, but exactly
+    SQL-replayable: integer numerator and denominator, ONE pinned IEEE
+    division; entropy's Σp·log p would be a libm call per token type).
+    Complements `q_repetition_stats` (which looks at ADJACENT repeats;
+    Simpson is position-free).
+
+    Scale shape: per-token counts come from array HOFs over the doc's
+    OWN token array (O(u·n) per row inside the projection) — zero
+    shuffles, zero explode; the corpus never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx._tok_array("text")
+    base = docs.select("doc_id", F.expr(toks).alias("_toks"))
+    counts = (
+        "transform(array_distinct(_toks), "
+        "t -> CAST(size(filter(_toks, x -> x = t)) AS BIGINT))"
+    )
+    n = "CAST(size(_toks) AS BIGINT)"
+    num = f"aggregate({counts}, 0L, (s, c) -> s + c * (c - 1))"
+    return base.select(
+        "doc_id",
+        F.expr(n).alias("n_tokens"),
+        F.expr("CAST(size(array_distinct(_toks)) AS BIGINT)").alias(
+            "distinct_tokens"
+        ),
+        F.expr(
+            f"CASE WHEN {n} < 2 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE CAST({num} AS DOUBLE) / CAST({n} * ({n} - 1) AS DOUBLE)"
+            " END"
+        ).alias("repeat_prob"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_token_diversity": f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKS_LIST}) AS tok FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM t GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS u,
+                   CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+            FROM c GROUP BY 1
+        )
+        SELECT docs.doc_id,
+               COALESCE(d.n, 0) AS n_tokens,
+               COALESCE(d.u, 0) AS distinct_tokens,
+               CASE WHEN COALESCE(d.n, 0) < 2 THEN 0.0
+                    ELSE CAST(d.num AS DOUBLE)
+                         / CAST(d.n * (d.n - 1) AS DOUBLE)
+               END AS repeat_prob
+        FROM documents docs LEFT JOIN d USING (doc_id)
+    """,
     "q_tfidf_search": _tfidf_search_sql(),
     "q_url_canonicalize": _URL_CANON_DUCK.format(seed=_URL_SEED_DUCK),
     "q_bm25_passages": _bm25_passages_sql(),
