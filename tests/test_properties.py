@@ -754,3 +754,65 @@ def test_windowed_pair_counts_sum_to_running_counts(spark, baskets):
         for r in basket_pairs_counts(df).collect()
     }
     assert summed == running
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_token_diversity_matches_python_model(spark, texts):
+    """q_token_diversity's per-doc Simpson arithmetic vs a pure-Python
+    Counter model, on adversarial whitespace (empty docs, single tokens,
+    all-duplicate docs): n, distinct count, and the unbiased repeat
+    probability Σc(c−1)/(n(n−1)) must agree exactly, including the n<2
+    guard."""
+    from collections import Counter
+
+    from xeloader_spark.operators.text import _tok_array
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    toks = _tok_array("text")
+    counts = (
+        "transform(array_distinct(_toks), "
+        "t -> CAST(size(filter(_toks, x -> x = t)) AS BIGINT))"
+    )
+    n = "CAST(size(_toks) AS BIGINT)"
+    num = f"aggregate({counts}, 0L, (s, c) -> s + c * (c - 1))"
+    got = {
+        r.doc_id: (r.n_tokens, r.distinct_tokens, r.repeat_prob)
+        for r in df.select("doc_id", F.expr(toks).alias("_toks"))
+        .select(
+            "doc_id",
+            F.expr(n).alias("n_tokens"),
+            F.expr("CAST(size(array_distinct(_toks)) AS BIGINT)").alias(
+                "distinct_tokens"
+            ),
+            F.expr(
+                f"CASE WHEN {n} < 2 THEN CAST(0.0 AS DOUBLE)"
+                f" ELSE CAST({num} AS DOUBLE) / CAST({n} * ({n} - 1) AS DOUBLE)"
+                " END"
+            ).alias("repeat_prob"),
+        )
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        c = Counter(t.split())
+        nn = sum(c.values())
+        expect_rp = (
+            0.0
+            if nn < 2
+            else sum(v * (v - 1) for v in c.values()) / (nn * (nn - 1))
+        )
+        assert got[i] == (nn, len(c), expect_rp), (i, t, got[i])

@@ -499,18 +499,24 @@ def pq_fit(
     query as separate rows, and callers composing several indexes over
     the same corpus (pq + ivfpq) fit once."""
     q_full = _quantized(emb_df, id_col, vec_col, scale)
-    q_train = _train_gate(q_full, train_fraction, train_salt)
-    seed_rows = _pq_seed_rows(q_train, sub_k)
-    if not seed_rows:
-        raise ValueError(
-            "pq_fit: empty training set (corpus empty or train_fraction "
-            "gate admitted no rows)"
-        )
-    dim = len(seed_rows[0].qarr)
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters, seed_rows)
+    # cache the gated training frame across the seed collect + Lloyd
+    # rounds (same policy as the in-call training paths — without it
+    # every round re-scans parquet and re-quantizes)
+    q_train = _train_gate(q_full, train_fraction, train_salt).persist()
+    try:
+        seed_rows = _pq_seed_rows(q_train, sub_k)
+        if not seed_rows:
+            raise ValueError(
+                "pq_fit: empty training set (corpus empty or "
+                "train_fraction gate admitted no rows)"
+            )
+        dim = len(seed_rows[0].qarr)
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebooks = _pq_fit_joint(q_train, m, sub, sub_k, iters, seed_rows)
+    finally:
+        q_train.unpersist()
     return PQModel(codebooks=codebooks, m=m, sub=sub, scale=scale)
 
 
@@ -529,7 +535,11 @@ def ivf_fit(
     literal-sized lists for `ivf_topk_exact(..., centroids=...)` /
     `ivfpq_topk(..., coarse_centroids=...)`."""
     q = _quantized(emb_df, id_col, vec_col, scale)
-    return kmeans_fit(_train_gate(q, train_fraction, train_salt), k=km_k, iters=iters)
+    q_train = _train_gate(q, train_fraction, train_salt).persist()
+    try:
+        return kmeans_fit(q_train, k=km_k, iters=iters)
+    finally:
+        q_train.unpersist()
 
 
 def pq_topk(
