@@ -1058,7 +1058,12 @@ def q_windowed_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale with SF), one basket-grain aggregate, pairs carved inside the
     projection (never a transaction self-join), one slim
     (month, item, item) aggregate — the same no-self-join contract as
-    `q_frequent_pairs`."""
+    `q_frequent_pairs`. Pair fan-out is C(basket_size, 2): TPC-H order
+    baskets are ≤7 items, so no cap is needed here; on domains with
+    mega-baskets apply `operators/itemsets.frequent_pairs`'s
+    `max_basket_items` slice (or `slice(items, 1, cap)` on the sorted
+    array) before the carve — the streaming windowed twin has the same
+    consideration."""
     from ..streaming.itemset_stream import PAIR_EXPR
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -67,7 +67,10 @@ def basket_pairs_counts_windowed(
     O(pairs-per-open-window × open windows) — independent of stream
     age, unlike the running variant. Baskets arriving later than the
     watermark delay are dropped (the standard late-data trade; size the
-    delay to the stream's real skew). Works in update mode (emit
+    delay to the stream's real skew). Pair fan-out is C(basket_size, 2)
+    per basket — on mega-basket domains slice the sorted item array to a
+    cap before this operator (the batch a-priori operator's
+    `max_basket_items` policy). Works in update mode (emit
     changed supports per micro-batch) or append mode (emit each window
     once, when it finalizes — the shape a downstream batch prune job
     consumes)."""
