@@ -2084,3 +2084,74 @@ class TestSortedNeighborhood:
         }
         assert (1, 2) not in p1  # prefix order separates them
         assert (1, 2) in p2  # suffix order adjacifies them
+
+
+class TestRecordLinkage:
+    """Blocked multi-field linkage (operators/linkage.py): candidate
+    generation by blocking, integer agreement scoring, and the
+    threshold's exact precision/recall on the seeded perturbations."""
+
+    def test_links_are_true_pairs_with_gate_exact_recall(self, spark):
+        from xeloader_spark.queries.relational import (
+            _LINK_BAL_T,
+            _LINK_NAME_T,
+            _LINK_NAT_T,
+            _LINK_SEG_T,
+            q_record_linkage,
+        )
+        import hashlib
+
+        links = q_record_linkage(spark, "/root/testdata/sf0.001").collect()
+        # precision 1.0 at this fixture: every linked pair is the true
+        # entity (right ids are left ids shifted by 1e6) — names embed
+        # the full id, so cross-entity pairs can't clear the threshold
+        assert links, "linkage produced no pairs"
+        assert all(r.right_key == r.left_key + 1_000_000 for r in links)
+        # recall replays the md5 gates in pure Python: a true pair links
+        # iff the nation gate did NOT move it out of the block AND at
+        # most one of (name, segment, balance) was corrupted
+        def gate(salt, key, thr):
+            h = int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
+            return (h % 10_000) < thr
+
+        import duckdb
+
+        con = duckdb.connect()
+        keys = [
+            r[0]
+            for r in con.execute(
+                "SELECT c_custkey FROM read_parquet("
+                "'/root/testdata/sf0.001/customer.parquet')"
+            ).fetchall()
+        ]
+        con.close()
+        expect = set()
+        for k in keys:
+            if gate("linknat", k, _LINK_NAT_T):
+                continue  # blocked out
+            broken = (
+                int(gate("linkname", k, _LINK_NAME_T))
+                + int(gate("linkseg", k, _LINK_SEG_T))
+                + int(gate("linkbal", k, _LINK_BAL_T))
+            )
+            if broken <= 1:
+                expect.add(k)
+        got_true = {r.left_key for r in links if r.right_key == r.left_key + 1_000_000}
+        assert got_true == expect
+
+    def test_null_fields_never_agree(self, spark):
+        from xeloader_spark.operators.linkage import blocked_link
+
+        left = spark.createDataFrame(
+            [(1, "b1", None), (2, "b1", "x")],
+            "left_key long, blk string, l_f string",
+        )
+        right = spark.createDataFrame(
+            [(10, "b1", None), (20, "b1", "x")],
+            "right_key long, blk string, r_f string",
+        )
+        out = blocked_link(
+            left, right, ["blk"], [("l_f", "r_f", 5)], threshold=5
+        ).collect()
+        # NULL == NULL must NOT count as agreement — only (2, 20) links
+        assert [(r.left_key, r.right_key) for r in out] == [(2, 20)]

@@ -351,6 +351,17 @@ class TestNewOperatorPlanShapes:
         assert "Scan parquet" not in plan  # checkpoint truncates
         assert "Generate" in plan  # array-side pair carve, no self-join
 
+    def test_record_linkage_blocked_equi_join(self, spark):
+        from xeloader_spark.queries import relational as qr
+
+        # candidates must come from the block-key equi-join — a lost
+        # block key degenerates to a cartesian and fails here
+        df = qr.q_record_linkage(spark, SF)
+        plans.assert_no_cartesian(df)
+        plan = plans.physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        plans.assert_max_shuffles(df, 2)
+
     def test_windowed_pair_supports_no_self_join(self, spark):
         from xeloader_spark.queries import relational as qr
 

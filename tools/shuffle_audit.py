@@ -72,6 +72,7 @@ AUDIT_QUERIES = [
     "q_windowed_pair_supports",
     "q_bm25_topk_logidf",
     "q_ann_topk_ivfpq",
+    "q_record_linkage",
 ]
 
 # Iterative operators localCheckpoint their working frames, which

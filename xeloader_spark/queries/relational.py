@@ -1041,6 +1041,82 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINK_NAME_W, _LINK_SEG_W, _LINK_BAL_W = 4, 2, 3
+_LINK_THRESHOLD = 5
+# md5-gate thresholds out of 10000 (operators/sampling.hash_bucket):
+# 10% of dirty rows move nation (fall out of the block — the blocking
+# recall trade), 30% lowercase the name, 20% lose the segment, 25%
+# drift the balance by one cent.
+_LINK_NAT_T, _LINK_NAME_T, _LINK_SEG_T, _LINK_BAL_T = 1000, 3000, 2000, 2500
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage over a deterministically dirtied copy of
+    the customer table (`operators/linkage.blocked_link`) — the
+    structured-record entity-resolution twin of the document near-dup
+    family: candidate pairs from an equi-join on the blocking key
+    (nation, last-3-of-name — case-invariant digits, so the name-case
+    perturbation cannot break blocking), integer field-agreement
+    weights (name 4, segment 2, balance-cents 3), threshold 5 — so a
+    pair links iff at most ONE field was corrupted. The seeded
+    perturbations (md5-gated: nation moved 10%, name lowercased 30%,
+    segment dropped 20%, balance off-by-a-cent 25%) replay in the
+    oracle, making precision/recall of the threshold an exact-checked
+    property instead of an anecdote.
+
+    Scale shape: one equi-join on the blocking key (optimizer-chosen
+    strategy — both sides are corpus-sized), scoring is a codegen
+    projection, the threshold prunes in the same stage. Never the
+    all-pairs space."""
+    from ..operators.linkage import blocked_link
+    from ..operators.sampling import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = "CAST(round(c_acctbal * 100) AS BIGINT)"
+
+    def g(salt: str, thr: int):
+        return hash_bucket(F.col("c_custkey"), salt) < thr
+
+    left = cust.select(
+        F.col("c_custkey").alias("left_key"),
+        F.col("c_nationkey").alias("nk"),
+        F.expr("right(c_name, 3)").alias("tail"),
+        F.col("c_name").alias("l_name"),
+        F.col("c_mktsegment").alias("l_seg"),
+        F.expr(cents).alias("l_bal"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("right_key"),
+        F.when(
+            g("linknat", _LINK_NAT_T), (F.col("c_nationkey") + 1) % 25
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+        F.expr("right(c_name, 3)").alias("tail"),
+        F.when(g("linkname", _LINK_NAME_T), F.lower("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+        F.when(g("linkseg", _LINK_SEG_T), F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("r_seg"),
+        (
+            F.expr(cents)
+            + F.when(g("linkbal", _LINK_BAL_T), 1).otherwise(0)
+        ).alias("r_bal"),
+    )
+    return blocked_link(
+        left,
+        right,
+        block_cols=["nk", "tail"],
+        agreements=[
+            ("l_name", "r_name", _LINK_NAME_W),
+            ("l_seg", "r_seg", _LINK_SEG_W),
+            ("l_bal", "r_bal", _LINK_BAL_W),
+        ],
+        threshold=_LINK_THRESHOLD,
+    )
+
+
 _WPS_MIN_PAIR = 2
 
 
@@ -1092,7 +1168,53 @@ def q_windowed_pair_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _link_gate_duck(salt: str, thr: int) -> str:
+    return (
+        f"((('0x' || substr(md5('{salt}' || CAST(c_custkey AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 10000) < {thr})"
+    )
+
+
+_LINK_ORACLE = f"""
+    WITH l AS (
+        SELECT c_custkey AS left_key, c_nationkey AS nk,
+               right(c_name, 3) AS tail, c_name AS l_name,
+               c_mktsegment AS l_seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS l_bal
+        FROM customer
+    ),
+    r AS (
+        SELECT c_custkey + 1000000 AS right_key,
+               CASE WHEN {_link_gate_duck("linknat", _LINK_NAT_T)}
+                    THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS nk,
+               right(c_name, 3) AS tail,
+               CASE WHEN {_link_gate_duck("linkname", _LINK_NAME_T)}
+                    THEN lower(c_name) ELSE c_name END AS r_name,
+               CASE WHEN {_link_gate_duck("linkseg", _LINK_SEG_T)}
+                    THEN 'UNKNOWN' ELSE c_mktsegment END AS r_seg,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+                   + CASE WHEN {_link_gate_duck("linkbal", _LINK_BAL_T)}
+                          THEN 1 ELSE 0 END AS r_bal
+        FROM customer
+    ),
+    scored AS (
+        SELECT l.left_key, r.right_key,
+               CAST(CASE WHEN l.l_name = r.r_name THEN {_LINK_NAME_W} ELSE 0 END
+                  + CASE WHEN l.l_seg = r.r_seg THEN {_LINK_SEG_W} ELSE 0 END
+                  + CASE WHEN l.l_bal = r.r_bal THEN {_LINK_BAL_W} ELSE 0 END
+                  AS BIGINT) AS score,
+               CAST(CASE WHEN l.l_name = r.r_name THEN 1 ELSE 0 END
+                  + CASE WHEN l.l_seg = r.r_seg THEN 1 ELSE 0 END
+                  + CASE WHEN l.l_bal = r.r_bal THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_agreements
+        FROM l JOIN r ON l.nk = r.nk AND l.tail = r.tail
+    )
+    SELECT * FROM scored WHERE score >= {_LINK_THRESHOLD}
+"""
+
+
 ORACLES: dict[str, str] = {
+    "q_record_linkage": _LINK_ORACLE,
     "q_windowed_pair_supports": f"""
         WITH b AS (
             SELECT DISTINCT l.l_orderkey AS basket,
