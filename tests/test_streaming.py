@@ -1582,3 +1582,65 @@ def test_streaming_bm25_scores_match_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_streaming_record_linkage_matches_batch(spark, tmp_path):
+    """Stream-static record linkage: a stream of incoming (dirty)
+    records blocked-joined and scored against the static clean side
+    must produce exactly the batch operator's links — the linkage
+    scoring is a stateless projection over a stream-static equi-join,
+    so the new-records-arrive-continuously deployment needs no new
+    operator. Zero state operators (no aggregate, no watermark)."""
+    from xeloader_spark.operators.linkage import blocked_link
+
+    cust = load_table(spark, SF, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("left_key"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.expr("right(c_name, 3)").alias("tail"),
+        F.col("c_name").alias("l_name"),
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("right_key"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.expr("right(c_name, 3)").alias("tail"),
+        # corrupt a third of the names so scores differ
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+    )
+    agreements = [("l_name", "r_name", 5)]
+
+    expect = {
+        (r.left_key, r.right_key)
+        for r in blocked_link(
+            left, right, ["nk", "tail"], agreements, threshold=5
+        ).collect()
+    }
+
+    root = str(tmp_path / "dirty_in")
+    right.repartition(3).write.mode("overwrite").parquet(root)
+    stream = (
+        spark.readStream.schema(
+            "right_key long, nk long, tail string, r_name string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+    )
+    q = (
+        blocked_link(left, stream, ["nk", "tail"], agreements, threshold=5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("links_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert all(not p.get("stateOperators") for p in q.recentProgress)
+    got = {
+        (r.left_key, r.right_key)
+        for r in spark.sql("SELECT left_key, right_key FROM links_t").collect()
+    }
+    assert got == expect
+    assert len(got) > 0
