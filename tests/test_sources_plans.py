@@ -351,6 +351,16 @@ class TestNewOperatorPlanShapes:
         assert "Scan parquet" not in plan  # checkpoint truncates
         assert "Generate" in plan  # array-side pair carve, no self-join
 
+    def test_quantile_normalize_shuffle_budget(self, spark):
+        from xeloader_spark.queries import sampling as qs
+
+        # per-source window + distributed global rank + rank equi-join +
+        # 1-row N broadcast: no single-partition window (suite gate), no
+        # cartesian, bounded exchange count
+        df = qs.q_quantile_normalize_scores(spark, SF)
+        plans.assert_no_cartesian(df)
+        plans.assert_max_shuffles(df, 10)
+
     def test_record_linkage_blocked_equi_join(self, spark):
         from xeloader_spark.queries import relational as qr
 

@@ -73,6 +73,7 @@ AUDIT_QUERIES = [
     "q_bm25_topk_logidf",
     "q_ann_topk_ivfpq",
     "q_record_linkage",
+    "q_quantile_normalize_scores",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -102,6 +103,8 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     # ivfpq persists the quantized frame for the qrows collect, so the
     # executed candidate plan can be cache-truncated
     "q_ann_topk_ivfpq": {"embeddings"},
+    # global_row_number localCheckpoints its range-partitioned frame
+    "q_quantile_normalize_scores": {"documents"},
 }
 
 

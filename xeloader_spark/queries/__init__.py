@@ -34,11 +34,12 @@ from . import core
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
 # ROUND-6 ROTATION (installed from tools/gen_round_priority.py output):
-# 232 registered; 4 unverified; window 50 → 50 slots (0 unverified beyond
-# the window). Slots 1-4 are the round-6 additions (q_bm25_topk_logidf,
+# 233 registered; 5 unverified; window 50 → 50 slots (0 unverified beyond
+# the window). Slots 1-5 are the round-6 additions (q_bm25_topk_logidf,
 # rows-only by design — float log; q_windowed_pair_supports,
-# q_token_diversity, q_record_linkage — oracle-exact); the rest are
-# oldest-first regression re-checks of the stale r1/r2 greens. Registry freeze: keep any further
+# q_token_diversity, q_record_linkage, q_quantile_normalize_scores —
+# oracle-exact); the rest are oldest-first regression re-checks of the
+# stale r1/r2 greens. Registry freeze: keep any further
 # round-6 additions within the headroom the tool reports (re-run +
 # reinstall after every addition).
 _ROUND_PRIORITY = [
@@ -46,6 +47,7 @@ _ROUND_PRIORITY = [
     "q_windowed_pair_supports",
     "q_token_diversity",
     "q_record_linkage",
+    "q_quantile_normalize_scores",
     "q_running_total",  # recheck (last green r1)
     "q_scalar_subquery",  # recheck (last green r1)
     "q_set_operations",  # recheck (last green r1)
@@ -91,7 +93,6 @@ _ROUND_PRIORITY = [
     "q_multimodal_resize",  # recheck (last green r2)
     "q_bpe_pair_counts",  # recheck (last green r2)
     "q_doc_fingerprint",  # recheck (last green r2)
-    "q_gopher_quality",  # recheck (last green r2)
 ]
 
 

@@ -266,7 +266,141 @@ _STRATA_CASE = (
     + f" ELSE {int(_DEFAULT_FRAC * _B)} END"
 )
 
+_QN_SCALE = 1_000_000  # Simpson repeat probability as parts-per-million
+_QN_PCT = 10_000  # percentile resolution (basis points)
+
+
+def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-document quality
+    score — the calibration step before a single global threshold is
+    applied to scores whose distributions differ by source (classifier
+    scores, perplexities, diversity indices all drift per corpus; rank
+    within source is the comparable quantity). Score here is the
+    integer Simpson repeat probability (ppm, the `q_token_diversity`
+    arithmetic); per source each doc gets its basis-point percentile
+    ((rank−1)·10⁴ DIV (n_src−1)), and the normalized value is the
+    GLOBAL score at that percentile — the (1 + (pct·(N−1)) DIV 10⁴)-th
+    global order statistic, fetched by an equi-join on rank, never a
+    sort-merge lookup. Everything is integer ranks and DIVs, so the
+    whole calibration hash-checks.
+
+    Scale shape: one per-source window (slim (doc, source, score)
+    projection), the distributed `global_row_number` range-rank for the
+    reference distribution (no single-partition window — the suite gate
+    forbids it), a 1-row N aggregate broadcast back, and one equi-join
+    on target_rank. The corpus text never moves; only rank rows do."""
+    from ..operators.rank import global_row_number
+    from ..operators.text import _tok_array
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok_array("text")
+    counts = (
+        "transform(array_distinct(_toks), "
+        "t -> CAST(size(filter(_toks, x -> x = t)) AS BIGINT))"
+    )
+    n = "CAST(size(_toks) AS BIGINT)"
+    num = f"aggregate({counts}, 0L, (s, c) -> s + c * (c - 1))"
+    base = docs.select(
+        "doc_id", "source", F.expr(toks).alias("_toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CASE WHEN {n} < 2 THEN 0L"
+            f" ELSE ({num} * {_QN_SCALE}) DIV ({n} * ({n} - 1)) END"
+        ).alias("rp_ppm"),
+    )
+    w_src = Window.partitionBy("source").orderBy("rp_ppm", "doc_id")
+    ranked = base.withColumn(
+        "src_rank", F.row_number().over(w_src).cast("long")
+    ).withColumn(
+        "n_src", F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long")
+    )
+    pct = ranked.withColumn(
+        "pctile",
+        F.expr(
+            f"CASE WHEN n_src < 2 THEN 0L"
+            f" ELSE ((src_rank - 1) * {_QN_PCT}) DIV (n_src - 1) END"
+        ),
+    )
+    glob = global_row_number(
+        base.select(F.col("rp_ppm").alias("g_ppm"), F.col("doc_id").alias("g_id")),
+        order_by=["g_ppm", "g_id"],
+        out_col="g_rank",
+    ).select("g_rank", "g_ppm")
+    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        pct.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "target_rank",
+            F.expr(f"1 + (pctile * (n_total - 1)) DIV {_QN_PCT}"),
+        )
+        .join(glob, F.col("target_rank") == F.col("g_rank"))
+        .select(
+            "doc_id",
+            "source",
+            "rp_ppm",
+            "pctile",
+            F.col("g_ppm").alias("normalized_ppm"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_quantile_normalize_scores": f"""
+        WITH t AS (
+            SELECT doc_id, unnest({{toks}}) AS tok FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM t GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+            FROM c GROUP BY 1
+        ),
+        base AS (
+            SELECT docs.doc_id, docs.source,
+                   CASE WHEN COALESCE(d.n, 0) < 2 THEN CAST(0 AS BIGINT)
+                        ELSE (d.num * {_QN_SCALE}) // (d.n * (d.n - 1))
+                   END AS rp_ppm
+            FROM documents docs LEFT JOIN d USING (doc_id)
+        ),
+        ranked AS (
+            SELECT *,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY rp_ppm, doc_id
+                   ) AS BIGINT) AS src_rank,
+                   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_src
+            FROM base
+        ),
+        pct AS (
+            SELECT *,
+                   CASE WHEN n_src < 2 THEN CAST(0 AS BIGINT)
+                        ELSE ((src_rank - 1) * {_QN_PCT}) // (n_src - 1)
+                   END AS pctile
+            FROM ranked
+        ),
+        gref AS (
+            SELECT rp_ppm AS g_ppm,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rp_ppm, doc_id)
+                        AS BIGINT) AS g_rank
+            FROM base
+        ),
+        n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM base)
+        SELECT p.doc_id, p.source, p.rp_ppm, p.pctile,
+               g.g_ppm AS normalized_ppm
+        FROM pct p
+        CROSS JOIN n_tot
+        JOIN gref g
+          ON g.g_rank = 1 + (p.pctile * (n_tot.n_total - 1)) // {_QN_PCT}
+    """.replace(
+        "{toks}", "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+    ),
     "q_sample_deterministic": f"""
         SELECT doc_id, source, n_chars FROM documents
         WHERE {_bucket_sql('doc_id')} < {int(0.10 * _B)}
