@@ -185,3 +185,27 @@ def test_prebuilt_model_paths_bit_identical(spark):
         emb, rq, k=5, n_probe=8, km_k=16, centroids=cl.ivf_fit(emb, km_k=16)
     ).collect()
     assert sorted(map(tuple, e)) == sorted(map(tuple, f))
+
+
+def test_wrong_model_inputs_fail_loudly(spark):
+    """r6 code-review hardening: caller-supplied coarse centroids with
+    the wrong dimension must raise (the probe loop would zip-truncate
+    silently otherwise), and duplicate query_ids must be rejected up
+    front (the ADC map literal is keyed by query_id — Spark would throw
+    an opaque DUPLICATED_MAP_KEY mid-task)."""
+    import pytest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bad_centroids = [[0] * 8 for _ in range(4)]  # corpus dim is 64
+    with pytest.raises(ValueError, match="centroid dim"):
+        cl.ivf_topk_exact(emb, [0, 1], k=3, centroids=bad_centroids)
+    with pytest.raises(ValueError, match="coarse centroid dim"):
+        cl.ivfpq_topk(
+            emb, [0, 1], k=3,
+            coarse_centroids=bad_centroids,
+            pq_model=cl.pq_fit(emb, m=16, sub_k=4, iters=0),
+        )
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        cl.pq_topk(emb, [3, 3], k=3, m=16, sub_k=4, iters=0)
+    with pytest.raises(ValueError, match="duplicate query_ids"):
+        cl.ivfpq_topk(emb, [3, 3], k=3, m=16, sub_k=4, pq_iters=0)

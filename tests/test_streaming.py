@@ -1644,3 +1644,46 @@ def test_streaming_record_linkage_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_streaming_bm25_large_frozen_stats_no_overflow(spark):
+    """Regression (r6 code review, repro-confirmed): frozen stats were
+    rendered as bare int literals, so the folded idf product
+    (2*(N-df)+1)*idf_scale was int32 and ANSI-crashed with
+    ARITHMETIC_OVERFLOW for any corpus with N-df >= 1074. Stats from a
+    realistic-size corpus (5000 docs) must score cleanly and match the
+    Python integer formula."""
+    from xeloader_spark.streaming.bm25_stream import bm25_score_stream
+
+    stats = {"n_docs": 5_000, "tot_len": 250_000, "df": [5, 50, 500]}
+    terms = ("alpha", "beta", "gamma")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma x y"), (2, "x y z"), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bm25_score_stream(docs, stats, terms).collect()}
+    assert rows[2].score == 0 and rows[2].n_matched == 0
+
+    def py_score(tfs, dl):
+        idf_scale, sat_scale, dl_scale = 1_000_000, 10_000, 1_000_000
+        a, c, p, q = 6, 5, 3, 4
+        n, tot = stats["n_docs"], stats["tot_len"]
+        dlnorm = (dl * n * dl_scale) // tot
+        total = 0
+        for tf, df in zip(tfs, stats["df"]):
+            if tf == 0:
+                continue
+            idf = ((2 * (n - df) + 1) * idf_scale) // (2 * df + 1)
+            sat_num = tf * (a + c) * q * dl_scale * sat_scale
+            sat_den = c * q * dl_scale * tf + a * (q - p) * dl_scale + a * p * dlnorm
+            total += (idf * (sat_num // sat_den)) // sat_scale
+        return total
+
+    assert rows[1].score == py_score([1, 2, 1], 6)
+    assert rows[3].score == py_score([2, 0, 0], 2)
+
+    # empty-corpus stats must fail loudly at the stats source
+    from xeloader_spark.streaming.bm25_stream import bm25_frozen_stats
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_frozen_stats(docs.filter("doc_id < 0"), terms)

@@ -451,21 +451,10 @@ def _train_gate(
     training stays hash-checked."""
     if train_fraction >= 1.0:
         return q
-    thresh = int(train_fraction * 10_000)
+    from .sampling import BUCKETS, hash_bucket
+
     return q.filter(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(train_salt), F.col("id").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 10_000
-        < thresh
+        hash_bucket(F.col("id"), train_salt) < int(train_fraction * BUCKETS)
     )
 
 
@@ -581,6 +570,11 @@ def pq_topk(
     regardless of corpus size. Output dist is then the exact quantized
     L2; without rerank it is the ADC approximation.
     """
+    if len(set(query_ids)) != len(query_ids):
+        raise ValueError(
+            "pq_topk: duplicate query_ids (the ADC map literal is keyed "
+            "by query_id)"
+        )
     q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
 
     if model is None:
@@ -791,6 +785,13 @@ def ivf_topk_exact(
     missing = sorted(set(query_ids) - set(qrows))
     if missing:
         raise ValueError(f"query ids not in corpus: {missing}")
+    dim_q = len(next(iter(qrows.values())))
+    if any(len(c) != dim_q for c in centroids):
+        raise ValueError(
+            f"centroid dims {sorted({len(c) for c in centroids})} != corpus "
+            f"dim {dim_q} — wrong centroids for this embedding column "
+            "(probe selection would zip-truncate silently)"
+        )
 
     # probe selection is driver-side over the model-sized centroid list:
     # per query the n_probe nearest centroids, (dist, cluster) ordered
@@ -877,6 +878,11 @@ def ivfpq_topk(
     """
     if not query_ids:
         raise ValueError("query_ids must be non-empty")
+    if len(set(query_ids)) != len(query_ids):
+        raise ValueError(
+            "ivfpq_topk: duplicate query_ids (the ADC map literal is keyed "
+            "by query_id)"
+        )
     q_full = _quantized(emb_df, id_col, vec_col, scale).persist()
 
     if coarse_centroids is None or pq_model is None:
@@ -918,6 +924,13 @@ def ivfpq_topk(
         raise ValueError(
             f"corpus dim != pq_model dim {m * sub} — wrong PQModel for "
             "this embedding column"
+        )
+    dim_q = len(next(iter(qrows.values())))
+    if any(len(c) != dim_q for c in centroids):
+        raise ValueError(
+            f"coarse centroid dims {sorted({len(c) for c in centroids})} != "
+            f"corpus dim {dim_q} — wrong coarse_centroids for this "
+            "embedding column (probe selection would zip-truncate silently)"
         )
     q_full.unpersist()
 

@@ -301,15 +301,22 @@ def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = "CAST(size(_toks) AS BIGINT)"
     num = f"aggregate({counts}, 0L, (s, c) -> s + c * (c - 1))"
-    base = docs.select(
-        "doc_id", "source", F.expr(toks).alias("_toks")
-    ).select(
-        "doc_id",
-        "source",
-        F.expr(
-            f"CASE WHEN {n} < 2 THEN 0L"
-            f" ELSE ({num} * {_QN_SCALE}) DIV ({n} * ({n} - 1)) END"
-        ).alias("rp_ppm"),
+    # checkpoint ONCE: three consumers (per-source ranking, the global
+    # reference rank, the 1-row N aggregate) would each replay the
+    # O(u*n)-per-row token-count HOF projection otherwise — the r5
+    # reused-frames rule; the materialized frame is the slim
+    # (id, source, score) triple, not the text
+    base = (
+        docs.select("doc_id", "source", F.expr(toks).alias("_toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"CASE WHEN {n} < 2 THEN 0L"
+                f" ELSE ({num} * {_QN_SCALE}) DIV ({n} * ({n} - 1)) END"
+            ).alias("rp_ppm"),
+        )
+        .localCheckpoint(eager=True)
     )
     w_src = Window.partitionBy("source").orderBy("rp_ppm", "doc_id")
     ranked = base.withColumn(

@@ -71,6 +71,12 @@ def bm25_frozen_stats(
         )
         .collect()[0]
     )
+    if int(row.n_docs) == 0:
+        raise ValueError(
+            "bm25_frozen_stats: empty corpus — frozen stats need at "
+            "least one document (tot_len/df aggregate to NULL on zero "
+            "rows)"
+        )
     return {
         "n_docs": int(row.n_docs),
         "tot_len": int(row.tot_len),
@@ -115,17 +121,22 @@ def bm25_score_stream(
         )
         for i, t in enumerate(terms)
     ]
+    # L-suffixed literals: bare ints are int32 in Spark SQL, and the
+    # folded idf product (2*(N-df)+1)*idf_scale overflows int32 for any
+    # corpus with N-df >= 1074 (ANSI mode -> ARITHMETIC_OVERFLOW at plan
+    # time; repro'd at 5000 docs). BIGINT literals keep the whole
+    # expression 64-bit, matching the batch path's BIGINT columns.
     contrib = bm25_contrib_sqls(
         len(terms), k1, b, idf_scale, sat_scale, dl_scale,
-        n_docs_sql=str(n_docs),
-        df_sqls=[str(d) for d in dfs],
+        n_docs_sql=f"{n_docs}L",
+        df_sqls=[f"{d}L" for d in dfs],
     )
     return (
         base.select(
             F.col(id_col),
             F.col("_dl").alias("dl"),
             F.expr(
-                bm25_dlnorm_sql(str(n_docs), str(tot_len), dl_scale)
+                bm25_dlnorm_sql(f"{n_docs}L", f"{tot_len}L", dl_scale)
             ).alias("_dlnorm"),
             *tf_cols,
         )
