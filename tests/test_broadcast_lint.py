@@ -139,10 +139,11 @@ WHITELIST: dict[str, list[str]] = {
         "ranked.crossJoin(F.broadcast(agg))",
         "rev.crossJoin(F.broadcast(mx))",
     ],
-    # 1-row total + (lang, source) group-bounded budgets
+    # 1-row totals + (lang, source) group-bounded budgets
     "queries/sampling.py": [
         "budgets = grp.crossJoin(F.broadcast(total)).select(",
         'joined = toks.join(F.broadcast(budgets), ["lang", "source"])',
+        "pct.crossJoin(F.broadcast(n_total))",
     ],
     # (label, pos) bounded centroid sums
     "queries/similarity.py": [
