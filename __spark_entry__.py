@@ -46,5 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted keys → rows-only check."""
+    """DuckDB-equivalent SQL per query. Every registered query carries an
+    oracle: the driver has no rows-only mode (an omitted key records
+    ``err: no_oracle``), so non-SQL-replayable results (float log,
+    trained models) are expressed as in-plan contract checks whose
+    booleans the oracle pins TRUE."""
     return _q.all_oracles()

@@ -858,6 +858,54 @@ class TestText:
             expect = ref_score(corpus[r.doc_id]) * 1_000_000
             assert abs(r.score - expect) <= max(2e-3 * expect, 500)
 
+    def test_bm25_logidf_matches_textbook_reference(self, spark, docs):
+        """The float twin (idf_form='log') must reproduce textbook
+        Lucene-form BM25 — idf = ln(1 + (N−df+0.5)/(df+0.5)), float
+        saturation — against a pure-Python reference: identical top-15
+        ordering and values within float tolerance. This is the value
+        pin behind `q_bm25_topk_logidf`'s contract-check driver row."""
+        import math
+
+        terms = ("spark", "merge", "window")
+        out = tx.bm25_topk(docs, terms, k=15, idf_form="log").collect()
+        corpus = {
+            r.doc_id: r.text.split() for r in docs.select("doc_id", "text").collect()
+        }
+        n_docs = len(corpus)
+        avgdl = sum(len(t) for t in corpus.values()) / n_docs
+        dfc = {t: sum(1 for tk in corpus.values() if t in tk) for t in terms}
+        k1, b = 1.2, 0.75
+
+        def ref_score(toks):
+            dl = len(toks)
+            s = 0.0
+            for t in terms:
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n_docs - dfc[t] + 0.5) / (dfc[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            return s
+
+        ref = sorted(
+            ((ref_score(tk), -i) for i, tk in corpus.items()), reverse=True
+        )[:15]
+        assert [r.doc_id for r in out] == [-ni for _, ni in ref]
+        for r in out:
+            expect = ref_score(corpus[r.doc_id])
+            assert abs(r.score - expect) <= 1e-9 * max(1.0, abs(expect))
+
+    def test_bm25_logidf_contract_booleans_true(self, spark):
+        """q_bm25_topk_logidf's in-plan contract must come back all-TRUE
+        on the fixture (the driver's oracle pins exactly this row)."""
+        from xeloader_spark.queries.text import q_bm25_topk_logidf
+
+        row = q_bm25_topk_logidf(spark, "/root/testdata/sf0.001").collect()
+        assert len(row) == 1
+        r = row[0]
+        assert r.n_topk == 20
+        assert r.overlap_ok and r.score_positive_ok and r.idf_rank_agree_ok
+
     def test_bm25_shorter_doc_scores_higher_at_equal_tf(self, spark):
         df = spark.createDataFrame(
             [

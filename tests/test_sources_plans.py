@@ -882,3 +882,41 @@ class TestRound4LateAdditionShapes:
         df = qd.q_sorted_neighborhood_pairs(spark, SF)
         plans.assert_max_shuffles(df, 8)
         plans.assert_no_cartesian(df)
+
+
+class TestRound7AdditionShapes:
+    def test_ivfpq_query_phase_stage_budget(self, spark):
+        """Pin the prebuilt-model IVF-PQ query phase to its minimal
+        shape: exactly 2 shuffles (the two per-query-window exchanges —
+        ADC shortlist rank and exact re-rank, both required by
+        semantics), both joins broadcast (probe list and shortlist are
+        query-bounded), 2 corpus scans (assignment+encode, re-rank), no
+        cartesian. The sf0.1 bench row (~6.8s) is AQE stage-scheduling
+        floor, not compute (BASELINE.md note) — this pin makes a future
+        regression in actual plan work distinguishable from that noise."""
+        from xeloader_spark.operators import cluster as cl
+
+        emb = load_table(spark, SF, "embeddings")
+        coarse = cl.ivf_fit(emb, km_k=16, iters=2, train_fraction=0.25)
+        pqm = cl.pq_fit(emb, m=16, sub_k=16, iters=1, train_fraction=0.25)
+        df = cl.ivfpq_topk(
+            emb, [0, 7, 14, 21], k=10, n_probe=12, rerank=200,
+            coarse_centroids=coarse, pq_model=pqm,
+        )
+        plans.assert_max_shuffles(df, 2)
+        plans.assert_no_cartesian(df)
+        plan = plans.physical_plan(df, "simple")
+        assert plan.count("FileScan parquet") == 2, plan
+        assert plan.count("BroadcastHashJoin") == 2, plan
+
+    def test_simpson_stats_linear_form_in_plan(self, spark):
+        """The token-count stats must compile to the sorted run-length
+        aggregate (sort_array + single fold), not the quadratic
+        distinct×filter HOF — and stay zero-shuffle."""
+        from xeloader_spark.queries import text as qt
+
+        df = qt.q_token_diversity(spark, SF)
+        plans.assert_max_shuffles(df, 0)
+        plan = plans.physical_plan(df, "simple")
+        assert "sort_array" in plan, plan
+        assert "array_distinct" not in plan, plan

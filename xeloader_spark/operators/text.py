@@ -33,6 +33,37 @@ def _tok_array(text_col: str) -> str:
     return f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
 
 
+def simpson_stats_sql(arr_sql: str) -> str:
+    """Per-row token-count statistics in O(n log n), not O(u·n): sort the
+    token array once, then a SINGLE run-length `aggregate` pass yields
+    STRUCT(num BIGINT, u BIGINT) where num = Σ c_i·(c_i−1) (the unbiased
+    Simpson repeat numerator) and u = distinct token count.
+
+    Replaces the earlier `transform(array_distinct(a), t ->
+    size(filter(a, x -> x = t)))` form, which is value-identical but
+    quadratic per row — fine on fixture-length docs, a CPU trap on
+    pretraining-shaped corpora where one document can run to 10⁵–10⁶
+    tokens (10⁹+ comparisons pinning a task for minutes). Corpus
+    scale-up multiplies rows, not doc length, so the sorted run-length
+    form keeps per-row cost bounded at any corpus SF.
+
+    All arithmetic is BIGINT with a pinned operation order, so the
+    grouped-count DuckDB oracle replays it exactly. The empty array
+    yields (0, 0); tokens are never NULL (the tokenizer filters '')."""
+    return (
+        "aggregate("
+        f"sort_array({arr_sql}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+        "'acc', 0L, 'u', 0L), "
+        "(s, x) -> IF(s.prev IS NOT NULL AND x = s.prev, "
+        "named_struct('prev', x, 'run', s.run + 1L, 'acc', s.acc, "
+        "'u', s.u), "
+        "named_struct('prev', x, 'run', 1L, "
+        "'acc', s.acc + s.run * (s.run - 1L), 'u', s.u + 1L)), "
+        "s -> named_struct('num', s.acc + s.run * (s.run - 1L), 'u', s.u))"
+    )
+
+
 def marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
     """Count tokens that are marker words — via array intersection size,
     not regex (regex word-boundary semantics differ across engines)."""
@@ -451,8 +482,10 @@ def bm25_topk(
       that log-idf would prefer). Callers wanting textbook scores pass
       ``idf_form="log"``: the float twin with idf = ln(1 + (N − df +
       0.5)/(df + 0.5)) (Lucene's form) and float saturation — not
-      hash-checkable cross-engine (libm), so it carries a rows-only
-      driver check; the default stays the exact-checked ratio.
+      hash-checkable cross-engine (libm), so its driver row is an
+      in-plan contract check (`queries/text.q_bm25_topk_logidf`:
+      RSJ-overlap floor + idf rank agreement, oracle pins TRUE); the
+      default stays the exact-checked ratio.
     - length-normalized saturation tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)):
       k1 and b are exact rationals (defaults 6/5 and 3/4), dl/avgdl is
       the scaled integer (dl·N·dl_scale) DIV total_len, and the whole

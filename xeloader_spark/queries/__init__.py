@@ -3,7 +3,9 @@
 Each submodule defines ``q_*`` functions with signature
 ``(spark: SparkSession, sf_dir: str) -> DataFrame`` plus an ``ORACLES``
 dict mapping the same names to DuckDB-runnable ANSI SQL. Names without an
-oracle entry are non-SQL-expressible (UDF-backed) and get rows-only checks.
+oracle entry would record ``err: no_oracle`` (the driver has no
+rows-only mode), so every registered query carries one — non-replayable
+results use in-plan contract-check oracles that pin booleans TRUE.
 
 Cross-engine determinism rules used throughout (so the driver's
 order-insensitive value-hash matches):
@@ -33,66 +35,62 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-6 ROTATION (installed from tools/gen_round_priority.py output):
-# 233 registered; 5 unverified; window 50 → 50 slots (0 unverified beyond
-# the window). Slots 1-5 are the round-6 additions (q_bm25_topk_logidf,
-# rows-only by design — float log; q_windowed_pair_supports,
-# q_token_diversity, q_record_linkage, q_quantile_normalize_scores —
-# oracle-exact); the rest are oldest-first regression re-checks of the
-# stale r1/r2 greens. Registry freeze: keep any further
-# round-6 additions within the headroom the tool reports (re-run +
-# reinstall after every addition).
+# ROUND-7 ROTATION (installed from tools/gen_round_priority.py output):
+# 233 registered; 1 unverified; window 50 → 50 slots. Slot 1 is
+# q_bm25_topk_logidf (now carrying its contract-check oracle — the only
+# never-green row); the rest are oldest-first regression re-checks of the
+# stale r2/r3 greens. Re-run + reinstall after every query addition.
 _ROUND_PRIORITY = [
     "q_bm25_topk_logidf",
-    "q_windowed_pair_supports",
-    "q_token_diversity",
-    "q_record_linkage",
-    "q_quantile_normalize_scores",
-    "q_running_total",  # recheck (last green r1)
-    "q_scalar_subquery",  # recheck (last green r1)
-    "q_set_operations",  # recheck (last green r1)
-    "q_shipping_priority",  # recheck (last green r1)
-    "q_supplier_breadth_per_part",  # recheck (last green r1)
-    "q_top_customer_per_nation",  # recheck (last green r1)
-    "q_callstack_decode",  # recheck (last green r1)
-    "q_demux_counts",  # recheck (last green r1)
-    "q_error_budget",  # recheck (last green r1)
-    "q_event_lead_lag",  # recheck (last green r1)
-    "q_flatten_projection",  # recheck (last green r1)
-    "q_hash_bin_derivation",  # recheck (last green r1)
-    "q_lineage_stamp",  # recheck (last green r1)
-    "q_props_extract",  # recheck (last green r1)
-    "q_run_stats",  # recheck (last green r1)
-    "q_session_pattern_extract",  # recheck (last green r1)
-    "q_smalldatetime_round",  # recheck (last green r1)
-    "q_string_truncation",  # recheck (last green r1)
-    "q_decontaminate",  # recheck (last green r1)
-    "q_dedup_clusters",  # recheck (last green r1)
-    "q_dedup_exact",  # recheck (last green r1)
-    "q_dedup_minhash_lsh",  # recheck (last green r1)
-    "q_dedup_shingle_jaccard",  # recheck (last green r1)
-    "q_embedding_clusters",  # recheck (last green r1)
-    "q_embedding_neardup",  # recheck (last green r1)
-    "q_simhash_neardup",  # recheck (last green r1)
-    "q_simhash_signature",  # recheck (last green r1)
-    "q_ann_topk_dot",  # recheck (last green r1)
-    "q_xml_roundtrip",  # recheck (last green r2)
-    "q_bloom_decontaminate",  # recheck (last green r2)
-    "q_chunk_dedup",  # recheck (last green r2)
-    "q_containment_pairs",  # recheck (last green r2)
-    "q_incremental_dedup",  # recheck (last green r2)
-    "q_substring_dup_spans",  # recheck (last green r2)
-    "q_ann_topk_ivf",  # recheck (last green r2)
-    "q_ann_topk_lsh_quantized",  # recheck (last green r2)
-    "q_frame_sample",  # recheck (last green r2)
-    "q_label_centroids",  # recheck (last green r2)
-    "q_multimodal_audio_codec",  # recheck (last green r2)
-    "q_multimodal_feature_values",  # recheck (last green r2)
-    "q_multimodal_features",  # recheck (last green r2)
-    "q_multimodal_real_codec",  # recheck (last green r2)
-    "q_multimodal_resize",  # recheck (last green r2)
-    "q_bpe_pair_counts",  # recheck (last green r2)
-    "q_doc_fingerprint",  # recheck (last green r2)
+    "q_gopher_quality",  # recheck (last green r2)
+    "q_lang_id",  # recheck (last green r2)
+    "q_mix_weights",  # recheck (last green r2)
+    "q_pii_redaction",  # recheck (last green r2)
+    "q_repetition_stats",  # recheck (last green r2)
+    "q_text_quality",  # recheck (last green r2)
+    "q_tfidf_search",  # recheck (last green r2)
+    "q_token_count",  # recheck (last green r2)
+    "q_top_terms_per_source",  # recheck (last green r2)
+    "q_unigram_doc_prob",  # recheck (last green r2)
+    "q_array_funcs",  # recheck (last green r2)
+    "q_datetime_parts",  # recheck (last green r2)
+    "q_string_funcs",  # recheck (last green r2)
+    "q_approx_distinct_users",  # recheck (last green r2)
+    "q_approx_percentile_value",  # recheck (last green r2)
+    "q_asof_purchase_attribution",  # recheck (last green r2)
+    "q_cms_heavy_hitters",  # recheck (last green r2)
+    "q_hll_mergeable_distinct",  # recheck (last green r2)
+    "q_interval_error_click_window",  # recheck (last green r2)
+    "q_moving_avg_time_range",  # recheck (last green r2)
+    "q_rollup_gapfill_hourly",  # recheck (last green r2)
+    "q_session_window_agg",  # recheck (last green r2)
+    "q_sessionize_gap_batch",  # recheck (last green r2)
+    "q_value_percentiles",  # recheck (last green r2)
+    "q_length_bucket_batches",  # recheck (last green r2)
+    "q_pack_sequences",  # recheck (last green r2)
+    "q_sample_deterministic",  # recheck (last green r2)
+    "q_source_cap",  # recheck (last green r2)
+    "q_stratified_sample",  # recheck (last green r2)
+    "q_token_budget_mix",  # recheck (last green r2)
+    "q_train_test_split",  # recheck (last green r2)
+    "q_corpus_clean_pipeline",  # recheck (last green r2)
+    "q_quality_scorecard",  # recheck (last green r2)
+    "q_constraint_checks",  # recheck (last green r3)
+    "q_disjunctive_filter_revenue",  # recheck (last green r3)
+    "q_grouping_sets",  # recheck (last green r3)
+    "q_large_orders",  # recheck (last green r3)
+    "q_last_ship_supplier",  # recheck (last green r3)
+    "q_market_share",  # recheck (last green r3)
+    "q_order_priority_check",  # recheck (last green r3)
+    "q_promo_revenue",  # recheck (last green r3)
+    "q_returned_item_customers",  # recheck (last green r3)
+    "q_rich_inactive_customers",  # recheck (last green r3)
+    "q_ship_delay_priority",  # recheck (last green r3)
+    "q_small_quantity_revenue",  # recheck (last green r3)
+    "q_table_profile",  # recheck (last green r3)
+    "q_top_revenue_supplier",  # recheck (last green r3)
+    "q_volume_shipping",  # recheck (last green r3)
+    "q_csv_roundtrip",  # recheck (last green r3)
 ]
 
 

@@ -270,37 +270,19 @@ _QN_SCALE = 1_000_000  # Simpson repeat probability as parts-per-million
 _QN_PCT = 10_000  # percentile resolution (basis points)
 
 
-def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source quantile normalization of a per-document quality
-    score — the calibration step before a single global threshold is
-    applied to scores whose distributions differ by source (classifier
-    scores, perplexities, diversity indices all drift per corpus; rank
-    within source is the comparable quantity). Score here is the
-    integer Simpson repeat probability (ppm, the `q_token_diversity`
-    arithmetic); per source each doc gets its basis-point percentile
-    ((rank−1)·10⁴ DIV (n_src−1)), and the normalized value is the
-    GLOBAL score at that percentile — the (1 + (pct·(N−1)) DIV 10⁴)-th
-    global order statistic, fetched by an equi-join on rank, never a
-    sort-merge lookup. Everything is integer ranks and DIVs, so the
-    whole calibration hash-checks.
-
-    Scale shape: one per-source window (slim (doc, source, score)
-    projection), the distributed `global_row_number` range-rank for the
-    reference distribution (no single-partition window — the suite gate
-    forbids it), a 1-row N aggregate broadcast back, and one equi-join
-    on target_rank. The corpus text never moves; only rank rows do."""
+def quantile_normalize_docs(docs: DataFrame) -> DataFrame:
+    """Frame-in/frame-out core of `q_quantile_normalize_scores` —
+    shared with `tools/scale_stress.py` so the replication stress
+    measures exactly the production pipeline."""
     from ..operators.rank import global_row_number
-    from ..operators.text import _tok_array
+    from ..operators.text import _tok_array, simpson_stats_sql
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = _tok_array("text")
-    counts = (
-        "transform(array_distinct(_toks), "
-        "t -> CAST(size(filter(_toks, x -> x = t)) AS BIGINT))"
-    )
     n = "CAST(size(_toks) AS BIGINT)"
-    num = f"aggregate({counts}, 0L, (s, c) -> s + c * (c - 1))"
+    # sorted run-length pass (O(n log n)/row), not the quadratic
+    # distinct×filter HOF — see operators/text.simpson_stats_sql
+    num = f"{simpson_stats_sql('_toks')}.num"
     # checkpoint ONCE: three consumers (per-source ranking, the global
     # reference rank, the 1-row N aggregate) would each replay the
     # O(u*n)-per-row token-count HOF projection otherwise — the r5
@@ -352,6 +334,29 @@ def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g_ppm").alias("normalized_ppm"),
         )
     )
+
+
+def q_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of a per-document quality
+    score — the calibration step before a single global threshold is
+    applied to scores whose distributions differ by source (classifier
+    scores, perplexities, diversity indices all drift per corpus; rank
+    within source is the comparable quantity). Score here is the
+    integer Simpson repeat probability (ppm, the `q_token_diversity`
+    arithmetic); per source each doc gets its basis-point percentile
+    ((rank−1)·10⁴ DIV (n_src−1)), and the normalized value is the
+    GLOBAL score at that percentile — the (1 + (pct·(N−1)) DIV 10⁴)-th
+    global order statistic, fetched by an equi-join on rank, never a
+    sort-merge lookup. Everything is integer ranks and DIVs, so the
+    whole calibration hash-checks.
+
+    Scale shape: one per-source window (slim (doc, source, score)
+    projection), the distributed `global_row_number` range-rank for the
+    reference distribution (no single-partition window — the suite gate
+    forbids it), a 1-row N aggregate broadcast back, and one equi-join
+    on target_rank. The corpus text never moves; only rank rows do.
+    Body lives in `quantile_normalize_docs` (stress-shared)."""
+    return quantile_normalize_docs(load_table(spark, sf_dir, "documents"))
 
 
 ORACLES: dict[str, str] = {

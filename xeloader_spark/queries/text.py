@@ -483,7 +483,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings can differ from textbook BM25 when the query terms' dfs
     differ by orders of magnitude (see the ranking-consequence paragraph
     on `operators/text.bm25_topk`). `q_bm25_topk_logidf` is the
-    textbook float twin (rows-only checked)."""
+    textbook float twin (driver-checked via its in-plan contract)."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.bm25_topk(
         docs,
@@ -497,21 +497,104 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGIDF_OVERLAP_FLOOR = 15  # of _BM25_K=20; measured 20/20 at sf0.001+sf0.01
+
+
 def q_bm25_topk_logidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Textbook (Lucene-form) BM25 twin: idf = ln(1 + (N−df+0.5)/
-    (df+0.5)), float saturation, same terms/k1/b/top-k as `q_bm25_topk`.
-    For users who need scores comparable to standard search engines; the
-    libm log makes float values engine-specific at the ulp level, so
-    this query carries a rows-only driver check (no ORACLES entry) —
-    the exactness story lives in the RSJ-ratio default."""
+    """Textbook (Lucene-form) BM25 twin — CONTRACT CHECK. The float
+    scores (idf = ln(1 + (N−df+0.5)/(df+0.5)), float saturation) are
+    libm-log-dependent so they can't hash-match a DuckDB replay at the
+    ulp level; instead of emitting the scores, this query computes the
+    contract in-plan (the `q_ann_topk_ivf` pattern) and the oracle pins
+    it TRUE:
+
+    - ``n_topk``: the log-idf retrieval returns exactly K=20 rows;
+    - ``overlap_ok``: its doc set overlaps the integer-exact RSJ-ratio
+      top-20 (`q_bm25_topk`, hash-verified) in ≥ 15 of 20 docs — a
+      broken idf sign / saturation / length norm craters this;
+    - ``score_positive_ok``: every returned score > 0;
+    - ``idf_rank_agree_ok``: across all query-term pairs, the float
+      log idf orders term dfs exactly as the RSJ integer ratio does
+      (the rank-agreement half of the ranking-consequence note on
+      `operators/text.bm25_topk`).
+
+    The underlying float-score frame stays available to API users via
+    ``bm25_topk(..., idf_form="log")``; pytest pins its values."""
     docs = load_table(spark, sf_dir, "documents")
-    return tx.bm25_topk(
+    log_topk = tx.bm25_topk(
         docs,
         _SEARCH_TERMS,
         k=_BM25_K,
         k1=_BM25_K1,
         b=_BM25_B,
         idf_form="log",
+    )
+    rsj_topk = tx.bm25_topk(
+        docs,
+        _SEARCH_TERMS,
+        k=_BM25_K,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        idf_scale=_IDF_SCALE,
+        sat_scale=_BM25_SAT,
+        dl_scale=_BM25_DLS,
+    )
+    log_stats = log_topk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_topk"),
+        F.min("score").alias("_min_score"),
+    )
+    overlap = (
+        log_topk.select("doc_id")
+        .join(rsj_topk.select("doc_id"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    # Per-term df stats (same tokenizer as the operator) → the two idf
+    # forms as 1-row expressions; agreement = identical pairwise order.
+    toks = tx._tok_array("text")
+    dfs = docs.select(F.expr(toks).alias("_toks")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN array_contains(_toks, '{t}') THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias(f"_df{i}")
+            for i, t in enumerate(_SEARCH_TERMS)
+        ],
+    )
+
+    def _idf_log(i: int) -> str:
+        return (
+            f"ln(1.0d + (CAST(n_docs - _df{i} AS DOUBLE) + 0.5d)"
+            f" / (CAST(_df{i} AS DOUBLE) + 0.5d))"
+        )
+
+    def _idf_rsj(i: int) -> str:
+        return (
+            f"((2 * (n_docs - _df{i}) + 1) * {_IDF_SCALE}L)"
+            f" DIV (2 * _df{i} + 1)"
+        )
+
+    pair_checks = [
+        f"(({_idf_rsj(i)} >= {_idf_rsj(j)} AND {_idf_log(i)} >= {_idf_log(j)})"
+        f" OR ({_idf_rsj(i)} <= {_idf_rsj(j)} AND {_idf_log(i)} <= {_idf_log(j)}))"
+        for i in range(len(_SEARCH_TERMS))
+        for j in range(i + 1, len(_SEARCH_TERMS))
+    ]
+    idf_agree = dfs.select(
+        F.expr(" AND ".join(pair_checks)).alias("idf_rank_agree_ok")
+    )
+    return (
+        log_stats.crossJoin(overlap)
+        .crossJoin(idf_agree)
+        .select(
+            "n_topk",
+            (F.col("_n_overlap") >= F.lit(_LOGIDF_OVERLAP_FLOOR)).alias(
+                "overlap_ok"
+            ),
+            (F.col("_min_score") > F.lit(0.0)).alias("score_positive_ok"),
+            "idf_rank_agree_ok",
+        )
     )
 
 
@@ -856,27 +939,23 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements `q_repetition_stats` (which looks at ADJACENT repeats;
     Simpson is position-free).
 
-    Scale shape: per-token counts come from array HOFs over the doc's
-    OWN token array (O(u·n) per row inside the projection) — zero
-    shuffles, zero explode; the corpus never moves."""
+    Scale shape: per-token counts come from ONE sorted run-length pass
+    over the doc's OWN token array (`operators/text.simpson_stats_sql`,
+    O(n log n) per row) — zero shuffles, zero explode; the corpus never
+    moves, and per-row cost stays bounded on 10⁵–10⁶-token documents."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tx._tok_array("text")
-    base = docs.select("doc_id", F.expr(toks).alias("_toks"))
-    counts = (
-        "transform(array_distinct(_toks), "
-        "t -> CAST(size(filter(_toks, x -> x = t)) AS BIGINT))"
+    base = docs.select("doc_id", F.expr(toks).alias("_toks")).withColumn(
+        "_st", F.expr(tx.simpson_stats_sql("_toks"))
     )
     n = "CAST(size(_toks) AS BIGINT)"
-    num = f"aggregate({counts}, 0L, (s, c) -> s + c * (c - 1))"
     return base.select(
         "doc_id",
         F.expr(n).alias("n_tokens"),
-        F.expr("CAST(size(array_distinct(_toks)) AS BIGINT)").alias(
-            "distinct_tokens"
-        ),
+        F.expr("_st.u").alias("distinct_tokens"),
         F.expr(
             f"CASE WHEN {n} < 2 THEN CAST(0.0 AS DOUBLE)"
-            f" ELSE CAST({num} AS DOUBLE) / CAST({n} * ({n} - 1) AS DOUBLE)"
+            f" ELSE CAST(_st.num AS DOUBLE) / CAST({n} * ({n} - 1) AS DOUBLE)"
             " END"
         ).alias("repeat_prob"),
     )
@@ -911,6 +990,15 @@ ORACLES: dict[str, str] = {
     "q_url_canonicalize": _URL_CANON_DUCK.format(seed=_URL_SEED_DUCK),
     "q_bm25_passages": _bm25_passages_sql(),
     "q_bm25_topk": _bm25_search_sql(),
+    # Contract-check oracle (the q_ann_topk_ivf pattern): the Spark side
+    # computes the booleans in-plan; the oracle pins them TRUE plus the
+    # deterministic row count.
+    "q_bm25_topk_logidf": f"""
+        SELECT CAST({_BM25_K} AS BIGINT) AS n_topk,
+               TRUE AS overlap_ok,
+               TRUE AS score_positive_ok,
+               TRUE AS idf_rank_agree_ok
+    """,
     "q_k_anonymity": f"""
         WITH g AS (
             SELECT lang, source,
