@@ -162,6 +162,12 @@ WHITELIST: dict[str, list[str]] = {
     "queries/text.py": [
         "return grp.crossJoin(F.broadcast(total)).select(",
     ],
+    # calibration-sketch-sized (≤ bins+1 rows by the in-plan limit):
+    # the 1-row n_total scalar and the bins-row global inverse CDF
+    "streaming/quantile_stream.py": [
+        "F.broadcast(",
+        'F.broadcast(glob_cdf.select("n_total").limit(1))',
+    ],
 }
 
 

@@ -1687,3 +1687,83 @@ def test_streaming_bm25_large_frozen_stats_no_overflow(spark):
 
     with pytest.raises(ValueError, match="empty corpus"):
         bm25_frozen_stats(docs.filter("doc_id < 0"), terms)
+
+
+def test_streaming_quantile_normalize_error_envelope(spark, tmp_path):
+    """Approximate streaming quantile normalization: (1) the drained
+    calibration sketch equals the batch histogram over the same rows
+    (counts commutative); (2) per-doc percentile error obeys the
+    theorem envelope |pct̂ − pct| ≤ own-bucket mass in bp + 1; (3) the
+    returned global bucket [lo, hi) CONTAINS the exact global order
+    statistic at the target rank; (4) state is ≤ sources × bins rows."""
+    from xeloader_spark.operators import sketch as sk
+    from xeloader_spark.queries.sampling import quantile_normalize_docs
+    from xeloader_spark.streaming import quantile_stream as qs
+
+    BINS = 256
+    src = str(tmp_path / "qn_in")
+    ckpt = str(tmp_path / "qn_ckpt")
+
+    docs = load_table(spark, SF, "documents")
+    docs.select("doc_id", "source", "text").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = qs.start_quantile_hist(stream, ckpt, bins=BINS, table="qn_hist")
+    q.awaitTermination(120)
+    sketch = spark.sql("select * from qn_hist")
+
+    # (1) exact sketch parity with the batch histogram + (4) bound
+    scored = qs.scored_stream(docs)
+    exp_hist = {
+        (r.source, r.bucket): r.cnt
+        for r in sk.hist_build(
+            scored, "rp_ppm", float(qs.PPM_LO), float(qs.PPM_HI), BINS,
+            ["source"],
+        ).collect()
+    }
+    got_hist = {(r.source, r.bucket): r.cnt for r in sketch.collect()}
+    assert got_hist == exp_hist
+    n_sources = docs.select("source").distinct().count()
+    assert len(got_hist) <= n_sources * BINS
+
+    # (2)+(3): envelope vs the exact batch calibration
+    approx = {
+        r.doc_id: r
+        for r in qs.normalize_from_hist(sketch, scored, bins=BINS).collect()
+    }
+    exact = {r.doc_id: r for r in quantile_normalize_docs(docs).collect()}
+    assert set(approx) == set(exact)
+
+    counts = {}  # (source, bucket) -> cnt
+    n_src = {}
+    for (s, b), c in got_hist.items():
+        counts[(s, b)] = c
+        n_src[s] = n_src.get(s, 0) + c
+    width = qs.PPM_HI // BINS
+    g_sorted = sorted(r.rp_ppm for r in scored.collect())
+    n_total = len(g_sorted)
+
+    for did, a in approx.items():
+        e = exact[did]
+        b = a.rp_ppm * BINS // qs.PPM_HI
+        ns = n_src[a.source]
+        mass_bp = (
+            ((counts[(a.source, b)] - 1) * qs.QN_PCT) // (ns - 1) + 1
+            if ns > 1
+            else 0
+        )
+        assert abs(a.pctile_bp_approx - e.pctile) <= mass_bp, (
+            did, a.pctile_bp_approx, e.pctile, mass_bp,
+        )
+        target = 1 + (a.pctile_bp_approx * (n_total - 1)) // qs.QN_PCT
+        order_stat = g_sorted[target - 1]
+        assert a.norm_lo_ppm <= order_stat < a.norm_hi_ppm, (
+            did, a.norm_lo_ppm, order_stat, a.norm_hi_ppm,
+        )
+        assert a.norm_hi_ppm - a.norm_lo_ppm == width
