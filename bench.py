@@ -8,6 +8,12 @@ BENCH_DETAIL.json (override path via $SPARK_GRAFT_BENCH_DETAIL).
 Queries are fully materialized through the `noop` sink (no collect, no
 column-pruning shortcuts), which is how a downstream consumer would pay
 for them.
+
+COMPARABILITY: this host is multi-tenant. If loadavg_start (recorded in
+the output) is > 6, sub-3s rows inflate up to ~1.8× from scheduling
+noise alone (r5/r6 cross-checks) — re-run on a quieter host before
+reading a per-row ratio as a regression. The recorded loadavg is the
+ground truth for attributing any cross-round delta.
 """
 
 from __future__ import annotations
