@@ -816,3 +816,91 @@ def test_token_diversity_matches_python_model(spark, texts):
             else sum(v * (v - 1) for v in c.values()) / (nn * (nn - 1))
         )
         assert got[i] == (nn, len(c), expect_rp), (i, t, got[i])
+
+
+# ------------------------------- literal-rendering overflow (r6 class)
+# The BM25-stream folded-idf int32 overflow (ANSI crash at plan time,
+# invisible at fixture scale) is a CLASS: any helper that renders folded
+# integer products into SQL strings can overflow past fixture magnitudes
+# if a literal lands as int32. These properties push boundary magnitudes
+# through the three literal-packing helpers and assert the rendered SQL
+# round-trips through spark.sql to the exact Python-model value — an
+# ARITHMETIC_OVERFLOW at plan or run time fails loudly.
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 2**44), min_size=16, max_size=16),
+    st.lists(st.integers(0, 3), min_size=4, max_size=4),
+)
+def test_adc_map_literal_boundary_roundtrip(spark, flat, codes):
+    """_adc_map_exprs with entries far past int32: the rendered map +
+    lookup sum must evaluate to the exact Python sum (m=4, stride=4)."""
+    from xeloader_spark.operators.cluster import _adc_map_exprs
+
+    m, stride = 4, 4
+    dtab = {7: [flat[s * stride:(s + 1) * stride] for s in range(m)]}
+    map_sql, terms_sql = _adc_map_exprs(dtab, [7], m, stride)
+    code_cols = ", ".join(
+        f"CAST({c} AS INT) AS code_{s}" for s, c in enumerate(codes)
+    )
+    row = spark.sql(
+        f"SELECT {terms_sql} AS v FROM (SELECT {map_sql} AS _adc, "
+        f"7L AS query_id, {code_cols} FROM (SELECT 7L AS query_id))"
+    ).collect()
+    expected = sum(dtab[7][s][codes[s]] for s in range(m))
+    assert row[0].v == expected
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(1, 10**8),
+    st.data(),
+    st.integers(0, 10**5),
+    st.integers(0, 10**14),
+)
+def test_bm25_contrib_literal_stats_boundary(spark, n_docs, data, tf, dlnorm):
+    """bm25_contrib_sqls fed LITERAL stats fragments (the frozen-stats
+    streaming path) at corpus magnitudes to the documented 10^8-doc
+    headroom: the rendered contribution must equal the integer model.
+    Without the L-suffix rendering this crashes at N−df ≥ 1074 (the r6
+    int32 ARITHMETIC_OVERFLOW, commit 7af35b2)."""
+    from xeloader_spark.operators.text import bm25_contrib_sqls
+
+    df_ = data.draw(st.integers(0, n_docs))
+    a, c, p, q = 6, 5, 3, 4
+    idf_scale, sat_scale, dl_scale = 10**6, 10**4, 10**6
+    [contrib] = bm25_contrib_sqls(
+        1, (a, c), (p, q), idf_scale, sat_scale, dl_scale,
+        n_docs_sql=f"{n_docs}L", df_sqls=[f"{df_}L"],
+    )
+    row = spark.sql(
+        f"SELECT {contrib} AS v FROM "
+        f"(SELECT {tf}L AS _tf0, {dlnorm}L AS _dlnorm)"
+    ).collect()
+    if tf == 0 or df_ == 0:
+        expected = 0
+    else:
+        idf = ((2 * (n_docs - df_) + 1) * idf_scale) // (2 * df_ + 1)
+        sat_num = tf * (a + c) * q * dl_scale * sat_scale
+        sat_den = c * q * dl_scale * tf + a * (q - p) * dl_scale + a * p * dlnorm
+        expected = (idf * (sat_num // sat_den)) // sat_scale
+    assert row[0].v == expected
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(-(2**29), 2**29), min_size=4, max_size=4),
+    st.lists(st.integers(-(2**29), 2**29), min_size=4, max_size=4),
+)
+def test_dist_sql_literal_vector_boundary(spark, centroid, vec):
+    """_dist_sql with coordinates far past int32 (±2^29, dim 4 — inside
+    the BIGINT headroom): squared-L2 to the literal centroid must equal
+    the Python model exactly."""
+    from xeloader_spark.operators.cluster import _dist_sql
+
+    arr = ",".join(f"{v}L" for v in vec)
+    row = spark.sql(
+        f"SELECT {_dist_sql(centroid, f'array({arr})')} AS v"
+    ).collect()
+    assert row[0].v == sum((x - y) ** 2 for x, y in zip(vec, centroid))
