@@ -106,6 +106,9 @@ HEADLINE = [
     "q_mmr_rerank",
     "q_bm25_passages",
     "q_leakage_safe_split",
+    # round-7 additions
+    "q_bigram_backoff_quality",
+    "q_winnowing_fingerprints",
     # training-data assembly
     "q_sample_deterministic",
     "q_pack_sequences",

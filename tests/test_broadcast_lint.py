@@ -103,6 +103,7 @@ WHITELIST: dict[str, list[str]] = {
     # 1-row corpus stats
     "operators/text.py": [
         ".crossJoin(F.broadcast(n))",
+        ".crossJoin(F.broadcast(n_train))",
         "probe = base.crossJoin(F.broadcast(stats))",
         "probe = base.crossJoin(F.broadcast(stats))",
         "return per_doc.crossJoin(F.broadcast(total)).select(",

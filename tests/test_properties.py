@@ -904,3 +904,100 @@ def test_dist_sql_literal_vector_boundary(spark, centroid, vec):
         f"SELECT {_dist_sql(centroid, f'array({arr})')} AS v"
     ).collect()
     assert row[0].v == sum((x - y) ** 2 for x, y in zip(vec, centroid))
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij".split()), max_size=14),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnowing_matches_python_model(spark, token_lists):
+    """Winnowing selections (k=3, w=3) == the direct python algorithm
+    (rightmost minimal k-gram hash per window, distinct) for any token
+    sequence, including docs shorter than k, shorter than w+k−1, and
+    all-equal-hash runs."""
+    import hashlib
+
+    from xeloader_spark.operators.text import winnowing_fingerprints
+
+    k, w = 3, 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+
+    for i, toks in enumerate(token_lists):
+        toks = [t for t in toks if t]
+        exp = set()
+        if len(toks) >= k:
+            hs = [
+                int(
+                    hashlib.md5(" ".join(toks[j:j + k]).encode()).hexdigest()[:8],
+                    16,
+                )
+                for j in range(len(toks) - k + 1)
+            ]
+            for j in range(0, max(len(hs) - w, 0) + 1):
+                win = hs[j:j + w]
+                mn = min(win)
+                exp.add((j + max(p for p, v in enumerate(win) if v == mn), mn))
+        assert got.get(i, set()) == exp, (i, toks)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()), max_size=10),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_bigram_backoff_matches_python_model(spark, token_lists):
+    """bigram_stupid_backoff == the direct python model for any corpus:
+    md5 train gate, bigram/unigram counts on the train split, per-held-
+    out-position score c12·S DIV c1 (seen) or 2·S·c2 DIV 5N (backoff),
+    including empty train splits and <2-token held-out docs."""
+    import hashlib
+
+    from xeloader_spark.operators.text import bigram_stupid_backoff
+
+    SCALE = 1_000_000
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_backoff, r.sum_score_scaled)
+        for r in bigram_stupid_backoff(df).collect()
+    }
+
+    def gate(i):
+        h = hashlib.md5(f"lmtrain{i}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10_000 < 5_000
+
+    corpus = {i: [t for t in toks if t] for i, toks in enumerate(token_lists)}
+    train = {i: t for i, t in corpus.items() if gate(i)}
+    ug, bi, n_train = {}, {}, 0
+    for toks in train.values():
+        n_train += len(toks)
+        for t in toks:
+            ug[t] = ug.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+
+    exp_ids = {i for i in corpus if not gate(i)}
+    assert set(got) == exp_ids
+    for i in exp_ids:
+        toks = corpus[i]
+        nb = nbo = ss = 0
+        for a, b in zip(toks, toks[1:]):
+            nb += 1
+            if (a, b) in bi:
+                ss += (bi[(a, b)] * SCALE) // ug[a]
+            else:
+                nbo += 1
+                if n_train > 0:
+                    ss += (2 * SCALE * ug.get(b, 0)) // (5 * n_train)
+        assert got[i] == (nb, nbo, ss), (i, got[i], (nb, nbo, ss))

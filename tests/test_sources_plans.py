@@ -909,6 +909,78 @@ class TestRound7AdditionShapes:
         assert plan.count("FileScan parquet") == 2, plan
         assert plan.count("BroadcastHashJoin") == 2, plan
 
+    def test_round7_text_query_budgets(self, spark):
+        from xeloader_spark.queries import text as qt
+
+        # one language-bounded aggregate
+        plans.assert_max_shuffles(qt.q_token_fertility(spark, SF), 1)
+        # selection is all array HOFs; the explode emits only the
+        # already-selected ~2T/(w+1) fingerprints — zero shuffles
+        plans.assert_max_shuffles(qt.q_winnowing_fingerprints(spark, SF), 0)
+        # bigram agg + unigram agg + c(w1) fold + two probe joins +
+        # doc agg/backfill — all digest-sized (w1,w2)/doc_id rows; the
+        # 1-row N total rides a broadcast cross join
+        bb = qt.q_bigram_backoff_quality(spark, SF)
+        plans.assert_max_shuffles(bb, 5)
+        plans.assert_no_cartesian(bb)
+
+    def test_robots_filter_zero_shuffle(self, spark):
+        """REP evaluation is a pure projection: the ruleset is a plan
+        literal and longest-match resolves via struct-sort HOFs — the
+        URL column never moves."""
+        from xeloader_spark.queries import text as qt
+
+        plans.assert_max_shuffles(qt.q_robots_filter(spark, SF), 0)
+        # the composed fetch schedule: canonical-URL agg + host window
+        plans.assert_max_shuffles(qt.q_crawl_frontier(spark, SF), 2)
+
+    def test_winnow_overlap_post_checkpoint_budget(self, spark):
+        """Winnow overlap pairs: the slim (doc_id, fp) set is
+        checkpointed once for its three consumers, so the visible plan
+        is the pair join + size joins only — 3 shuffles (was 15 with
+        the lineage replayed per consumer), no cartesian."""
+        from xeloader_spark.queries import text as qt
+
+        df = qt.q_winnow_overlap_pairs(spark, SF)
+        plans.assert_max_shuffles(df, 3)
+        plans.assert_no_cartesian(df)
+
+    def test_warc_parser_hostile_input_and_shape(self, spark):
+        """The WARC record parser must degrade loudly, never crash, on
+        hostile crawl bytes: a payload embedding the version line at
+        line start splits the record — the real record surfaces
+        len_ok=False and the spurious fragment parses to all-NULL
+        fields (try_element_at/nullif, not an ANSI task crash). Clean
+        records parse exactly. Parser plan: zero shuffles."""
+        from xeloader_spark.sources.warc import parse_warc
+
+        CRLF = "\r\n"
+
+        def rec(uri, body, status="200"):
+            http = (
+                f"HTTP/1.1 {status} OK{CRLF}"
+                f"Content-Type: text/plain{CRLF}{CRLF}{body}"
+            )
+            return (
+                f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+                f"WARC-Target-URI: {uri}{CRLF}"
+                f"WARC-Record-ID: <urn:uuid:x>{CRLF}"
+                f"Content-Length: {len(http)}{CRLF}{CRLF}{http}{CRLF}{CRLF}"
+            )
+
+        evil = f"before{CRLF}WARC/1.0{CRLF}after"
+        blob = rec("u1", "hello") + rec("u2", evil) + rec("u3", "bye", "404")
+        df = spark.createDataFrame([(1, blob)], "warc_file long, warc_blob string")
+        out = parse_warc(df)
+        plans.assert_max_shuffles(out, 0)
+        rows = {r.rec_seq: r for r in out.collect()}
+        assert len(rows) == 4  # the embedded version line splits rec 1
+        assert rows[0].len_ok and rows[0].payload == "hello"
+        assert rows[0].http_status == 200
+        assert rows[1].len_ok is False  # the boundary-miscount audit
+        assert rows[2].target_uri is None and rows[2].len_ok is None
+        assert rows[3].http_status == 404 and rows[3].len_ok
+
     def test_simpson_stats_linear_form_in_plan(self, spark):
         """The token-count stats must compile to the sorted run-length
         aggregate (sort_array + single fold), not the quadratic

@@ -130,10 +130,17 @@ def lengthen_docs(docs, n_docs: int, base_repeats: int, k: int):
     # DOC-LENGTH stress (rows constant, per-row token count grows k×):
     # measures per-row compute scaling — the axis corpus replication
     # cannot see. base_repeats is sized so K=16 reaches ≥50k tokens/doc.
+    # Each repeat suffixes its tokens with the repeat index so the
+    # DISTINCT token count u grows with length too — a plain
+    # array_repeat keeps u constant, under which even the quadratic
+    # O(u·n) distinct×filter form looks linear and the stress proves
+    # nothing.
     return docs.limit(n_docs).select(
         "doc_id",
         F.expr(
-            f"array_join(array_repeat(text, {base_repeats} * {k}), ' ')"
+            f"array_join(flatten(transform(sequence(0, {base_repeats} * {k} - 1), "
+            "r -> transform(filter(split(text, '\\\\s+'), x -> x != ''), "
+            "t -> concat(t, '_', CAST(r AS STRING))))), ' ')"
         ).alias("text"),
         "lang",
         "source",
@@ -259,14 +266,17 @@ def main() -> None:
         # (≥50k tokens at K=16): pins that simpson_stats_sql is
         # O(n log n) in doc length (the quadratic distinct×filter HOF it
         # replaced measures ~k² here)
-        # the sum() forces the per-row compute: a bare select would be
-        # column-pruned away under the harness's .count()
+        # the filter forces per-row evaluation: both a bare select AND a
+        # global sum() get column-pruned/eliminated under the harness's
+        # .count() (measured 0.05s flat — the optimizer knows a global
+        # agg is 1 row and drops the sums)
         "token_diversity_doclen": lambda k: (
             inputs[k]["docs_long"]
             .select(F.expr(
                 f"{tx.simpson_stats_sql(tx._tok_array('text'))} AS st"
             ))
-            .agg(F.sum("st.num").alias("num"), F.sum("st.u").alias("u"))
+            .select(F.col("st.num").alias("num"), F.col("st.u").alias("u"))
+            .filter("num >= 0 AND u >= 0")
         ),
         # r6: the restructured IVF-PQ (encode-once query phase, flat-map
         # ADC) at its production sampled-training settings — the stress

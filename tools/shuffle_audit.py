@@ -74,6 +74,14 @@ AUDIT_QUERIES = [
     "q_ann_topk_ivfpq",
     "q_record_linkage",
     "q_quantile_normalize_scores",
+    # round-7 additions
+    "q_bigram_backoff_quality",
+    "q_winnowing_fingerprints",
+    "q_token_fertility",
+    "q_warc_extract",
+    "q_winnow_overlap_pairs",
+    "q_robots_filter",
+    "q_crawl_frontier",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -105,6 +113,8 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_ann_topk_ivfpq": {"embeddings"},
     # global_row_number localCheckpoints its range-partitioned frame
     "q_quantile_normalize_scores": {"documents"},
+    # the slim (doc_id, fp) set is checkpointed for its three consumers
+    "q_winnow_overlap_pairs": {"documents"},
 }
 
 

@@ -1,0 +1,111 @@
+"""robots.txt prefix-rule evaluation — the crawl-compliance gate.
+
+Completes the crawl-ingestion trio: `sources/warc.py` (the container),
+`operators/text.url_canonicalize` (frontier dedup), and this — which
+URLs a compliant crawler may fetch at all. Semantics are the public
+REP rules as specified in RFC 9309 (and Google's documented
+tie-breaks): per host, Allow/Disallow PATH-PREFIX rules; the longest
+matching prefix wins; on a length tie, Allow wins; no matching rule
+means allowed.
+
+Deterministic variant: the ruleset is a caller-supplied literal (a
+parsed robots.txt is host-bounded and tiny — it is the classifier-
+weights / ADC-map case: a plan constant, rendered as ONE SQL string
+per the Py4J plan-construction rule). Evaluation is host extract +
+path extract + one filter/transform/sort HOF chain per URL — zero
+shuffles, zero joins, the URL column never moves.
+
+Longest-match via struct ordering: matches map to (len, allow)
+structs; lexicographic struct sort puts the longest prefix last and,
+within a length, Allow (true) above Disallow — so the array max IS the
+winning rule in both engines, no reduce/fold dialect divergence.
+
+Shared-template discipline (the `sources/warc.py` pattern): one
+builder renders both the Spark plan and the DuckDB oracle from the
+same rule list, so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Rule = tuple[str, str, bool]  # (host, path_prefix, allow)
+
+SPARK_D = {
+    "struct": lambda host, prefix, allow: (
+        f"named_struct('host', '{host}', 'prefix', '{prefix}', "
+        f"'allow', {'true' if allow else 'false'})"
+    ),
+    "arr": lambda items: "array(" + ", ".join(items) + ")",
+    "mk_match": lambda r: (
+        f"named_struct('len', length({r}.prefix), 'allow', {r}.allow)"
+    ),
+    "filter": lambda arr, lam: f"filter({arr}, {lam})",
+    "transform": lambda arr, lam: f"transform({arr}, {lam})",
+    "best": lambda arr: f"try_element_at(reverse(array_sort({arr})), 1)",
+}
+DUCK_D = {
+    "struct": lambda host, prefix, allow: (
+        f"{{'host': '{host}', 'prefix': '{prefix}', "
+        f"'allow': {'true' if allow else 'false'}}}"
+    ),
+    "arr": lambda items: "[" + ", ".join(items) + "]",
+    "mk_match": lambda r: (
+        f"{{'len': length({r}.prefix), 'allow': {r}.allow}}"
+    ),
+    "filter": lambda arr, lam: f"list_filter({arr}, {lam})",
+    "transform": lambda arr, lam: f"list_transform({arr}, {lam})",
+    "best": lambda arr: f"(list_reverse(list_sort({arr})))[1]",
+}
+
+_HOST_RE = "^[a-zA-Z]+://([^/:?#]+)"
+_PATH_RE = "^[a-zA-Z]+://[^/:?#]+(:[0-9]+)?(/[^?#]*)?"
+
+
+def _check_rules(rules: list[Rule]) -> None:
+    for host, prefix, _ in rules:
+        for s in (host, prefix):
+            if "'" in s or "\\" in s:
+                raise ValueError(
+                    f"rule parts must not contain quotes/backslashes: {s!r}"
+                )
+
+
+def robots_exprs(d: dict, rules: list[Rule], url_sql: str) -> dict[str, str]:
+    """Column expressions evaluating `rules` against the URL named by
+    `url_sql`: host, path (default '/'), matched_len (longest matching
+    prefix length, -1 when no rule matched) and allowed."""
+    _check_rules(rules)
+    rules_arr = d["arr"]([d["struct"](h, p, a) for h, p, a in rules])
+    host = f"lower(regexp_extract({url_sql}, '{_HOST_RE}', 1))"
+    raw_path = f"regexp_extract({url_sql}, '{_PATH_RE}', 2)"
+    path = f"CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END"
+    matches = d["filter"](
+        rules_arr,
+        f"r -> r.host = {host} AND left({path}, length(r.prefix)) = r.prefix",
+    )
+    best = d["best"](d["transform"](matches, "r -> " + d["mk_match"]("r")))
+    return {
+        "host": host,
+        "path": path,
+        "matched_len": f"CAST(coalesce(({best}).len, -1) AS BIGINT)",
+        "allowed": f"coalesce(({best}).allow, true)",
+    }
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: list[Rule],
+    url_col: str = "url",
+) -> DataFrame:
+    """Annotate each row's URL with the REP verdict: (…, host, path,
+    matched_len, allowed). Callers drop `allowed = false` rows before
+    fetching; keeping the verdict columns makes the compliance decision
+    auditable (and exactly oracle-checkable). Zero-shuffle projection —
+    the ruleset is a plan literal, evaluation is per-row HOFs."""
+    exprs = robots_exprs(SPARK_D, rules, url_col)
+    out = df
+    for name, sql in exprs.items():
+        out = out.withColumn(name, F.expr(sql))
+    return out

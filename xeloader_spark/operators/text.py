@@ -332,6 +332,131 @@ def unigram_doc_score(
     )
 
 
+def bigram_stupid_backoff(
+    df: DataFrame,
+    scale: int = 1_000_000,
+    train_salt: str = "lmtrain",
+    train_thr: int = 5_000,
+    buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram LM quality scoring with stupid backoff (Brants et al.
+    2007, the public large-LM recipe): train bigram/unigram counts on
+    an md5-gated ~train_thr/buckets split of the corpus, score the
+    HELD-OUT documents with the per-position score
+    S(w₂|w₁) = c(w₁w₂)/c(w₁) if the bigram was seen in training, else
+    α·c(w₂)/N with α = 0.4 = 2/5 exact — the engine-checkable stand-in
+    for KenLM-perplexity filtering one level up from
+    `unigram_doc_score` (held-out split, so backoff actually fires;
+    scoring in-corpus would make every bigram "seen").
+
+    Everything is scaled-integer (one DIV per position, α as the exact
+    rational 2/5, BIGINT sums); the ONE reported float is the final
+    mean = sum_score / n_bigrams division. Per doc: n_bigrams,
+    n_backoff (positions that fell to the unigram), sum_score_scaled,
+    mean_prob_scaled.
+
+    Scale shape: two count aggregates over the TRAIN split (bigram,
+    unigram — digest-sized pairs, map-side combined), the unigram
+    counts folded into the bigram table once at train time
+    (vocab-sized join), then the held-out bigrams probe with two
+    hash joins ((w₁,w₂) and w₂ — the aggregate output's partitioning
+    is reused on the build sides) and ONE doc_id aggregate. The text
+    column never shuffles; a 1-row N total rides a broadcast cross
+    join. Overflow headroom: c₁₂·scale ≤ 2⁶³ needs train bigram counts
+    under ~9·10¹² at the default scale — any real corpus qualifies."""
+    from .sampling import hash_bucket
+
+    toks = _tok_array(text_col)
+    bigrams = (
+        f"CASE WHEN size(_toks) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - 1), "
+        f"i -> named_struct('w1', element_at(_toks, i), "
+        f"'w2', element_at(_toks, i + 1))) END"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(toks).alias("_toks"),
+        (hash_bucket(F.col(id_col), train_salt, buckets) < int(train_thr)).alias(
+            "_is_train"
+        ),
+    )
+    train = base.filter(F.col("_is_train"))
+    heldout = base.filter(~F.col("_is_train"))
+
+    train_ug = (
+        train.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_uni"))
+    )
+    train_bi = (
+        train.select(F.explode(F.expr(bigrams)).alias("_b"))
+        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
+        # fold c(w1) in once at train time: scoring then needs only two
+        # probe joins instead of three
+        .join(train_ug.withColumnRenamed("w", "w1").withColumnRenamed(
+            "c_uni", "c_w1"
+        ), "w1")
+    )
+    n_train = train.agg(
+        F.sum(F.expr("size(_toks)")).cast("long").alias("_n_train")
+    )
+
+    score_bi = heldout.select(
+        "doc_id", F.explode(F.expr(bigrams)).alias("_b")
+    ).select(
+        "doc_id",
+        F.col("_b.w1").alias("w1"),
+        F.col("_b.w2").alias("w2"),
+    )
+    scored = (
+        score_bi.join(train_bi, ["w1", "w2"], "left")
+        .join(
+            train_ug.withColumnRenamed("w", "w2").withColumnRenamed(
+                "c_uni", "c_w2"
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN c_bi IS NOT NULL THEN (c_bi * {int(scale)}L) DIV c_w1 "
+                f"WHEN _n_train IS NULL OR _n_train = 0 THEN 0L "
+                f"ELSE (2 * {int(scale)}L * coalesce(c_w2, 0L)) DIV (5 * _n_train) END"
+            ).alias("_s"),
+            F.expr("CASE WHEN c_bi IS NULL THEN 1L ELSE 0L END").alias("_bo"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_bo").cast("long").alias("n_backoff"),
+        F.sum("_s").cast("long").alias("sum_score_scaled"),
+    )
+    # keep every held-out doc, including those with < 2 tokens
+    return (
+        heldout.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_backoff", F.lit(0)).cast("long").alias("n_backoff"),
+            F.coalesce("sum_score_scaled", F.lit(0))
+            .cast("long")
+            .alias("sum_score_scaled"),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0L) = 0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE CAST(sum_score_scaled AS DOUBLE)"
+                " / CAST(n_bigrams AS DOUBLE) END"
+            ).alias("mean_prob_scaled"),
+        )
+    )
+
+
 def tfidf_search(
     df: DataFrame,
     terms: tuple[str, ...],
@@ -716,6 +841,63 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> Da
         f"i -> md5(array_join(slice({toks}, i + 1, {n}), ' '))) END"
     )
     return df.withColumn("rolling_fp", F.expr(f"array_min({sh})"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm, public): hash every word k-gram, slide a
+    window of `w` consecutive hashes, and in each window select the
+    RIGHTMOST minimal hash; the distinct (position, hash) selections are
+    the fingerprint set. Guarantee: any shared run of ≥ w + k − 1 tokens
+    between two documents shares at least one fingerprint — the
+    partial-overlap detector that a single whole-doc min hash
+    (`rolling_fingerprint`) cannot provide, at density ~2/(w+1).
+
+    Returns one row per selected fingerprint: (doc_id, pos, fp) with
+    `pos` the 0-based k-gram position and `fp` the 63-bit integer hash
+    (md5 prefix — engine-identical, the repo's standard hash gate).
+
+    Scale shape: everything is array HOFs over the doc's own tokens
+    (O(T·w) per row, w a small constant) followed by ONE explode of the
+    already-selected fingerprints (~2·T/(w+1) rows, not T·w) — zero
+    shuffles, zero joins; the corpus text never moves. Docs shorter
+    than w+k−1 tokens yield their single minimal hash (one window over
+    whatever k-grams exist); docs shorter than k yield nothing."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks = _tok_array(text_col)
+    # h_i = first-8-hex-of-md5 of the space-joined k-gram starting at i
+    hashes = (
+        f"CASE WHEN size({toks}) < {k} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {k}), "
+        f"i -> CAST(conv(substr(md5(array_join("
+        f"slice({toks}, i + 1, {k}), ' ')), 1, 8), 16, 10) AS BIGINT)) END"
+    )
+    # window j covers hashes[j .. j+wlen-1]; rightmost min via the
+    # first position of the min in the REVERSED slice
+    sel = (
+        "CASE WHEN size(_h) = 0 THEN array() ELSE array_distinct("
+        f"transform(sequence(0, greatest(size(_h) - {w}, 0)), j -> "
+        "named_struct('pos', j + least(size(_h) - j, "
+        f"{w}) - array_position(reverse(slice(_h, j + 1, {w})), "
+        f"array_min(slice(_h, j + 1, {w}))), "
+        f"'fp', array_min(slice(_h, j + 1, {w}))))) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.expr(hashes).alias("_h"))
+        .select("doc_id", F.explode(F.expr(sel)).alias("_s"))
+        .select(
+            "doc_id",
+            F.col("_s.pos").cast("long").alias("pos"),
+            F.col("_s.fp").alias("fp"),
+        )
+    )
 
 
 # ------------------------------------------------------------------ BPE train

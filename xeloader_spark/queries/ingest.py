@@ -319,6 +319,69 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("r.*")
 
 
+_WARC_FILE_DOCS = 25  # docs per synthesized .warc blob
+
+
+def _warc_seed_sqls(d: dict) -> tuple[str, str]:
+    """(record_sql, status_sql) for the in-plan WARC fixture in dialect
+    `d`: every document becomes one response record (~9% seeded as 404
+    with a stub body), 25 records per file blob."""
+    S = d["S"]
+    status = "CASE WHEN doc_id % 11 = 3 THEN '404' ELSE '200' END"
+    body = "CASE WHEN doc_id % 11 = 3 THEN 'not found' ELSE text END"
+    from ..sources.warc import http_block_sql, warc_record_sql
+
+    http = http_block_sql(d, status, body)
+    uri = f"concat('https://example.org/', lang, '/', CAST(doc_id AS {S}))"
+    return warc_record_sql(d, "doc_id", uri, http), status
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC web-archive ingestion end-to-end (`sources/warc.py` — the
+    container format of web-scale pretraining corpora): documents are
+    rendered in-plan into spec-shaped WARC/1.0 response records (WARC
+    headers, Content-Length, HTTP envelope; ~9% seeded 404s), packed 25
+    records per file blob, then parsed back by the pure string-function
+    record parser. Output: every record's typed fields plus the
+    `len_ok` Content-Length audit and the payload digest — so record
+    splitting, header extraction, status parsing, and payload recovery
+    all hash-check against the DuckDB replay of the same synthesis.
+
+    Scale shape: synthesis is one projection + one group agg (fixture
+    only); the PARSER — the part a crawl pipeline runs — is one
+    posexplode + codegen string functions, zero shuffles, zero joins."""
+    from ..sources.warc import SPARK_DIALECT, parse_warc
+
+    rec, _ = _warc_seed_sqls(SPARK_DIALECT)
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = (
+        docs.select("doc_id", "lang", "text")
+        .select(
+            F.expr(f"doc_id DIV {_WARC_FILE_DOCS}").alias("warc_file"),
+            F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
+        )
+        .groupBy("warc_file")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(_sr)), "
+                "x -> x.r), '')"
+            ).alias("warc_blob")
+        )
+    )
+    parsed = parse_warc(blobs)
+    return parsed.select(
+        F.col("warc_file").cast("long").alias("warc_file"),
+        "rec_seq",
+        "warc_type",
+        "target_uri",
+        "record_id",
+        "content_length",
+        "http_status",
+        "len_ok",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 _Z_BITS = 14
 
 
@@ -347,8 +410,50 @@ def _zorder_sql() -> str:
     """
 
 
+def _warc_sql() -> str:
+    """DuckDB replay of q_warc_extract: SAME synthesis template and
+    SAME parser expressions via the shared dialect builders
+    (`sources/warc.py`) — the two engines literally render one
+    format string each."""
+    from ..sources.warc import DUCK_DIALECT, _CRLF_RE, parse_warc_exprs
+
+    d = DUCK_DIALECT
+    rec, _ = _warc_seed_sqls(d)
+    split_pat = d["re"](r"WARC/1\.0" + _CRLF_RE)
+    exprs = parse_warc_exprs(d, "rec")
+    cols = ",\n               ".join(
+        f"CAST({sql} AS BIGINT) AS {name}"
+        if name in ("content_length", "http_status")
+        else f"{sql} AS {name}"
+        for name, sql in exprs.items()
+        if name != "payload"
+    )
+    return f"""
+        WITH blobs AS (
+            SELECT doc_id // {_WARC_FILE_DOCS} AS warc_file,
+                   string_agg({rec}, '' ORDER BY doc_id) AS warc_blob
+            FROM documents GROUP BY 1
+        ),
+        rx AS (
+            SELECT warc_file, ord, rec FROM (
+                SELECT warc_file,
+                       unnest({d["split"]("warc_blob", split_pat)}) AS rec,
+                       generate_subscripts(
+                           {d["split"]("warc_blob", split_pat)}, 1) AS ord
+                FROM blobs
+            ) WHERE ord >= 2
+        )
+        SELECT CAST(warc_file AS BIGINT) AS warc_file,
+               CAST(ord - 2 AS BIGINT) AS rec_seq,
+               {cols},
+               md5({exprs["payload"]}) AS payload_md5
+        FROM rx
+    """
+
+
 ORACLES: dict[str, str] = {
     "q_zorder_values": _zorder_sql(),
+    "q_warc_extract": _warc_sql(),
     "q_xml_roundtrip": """
         SELECT event_id, event_type, ts, value, props, user_id FROM events
     """,

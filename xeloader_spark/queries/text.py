@@ -37,6 +37,125 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pieces per whitespace
+    word — the standard diagnostic for how expensive a tokenizer is on
+    each language (fertility ≫ 1 = the vocab fragments that language;
+    drives per-language token budgets in mixture planning). Integer
+    sums + ONE pinned IEEE division per group; zero shuffle before the
+    language-bounded aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = tx.text_stats(docs)
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_pieces"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        F.expr(
+            "CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) END"
+        ).alias("fertility"),
+    )
+
+
+_WINNOW_K = 4
+_WINNOW_W = 4
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (MOSS) over the corpus: per doc
+    the distinct (position, hash) selections at k=4, w=4
+    (`operators/text.winnowing_fingerprints`) — the partial-overlap
+    detector: any shared run of ≥ w+k−1 tokens between two documents
+    shares a fingerprint. All selection logic is array HOFs per row
+    (zero shuffle, one post-selection explode); the md5-prefix hashes
+    replay exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.winnowing_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+_WINNOW_MAX_DF = 60  # hot-fingerprint stoplist (the skew lever)
+_WINNOW_MIN_SHARED = 1
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style partial-overlap detection — winnowing's actual use:
+    docs sharing ≥ 1 selected fingerprint VALUE are candidate
+    partial-plagiarism/shared-boilerplate pairs, with the shared count
+    and an integer containment permille. The corpus is seeded with the
+    `q_boilerplate_flags` headers/footers so ≥(w+k−1)-token shared runs
+    exist and the winnowing guarantee (any such run shares a
+    fingerprint) is exercised, not just asserted.
+
+    Scale shape: the inverted-index join of the dedup family, but over
+    winnowed selections (~2/(w+1) the density of full shingles);
+    fingerprints hotter than `_WINNOW_MAX_DF` docs are dropped first —
+    the same hot-key stoplist lever as the shingle join — so bucket
+    fan-out is df-bounded. Pair aggregation is digest-sized; text never
+    moves past the selection projection."""
+    from pyspark.sql import Window
+
+    docs = _seed_boilerplate(load_table(spark, sf_dir, "documents"))
+    fps = (
+        tx.winnowing_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    # df-stoplist via ONE fp-partitioned window (not agg+self-join),
+    # then checkpoint ONCE: three consumers (sizes, both pair sides)
+    # would each replay the selection explode otherwise — the r5
+    # reused-frames rule; the materialized frame is the slim
+    # (doc_id, fp) pair set, not the text
+    slim = (
+        fps.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("_df") <= _WINNOW_MAX_DF)
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=True)
+    )
+    sizes = slim.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    a = slim.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = slim.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_fp", "n_fp_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_fp", "n_fp_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "(n_shared * 1000) DIV least(n_fp_a, n_fp_b)"
+            ).alias("containment_pm"),
+        )
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-word argmax with deterministic
     tie-break (score desc, lang asc), 'und' when nothing matches."""
@@ -443,6 +562,92 @@ _URL_SEED_SPARK = """
 """
 
 
+# REP ruleset exercising every RFC 9309 semantic on the seeded URLs.
+# Path numbers are doc_id % 50 and source is doc_id-correlated, so each
+# host only ever sees 5 numbers (src1 → {1,11,21,31,41}, src2 →
+# {2,12,22,32,42}, src3 → {3,13,23,33,43}); the targets below are
+# chosen so every rule actually FIRES on the fixture:
+# bare-prefix fan-out (/articles/1 blocks both 1 and 11), longest-match
+# allow override (/articles/11), the allow-wins length tie
+# (/articles/31 twice), a trailing-slash prefix on src4 (every src4
+# doc_id ≡ 4 mod 20 ⊂ ≡ 0 mod 4, so ALL its URLs carry the slash and
+# the slashed prefix fires), the SAME slashed prefix on src2 (never
+# slashed — pins that a no-match rule changes nothing), and a
+# whole-host block with an allow island (src3). Unlisted hosts
+# default-allow.
+_ROBOTS_RULES = [
+    ("www.src1.com", "/articles/1", False),
+    ("www.src1.com", "/articles/11", True),
+    ("www.src1.com", "/articles/31", True),
+    ("www.src1.com", "/articles/31", False),
+    ("www.src4.com", "/articles/44/", False),
+    ("www.src2.com", "/articles/42/", False),
+    ("www.src3.com", "/", False),
+    ("www.src3.com", "/articles/23", True),
+]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt (RFC 9309) compliance verdicts over the seeded messy
+    URLs (`operators/robots.robots_filter`) — the crawl gate that runs
+    before any fetch: longest-matching path prefix per host wins, Allow
+    wins length ties, unlisted hosts default-allow. The ruleset is a
+    plan literal (the parsed robots.txt is host-bounded and tiny);
+    evaluation is zero-shuffle per-row HOFs, and the SAME builder
+    renders the DuckDB oracle so the two engines cannot drift."""
+    from ..operators.robots import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SEED_SPARK)
+    )
+    return robots_filter(docs, _ROBOTS_RULES).select(
+        "doc_id", "url", "host", "path", "matched_len", "allowed"
+    )
+
+
+_FRONTIER_WAVE = 8  # politeness: URLs per per-host fetch wave
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl trio composed into a fetch schedule: canonicalize the
+    seeded messy URLs (frontier dedup key), keep one frontier entry per
+    canonical URL, gate it through the REP ruleset (evaluated on the
+    canonical form — note the canonicalizer strips trailing slashes, so
+    slash-anchored rules intentionally don't fire here), and assign
+    politeness waves: within each host, URLs are fetched
+    `_FRONTIER_WAVE` at a time in canonical order. Output is the
+    schedule a polite distributed fetcher consumes: (host,
+    canonical_url, keeper_doc_id, fetch_wave).
+
+    Scale shape: one canonical-URL aggregate + one host-partitioned
+    rank window — both over slim URL strings; robots evaluation is the
+    zero-shuffle literal-ruleset projection. Hosts are the natural
+    politeness partition, so the window key IS the domain key a real
+    frontier shards by."""
+    from ..operators.robots import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SEED_SPARK)
+    )
+    frontier = (
+        tx.url_canonicalize(docs)
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").cast("long").alias("keeper_doc_id"))
+    )
+    allowed = robots_filter(
+        frontier, _ROBOTS_RULES, url_col="canonical_url"
+    ).filter(F.col("allowed"))
+    return allowed.select(
+        "host",
+        "canonical_url",
+        "keeper_doc_id",
+        F.expr(
+            f"CAST((row_number() OVER (PARTITION BY host "
+            f"ORDER BY canonical_url) - 1) DIV {_FRONTIER_WAVE} AS BIGINT)"
+        ).alias("fetch_wave"),
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over seeded messy URLs: normalize scheme/host
     case, default ports, tracking params, param order, fragments and
@@ -655,6 +860,18 @@ _PII_INJECT = """
 """
 
 from ..operators.text import PII_PATTERNS as _PII  # noqa: E402
+
+def q_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM quality scores for the held-out half of
+    the corpus (train = md5-gated 50% split, so backoff genuinely
+    fires): per document the bigram count, backoff count, scaled
+    integer score sum, and the ONE-division mean
+    (`operators/text.bigram_stupid_backoff`) — the KenLM-style quality
+    filter one level up from `q_unigram_doc_prob`, exact-checked
+    because α = 2/5 and every per-position score is an integer DIV."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_stupid_backoff(docs)
+
 
 def q_unigram_doc_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM document score: mean corpus-probability of the doc's
@@ -869,11 +1086,9 @@ _URL_SEED_DUCK = """
     || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END)
 """
 
-_URL_CANON_DUCK = """
-        WITH u AS (
-            SELECT doc_id, {seed} AS url FROM documents
-        ),
-        parts AS (
+# parts+canon CTE chain shared by the canonicalize oracle and the crawl-
+# frontier oracle (expects a CTE `u(doc_id, url)` in scope)
+_URL_CANON_CORE = """parts AS (
             SELECT doc_id, url,
                 lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
                 regexp_replace(
@@ -894,13 +1109,23 @@ _URL_CANON_DUCK = """
                 || (CASE WHEN qcanon = '' THEN ''
                          ELSE '?' || qcanon END) AS canonical_url
             FROM parts
-        )
-        SELECT canonical_url,
+        )"""
+
+_URL_CANON_DUCK = (
+    """
+        WITH u AS (
+            SELECT doc_id, {seed} AS url FROM documents
+        ),
+        """
+    + _URL_CANON_CORE
+    + """        SELECT canonical_url,
                CAST(COUNT(*) AS BIGINT) AS n_urls,
                CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
                CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
         FROM canon GROUP BY 1
 """
+)
+
 
 
 def _bm25_passages_sql() -> str:
@@ -961,6 +1186,50 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_core_sql(src: str = "documents") -> str:
+    """The winnowing-selection replay (k-gram md5-prefix hashes, per-
+    window rightmost-min, distinct) over relation `src` — shared by the
+    fingerprint oracle (raw documents) and the overlap-pairs oracle
+    (boilerplate-seeded documents)."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_LIST} AS toks FROM {src}
+        ),
+        h AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < {_WINNOW_K} THEN CAST([] AS BIGINT[])
+                   ELSE list_transform(
+                       generate_series(0, len(toks) - {_WINNOW_K}),
+                       i -> ('0x' || substr(md5(array_to_string(
+                           list_slice(toks, i + 1, i + {_WINNOW_K}), ' ')),
+                           1, 8))::BIGINT)
+                   END AS hs
+            FROM t
+        ),
+        sel AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(0, greatest(len(hs) - {_WINNOW_W}, 0)),
+                       j -> {{'pos': j + least(len(hs) - j, {_WINNOW_W})
+                                 - list_position(
+                                       list_reverse(list_slice(
+                                           hs, j + 1, j + {_WINNOW_W})),
+                                       list_aggregate(list_slice(
+                                           hs, j + 1, j + {_WINNOW_W}), 'min')),
+                              'fp': list_aggregate(list_slice(
+                                        hs, j + 1, j + {_WINNOW_W}), 'min')}}
+                   ) AS sels
+            FROM h WHERE len(hs) > 0
+        )
+        -- dedup after unnest: DuckDB's list_distinct can't histogram
+        -- STRUCT elements, plain DISTINCT is value-identical
+        SELECT DISTINCT doc_id,
+               CAST(s.pos AS BIGINT) AS pos,
+               CAST(s.fp AS BIGINT) AS fp
+        FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
+    """
+
+
 ORACLES: dict[str, str] = {
     "q_token_diversity": f"""
         WITH t AS (
@@ -990,6 +1259,114 @@ ORACLES: dict[str, str] = {
     "q_url_canonicalize": _URL_CANON_DUCK.format(seed=_URL_SEED_DUCK),
     "q_bm25_passages": _bm25_passages_sql(),
     "q_bm25_topk": _bm25_search_sql(),
+    "q_token_fertility": f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS_LIST})) AS BIGINT) AS n_words,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_RE}')))
+                    AS BIGINT) AS n_pieces,
+               CASE WHEN SUM(len({_TOKS_LIST})) = 0 THEN 0.0
+                    ELSE CAST(SUM(len(regexp_extract_all(text,
+                             '{BPE_ISH_RE}'))) AS DOUBLE)
+                         / CAST(SUM(len({_TOKS_LIST})) AS DOUBLE)
+               END AS fertility
+        FROM documents GROUP BY lang
+    """,
+    "q_winnowing_fingerprints": _winnow_core_sql(),
+    "q_winnow_overlap_pairs": f"""
+        WITH seeded AS ({_SEED_BOILER_SQL}),
+        w AS ({_winnow_core_sql("seeded")}),
+        fps AS (SELECT DISTINCT doc_id, fp FROM w),
+        keep AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING COUNT(*) <= {_WINNOW_MAX_DF}
+        ),
+        slim AS (SELECT fps.* FROM fps JOIN keep USING (fp)),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+            FROM slim GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM slim a JOIN slim b
+              ON b.fp = a.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+        )
+        SELECT doc_a, doc_b, n_shared,
+               sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+               (n_shared * 1000) // least(sa.n_fp, sb.n_fp)
+                   AS containment_pm
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = pairs.doc_a
+        JOIN sizes sb ON sb.doc_id = pairs.doc_b
+    """,
+    "q_bigram_backoff_quality": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x != '') AS toks,
+                   ('0x' || substr(md5('lmtrain' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 10000 < 5000 AS is_train
+            FROM documents
+        ),
+        tug AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c_uni
+            FROM (SELECT unnest(toks) AS w FROM base WHERE is_train)
+            GROUP BY 1
+        ),
+        tbi AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+            FROM (
+                SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+                FROM (SELECT toks,
+                             unnest(generate_series(0, len(toks) - 2)) AS i
+                      FROM base WHERE is_train AND len(toks) >= 2)
+            ) GROUP BY 1, 2
+        ),
+        ntr AS (
+            SELECT CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS n_train
+            FROM base WHERE is_train
+        ),
+        sb AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(0, len(toks) - 2)) AS i
+                  FROM base WHERE NOT is_train AND len(toks) >= 2)
+        ),
+        sc AS (
+            SELECT sb.doc_id,
+                   CASE WHEN tbi.c_bi IS NOT NULL
+                        THEN (tbi.c_bi * 1000000) // u1.c_uni
+                        WHEN ntr.n_train = 0 THEN 0
+                        ELSE (2 * 1000000 * COALESCE(u2.c_uni, 0))
+                             // (5 * ntr.n_train)
+                   END AS s,
+                   CASE WHEN tbi.c_bi IS NULL THEN 1 ELSE 0 END AS bo
+            FROM sb
+            LEFT JOIN tbi ON tbi.w1 = sb.w1 AND tbi.w2 = sb.w2
+            LEFT JOIN tug u1 ON u1.w = sb.w1
+            LEFT JOIN tug u2 ON u2.w = sb.w2
+            CROSS JOIN ntr
+        ),
+        pd AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(bo) AS BIGINT) AS n_backoff,
+                   CAST(SUM(s) AS BIGINT) AS sum_score_scaled
+            FROM sc GROUP BY 1
+        )
+        SELECT b.doc_id,
+               COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+               COALESCE(pd.n_backoff, 0) AS n_backoff,
+               COALESCE(pd.sum_score_scaled, 0) AS sum_score_scaled,
+               CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE CAST(pd.sum_score_scaled AS DOUBLE)
+                         / CAST(pd.n_bigrams AS DOUBLE)
+               END AS mean_prob_scaled
+        FROM (SELECT doc_id FROM base WHERE NOT is_train) b
+        LEFT JOIN pd USING (doc_id)
+    """,
     # Contract-check oracle (the q_ann_topk_ivf pattern): the Spark side
     # computes the booleans in-plan; the oracle pins them TRUE plus the
     # deterministic row count.
@@ -1419,6 +1796,60 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         *share_cols,
     )
 
+
+def _robots_sql() -> str:
+    from ..operators.robots import DUCK_D, robots_exprs
+
+    e = robots_exprs(DUCK_D, _ROBOTS_RULES, "url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, {_URL_SEED_DUCK} AS url FROM documents
+        )
+        SELECT doc_id, url,
+               {e['host']} AS host,
+               {e['path']} AS path,
+               {e['matched_len']} AS matched_len,
+               {e['allowed']} AS allowed
+        FROM u
+    """
+
+
+ORACLES["q_robots_filter"] = _robots_sql()
+
+
+def _crawl_frontier_sql() -> str:
+    from ..operators.robots import DUCK_D, robots_exprs
+
+    e = robots_exprs(DUCK_D, _ROBOTS_RULES, "canonical_url")
+    return (
+        """
+        WITH u AS (
+            SELECT doc_id, """ + _URL_SEED_DUCK + """ AS url FROM documents
+        ),
+        """
+        + _URL_CANON_CORE
+        + f""",
+        frontier AS (
+            SELECT canonical_url,
+                   CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+            FROM canon GROUP BY 1
+        ),
+        verdicts AS (
+            SELECT canonical_url, keeper_doc_id,
+                   {e['host']} AS host,
+                   {e['allowed']} AS allowed
+            FROM frontier
+        )
+        SELECT host, canonical_url, keeper_doc_id,
+               CAST((ROW_NUMBER() OVER (PARTITION BY host
+                     ORDER BY canonical_url) - 1) // {_FRONTIER_WAVE}
+                    AS BIGINT) AS fetch_wave
+        FROM verdicts WHERE allowed
+    """
+    )
+
+
+ORACLES["q_crawl_frontier"] = _crawl_frontier_sql()
 
 ORACLES["q_dsir_resample"] = f"""
     WITH toks AS (

@@ -1,0 +1,155 @@
+"""WARC (ISO 28500) web-archive source — the native container format of
+web-scale pretraining corpora (Common Crawl ships WARC; every public
+crawl-ingestion pipeline starts by splitting WARC records and peeling
+the HTTP envelope off response records).
+
+Reference parity note: XELoader's ingest surface is "opaque container →
+typed event rows" (FileProcessor.cs:203 drives a closed SDK the same
+way); this source is the training-data analogue for the crawl
+container, built the repo's way: a deterministic in-plan fixture
+(records synthesized from the documents table — no binary fixture file
+to ship), a pure string-function record parser, and a DuckDB oracle
+that replays synthesis AND parsing exactly.
+
+Format simplification, documented: record boundaries are found by
+splitting on the version line `WARC/1.0` CRLF (the streaming
+simplification every line-oriented WARC splitter uses); the spec's
+Content-Length-driven offset walk is inherently sequential per file and
+does not decompose into per-record data parallelism. The trade is
+visible, not silent: every parsed record carries `len_ok` =
+(declared Content-Length == reconstructed HTTP-block length), so a
+payload that embedded a version line at line start — the one case the
+split mis-handles — surfaces as a FALSE instead of silent corruption.
+
+Both the synthesis template and the parser are emitted by ONE builder
+parameterized over a tiny engine dialect (string-cast keyword, regex
+split function, 1-based array indexing), so the Spark plan and the
+DuckDB oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Regex patterns are authored with SINGLE backslashes; the dialect's
+# `re` hook handles string-literal escaping: Spark SQL literals process
+# C-style escapes (pattern backslashes must be doubled in the SQL
+# text), DuckDB standard-SQL literals keep backslashes verbatim.
+SPARK_DIALECT = {
+    "S": "STRING",
+    "re": lambda p: p.replace("\\", "\\\\"),
+    "split": lambda s, pat: f"split({s}, '{pat}')",
+    # try_element_at: out-of-range → NULL (ANSI element_at throws), the
+    # same semantics DuckDB bracket indexing gives — malformed records
+    # must yield NULL fields, not a task crash on hostile crawl bytes
+    "idx": lambda arr, i: f"try_element_at({arr}, {i})",  # 1-based
+}
+DUCK_DIALECT = {
+    "S": "VARCHAR",
+    "re": lambda p: p,
+    "split": lambda s, pat: f"regexp_split_to_array({s}, '{pat}')",
+    "idx": lambda arr, i: f"({arr})[{i}]",  # 1-based
+}
+
+_CRLF_RE = r"\r\n"
+_CRLF2_RE = _CRLF_RE + _CRLF_RE
+_HTTP_STATUS_RE = r"HTTP/1\.1 ([0-9]+)"
+
+
+def _crlf(d: dict) -> str:
+    return "chr(13), chr(10)"
+
+
+def http_block_sql(d: dict, status_sql: str, body_sql: str) -> str:
+    """The HTTP response envelope inside a WARC response record."""
+    return (
+        f"concat('HTTP/1.1 ', {status_sql}, "
+        f"CASE WHEN {status_sql} = '200' THEN ' OK' ELSE ' Not Found' END, "
+        f"{_crlf(d)}, 'Content-Type: text/plain', {_crlf(d)}, {_crlf(d)}, "
+        f"{body_sql})"
+    )
+
+
+def warc_record_sql(d: dict, id_sql: str, uri_sql: str, http_sql: str) -> str:
+    """One WARC/1.0 response record: version line, WARC named headers,
+    blank line, HTTP block, record separator (two CRLF). Content-Length
+    is the spec's: the byte length of the record block (the HTTP
+    envelope + payload)."""
+    S = d["S"]
+    return (
+        f"concat('WARC/1.0', {_crlf(d)}, "
+        f"'WARC-Type: response', {_crlf(d)}, "
+        f"'WARC-Target-URI: ', {uri_sql}, {_crlf(d)}, "
+        f"'WARC-Record-ID: <urn:uuid:', md5(CAST({id_sql} AS {S})), '>', "
+        f"{_crlf(d)}, "
+        f"'Content-Length: ', CAST(length({http_sql}) AS {S}), {_crlf(d)}, "
+        f"{_crlf(d)}, {http_sql}, {_crlf(d)}, {_crlf(d)})"
+    )
+
+
+def parse_warc_exprs(d: dict, rec_sql: str) -> dict[str, str]:
+    """Column expressions parsing ONE record body (the text after the
+    version line): WARC headers / HTTP status / payload / the len_ok
+    Content-Length audit. Pure string functions — identical template
+    for the Spark plan and the DuckDB oracle."""
+    parts = d["split"](rec_sql, d["re"](_CRLF2_RE))
+    warc_hdr = d["idx"](parts, 1)
+    http_hdr = d["idx"](parts, 2)
+    payload = d["idx"](parts, 3)
+
+    def hdr(name: str) -> str:
+        # nullif: a missing header extracts '' — CAST('' AS BIGINT)
+        # throws in BOTH engines under strict typing, NULL casts fine
+        return (
+            f"nullif(regexp_extract({warc_hdr}, "
+            f"'{name}: ([^' || chr(13) || chr(10) || ']+)', 1), '')"
+        )
+
+    return {
+        "warc_type": hdr("WARC-Type"),
+        "target_uri": hdr("WARC-Target-URI"),
+        "record_id": hdr("WARC-Record-ID"),
+        "content_length": f"CAST({hdr('Content-Length')} AS BIGINT)",
+        "http_status": (
+            f"CAST(nullif(regexp_extract({http_hdr}, "
+            f"'{d['re'](_HTTP_STATUS_RE)}', 1), '') AS BIGINT)"
+        ),
+        "payload": payload,
+        # declared length vs reconstructed http block (hdr + CRLFCRLF +
+        # payload) — FALSE/NULL surfaces any record-boundary miscount
+        # (NULL when the record is too malformed to even have the parts)
+        "len_ok": (
+            f"CAST({hdr('Content-Length')} AS BIGINT) = "
+            f"length({http_hdr}) + 4 + length({payload})"
+        ),
+    }
+
+
+def parse_warc(
+    df: DataFrame, blob_col: str = "warc_blob", file_col: str = "warc_file"
+) -> DataFrame:
+    """Parse WARC blobs into typed record rows: (warc_file, rec_seq,
+    warc_type, target_uri, record_id, content_length, http_status,
+    payload, len_ok).
+
+    Scale shape: ONE posexplode of the per-file record array (records
+    are the parallelism unit a crawl pipeline wants; files arrive as
+    whole blobs exactly like .warc.gz members), then every field is a
+    string function inside the same codegen stage — zero shuffles, zero
+    joins, nothing but the records themselves ever moves."""
+    d = SPARK_DIALECT
+    recs = d["split"](blob_col, d["re"](r"WARC/1\.0" + _CRLF_RE))
+    exprs = parse_warc_exprs(d, "_rec")
+    return (
+        df.select(
+            F.col(file_col),
+            F.posexplode(F.expr(recs)).alias("_pos", "_rec"),
+        )
+        .filter(F.col("_pos") >= 1)  # element 0 precedes the first record
+        .select(
+            F.col(file_col),
+            (F.col("_pos") - 1).cast("long").alias("rec_seq"),
+            *[F.expr(sql).alias(name) for name, sql in exprs.items()],
+        )
+    )
