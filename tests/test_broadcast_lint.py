@@ -104,6 +104,7 @@ WHITELIST: dict[str, list[str]] = {
     "operators/text.py": [
         ".crossJoin(F.broadcast(n))",
         ".crossJoin(F.broadcast(n_train))",
+        ".crossJoin(F.broadcast(n_types))",
         "probe = base.crossJoin(F.broadcast(stats))",
         "probe = base.crossJoin(F.broadcast(stats))",
         "return per_doc.crossJoin(F.broadcast(total)).select(",

@@ -1001,3 +1001,72 @@ def test_bigram_backoff_matches_python_model(spark, token_lists):
                 if n_train > 0:
                     ss += (2 * SCALE * ug.get(b, 0)) // (5 * n_train)
         assert got[i] == (nb, nbo, ss), (i, got[i], (nb, nbo, ss))
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee".split()), max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_kneser_ney_matches_integer_model_and_tracks_float(spark, token_lists):
+    """kneser_ney_score == the direct python integer model exactly for
+    any corpus, AND the scaled score stays within 3/SCALE·n_bigrams of
+    the true float interpolated-KN sum (each position loses < 2/S to
+    the two nested DIVs plus < 1/S in Pcont) — so the fixed-point form
+    is the float formula up to documented truncation, not a different
+    quantity."""
+    import hashlib
+
+    from xeloader_spark.operators.text import kneser_ney_score
+
+    S = 1_000_000
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_unseen_ctx, r.sum_score_scaled)
+        for r in kneser_ney_score(df).collect()
+    }
+
+    def gate(i):
+        return int(hashlib.md5(f"lmtrain{i}".encode()).hexdigest()[:8], 16) % 10_000 < 5_000
+
+    corpus = {i: [t for t in toks if t] for i, toks in enumerate(token_lists)}
+    bi = {}
+    for i, toks in corpus.items():
+        if gate(i):
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+    ctx, nfollow, nprec = {}, {}, {}
+    for (a, b), c in bi.items():
+        ctx[a] = ctx.get(a, 0) + c
+        nfollow[a] = nfollow.get(a, 0) + 1
+        nprec[b] = nprec.get(b, 0) + 1
+    n_types = len(bi)
+
+    exp_ids = {i for i in corpus if not gate(i)}
+    assert set(got) == exp_ids
+    for i in exp_ids:
+        toks = corpus[i]
+        nb = nu = ss = 0
+        fs = 0.0
+        for a, b in zip(toks, toks[1:]):
+            nb += 1
+            pcont = (nprec.get(b, 0) * S) // n_types if n_types else 0
+            fpcont = nprec.get(b, 0) / n_types if n_types else 0.0
+            if a in ctx:
+                c12 = bi.get((a, b), 0)
+                ss += (max(4 * c12 - 3, 0) * S) // (4 * ctx[a]) + (
+                    3 * nfollow[a] * pcont
+                ) // (4 * ctx[a])
+                fs += max(c12 - 0.75, 0.0) / ctx[a] + (
+                    0.75 * nfollow[a] / ctx[a]
+                ) * fpcont
+            else:
+                nu += 1
+                ss += pcont
+                fs += fpcont
+        assert got[i] == (nb, nu, ss), (i, got[i], (nb, nu, ss))
+        assert abs(ss - fs * S) <= 3 * nb + 1, (i, ss, fs * S)

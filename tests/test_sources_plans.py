@@ -923,6 +923,11 @@ class TestRound7AdditionShapes:
         bb = qt.q_bigram_backoff_quality(spark, SF)
         plans.assert_max_shuffles(bb, 5)
         plans.assert_no_cartesian(bb)
+        # KN: the checkpointed train-bigram table hides the train agg;
+        # the visible plan is stats derivations + probes + doc agg
+        kn = qt.q_kneser_ney_quality(spark, SF)
+        plans.assert_max_shuffles(kn, 5)
+        plans.assert_no_cartesian(kn)
 
     def test_robots_filter_zero_shuffle(self, spark):
         """REP evaluation is a pure projection: the ruleset is a plan

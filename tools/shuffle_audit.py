@@ -82,6 +82,7 @@ AUDIT_QUERIES = [
     "q_winnow_overlap_pairs",
     "q_robots_filter",
     "q_crawl_frontier",
+    "q_kneser_ney_quality",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -115,6 +116,8 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_quantile_normalize_scores": {"documents"},
     # the slim (doc_id, fp) set is checkpointed for its three consumers
     "q_winnow_overlap_pairs": {"documents"},
+    # the train bigram table is checkpointed for its three stats consumers
+    "q_kneser_ney_quality": {"documents"},
 }
 
 

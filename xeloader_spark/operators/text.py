@@ -457,6 +457,149 @@ def bigram_stupid_backoff(
     )
 
 
+def kneser_ney_score(
+    df: DataFrame,
+    scale: int = 1_000_000,
+    train_salt: str = "lmtrain",
+    train_thr: int = 5_000,
+    buckets: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated bigram Kneser-Ney scoring (Kneser & Ney 1995; the
+    interpolated form of Chen & Goodman 1998) — the textbook smoothing
+    — made ENGINE-EXACT: the discount D = 0.75 is the exact rational
+    3/4, continuation probability is a ratio of distinct-bigram-type
+    counts, and every per-position probability is evaluated in scaled
+    BIGINT with a pinned operation order:
+
+        Pcont(w₂)  = (nprec(w₂) · S) DIV n_types
+        seen ctx:  P = (max(4·c₁₂ − 3, 0) · S) DIV (4·c₁)
+                     + (3 · nfollow(w₁) · Pcont) DIV (4·c₁)
+        unseen ctx: P = Pcont
+
+    with c₁ = Σ_w c(w₁w) (the bigram-context count), nfollow/nprec the
+    distinct continuation type counts, n_types the total distinct
+    bigram types. The fixed-point nesting (two DIVs instead of one real
+    division) is NOT numerically identical to the float formula — it is
+    deterministically LOWER by < 2/S per term — but both engines replay
+    the identical op order, so the score hash-checks exactly, and the
+    ordering it induces matches the float form beyond ulp-level ties
+    (pytest pins a float-reference comparison). Same md5-gated
+    train/held-out split as `bigram_stupid_backoff` (same salt), so the
+    two quality scores are comparable doc-for-doc.
+
+    Per held-out doc: n_bigrams, n_unseen_ctx (positions whose context
+    never appeared in training — scored by continuation alone),
+    sum_score_scaled, and the ONE-division mean.
+
+    Scale shape: ONE bigram aggregate over the train split feeds three
+    digest-sized derived tables (per-w₁ context stats, per-w₂
+    continuation counts, the 1-row type total); held-out bigrams probe
+    with two hash joins; one doc_id aggregate. Overflow headroom:
+    4·c₁₂·S under 2⁶³ needs train bigram counts below ~2·10¹² at the
+    default scale — halve `scale` past that."""
+    from .sampling import hash_bucket
+
+    toks = _tok_array(text_col)
+    bigrams = (
+        f"CASE WHEN size(_toks) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - 1), "
+        f"i -> named_struct('w1', element_at(_toks, i), "
+        f"'w2', element_at(_toks, i + 1))) END"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(toks).alias("_toks"),
+        (hash_bucket(F.col(id_col), train_salt, buckets) < int(train_thr)).alias(
+            "_is_train"
+        ),
+    )
+    train_bi = (
+        base.filter(F.col("_is_train"))
+        .select(F.explode(F.expr(bigrams)).alias("_b"))
+        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
+        # one shuffle on (w1,w2); the three stats tables derive from it
+        .localCheckpoint(eager=True)
+    )
+    ctx = train_bi.groupBy("w1").agg(
+        F.sum("c_bi").cast("long").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n_follow"),
+    )
+    cont = train_bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prec")
+    )
+    n_types = train_bi.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_types")
+    )
+
+    score_bi = (
+        base.filter(~F.col("_is_train"))
+        .select("doc_id", F.explode(F.expr(bigrams)).alias("_b"))
+        .select(
+            "doc_id",
+            F.col("_b.w1").alias("w1"),
+            F.col("_b.w2").alias("w2"),
+        )
+    )
+    s = int(scale)
+    scored = (
+        score_bi.join(train_bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN _n_types IS NULL OR _n_types = 0 THEN 0L "
+                f"ELSE (coalesce(n_prec, 0L) * {s}L) DIV _n_types END"
+            ).alias("_pcont"),
+            "c_bi",
+            "c_ctx",
+            "n_follow",
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN c_ctx IS NULL THEN _pcont "
+                f"ELSE (greatest(4 * coalesce(c_bi, 0L) - 3, 0L) * {s}L)"
+                f" DIV (4 * c_ctx)"
+                f" + (3 * n_follow * _pcont) DIV (4 * c_ctx) END"
+            ).alias("_p"),
+            F.expr("CASE WHEN c_ctx IS NULL THEN 1L ELSE 0L END").alias(
+                "_unseen"
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_unseen").cast("long").alias("n_unseen_ctx"),
+        F.sum("_p").cast("long").alias("sum_score_scaled"),
+    )
+    return (
+        base.filter(~F.col("_is_train"))
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_unseen_ctx", F.lit(0))
+            .cast("long")
+            .alias("n_unseen_ctx"),
+            F.coalesce("sum_score_scaled", F.lit(0))
+            .cast("long")
+            .alias("sum_score_scaled"),
+            F.expr(
+                "CASE WHEN coalesce(n_bigrams, 0L) = 0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE CAST(sum_score_scaled AS DOUBLE)"
+                " / CAST(n_bigrams AS DOUBLE) END"
+            ).alias("mean_prob_scaled"),
+        )
+    )
+
+
 def tfidf_search(
     df: DataFrame,
     terms: tuple[str, ...],

@@ -873,6 +873,20 @@ def q_bigram_backoff_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_stupid_backoff(docs)
 
 
+def q_kneser_ney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram Kneser-Ney quality scores for the held-out
+    half (`operators/text.kneser_ney_score`) — the textbook smoothing
+    with the exact-rational discount D = 3/4, continuation
+    probabilities from distinct-type counts, scaled-BIGINT arithmetic
+    with a pinned op order so the whole thing hash-checks. Same
+    md5-gated split as `q_bigram_backoff_quality`, so the two smoothers
+    are comparable doc-for-doc; KN's continuation term scores
+    'frequent-only-in-one-context' tokens lower than raw frequency —
+    the property stupid backoff lacks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.kneser_ney_score(docs)
+
+
 def q_unigram_doc_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM document score: mean corpus-probability of the doc's
     tokens (exact integer sum + one IEEE division) — the engine-checkable
@@ -1359,6 +1373,80 @@ ORACLES: dict[str, str] = {
         SELECT b.doc_id,
                COALESCE(pd.n_bigrams, 0) AS n_bigrams,
                COALESCE(pd.n_backoff, 0) AS n_backoff,
+               COALESCE(pd.sum_score_scaled, 0) AS sum_score_scaled,
+               CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE CAST(pd.sum_score_scaled AS DOUBLE)
+                         / CAST(pd.n_bigrams AS DOUBLE)
+               END AS mean_prob_scaled
+        FROM (SELECT doc_id FROM base WHERE NOT is_train) b
+        LEFT JOIN pd USING (doc_id)
+    """,
+    "q_kneser_ney_quality": """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x != '') AS toks,
+                   ('0x' || substr(md5('lmtrain' || CAST(doc_id AS VARCHAR)),
+                    1, 8))::BIGINT % 10000 < 5000 AS is_train
+            FROM documents
+        ),
+        tbi AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+            FROM (
+                SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+                FROM (SELECT toks,
+                             unnest(generate_series(0, len(toks) - 2)) AS i
+                      FROM base WHERE is_train AND len(toks) >= 2)
+            ) GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_ctx,
+                   CAST(COUNT(*) AS BIGINT) AS n_follow
+            FROM tbi GROUP BY 1
+        ),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_prec
+            FROM tbi GROUP BY 1
+        ),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM tbi),
+        sb AS (
+            SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(0, len(toks) - 2)) AS i
+                  FROM base WHERE NOT is_train AND len(toks) >= 2)
+        ),
+        pc AS (
+            SELECT sb.doc_id, sb.w1, sb.w2,
+                   CASE WHEN nt.n_types = 0 THEN 0
+                        ELSE (COALESCE(cont.n_prec, 0) * 1000000)
+                             // nt.n_types
+                   END AS pcont
+            FROM sb
+            LEFT JOIN cont ON cont.w2 = sb.w2
+            CROSS JOIN nt
+        ),
+        sc AS (
+            SELECT pc.doc_id,
+                   CASE WHEN ctx.c_ctx IS NULL THEN pc.pcont
+                        ELSE (greatest(4 * COALESCE(tbi.c_bi, 0) - 3, 0)
+                              * 1000000) // (4 * ctx.c_ctx)
+                           + (3 * ctx.n_follow * pc.pcont)
+                             // (4 * ctx.c_ctx)
+                   END AS p,
+                   CASE WHEN ctx.c_ctx IS NULL THEN 1 ELSE 0 END AS unseen
+            FROM pc
+            LEFT JOIN tbi ON tbi.w1 = pc.w1 AND tbi.w2 = pc.w2
+            LEFT JOIN ctx ON ctx.w1 = pc.w1
+        ),
+        pd AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(unseen) AS BIGINT) AS n_unseen_ctx,
+                   CAST(SUM(p) AS BIGINT) AS sum_score_scaled
+            FROM sc GROUP BY 1
+        )
+        SELECT b.doc_id,
+               COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+               COALESCE(pd.n_unseen_ctx, 0) AS n_unseen_ctx,
                COALESCE(pd.sum_score_scaled, 0) AS sum_score_scaled,
                CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN 0.0
                     ELSE CAST(pd.sum_score_scaled AS DOUBLE)
