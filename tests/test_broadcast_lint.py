@@ -146,6 +146,8 @@ WHITELIST: dict[str, list[str]] = {
         "budgets = grp.crossJoin(F.broadcast(total)).select(",
         'joined = toks.join(F.broadcast(budgets), ["lang", "source"])',
         "pct.crossJoin(F.broadcast(n_total))",
+        ".crossJoin(F.broadcast(total))",
+        "ranked.crossJoin(F.broadcast(n_total))",
     ],
     # (label, pos) bounded centroid sums
     "queries/similarity.py": [

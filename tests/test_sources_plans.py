@@ -929,6 +929,15 @@ class TestRound7AdditionShapes:
         plans.assert_max_shuffles(kn, 5)
         plans.assert_no_cartesian(kn)
 
+    def test_curriculum_budget(self, spark):
+        from xeloader_spark.queries import sampling as qs
+
+        # unigram scorer (explode agg + partition-reusing freq join +
+        # doc agg) + the distributed global-rank machinery; slim rank
+        # rows; both scalar totals ride broadcast cross joins
+        df = qs.q_curriculum_schedule(spark, SF)
+        plans.assert_no_cartesian(df)
+
     def test_robots_filter_zero_shuffle(self, spark):
         """REP evaluation is a pure projection: the ruleset is a plan
         literal and longest-match resolves via struct-sort HOFs — the

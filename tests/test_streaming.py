@@ -1837,3 +1837,71 @@ def test_streaming_warc_parse_matches_batch(spark, tmp_path):
     stats = {r.http_status for r in qdf.select("http_status").distinct().collect()}
     assert stats == {200, 404}
     assert qdf.filter("NOT len_ok").count() == 0
+
+
+def test_streaming_backoff_scores_match_batch(spark, tmp_path):
+    """Stream-static stupid-backoff scoring: per-bigram scores of a
+    held-out doc STREAM against batch-trained static stats, reduced
+    per doc at the sink, must equal the batch operator's rows exactly
+    (same md5 split, same CASE template). The streaming plan is
+    stateless — explode + two stream-static joins, zero state."""
+    from xeloader_spark.operators.sampling import hash_bucket
+    from xeloader_spark.operators.text import bigram_stupid_backoff
+    from xeloader_spark.streaming.lm_stream import (
+        backoff_score_stream,
+        train_backoff_stats,
+    )
+
+    src = str(tmp_path / "lm_in")
+    out = str(tmp_path / "lm_out")
+    ckpt = str(tmp_path / "lm_ckpt")
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    is_train = hash_bucket(F.col("doc_id"), "lmtrain", 10_000) < 5_000
+    train = docs.filter(is_train)
+    heldout = docs.filter(~is_train)
+
+    train_bi, train_ug, n_train = train_backoff_stats(train)
+    train_bi = train_bi.localCheckpoint(eager=True)
+    train_ug = train_ug.localCheckpoint(eager=True)
+
+    heldout.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        backoff_score_stream(stream, train_bi, train_ug, n_train)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import pandas as pd
+
+    emitted = spark.read.parquet(out).toPandas()
+    got = (
+        emitted.groupby("doc_id")
+        .agg(
+            n_bigrams=("score_scaled", "size"),
+            n_backoff=("is_backoff", "sum"),
+            sum_score_scaled=("score_scaled", "sum"),
+        )
+        .astype("int64")
+        .to_dict("index")
+    )
+    batch = {
+        r.doc_id: {
+            "n_bigrams": r.n_bigrams,
+            "n_backoff": r.n_backoff,
+            "sum_score_scaled": r.sum_score_scaled,
+        }
+        for r in bigram_stupid_backoff(docs).collect()
+        if r.n_bigrams > 0  # <2-token docs emit no bigram rows upstream
+    }
+    assert got == batch and len(batch) > 0

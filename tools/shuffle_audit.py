@@ -83,6 +83,7 @@ AUDIT_QUERIES = [
     "q_robots_filter",
     "q_crawl_frontier",
     "q_kneser_ney_quality",
+    "q_curriculum_schedule",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -118,6 +119,8 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_winnow_overlap_pairs": {"documents"},
     # the train bigram table is checkpointed for its three stats consumers
     "q_kneser_ney_quality": {"documents"},
+    # global_row_number localCheckpoints its range-partitioned frame
+    "q_curriculum_schedule": {"documents"},
 }
 
 

@@ -677,3 +677,101 @@ ORACLES["q_packing_boundary_stats"] = f"""
                AS last_seq_fill
     FROM g
 """
+
+
+_CURR_PHASES = 4
+_CURR_SCALE = 1_000_000
+
+
+def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009, the public recipe:
+    train easy→hard): documents ranked by an integer easiness score —
+    mean corpus-frequency of their tokens, common-vocabulary docs first
+    — and split into 4 curriculum phases by global rank. Easiness is
+    the `unigram_doc_score` integer evidence re-scaled to ppm with a
+    pinned two-DIV order ((sum_freq DIV n_tokens)·10⁶ DIV total — exact
+    both engines, headroom to ~10¹² corpus tokens); the phase boundary
+    is ((rank−1)·4) DIV N, so phases differ in size by at most one doc.
+
+    Scale shape: the unigram scorer's explode + freq join + doc agg,
+    then the distributed `global_row_number` (range exchange — never a
+    single-partition window) and a 1-row N broadcast. Rank rows are
+    slim (doc_id, score); text never rides the rank shuffle."""
+    from ..operators.rank import global_row_number
+    from ..operators.text import _tok_array, unigram_doc_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok_array("text")
+    total = docs.agg(
+        F.sum(F.expr(f"size({toks})")).cast("long").alias("_tot")
+    )
+    scored = (
+        unigram_doc_score(docs)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"CASE WHEN n_tokens = 0 OR _tot = 0 THEN 0L"
+                f" ELSE ((sum_freq DIV n_tokens) * {_CURR_SCALE}L) DIV _tot"
+                " END"
+            ).alias("easiness_ppm"),
+        )
+    )
+    ranked = global_row_number(
+        scored,
+        order_by=[F.desc("easiness_ppm"), "doc_id"],
+        out_col="rank",
+    )
+    n_total = docs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "easiness_ppm",
+            F.col("rank").cast("long").alias("rank"),
+            F.expr(
+                f"CASE WHEN _n = 0 THEN 0L"
+                f" ELSE ((rank - 1) * {_CURR_PHASES}) DIV _n END"
+            ).alias("phase"),
+        )
+    )
+
+
+ORACLES["q_curriculum_schedule"] = f"""
+    WITH t AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(text, '\\s+'), x -> x != '')) AS tok
+        FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM t GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(freq.f) AS BIGINT) AS sum_freq
+        FROM t JOIN freq USING (tok) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS _tot FROM t),
+    alldocs AS (
+        SELECT d.doc_id,
+               COALESCE(p.n_tokens, 0) AS n_tokens,
+               CASE WHEN COALESCE(p.n_tokens, 0) = 0 OR tot._tot = 0 THEN 0
+                    ELSE ((p.sum_freq // p.n_tokens) * {_CURR_SCALE})
+                         // tot._tot END AS easiness_ppm
+        FROM documents d
+        LEFT JOIN per_doc p USING (doc_id) CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   ORDER BY easiness_ppm DESC, doc_id) AS BIGINT) AS rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS _n
+        FROM alldocs
+    )
+    SELECT doc_id, n_tokens, easiness_ppm, rank,
+           CASE WHEN _n = 0 THEN 0
+                ELSE ((rank - 1) * {_CURR_PHASES}) // _n END AS phase
+    FROM ranked
+"""
