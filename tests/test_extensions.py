@@ -904,7 +904,7 @@ class TestText:
         assert len(row) == 1
         r = row[0]
         assert r.n_topk == 20
-        assert r.overlap_ok and r.score_positive_ok and r.idf_rank_agree_ok
+        assert r.overlap_ok and r.idf_rank_agree_ok
 
     def test_bm25_shorter_doc_scores_higher_at_equal_tf(self, spark):
         df = spark.createDataFrame(

@@ -938,6 +938,28 @@ class TestRound7AdditionShapes:
         df = qs.q_curriculum_schedule(spark, SF)
         plans.assert_no_cartesian(df)
 
+    def test_curriculum_keeps_zero_token_docs(self, spark, tmp_path):
+        """r7 review finding: the explode-built unigram scorer drops
+        empty docs, but the schedule (and its oracle) must keep every
+        document — easiness 0, ranked last, phases computed against the
+        FULL doc count."""
+        import os
+
+        from xeloader_spark.queries import sampling as qs
+
+        d = str(tmp_path)
+        spark.createDataFrame(
+            [(1, "a b a", "en", "src0"), (2, "", "en", "src0"),
+             (3, "b c", "en", "src0")],
+            ["doc_id", "text", "lang", "source"],
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        rows = {r.doc_id: r for r in qs.q_curriculum_schedule(spark, d).collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[2].n_tokens == 0 and rows[2].easiness_ppm == 0
+        assert rows[2].rank == 3 and rows[2].phase == 2
+
     def test_robots_filter_zero_shuffle(self, spark):
         """REP evaluation is a pure projection: the ruleset is a plan
         literal and longest-match resolves via struct-sort HOFs — the
@@ -1006,3 +1028,16 @@ class TestRound7AdditionShapes:
         plan = plans.physical_plan(df, "simple")
         assert "sort_array" in plan, plan
         assert "array_distinct" not in plan, plan
+
+    def test_robots_rule_host_case_insensitive(self, spark):
+        """r7 review finding: RFC 9309 hosts are case-insensitive, but
+        the URL-side expression lower-cases — a mixed-case rule host
+        must be normalized at render time, not silently never match."""
+        from xeloader_spark.operators.robots import robots_filter
+
+        df = spark.createDataFrame(
+            [(1, "https://example.com/x")], "id long, url string"
+        )
+        out = robots_filter(df, [("Example.COM", "/", False)]).collect()
+        assert len(out) == 1 and out[0].allowed is False
+        assert out[0].matched_len == 1

@@ -1768,6 +1768,17 @@ def test_streaming_quantile_normalize_error_envelope(spark, tmp_path):
         )
         assert a.norm_hi_ppm - a.norm_lo_ppm == width
 
+    # a doc from a source the sketch has never seen must SURVIVE with
+    # NULL calibration columns, not vanish (r7 review finding)
+    alien = spark.createDataFrame(
+        [(999_999, "never-seen-source", 123_456)],
+        "doc_id long, source string, rp_ppm long",
+    )
+    out = qs.normalize_from_hist(sketch, alien, bins=BINS).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 999_999
+    assert out[0].pctile_bp_approx is None and out[0].norm_bucket is None
+
 
 def test_streaming_warc_parse_matches_batch(spark, tmp_path):
     """The WARC record parser is stateless (select/filter/posexplode),

@@ -63,20 +63,28 @@ _HOST_RE = "^[a-zA-Z]+://([^/:?#]+)"
 _PATH_RE = "^[a-zA-Z]+://[^/:?#]+(:[0-9]+)?(/[^?#]*)?"
 
 
-def _check_rules(rules: list[Rule]) -> None:
-    for host, prefix, _ in rules:
+def _check_rules(rules: list[Rule]) -> list[Rule]:
+    """Validate and normalize: hosts are case-insensitive per RFC 9309,
+    and the URL-side host expression lower-cases, so rule hosts are
+    lower-cased here — a mixed-case rule host would otherwise silently
+    never match and the whole host would default to allowed (r7 review
+    finding)."""
+    out: list[Rule] = []
+    for host, prefix, allow in rules:
         for s in (host, prefix):
             if "'" in s or "\\" in s:
                 raise ValueError(
                     f"rule parts must not contain quotes/backslashes: {s!r}"
                 )
+        out.append((host.lower(), prefix, allow))
+    return out
 
 
 def robots_exprs(d: dict, rules: list[Rule], url_sql: str) -> dict[str, str]:
     """Column expressions evaluating `rules` against the URL named by
     `url_sql`: host, path (default '/'), matched_len (longest matching
     prefix length, -1 when no rule matched) and allowed."""
-    _check_rules(rules)
+    rules = _check_rules(rules)
     rules_arr = d["arr"]([d["struct"](h, p, a) for h, p, a in rules])
     host = f"lower(regexp_extract({url_sql}, '{_HOST_RE}', 1))"
     raw_path = f"regexp_extract({url_sql}, '{_PATH_RE}', 2)"

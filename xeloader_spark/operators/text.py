@@ -332,6 +332,78 @@ def unigram_doc_score(
     )
 
 
+def bigram_array_sql() -> str:
+    """The (w1, w2) bigram struct array over a `_toks` column — THE
+    template for every bigram consumer (stupid backoff batch + stream,
+    Kneser-Ney): one definition so the LM family cannot drift."""
+    return (
+        "CASE WHEN size(_toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(_toks) - 1), "
+        "i -> named_struct('w1', element_at(_toks, i), "
+        "'w2', element_at(_toks, i + 1))) END"
+    )
+
+
+def backoff_contrib_sql(scale: int, n_sql: str) -> str:
+    """The stupid-backoff per-position score CASE over joined
+    c_bi/c_w1/c_w2 columns, with the train token total injected as a
+    SQL fragment (`_n_train` column in batch, an L-suffixed literal in
+    the frozen-stats stream) — one template, both consumers."""
+    s = int(scale)
+    return (
+        f"CASE WHEN c_bi IS NOT NULL THEN (c_bi * {s}L) DIV c_w1 "
+        f"WHEN {n_sql} IS NULL OR {n_sql} = 0 THEN 0L "
+        f"ELSE (2 * {s}L * coalesce(c_w2, 0L)) DIV (5 * {n_sql}) END"
+    )
+
+
+def backoff_train_stats(
+    train: DataFrame,
+    text_col: str = "text",
+    checkpoint: bool = True,
+    pre_tokenized: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stupid-backoff training over a (sub)corpus: (bigram table with
+    folded c(w1), unigram table, 1-row N total). Both count tables are
+    localCheckpoint-ed by default — each has 2+ downstream consumers
+    and their lineage is a corpus tokenize + explode + aggregate, the
+    r5 reused-frames trap. N is derived from the unigram table
+    (Σ c_uni ≡ token count), NOT another corpus scan. Pass
+    ``pre_tokenized=True`` when `text_col` already holds the token
+    array."""
+    base = train.select(
+        (
+            F.col(text_col) if pre_tokenized
+            else F.expr(_tok_array(text_col))
+        ).alias("_toks")
+    )
+    ug = (
+        base.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_uni"))
+    )
+    if checkpoint:
+        ug = ug.localCheckpoint(eager=True)
+    bi = (
+        base.select(F.explode(F.expr(bigram_array_sql())).alias("_b"))
+        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
+        # fold c(w1) in once at train time: scoring then needs only two
+        # probe joins instead of three
+        .join(
+            ug.withColumnRenamed("w", "w1").withColumnRenamed(
+                "c_uni", "c_w1"
+            ),
+            "w1",
+        )
+    )
+    if checkpoint:
+        bi = bi.localCheckpoint(eager=True)
+    n_train = ug.agg(F.sum("c_uni").cast("long").alias("_n_train"))
+    return bi, ug, n_train
+
+
 def bigram_stupid_backoff(
     df: DataFrame,
     scale: int = 1_000_000,
@@ -358,23 +430,22 @@ def bigram_stupid_backoff(
     mean_prob_scaled.
 
     Scale shape: two count aggregates over the TRAIN split (bigram,
-    unigram — digest-sized pairs, map-side combined), the unigram
-    counts folded into the bigram table once at train time
-    (vocab-sized join), then the held-out bigrams probe with two
-    hash joins ((w₁,w₂) and w₂ — the aggregate output's partitioning
-    is reused on the build sides) and ONE doc_id aggregate. The text
-    column never shuffles; a 1-row N total rides a broadcast cross
-    join. Overflow headroom: c₁₂·scale ≤ 2⁶³ needs train bigram counts
-    under ~9·10¹² at the default scale — any real corpus qualifies."""
+    unigram — digest-sized pairs, map-side combined, BOTH
+    localCheckpoint-ed: each has 2+ consumers and replaying their
+    tokenize+explode lineage per consumer is the r5 reused-frames
+    trap), the unigram counts folded into the bigram table once at
+    train time (vocab-sized join), N derived from the unigram table
+    (Σ c_uni — no extra corpus scan), then the held-out bigrams probe
+    with two hash joins and ONE doc_id aggregate. The text column
+    never shuffles; the 1-row N total rides a broadcast cross join.
+    Templates (`bigram_array_sql`, `backoff_contrib_sql`) are shared
+    with the Kneser-Ney scorer and the stream-static twin, so the LM
+    family cannot drift. Overflow headroom: c₁₂·scale ≤ 2⁶³ needs
+    train bigram counts under ~9·10¹² at the default scale — any real
+    corpus qualifies."""
     from .sampling import hash_bucket
 
     toks = _tok_array(text_col)
-    bigrams = (
-        f"CASE WHEN size(_toks) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(_toks) - 1), "
-        f"i -> named_struct('w1', element_at(_toks, i), "
-        f"'w2', element_at(_toks, i + 1))) END"
-    )
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(toks).alias("_toks"),
@@ -382,31 +453,18 @@ def bigram_stupid_backoff(
             "_is_train"
         ),
     )
-    train = base.filter(F.col("_is_train"))
     heldout = base.filter(~F.col("_is_train"))
 
-    train_ug = (
-        train.select(F.explode("_toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_uni"))
-    )
-    train_bi = (
-        train.select(F.explode(F.expr(bigrams)).alias("_b"))
-        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
-        # fold c(w1) in once at train time: scoring then needs only two
-        # probe joins instead of three
-        .join(train_ug.withColumnRenamed("w", "w1").withColumnRenamed(
-            "c_uni", "c_w1"
-        ), "w1")
-    )
-    n_train = train.agg(
-        F.sum(F.expr("size(_toks)")).cast("long").alias("_n_train")
+    # checkpointed count tables + derived N (see backoff_train_stats:
+    # the r5 reused-frames rule — each table has 2+ consumers)
+    train_bi, train_ug, n_train = backoff_train_stats(
+        base.filter(F.col("_is_train")),
+        text_col="_toks",
+        pre_tokenized=True,
     )
 
     score_bi = heldout.select(
-        "doc_id", F.explode(F.expr(bigrams)).alias("_b")
+        "doc_id", F.explode(F.expr(bigram_array_sql())).alias("_b")
     ).select(
         "doc_id",
         F.col("_b.w1").alias("w1"),
@@ -424,11 +482,7 @@ def bigram_stupid_backoff(
         .crossJoin(F.broadcast(n_train))
         .select(
             "doc_id",
-            F.expr(
-                f"CASE WHEN c_bi IS NOT NULL THEN (c_bi * {int(scale)}L) DIV c_w1 "
-                f"WHEN _n_train IS NULL OR _n_train = 0 THEN 0L "
-                f"ELSE (2 * {int(scale)}L * coalesce(c_w2, 0L)) DIV (5 * _n_train) END"
-            ).alias("_s"),
+            F.expr(backoff_contrib_sql(scale, "_n_train")).alias("_s"),
             F.expr("CASE WHEN c_bi IS NULL THEN 1L ELSE 0L END").alias("_bo"),
         )
     )
@@ -502,12 +556,7 @@ def kneser_ney_score(
     from .sampling import hash_bucket
 
     toks = _tok_array(text_col)
-    bigrams = (
-        f"CASE WHEN size(_toks) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(_toks) - 1), "
-        f"i -> named_struct('w1', element_at(_toks, i), "
-        f"'w2', element_at(_toks, i + 1))) END"
-    )
+    bigrams = bigram_array_sql()
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.expr(toks).alias("_toks"),

@@ -285,9 +285,11 @@ def quantile_normalize_docs(docs: DataFrame) -> DataFrame:
     num = f"{simpson_stats_sql('_toks')}.num"
     # checkpoint ONCE: three consumers (per-source ranking, the global
     # reference rank, the 1-row N aggregate) would each replay the
-    # O(u*n)-per-row token-count HOF projection otherwise — the r5
-    # reused-frames rule; the materialized frame is the slim
-    # (id, source, score) triple, not the text
+    # corpus scan + tokenize + run-length scoring projection otherwise
+    # — the r5 reused-frames rule (the per-row cost is O(n log n) since
+    # the r7 simpson_stats_sql linearization; the 3x corpus rescan is
+    # what the checkpoint still buys); the materialized frame is the
+    # slim (id, source, score) triple, not the text
     base = (
         docs.select("doc_id", "source", F.expr(toks).alias("_toks"))
         .select(
@@ -705,14 +707,24 @@ def q_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = docs.agg(
         F.sum(F.expr(f"size({toks})")).cast("long").alias("_tot")
     )
+    # LEFT-join back to the full doc set: unigram_doc_score is built
+    # from an explode, so zero-token docs produce no row there — they
+    # must still appear in the schedule (easiness 0, hardest phase),
+    # and the phase denominator must be the FULL doc count, exactly as
+    # the oracle computes it (code-review r7 finding #1).
     scored = (
-        unigram_doc_score(docs)
+        docs.select("doc_id")
+        .join(
+            unigram_doc_score(docs).select("doc_id", "n_tokens", "sum_freq"),
+            "doc_id",
+            "left",
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
-            "n_tokens",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.expr(
-                f"CASE WHEN n_tokens = 0 OR _tot = 0 THEN 0L"
+                f"CASE WHEN coalesce(n_tokens, 0L) = 0 OR _tot = 0 THEN 0L"
                 f" ELSE ((sum_freq DIV n_tokens) * {_CURR_SCALE}L) DIV _tot"
                 " END"
             ).alias("easiness_ppm"),

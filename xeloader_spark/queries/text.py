@@ -79,7 +79,6 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_MAX_DF = 60  # hot-fingerprint stoplist (the skew lever)
-_WINNOW_MIN_SHARED = 1
 
 
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,8 +126,9 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
+        # n_shared >= 1 by construction (it counts join hits); callers
+        # threshold HIGHER downstream when they want stricter overlap
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
     return (
         pairs.join(
@@ -716,8 +716,10 @@ def q_bm25_topk_logidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``n_topk``: the log-idf retrieval returns exactly K=20 rows;
     - ``overlap_ok``: its doc set overlaps the integer-exact RSJ-ratio
       top-20 (`q_bm25_topk`, hash-verified) in ≥ 15 of 20 docs — a
-      broken idf sign / saturation / length norm craters this;
-    - ``score_positive_ok``: every returned score > 0;
+      broken idf sign / saturation / length norm craters this (a
+      score-positivity leg would be vacuous: `bm25_topk` filters
+      score > 0 before the limit, so breakage there surfaces as
+      n_topk < 20 / overlap collapse, not as a sign bit);
     - ``idf_rank_agree_ok``: across all query-term pairs, the float
       log idf orders term dfs exactly as the RSJ integer ratio does
       (the rank-agreement half of the ranking-consequence note on
@@ -746,7 +748,6 @@ def q_bm25_topk_logidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log_stats = log_topk.agg(
         F.count(F.lit(1)).cast("long").alias("n_topk"),
-        F.min("score").alias("_min_score"),
     )
     overlap = (
         log_topk.select("doc_id")
@@ -797,7 +798,6 @@ def q_bm25_topk_logidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_n_overlap") >= F.lit(_LOGIDF_OVERLAP_FLOOR)).alias(
                 "overlap_ok"
             ),
-            (F.col("_min_score") > F.lit(0.0)).alias("score_positive_ok"),
             "idf_rank_agree_ok",
         )
     )
@@ -1306,7 +1306,6 @@ ORACLES: dict[str, str] = {
             FROM slim a JOIN slim b
               ON b.fp = a.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-            HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
         )
         SELECT doc_a, doc_b, n_shared,
                sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
@@ -1461,7 +1460,6 @@ ORACLES: dict[str, str] = {
     "q_bm25_topk_logidf": f"""
         SELECT CAST({_BM25_K} AS BIGINT) AS n_topk,
                TRUE AS overlap_ok,
-               TRUE AS score_positive_ok,
                TRUE AS idf_rank_agree_ok
     """,
     "q_k_anonymity": f"""

@@ -27,42 +27,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.text import _tok_array
+from ..operators.text import _tok_array, backoff_contrib_sql, bigram_array_sql
 
 
 def train_backoff_stats(
     df: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, int]:
     """Batch-train the stupid-backoff statistics on a (sub)corpus:
-    (bigram table with folded c(w1), unigram table, N). The md5 split
-    gating is the CALLER's concern — pass the train frame."""
-    toks = _tok_array(text_col)
-    bigrams = (
-        f"CASE WHEN size(_toks) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(_toks) - 1), "
-        f"i -> named_struct('w1', element_at(_toks, i), "
-        f"'w2', element_at(_toks, i + 1))) END"
-    )
-    base = df.select(F.expr(toks).alias("_toks"))
-    ug = (
-        base.select(F.explode("_toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_uni"))
-    )
-    bi = (
-        base.select(F.explode(F.expr(bigrams)).alias("_b"))
-        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
-        .join(
-            ug.withColumnRenamed("w", "w1").withColumnRenamed(
-                "c_uni", "c_w1"
-            ),
-            "w1",
-        )
-    )
-    n_train = base.agg(F.sum(F.expr("size(_toks)")).cast("long")).first()[0]
-    return bi, ug, int(n_train or 0)
+    (bigram table with folded c(w1), unigram table, N as int). Thin
+    wrapper over the batch operator's `backoff_train_stats` (ONE
+    training implementation — shared-template discipline); the md5
+    split gating is the CALLER's concern — pass the train frame."""
+    from ..operators.text import backoff_train_stats
+
+    bi, ug, n_train = backoff_train_stats(df, text_col=text_col)
+    n = n_train.first()[0]
+    return bi, ug, int(n or 0)
 
 
 def backoff_score_stream(
@@ -80,18 +60,12 @@ def backoff_score_stream(
     projection; the same CASE template as the batch operator, so
     values are identical bigram-for-bigram."""
     toks = _tok_array(text_col)
-    bigrams = (
-        f"CASE WHEN size(_toks) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size(_toks) - 1), "
-        f"i -> named_struct('w1', element_at(_toks, i), "
-        f"'w2', element_at(_toks, i + 1))) END"
-    )
-    s, n = int(scale), int(n_train)
+    n = int(n_train)
     score_bi = (
         stream.select(
             F.col(id_col).alias("doc_id"), F.expr(toks).alias("_toks")
         )
-        .select("doc_id", F.explode(F.expr(bigrams)).alias("_b"))
+        .select("doc_id", F.explode(F.expr(bigram_array_sql())).alias("_b"))
         .select(
             "doc_id",
             F.col("_b.w1").alias("w1"),
@@ -111,11 +85,11 @@ def backoff_score_stream(
             "doc_id",
             "w1",
             "w2",
-            F.expr(
-                f"CASE WHEN c_bi IS NOT NULL THEN (c_bi * {s}L) DIV c_w1 "
-                f"WHEN {n}L = 0 THEN 0L "
-                f"ELSE (2 * {s}L * coalesce(c_w2, 0L)) DIV (5 * {n}L) END"
-            ).alias("score_scaled"),
+            # the batch operator's CASE template with N as an
+            # L-suffixed literal (the int-literal rendering rule)
+            F.expr(backoff_contrib_sql(scale, f"{n}L")).alias(
+                "score_scaled"
+            ),
             F.expr("c_bi IS NULL").alias("is_backoff"),
         )
     )

@@ -172,7 +172,12 @@ def normalize_from_hist(
     docs = scored.withColumn(
         "bucket", _hist_bucket("rp_ppm", float(PPM_LO), float(PPM_HI), bins)
     )
-    with_pct = docs.join(src_cdf, ["source", "bucket"]).select(
+    # LEFT joins: a doc from a source (or cell) the stream has not seen
+    # yet must SURVIVE with NULL calibration columns, not silently
+    # vanish — the batch twin emits every input doc, and "calibrate any
+    # batch" is this function's contract (r7 review finding). Callers
+    # treat NULL normalized columns as "sketch has no evidence yet".
+    with_pct = docs.join(src_cdf, ["source", "bucket"], "left").select(
         "doc_id", "source", "rp_ppm", "pctile_bp"
     )
     target = with_pct.crossJoin(
@@ -192,6 +197,7 @@ def normalize_from_hist(
             ),
             (F.col("target_rank") > F.col("gcum_before"))
             & (F.col("target_rank") <= F.col("gcum_through")),
+            "left",
         )
         .select(
             "doc_id",
