@@ -108,6 +108,7 @@ HEADLINE = [
     "q_leakage_safe_split",
     # round-7 additions
     "q_bigram_backoff_quality",
+    "q_kneser_ney_quality",
     "q_winnowing_fingerprints",
     # training-data assembly
     "q_sample_deterministic",

@@ -1070,3 +1070,95 @@ def test_kneser_ney_matches_integer_model_and_tracks_float(spark, token_lists):
                 fs += fpcont
         assert got[i] == (nb, nu, ss), (i, got[i], (nb, nu, ss))
         assert abs(ss - fs * S) <= 3 * nb + 1, (i, ss, fs * S)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a.com", "b.com", "A.COM"]),
+            st.sampled_from(["/", "/x", "/x/y", "/xy", "/z"]),
+            st.booleans(),
+        ),
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a.com", "b.com", "c.com"]),
+            st.sampled_from(["/", "/x", "/x/y", "/x/yz", "/xy", "/z/q"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_robots_matches_python_rep_model(spark, rules, urls):
+    """robots_filter == the direct RFC 9309 model for any rule set and
+    URL set: longest matching prefix wins, Allow wins length ties,
+    hosts case-insensitive, no match → allowed."""
+    from xeloader_spark.operators.robots import robots_filter
+
+    rows = [
+        (i, f"https://{h}{p}") for i, (h, p) in enumerate(urls)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: (r.allowed, r.matched_len) for r in robots_filter(df, rules).collect()}
+
+    for i, (h, p) in enumerate(urls):
+        matches = [
+            (len(rp), allow)
+            for rh, rp, allow in rules
+            if rh.lower() == h.lower() and p.startswith(rp)
+        ]
+        if matches:
+            exp = (max(matches)[1], max(matches)[0])
+        else:
+            exp = (True, -1)
+        assert got[i] == exp, (i, h, p, got[i], exp, rules)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters="\r'\\",
+                    blacklist_categories=("Cs",),
+                ),
+                max_size=40,
+            ),
+            st.sampled_from(["200", "404"]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_synth_parse_roundtrip(spark, payloads):
+    """For any payload free of CR (the documented boundary constraint),
+    synthesize → parse recovers every record's status and payload
+    byte-exactly with len_ok TRUE — the WARC source's lossless
+    contract on its own output."""
+    from xeloader_spark.sources.warc import parse_warc
+
+    CRLF = "\r\n"
+    blob = ""
+    for i, (body, status) in enumerate(payloads):
+        http = (
+            f"HTTP/1.1 {status} OK{CRLF}"
+            f"Content-Type: text/plain{CRLF}{CRLF}{body}"
+        )
+        blob += (
+            f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+            f"WARC-Target-URI: https://h/{i}{CRLF}"
+            f"WARC-Record-ID: <urn:uuid:{i}>{CRLF}"
+            f"Content-Length: {len(http.encode('utf-8'))}{CRLF}{CRLF}"
+            f"{http}{CRLF}{CRLF}"
+        )
+    df = spark.createDataFrame([(1, blob)], "warc_file long, warc_blob string")
+    rows = {r.rec_seq: r for r in parse_warc(df).collect()}
+    assert len(rows) == len(payloads)
+    for i, (body, status) in enumerate(payloads):
+        r = rows[i]
+        assert r.http_status == int(status)
+        assert r.payload == body, (i, repr(r.payload), repr(body))
+        assert r.target_uri == f"https://h/{i}"

@@ -119,6 +119,8 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_winnow_overlap_pairs": {"documents"},
     # the train bigram table is checkpointed for its three stats consumers
     "q_kneser_ney_quality": {"documents"},
+    # backoff train count tables are checkpointed (r7 review fix #4)
+    "q_bigram_backoff_quality": {"documents"},
     # global_row_number localCheckpoints its range-partitioned frame
     "q_curriculum_schedule": {"documents"},
 }

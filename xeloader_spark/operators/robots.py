@@ -85,10 +85,19 @@ def robots_exprs(d: dict, rules: list[Rule], url_sql: str) -> dict[str, str]:
     `url_sql`: host, path (default '/'), matched_len (longest matching
     prefix length, -1 when no rule matched) and allowed."""
     rules = _check_rules(rules)
-    rules_arr = d["arr"]([d["struct"](h, p, a) for h, p, a in rules])
     host = f"lower(regexp_extract({url_sql}, '{_HOST_RE}', 1))"
     raw_path = f"regexp_extract({url_sql}, '{_PATH_RE}', 2)"
     path = f"CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END"
+    if not rules:
+        # an empty ruleset allows everything; the HOF form would build
+        # an untyped empty array literal (unresolvable lambda fields)
+        return {
+            "host": host,
+            "path": path,
+            "matched_len": "CAST(-1 AS BIGINT)",
+            "allowed": "true",
+        }
+    rules_arr = d["arr"]([d["struct"](h, p, a) for h, p, a in rules])
     matches = d["filter"](
         rules_arr,
         f"r -> r.host = {host} AND left({path}, length(r.prefix)) = r.prefix",
