@@ -1041,3 +1041,14 @@ class TestRound7AdditionShapes:
         out = robots_filter(df, [("Example.COM", "/", False)]).collect()
         assert len(out) == 1 and out[0].allowed is False
         assert out[0].matched_len == 1
+
+    def test_preference_pairs_budget(self, spark):
+        """Scoring is a zero-shuffle projection; the single bucket-rank
+        window is paid once behind the checkpoint; the visible plan is
+        the mirrored-rank equi-join (broadcast at this SF, shuffle at
+        scale — both fine), never an all-pairs space."""
+        from xeloader_spark.queries import sampling as qs
+
+        df = qs.q_preference_pairs(spark, SF)
+        plans.assert_max_shuffles(df, 3)
+        plans.assert_no_cartesian(df)

@@ -1916,3 +1916,77 @@ def test_streaming_backoff_scores_match_batch(spark, tmp_path):
         if r.n_bigrams > 0  # <2-token docs emit no bigram rows upstream
     }
     assert got == batch and len(batch) > 0
+
+
+def test_streaming_crawl_pipeline_matches_batch(spark, tmp_path):
+    """The crawl fetch-side composed as ONE stream: WARC blobs arrive
+    as files → record parse → HTTP/len_ok gate → robots REP gate on
+    the target URI — every stage stateless, so the stream emits
+    exactly the batch composition of the same blobs, and the REP rules
+    demonstrably drop records mid-stream."""
+    from xeloader_spark.operators.robots import robots_filter
+    from xeloader_spark.queries.ingest import _WARC_FILE_DOCS, _warc_seed_sqls
+    from xeloader_spark.sources.warc import SPARK_DIALECT, parse_warc
+
+    src = str(tmp_path / "crawl_in")
+    out = str(tmp_path / "crawl_out")
+    ckpt = str(tmp_path / "crawl_ckpt")
+
+    rec, _ = _warc_seed_sqls(SPARK_DIALECT)
+    docs = load_table(spark, SF, "documents")
+    blobs = (
+        docs.select(
+            F.expr(f"doc_id DIV {_WARC_FILE_DOCS}").alias("warc_file"),
+            F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
+        )
+        .groupBy("warc_file")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(_sr)), "
+                "x -> x.r), '')"
+            ).alias("warc_blob")
+        )
+    )
+    blobs.repartition(3).write.mode("overwrite").parquet(src)
+
+    # block one language path prefix on the synth host
+    rules = [("example.org", "/de", False)]
+
+    def pipeline(frame):
+        parsed = parse_warc(frame).filter(
+            (F.col("http_status") == 200) & F.col("len_ok")
+        )
+        return (
+            robots_filter(parsed, rules, url_col="target_uri")
+            .filter(F.col("allowed"))
+            .select("target_uri", F.md5("payload").alias("payload_md5"))
+        )
+
+    stream = (
+        spark.readStream.schema("warc_file long, warc_blob string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        pipeline(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r.target_uri, r.payload_md5)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.target_uri, r.payload_md5) for r in pipeline(blobs).collect()
+    }
+    assert streamed == batch and len(batch) > 0
+    # the REP gate actually fired: /de URIs exist pre-gate, none after
+    pre = parse_warc(blobs).filter("http_status = 200")
+    assert pre.filter("target_uri LIKE 'https://example.org/de/%'").count() > 0
+    assert not any(u.startswith("https://example.org/de/") for u, _ in batch)

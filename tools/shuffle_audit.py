@@ -84,6 +84,7 @@ AUDIT_QUERIES = [
     "q_crawl_frontier",
     "q_kneser_ney_quality",
     "q_curriculum_schedule",
+    "q_preference_pairs",
 ]
 
 # Iterative operators localCheckpoint their working frames, which
@@ -123,6 +124,8 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_bigram_backoff_quality": {"documents"},
     # global_row_number localCheckpoints its range-partitioned frame
     "q_curriculum_schedule": {"documents"},
+    # the ranked bucket frame is checkpointed for its two pair sides
+    "q_preference_pairs": {"documents"},
 }
 
 

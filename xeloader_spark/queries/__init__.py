@@ -36,11 +36,12 @@ from . import core
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
 # ROUND-7 ROTATION (installed from tools/gen_round_priority.py output):
-# 242 registered; 10 unverified; window 50 → 50 slots. Slot 1 is
+# 243 registered; 11 unverified; window 50 → 50 slots. Slot 1 is
 # q_bm25_topk_logidf (now carrying its contract-check oracle — closes
-# the registry's only never-green row); slots 2-10 are the round-7
+# the registry's only never-green row); slots 2-11 are the round-7
 # additions (bigram backoff, fertility, winnowing + overlap, WARC,
-# robots, crawl frontier, Kneser-Ney, curriculum); the rest are oldest-first
+# robots, crawl frontier, Kneser-Ney, curriculum, preference pairs);
+# the rest are oldest-first
 # regression re-checks of the stale r2/r3 greens. Re-run + reinstall
 # after every query addition.
 _ROUND_PRIORITY = [
@@ -54,6 +55,7 @@ _ROUND_PRIORITY = [
     "q_crawl_frontier",
     "q_kneser_ney_quality",
     "q_curriculum_schedule",
+    "q_preference_pairs",
     "q_gopher_quality",  # recheck (last green r2)
     "q_lang_id",  # recheck (last green r2)
     "q_mix_weights",  # recheck (last green r2)
@@ -93,7 +95,6 @@ _ROUND_PRIORITY = [
     "q_large_orders",  # recheck (last green r3)
     "q_last_ship_supplier",  # recheck (last green r3)
     "q_market_share",  # recheck (last green r3)
-    "q_order_priority_check",  # recheck (last green r3)
 ]
 
 

@@ -787,3 +787,143 @@ ORACLES["q_curriculum_schedule"] = f"""
                 ELSE ((rank - 1) * {_CURR_PHASES}) // _n END AS phase
     FROM ranked
 """
+
+
+_PREF_SCALE = 1_000_000
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training data:
+    within each (lang, source) bucket — the comparable-context proxy —
+    documents are ranked by an integer quality score (10⁶ − Simpson
+    repeat ppm: less repetition = higher quality, doc_id tiebreak) and
+    the i-th best is paired with the i-th worst (rank mirror), keeping
+    pairs with a strictly positive quality gap. Yields
+    (chosen, rejected) document pairs with the integer evidence — the
+    deterministic analogue of reward-gap pair mining.
+
+    Scale shape: zero-shuffle scoring projection, ONE (lang, source)
+    rank window over the slim (id, bucket, score) frame — checkpointed
+    ONCE for its two pair sides (r5 reused-frames rule) — and one
+    equi-join on (bucket, mirrored rank). Never an all-pairs space:
+    exactly ⌊n/2⌋ candidate pairs per bucket."""
+    from pyspark.sql import Window
+
+    from ..operators.text import _tok_array, simpson_stats_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok_array("text")
+    n = "CAST(size(_toks) AS BIGINT)"
+    num = f"{simpson_stats_sql('_toks')}.num"
+    ranked = (
+        docs.select(
+            "doc_id", "lang", "source", F.expr(toks).alias("_toks")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(
+                f"{_PREF_SCALE}L - (CASE WHEN {n} < 2 THEN 0L"
+                f" ELSE ({num} * {_PREF_SCALE}) DIV ({n} * ({n} - 1)) END)"
+            ).alias("q_ppm"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number()
+            .over(
+                Window.partitionBy("lang", "source").orderBy(
+                    F.desc("q_ppm"), "doc_id"
+                )
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "n_bucket",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("lang", "source"))
+            .cast("long"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chosen = ranked.filter(
+        F.col("rk") <= F.expr("n_bucket DIV 2")
+    ).select(
+        "lang",
+        "source",
+        F.col("rk").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("q_ppm").alias("chosen_q_ppm"),
+    )
+    rejected = ranked.select(
+        "lang",
+        "source",
+        (F.col("n_bucket") + 1 - F.col("rk")).alias("pair_rank"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("q_ppm").alias("rejected_q_ppm"),
+    ).filter(F.col("pair_rank") <= F.expr("n_bucket DIV 2"))
+    return (
+        chosen.join(rejected, ["lang", "source", "pair_rank"])
+        .filter(F.col("chosen_q_ppm") > F.col("rejected_q_ppm"))
+        .select(
+            "lang",
+            "source",
+            "pair_rank",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            "chosen_q_ppm",
+            "rejected_q_ppm",
+            (F.col("chosen_q_ppm") - F.col("rejected_q_ppm")).alias(
+                "gap_ppm"
+            ),
+        )
+    )
+
+
+ORACLES["q_preference_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS tk FROM t
+    ),
+    cnts AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+        FROM cnts GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang, t.source,
+               {_PREF_SCALE} - (CASE WHEN COALESCE(s.n, 0) < 2 THEN 0
+                    ELSE (s.num * {_PREF_SCALE}) // (s.n * (s.n - 1))
+               END) AS q_ppm
+        FROM t LEFT JOIN stats s USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                    ORDER BY q_ppm DESC, doc_id) AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY lang, source)
+                    AS BIGINT) AS n_bucket
+        FROM scored
+    )
+    SELECT c.lang, c.source, c.rk AS pair_rank,
+           c.doc_id AS chosen_doc_id,
+           r.doc_id AS rejected_doc_id,
+           c.q_ppm AS chosen_q_ppm,
+           r.q_ppm AS rejected_q_ppm,
+           c.q_ppm - r.q_ppm AS gap_ppm
+    FROM ranked c
+    JOIN ranked r
+      ON r.lang = c.lang AND r.source = c.source
+     AND r.rk = r.n_bucket + 1 - c.rk
+    WHERE c.rk <= c.n_bucket // 2
+      AND c.q_ppm > r.q_ppm
+"""
