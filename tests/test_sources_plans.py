@@ -1052,3 +1052,13 @@ class TestRound7AdditionShapes:
         df = qs.q_preference_pairs(spark, SF)
         plans.assert_max_shuffles(df, 3)
         plans.assert_no_cartesian(df)
+
+    def test_dataset_card_budget(self, spark):
+        """One digest window + one (lang, source) rank/agg chain — the
+        corpus crosses the wire once as digests + slim stats, 2
+        exchanges total, no cartesian."""
+        from xeloader_spark.queries import pipeline as qp
+
+        df = qp.q_dataset_card(spark, SF)
+        plans.assert_max_shuffles(df, 2)
+        plans.assert_no_cartesian(df)

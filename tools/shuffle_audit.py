@@ -85,6 +85,7 @@ AUDIT_QUERIES = [
     "q_kneser_ney_quality",
     "q_curriculum_schedule",
     "q_preference_pairs",
+    "q_dataset_card",
 ]
 
 # Iterative operators localCheckpoint their working frames, which

@@ -36,11 +36,12 @@ from . import core
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
 # ROUND-7 ROTATION (installed from tools/gen_round_priority.py output):
-# 243 registered; 11 unverified; window 50 → 50 slots. Slot 1 is
+# 244 registered; 12 unverified; window 50 → 50 slots. Slot 1 is
 # q_bm25_topk_logidf (now carrying its contract-check oracle — closes
-# the registry's only never-green row); slots 2-11 are the round-7
+# the registry's only never-green row); slots 2-12 are the round-7
 # additions (bigram backoff, fertility, winnowing + overlap, WARC,
-# robots, crawl frontier, Kneser-Ney, curriculum, preference pairs);
+# robots, crawl frontier, Kneser-Ney, curriculum, preference pairs,
+# dataset card);
 # the rest are oldest-first
 # regression re-checks of the stale r2/r3 greens. Re-run + reinstall
 # after every query addition.
@@ -56,6 +57,7 @@ _ROUND_PRIORITY = [
     "q_kneser_ney_quality",
     "q_curriculum_schedule",
     "q_preference_pairs",
+    "q_dataset_card",
     "q_gopher_quality",  # recheck (last green r2)
     "q_lang_id",  # recheck (last green r2)
     "q_mix_weights",  # recheck (last green r2)
@@ -94,7 +96,6 @@ _ROUND_PRIORITY = [
     "q_grouping_sets",  # recheck (last green r3)
     "q_large_orders",  # recheck (last green r3)
     "q_last_ship_supplier",  # recheck (last green r3)
-    "q_market_share",  # recheck (last green r3)
 ]
 
 

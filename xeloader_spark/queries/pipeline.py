@@ -300,3 +300,138 @@ ORACLES["q_training_data_build"] = f"""
     FROM keeper
     GROUP BY 1
 """
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(lang, source) dataset datasheet — the release artifact a
+    training corpus ships with (datasheet/data-card practice: per-slice
+    volume, duplication, quality, length distribution): doc and token
+    counts, exact-duplicate doc count (md5 groups >1 corpus-wide),
+    mean Simpson repeat ppm (integer sum, ONE division), and the exact
+    lower-median token count. Every stat is a composition of
+    individually oracle-checked signals; this query checks the rollup.
+
+    Scale shape: ONE corpus projection computes tokens + repeat ppm +
+    text digest per row (zero shuffle, sorted run-length pass); dup
+    flags come from a digest-keyed window (16-byte keys move, never
+    text); the median is a rank window per (lang, source); the final
+    rollup is a two-key aggregate. The corpus crosses the wire once as
+    digests + slim stats."""
+    from pyspark.sql import Window
+
+    from ..operators.text import _tok_array, simpson_stats_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok_array("text")
+    n = "CAST(size(_toks) AS BIGINT)"
+    num = f"{simpson_stats_sql('_toks')}.num"
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5("text").alias("_digest"),
+        F.expr(toks).alias("_toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "_digest",
+        F.expr(n).alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN {n} < 2 THEN 0L"
+            f" ELSE ({num} * 1000000) DIV ({n} * ({n} - 1)) END"
+        ).alias("rp_ppm"),
+    )
+    flagged = base.withColumn(
+        "_dup",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("_digest")) > 1
+        ).cast("int"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("lang", "source").orderBy(
+                "n_tokens", "doc_id"
+            )
+        ),
+    ).withColumn(
+        "_n_grp",
+        F.count(F.lit(1)).over(Window.partitionBy("lang", "source")),
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("_dup").cast("long").alias("n_exact_dup_docs"),
+            F.sum("rp_ppm").cast("long").alias("_rp_sum"),
+            F.max(
+                F.when(
+                    F.col("_rk") == F.expr("(_n_grp + 1) DIV 2"),
+                    F.col("n_tokens"),
+                )
+            )
+            .cast("long")
+            .alias("median_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_exact_dup_docs",
+            F.expr(
+                "CASE WHEN n_docs = 0 THEN CAST(0.0 AS DOUBLE)"
+                " ELSE CAST(_rp_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) END"
+            ).alias("mean_repeat_ppm"),
+            "median_tokens",
+        )
+    )
+
+
+ORACLES["q_dataset_card"] = """
+    WITH t AS (
+        SELECT doc_id, lang, source, md5(text) AS digest,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    cnts AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+        FROM cnts GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang, t.source, t.digest,
+               COALESCE(s.n, 0) AS n_tokens,
+               CASE WHEN COALESCE(s.n, 0) < 2 THEN 0
+                    ELSE (s.num * 1000000) // (s.n * (s.n - 1))
+               END AS rp_ppm
+        FROM t LEFT JOIN stats s USING (doc_id)
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN COUNT(*) OVER (PARTITION BY digest) > 1
+                    THEN 1 ELSE 0 END AS dup,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY n_tokens, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n_grp
+        FROM scored
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(dup) AS BIGINT) AS n_exact_dup_docs,
+           CASE WHEN COUNT(*) = 0 THEN 0.0
+                ELSE CAST(SUM(rp_ppm) AS DOUBLE) / COUNT(*) END
+               AS mean_repeat_ppm,
+           CAST(MAX(CASE WHEN rk = (n_grp + 1) // 2
+                         THEN n_tokens END) AS BIGINT) AS median_tokens
+    FROM flagged
+    GROUP BY 1, 2
+"""
