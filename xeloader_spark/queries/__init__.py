@@ -46,56 +46,56 @@ from . import core
 # regression re-checks of the stale r2/r3 greens. Re-run + reinstall
 # after every query addition.
 _ROUND_PRIORITY = [
-    "q_bm25_topk_logidf",
-    "q_bigram_backoff_quality",
-    "q_token_fertility",
-    "q_winnowing_fingerprints",
-    "q_warc_extract",
-    "q_winnow_overlap_pairs",
-    "q_robots_filter",
-    "q_crawl_frontier",
-    "q_kneser_ney_quality",
-    "q_curriculum_schedule",
-    "q_preference_pairs",
-    "q_dataset_card",
-    "q_gopher_quality",  # recheck (last green r2)
-    "q_lang_id",  # recheck (last green r2)
-    "q_mix_weights",  # recheck (last green r2)
-    "q_pii_redaction",  # recheck (last green r2)
-    "q_repetition_stats",  # recheck (last green r2)
-    "q_text_quality",  # recheck (last green r2)
-    "q_tfidf_search",  # recheck (last green r2)
-    "q_token_count",  # recheck (last green r2)
-    "q_top_terms_per_source",  # recheck (last green r2)
-    "q_unigram_doc_prob",  # recheck (last green r2)
-    "q_array_funcs",  # recheck (last green r2)
-    "q_datetime_parts",  # recheck (last green r2)
-    "q_string_funcs",  # recheck (last green r2)
-    "q_approx_distinct_users",  # recheck (last green r2)
-    "q_approx_percentile_value",  # recheck (last green r2)
-    "q_asof_purchase_attribution",  # recheck (last green r2)
-    "q_cms_heavy_hitters",  # recheck (last green r2)
-    "q_hll_mergeable_distinct",  # recheck (last green r2)
-    "q_interval_error_click_window",  # recheck (last green r2)
-    "q_moving_avg_time_range",  # recheck (last green r2)
-    "q_rollup_gapfill_hourly",  # recheck (last green r2)
-    "q_session_window_agg",  # recheck (last green r2)
-    "q_sessionize_gap_batch",  # recheck (last green r2)
-    "q_value_percentiles",  # recheck (last green r2)
-    "q_length_bucket_batches",  # recheck (last green r2)
-    "q_pack_sequences",  # recheck (last green r2)
-    "q_sample_deterministic",  # recheck (last green r2)
-    "q_source_cap",  # recheck (last green r2)
-    "q_stratified_sample",  # recheck (last green r2)
-    "q_token_budget_mix",  # recheck (last green r2)
-    "q_train_test_split",  # recheck (last green r2)
-    "q_corpus_clean_pipeline",  # recheck (last green r2)
-    "q_quality_scorecard",  # recheck (last green r2)
-    "q_constraint_checks",  # recheck (last green r3)
-    "q_disjunctive_filter_revenue",  # recheck (last green r3)
-    "q_grouping_sets",  # recheck (last green r3)
-    "q_large_orders",  # recheck (last green r3)
-    "q_last_ship_supplier",  # recheck (last green r3)
+    "q_market_share",  # recheck (last green r3)
+    "q_order_priority_check",  # recheck (last green r3)
+    "q_promo_revenue",  # recheck (last green r3)
+    "q_returned_item_customers",  # recheck (last green r3)
+    "q_rich_inactive_customers",  # recheck (last green r3)
+    "q_ship_delay_priority",  # recheck (last green r3)
+    "q_small_quantity_revenue",  # recheck (last green r3)
+    "q_table_profile",  # recheck (last green r3)
+    "q_top_revenue_supplier",  # recheck (last green r3)
+    "q_volume_shipping",  # recheck (last green r3)
+    "q_csv_roundtrip",  # recheck (last green r3)
+    "q_jsonl_roundtrip",  # recheck (last green r3)
+    "q_zorder_values",  # recheck (last green r3)
+    "q_canonical_dedup",  # recheck (last green r3)
+    "q_editdistance_neardup",  # recheck (last green r3)
+    "q_minhash_search",  # recheck (last green r3)
+    "q_novelty_scores",  # recheck (last green r3)
+    "q_ann_topk_ivf_exact",  # recheck (last green r3)
+    "q_ann_topk_lsh_banded",  # recheck (last green r3)
+    "q_ann_topk_pq",  # recheck (last green r3)
+    "q_ann_topk_pq_sampled",  # recheck (last green r3)
+    "q_audio_decimate",  # recheck (last green r3)
+    "q_cluster_balanced_sample",  # recheck (last green r3)
+    "q_kmeans_clusters",  # recheck (last green r3)
+    "q_knn_graph",  # recheck (last green r3)
+    "q_random_projection",  # recheck (last green r3)
+    "q_semantic_dedup",  # recheck (last green r3)
+    "q_shot_boundaries",  # recheck (last green r3)
+    "q_bigram_lm_score",  # recheck (last green r3)
+    "q_boilerplate_flags",  # recheck (last green r3)
+    "q_bpe_encode",  # recheck (last green r3)
+    "q_bpe_train",  # recheck (last green r3)
+    "q_token_freq_histogram",  # recheck (last green r3)
+    "q_vocab_stats",  # recheck (last green r3)
+    "q_window_funcs",  # recheck (last green r3)
+    "q_funnel_conversion",  # recheck (last green r3)
+    "q_retention_cohorts",  # recheck (last green r3)
+    "q_upsert_latest",  # recheck (last green r3)
+    "q_value_outliers",  # recheck (last green r3)
+    "q_contrastive_negatives",  # recheck (last green r3)
+    "q_shard_balance",  # recheck (last green r3)
+    "q_weighted_sample",  # recheck (last green r3)
+    "q_training_data_build",  # recheck (last green r3)
+    "q_classifier_inference",  # recheck (last green r3)
+    "q_domain_classifier",  # recheck (last green r3)
+    "q_forecast_revenue_change",  # recheck (last green r4)
+    "q_order_reconciliation",  # recheck (last green r4)
+    "q_pivot_user_matrix",  # recheck (last green r4)
+    "q_referential_integrity",  # recheck (last green r4)
+    "q_revenue_pareto",  # recheck (last green r4)
 ]
 
 
