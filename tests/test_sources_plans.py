@@ -1062,3 +1062,113 @@ class TestRound7AdditionShapes:
         df = qp.q_dataset_card(spark, SF)
         plans.assert_max_shuffles(df, 2)
         plans.assert_no_cartesian(df)
+
+
+class TestRound8WarcReader:
+    """Round-8 hardening (VERDICT r7 #1): records born as rows in the
+    reader, not whole-file blob strings."""
+
+    @pytest.fixture(scope="class")
+    def warc_dirs(self, spark, tmp_path_factory):
+        """Write the sf0.001 WARC fixture to disk twice: plain `.warc`
+        text files and gzip-member `.warc.gz` (each record its own
+        member, concatenated — the Common Crawl layout). Returns
+        (text_dir, gz_dir, blob_df)."""
+        import gzip
+
+        from xeloader_spark.queries.ingest import (
+            _WARC_FILE_DOCS,
+            _warc_seed_sqls,
+        )
+        from xeloader_spark.sources.warc import SPARK_DIALECT
+
+        rec, _ = _warc_seed_sqls(SPARK_DIALECT)
+        docs = load_table(spark, SF, "documents")
+        blobs = (
+            docs.select("doc_id", "lang", "text")
+            .select(
+                F.expr(f"doc_id DIV {_WARC_FILE_DOCS}").alias("warc_file"),
+                F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
+            )
+            .groupBy("warc_file")
+            .agg(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(_sr)), "
+                    "x -> x.r), '')"
+                ).alias("warc_blob")
+            )
+            .localCheckpoint()
+        )
+        tdir = tmp_path_factory.mktemp("warc_text")
+        gdir = tmp_path_factory.mktemp("warc_gz")
+        for r in blobs.collect():
+            (tdir / f"f{r.warc_file}.warc").write_bytes(
+                r.warc_blob.encode("utf-8")
+            )
+            with open(gdir / f"f{r.warc_file}.warc.gz", "wb") as f:
+                for body in r.warc_blob.split("WARC/1.0\r\n"):
+                    if body:
+                        f.write(gzip.compress(("WARC/1.0\r\n" + body).encode()))
+        return str(tdir), str(gdir), blobs
+
+    @staticmethod
+    def _keyed(df):
+        """Record-keyed comparison form: the reader path is an unordered
+        bag (no rec_seq by design), so compare on the spec-unique
+        WARC-Record-ID."""
+        cols = [
+            "record_id",
+            "warc_type",
+            "target_uri",
+            "content_length",
+            "http_status",
+            "payload",
+            "len_ok",
+        ]
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    def test_reader_path_parity_and_plan(self, spark, warc_dirs):
+        """read_warc over real files == parse_warc over blob rows,
+        record-for-record; and the reader plan has ZERO exchanges —
+        scan + filter + one codegen projection stage."""
+        from xeloader_spark.sources.warc import parse_warc, read_warc
+
+        tdir, _, blobs = warc_dirs
+        rd = read_warc(spark, tdir)
+        plans.assert_max_shuffles(rd, 0)
+        assert self._keyed(rd) == self._keyed(parse_warc(blobs))
+
+    def test_reader_path_splits_large_files(self, spark, warc_dirs):
+        """The point of the reader path: an uncompressed .warc splits —
+        forcing tiny maxPartitionBytes yields MORE tasks than files
+        with identical results (a blob row can never do this)."""
+        from xeloader_spark.sources.warc import read_warc
+
+        tdir, _, _ = warc_dirs
+        n_files = len(
+            [f for f in os.listdir(tdir) if f.endswith(".warc")]
+        )
+        before = self._keyed(read_warc(spark, tdir))
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+            spark.conf.set("spark.sql.files.openCostInBytes", "0")
+            split_df = read_warc(spark, tdir)
+            n_parts = split_df.rdd.getNumPartitions()
+            assert n_parts > n_files, (n_parts, n_files)
+            assert self._keyed(split_df) == before
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+            spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+    def test_gz_member_reader_parity(self, spark, warc_dirs):
+        """read_warc_gz inflates concatenated gzip members and parses
+        to the same records as the blob path (per-file parallelism,
+        documented in SCALE.md §WARC)."""
+        from xeloader_spark.sources.warc import parse_warc, read_warc_gz
+
+        _, gdir, blobs = warc_dirs
+        assert self._keyed(read_warc_gz(spark, gdir)) == self._keyed(
+            parse_warc(blobs)
+        )

@@ -147,6 +147,47 @@ def lengthen_docs(docs, n_docs: int, base_repeats: int, k: int):
     )
 
 
+WARC_RECORDS_PER_FILE = 100  # at K=1; grows 100·K → file count shrinks /K
+
+
+def warc_fixture(docs_rep, k: int, tmp_root: str):
+    """BLOB-SIZE stress inputs (records CONSTANT, records-per-file grows
+    100·K — the axis VERDICT r7 #1 asked for): returns (blob_df, dir)
+    where blob_df holds whole-file blob rows and dir holds the same
+    bytes as real .warc files on disk. At K=16 the corpus packs into
+    ~n/1600 files: the blob path's parallelism is capped at file count
+    (one row = one file = one task) while the record-level reader
+    splits the bigger files and stays flat."""
+    from pyspark.sql import functions as F
+
+    from xeloader_spark.queries.ingest import _warc_seed_sqls
+    from xeloader_spark.sources.warc import SPARK_DIALECT
+
+    rec, _ = _warc_seed_sqls(SPARK_DIALECT)
+    per_file = WARC_RECORDS_PER_FILE * k
+    blobs = (
+        docs_rep.select("doc_id", "lang", "text")
+        .select(
+            F.expr(f"doc_id DIV {per_file}").alias("warc_file"),
+            F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
+        )
+        .groupBy("warc_file")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(_sr)), "
+                "x -> x.r), '')"
+            ).alias("warc_blob")
+        )
+        .localCheckpoint()
+    )
+    d = os.path.join(tmp_root, f"warc_k{k}")
+    os.makedirs(d, exist_ok=True)
+    for r in blobs.toLocalIterator():
+        with open(os.path.join(d, f"f{r.warc_file}.warc"), "wb") as fh:
+            fh.write(r.warc_blob.encode("utf-8"))
+    return blobs, d
+
+
 def linkage_frames(cust_rep, hot: bool):
     # left/right copies of the replicated customer frame; block key is
     # (nk, tail, rep) — replica-disjoint, pair volume linear in K. The
@@ -287,12 +328,39 @@ def main() -> None:
             n_probe=12, km_k=16, km_iters=2, m=16, sub_k=16, pq_iters=1,
             rerank=200, train_fraction=0.25,
         ),
+        # r8 BLOB-SIZE axis (records constant, records/file grows 100·K):
+        # the whole-file blob path vs the record-level reader
+        # (sources/warc.py read_warc). The filter forces the full
+        # record-split + header parse per record (see doclen note above
+        # on why a bare count proves nothing). LAST in the dict: the
+        # reader op shrinks maxPartitionBytes so big .warc files
+        # actually split — file scans by earlier ops are all behind
+        # localCheckpoint and unaffected.
+        "warc_parse_blob": lambda k: parse_warc(
+            inputs[k]["warc_blobs"]
+        ).filter("len_ok AND http_status IS NOT NULL").select("record_id"),
+        "warc_parse_reader": lambda k: (
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "262144"),
+            spark.conf.set("spark.sql.files.openCostInBytes", "0"),
+            read_warc(spark, inputs[k]["warc_dir"])
+            .filter("len_ok AND http_status IS NOT NULL")
+            .select("record_id"),
+        )[-1],
     }
 
     # Materialize each replicated input ONCE before timing: the
     # replication transform is interpreted-HOF scaffolding, and leaving
     # it lazy lets the optimizer inline it into every downstream use of
     # the text column — measuring the harness, not the operator.
+    import tempfile
+
+    from xeloader_spark.sources.warc import parse_warc, read_warc
+
+    warc_tmp = tempfile.mkdtemp(prefix="xel_warc_stress_")
+    # one fixed 4×-replicated corpus for BOTH warc ops at every K — the
+    # axis is records-per-file, so records must not grow with K
+    warc_docs = replicate_docs(docs0, 4).localCheckpoint()
+
     inputs = {
         k: {
             "docs": replicate_docs(docs0, k).localCheckpoint(),
@@ -306,6 +374,10 @@ def main() -> None:
         }
         for k in KS
     }
+    for k in KS:
+        blobs_k, dir_k = warc_fixture(warc_docs, k, warc_tmp)
+        inputs[k]["warc_blobs"] = blobs_k
+        inputs[k]["warc_dir"] = dir_k
 
     # JVM/codegen warmup so K=1 of the first operator isn't measuring
     # session start instead of the operator
@@ -347,6 +419,16 @@ def main() -> None:
                 f"doc-LENGTH axis: {DOCLEN_ROWS} rows constant, tokens/doc"
                 " scales with K (>=50k at K=16); exponent is per-row"
                 " compute scaling, not corpus scaling"
+            )
+        if name.startswith("warc_parse_"):
+            rec["note"] = (
+                "BLOB-SIZE axis: records constant (4x docs corpus),"
+                f" records-per-file = {WARC_RECORDS_PER_FILE}*K, so file"
+                " count shrinks /K; exp16 near 0 = flat. The blob path's"
+                " parallelism is capped at file count (one file = one row"
+                " = one task); read_warc splits the bigger files"
+                " (maxPartitionBytes 256K here) and should stay flat —"
+                " the measured form of VERDICT r7 finding #1"
             )
         out[name] = rec
     path = os.path.join(

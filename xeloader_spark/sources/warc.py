@@ -126,30 +126,123 @@ def parse_warc_exprs(d: dict, rec_sql: str) -> dict[str, str]:
     }
 
 
+# The record separator: every WARC record begins with its version line.
+_RECORD_SEP = "WARC/1.0\r\n"
+
+
+def parse_warc_records(
+    df: DataFrame,
+    rec_col: str = "_rec",
+    file_col: str = "warc_file",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Parse already-split record bodies (the text AFTER each version
+    line) into typed fields. This is the shared tail of every WARC
+    path — blob split, record-level reader, gzip-member reader — so the
+    field semantics (and the DuckDB oracle built from the same
+    `parse_warc_exprs` template) cannot drift between them. Pure string
+    functions in one codegen stage; zero shuffles, zero joins."""
+    exprs = parse_warc_exprs(SPARK_DIALECT, rec_col)
+    return df.select(
+        F.col(file_col),
+        *extra_cols,
+        *[F.expr(sql).alias(name) for name, sql in exprs.items()],
+    )
+
+
 def parse_warc(
     df: DataFrame, blob_col: str = "warc_blob", file_col: str = "warc_file"
 ) -> DataFrame:
-    """Parse WARC blobs into typed record rows: (warc_file, rec_seq,
-    warc_type, target_uri, record_id, content_length, http_status,
-    payload, len_ok).
+    """Parse whole-file WARC blobs into typed record rows: (warc_file,
+    rec_seq, warc_type, target_uri, record_id, content_length,
+    http_status, payload, len_ok).
 
-    Scale shape: ONE posexplode of the per-file record array (records
-    are the parallelism unit a crawl pipeline wants; files arrive as
-    whole blobs exactly like .warc.gz members), then every field is a
-    string function inside the same codegen stage — zero shuffles, zero
-    joins, nothing but the records themselves ever moves."""
+    Scale shape: ONE posexplode of the per-file record array, then every
+    field is a string function inside the same codegen stage — zero
+    shuffles, zero joins. NOTE the 100 TB caveat: a blob row holds an
+    entire file as one JVM string, so this path is for synthesized
+    fixtures and small archives only — a real ~1 GB Common Crawl WARC
+    as one row sits against the 2 GB string limit and concentrates a
+    whole file's parse in one task. The scale path is `read_warc`
+    below, where records are born as rows in the data source; the two
+    are parity-pinned in tests/test_sources_plans.py."""
     d = SPARK_DIALECT
     recs = d["split"](blob_col, d["re"](r"WARC/1\.0" + _CRLF_RE))
-    exprs = parse_warc_exprs(d, "_rec")
-    return (
-        df.select(
-            F.col(file_col),
-            F.posexplode(F.expr(recs)).alias("_pos", "_rec"),
-        )
-        .filter(F.col("_pos") >= 1)  # element 0 precedes the first record
-        .select(
-            F.col(file_col),
-            (F.col("_pos") - 1).cast("long").alias("rec_seq"),
-            *[F.expr(sql).alias(name) for name, sql in exprs.items()],
-        )
+    exploded = df.select(
+        F.col(file_col),
+        F.posexplode(F.expr(recs)).alias("_pos", "_rec"),
+    ).filter(F.col("_pos") >= 1)  # element 0 precedes the first record
+    return parse_warc_records(
+        exploded,
+        extra_cols=((F.col("_pos") - 1).cast("long").alias("rec_seq"),),
     )
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Record-level WARC reader — the 100 TB ingest path: records are
+    born as ROWS in the data source (`spark.read.text` with the WARC
+    version line as the record separator), so a ~1 GB `.warc` file
+    never materializes as a single JVM string (2 GB row/string hard
+    limit) and one file's parse spreads across all of its splits'
+    tasks instead of one. Columns: (warc_file, warc_type, target_uri,
+    record_id, content_length, http_status, payload, len_ok).
+
+    Deliberately NO `rec_seq`: a split-parallel reader yields an
+    unordered bag of records — in-file sequence is a per-task notion
+    that does not survive splitting, and the spec-unique
+    WARC-Record-ID is the identity key a crawl pipeline joins on. The
+    blob path (`parse_warc`) keeps rec_seq for fixtures where file
+    order is meaningful; the parity pin compares the two record-keyed.
+
+    Reference parity: this is the container→rows premise of
+    XELoader/FileProcessor.cs:203 (opaque event file → typed rows) at
+    crawl-file scale. Plan: scan + filter + codegen string functions,
+    zero exchanges (pinned)."""
+    raw = (
+        spark.read.option("lineSep", _RECORD_SEP)
+        .text(path)
+        .select(
+            F.input_file_name().alias("warc_file"),
+            F.col("value").alias("_rec"),
+        )
+        # content before the first version line (empty for well-formed
+        # WARC; warcinfo preambles and BOMs land here) is not a record
+        .filter(F.col("_rec") != "")
+    )
+    return parse_warc_records(raw)
+
+
+def read_warc_gz(spark, path: str, batch_records: int = 1000) -> DataFrame:
+    """Gzip-member `.warc.gz` reader. Common Crawl compresses EACH
+    record as its own gzip member and concatenates the members, which
+    makes the file non-splittable (no codec boundary index), so the
+    honest scale shape is per-FILE parallelism: `binaryFile` source →
+    Arrow `mapInPandas` that inflates the member stream (stdlib zlib
+    handles concatenated members) and yields record rows in bounded
+    batches. Same output schema and shared `parse_warc_records` tail
+    as `read_warc`; see SCALE.md §WARC for when to pre-decompress to a
+    landing zone instead (recommended above ~1 file per task-slot)."""
+    import gzip as _gzip
+
+    def _inflate(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                text = _gzip.decompress(bytes(content)).decode(
+                    "utf-8", errors="replace"
+                )
+                recs = [r for r in text.split(_RECORD_SEP) if r != ""]
+                for i in range(0, len(recs), batch_records):
+                    chunk = recs[i : i + batch_records]
+                    yield pd.DataFrame(
+                        {"warc_file": [fname] * len(chunk), "_rec": chunk}
+                    )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(_inflate, "warc_file string, _rec string")
+    )
+    return parse_warc_records(raw)
