@@ -167,10 +167,13 @@ WHITELIST: dict[str, list[str]] = {
         "return grp.crossJoin(F.broadcast(total)).select(",
     ],
     # calibration-sketch-sized (≤ bins+1 rows by the in-plan limit):
-    # the 1-row n_total scalar and the bins-row global inverse CDF
+    # the 1-row n_total global-agg scalar and the bins-row global
+    # inverse CDF (r8: both sites named specifically — the former bare
+    # "F.broadcast(" entry would have matched ANY future wrapped frame
+    # in this file, r7 advice finding)
     "streaming/quantile_stream.py": [
-        "F.broadcast(",
-        'F.broadcast(glob_cdf.select("n_total").limit(1))',
+        "F.broadcast(ginv),",
+        "target = with_pct.crossJoin(F.broadcast(n_total_1)).withColumn(",
     ],
 }
 

@@ -936,7 +936,7 @@ def test_winnowing_matches_python_model(spark, token_lists):
         if len(toks) >= k:
             hs = [
                 int(
-                    hashlib.md5(" ".join(toks[j:j + k]).encode()).hexdigest()[:8],
+                    hashlib.md5(" ".join(toks[j:j + k]).encode()).hexdigest()[:15],
                     16,
                 )
                 for j in range(len(toks) - k + 1)
@@ -1077,7 +1077,9 @@ def test_kneser_ney_matches_integer_model_and_tracks_float(spark, token_lists):
     st.lists(
         st.tuples(
             st.sampled_from(["a.com", "b.com", "A.COM"]),
-            st.sampled_from(["/", "/x", "/x/y", "/xy", "/z"]),
+            st.sampled_from(
+                ["/", "/x", "/x/y", "/xy", "/z", "/x?q=", "/?l="]
+            ),
             st.booleans(),
         ),
         max_size=8,
@@ -1085,23 +1087,48 @@ def test_kneser_ney_matches_integer_model_and_tracks_float(spark, token_lists):
     st.lists(
         st.tuples(
             st.sampled_from(["a.com", "b.com", "c.com"]),
-            st.sampled_from(["/", "/x", "/x/y", "/x/yz", "/xy", "/z/q"]),
+            st.sampled_from(
+                [
+                    "/",
+                    "/x",
+                    "/x/y",
+                    "/x/yz",
+                    "/xy",
+                    "/z/q",
+                    "/x?q=1",
+                    "/x?a=1&q=2",
+                    "/?l=de",
+                ]
+            ),
         ),
         min_size=1,
         max_size=10,
     ),
 )
 def test_robots_matches_python_rep_model(spark, rules, urls):
-    """robots_filter == the direct RFC 9309 model for any rule set and
-    URL set: longest matching prefix wins, Allow wins length ties,
-    hosts case-insensitive, no match → allowed."""
-    from xeloader_spark.operators.robots import robots_filter
+    """robots_filter AND robots_filter_table == the direct RFC 9309
+    model for any rule set and URL set: longest matching prefix (over
+    path + query) wins, Allow wins length ties, hosts case-insensitive,
+    no match → allowed."""
+    from xeloader_spark.operators.robots import (
+        robots_filter,
+        robots_filter_table,
+    )
 
     rows = [
         (i, f"https://{h}{p}") for i, (h, p) in enumerate(urls)
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     got = {r.id: (r.allowed, r.matched_len) for r in robots_filter(df, rules).collect()}
+    if rules:  # table variant needs a non-empty rules frame for schema
+        rules_df = spark.createDataFrame(
+            rules, "host string, prefix string, allow boolean"
+        )
+        got_tab = {
+            r.id: (r.allowed, r.matched_len)
+            for r in robots_filter_table(df, rules_df).collect()
+        }
+        assert got_tab == got, (got_tab, got, rules)
 
     for i, (h, p) in enumerate(urls):
         matches = [

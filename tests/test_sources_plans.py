@@ -1172,3 +1172,79 @@ class TestRound8WarcReader:
         assert self._keyed(read_warc_gz(spark, gdir)) == self._keyed(
             parse_warc(blobs)
         )
+
+
+class TestRound8RobotsTable:
+    """Round-8 hardening (VERDICT r7 #2): rules as data, joined on host."""
+
+    def test_table_variant_parity_with_literal(self, spark):
+        """robots_filter_table == robots_filter verdict-for-verdict on
+        the fixture corpus + ruleset (incl. the '?'-anchored rule), and
+        its plan is the honest scale shape: rules agg + host equi-join,
+        ≤2 exchanges, no cartesian."""
+        from xeloader_spark.operators.robots import (
+            robots_filter,
+            robots_filter_table,
+        )
+        from xeloader_spark.queries.text import _ROBOTS_RULES, _URL_SEED_SPARK
+
+        docs = (
+            load_table(spark, SF, "documents")
+            .withColumn("url", F.expr(_URL_SEED_SPARK))
+            .select("doc_id", "url")
+        )
+        rules_df = spark.createDataFrame(
+            _ROBOTS_RULES, "host string, prefix string, allow boolean"
+        )
+        cols = ["doc_id", "url", "host", "path", "matched_len", "allowed"]
+        lit_out = robots_filter(docs, _ROBOTS_RULES).select(*cols)
+        tab_out = robots_filter_table(docs, rules_df).select(*cols)
+        plans.assert_max_shuffles(tab_out, 2)
+        plans.assert_no_cartesian(tab_out)
+        assert sorted(map(tuple, tab_out.collect())) == sorted(
+            map(tuple, lit_out.collect())
+        )
+
+    def test_query_string_rule_semantics(self, spark):
+        """RFC 9309 path+query matching (r7 advice finding): a
+        '?'-anchored rule fires as a PREFIX of path+query, an empty
+        path defaults to '/' before the query is appended, and the
+        query never leaks into host extraction."""
+        from xeloader_spark.operators.robots import robots_filter
+
+        rules = [
+            ("h.com", "/search?q=", False),
+            ("h.com", "/?lang=", False),
+        ]
+        df = spark.createDataFrame(
+            [
+                (1, "https://h.com/search?q=x"),
+                (2, "https://h.com/search?page=2&q=x"),  # prefix, not substr
+                (3, "https://h.com?lang=de"),  # empty path → '/?lang=de'
+                (4, "https://h.com/search"),  # no query → no match
+            ],
+            "id long, url string",
+        )
+        got = {r.id: (r.allowed, r.matched_len, r.path) for r in
+               robots_filter(df, rules).collect()}
+        assert got[1] == (False, 10, "/search?q=x")
+        assert got[2] == (True, -1, "/search?page=2&q=x")
+        assert got[3] == (False, 7, "/?lang=de")
+        assert got[4] == (True, -1, "/search")
+
+    def test_no_rules_for_host_defaults_allow(self, spark):
+        """Table variant: a host absent from rules_df (NULL rule array
+        after the left join) must default-allow with matched_len -1 —
+        the HOF chain over NULL coalesces, it doesn't drop the row."""
+        from xeloader_spark.operators.robots import robots_filter_table
+
+        rules_df = spark.createDataFrame(
+            [("other.com", "/", False)],
+            "host string, prefix string, allow boolean",
+        )
+        df = spark.createDataFrame(
+            [(1, "https://unlisted.com/x")], "id long, url string"
+        )
+        out = robots_filter_table(df, rules_df).collect()
+        assert len(out) == 1
+        assert out[0].allowed is True and out[0].matched_len == -1

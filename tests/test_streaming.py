@@ -1779,6 +1779,16 @@ def test_streaming_quantile_normalize_error_envelope(spark, tmp_path):
     assert out[0].doc_id == 999_999
     assert out[0].pctile_bp_approx is None and out[0].norm_bucket is None
 
+    # an EMPTY sketch (stream not started yet) must likewise calibrate
+    # every doc to NULL — not drop the whole batch: n_total comes from a
+    # global aggregate (always 1 row, NULL on empty), never from a
+    # window column of the zero-row CDF frame (r7 advice finding)
+    empty_sketch = sketch.filter("1 = 0")
+    out2 = qs.normalize_from_hist(empty_sketch, alien, bins=BINS).collect()
+    assert len(out2) == 1
+    assert out2[0].doc_id == 999_999
+    assert out2[0].pctile_bp_approx is None and out2[0].norm_bucket is None
+
 
 def test_streaming_warc_parse_matches_batch(spark, tmp_path):
     """The WARC record parser is stateless (select/filter/posexplode),

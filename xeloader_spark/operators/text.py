@@ -1052,8 +1052,12 @@ def winnowing_fingerprints(
     (`rolling_fingerprint`) cannot provide, at density ~2/(w+1).
 
     Returns one row per selected fingerprint: (doc_id, pos, fp) with
-    `pos` the 0-based k-gram position and `fp` the 63-bit integer hash
-    (md5 prefix — engine-identical, the repo's standard hash gate).
+    `pos` the 0-based k-gram position and `fp` a 60-bit integer hash
+    (15-hex md5 prefix — engine-identical, the repo's standard hash
+    gate, BIGINT-safe; r8 widened from 32-bit, whose ~50% birthday-
+    collision odds by ~77k distinct k-grams would inflate spurious
+    shared-fingerprint pairs at corpus scale — 60 bits pushes that
+    envelope past 10^9 k-grams).
 
     Scale shape: everything is array HOFs over the doc's own tokens
     (O(T·w) per row, w a small constant) followed by ONE explode of the
@@ -1064,12 +1068,12 @@ def winnowing_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
     toks = _tok_array(text_col)
-    # h_i = first-8-hex-of-md5 of the space-joined k-gram starting at i
+    # h_i = first-15-hex-of-md5 of the space-joined k-gram starting at i
     hashes = (
         f"CASE WHEN size({toks}) < {k} THEN array() "
         f"ELSE transform(sequence(0, size({toks}) - {k}), "
         f"i -> CAST(conv(substr(md5(array_join("
-        f"slice({toks}, i + 1, {k}), ' ')), 1, 8), 16, 10) AS BIGINT)) END"
+        f"slice({toks}, i + 1, {k}), ' ')), 1, 15), 16, 10) AS BIGINT)) END"
     )
     # window j covers hashes[j .. j+wlen-1]; rightmost min via the
     # first position of the min in the REVERSED slice

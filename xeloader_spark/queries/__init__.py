@@ -46,6 +46,7 @@ from . import core
 # regression re-checks of the stale r2/r3 greens. Re-run + reinstall
 # after every query addition.
 _ROUND_PRIORITY = [
+    "q_robots_filter_table",
     "q_market_share",  # recheck (last green r3)
     "q_order_priority_check",  # recheck (last green r3)
     "q_promo_revenue",  # recheck (last green r3)
@@ -95,7 +96,6 @@ _ROUND_PRIORITY = [
     "q_order_reconciliation",  # recheck (last green r4)
     "q_pivot_user_matrix",  # recheck (last green r4)
     "q_referential_integrity",  # recheck (last green r4)
-    "q_revenue_pareto",  # recheck (last green r4)
 ]
 
 

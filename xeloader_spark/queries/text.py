@@ -573,8 +573,11 @@ _URL_SEED_SPARK = """
 # doc_id ≡ 4 mod 20 ⊂ ≡ 0 mod 4, so ALL its URLs carry the slash and
 # the slashed prefix fires), the SAME slashed prefix on src2 (never
 # slashed — pins that a no-match rule changes nothing), and a
-# whole-host block with an allow island (src3). Unlisted hosts
-# default-allow.
+# whole-host block with an allow island (src3), and a '?'-anchored
+# prefix (r8: RFC 9309 matches rules against path + query — fires on
+# src2 docs ≡ 62 mod 300, whose URL renders '/articles/12?ref=home&…',
+# disallowed at matched_len 17; verified firing at sf0.01 like every
+# other rule). Unlisted hosts default-allow.
 _ROBOTS_RULES = [
     ("www.src1.com", "/articles/1", False),
     ("www.src1.com", "/articles/11", True),
@@ -582,6 +585,7 @@ _ROBOTS_RULES = [
     ("www.src1.com", "/articles/31", False),
     ("www.src4.com", "/articles/44/", False),
     ("www.src2.com", "/articles/42/", False),
+    ("www.src2.com", "/articles/12?ref=", False),
     ("www.src3.com", "/", False),
     ("www.src3.com", "/articles/23", True),
 ]
@@ -601,6 +605,29 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", F.expr(_URL_SEED_SPARK)
     )
     return robots_filter(docs, _ROBOTS_RULES).select(
+        "doc_id", "url", "host", "path", "matched_len", "allowed"
+    )
+
+
+def q_robots_filter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rules-as-DATA twin of `q_robots_filter`
+    (`operators/robots.robots_filter_table`) — the web-scale form: the
+    same fixture ruleset arrives as a (host, prefix, allow) TABLE,
+    aggregated to per-host rule arrays and LEFT equi-joined on host
+    (broadcast under threshold, shuffle above — no hint), then the
+    identical struct-ordering longest-match HOF. Verdicts are
+    parity-pinned against the literal variant in pytest; this driver
+    row checks the join+HOF form against a DuckDB replay that builds
+    the rules from a VALUES table the same way."""
+    from ..operators.robots import robots_filter_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_URL_SEED_SPARK)
+    )
+    rules_df = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, prefix string, allow boolean"
+    )
+    return robots_filter_table(docs, rules_df).select(
         "doc_id", "url", "host", "path", "matched_len", "allowed"
     )
 
@@ -1216,7 +1243,7 @@ def _winnow_core_sql(src: str = "documents") -> str:
                        generate_series(0, len(toks) - {_WINNOW_K}),
                        i -> ('0x' || substr(md5(array_to_string(
                            list_slice(toks, i + 1, i + {_WINNOW_K}), ' ')),
-                           1, 8))::BIGINT)
+                           1, 15))::BIGINT)
                    END AS hs
             FROM t
         ),
@@ -1901,6 +1928,54 @@ def _robots_sql() -> str:
 
 
 ORACLES["q_robots_filter"] = _robots_sql()
+
+
+def _robots_table_sql() -> str:
+    """DuckDB replay of q_robots_filter_table: rules from a VALUES
+    table, per-host list() aggregate, LEFT join on host, then the same
+    longest-match HOF the literal oracle uses (DUCK_D lambdas)."""
+    from ..operators.robots import DUCK_D, _url_exprs
+
+    host, path = _url_exprs("url")
+    values = ",\n            ".join(
+        f"('{h}', '{p}', {'TRUE' if a else 'FALSE'})"
+        for h, p, a in _ROBOTS_RULES
+    )
+    matches = DUCK_D["filter"](
+        "rules", "r -> left(path, length(r.prefix)) = r.prefix"
+    )
+    best = DUCK_D["best"](
+        DUCK_D["transform"](
+            matches, "r -> {'len': length(r.prefix), 'allow': r.allow}"
+        )
+    )
+    return f"""
+        WITH rule_rows(host, prefix, allow) AS (VALUES
+            {values}
+        ),
+        hr AS (
+            SELECT lower(host) AS rhost,
+                   list({{'prefix': prefix, 'allow': allow}}) AS rules
+            FROM rule_rows GROUP BY 1
+        ),
+        u AS (
+            SELECT doc_id, {_URL_SEED_DUCK} AS url FROM documents
+        ),
+        j AS (
+            SELECT doc_id, url,
+                   {host} AS host,
+                   {path} AS path,
+                   hr.rules AS rules
+            FROM u LEFT JOIN hr ON {host} = hr.rhost
+        )
+        SELECT doc_id, url, host, path,
+               CAST(coalesce(({best}).len, -1) AS BIGINT) AS matched_len,
+               coalesce(({best}).allow, TRUE) AS allowed
+        FROM j
+    """
+
+
+ORACLES["q_robots_filter_table"] = _robots_table_sql()
 
 
 def _crawl_frontier_sql() -> str:

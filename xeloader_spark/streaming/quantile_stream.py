@@ -158,14 +158,9 @@ def normalize_from_hist(
         .limit(bins + 1)
     )
     w_g = Window.partitionBy().orderBy("bucket")
-    glob_cdf = (
-        glob.withColumn("gcum_through", F.sum("gcnt").over(w_g).cast("long"))
-        .withColumn("gcum_before", F.col("gcum_through") - F.col("gcnt"))
-        .withColumn(
-            "n_total",
-            F.sum("gcnt").over(Window.partitionBy()).cast("long"),
-        )
-    )
+    glob_cdf = glob.withColumn(
+        "gcum_through", F.sum("gcnt").over(w_g).cast("long")
+    ).withColumn("gcum_before", F.col("gcum_through") - F.col("gcnt"))
 
     from ..operators.sketch import _hist_bucket
 
@@ -180,21 +175,23 @@ def normalize_from_hist(
     with_pct = docs.join(src_cdf, ["source", "bucket"], "left").select(
         "doc_id", "source", "rp_ppm", "pctile_bp"
     )
-    target = with_pct.crossJoin(
-        F.broadcast(glob_cdf.select("n_total").limit(1))
-    ).withColumn(
+    # n_total as a GLOBAL AGGREGATE over the (possibly empty) sketch:
+    # a global agg always yields exactly one row — NULL n_total when the
+    # sketch is empty — so the crossJoin can never drop docs. (r7 advice
+    # finding: selecting n_total from glob_cdf's window column gives a
+    # ZERO-row frame on an empty sketch, and the crossJoin silently
+    # emptied the whole batch instead of emitting NULL calibration.)
+    n_total_1 = glob.agg(F.sum("gcnt").cast("long").alias("n_total"))
+    target = with_pct.crossJoin(F.broadcast(n_total_1)).withColumn(
         "target_rank",
         F.expr(f"1 + (pctile_bp * (n_total - 1)) DIV {QN_PCT}"),
     )
+    ginv = glob_cdf.select(
+        F.col("bucket").alias("gbucket"), "gcum_before", "gcum_through"
+    )
     return (
         target.join(
-            F.broadcast(
-                glob_cdf.select(
-                    F.col("bucket").alias("gbucket"),
-                    "gcum_before",
-                    "gcum_through",
-                )
-            ),
+            F.broadcast(ginv),
             (F.col("target_rank") > F.col("gcum_before"))
             & (F.col("target_rank") <= F.col("gcum_through")),
             "left",
