@@ -86,7 +86,99 @@ AUDIT_QUERIES = [
     "q_curriculum_schedule",
     "q_preference_pairs",
     "q_dataset_card",
+    # round-8 additions
+    "q_robots_filter_table",
 ]
+
+# One-line justifications for every query EXPECTED to audit above 1.0
+# shuffle-bytes per table-byte (r8, VERDICT r7 bookkeeping finding: the
+# artifact, not commit messages, is where above-1 rows get explained).
+# The writer emits a `summary.rows_above_1` block pairing each >1 row
+# with its justification; a >1 row with no entry here is recorded as
+# UNJUSTIFIED — loud in the artifact, so either the plan regressed or a
+# new row needs a reviewed reason.
+RATIO_JUSTIFIED: dict[str, str] = {
+    "q_kcore_membership": (
+        "iterative peeling over the kNN edge frame: per-round edge-sized"
+        " shuffles, measured against the compact embeddings parquet —"
+        " edges are the working set, not the source table"
+    ),
+    "q_pagerank_knn": (
+        "kNN graph build + per-round (dst, contrib) shuffles measured"
+        " against the embeddings parquet; edges shuffle once up front,"
+        " rounds move node-sized aggregates"
+    ),
+    "q_knn_graph": (
+        "blocked candidate equi-join over embeddings: candidate pairs"
+        " cross the wire (bounded by the blocking scheme), denominator"
+        " is the small float-array parquet"
+    ),
+    "q_modularity_score": (
+        "kNN edge build + LP rounds; same edge-vs-source-bytes shape as"
+        " the other graph rows"
+    ),
+    "q_dedup_minhash_lsh": (
+        "banded signature inverted index: (id, band-bucket) rows"
+        " shuffle once per band — never documents; the constant is the"
+        " band count, pair space never materializes"
+    ),
+    "q_embedding_neardup": (
+        "LSH-bucketed cosine pairs over embeddings — bucket-bounded"
+        " candidate pairs, not all-pairs"
+    ),
+    "q_dedup_shingle_jaccard": (
+        "shingle inverted-index join: (id, shingle) rows outnumber"
+        " compressed doc bytes by the shingle fan-out; df-capped to"
+        " bound hot shingles"
+    ),
+    "q_prefix_jaccard_pairs": (
+        "prefix-filtered shingle index — same inverted-index shape,"
+        " prefix pruning keeps it below full-shingle Jaccard"
+    ),
+    "q_dedup_clusters": (
+        "connected components: large/small-star rounds re-shuffle the"
+        " edge frame O(log n) times by design"
+    ),
+    "q_leakage_safe_split": (
+        "cross-source shingle index + CC rounds; left-semi shrink keeps"
+        " the train side map-side"
+    ),
+    "q_training_data_build": (
+        "composes dedup + quality + split end-to-end, so it inherits"
+        " the inverted-index constants of its dedup stage"
+    ),
+    "q_winnow_overlap_pairs": (
+        "df-stoplisted fingerprint inverted-index join — the CHEAP"
+        " near-dup tier: ~4 B/B vs 22.8 full-shingle / 50.4 MinHash for"
+        " the same recall class (winnowing selects ~2/(w+1) of k-grams)"
+    ),
+    "q_bigram_backoff_quality": (
+        "token-level sort-merge probe joins against checkpointed vocab"
+        " count tables — inherent to per-position LM scoring; vocab"
+        " tables are never broadcast at 100 TB, so the probe join IS"
+        " the scale-correct plan"
+    ),
+    "q_frequent_pairs": (
+        "per-basket pair expansion, cap-bounded (c·(c−1)/2 per basket)"
+        " — the A-priori candidate step"
+    ),
+    "q_windowed_pair_supports": (
+        "windowed co-occurrence expansion — pairs per sliding window,"
+        " window-bounded"
+    ),
+    "q_warc_extract": (
+        "FIXTURE-ONLY synthesis: the groupBy that packs records into"
+        " file blobs is the fixture generator, not the operator — the"
+        " parser itself is zero-shuffle and production ingest uses the"
+        " record-level read_warc reader (r8)"
+    ),
+    "q_ewma_smooth": (
+        "one key-partitioned window over the full event frame — ~1 B/B"
+        " is the floor for any stateful per-key scan; nothing above the"
+        " frame itself moves"
+    ),
+}
+RATIO_NOTE_THRESHOLD = 1.0
 
 # Iterative operators localCheckpoint their working frames, which
 # truncates the executed plan ABOVE the parquet scans — the scan-bytes
@@ -208,12 +300,51 @@ def main() -> None:
             file=sys.stderr,
             flush=True,
         )
+    # rows above 1 B/B, each paired with its reviewed justification —
+    # summarize FROM the artifact so prose (and commit messages) can
+    # point here instead of hand-asserting
+    rows_above_1 = {}
+    for name, v in sorted(
+        out.items(), key=lambda kv: -(kv[1]["shuffle_per_table_byte"] or 0)
+    ):
+        r = v["shuffle_per_table_byte"]
+        if r is not None and r > RATIO_NOTE_THRESHOLD:
+            rows_above_1[name] = {
+                "shuffle_per_table_byte": r,
+                "justification": RATIO_JUSTIFIED.get(
+                    name,
+                    "UNJUSTIFIED — plan regression or new row needing a"
+                    " reviewed reason (add to RATIO_JUSTIFIED)",
+                ),
+            }
+    unjust = [
+        n for n, v in rows_above_1.items()
+        if v["justification"].startswith("UNJUSTIFIED")
+    ]
+    if unjust:
+        print(
+            f"[audit] WARNING: rows above {RATIO_NOTE_THRESHOLD} B/B with"
+            f" no justification: {unjust}",
+            file=sys.stderr,
+            flush=True,
+        )
     with open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SHUFFLE_AUDIT.json"),
         "w",
     ) as fh:
-        json.dump({"sf_dir": sf_dir, "queries": out}, fh, indent=1)
-    print(json.dumps({"audited": len(out)}))
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "summary": {
+                    "note_threshold": RATIO_NOTE_THRESHOLD,
+                    "rows_above_1": rows_above_1,
+                },
+                "queries": out,
+            },
+            fh,
+            indent=1,
+        )
+    print(json.dumps({"audited": len(out), "unjustified_above_1": unjust}))
     spark.stop()
 
 
