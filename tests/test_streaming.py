@@ -2000,3 +2000,75 @@ def test_streaming_crawl_pipeline_matches_batch(spark, tmp_path):
     pre = parse_warc(blobs).filter("http_status = 200")
     assert pre.filter("target_uri LIKE 'https://example.org/de/%'").count() > 0
     assert not any(u.startswith("https://example.org/de/") for u, _ in batch)
+
+
+def test_streaming_frontier_matches_batch(spark, tmp_path):
+    """Streamed frontier admissions == the batch `q_crawl_frontier` rows
+    (minus fetch_wave — the per-host rank window needs the host's total
+    canonical order, batch-only by design): every robots-allowed
+    canonical URL admitted exactly ONCE with the min-id keeper, across
+    micro-batch boundaries, under ascending-id file arrival (the same
+    parity contract as the incremental-dedup twin). State is one slim
+    row per admitted canonical URL — pinned via the state-operator
+    row count."""
+    import time
+
+    from xeloader_spark.queries.text import (
+        _ROBOTS_RULES,
+        _URL_SEED_SPARK,
+        q_crawl_frontier,
+    )
+    from xeloader_spark.streaming.frontier_stream import frontier_stream
+
+    src = str(tmp_path / "frontier_in")
+    out = str(tmp_path / "frontier_out")
+    ckpt = str(tmp_path / "frontier_ckpt")
+
+    rows = [
+        (int(r.doc_id), r.url)
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", F.expr(_URL_SEED_SPARK).alias("url"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+    half = len(rows) // 2
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, url string"
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)  # distinct mod times → deterministic arrival order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        frontier_stream(stream, _ROBOTS_RULES)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.host, r.canonical_url, r.keeper_doc_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r.host, r.canonical_url, r.keeper_doc_id)
+        for r in q_crawl_frontier(spark, SF).collect()
+    }
+    assert got == exp
+    # exactly-once admission: emissions == distinct admitted URLs
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == len(exp)
+    # bounded state: one state row per admitted canonical URL
+    prog = q.lastProgress
+    if prog and prog.get("stateOperators"):
+        assert prog["stateOperators"][0]["numRowsTotal"] == len(exp)
