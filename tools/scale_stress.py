@@ -147,17 +147,19 @@ def lengthen_docs(docs, n_docs: int, base_repeats: int, k: int):
     )
 
 
-WARC_RECORDS_PER_FILE = 100  # at K=1; grows 100·K → file count shrinks /K
+WARC_RECORDS_PER_FILE = 1250  # at K=1; grows 1250·K → file count shrinks /K
+WARC_CORPUS_REPL = 16  # fixed 16× corpus (~80k records) for every K
 
 
 def warc_fixture(docs_rep, k: int, tmp_root: str):
     """BLOB-SIZE stress inputs (records CONSTANT, records-per-file grows
-    100·K — the axis VERDICT r7 #1 asked for): returns (blob_df, dir)
-    where blob_df holds whole-file blob rows and dir holds the same
-    bytes as real .warc files on disk. At K=16 the corpus packs into
-    ~n/1600 files: the blob path's parallelism is capped at file count
-    (one row = one file = one task) while the record-level reader
-    splits the bigger files and stays flat."""
+    WARC_RECORDS_PER_FILE·K — the axis VERDICT r7 #1 asked for):
+    returns (blob_df, dir) where blob_df holds whole-file blob rows and
+    dir holds the same bytes as real .warc files on disk. At K=16 the
+    ~80k-record corpus packs into ~4 files: the blob path's parallelism
+    is capped at file count (one row = one file = one task, 4 tasks on
+    32 cores) while the record-level reader splits the bigger files
+    (maxPartitionBytes) and stays flat."""
     from pyspark.sql import functions as F
 
     from xeloader_spark.queries.ingest import _warc_seed_sqls
@@ -357,9 +359,11 @@ def main() -> None:
     from xeloader_spark.sources.warc import parse_warc, read_warc
 
     warc_tmp = tempfile.mkdtemp(prefix="xel_warc_stress_")
-    # one fixed 4×-replicated corpus for BOTH warc ops at every K — the
-    # axis is records-per-file, so records must not grow with K
-    warc_docs = replicate_docs(docs0, 4).localCheckpoint()
+    # one fixed replicated corpus for BOTH warc ops at every K — the
+    # axis is records-per-file, so records must not grow with K; sized
+    # so the K=16 blob path drops to ~4 whole-file tasks (<< cores)
+    # while per-file parse work is large enough to dominate overhead
+    warc_docs = replicate_docs(docs0, WARC_CORPUS_REPL).localCheckpoint()
 
     inputs = {
         k: {
@@ -380,8 +384,10 @@ def main() -> None:
         inputs[k]["warc_dir"] = dir_k
 
     # JVM/codegen warmup so K=1 of the first operator isn't measuring
-    # session start instead of the operator
+    # session start instead of the operator; same for the text-source
+    # file-listing + codegen path the warc reader rows time
     OPS["exact_dedup"](1).count()
+    OPS["warc_parse_reader"](1).count()
     dd.release_persisted()
 
     out: dict[str, dict] = {}
@@ -422,13 +428,15 @@ def main() -> None:
             )
         if name.startswith("warc_parse_"):
             rec["note"] = (
-                "BLOB-SIZE axis: records constant (4x docs corpus),"
-                f" records-per-file = {WARC_RECORDS_PER_FILE}*K, so file"
-                " count shrinks /K; exp16 near 0 = flat. The blob path's"
+                f"BLOB-SIZE axis: records constant ({WARC_CORPUS_REPL}x"
+                f" docs corpus, ~80k records), records-per-file ="
+                f" {WARC_RECORDS_PER_FILE}*K, so file count shrinks /K"
+                " (64/16/4 files); exp16 near 0 = flat. The blob path's"
                 " parallelism is capped at file count (one file = one row"
-                " = one task); read_warc splits the bigger files"
-                " (maxPartitionBytes 256K here) and should stay flat —"
-                " the measured form of VERDICT r7 finding #1"
+                " = one task: 4 tasks on 32 cores at K=16, plus the"
+                " 2 GB-row wall as files grow); read_warc splits the"
+                " bigger files (maxPartitionBytes 256K here) and stays"
+                " flat — the measured form of VERDICT r7 finding #1"
             )
         out[name] = rec
     path = os.path.join(
