@@ -1248,3 +1248,46 @@ class TestRound8RobotsTable:
         out = robots_filter_table(df, rules_df).collect()
         assert len(out) == 1
         assert out[0].allowed is True and out[0].matched_len == -1
+
+
+class TestRound8LinkGraph:
+    """cc-webgraph family: href extraction → host graph → host rank."""
+
+    def test_link_extract_zero_shuffle_and_drops(self, spark):
+        """Extraction is regexp_extract_all + explode + string functions
+        in one codegen stage (0 exchanges), and the three non-link
+        classes (protocol-relative, fragment-only, mailto:) never
+        produce edges while both resolution classes (absolute,
+        host-relative) do."""
+        from xeloader_spark.queries import text as qt
+
+        df = qt.q_link_extract(spark, SF)
+        plans.assert_max_shuffles(df, 0)
+        rows = df.collect()
+        hrefs = {r.href for r in rows}
+        assert not any(h.startswith(("//", "#", "mailto:")) for h in hrefs)
+        assert any(h.startswith("https://") for h in hrefs)  # absolute
+        rel = [r for r in rows if r.href.startswith("/")]
+        assert rel and all(
+            r.dst_url == f"https://{r.src_host}{r.href}" for r in rel
+        )
+        assert all(r.dst_host == r.src_host for r in rel)
+
+    def test_host_graph_and_pagerank_budgets(self, spark):
+        """Host graph: 2 exchanges (the count-distinct pair over slim
+        host-pair rows). PageRank: rounds run behind per-iteration
+        localCheckpoints, so the visible plan is node-sized and
+        exchange-free — the O(1)-plan discipline the kNN variant pins.
+        Rank mass: every rank positive, total ≤ scale (dangling leak
+        only shrinks mass, never inflates it)."""
+        from xeloader_spark.queries import text as qt
+
+        g = qt.q_host_link_graph(spark, SF)
+        plans.assert_max_shuffles(g, 2)
+        plans.assert_no_cartesian(g)
+        pr = qt.q_host_pagerank(spark, SF)
+        plans.assert_max_shuffles(pr, 0)
+        rows = pr.collect()
+        assert len(rows) >= 10
+        assert all(r.rank_micro > 0 for r in rows)
+        assert sum(r.rank_micro for r in rows) <= qt._HOST_PR_SCALE

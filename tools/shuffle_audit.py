@@ -88,6 +88,8 @@ AUDIT_QUERIES = [
     "q_dataset_card",
     # round-8 additions
     "q_robots_filter_table",
+    "q_host_link_graph",
+    "q_host_pagerank",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0
@@ -219,6 +221,8 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_curriculum_schedule": {"documents"},
     # the ranked bucket frame is checkpointed for its two pair sides
     "q_preference_pairs": {"documents"},
+    # pagerank checkpoints edges + per-round ranks (r8 host rank)
+    "q_host_pagerank": {"documents"},
 }
 
 

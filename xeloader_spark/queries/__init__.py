@@ -47,6 +47,9 @@ from . import core
 # after every query addition.
 _ROUND_PRIORITY = [
     "q_robots_filter_table",
+    "q_host_link_graph",
+    "q_host_pagerank",
+    "q_link_extract",
     "q_market_share",  # recheck (last green r3)
     "q_order_priority_check",  # recheck (last green r3)
     "q_promo_revenue",  # recheck (last green r3)
@@ -93,9 +96,6 @@ _ROUND_PRIORITY = [
     "q_classifier_inference",  # recheck (last green r3)
     "q_domain_classifier",  # recheck (last green r3)
     "q_forecast_revenue_change",  # recheck (last green r4)
-    "q_order_reconciliation",  # recheck (last green r4)
-    "q_pivot_user_matrix",  # recheck (last green r4)
-    "q_referential_integrity",  # recheck (last green r4)
 ]
 
 

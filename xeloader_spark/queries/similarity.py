@@ -179,15 +179,21 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(
-    iters: int, scale: int, damp_num: int = 85, damp_den: int = 100
+    iters: int,
+    scale: int,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    edges_sql: str | None = None,
+    id_alias: str = "id",
 ) -> str:
     """Unroll the integer PageRank fixed point: one CTE per iteration,
-    seeded with the k-NN edge replay. n (node count), the uniform init
-    mass, and the teleport base are all computed IN SQL so the oracle
-    needs no runtime parameters."""
-    knn = _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)
+    seeded with `edges_sql` (any SELECT yielding src, dst; defaults to
+    the k-NN edge replay — the host link graph passes its own, r8). n
+    (node count), the uniform init mass, and the teleport base are all
+    computed IN SQL so the oracle needs no runtime parameters."""
+    edges = edges_sql or _knn_graph_sql(_KNN_K, _KNN_BANDS, _KNN_PPB)
     head = f"""
-        WITH edges AS (SELECT src, dst FROM ({knn})),
+        WITH edges AS (SELECT src, dst FROM ({edges})),
         nodes AS (
             SELECT DISTINCT id FROM (
                 SELECT src AS id FROM edges
@@ -227,7 +233,7 @@ def _pagerank_sql(
         )"""
         )
     tail = f"""
-        SELECT id, rank AS rank_micro,
+        SELECT id AS {id_alias}, rank AS rank_micro,
                CAST(rank AS DOUBLE) / {float(scale)} AS rank
         FROM r{iters}
     """

@@ -675,6 +675,104 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HTML seeding for the link-graph family (the corpus ships no HTML, so
+# each doc renders a deterministic page from (doc_id, source, text) —
+# the URL-seed trick): one absolute cross-host anchor, one host-relative
+# anchor (self-host edge), a conditional second absolute anchor, plus
+# the three NON-links an extractor must drop (protocol-relative,
+# fragment-only, mailto:). Target hosts are www.src{1..10}.com by
+# doc_id arithmetic, so the host graph closes over the fixture's own
+# source hosts.
+def _link_html_sql(s_type: str) -> str:
+    return f"""
+    concat(
+      '<html><body><a href="https://www.src',
+      CAST(1 + ((doc_id * 7 + 3) % 10) AS {s_type}),
+      '.com/articles/', CAST((doc_id * 3) % 50 AS {s_type}), '">a</a>',
+      '<p>', substr(text, 1, 40), '</p>',
+      '<a href="/articles/', CAST((doc_id + 13) % 50 AS {s_type}), '">b</a>',
+      CASE WHEN doc_id % 3 = 0
+           THEN concat('<a href="https://www.src',
+                       CAST(1 + ((doc_id * 5 + 1) % 10) AS {s_type}),
+                       '.com/">c</a>')
+           ELSE '' END,
+      CASE WHEN doc_id % 5 = 1
+           THEN '<a href="//cdn.example.net/x.js">d</a>' ELSE '' END,
+      '<a href="#top">e</a>',
+      CASE WHEN doc_id % 7 = 2
+           THEN '<a href="mailto:a@b.co">f</a>' ELSE '' END,
+      '</body></html>')
+"""
+
+
+_SRC_HOST = "lower(concat('www.', source, '.com'))"
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction (`operators/links.extract_links`) — the
+    cc-webgraph head: anchors pulled from deterministic in-plan HTML
+    with ONE regexp_extract_all, resolved to absolute URLs (absolute
+    pass through, host-relative resolve against the source host,
+    protocol-relative/fragment/mailto drop), one row per crawlable
+    link. Zero shuffles; the page never outlives its task."""
+    from ..operators.links import extract_links
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_link_html_sql("STRING")).alias("html"),
+    )
+    return extract_links(docs).select(
+        "doc_id", "src_host", "href", "dst_url", "dst_host"
+    )
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted host-level link graph (`operators/links.host_graph`)
+    — Common Crawl's host-graph product: links aggregated to (src_host,
+    dst_host) with link and document counts. One shuffle over slim
+    host-pair rows."""
+    from ..operators.links import extract_links, host_graph
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_link_html_sql("STRING")).alias("html"),
+    )
+    return host_graph(extract_links(docs))
+
+
+_HOST_PR_ITERS = 4
+_HOST_PR_SCALE = 10**12
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-centrality ranking over the link graph — the crawl's
+    domain-quality prior (Common Crawl publishes exactly this rank):
+    integer fixed-point PageRank (`operators/graph.pagerank`, the same
+    operator the k-NN graph uses) over the DISTINCT host edges,
+    self-loops kept (a host's relative links feed its own rank — the
+    simple-variant convention, documented on the operator). Oracle:
+    the unrolled-CTE PageRank replay parameterized with the link-graph
+    edge SQL."""
+    from ..operators.graph import pagerank
+    from ..operators.links import extract_links
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_link_html_sql("STRING")).alias("html"),
+    )
+    edges = (
+        extract_links(docs)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    return pagerank(
+        edges, iters=_HOST_PR_ITERS, scale=_HOST_PR_SCALE
+    ).select(F.col("id").alias("host"), "rank_micro", "rank")
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over seeded messy URLs: normalize scheme/host
     case, default ports, tracking params, param order, fragments and
@@ -1976,6 +2074,56 @@ def _robots_table_sql() -> str:
 
 
 ORACLES["q_robots_filter_table"] = _robots_table_sql()
+
+
+def _link_rows_sql() -> str:
+    """Shared link-extraction replay: synthesis + regexp_extract_all +
+    the SAME resolution CASE the Spark plan renders
+    (`operators/links.resolve_href_sql`)."""
+    from ..operators.links import HREF_RE, dst_host_sql, resolve_href_sql
+
+    return f"""
+        SELECT doc_id, src_host, href,
+               {resolve_href_sql('href', 'src_host')} AS dst_url,
+               {dst_host_sql(resolve_href_sql('href', 'src_host'))}
+                   AS dst_host
+        FROM (
+            SELECT doc_id, {_SRC_HOST} AS src_host,
+                   unnest(regexp_extract_all({_link_html_sql("VARCHAR")},
+                          '{HREF_RE}', 1)) AS href
+            FROM documents
+        )
+        WHERE {resolve_href_sql('href', 'src_host')} IS NOT NULL
+    """
+
+
+ORACLES["q_link_extract"] = f"""
+    SELECT doc_id, src_host, href, dst_url, dst_host
+    FROM ({_link_rows_sql()})
+"""
+
+ORACLES["q_host_link_graph"] = f"""
+    SELECT src_host, dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ({_link_rows_sql()})
+    GROUP BY 1, 2
+"""
+
+
+def _host_pagerank_sql() -> str:
+    from .similarity import _pagerank_sql
+
+    edges = (
+        "SELECT DISTINCT src_host AS src, dst_host AS dst "
+        f"FROM ({_link_rows_sql()})"
+    )
+    return _pagerank_sql(
+        _HOST_PR_ITERS, _HOST_PR_SCALE, edges_sql=edges, id_alias="host"
+    )
+
+
+ORACLES["q_host_pagerank"] = _host_pagerank_sql()
 
 
 def _crawl_frontier_sql() -> str:
