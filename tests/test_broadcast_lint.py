@@ -162,9 +162,10 @@ WHITELIST: dict[str, list[str]] = {
         'j = ev.join(F.broadcast(fences), "event_type")',
         'pairs.join(F.broadcast(sa), "type_a")',
     ],
-    # 1-row corpus total
+    # 1-row corpus totals (tfidf stats; r8 domain-prior rank mass)
     "queries/text.py": [
         "return grp.crossJoin(F.broadcast(total)).select(",
+        "per_doc.crossJoin(F.broadcast(total))",
     ],
     # calibration-sketch-sized (≤ bins+1 rows by the in-plan limit):
     # the 1-row n_total global-agg scalar and the bins-row global

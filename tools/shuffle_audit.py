@@ -90,6 +90,8 @@ AUDIT_QUERIES = [
     "q_robots_filter_table",
     "q_host_link_graph",
     "q_host_pagerank",
+    "q_host_harmonic",
+    "q_domain_prior",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0
@@ -223,6 +225,10 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     "q_preference_pairs": {"documents"},
     # pagerank checkpoints edges + per-round ranks (r8 host rank)
     "q_host_pagerank": {"documents"},
+    # BFS checkpoints the pair frame per hop (r8 host harmonic)
+    "q_host_harmonic": {"documents"},
+    # domain prior consumes the checkpointed pagerank ranks (r8)
+    "q_domain_prior": {"documents"},
 }
 
 

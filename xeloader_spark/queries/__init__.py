@@ -50,6 +50,8 @@ _ROUND_PRIORITY = [
     "q_host_link_graph",
     "q_host_pagerank",
     "q_link_extract",
+    "q_host_harmonic",
+    "q_domain_prior",
     "q_market_share",  # recheck (last green r3)
     "q_order_priority_check",  # recheck (last green r3)
     "q_promo_revenue",  # recheck (last green r3)
@@ -94,8 +96,6 @@ _ROUND_PRIORITY = [
     "q_weighted_sample",  # recheck (last green r3)
     "q_training_data_build",  # recheck (last green r3)
     "q_classifier_inference",  # recheck (last green r3)
-    "q_domain_classifier",  # recheck (last green r3)
-    "q_forecast_revenue_change",  # recheck (last green r4)
 ]
 
 

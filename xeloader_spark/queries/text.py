@@ -773,6 +773,80 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("host"), "rank_micro", "rank")
 
 
+def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link-graph family consumed the way a training pipeline
+    actually uses it: per-document sampling weights from the host
+    centrality prior. Each doc joins its host's PageRank (equi-join on
+    host — broadcast under threshold, shuffle above; the host table
+    scales with the web, never a plan literal), and the weight is the
+    doc's share of total corpus rank mass in ppm — integer exact: ONE
+    1-row total (cross-join broadcast, the tfidf-stats pattern) and
+    one DIV per doc."""
+    from ..operators.graph import pagerank
+    from ..operators.links import extract_links
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_link_html_sql("STRING")).alias("html"),
+    )
+    edges = (
+        extract_links(docs)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=_HOST_PR_ITERS, scale=_HOST_PR_SCALE).select(
+        F.col("id").alias("src_host"), "rank_micro"
+    )
+    per_doc = docs.select("doc_id", "src_host").join(ranks, "src_host")
+    total = per_doc.agg(
+        F.sum("rank_micro").cast("long").alias("total_rank")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("src_host").alias("host"),
+            "rank_micro",
+            F.expr("CAST((rank_micro * 1000000) DIV total_rank AS BIGINT)")
+            .alias("weight_ppm"),
+        )
+    )
+
+
+_HARMONIC_ROUNDS = 4
+_HARMONIC_SCALE = 1_200_000_000  # divisible by 1..6 → every DIV exact
+
+
+def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host harmonic centrality over the link graph — the rank Common
+    Crawl actually publishes for hosts (Boldi & Vigna's axioms pick
+    harmonic over closeness for disconnected graphs, which crawl
+    graphs always are): H(v) = Σ 1/d(w→v) over hosts reaching v within
+    `_HARMONIC_ROUNDS` hops, integer-exact as `scale DIV d`
+    (`operators/graph.harmonic_centrality`). Oracle: the unrolled
+    level-synchronous BFS replay. The exact pair frame is the bounded-
+    host-set/validation path; the 100 TB path is the HyperBall twin
+    (`operators/graph.hyperball_harmonic`, register-table rounds,
+    parity-bounded against this in pytest)."""
+    from ..operators.graph import harmonic_centrality
+    from ..operators.links import extract_links
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_link_html_sql("STRING")).alias("html"),
+    )
+    edges = (
+        extract_links(docs)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+    return harmonic_centrality(
+        edges, rounds=_HARMONIC_ROUNDS, scale=_HARMONIC_SCALE
+    ).select(F.col("id").alias("host"), "harmonic_scaled", "n_reaching")
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over seeded messy URLs: normalize scheme/host
     case, default ports, tracking params, param order, fragments and
@@ -2124,6 +2198,76 @@ def _host_pagerank_sql() -> str:
 
 
 ORACLES["q_host_pagerank"] = _host_pagerank_sql()
+
+
+def _host_harmonic_sql() -> str:
+    """Unrolled level-synchronous BFS: one CTE per hop, frontier-only
+    expansion + MIN-aggregate (exactly the operator's loop), then the
+    integer harmonic sum."""
+    edges = (
+        "SELECT DISTINCT src_host AS src, dst_host AS dst "
+        f"FROM ({_link_rows_sql()})"
+    )
+    head = f"""
+        WITH edges AS ({edges}),
+        nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst FROM edges
+            )
+        ),
+        d0 AS (SELECT id AS src, id AS dst, 0 AS d FROM nodes)"""
+    rounds = []
+    for t in range(_HARMONIC_ROUNDS):
+        rounds.append(f""",
+        d{t + 1} AS (
+            SELECT src, dst, MIN(d) AS d FROM (
+                SELECT * FROM d{t}
+                UNION ALL
+                SELECT p.src, e.dst, p.d + 1 AS d
+                FROM d{t} p JOIN edges e ON e.src = p.dst
+                WHERE p.d = {t}
+            ) GROUP BY 1, 2
+        )""")
+    tail = f"""
+        SELECT dst AS host,
+               CAST(SUM(CASE WHEN d > 0 THEN {_HARMONIC_SCALE} // d
+                             ELSE 0 END) AS BIGINT) AS harmonic_scaled,
+               CAST(COUNT(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reaching
+        FROM d{_HARMONIC_ROUNDS} GROUP BY 1
+    """
+    return head + "".join(rounds) + tail
+
+
+ORACLES["q_host_harmonic"] = _host_harmonic_sql()
+
+
+def _domain_prior_sql() -> str:
+    """Pagerank replay joined back onto the docs, weight = doc's share
+    of total rank mass (1-row total, one integer DIV per doc)."""
+    pr = _host_pagerank_sql()
+    return f"""
+        WITH ranks AS (
+            SELECT host AS src_host, rank_micro FROM ({pr})
+        ),
+        per_doc AS (
+            SELECT d.doc_id, d.src_host, r.rank_micro
+            FROM (SELECT doc_id, {_SRC_HOST} AS src_host
+                  FROM documents) d
+            JOIN ranks r USING (src_host)
+        ),
+        total AS (
+            SELECT CAST(SUM(rank_micro) AS BIGINT) AS total_rank
+            FROM per_doc
+        )
+        SELECT doc_id, src_host AS host, rank_micro,
+               CAST((rank_micro * 1000000) // total_rank AS BIGINT)
+                   AS weight_ppm
+        FROM per_doc CROSS JOIN total
+    """
+
+
+ORACLES["q_domain_prior"] = _domain_prior_sql()
 
 
 def _crawl_frontier_sql() -> str:
