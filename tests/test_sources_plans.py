@@ -1337,3 +1337,59 @@ class TestRound8LinkGraph:
         top_exact = max(ex.values(), key=lambda r: r.harmonic_scaled).id
         top_hb = max(hb, key=hb.get)
         assert top_exact == top_hb
+
+    def test_crawl_pipeline_budget(self, spark):
+        """One crawl hop end-to-end (WARC parse → links → REP gate →
+        frontier): everything through the robots gate is codegen string
+        functions over single-record rows; the only exchanges are the
+        frontier aggregate + the host wave window (plus the explode's
+        AQE reuse) — ≤3, no cartesian. Also pins that query-LESS URLs
+        survive canonicalization: DuckDB's array_to_string over an
+        EMPTY list is NULL where Spark's array_join is '' (r8 latent
+        oracle bug, masked while every fixture URL carried a query
+        string — the oracle now coalesces)."""
+        from xeloader_spark.queries import text as qt
+
+        df = qt.q_crawl_pipeline(spark, SF)
+        plans.assert_max_shuffles(df, 3)
+        plans.assert_no_cartesian(df)
+        rows = df.collect()
+        assert len(rows) > 100
+        # query-less canonical URLs exist and grouped correctly
+        assert all("?" not in r.canonical_url for r in rows)
+        assert all(r.n_refs >= 1 and r.fetch_wave >= 0 for r in rows)
+
+    def test_canonicalize_queryless_url_oracle_parity(self, spark):
+        """The divergence-class regression pin: canonicalizing a URL
+        with NO query string must agree between the Spark operator and
+        the DuckDB core CTE (empty-list array_to_string coalesced)."""
+        import duckdb
+
+        from xeloader_spark.operators import text as tx
+        from xeloader_spark.queries.text import _URL_CANON_CORE
+
+        urls = [
+            (1, "https://A.com/x/"),
+            (2, "http://b.com:80/y"),
+            (3, "https://c.com"),
+            (4, "https://d.com/z?utm_source=x"),  # query strips to empty
+        ]
+        df = spark.createDataFrame(urls, "doc_id long, url string")
+        got = {
+            r.doc_id: r.canonical_url
+            for r in tx.url_canonicalize(df).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE u(doc_id BIGINT, url VARCHAR);"
+            + "".join(
+                f"INSERT INTO u VALUES ({i}, '{u}');" for i, u in urls
+            )
+        )
+        exp = dict(
+            con.execute(
+                "WITH " + _URL_CANON_CORE
+                + " SELECT doc_id, canonical_url FROM canon"
+            ).fetchall()
+        )
+        assert got == exp, (got, exp)

@@ -92,6 +92,7 @@ AUDIT_QUERIES = [
     "q_host_pagerank",
     "q_host_harmonic",
     "q_domain_prior",
+    "q_crawl_pipeline",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

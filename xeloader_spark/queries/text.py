@@ -773,6 +773,78 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("host"), "rank_micro", "rank")
 
 
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl family composed END-TO-END in one oracle-checked plan
+    — one full crawl hop: archived pages (WARC/1.0 response records
+    whose payloads are the seeded HTML, one record per page row) →
+    record parse (`sources/warc.parse_warc`) with the len_ok/200 gate →
+    outbound link extraction (`operators/links.extract_links`) → REP
+    compliance gate on each OUTBOUND URL (`operators/robots`) →
+    canonical-URL frontier with per-host politeness waves — i.e., the
+    next fetch schedule derived from the last fetch's archives.
+
+    Output: (host, canonical_url, keeper_src_doc, n_refs, fetch_wave).
+    Scale shape: everything through the robots gate is one codegen
+    stage over single-record rows (zero shuffles — record parse,
+    href explode, resolution, REP verdicts are all string functions);
+    the only exchanges are the frontier aggregate and the host wave
+    window, both over slim URL strings."""
+    from ..operators.links import dst_host_sql, extract_links
+    from ..operators.robots import robots_filter
+    from ..sources.warc import (
+        SPARK_DIALECT,
+        http_block_sql,
+        parse_warc,
+        warc_record_sql,
+    )
+
+    d = SPARK_DIALECT
+    html = _link_html_sql("STRING")
+    uri = f"concat('https://', {_SRC_HOST}, '/p/', CAST(doc_id AS STRING))"
+    rec = warc_record_sql(d, "doc_id", uri, http_block_sql(d, "'200'", html))
+    blobs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("warc_file"), F.expr(rec).alias("warc_blob")
+    )
+    pages = (
+        parse_warc(blobs)
+        .filter("len_ok AND http_status = 200")
+        .select(
+            F.expr(
+                "CAST(regexp_extract(target_uri, '/p/([0-9]+)$', 1)"
+                " AS BIGINT)"
+            ).alias("doc_id"),
+            F.expr(dst_host_sql("target_uri")).alias("src_host"),
+            F.col("payload").alias("html"),
+        )
+    )
+    gated = robots_filter(
+        extract_links(pages), _ROBOTS_RULES, url_col="dst_url"
+    ).filter(F.col("allowed"))
+    canon = tx.url_canonicalize(gated, url_col="dst_url")
+    grouped = (
+        canon.select(
+            F.expr(dst_host_sql("canonical_url")).alias("chost"),
+            "canonical_url",
+            "doc_id",
+        )
+        .groupBy("chost", "canonical_url")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_src_doc"),
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+        )
+    )
+    return grouped.select(
+        F.col("chost").alias("host"),
+        "canonical_url",
+        "keeper_src_doc",
+        "n_refs",
+        F.expr(
+            f"CAST((row_number() OVER (PARTITION BY chost "
+            f"ORDER BY canonical_url) - 1) DIV {_FRONTIER_WAVE} AS BIGINT)"
+        ).alias("fetch_wave"),
+    )
+
+
 def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The link-graph family consumed the way a training pipeline
     actually uses it: per-document sampling weights from the host
@@ -1308,10 +1380,11 @@ _URL_CANON_CORE = """parts AS (
                     lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
                     ':(443|80)$', '') AS hostport,
                 regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS pth,
-                array_to_string(list_sort(list_filter(
+                coalesce(array_to_string(list_sort(list_filter(
                     string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
                     x -> x != '' AND substr(x, 1, 4) != 'utm_'
-                         AND substr(x, 1, 7) != 'fbclid=')), '&') AS qcanon
+                         AND substr(x, 1, 7) != 'fbclid=')), '&'), '')
+                    AS qcanon
             FROM u
         ),
         canon AS (
@@ -2268,6 +2341,71 @@ def _domain_prior_sql() -> str:
 
 
 ORACLES["q_domain_prior"] = _domain_prior_sql()
+
+
+def _crawl_pipeline_sql() -> str:
+    """Full replay: WARC synthesis (one record per page) + parse via the
+    shared dialect builders, href extraction + resolution via the shared
+    links templates, REP verdicts via the shared robots builder, the
+    canonicalizer core CTE, then the frontier group + wave window."""
+    from ..operators.links import HREF_RE, dst_host_sql, resolve_href_sql
+    from ..operators.robots import DUCK_D, robots_exprs
+    from ..sources.warc import (
+        DUCK_DIALECT,
+        http_block_sql,
+        parse_warc_exprs,
+        warc_record_sql,
+    )
+
+    d = DUCK_DIALECT
+    html = _link_html_sql("VARCHAR")
+    uri = f"concat('https://', {_SRC_HOST}, '/p/', CAST(doc_id AS VARCHAR))"
+    rec = warc_record_sql(d, "doc_id", uri, http_block_sql(d, "'200'", html))
+    e = parse_warc_exprs(d, "rec")
+    allowed = robots_exprs(DUCK_D, _ROBOTS_RULES, "dst_url")["allowed"]
+    return f"""
+        WITH recs AS (
+            SELECT substr({rec}, 11) AS rec FROM documents
+        ),
+        pages AS (
+            SELECT CAST(regexp_extract({e['target_uri']}, '/p/([0-9]+)$', 1)
+                        AS BIGINT) AS doc_id,
+                   {dst_host_sql(e['target_uri'])} AS src_host,
+                   {e['payload']} AS html
+            FROM recs
+            WHERE {e['len_ok']} AND {e['http_status']} = 200
+        ),
+        lx AS (
+            SELECT doc_id, src_host,
+                   unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+            FROM pages
+        ),
+        resolved AS (
+            SELECT doc_id,
+                   {resolve_href_sql('href', 'src_host')} AS dst_url
+            FROM lx
+        ),
+        u AS (
+            SELECT doc_id, dst_url AS url FROM resolved
+            WHERE dst_url IS NOT NULL AND {allowed}
+        ),
+        {_URL_CANON_CORE},
+        grouped AS (
+            SELECT {dst_host_sql('canonical_url')} AS host,
+                   canonical_url,
+                   CAST(MIN(doc_id) AS BIGINT) AS keeper_src_doc,
+                   CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM canon GROUP BY 1, 2
+        )
+        SELECT host, canonical_url, keeper_src_doc, n_refs,
+               CAST((ROW_NUMBER() OVER (PARTITION BY host
+                     ORDER BY canonical_url) - 1) // {_FRONTIER_WAVE}
+                    AS BIGINT) AS fetch_wave
+        FROM grouped
+    """
+
+
+ORACLES["q_crawl_pipeline"] = _crawl_pipeline_sql()
 
 
 def _crawl_frontier_sql() -> str:
