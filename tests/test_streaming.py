@@ -2072,3 +2072,46 @@ def test_streaming_frontier_matches_batch(spark, tmp_path):
     prog = q.lastProgress
     if prog and prog.get("stateOperators"):
         assert prog["stateOperators"][0]["numRowsTotal"] == len(exp)
+
+
+def test_streaming_link_extract_matches_batch(spark, tmp_path):
+    """Link extraction is stateless (regexp_extract_all + explode +
+    string functions), so `extract_links` runs unchanged on a page
+    STREAM — archived pages arriving as files → link rows — and its
+    emissions equal the batch q_link_extract rows exactly."""
+    from xeloader_spark.operators.links import extract_links
+    from xeloader_spark.queries.text import (
+        _SRC_HOST,
+        _link_html_sql,
+        q_link_extract,
+    )
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "links_out")
+    ckpt = str(tmp_path / "links_ckpt")
+
+    pages = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_link_html_sql("STRING")).alias("html"),
+    )
+    pages.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, src_host string, html string"
+    ).parquet(src)
+    q = (
+        extract_links(stream)
+        .select("doc_id", "src_host", "href", "dst_url", "dst_host")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    exp = sorted(map(tuple, q_link_extract(spark, SF).collect()))
+    assert got == exp
