@@ -1076,29 +1076,10 @@ class TestRound8WarcReader:
         (text_dir, gz_dir, blob_df)."""
         import gzip
 
-        from xeloader_spark.queries.ingest import (
-            _WARC_FILE_DOCS,
-            _warc_seed_sqls,
-        )
-        from xeloader_spark.sources.warc import SPARK_DIALECT
+        from xeloader_spark.queries.ingest import pack_warc_blobs
 
-        rec, _ = _warc_seed_sqls(SPARK_DIALECT)
         docs = load_table(spark, SF, "documents")
-        blobs = (
-            docs.select("doc_id", "lang", "text")
-            .select(
-                F.expr(f"doc_id DIV {_WARC_FILE_DOCS}").alias("warc_file"),
-                F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
-            )
-            .groupBy("warc_file")
-            .agg(
-                F.expr(
-                    "array_join(transform(array_sort(collect_list(_sr)), "
-                    "x -> x.r), '')"
-                ).alias("warc_blob")
-            )
-            .localCheckpoint()
-        )
+        blobs = pack_warc_blobs(docs).localCheckpoint()
         tdir = tmp_path_factory.mktemp("warc_text")
         gdir = tmp_path_factory.mktemp("warc_gz")
         for r in blobs.collect():
@@ -1161,6 +1142,40 @@ class TestRound8WarcReader:
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old)
             spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+    def test_reader_strips_bom_and_surfaces_preamble(self, spark, tmp_path):
+        """r8 review fix: a UTF-8 BOM on an otherwise well-formed file
+        parses identically to the clean file (stripped in the reader);
+        a NON-empty preamble (not valid WARC) surfaces as one all-NULL
+        audit row — loud degradation, never silent loss."""
+        from xeloader_spark.sources.warc import read_warc
+
+        CRLF = "\r\n"
+        http = f"HTTP/1.1 200 OK{CRLF}Content-Type: text/plain{CRLF}{CRLF}hi"
+        rec = (
+            f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+            f"WARC-Target-URI: u{CRLF}WARC-Record-ID: <urn:uuid:x>{CRLF}"
+            f"Content-Length: {len(http)}{CRLF}{CRLF}{http}{CRLF}{CRLF}"
+        )
+        clean = tmp_path / "clean"
+        bomd = tmp_path / "bomd"
+        pre = tmp_path / "pre"
+        for d in (clean, bomd, pre):
+            d.mkdir()
+        (clean / "a.warc").write_bytes(rec.encode())
+        (bomd / "a.warc").write_bytes("﻿".encode() + rec.encode())
+        (pre / "a.warc").write_bytes(b"junk preamble\r\n" + rec.encode())
+
+        keyed = lambda d: sorted(
+            (r.record_id, r.payload, r.len_ok)
+            for r in read_warc(spark, str(d)).collect()
+        )
+        assert keyed(bomd) == keyed(clean)
+        assert len(keyed(clean)) == 1
+        pre_rows = read_warc(spark, str(pre)).collect()
+        assert len(pre_rows) == 2
+        null_rows = [r for r in pre_rows if r.record_id is None]
+        assert len(null_rows) == 1 and null_rows[0].len_ok is None
 
     def test_gz_member_reader_parity(self, spark, warc_dirs):
         """read_warc_gz inflates concatenated gzip members and parses
@@ -1305,21 +1320,9 @@ class TestRound8LinkGraph:
             harmonic_centrality,
             hyperball_harmonic,
         )
-        from xeloader_spark.operators.links import extract_links
         from xeloader_spark.queries import text as qt
 
-        docs = load_table(spark, SF, "documents").select(
-            "doc_id",
-            F.expr(qt._SRC_HOST).alias("src_host"),
-            F.expr(qt._link_html_sql("STRING")).alias("html"),
-        )
-        edges = (
-            extract_links(docs)
-            .select(
-                F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
-            )
-            .distinct()
-        )
+        edges = qt._host_edges(qt._link_docs(spark, SF))
         S = qt._HARMONIC_SCALE
         ex = {r.id: r for r in harmonic_centrality(edges, scale=S).collect()}
         assert all(

@@ -2080,22 +2080,13 @@ def test_streaming_link_extract_matches_batch(spark, tmp_path):
     STREAM — archived pages arriving as files → link rows — and its
     emissions equal the batch q_link_extract rows exactly."""
     from xeloader_spark.operators.links import extract_links
-    from xeloader_spark.queries.text import (
-        _SRC_HOST,
-        _link_html_sql,
-        q_link_extract,
-    )
+    from xeloader_spark.queries.text import _link_docs, q_link_extract
 
     src = str(tmp_path / "pages_in")
     out = str(tmp_path / "links_out")
     ckpt = str(tmp_path / "links_ckpt")
 
-    pages = load_table(spark, SF, "documents").select(
-        "doc_id",
-        F.expr(_SRC_HOST).alias("src_host"),
-        F.expr(_link_html_sql("STRING")).alias("html"),
-    )
-    pages.write.mode("overwrite").parquet(src)
+    _link_docs(spark, SF).write.mode("overwrite").parquet(src)
 
     stream = spark.readStream.schema(
         "doc_id long, src_host string, html string"

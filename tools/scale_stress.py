@@ -160,28 +160,11 @@ def warc_fixture(docs_rep, k: int, tmp_root: str):
     is capped at file count (one row = one file = one task, 4 tasks on
     32 cores) while the record-level reader splits the bigger files
     (maxPartitionBytes) and stays flat."""
-    from pyspark.sql import functions as F
+    from xeloader_spark.queries.ingest import pack_warc_blobs
 
-    from xeloader_spark.queries.ingest import _warc_seed_sqls
-    from xeloader_spark.sources.warc import SPARK_DIALECT
-
-    rec, _ = _warc_seed_sqls(SPARK_DIALECT)
-    per_file = WARC_RECORDS_PER_FILE * k
-    blobs = (
-        docs_rep.select("doc_id", "lang", "text")
-        .select(
-            F.expr(f"doc_id DIV {per_file}").alias("warc_file"),
-            F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
-        )
-        .groupBy("warc_file")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(_sr)), "
-                "x -> x.r), '')"
-            ).alias("warc_blob")
-        )
-        .localCheckpoint()
-    )
+    blobs = pack_warc_blobs(
+        docs_rep, per_file=WARC_RECORDS_PER_FILE * k
+    ).localCheckpoint()
     d = os.path.join(tmp_root, f"warc_k{k}")
     os.makedirs(d, exist_ok=True)
     for r in blobs.toLocalIterator():
@@ -330,14 +313,15 @@ def main() -> None:
             n_probe=12, km_k=16, km_iters=2, m=16, sub_k=16, pq_iters=1,
             rerank=200, train_fraction=0.25,
         ),
-        # r8 BLOB-SIZE axis (records constant, records/file grows 100·K):
-        # the whole-file blob path vs the record-level reader
-        # (sources/warc.py read_warc). The filter forces the full
-        # record-split + header parse per record (see doclen note above
-        # on why a bare count proves nothing). LAST in the dict: the
+        # r8 BLOB-SIZE axis (records constant, records/file grows
+        # WARC_RECORDS_PER_FILE·K): the whole-file blob path vs the
+        # record-level reader (sources/warc.py read_warc). The filter
+        # forces the full record-split + header parse per record (see
+        # doclen note above on why a bare count proves nothing). The
         # reader op shrinks maxPartitionBytes so big .warc files
-        # actually split — file scans by earlier ops are all behind
-        # localCheckpoint and unaffected.
+        # actually split; the conf is RESTORED after every op's timing
+        # loop (r8 review: a set-and-leak here would silently time any
+        # later file-scanning op under 256 KB splits).
         "warc_parse_blob": lambda k: parse_warc(
             inputs[k]["warc_blobs"]
         ).filter("len_ok AND http_status IS NOT NULL").select("record_id"),
@@ -349,6 +333,17 @@ def main() -> None:
             .select("record_id"),
         )[-1],
     }
+    _FILE_CONF_DEFAULTS = {
+        key: spark.conf.get(key)
+        for key in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+
+    def _restore_file_confs():
+        for key, val in _FILE_CONF_DEFAULTS.items():
+            spark.conf.set(key, val)
 
     # Materialize each replicated input ONCE before timing: the
     # replication transform is interpreted-HOF scaffolding, and leaving
@@ -388,6 +383,7 @@ def main() -> None:
     # file-listing + codegen path the warc reader rows time
     OPS["exact_dedup"](1).count()
     OPS["warc_parse_reader"](1).count()
+    _restore_file_confs()  # the reader warmup shrinks the split confs
     dd.release_persisted()
 
     out: dict[str, dict] = {}
@@ -398,6 +394,7 @@ def main() -> None:
             n = mk(k).count()
             dt = time.perf_counter() - t0
             rows_at[k], secs_at[k] = n, round(dt, 3)
+            _restore_file_confs()  # warc reader ops shrink split confs
             dd.release_persisted()
             print(
                 f"[stress] {name} K={k}: {dt:.2f}s rows={n}",

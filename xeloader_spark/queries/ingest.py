@@ -336,6 +336,31 @@ def _warc_seed_sqls(d: dict) -> tuple[str, str]:
     return warc_record_sql(d, "doc_id", uri, http), status
 
 
+def pack_warc_blobs(docs: DataFrame, per_file: int = _WARC_FILE_DOCS) -> DataFrame:
+    """Pack seeded WARC records into per-file blob rows (warc_file,
+    warc_blob): doc_id-ordered records, `per_file` per blob — the ONE
+    synthesis aggregate shared by q_warc_extract, the scale-stress blob
+    fixture, and the reader-parity test fixture (r8 review: three
+    byte-identical copies would drift on any framing change)."""
+    from ..sources.warc import SPARK_DIALECT
+
+    rec, _ = _warc_seed_sqls(SPARK_DIALECT)
+    return (
+        docs.select("doc_id", "lang", "text")
+        .select(
+            F.expr(f"doc_id DIV {per_file}").alias("warc_file"),
+            F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
+        )
+        .groupBy("warc_file")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(_sr)), "
+                "x -> x.r), '')"
+            ).alias("warc_blob")
+        )
+    )
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC web-archive ingestion end-to-end (`sources/warc.py` — the
     container format of web-scale pretraining corpora): documents are
@@ -350,25 +375,10 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: synthesis is one projection + one group agg (fixture
     only); the PARSER — the part a crawl pipeline runs — is one
     posexplode + codegen string functions, zero shuffles, zero joins."""
-    from ..sources.warc import SPARK_DIALECT, parse_warc
+    from ..sources.warc import parse_warc
 
-    rec, _ = _warc_seed_sqls(SPARK_DIALECT)
     docs = load_table(spark, sf_dir, "documents")
-    blobs = (
-        docs.select("doc_id", "lang", "text")
-        .select(
-            F.expr(f"doc_id DIV {_WARC_FILE_DOCS}").alias("warc_file"),
-            F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
-        )
-        .groupBy("warc_file")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(_sr)), "
-                "x -> x.r), '')"
-            ).alias("warc_blob")
-        )
-    )
-    parsed = parse_warc(blobs)
+    parsed = parse_warc(pack_warc_blobs(docs))
     return parsed.select(
         F.col("warc_file").cast("long").alias("warc_file"),
         "rec_seq",

@@ -708,6 +708,29 @@ def _link_html_sql(s_type: str) -> str:
 _SRC_HOST = "lower(concat('www.', source, '.com'))"
 
 
+def _link_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded page frame every link-family driver starts from:
+    (doc_id, src_host, html) — ONE definition (r8 review: six copies
+    would drift from each other and from the shared oracle replay)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_link_html_sql("STRING")).alias("html"),
+    )
+
+
+def _host_edges(docs: DataFrame) -> DataFrame:
+    """DISTINCT (src, dst) host edges from the seeded pages — the input
+    both centrality drivers and the sampling prior rank over."""
+    from ..operators.links import extract_links
+
+    return (
+        extract_links(docs)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+    )
+
+
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperlink extraction (`operators/links.extract_links`) — the
     cc-webgraph head: anchors pulled from deterministic in-plan HTML
@@ -717,11 +740,7 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     link. Zero shuffles; the page never outlives its task."""
     from ..operators.links import extract_links
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(_SRC_HOST).alias("src_host"),
-        F.expr(_link_html_sql("STRING")).alias("html"),
-    )
+    docs = _link_docs(spark, sf_dir)
     return extract_links(docs).select(
         "doc_id", "src_host", "href", "dst_url", "dst_host"
     )
@@ -734,11 +753,7 @@ def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     host-pair rows."""
     from ..operators.links import extract_links, host_graph
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(_SRC_HOST).alias("src_host"),
-        F.expr(_link_html_sql("STRING")).alias("html"),
-    )
+    docs = _link_docs(spark, sf_dir)
     return host_graph(extract_links(docs))
 
 
@@ -756,18 +771,9 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled-CTE PageRank replay parameterized with the link-graph
     edge SQL."""
     from ..operators.graph import pagerank
-    from ..operators.links import extract_links
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(_SRC_HOST).alias("src_host"),
-        F.expr(_link_html_sql("STRING")).alias("html"),
-    )
-    edges = (
-        extract_links(docs)
-        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
-        .distinct()
-    )
+    docs = _link_docs(spark, sf_dir)
+    edges = _host_edges(docs)
     return pagerank(
         edges, iters=_HOST_PR_ITERS, scale=_HOST_PR_SCALE
     ).select(F.col("id").alias("host"), "rank_micro", "rank")
@@ -855,18 +861,9 @@ def q_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row total (cross-join broadcast, the tfidf-stats pattern) and
     one DIV per doc."""
     from ..operators.graph import pagerank
-    from ..operators.links import extract_links
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(_SRC_HOST).alias("src_host"),
-        F.expr(_link_html_sql("STRING")).alias("html"),
-    )
-    edges = (
-        extract_links(docs)
-        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
-        .distinct()
-    )
+    docs = _link_docs(spark, sf_dir)
+    edges = _host_edges(docs)
     ranks = pagerank(edges, iters=_HOST_PR_ITERS, scale=_HOST_PR_SCALE).select(
         F.col("id").alias("src_host"), "rank_micro"
     )
@@ -902,18 +899,9 @@ def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/graph.hyperball_harmonic`, register-table rounds,
     parity-bounded against this in pytest)."""
     from ..operators.graph import harmonic_centrality
-    from ..operators.links import extract_links
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(_SRC_HOST).alias("src_host"),
-        F.expr(_link_html_sql("STRING")).alias("html"),
-    )
-    edges = (
-        extract_links(docs)
-        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
-        .distinct()
-    )
+    docs = _link_docs(spark, sf_dir)
+    edges = _host_edges(docs)
     return harmonic_centrality(
         edges, rounds=_HARMONIC_ROUNDS, scale=_HARMONIC_SCALE
     ).select(F.col("id").alias("host"), "harmonic_scaled", "n_reaching")
