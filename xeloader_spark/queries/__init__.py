@@ -53,6 +53,7 @@ _ROUND_PRIORITY = [
     "q_host_harmonic",
     "q_domain_prior",
     "q_crawl_pipeline",
+    "q_hyperball_contract",
     "q_market_share",  # recheck (last green r3)
     "q_order_priority_check",  # recheck (last green r3)
     "q_promo_revenue",  # recheck (last green r3)
@@ -95,7 +96,6 @@ _ROUND_PRIORITY = [
     "q_contrastive_negatives",  # recheck (last green r3)
     "q_shard_balance",  # recheck (last green r3)
     "q_weighted_sample",  # recheck (last green r3)
-    "q_training_data_build",  # recheck (last green r3)
 ]
 
 

@@ -907,6 +907,50 @@ def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("host"), "harmonic_scaled", "n_reaching")
 
 
+_HB_P = 8  # 256 registers; fixture max rel err measured 2.2%
+
+
+def q_hyperball_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver coverage for the 100 TB centrality path: HyperBall
+    (`operators/graph.hyperball_harmonic`) runs beside the exact
+    bounded-hop harmonic in ONE plan, and the output is the contract —
+    the `q_bm25_topk_logidf` pattern for float-estimating operators
+    whose values can't hash across engines. Every leg is FALSIFIABLE:
+    `all_within_10pct` fails if the linear-counting correction (or the
+    register propagation) regresses (raw estimates read ≈ α·m and miss
+    by ~50%); `zeros_read_zero` fails if unreachable hosts accrete
+    phantom mass; `top_host_agrees` fails if the ranking inverts (the
+    fixture's top host is unique by construction). `n_hosts` is the
+    exact node count, value-checked against the link-graph replay."""
+    from ..operators.graph import harmonic_centrality, hyperball_harmonic
+
+    edges = _host_edges(_link_docs(spark, sf_dir))
+    S = float(_HARMONIC_SCALE)
+    ex = harmonic_centrality(
+        edges, rounds=_HARMONIC_ROUNDS, scale=_HARMONIC_SCALE
+    ).select(F.col("id").alias("host"), "harmonic_scaled")
+    hb = hyperball_harmonic(edges, rounds=_HARMONIC_ROUNDS, p=_HB_P).select(
+        F.col("id").alias("host"), "harmonic_est"
+    )
+    j = ex.join(hb, "host")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.expr(
+            f"bool_and(CASE WHEN harmonic_scaled > 0 THEN "
+            f"abs(harmonic_est - harmonic_scaled / {S}) "
+            f"< 0.10 * (harmonic_scaled / {S}) ELSE TRUE END)"
+        ).alias("all_within_10pct"),
+        F.expr(
+            "bool_and(CASE WHEN harmonic_scaled = 0 THEN "
+            "abs(harmonic_est) < 0.1 ELSE TRUE END)"
+        ).alias("zeros_read_zero"),
+        (
+            F.expr("max_by(host, harmonic_scaled)")
+            == F.expr("max_by(host, harmonic_est)")
+        ).alias("top_host_agrees"),
+    )
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over seeded messy URLs: normalize scheme/host
     case, default ports, tracking params, param order, fragments and
@@ -2394,6 +2438,23 @@ def _crawl_pipeline_sql() -> str:
 
 
 ORACLES["q_crawl_pipeline"] = _crawl_pipeline_sql()
+
+# contract-check oracle (the logidf pattern): the booleans pin TRUE and
+# every leg is falsifiable in-plan; n_hosts is the exact node count of
+# the replayed link graph, so the join/graph wiring is value-checked
+ORACLES["q_hyperball_contract"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           TRUE AS all_within_10pct,
+           TRUE AS zeros_read_zero,
+           TRUE AS top_host_agrees
+    FROM (
+        SELECT DISTINCT id FROM (
+            SELECT src_host AS id FROM ({_link_rows_sql()})
+            UNION ALL
+            SELECT dst_host FROM ({_link_rows_sql()})
+        )
+    )
+"""
 
 
 def _crawl_frontier_sql() -> str:
