@@ -1189,3 +1189,103 @@ def test_warc_synth_parse_roundtrip(spark, payloads):
         assert r.http_status == int(status)
         assert r.payload == body, (i, repr(r.payload), repr(body))
         assert r.target_uri == f"https://h/{i}"
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+def test_harmonic_centrality_matches_python_bfs(spark, edge_list, rounds):
+    """Exact bounded-hop harmonic == a direct python BFS model for any
+    small digraph and hop budget: H(v) = Σ scale//d(w→v) over sources
+    w reaching v within `rounds` hops (self-loops and duplicate edges
+    allowed — the operator dedups)."""
+    from xeloader_spark.operators.graph import harmonic_centrality
+
+    SCALE = 1_200_000_000
+    edges = sorted(set(edge_list))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: (r.harmonic_scaled, r.n_reaching)
+        for r in harmonic_centrality(df, rounds=rounds, scale=SCALE).collect()
+    }
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    exp = {}
+    for srcn in nodes:
+        dist = {srcn: 0}
+        frontier = [srcn]
+        for d in range(1, rounds + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                h, n = exp.get(v, (0, 0))
+                exp[v] = (h + SCALE // d, n + 1)
+    full = {v: exp.get(v, (0, 0)) for v in nodes}
+    assert got == full, (got, full, edges, rounds)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "https://x.com/a",
+                "http://Y.org/b/c",
+                "/rel/path",
+                "/",
+                "//cdn.net/j.js",
+                "#frag",
+                "mailto:a@b.co",
+                "javascript:void(0)",
+                "ftp://old.net/f",
+            ]
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_extract_links_matches_python_model(spark, hrefs):
+    """extract_links == the direct model for any anchor sequence:
+    absolute http(s) pass through, leading-'/' resolves against the
+    source host, everything else (protocol-relative, fragment, mailto,
+    javascript, non-http schemes) drops."""
+    from xeloader_spark.operators.links import extract_links
+
+    html = "<p>t</p>" + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    df = spark.createDataFrame(
+        [(1, "src.host", html)], "doc_id long, src_host string, html string"
+    )
+    got = sorted(
+        (r.href, r.dst_url, r.dst_host)
+        for r in extract_links(df).collect()
+    )
+    exp = []
+    for h in hrefs:
+        if h.startswith(("http://", "https://")):
+            dst = h
+        elif h.startswith("//"):
+            continue
+        elif h.startswith("/"):
+            dst = "https://src.host" + h
+        else:
+            continue
+        import re as _re
+
+        m = _re.match(r"^[a-zA-Z]+://([^/:?#]+)", dst)
+        exp.append((h, dst, m.group(1).lower() if m else ""))
+    assert got == sorted(exp), (got, exp, hrefs)
