@@ -1801,25 +1801,12 @@ def test_streaming_warc_parse_matches_batch(spark, tmp_path):
     out = str(tmp_path / "warc_out")
     ckpt = str(tmp_path / "warc_ckpt")
 
-    # materialize the synthesized blobs the batch query parses
-    from xeloader_spark.queries.ingest import _WARC_FILE_DOCS, _warc_seed_sqls
-    from xeloader_spark.sources.warc import SPARK_DIALECT
+    # materialize the synthesized blobs the batch query parses (the ONE
+    # shared packing aggregate — r8 review dedup)
+    from xeloader_spark.queries.ingest import pack_warc_blobs
 
-    rec, _ = _warc_seed_sqls(SPARK_DIALECT)
     docs = load_table(spark, SF, "documents")
-    blobs = (
-        docs.select(
-            F.expr(f"doc_id DIV {_WARC_FILE_DOCS}").alias("warc_file"),
-            F.struct("doc_id", F.expr(rec).alias("r")).alias("_sr"),
-        )
-        .groupBy("warc_file")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list(_sr)), "
-                "x -> x.r), '')"
-            ).alias("warc_blob")
-        )
-    )
+    blobs = pack_warc_blobs(docs)
     blobs.repartition(3).write.mode("overwrite").parquet(src)
 
     stream = (

@@ -11,6 +11,12 @@ container, built the repo's way: a deterministic in-plan fixture
 to ship), a pure string-function record parser, and a DuckDB oracle
 that replays synthesis AND parsing exactly.
 
+Three physical paths share ONE parser tail (`parse_warc_records`):
+`read_warc` (records born as rows in the text source — the 100 TB
+path), `parse_warc` (whole-file blob rows — fixture/stream twin), and
+`read_warc_gz` (gzip-member archives via incremental inflate). See
+SCALE.md §WARC ingestion at crawl scale for when each applies.
+
 Format simplification, documented: record boundaries are found by
 splitting on the version line `WARC/1.0` CRLF (the streaming
 simplification every line-oriented WARC splitter uses); the spec's
