@@ -1362,6 +1362,48 @@ class TestRound8LinkGraph:
         assert all("?" not in r.canonical_url for r in rows)
         assert all(r.n_refs >= 1 and r.fetch_wave >= 0 for r in rows)
 
+    def test_html_to_text_semantics_and_duck_parity(self, spark):
+        """HTML→text edge cases: multi-line script bodies dropped with
+        contents, MULTIPLE tags all stripped (DuckDB regexp_replace is
+        first-match-only without 'g' — the r8 gsub dialect hook),
+        single-level entity unescape (&amp;lt; → &lt;, never <),
+        whitespace collapse; and the DuckDB rendering of the same
+        template agrees string-for-string."""
+        import duckdb
+
+        from xeloader_spark.operators.links import html_to_text, html_to_text_sql
+        from xeloader_spark.sources.warc import DUCK_DIALECT
+
+        cases = [
+            (1, '<html><script a="b">\nvar x = "<p>hi</p>";\n</script>'
+                "<p>one</p><p>two</p></html>"),
+            (2, "a &amp;lt; b &lt;i&gt; &quot;q&quot; &#39;s&#39; &amp; c"),
+            (3, "<style>.a{}</style><b>x</b>   y\t\nz"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(cases, "doc_id long, html string")
+        got = {r.doc_id: r.text_out for r in html_to_text(df).collect()}
+        assert got[1] == "one two"
+        assert got[2] == 'a &lt; b <i> "q" \'s\' & c'
+        assert got[3] == "x y z"
+        assert got[4] == ""
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE h(doc_id BIGINT, html VARCHAR);"
+            + "".join(
+                "INSERT INTO h VALUES (%d, '%s');"
+                % (i, t.replace("'", "''"))
+                for i, t in cases
+            )
+        )
+        exp = dict(
+            con.execute(
+                f"SELECT doc_id, {html_to_text_sql(DUCK_DIALECT, 'html')} "
+                "FROM h"
+            ).fetchall()
+        )
+        assert got == exp, (got, exp)
+
     def test_canonicalize_queryless_url_oracle_parity(self, spark):
         """The divergence-class regression pin: canonicalizing a URL
         with NO query string must agree between the Spark operator and

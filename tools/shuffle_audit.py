@@ -93,6 +93,7 @@ AUDIT_QUERIES = [
     "q_host_harmonic",
     "q_domain_prior",
     "q_crawl_pipeline",
+    "q_html_text_extract",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

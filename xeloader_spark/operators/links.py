@@ -82,6 +82,47 @@ def extract_links(
     )
 
 
+def html_to_text_sql(d: dict, html_sql: str) -> str:
+    """HTML → visible text, as ONE dialect-parametric expression (the
+    `sources/warc.py` template discipline — `d` is SPARK_DIALECT or
+    DUCK_DIALECT, whose `re` hook handles string-literal escaping):
+
+    1. drop <script>/<style> ELEMENTS with their contents ((?s) so the
+       payload spans lines; non-greedy so adjacent blocks don't merge),
+    2. strip remaining tags to a space (block boundaries become token
+       boundaries, never word-joins),
+    3. unescape the five core entities — &amp; LAST, so '&amp;lt;'
+       correctly yields '&lt;' and never double-unescapes,
+    4. collapse whitespace runs and trim.
+
+    The string-level extractor every lightweight crawl pipeline starts
+    from (the documented simplification: no DOM, no CSS visibility);
+    deterministic, so the DuckDB oracle replays it exactly."""
+    x = html_sql
+    for blk in ("script", "style"):
+        x = d["gsub"](x, d["re"](rf"(?s)<{blk}[^>]*>.*?</{blk}>"), " ")
+    x = d["gsub"](x, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),  # SQL-escaped single quote
+        ("&amp;", "&"),
+    ):
+        x = f"replace({x}, '{ent}', '{ch}')"
+    return f"trim({d['gsub'](x, d['re'](chr(92) + 's+'), ' ')})"
+
+
+def html_to_text(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add `text_out` (the extracted visible text) to `df`. Zero-shuffle
+    codegen projection; the page never moves."""
+    from ..sources.warc import SPARK_DIALECT
+
+    return df.withColumn(
+        "text_out", F.expr(html_to_text_sql(SPARK_DIALECT, html_col))
+    )
+
+
 def host_graph(links: DataFrame) -> DataFrame:
     """Aggregate link rows to the weighted host graph: (src_host,
     dst_host, n_links, n_docs). One shuffle over slim host-pair rows —

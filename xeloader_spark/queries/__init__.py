@@ -54,6 +54,7 @@ _ROUND_PRIORITY = [
     "q_domain_prior",
     "q_crawl_pipeline",
     "q_hyperball_contract",
+    "q_html_text_extract",
     "q_market_share",  # recheck (last green r3)
     "q_order_priority_check",  # recheck (last green r3)
     "q_promo_revenue",  # recheck (last green r3)
@@ -95,7 +96,6 @@ _ROUND_PRIORITY = [
     "q_value_outliers",  # recheck (last green r3)
     "q_contrastive_negatives",  # recheck (last green r3)
     "q_shard_balance",  # recheck (last green r3)
-    "q_weighted_sample",  # recheck (last green r3)
 ]
 
 

@@ -701,6 +701,11 @@ def _link_html_sql(s_type: str) -> str:
       '<a href="#top">e</a>',
       CASE WHEN doc_id % 7 = 2
            THEN '<a href="mailto:a@b.co">f</a>' ELSE '' END,
+      '<script>var q="', CAST(doc_id % 97 AS {s_type}),
+      '";</script><style>.c', CAST(doc_id % 7 AS {s_type}),
+      '{{color:red}}</style>',
+      '<p>Q&amp;A &lt;b&gt; &quot;q', CAST(doc_id % 13 AS {s_type}),
+      '&quot; &#39;s&#39; &amp;lt;</p>',
       '</body></html>')
 """
 
@@ -743,6 +748,33 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _link_docs(spark, sf_dir)
     return extract_links(docs).select(
         "doc_id", "src_host", "href", "dst_url", "dst_host"
+    )
+
+
+_N_TOKENS_SQL = (
+    "CAST(CASE WHEN text_out = '' THEN 0 ELSE length(text_out)"
+    " - length(replace(text_out, ' ', '')) + 1 END AS BIGINT)"
+)
+
+
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text (`operators/links.html_to_text`) — the stage
+    between the crawl archive and every text-quality operator in this
+    repo: script/style elements dropped WITH their contents, tags
+    stripped to token boundaries, the five core entities unescaped
+    (&amp; last, so double-escapes resolve one level), whitespace
+    collapsed. Zero-shuffle codegen projection; token count derives
+    from the collapsed text by pure string arithmetic (identical
+    expression both engines — no split-dialect divergence on the
+    empty string)."""
+    from ..operators.links import html_to_text
+
+    docs = _link_docs(spark, sf_dir)
+    return html_to_text(docs).select(
+        "doc_id",
+        "text_out",
+        F.length("text_out").cast("long").alias("n_chars"),
+        F.expr(_N_TOKENS_SQL).alias("n_tokens"),
     )
 
 
@@ -2438,6 +2470,26 @@ def _crawl_pipeline_sql() -> str:
 
 
 ORACLES["q_crawl_pipeline"] = _crawl_pipeline_sql()
+
+def _html_text_sql() -> str:
+    from ..operators.links import html_to_text_sql
+    from ..sources.warc import DUCK_DIALECT
+
+    txt = html_to_text_sql(DUCK_DIALECT, "html")
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {_link_html_sql("VARCHAR")} AS html
+            FROM documents
+        ),
+        t AS (SELECT doc_id, {txt} AS text_out FROM pages)
+        SELECT doc_id, text_out,
+               CAST(length(text_out) AS BIGINT) AS n_chars,
+               {_N_TOKENS_SQL} AS n_tokens
+        FROM t
+    """
+
+
+ORACLES["q_html_text_extract"] = _html_text_sql()
 
 # contract-check oracle (the logidf pattern): the booleans pin TRUE and
 # every leg is falsifiable in-plan; n_hosts is the exact node count of

@@ -50,12 +50,16 @@ SPARK_DIALECT = {
     # same semantics DuckDB bracket indexing gives — malformed records
     # must yield NULL fields, not a task crash on hostile crawl bytes
     "idx": lambda arr, i: f"try_element_at({arr}, {i})",  # 1-based
+    # replace ALL matches: Spark's regexp_replace is global by default
+    "gsub": lambda s, pat, rep: f"regexp_replace({s}, '{pat}', '{rep}')",
 }
 DUCK_DIALECT = {
     "S": "VARCHAR",
     "re": lambda p: p,
     "split": lambda s, pat: f"regexp_split_to_array({s}, '{pat}')",
     "idx": lambda arr, i: f"({arr})[{i}]",  # 1-based
+    # DuckDB regexp_replace is FIRST-match-only without the 'g' flag
+    "gsub": lambda s, pat, rep: f"regexp_replace({s}, '{pat}', '{rep}', 'g')",
 }
 
 _CRLF_RE = r"\r\n"
