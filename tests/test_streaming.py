@@ -2093,3 +2093,40 @@ def test_streaming_link_extract_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     exp = sorted(map(tuple, q_link_extract(spark, SF).collect()))
     assert got == exp
+
+
+def test_streaming_html_text_extract_matches_batch(spark, tmp_path):
+    """HTML→text extraction is stateless (regexp/replace chain), so
+    `html_to_text` runs unchanged on a page STREAM and emits exactly
+    the batch q_html_text_extract rows."""
+    from xeloader_spark.operators.links import html_to_text
+    from xeloader_spark.queries.text import _link_docs, q_html_text_extract
+
+    src = str(tmp_path / "htx_in")
+    out = str(tmp_path / "htx_out")
+    ckpt = str(tmp_path / "htx_ckpt")
+
+    _link_docs(spark, SF).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, src_host string, html string"
+    ).parquet(src)
+    q = (
+        html_to_text(stream)
+        .select("doc_id", "text_out")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.doc_id, r.text_out) for r in spark.read.parquet(out).collect()
+    )
+    exp = sorted(
+        (r.doc_id, r.text_out)
+        for r in q_html_text_extract(spark, SF).collect()
+    )
+    assert got == exp and len(got) > 0
