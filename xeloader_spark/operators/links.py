@@ -101,7 +101,7 @@ def html_to_text_sql(d: dict, html_sql: str) -> str:
     x = html_sql
     for blk in ("script", "style"):
         x = d["gsub"](x, d["re"](rf"(?s)<{blk}[^>]*>.*?</{blk}>"), " ")
-    x = d["gsub"](x, "<[^>]*>", " ")
+    x = d["gsub"](x, d["re"]("<[^>]*>"), " ")
     for ent, ch in (
         ("&lt;", "<"),
         ("&gt;", ">"),

@@ -35,16 +35,12 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-7 ROTATION (installed from tools/gen_round_priority.py output):
-# 244 registered; 12 unverified; window 50 → 50 slots. Slot 1 is
-# q_bm25_topk_logidf (now carrying its contract-check oracle — closes
-# the registry's only never-green row); slots 2-12 are the round-7
-# additions (bigram backoff, fertility, winnowing + overlap, WARC,
-# robots, crawl frontier, Kneser-Ney, curriculum, preference pairs,
-# dataset card);
-# the rest are oldest-first
-# regression re-checks of the stale r2/r3 greens. Re-run + reinstall
-# after every query addition.
+# ROUND-8 ROTATION (installed from tools/gen_round_priority.py output,
+# re-run + reinstalled after every query addition): 253 registered;
+# 9 unverified — the round-8 additions (robots table, link-graph
+# family incl. harmonic + HyperBall contract, domain prior, crawl
+# pipeline, HTML→text) lead the window, then oldest-first regression
+# re-checks of the stale r3 greens fill the remaining slots.
 _ROUND_PRIORITY = [
     "q_robots_filter_table",
     "q_host_link_graph",
