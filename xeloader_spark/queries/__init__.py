@@ -35,63 +35,62 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-8 ROTATION (installed from tools/gen_round_priority.py output,
-# re-run + reinstalled after every query addition): 253 registered;
-# 9 unverified — the round-8 additions (robots table, link-graph
-# family incl. harmonic + HyperBall contract, domain prior, crawl
-# pipeline, HTML→text) lead the window, then oldest-first regression
-# re-checks of the stale r3 greens fill the remaining slots.
+# ROUND-9 ROTATION (installed from tools/gen_round_priority.py output,
+# re-run + reinstalled after every query addition): 253 registered at
+# round open, 0 unverified — the 4 r3-stale queries lead the window
+# (VERDICT r8 #1), then the r4 cohort oldest-first fills the remaining
+# slots. New registrations this round take priority slots on reinstall.
 _ROUND_PRIORITY = [
-    "q_robots_filter_table",
-    "q_host_link_graph",
-    "q_host_pagerank",
-    "q_link_extract",
-    "q_host_harmonic",
-    "q_domain_prior",
-    "q_crawl_pipeline",
-    "q_hyperball_contract",
-    "q_html_text_extract",
-    "q_market_share",  # recheck (last green r3)
-    "q_order_priority_check",  # recheck (last green r3)
-    "q_promo_revenue",  # recheck (last green r3)
-    "q_returned_item_customers",  # recheck (last green r3)
-    "q_rich_inactive_customers",  # recheck (last green r3)
-    "q_ship_delay_priority",  # recheck (last green r3)
-    "q_small_quantity_revenue",  # recheck (last green r3)
-    "q_table_profile",  # recheck (last green r3)
-    "q_top_revenue_supplier",  # recheck (last green r3)
-    "q_volume_shipping",  # recheck (last green r3)
-    "q_csv_roundtrip",  # recheck (last green r3)
-    "q_jsonl_roundtrip",  # recheck (last green r3)
-    "q_zorder_values",  # recheck (last green r3)
-    "q_canonical_dedup",  # recheck (last green r3)
-    "q_editdistance_neardup",  # recheck (last green r3)
-    "q_minhash_search",  # recheck (last green r3)
-    "q_novelty_scores",  # recheck (last green r3)
-    "q_ann_topk_ivf_exact",  # recheck (last green r3)
-    "q_ann_topk_lsh_banded",  # recheck (last green r3)
-    "q_ann_topk_pq",  # recheck (last green r3)
-    "q_ann_topk_pq_sampled",  # recheck (last green r3)
-    "q_audio_decimate",  # recheck (last green r3)
-    "q_cluster_balanced_sample",  # recheck (last green r3)
-    "q_kmeans_clusters",  # recheck (last green r3)
-    "q_knn_graph",  # recheck (last green r3)
-    "q_random_projection",  # recheck (last green r3)
-    "q_semantic_dedup",  # recheck (last green r3)
-    "q_shot_boundaries",  # recheck (last green r3)
-    "q_bigram_lm_score",  # recheck (last green r3)
-    "q_boilerplate_flags",  # recheck (last green r3)
-    "q_bpe_encode",  # recheck (last green r3)
-    "q_bpe_train",  # recheck (last green r3)
-    "q_token_freq_histogram",  # recheck (last green r3)
-    "q_vocab_stats",  # recheck (last green r3)
-    "q_window_funcs",  # recheck (last green r3)
-    "q_funnel_conversion",  # recheck (last green r3)
-    "q_retention_cohorts",  # recheck (last green r3)
-    "q_upsert_latest",  # recheck (last green r3)
-    "q_value_outliers",  # recheck (last green r3)
-    "q_contrastive_negatives",  # recheck (last green r3)
-    "q_shard_balance",  # recheck (last green r3)
+    "q_weighted_sample",  # recheck (last green r3)
+    "q_training_data_build",  # recheck (last green r3)
+    "q_classifier_inference",  # recheck (last green r3)
+    "q_domain_classifier",  # recheck (last green r3)
+    "q_forecast_revenue_change",  # recheck (last green r4)
+    "q_order_reconciliation",  # recheck (last green r4)
+    "q_pivot_user_matrix",  # recheck (last green r4)
+    "q_referential_integrity",  # recheck (last green r4)
+    "q_revenue_pareto",  # recheck (last green r4)
+    "q_fixedwidth_roundtrip",  # recheck (last green r4)
+    "q_dedup_eval",  # recheck (last green r4)
+    "q_golden_records",  # recheck (last green r4)
+    "q_prefix_jaccard_pairs",  # recheck (last green r4)
+    "q_source_dup_rates",  # recheck (last green r4)
+    "q_image_phash",  # recheck (last green r4)
+    "q_image_phash_neardup",  # recheck (last green r4)
+    "q_label_propagation",  # recheck (last green r4)
+    "q_media_integrity",  # recheck (last green r4)
+    "q_pagerank_knn",  # recheck (last green r4)
+    "q_pagerank_personalized",  # recheck (last green r4)
+    "q_rank_fusion",  # recheck (last green r4)
+    "q_triangle_stats",  # recheck (last green r4)
+    "q_pmi_collocations",  # recheck (last green r4)
+    "q_source_diversity",  # recheck (last green r4)
+    "q_conditional_aggs",  # recheck (last green r4)
+    "q_id_islands",  # recheck (last green r4)
+    "q_null_semantics",  # recheck (last green r4)
+    "q_string_agg_ordered",  # recheck (last green r4)
+    "q_vector_norms",  # recheck (last green r4)
+    "q_attribution_first_touch",  # recheck (last green r4)
+    "q_bounce_rate",  # recheck (last green r4)
+    "q_cdc_snapshot",  # recheck (last green r4)
+    "q_cooccurrence_lift",  # recheck (last green r4)
+    "q_distribution_drift",  # recheck (last green r4)
+    "q_exact_median_twopass",  # recheck (last green r4)
+    "q_hist_quantile_sketch",  # recheck (last green r4)
+    "q_hll_distinct_users",  # recheck (last green r4)
+    "q_hll_intersection",  # recheck (last green r4)
+    "q_hopping_window_agg",  # recheck (last green r4)
+    "q_hourly_autocorrelation",  # recheck (last green r4)
+    "q_incremental_rollup",  # recheck (last green r4)
+    "q_interarrival_stats",  # recheck (last green r4)
+    "q_iqr_outliers",  # recheck (last green r4)
+    "q_join_key_skew",  # recheck (last green r4)
+    "q_join_size_sketch",  # recheck (last green r4)
+    "q_json_payload_stats",  # recheck (last green r4)
+    "q_markov_transitions",  # recheck (last green r4)
+    "q_rollup_hierarchy",  # recheck (last green r4)
+    "q_scd2_history",  # recheck (last green r4)
+    "q_scd2_pointintime",  # recheck (last green r4)
 ]
 
 
