@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.truncate import round_truncate
+
 TOKEN_SPLIT_RE = r"\s+"  # for the F.split python API
 TOKEN_SPLIT_RE_SQL = r"\\s+"  # for patterns embedded in F.expr SQL literals
 
@@ -758,7 +760,11 @@ def bloom_decontaminate(
 
 
 # ------------------------------------------------ cluster resolution
-def _cc_star(pairs_uv: DataFrame, max_iter: int) -> DataFrame:
+def _cc_star(
+    pairs_uv: DataFrame,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Alternating large-star/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC 2014 — public
     algorithm): each round hooks every node's larger neighbors onto its
@@ -773,11 +779,20 @@ def _cc_star(pairs_uv: DataFrame, max_iter: int) -> DataFrame:
     corpus never enters). Fixpoint = edge set unchanged — a set compare,
     so convergence is id-type-independent (strings and longs behave
     identically). Returns (node, cluster) for every node that appears in
-    an edge."""
+    an edge.
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
+    """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     E = (
         pairs_uv.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(ck)
     )
     for _ in range(max_iter):
         und = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -803,7 +818,7 @@ def _cc_star(pairs_uv: DataFrame, max_iter: int) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .union(mins2.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            .transform(ck)
         )
         stable = new_e.count() == E.count() and new_e.exceptAll(E).isEmpty()
         E = new_e
@@ -824,6 +839,7 @@ def connected_components(
     max_iter: int = 50,
     local_threshold: int = 500_000,
     distributed_algorithm: str = "star",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node, cluster)
     where cluster = MIN node id in the component. This is the step that
@@ -851,7 +867,16 @@ def connected_components(
       the simpler-to-audit fallback.
 
     All three paths are equivalence-tested against each other. Labels /
-    edge frames are `localCheckpoint`ed per round to truncate lineage."""
+    edge frames are `localCheckpoint`ed per round to truncate lineage.
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
+    """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     # The union reads `pairs` twice; persisting it first keeps the
     # (possibly expensive) upstream pair pipeline to a single execution.
     pairs = _persist(pairs.select(id_a, id_b))
@@ -882,6 +907,7 @@ def connected_components(
         return _cc_star(
             pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
             max_iter,
+            checkpoint_dir=checkpoint_dir,
         )
     edges = _persist(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -892,7 +918,7 @@ def connected_components(
         edges.select("a")
         .distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("cluster"))
-        .localCheckpoint()
+        .transform(ck)
     )
     for _ in range(max_iter):
         neigh = (
@@ -912,7 +938,7 @@ def connected_components(
                     F.col("cluster"), F.coalesce("neigh_min", "cluster")
                 ).alias("cluster"),
             )
-            .localCheckpoint()
+            .transform(ck)
         )
         changed = updated.filter(
             F.col("cluster") != F.col("prev_cluster")

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.truncate import round_truncate
+
 
 def pagerank(
     edges: DataFrame,
@@ -34,6 +36,7 @@ def pagerank(
     scale: int = 10**12,
     damp_num: int = 85,
     damp_den: int = 100,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Quantized-integer PageRank over a directed edge list.
 
@@ -53,25 +56,33 @@ def pagerank(
     plan stays O(1) per round instead of O(iters) (same discipline as
     `bpe_train`'s checkpoint cadence). The driver holds only n (one
     count scalar), never rows.
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
     """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     # materialize the edge list ONCE — nodes, outdegrees, and every
     # iteration all derive from this checkpoint, so an expensive edge
     # producer (e.g. the banded-LSH k-NN self-join) runs a single time
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(ck)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ck)
     )
     n = nodes.count()
     init = scale // n
     base = ((damp_den - damp_num) * init) // damp_den
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = e.join(outdeg, "src").localCheckpoint(eager=True)
+    ew = e.join(outdeg, "src").transform(ck)
 
     ranks = nodes.select("id", F.lit(init).cast("long").alias("rank"))
     for _ in range(iters):
@@ -95,7 +106,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ck)
         )
     return ranks.select(
         "id",
@@ -222,6 +233,7 @@ def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,
     iters: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Semi-supervised label propagation over a directed neighbor graph
     (k-NN edges): seed nodes carry known labels; each round, every
@@ -238,11 +250,20 @@ def label_propagation(
     label frame (node-sized) + one (node, label) vote aggregate + an
     anti-join to restrict to the frontier — all edge-/node-keyed
     shuffles, the vector payloads never move; the label frame is
-    localCheckpoint-ed per round so plans stay O(1) in iters."""
+    localCheckpoint-ed per round so plans stay O(1) in iters.
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
+    """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     labels = seeds.select(
         "id", "label", F.lit(0).cast("long").alias("round_assigned")
-    ).localCheckpoint(eager=True)
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    ).transform(ck)
+    e = edges.select("src", "dst").transform(ck)
     for r in range(1, iters + 1):
         votes = (
             e.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
@@ -264,7 +285,7 @@ def label_propagation(
                 "id", "label", F.lit(r).cast("long").alias("round_assigned")
             )
         )
-        labels = labels.unionByName(picked).localCheckpoint(eager=True)
+        labels = labels.unionByName(picked).transform(ck)
     return labels
 
 
@@ -279,6 +300,7 @@ def pagerank_weighted(
     wscale: int = 10**6,
     damp_num: int = 85,
     damp_den: int = 100,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted, optionally PERSONALIZED PageRank — the two standard
     generalizations of `pagerank` in one operator, still bit-exact
@@ -299,7 +321,16 @@ def pagerank_weighted(
     + eager checkpoint), each round is one edge-sized join + node-sized
     aggregate, ranks checkpoint per round so plans stay O(1) in iters.
     Floor divisions leak O(outdeg) micro-units per node per round —
-    quantization noise, never sign-relevant."""
+    quantization noise, never sign-relevant.
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
+    """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -319,7 +350,7 @@ def pagerank_weighted(
     )
     if seed_ids is not None:
         nodes = nodes.unionAll(seed_ids)
-    nodes = nodes.distinct().localCheckpoint(eager=True)
+    nodes = nodes.distinct().transform(ck)
     n = nodes.count()
     init = scale // n
 
@@ -331,7 +362,7 @@ def pagerank_weighted(
             "dst",
             F.expr(f"(w * {wscale}) div outw").cast("long").alias("wn"),
         )
-        .localCheckpoint(eager=True)
+        .transform(ck)
     )
 
     if seed_ids is None:
@@ -347,7 +378,7 @@ def pagerank_weighted(
         seed_base = ((damp_den - damp_num) * scale) // (damp_den * n_seeds)
         seeds = seeds.withColumn(
             "base", F.lit(seed_base).cast("long")
-        ).localCheckpoint(eager=True)
+        ).transform(ck)
         base_col = F.coalesce(F.col("base"), F.lit(0)).cast("long")
 
     ranks = nodes.select("id", F.lit(init).cast("long").alias("rank"))
@@ -370,7 +401,7 @@ def pagerank_weighted(
                 base_col
                 + F.expr(f"({damp_num} * coalesce(s, 0L)) div {damp_den}")
             ).alias("rank"),
-        ).localCheckpoint(eager=True)
+        ).transform(ck)
     return ranks.select(
         "id",
         F.col("rank").alias("rank_micro"),
@@ -382,6 +413,7 @@ def kcore(
     edges: DataFrame,
     k: int,
     rounds: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded k-core peeling over an UNDIRECTED graph: `rounds`
     iterations of "drop every node whose surviving degree < k", the
@@ -399,17 +431,24 @@ def kcore(
     semi-join of the edge list against the surviving node set — both
     edge-sized shuffles; the node frame is localCheckpoint-ed per round
     so plans stay O(1) in rounds. The vector/doc payloads behind the
-    node ids never enter the loop."""
+    node ids never enter the loop.
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
+    """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     und = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ck)
     )
-    all_nodes = und.select(F.col("src").alias("id")).distinct().localCheckpoint(
-        eager=True
-    )
+    all_nodes = und.select(F.col("src").alias("id")).distinct().transform(ck)
     e = und
     for _ in range(rounds):
         deg = e.groupBy(F.col("src").alias("id")).agg(
@@ -420,7 +459,7 @@ def kcore(
             e.join(keep.select(F.col("id").alias("src")), "src")
             .join(keep.select(F.col("id").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .transform(ck)
         )
     final_deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -526,6 +565,7 @@ def harmonic_centrality(
     src_col: str = "src",
     dst_col: str = "dst",
     scale: int = 1_200_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact bounded-hop harmonic centrality over a directed edge list:
     H(v) = Σ_{w reaches v within `rounds` hops} 1/d(w, v) — the
@@ -547,17 +587,26 @@ def harmonic_centrality(
     graph (a 4-hop ball covers most of a small-world graph). This exact
     form is the validation/bounded-host-set path; the 100 TB path is
     `hyperball_harmonic` below (register-table rounds, O(nodes · 2^p)
-    state), parity-bounded against this operator in pytest."""
+    state), parity-bounded against this operator in pytest.
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
+    """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ck)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ck)
     )
     d = nodes.select(
         F.col("id").alias("psrc"),
@@ -574,7 +623,7 @@ def harmonic_centrality(
             d.unionAll(grown)
             .groupBy("psrc", "pdst")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(ck)
         )
     return d.groupBy(F.col("pdst").alias("id")).agg(
         F.expr(
@@ -594,6 +643,7 @@ def hyperball_harmonic(
     src_col: str = "src",
     dst_col: str = "dst",
     salt: str = "hb",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna 2013, public): approximate harmonic
     centrality at web scale. Each node carries an HLL counter of the
@@ -611,29 +661,38 @@ def hyperball_harmonic(
     (`operators/sketch.py`), so repeated runs agree bit-for-bit; the
     estimate error vs exact is the standard ~1.04/√2^p HLL envelope.
 
-    Returns (id, harmonic_est double, ball_final double)."""
+    Returns (id, harmonic_est double, ball_final double).
+
+    `checkpoint_dir` switches the per-round lineage truncation from
+    executor-local `localCheckpoint` (fast, NOT fault-tolerant) to
+    reliable `df.checkpoint()` into that directory — the production
+    form at cluster scale (`plans.truncate.round_truncate`).
+    """
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
     from .sketch import _hll_reg_cols, hll_estimate
 
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ck)
     )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
         .distinct()
         .select(F.col("id").cast("string").alias("id"))
-        .localCheckpoint(eager=True)
+        .transform(ck)
     )
     es = e.select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
-    ).localCheckpoint(eager=True)
+    ).transform(ck)
     idx, rho = _hll_reg_cols("id", p, salt)
     regs = nodes.select(
         F.col("id").alias("grp"), idx.alias("idx"), rho.alias("rho")
-    ).localCheckpoint(eager=True)
+    ).transform(ck)
 
     m = 1 << p
 
@@ -666,7 +725,7 @@ def hyperball_harmonic(
             regs.unionAll(prop)
             .groupBy("grp", "idx")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint(eager=True)
+            .transform(ck)
         )
         acc = (
             acc.join(est(regs), "id")
@@ -678,7 +737,7 @@ def hyperball_harmonic(
                     + F.expr(f"greatest(b - prev_b, 0D) / {float(t)}")
                 ).alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ck)
         )
     return acc.select(
         "id",

@@ -2,6 +2,7 @@
 the physical plan we designed for — filters pushed to the scan, columns
 pruned, small sides broadcast, codegen spans wide."""
 
+from .truncate import round_truncate
 from .inspect import (
     physical_plan,
     assert_pushed_filter,
@@ -13,6 +14,7 @@ from .inspect import (
 )
 
 __all__ = [
+    "round_truncate",
     "physical_plan",
     "assert_pushed_filter",
     "assert_pruned_schema",

