@@ -135,6 +135,15 @@ WHITELIST: dict[str, list[str]] = {
         ".join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)",
         ".join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)",
         'F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")',
+        # round-9 partsupp TPC-H family: nation (25 rows) ×4, filtered
+        # region (≤5 rows) ×2, 1-row stock-value total
+        '.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))',
+        '.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))',
+        '.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))',
+        '.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))',
+        'F.broadcast(reg.filter(F.col("r_name") == "AFRICA")),',
+        'F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),',
+        "v.crossJoin(F.broadcast(tot))",
         "cust.crossJoin(F.broadcast(thr))",
         "joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)",
         'part.join(F.broadcast(brand_avg), part.p_brand == F.col("b"))',

@@ -287,6 +287,25 @@ class TestPlanShapes:
         plans.assert_no_cartesian(df)
         plans.assert_broadcast_join(df)
 
+    def test_partsupp_tpch_family_plans(self, spark):
+        """Round-9 partsupp TPC-H shapes: the multi-fact star (Q9) and
+        the nested semi-join (Q20) must keep dims broadcast, no
+        cartesian anywhere, and Q20's ship-date window must reach the
+        lineitem scan (partition-pruning shape at 100 TB)."""
+        from xeloader_spark.queries import relational
+
+        q9 = relational.q_profit_by_nation(spark, SF)
+        plans.assert_no_cartesian(q9)
+        plans.assert_broadcast_join(q9)
+        q20 = relational.q_potential_promotion(spark, SF)
+        plans.assert_no_cartesian(q20)
+        plans.assert_pushed_filter(q20, "l_shipdate")
+        q2 = relational.q_mincost_supplier(spark, SF)
+        plans.assert_no_cartesian(q2)
+        # Q11's only cross join is the 1-row broadcast total
+        q11 = relational.q_important_stock(spark, SF)
+        plans.assert_broadcast_join(q11)
+
     def test_flagship_partial_aggregation(self, spark):
         """q_time_bucket_agg must map-side combine (two HashAggregate
         phases) and read only the 3 needed columns — the shape that keeps

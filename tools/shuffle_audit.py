@@ -94,6 +94,10 @@ AUDIT_QUERIES = [
     "q_domain_prior",
     "q_crawl_pipeline",
     "q_html_text_extract",
+    # round-9 additions (partsupp TPC-H family — q9 is the heaviest:
+    # two fact-sized composite-key joins)
+    "q_profit_by_nation",
+    "q_potential_promotion",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

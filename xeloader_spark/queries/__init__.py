@@ -41,6 +41,10 @@ from . import core
 # (VERDICT r8 #1), then the r4 cohort oldest-first fills the remaining
 # slots. New registrations this round take priority slots on reinstall.
 _ROUND_PRIORITY = [
+    "q_important_stock",
+    "q_mincost_supplier",
+    "q_potential_promotion",
+    "q_profit_by_nation",
     "q_weighted_sample",  # recheck (last green r3)
     "q_training_data_build",  # recheck (last green r3)
     "q_classifier_inference",  # recheck (last green r3)
@@ -87,10 +91,6 @@ _ROUND_PRIORITY = [
     "q_join_key_skew",  # recheck (last green r4)
     "q_join_size_sketch",  # recheck (last green r4)
     "q_json_payload_stats",  # recheck (last green r4)
-    "q_markov_transitions",  # recheck (last green r4)
-    "q_rollup_hierarchy",  # recheck (last green r4)
-    "q_scd2_history",  # recheck (last green r4)
-    "q_scd2_pointintime",  # recheck (last green r4)
 ]
 
 
