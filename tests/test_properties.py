@@ -1246,6 +1246,8 @@ def test_harmonic_centrality_matches_python_bfs(spark, edge_list, rounds):
             [
                 "https://x.com/a",
                 "http://Y.org/b/c",
+                "HTTP://UP.example/Z",
+                "HTTPS://Mixed.Org/q",
                 "/rel/path",
                 "/",
                 "//cdn.net/j.js",
@@ -1261,12 +1263,20 @@ def test_harmonic_centrality_matches_python_bfs(spark, edge_list, rounds):
 )
 def test_extract_links_matches_python_model(spark, hrefs):
     """extract_links == the direct model for any anchor sequence:
-    absolute http(s) pass through, leading-'/' resolves against the
-    source host, everything else (protocol-relative, fragment, mailto,
-    javascript, non-http schemes) drops."""
+    absolute http(s) pass through (scheme case-insensitive — r9),
+    leading-'/' resolves against the source host, everything else
+    (protocol-relative, fragment, mailto, javascript, non-http
+    schemes) drops. Anchor forms alternate between first-attribute
+    lowercase and attribute-prefixed uppercase (the r9 widened
+    HREF_RE), so the pattern's recall cases are all exercised."""
     from xeloader_spark.operators.links import extract_links
 
-    html = "<p>t</p>" + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    html = "<p>t</p>" + "".join(
+        f'<a href="{h}">x</a>'
+        if i % 2 == 0
+        else f'<A CLASS="k"\n\tHREF="{h}">x</A>'
+        for i, h in enumerate(hrefs)
+    )
     df = spark.createDataFrame(
         [(1, "src.host", html)], "doc_id long, src_host string, html string"
     )
@@ -1276,7 +1286,7 @@ def test_extract_links_matches_python_model(spark, hrefs):
     )
     exp = []
     for h in hrefs:
-        if h.startswith(("http://", "https://")):
+        if h.lower().startswith(("http://", "https://")):
             dst = h
         elif h.startswith("//"):
             continue

@@ -1196,6 +1196,34 @@ class TestRound8WarcReader:
         null_rows = [r for r in pre_rows if r.record_id is None]
         assert len(null_rows) == 1 and null_rows[0].len_ok is None
 
+    def test_blob_path_preamble_parity(self, spark):
+        """r9 (ADVICE r8): `parse_warc` now KEEPS a non-empty preamble
+        as one all-NULL audit row at rec_seq=-1 — the same
+        loud-degradation contract as `read_warc`, so the two
+        parity-pinned paths agree on corrupt files too; a well-formed
+        blob still yields records only."""
+        from xeloader_spark.sources.warc import parse_warc
+
+        CRLF = "\r\n"
+        http = f"HTTP/1.1 200 OK{CRLF}Content-Type: text/plain{CRLF}{CRLF}hi"
+        rec = (
+            f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+            f"WARC-Target-URI: u{CRLF}WARC-Record-ID: <urn:uuid:x>{CRLF}"
+            f"Content-Length: {len(http)}{CRLF}{CRLF}{http}{CRLF}{CRLF}"
+        )
+        schema = "warc_file string, warc_blob string"
+        rows = parse_warc(
+            spark.createDataFrame([("f", "junk preamble\r\n" + rec)], schema)
+        ).collect()
+        assert len(rows) == 2
+        nulls = [r for r in rows if r.record_id is None]
+        assert len(nulls) == 1
+        assert nulls[0].rec_seq == -1 and nulls[0].len_ok is None
+        clean = parse_warc(
+            spark.createDataFrame([("f", rec)], schema)
+        ).collect()
+        assert len(clean) == 1 and clean[0].record_id is not None
+
     def test_gz_member_reader_parity(self, spark, warc_dirs):
         """read_warc_gz inflates concatenated gzip members and parses
         to the same records as the blob path (per-file parallelism,
@@ -1399,6 +1427,13 @@ class TestRound8LinkGraph:
             (2, "a &amp;lt; b &lt;i&gt; &quot;q&quot; &#39;s&#39; &amp; c"),
             (3, "<style>.a{}</style><b>x</b>   y\t\nz"),
             (4, ""),
+            # numeric character references (r9): decimal + hex decode
+            # across the full range; out-of-range / surrogate refs and
+            # malformed heads kept as literal text; '&amp;#39;'
+            # single-unescapes to the TEXT '&#39;'
+            (5, "it&#8217;s &#x2019;q&#x2019; &#955; &#128512;"),
+            (6, "&#38;lt; &amp;#39; &#1114112; &#xD800; &#x; &# &#12"),
+            (7, "&#65;head tail&#98;"),
         ]
         df = spark.createDataFrame(cases, "doc_id long, html string")
         got = {r.doc_id: r.text_out for r in html_to_text(df).collect()}
@@ -1406,6 +1441,9 @@ class TestRound8LinkGraph:
         assert got[2] == 'a &lt; b <i> "q" \'s\' & c'
         assert got[3] == "x y z"
         assert got[4] == ""
+        assert got[5] == "it’s ’q’ λ \U0001f600"
+        assert got[6] == "&lt; &#39; &#1114112; &#xD800; &#x; &# &#12"
+        assert got[7] == "Ahead tailb"
         con = duckdb.connect()
         con.execute(
             "CREATE TABLE h(doc_id BIGINT, html VARCHAR);"

@@ -12,15 +12,18 @@ dst_host) edge rows — and then reuses the repo's integer PageRank
 (`operators/graph.py:29`) for host ranking.
 
 Extraction semantics (deterministic, oracle-replayable):
-- anchors are `<a href="...">` double-quoted attributes, found with ONE
-  `regexp_extract_all` (both engines ship the same function) — no HTML
-  parser dependency, the documented simplification of every
-  string-level link extractor;
+- anchors are `<a ... href="...">` attributes — any-case tag/attr,
+  href anywhere in the attribute list, DOUBLE-quoted values (the
+  remaining documented simplification: single-quoted/unquoted values
+  are skipped) — found with ONE `regexp_extract_all` (both engines
+  ship the same function); no HTML parser dependency, the string-level
+  link extractor every lightweight crawl pipeline starts from;
 - resolution follows the three cases a crawler cares about: absolute
-  http(s) hrefs pass through; host-relative hrefs (leading '/') resolve
-  against the source host; everything else (fragments, mailto:,
-  javascript:, protocol-relative) resolves to NULL and is dropped
-  before the edge ever exists.
+  http(s) hrefs pass through (scheme matched case-insensitively, URL
+  case preserved — canonicalization owns folding); host-relative
+  hrefs (leading '/') resolve against the source host; everything
+  else (fragments, mailto:, javascript:, protocol-relative) resolves
+  to NULL and is dropped before the edge ever exists.
 
 Scale shape: extraction is one `regexp_extract_all` + one explode +
 codegen string functions per anchor — zero shuffles, zero joins; the
@@ -38,8 +41,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# group 1 = the href value of a double-quoted anchor attribute
-HREF_RE = '<a href="([^"]*)"'
+# group 1 = the href value of a double-quoted anchor attribute.
+# Case-insensitive, and href may be preceded by other attributes
+# (r9, ADVICE r8: '<a class=.. href=..>' and '<A HREF=..>' are common
+# in real crawl HTML; the old first-attribute-only pattern missed
+# them). The whitespace class is spelled with LITERAL space/tab/CR/LF
+# characters (not backslash escapes) so the ONE pattern string embeds
+# identically in Spark SQL literals (which process C escapes) and
+# DuckDB literals (which don't). Remaining documented simplification:
+# the href value must be double-quoted — single-quoted and unquoted
+# attribute values are not extracted.
+HREF_RE = '(?i)<a[ \t\r\n][^>]*?href="([^"]*)"'
 
 _HOST_RE = "^[a-zA-Z]+://([^/:?#]+)"
 
@@ -47,10 +59,14 @@ _HOST_RE = "^[a-zA-Z]+://([^/:?#]+)"
 def resolve_href_sql(href_sql: str, src_host_sql: str) -> str:
     """The href → absolute-URL resolution CASE (dialect-free: LIKE,
     substr, concat and lower behave identically in Spark SQL and
-    DuckDB). NULL = not a crawlable http(s) link."""
+    DuckDB). NULL = not a crawlable http(s) link. Scheme matching is
+    case-insensitive (r9, ADVICE r8: 'HTTP://…' is a valid absolute
+    link and `dst_host_sql` already accepted any-case schemes); the
+    URL itself passes through unlowered — canonicalization owns case
+    folding."""
     return (
-        f"CASE WHEN {href_sql} LIKE 'http://%' "
-        f"OR {href_sql} LIKE 'https://%' THEN {href_sql} "
+        f"CASE WHEN lower({href_sql}) LIKE 'http://%' "
+        f"OR lower({href_sql}) LIKE 'https://%' THEN {href_sql} "
         f"WHEN substr({href_sql}, 1, 2) = '//' THEN NULL "
         f"WHEN substr({href_sql}, 1, 1) = '/' "
         f"THEN concat('https://', {src_host_sql}, {href_sql}) "
@@ -82,6 +98,46 @@ def extract_links(
     )
 
 
+def decode_numeric_refs_sql(d: dict, text_sql: str) -> str:
+    """Decode HTML numeric character references — `&#8217;` and
+    `&#x2019;` style — as ONE dialect-parametric expression (r9,
+    VERDICT r8 #6: on real crawl text these survive tag-stripping and
+    pollute every downstream token/quality statistic).
+
+    Shape: split on the literal `&#`, rewrite each tail segment whose
+    head parses as `digits;` / `[xX]hex;`, concatenate — zero joins,
+    zero shuffles, same codegen stage as the rest of `html_to_text`.
+    The codepoint is rendered via the dialect `chr` hook (Spark:
+    UTF-32BE decode — its chr() is mod-256; DuckDB: chr()), exact for
+    every Unicode scalar value, so the decode covers the FULL range,
+    not just Latin-1. Guarded out (kept as literal text): codepoints
+    < 9, surrogates (DuckDB chr errors, Spark yields U+FFFD — the one
+    divergence), and > U+10FFFF."""
+    parts = d["split"](text_sql, "&#")
+    dec_m = "regexp_extract(_e, '^([0-9]{1,7});', 1)"
+    hex_m = "regexp_extract(_e, '^[xX]([0-9a-fA-F]{1,6});', 1)"
+
+    def decoded(code_sql: str, m_sql: str, skip: int) -> str:
+        # skip = chars before the payload resumes: len(m) + len(';') +
+        # 1 for 1-based substr, +1 more for the hex 'x' prefix
+        return (
+            f"CASE WHEN {code_sql} BETWEEN 9 AND 1114111 "
+            f"AND {code_sql} NOT BETWEEN 55296 AND 57343 "
+            f"THEN concat({d['chr'](code_sql)}, "
+            f"substr(_e, length({m_sql}) + {skip})) "
+            f"ELSE concat('&#', _e) END"
+        )
+
+    body = (
+        f"CASE WHEN {dec_m} != '' "
+        f"THEN {decoded(f'CAST({dec_m} AS BIGINT)', dec_m, 2)} "
+        f"WHEN {hex_m} != '' "
+        f"THEN {decoded(d['hex2int'](hex_m), hex_m, 3)} "
+        f"ELSE concat('&#', _e) END"
+    )
+    return f"concat({d['idx'](parts, 1)}, {d['tail_join'](parts, body)})"
+
+
 def html_to_text_sql(d: dict, html_sql: str) -> str:
     """HTML → visible text, as ONE dialect-parametric expression (the
     `sources/warc.py` template discipline — `d` is SPARK_DIALECT or
@@ -91,8 +147,13 @@ def html_to_text_sql(d: dict, html_sql: str) -> str:
        payload spans lines; non-greedy so adjacent blocks don't merge),
     2. strip remaining tags to a space (block boundaries become token
        boundaries, never word-joins),
-    3. unescape the five core entities — &amp; LAST, so '&amp;lt;'
-       correctly yields '&lt;' and never double-unescapes,
+    3. unescape the named core entities, then NUMERIC character
+       references (`decode_numeric_refs_sql` — full Unicode range),
+       then &amp; LAST — so '&amp;lt;' yields '&lt;' and '&#38;lt;'
+       also yields '&lt;', never double-unescaping. (The one corner
+       this replace order gets wrong: '&#38;amp;' decodes two levels
+       to '&' instead of the text '&amp;' — the inherent limit of
+       sequential global replaces, on the record.)
     4. collapse whitespace runs and trim.
 
     The string-level extractor every lightweight crawl pipeline starts
@@ -106,10 +167,13 @@ def html_to_text_sql(d: dict, html_sql: str) -> str:
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
-        ("&#39;", "''"),  # SQL-escaped single quote
-        ("&amp;", "&"),
     ):
         x = f"replace({x}, '{ent}', '{ch}')"
+    # numeric refs (covers the old explicit &#39; entry) BEFORE &amp;:
+    # '&amp;#8217;' single-unescapes to the text '&#8217;' (correct)
+    # because its '&#' only appears after the amp replace runs
+    x = decode_numeric_refs_sql(d, x)
+    x = f"replace({x}, '&amp;', '&')"
     return f"trim({d['gsub'](x, d['re'](chr(92) + 's+'), ' ')})"
 
 

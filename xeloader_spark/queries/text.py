@@ -701,11 +701,20 @@ def _link_html_sql(s_type: str) -> str:
       '<a href="#top">e</a>',
       CASE WHEN doc_id % 7 = 2
            THEN '<a href="mailto:a@b.co">f</a>' ELSE '' END,
+      CASE WHEN doc_id % 4 = 1
+           THEN concat('<A CLASS="m" HREF="HTTP://www.src',
+                       CAST(1 + ((doc_id * 11 + 2) % 10) AS {s_type}),
+                       '.com/Mixed/', CAST(doc_id % 23 AS {s_type}),
+                       '">g</A>')
+           ELSE '' END,
       '<script>var q="', CAST(doc_id % 97 AS {s_type}),
       '";</script><style>.c', CAST(doc_id % 7 AS {s_type}),
       '{{color:red}}</style>',
       '<p>Q&amp;A &lt;b&gt; &quot;q', CAST(doc_id % 13 AS {s_type}),
       '&quot; &#39;s&#39; &amp;lt;</p>',
+      CASE WHEN doc_id % 6 = 2
+           THEN '<p>it&#8217;s &#x2019;q&#x2019; &#955; &#38;lt; &amp;#8217; &#1114112;&#xD800;</p>'
+           ELSE '' END,
       '</body></html>')
 """
 

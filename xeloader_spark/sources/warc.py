@@ -52,6 +52,20 @@ SPARK_DIALECT = {
     "idx": lambda arr, i: f"try_element_at({arr}, {i})",  # 1-based
     # replace ALL matches: Spark's regexp_replace is global by default
     "gsub": lambda s, pat, rep: f"regexp_replace({s}, '{pat}', '{rep}')",
+    # codepoint → character. Spark's chr() is mod-256 ASCII — WRONG for
+    # anything past Latin-1 — so render the codepoint as one UTF-32BE
+    # unit and decode it (exact for every Unicode scalar value; callers
+    # guard out surrogates/overflow, where the engines diverge)
+    "chr": lambda n: f"decode(unhex(lpad(hex({n}), 8, '0')), 'UTF-32')",
+    # hex string → BIGINT (Spark can't cast '0x...' strings)
+    "hex2int": lambda s: f"CAST(conv({s}, 16, 10) AS BIGINT)",
+    # map elements 2..N of a split array through `body` (lambda var _e)
+    # and concatenate — the shape of "rewrite every delimiter-suffixed
+    # segment" decoders (numeric character references)
+    "tail_join": lambda arr, body: (
+        f"array_join(transform(slice({arr}, 2, "
+        f"greatest(size({arr}) - 1, 0)), _e -> {body}), '')"
+    ),
 }
 DUCK_DIALECT = {
     "S": "VARCHAR",
@@ -60,6 +74,15 @@ DUCK_DIALECT = {
     "idx": lambda arr, i: f"({arr})[{i}]",  # 1-based
     # DuckDB regexp_replace is FIRST-match-only without the 'g' flag
     "gsub": lambda s, pat, rep: f"regexp_replace({s}, '{pat}', '{rep}', 'g')",
+    # chr() only accepts INTEGER; callers guard the range ≤ 0x10FFFF
+    "chr": lambda n: f"chr(CAST({n} AS INTEGER))",
+    "hex2int": lambda s: f"CAST(concat('0x', {s}) AS BIGINT)",
+    # array_to_string(<empty list>) is NULL in DuckDB (r8 trap) —
+    # coalesce to '' so a ref-free string survives the concat
+    "tail_join": lambda arr, body: (
+        f"coalesce(array_to_string(list_transform(({arr})[2:], "
+        f"_e -> {body}), ''), '')"
+    ),
 }
 
 _CRLF_RE = r"\r\n"
@@ -181,7 +204,13 @@ def parse_warc(
     exploded = df.select(
         F.col(file_col),
         F.posexplode(F.expr(recs)).alias("_pos", "_rec"),
-    ).filter(F.col("_pos") >= 1)  # element 0 precedes the first record
+        # element 0 precedes the first version line: empty for
+        # well-formed WARC and dropped; a NON-empty preamble (corrupt
+        # file) is KEPT and parses to an all-NULL audit row at
+        # rec_seq=-1 — the same loud-degradation contract `read_warc`
+        # documents, so the two parity-pinned paths agree on corrupt
+        # input too (ADVICE r8)
+    ).filter((F.col("_pos") >= 1) | (F.col("_rec") != ""))
     return parse_warc_records(
         exploded,
         extra_cols=((F.col("_pos") - 1).cast("long").alias("rec_seq"),),
@@ -238,8 +267,17 @@ def read_warc_gz(spark, path: str, batch_records: int = 1000) -> DataFrame:
     Arrow `mapInPandas` that inflates the member stream (stdlib zlib
     handles concatenated members) and yields record rows in bounded
     batches. Same output schema and shared `parse_warc_records` tail
-    as `read_warc`; see SCALE.md §WARC for when to pre-decompress to a
-    landing zone instead (recommended above ~1 file per task-slot)."""
+    as `read_warc`.
+
+    Memory bound, stated precisely (ADVICE r8): the `binaryFile`
+    source materializes each COMPRESSED file as one row, so a task's
+    peak is O(compressed file + largest record + inflate chunk) — the
+    incremental inflate only removes the DECOMPRESSED-file copies
+    (several × larger), not the compressed one — and the 2 GB row
+    limit applies to the compressed bytes. See SCALE.md §WARC for when
+    to pre-decompress to a landing zone instead (recommended above ~1
+    file per task-slot, and mandatory for archives whose compressed
+    size approaches 2 GB)."""
     def _inflate(batches):
         import zlib
 
@@ -251,10 +289,12 @@ def read_warc_gz(spark, path: str, batch_records: int = 1000) -> DataFrame:
             # INCREMENTAL inflate: one zlib.decompressobj per gzip
             # member (wbits=47 accepts gzip framing; unused_data chains
             # to the next concatenated member), splitting records out of
-            # a rolling buffer as bytes arrive — peak memory is
-            # O(largest record + inflate chunk), never the whole
+            # a rolling buffer as bytes arrive — the DECOMPRESSED side
+            # stays O(largest record + inflate chunk), never the whole
             # decompressed file (a ~1 GB .warc.gz inflates to several
             # GB; gzip.decompress + str.split held TWO full copies).
+            # The COMPRESSED file is still fully resident (binaryFile
+            # row) — see the docstring's stated bound.
             buf = b""
             pos = 0
             while pos < len(content):
