@@ -49,7 +49,37 @@ DELIBERATE = {
         "the blocking key must be composed from more fields (compare "
         "blocked_link, same data, replica-disjoint key)"
     ),
+    "harmonic_exact_density": (
+        "deliberate pair-frame trap (r9, VERDICT r8 #7): exact "
+        "bounded-hop harmonic materializes O(reachable pairs); on the "
+        "density axis the 4-hop ball saturates toward n, so the pair "
+        "frame heads to n^2 — the measured reason hyperball_density "
+        "(same edges, register-table rounds) is the registered 100 TB "
+        "path and this exact form is the bounded-host validation twin"
+    ),
 }
+
+N_GRAPH_NODES = 2000  # fixed node set for the graph-density axis
+
+
+def graph_density_edges(spark, k: int):
+    """DENSITY stress edges (nodes CONSTANT, out-degree = K): K
+    deterministic affine out-edges per node over a fixed node set, so
+    the 4-hop ball grows toward n with K while the node count — the
+    thing HyperBall's register table scales with — stays fixed."""
+    base = spark.range(N_GRAPH_NODES).select(F.col("id").alias("src"))
+    reps = spark.range(k).select(F.col("id").alias("_r"))
+    return (
+        base.crossJoin(reps)
+        .select(
+            "src",
+            (
+                (F.col("src") * (2 * F.col("_r") + 3) + 7 * F.col("_r") + 1)
+                % N_GRAPH_NODES
+            ).alias("dst"),
+        )
+        .filter("src != dst")
+    )
 
 
 def replicate_docs(docs, k: int):
@@ -215,6 +245,7 @@ def main() -> None:
     from xeloader_spark.operators import dedup as dd
     from xeloader_spark.operators import itemsets as its
     from xeloader_spark.operators import similarity as sim
+    from xeloader_spark.operators import graph as gr
     from xeloader_spark.operators import temporal as tp
     from xeloader_spark.operators import text as tx
 
@@ -332,6 +363,20 @@ def main() -> None:
             .filter("len_ok AND http_status IS NOT NULL")
             .select("record_id"),
         )[-1],
+        # r9 GRAPH-DENSITY axis (VERDICT r8 #7): nodes constant, edges =
+        # n·K, so the 4-hop ball saturates toward n. HyperBall's
+        # per-round state is the register table — O(nodes · 2^p),
+        # K-INDEPENDENT — and only its edge join grows with K (linear);
+        # the exact twin materializes the reachable-pair frame, which
+        # heads to n² (expected super-linear; DELIBERATE). The same
+        # motivating contrast the WARC blob-vs-reader axis provides.
+        # Filters force per-row evaluation (the .count() prune trap).
+        "hyperball_density": lambda k: gr.hyperball_harmonic(
+            inputs[k]["graph"], rounds=4, p=8
+        ).filter("harmonic_est >= 0 AND ball_final >= 0"),
+        "harmonic_exact_density": lambda k: gr.harmonic_centrality(
+            inputs[k]["graph"], rounds=4
+        ).filter("harmonic_scaled >= 0 AND n_reaching >= 0"),
     }
     _FILE_CONF_DEFAULTS = {
         key: spark.conf.get(key)
@@ -370,6 +415,7 @@ def main() -> None:
             "docs_long": lengthen_docs(
                 docs0, DOCLEN_ROWS, doclen_base, k
             ).localCheckpoint(),
+            "graph": graph_density_edges(spark, k).localCheckpoint(),
         }
         for k in KS
     }
@@ -422,6 +468,17 @@ def main() -> None:
                 f"doc-LENGTH axis: {DOCLEN_ROWS} rows constant, tokens/doc"
                 " scales with K (>=50k at K=16); exponent is per-row"
                 " compute scaling, not corpus scaling"
+            )
+        if name == "hyperball_density":
+            rec["note"] = (
+                f"GRAPH-DENSITY axis: {N_GRAPH_NODES} nodes constant,"
+                " out-degree = K (edges n*K), 4-hop ball saturates toward"
+                " n at K=16; HyperBall state is the register table"
+                " (nodes * 2^p, K-independent) and only its edge join"
+                " grows — compare harmonic_exact_density (same edges),"
+                " whose reachable-pair frame heads to n^2. The register-"
+                "table-vs-pair-frame contrast is WHY hyperball_harmonic"
+                " is the registered 100 TB centrality path"
             )
         if name.startswith("warc_parse_"):
             rec["note"] = (
