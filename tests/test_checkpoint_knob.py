@@ -41,13 +41,19 @@ def _sorted(df):
 
 
 def test_round_truncate_sets_dir_once(spark, tmp_path):
+    # NOTE the SparkContext checkpoint dir is GLOBAL and first-caller-
+    # wins for the context's lifetime, so this test must not assume it
+    # runs first in the session: it asserts a dir is set after the
+    # call and that later calls with different dirs don't churn it —
+    # order-independent (r9 review). The *_identical tests below
+    # therefore verify VALUE identity under the reliable path, not
+    # that their particular directory was honored.
     df = spark.range(5)
-    d1 = str(tmp_path / "ck1")
-    out = round_truncate(df, d1)
+    out = round_truncate(df, str(tmp_path / "ck1"))
     assert _sorted(out) == _sorted(df)
     got = spark.sparkContext.getCheckpointDir()
-    assert got is not None and "ck1" in got
-    # second call with a DIFFERENT dir must not churn the context dir
+    assert got is not None
+    # a later call with a DIFFERENT dir must not churn the context dir
     # (Spark appends a UUID subdir per setCheckpointDir call)
     round_truncate(spark.range(3), str(tmp_path / "ck2"))
     assert spark.sparkContext.getCheckpointDir() == got

@@ -1271,11 +1271,16 @@ def test_extract_links_matches_python_model(spark, hrefs):
     HREF_RE), so the pattern's recall cases are all exercised."""
     from xeloader_spark.operators.links import extract_links
 
-    html = "<p>t</p>" + "".join(
-        f'<a href="{h}">x</a>'
-        if i % 2 == 0
-        else f'<A CLASS="k"\n\tHREF="{h}">x</A>'
-        for i, h in enumerate(hrefs)
+    html = (
+        # decoy: an attribute whose NAME merely ends in 'href' must
+        # never be extracted (r9 review — the boundary in HREF_RE)
+        '<p>t</p><a data-href="https://decoy.example/no">d</a>'
+        + "".join(
+            f'<a href="{h}">x</a>'
+            if i % 2 == 0
+            else f'<A CLASS="k"\n\tHREF="{h}">x</A>'
+            for i, h in enumerate(hrefs)
+        )
     )
     df = spark.createDataFrame(
         [(1, "src.host", html)], "doc_id long, src_host string, html string"

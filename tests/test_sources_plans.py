@@ -1434,6 +1434,9 @@ class TestRound8LinkGraph:
             (5, "it&#8217;s &#x2019;q&#x2019; &#955; &#128512;"),
             (6, "&#38;lt; &amp;#39; &#1114112; &#xD800; &#x; &# &#12"),
             (7, "&#65;head tail&#98;"),
+            # zero-padded spec-valid refs decode; > bound stays literal
+            (8, "&#00000065; &#x0000041; &#99999999999;"),
+            (9, None),  # NULL html stays NULL in BOTH engines
         ]
         df = spark.createDataFrame(cases, "doc_id long, html string")
         got = {r.doc_id: r.text_out for r in html_to_text(df).collect()}
@@ -1444,12 +1447,14 @@ class TestRound8LinkGraph:
         assert got[5] == "it’s ’q’ λ \U0001f600"
         assert got[6] == "&lt; &#39; &#1114112; &#xD800; &#x; &# &#12"
         assert got[7] == "Ahead tailb"
+        assert got[8] == "A A &#99999999999;"
+        assert got[9] is None
         con = duckdb.connect()
         con.execute(
             "CREATE TABLE h(doc_id BIGINT, html VARCHAR);"
             + "".join(
-                "INSERT INTO h VALUES (%d, '%s');"
-                % (i, t.replace("'", "''"))
+                "INSERT INTO h VALUES (%d, %s);"
+                % (i, "NULL" if t is None else "'%s'" % t.replace("'", "''"))
                 for i, t in cases
             )
         )

@@ -45,13 +45,16 @@ from pyspark.sql import functions as F
 # Case-insensitive, and href may be preceded by other attributes
 # (r9, ADVICE r8: '<a class=.. href=..>' and '<A HREF=..>' are common
 # in real crawl HTML; the old first-attribute-only pattern missed
-# them). The whitespace class is spelled with LITERAL space/tab/CR/LF
-# characters (not backslash escapes) so the ONE pattern string embeds
-# identically in Spark SQL literals (which process C escapes) and
-# DuckDB literals (which don't). Remaining documented simplification:
-# the href value must be double-quoted — single-quoted and unquoted
-# attribute values are not extracted.
-HREF_RE = '(?i)<a[ \t\r\n][^>]*?href="([^"]*)"'
+# them). The attribute NAME must start at a whitespace boundary —
+# either directly after '<a' or after a preceding attribute — so
+# 'data-href="…"' is never mistaken for the link (r9 review). The
+# whitespace class is spelled with LITERAL space/tab/CR/LF characters
+# (not backslash escapes) so the ONE pattern string embeds identically
+# in Spark SQL literals (which process C escapes) and DuckDB literals
+# (which don't). Remaining documented simplification: the href value
+# must be double-quoted — single-quoted and unquoted attribute values
+# are not extracted.
+HREF_RE = '(?i)<a[ \t\r\n](?:[^>]*?[ \t\r\n])?href="([^"]*)"'
 
 _HOST_RE = "^[a-zA-Z]+://([^/:?#]+)"
 
@@ -104,18 +107,22 @@ def decode_numeric_refs_sql(d: dict, text_sql: str) -> str:
     VERDICT r8 #6: on real crawl text these survive tag-stripping and
     pollute every downstream token/quality statistic).
 
-    Shape: split on the literal `&#`, rewrite each tail segment whose
-    head parses as `digits;` / `[xX]hex;`, concatenate — zero joins,
-    zero shuffles, same codegen stage as the rest of `html_to_text`.
-    The codepoint is rendered via the dialect `chr` hook (Spark:
-    UTF-32BE decode — its chr() is mod-256; DuckDB: chr()), exact for
-    every Unicode scalar value, so the decode covers the FULL range,
-    not just Latin-1. Guarded out (kept as literal text): codepoints
-    < 9, surrogates (DuckDB chr errors, Spark yields U+FFFD — the one
-    divergence), and > U+10FFFF."""
+    Shape: split on the literal `&#`, fold the segments (dialect
+    `fold_tail` hook — element 1 verbatim, later segments rewritten
+    when their head parses as `digits;` / `[xX]hex;`) — zero joins,
+    zero shuffles, same codegen stage as the rest of `html_to_text`;
+    NULL text stays NULL in both engines. The codepoint is rendered
+    via the dialect `chr` hook (Spark: UTF-32BE decode — its chr() is
+    mod-256; DuckDB: chr()), exact for every Unicode scalar value, so
+    the decode covers the full range, not just Latin-1. Kept as
+    literal text instead of decoded: codepoints < 9, surrogates
+    (DuckDB chr errors, Spark yields U+FFFD — the one divergence),
+    > U+10FFFF, and refs longer than 10 decimal / 8 hex digits (the
+    bounds admit zero-padded spec-valid refs like `&#00000065;` while
+    keeping the parse inside BIGINT)."""
     parts = d["split"](text_sql, "&#")
-    dec_m = "regexp_extract(_e, '^([0-9]{1,7});', 1)"
-    hex_m = "regexp_extract(_e, '^[xX]([0-9a-fA-F]{1,6});', 1)"
+    dec_m = "regexp_extract(_e, '^([0-9]{1,10});', 1)"
+    hex_m = "regexp_extract(_e, '^[xX]([0-9a-fA-F]{1,8});', 1)"
 
     def decoded(code_sql: str, m_sql: str, skip: int) -> str:
         # skip = chars before the payload resumes: len(m) + len(';') +
@@ -135,7 +142,7 @@ def decode_numeric_refs_sql(d: dict, text_sql: str) -> str:
         f"THEN {decoded(d['hex2int'](hex_m), hex_m, 3)} "
         f"ELSE concat('&#', _e) END"
     )
-    return f"concat({d['idx'](parts, 1)}, {d['tail_join'](parts, body)})"
+    return d["fold_tail"](parts, body)
 
 
 def html_to_text_sql(d: dict, html_sql: str) -> str:

@@ -49,4 +49,16 @@ def round_truncate(
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=eager)
+    if not eager:
+        return df.checkpoint(eager=False)
+    # Persist before an eager reliable checkpoint: Spark materializes
+    # the frame with one job, then the checkpoint-WRITE runs a second
+    # job over the same plan — uncached, that second job recomputes the
+    # whole lineage (an expensive edge producer would execute twice).
+    # The cache serves the write, then releases; the returned frame
+    # reads the checkpoint files, not the cache.
+    df.persist()
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        df.unpersist()

@@ -707,6 +707,7 @@ def _link_html_sql(s_type: str) -> str:
                        '.com/Mixed/', CAST(doc_id % 23 AS {s_type}),
                        '">g</A>')
            ELSE '' END,
+      '<a data-href="https://decoy.invalid/x">h</a>',
       '<script>var q="', CAST(doc_id % 97 AS {s_type}),
       '";</script><style>.c', CAST(doc_id % 7 AS {s_type}),
       '{{color:red}}</style>',

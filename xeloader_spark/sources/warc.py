@@ -59,12 +59,18 @@ SPARK_DIALECT = {
     "chr": lambda n: f"decode(unhex(lpad(hex({n}), 8, '0')), 'UTF-32')",
     # hex string → BIGINT (Spark can't cast '0x...' strings)
     "hex2int": lambda s: f"CAST(conv({s}, 16, 10) AS BIGINT)",
-    # map elements 2..N of a split array through `body` (lambda var _e)
-    # and concatenate — the shape of "rewrite every delimiter-suffixed
-    # segment" decoders (numeric character references)
-    "tail_join": lambda arr, body: (
+    # fold a split array: element 1 passes through verbatim, every
+    # later element is rewritten by `body` (lambda var _e) and
+    # concatenated — the shape of "rewrite every delimiter-suffixed
+    # segment" decoders (numeric character references). NULL input
+    # folds to NULL in both dialects (concat/|| are NULL-propagating
+    # in Spark; list_reduce of NULL is NULL in DuckDB). The Spark form
+    # references `arr` three times — whole-stage codegen's
+    # subexpression elimination evaluates the split once.
+    "fold_tail": lambda arr, body: (
+        f"concat(try_element_at({arr}, 1), "
         f"array_join(transform(slice({arr}, 2, "
-        f"greatest(size({arr}) - 1, 0)), _e -> {body}), '')"
+        f"greatest(size({arr}) - 1, 0)), _e -> {body}), ''))"
     ),
 }
 DUCK_DIALECT = {
@@ -77,11 +83,11 @@ DUCK_DIALECT = {
     # chr() only accepts INTEGER; callers guard the range ≤ 0x10FFFF
     "chr": lambda n: f"chr(CAST({n} AS INTEGER))",
     "hex2int": lambda s: f"CAST(concat('0x', {s}) AS BIGINT)",
-    # array_to_string(<empty list>) is NULL in DuckDB (r8 trap) —
-    # coalesce to '' so a ref-free string survives the concat
-    "tail_join": lambda arr, body: (
-        f"coalesce(array_to_string(list_transform(({arr})[2:], "
-        f"_e -> {body}), ''), '')"
+    # init-free fold: the first element seeds the accumulator (passes
+    # through verbatim), so the split array is referenced ONCE (no CSE
+    # assumption) and NULL input folds to NULL (|| is NULL-propagating)
+    "fold_tail": lambda arr, body: (
+        f"list_reduce({arr}, (_a, _e) -> _a || ({body}))"
     ),
 }
 
