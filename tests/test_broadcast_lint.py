@@ -52,9 +52,11 @@ WHITELIST: dict[str, list[str]] = {
         'snap_long.join(F.broadcast(new_long.withColumnRenamed("id", "new_id")),',
         'tr.join(F.broadcast(ev), "shingle")',
     ],
-    # 1-row edge total
+    # 1-row edge total; HITS per-round 1-row normalization totals
     "operators/graph.py": [
         ".crossJoin(F.broadcast(tot))",
+        ".crossJoin(F.broadcast(ta))",
+        ".crossJoin(F.broadcast(th))",
     ],
     # file-catalog-sized lineage / per-file abort report
     "operators/ingest.py": [

@@ -1327,6 +1327,58 @@ class TestPagerank:
         assert n2 == n8 == 0
 
 
+class TestHits:
+    def _scores(self, spark, edges, iters=4):
+        from xeloader_spark.operators.graph import hits
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.id: (r.hub_scaled, r.auth_scaled)
+            for r in hits(df, iters=iters).collect()
+        }
+
+    def test_out_star_closed_form(self, spark):
+        # center links to 4 leaves: center is the ONLY hub (full scale),
+        # leaves split the authority mass equally, center has none
+        got = self._scores(spark, [(0, i) for i in range(1, 5)])
+        assert got[0] == (10**9, 0)
+        for leaf in (1, 2, 3, 4):
+            assert got[leaf] == (0, 10**9 // 4)
+
+    def test_bipartite_symmetry(self, spark):
+        # complete bipartite 2 hubs × 3 authorities: structurally
+        # identical nodes get identical scores; hubs hold all hub mass
+        edges = [(h, a) for h in (1, 2) for a in (10, 11, 12)]
+        got = self._scores(spark, edges)
+        assert got[1] == got[2] and got[10] == got[11] == got[12]
+        assert got[1][0] > 0 and got[1][1] == 0
+        assert got[10][0] == 0 and got[10][1] > 0
+
+    def test_plan_bounded_by_checkpoint(self, spark):
+        from xeloader_spark import plans
+        from xeloader_spark.operators.graph import hits
+
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        n2 = plans.count_exchanges(hits(df, iters=2))
+        n8 = plans.count_exchanges(hits(df, iters=8))
+        assert n2 == n8
+
+    def test_checkpoint_knob_value_identity(self, spark, tmp_path):
+        from xeloader_spark.operators.graph import hits
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+        )
+        local = sorted(tuple(r) for r in hits(df, iters=3).collect())
+        reliable = sorted(
+            tuple(r)
+            for r in hits(
+                df, iters=3, checkpoint_dir=str(tmp_path / "hits_ck")
+            ).collect()
+        )
+        assert local == reliable
+
+
 def test_plane_sign_literal_matches_md5_case(spark):
     """The Python-precomputed literal sign arrays must equal the
     md5-CASE signs the SQL oracles recompute — the equivalence that

@@ -115,6 +115,96 @@ def pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**9,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public) over a directed
+    edge list — the OTHER classic web-centrality rank beside PageRank:
+    a good HUB links to many good authorities, a good AUTHORITY is
+    linked from many good hubs. For a crawl pipeline the authority
+    score is a per-host content-quality prior while the hub score
+    identifies directory/aggregator hosts worth re-crawling for
+    frontier discovery.
+
+    Integer-exact variant so the fixed point unrolls into SQL CTEs
+    (the `pagerank` discipline): scores live in `scale` units and each
+    round's L1 normalization is the TWO-STEP floor division
+    ``raw div (total div scale)`` — all BIGINT, overflow-free while
+    edges·scale < 2^63 (~9·10⁹ edges at the default scale; raise via a
+    smaller `scale`), identical floor semantics in both engines. The
+    two-step form quantizes ~1/scale relative per round — far below
+    ranking relevance, same trade `pagerank` documents. Classic
+    sequential update order: authorities from CURRENT hubs, then hubs
+    from the NEW authorities.
+
+    Returns (id, hub_scaled, auth_scaled) — BIGINTs, hash-exact
+    cross-engine.
+
+    Scale shape: edges shuffle once up front (distinct), then each
+    round is two edge-sized joins + two node-sized aggregates + two
+    1-row totals broadcast back — the node frames truncate per round
+    through `round_truncate` (`checkpoint_dir` switches executor-local
+    localCheckpoint to reliable `df.checkpoint()`, the production
+    fault-tolerance form)."""
+
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+
+    def ck(d: DataFrame) -> DataFrame:
+        return round_truncate(d, checkpoint_dir)
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .transform(ck)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .transform(ck)
+    )
+    norm = (
+        f"coalesce(raw, 0L) div greatest(coalesce(t, 0L) div {scale}L, 1L)"
+    )
+    h = nodes.select("id", F.lit(scale).cast("long").alias("h"))
+    for _ in range(iters):
+        araw = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").cast("long").alias("raw"))
+        )
+        ta = araw.agg(F.sum("raw").cast("long").alias("t"))
+        a = (
+            nodes.join(araw, "id", "left")
+            .crossJoin(F.broadcast(ta))
+            .select("id", F.expr(norm).alias("a"))
+            .transform(ck)
+        )
+        hraw = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").cast("long").alias("raw"))
+        )
+        th = hraw.agg(F.sum("raw").cast("long").alias("t"))
+        h = (
+            nodes.join(hraw, "id", "left")
+            .crossJoin(F.broadcast(th))
+            .select("id", F.expr(norm).alias("h"))
+            .transform(ck)
+        )
+    return (
+        nodes.join(h.withColumnRenamed("h", "hub_scaled"), "id")
+        .join(a.withColumnRenamed("a", "auth_scaled"), "id")
+        .select("id", "hub_scaled", "auth_scaled")
+    )
+
+
 def triangle_stats(
     edges: DataFrame,
     src_col: str = "src",

@@ -46,6 +46,7 @@ _ROUND_PRIORITY = [
     "q_potential_promotion",
     "q_profit_by_nation",
     "q_warc_reader_contract",
+    "q_host_hits",
     "q_weighted_sample",  # recheck (last green r3)
     "q_training_data_build",  # recheck (last green r3)
     "q_classifier_inference",  # recheck (last green r3)
@@ -90,7 +91,6 @@ _ROUND_PRIORITY = [
     "q_interarrival_stats",  # recheck (last green r4)
     "q_iqr_outliers",  # recheck (last green r4)
     "q_join_key_skew",  # recheck (last green r4)
-    "q_join_size_sketch",  # recheck (last green r4)
 ]
 
 

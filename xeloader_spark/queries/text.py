@@ -821,6 +821,26 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("host"), "rank_micro", "rank")
 
 
+_HITS_ITERS = 4
+_HITS_SCALE = 10**9
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the host link graph
+    (`operators/graph.hits`) — the second classic web-centrality rank
+    beside `q_host_pagerank`: authority = per-host content-quality
+    prior, hub = directory/aggregator hosts worth re-crawling for
+    frontier discovery. Integer-exact two-step-floor normalization, so
+    all four rounds unroll bit-exactly into the oracle's CTEs."""
+    from ..operators.graph import hits
+
+    docs = _link_docs(spark, sf_dir)
+    edges = _host_edges(docs)
+    return hits(edges, iters=_HITS_ITERS, scale=_HITS_SCALE).select(
+        F.col("id").alias("host"), "hub_scaled", "auth_scaled"
+    )
+
+
 def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl family composed END-TO-END in one oracle-checked plan
     — one full crawl hop: archived pages (WARC/1.0 response records
@@ -2345,6 +2365,71 @@ def _host_pagerank_sql() -> str:
 
 
 ORACLES["q_host_pagerank"] = _host_pagerank_sql()
+
+
+def _hits_sql(iters: int, scale: int, edges_sql: str, id_alias: str) -> str:
+    """Unroll the integer HITS fixed point (`operators/graph.hits`):
+    per round, authority raw-sums from current hubs + 1-row total +
+    two-step floor normalization, then hubs from the NEW authorities —
+    one CTE chain, bit-exact in both engines (BIGINT sums cast out of
+    DuckDB's HUGEINT, `//` == Spark `div` floor semantics on
+    non-negative values)."""
+    head = f"""
+        WITH edges AS (SELECT src, dst FROM ({edges_sql})),
+        nodes AS (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges
+            )
+        ),
+        h0 AS (SELECT id, CAST({scale} AS BIGINT) AS h FROM nodes)"""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f""",
+        ar{i} AS (
+            SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS raw
+            FROM edges e JOIN h{i} h ON h.id = e.src GROUP BY 1
+        ),
+        at{i} AS (
+            SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS t FROM ar{i}
+        ),
+        a{i + 1} AS (
+            SELECT n.id,
+                   CAST(COALESCE(ar.raw, 0)
+                        // GREATEST(t // {scale}, 1) AS BIGINT) AS a
+            FROM nodes n CROSS JOIN at{i} LEFT JOIN ar{i} ar ON ar.id = n.id
+        ),
+        hr{i} AS (
+            SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS raw
+            FROM edges e JOIN a{i + 1} a ON a.id = e.dst GROUP BY 1
+        ),
+        ht{i} AS (
+            SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS t FROM hr{i}
+        ),
+        h{i + 1} AS (
+            SELECT n.id,
+                   CAST(COALESCE(hr.raw, 0)
+                        // GREATEST(t // {scale}, 1) AS BIGINT) AS h
+            FROM nodes n CROSS JOIN ht{i} LEFT JOIN hr{i} hr ON hr.id = n.id
+        )""")
+    tail = f"""
+        SELECT n.id AS {id_alias},
+               hf.h AS hub_scaled,
+               af.a AS auth_scaled
+        FROM nodes n
+        JOIN h{iters} hf ON hf.id = n.id
+        JOIN a{iters} af ON af.id = n.id
+    """
+    return head + "".join(rounds) + tail
+
+
+ORACLES["q_host_hits"] = _hits_sql(
+    _HITS_ITERS,
+    _HITS_SCALE,
+    "SELECT DISTINCT src_host AS src, dst_host AS dst "
+    f"FROM ({_link_rows_sql()})",
+    "host",
+)
 
 
 def _host_harmonic_sql() -> str:
