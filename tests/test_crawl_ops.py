@@ -1,0 +1,198 @@
+"""Unit pins for the round-9 crawl-planning operators: redirect
+resolution (pointer doubling), anchor extraction, sitemap parsing, and
+rendezvous sharding. Cross-engine value parity for the registered
+queries lives in test_oracle_parity.py; these pin the operator-level
+contracts the sweep can't see (plan shapes, hostile inputs, the HRW
+stability property across every possible lost shard)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from xeloader_spark.operators.crawl import (
+    HRW_DUCK,
+    hrw_shard_sql,
+    parse_sitemap,
+    redirects_oracle_sql,
+    rendezvous_assign,
+    resolve_redirects,
+)
+from xeloader_spark.operators.links import extract_anchors
+from xeloader_spark.plans.inspect import count_exchanges
+
+_EDGES = [
+    (5, 4), (4, 3), (3, 2), (2, 1), (1, 0),  # 5-hop chain into u0
+    (10, 11), (11, 12), (12, 10),  # 3-cycle
+    (13, 10),  # feeder walking into the cycle
+    (20, 21),  # 1-hop
+]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(
+        [(f"u{a}", f"u{b}") for a, b in _EDGES], "src string, dst string"
+    )
+
+
+def _resolve_rows(spark, **kw):
+    out = resolve_redirects(_edge_df(spark), max_hops=8, **kw)
+    return sorted(
+        (r.url, r.terminal_url, r.n_hops, r.resolved) for r in out.collect()
+    )
+
+
+EXPECTED = sorted(
+    [
+        ("u1", "u0", 1, True),
+        ("u2", "u0", 2, True),
+        ("u3", "u0", 3, True),
+        ("u4", "u0", 4, True),
+        ("u5", "u0", 5, True),
+        ("u20", "u21", 1, True),
+        # cycle members + the feeder: unresolved, exactly max_hops walked
+        ("u10", None, 8, False),
+        ("u11", None, 8, False),
+        ("u12", None, 8, False),
+        ("u13", None, 8, False),
+    ]
+)
+
+
+def test_resolve_redirects_chains_and_cycle(spark):
+    assert _resolve_rows(spark) == EXPECTED
+
+
+def test_resolve_redirects_reliable_checkpoint_identical(spark, tmp_path):
+    # the checkpoint_dir knob changes fault tolerance, never values
+    assert _resolve_rows(spark, checkpoint_dir=str(tmp_path)) == EXPECTED
+
+
+def test_resolve_redirects_matches_linear_oracle(spark):
+    vals = ", ".join(f"('u{a}','u{b}')" for a, b in _EDGES)
+    sql = redirects_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", 8
+    )
+    con = duckdb.connect()
+    try:
+        rows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    finally:
+        con.close()
+    assert rows == EXPECTED
+
+
+def test_resolve_redirects_rejects_non_power_of_two(spark):
+    with pytest.raises(ValueError):
+        resolve_redirects(_edge_df(spark), max_hops=6)
+    with pytest.raises(ValueError):
+        resolve_redirects(_edge_df(spark), max_hops=1)
+
+
+def test_resolve_redirects_plan_is_log_rounds(spark):
+    # doubling: 3 state self-joins for 8 hops; each round truncates, so
+    # the final frame's plan holds ONE join over two truncated sides —
+    # O(1) in max_hops, never the 8-join linear unroll
+    out = resolve_redirects(_edge_df(spark), max_hops=8)
+    assert count_exchanges(out) <= 4
+
+
+ANCHOR_HTML = (
+    "<html><body>"
+    '<A CLASS="m" HREF="HTTPS://WWW.SRC3.COM/Top/">  best picks </A>'
+    '<a href="/x/1">more here</a>'
+    '<a data-href="https://decoy.invalid/x">decoy</a>'
+    '<a href="#top">frag</a>'
+    '<a href="mailto:a@b.co">mail</a>'
+    '<a rel="next" href="https://other.org/p?q=1">next page</a>'
+    "</body></html>"
+)
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    df = spark.createDataFrame(
+        [(1, "www.me.com", ANCHOR_HTML)],
+        "doc_id long, src_host string, html string",
+    )
+    rows = sorted(
+        (r.href, r.anchor_text, r.dst_host)
+        for r in extract_anchors(df).collect()
+    )
+    assert rows == sorted(
+        [
+            # upper-case tag + scheme resolve; text trimmed
+            ("HTTPS://WWW.SRC3.COM/Top/", "best picks", "www.src3.com"),
+            ("/x/1", "more here", "www.me.com"),
+            ("https://other.org/p?q=1", "next page", "other.org"),
+        ]
+    )
+    # decoy data-href, fragment, mailto never became rows
+
+
+def test_extract_anchors_zero_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, "h", ANCHOR_HTML)], "doc_id long, src_host string, html string"
+    )
+    assert count_exchanges(extract_anchors(df)) == 0
+
+
+SITEMAP = (
+    '<?xml version="1.0"?><urlset>'
+    "<url><loc>https://a/1</loc><lastmod>2026-01-02</lastmod>"
+    "<priority>0.8</priority></url>"
+    "<url>\n  <loc>https://a/2</loc>\n</url>"
+    "<url><lastmod>2026-01-03</lastmod></url>"  # loc-less: dropped
+    "</urlset>"
+)
+
+
+def test_parse_sitemap_fields_and_loud_nulls(spark):
+    df = spark.createDataFrame(
+        [("h1", SITEMAP)], "host string, sitemap_xml string"
+    )
+    rows = sorted(
+        (r.host, r.loc, r.lastmod, r.priority)
+        for r in parse_sitemap(df).collect()
+    )
+    assert rows == [
+        ("h1", "https://a/1", "2026-01-02", "0.8"),
+        ("h1", "https://a/2", None, None),
+    ]
+
+
+def test_parse_sitemap_zero_shuffle(spark):
+    df = spark.createDataFrame(
+        [("h1", SITEMAP)], "host string, sitemap_xml string"
+    )
+    assert count_exchanges(parse_sitemap(df)) == 0
+
+
+def _hrw_assignments(spark, n_keys=64, n_shards=5, exclude=None):
+    df = spark.range(n_keys).selectExpr(
+        "concat('host-', CAST(id AS STRING)) AS host"
+    )
+    out = rendezvous_assign(
+        df, n_shards, exclude=frozenset(exclude) if exclude else None
+    )
+    return {r.host: r.shard for r in out.collect()}
+
+
+def test_rendezvous_minimal_disruption_every_lost_shard(spark):
+    # THE HRW property, checked exhaustively: for each possible lost
+    # shard, exactly the keys it owned move — nobody else
+    full = _hrw_assignments(spark)
+    assert set(full.values()) == set(range(5))  # every shard owns keys
+    for lost in range(5):
+        after = _hrw_assignments(spark, exclude={lost})
+        for host, s in full.items():
+            if s == lost:
+                assert after[host] != lost
+            else:
+                assert after[host] == s, (host, lost)
+
+
+def test_rendezvous_zero_shuffle_and_validation(spark):
+    df = spark.range(4).selectExpr("CAST(id AS STRING) AS host")
+    assert count_exchanges(rendezvous_assign(df, 8)) == 0
+    with pytest.raises(ValueError):
+        hrw_shard_sql(HRW_DUCK, "host", [])

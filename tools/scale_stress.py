@@ -57,9 +57,38 @@ DELIBERATE = {
         "(same edges, register-table rounds) is the registered 100 TB "
         "path and this exact form is the bounded-host validation twin"
     ),
+    "redirect_linear_chainlen": (
+        "deliberate linear-follow contrast (r9): the oracle's "
+        "one-edge-per-step formulation run AS the Spark plan — join "
+        "count grows with chain length (8K joins at K); at K=16 "
+        "(128 joins) the plan does not run AT ALL (analyzer "
+        "max-iterations at the default, whole-stage-codegen "
+        "StackOverflowError with it raised — recorded in `errors`); "
+        "compare redirect_doubling_chainlen (same edges, same "
+        "semantics, log2(8K) rounds), the measured reason "
+        "resolve_redirects uses doubling"
+    ),
 }
 
 N_GRAPH_NODES = 2000  # fixed node set for the graph-density axis
+N_REDIR_NODES = 20000  # fixed src-URL set for the chain-length axis
+
+
+def redirect_chain_edges(spark, k: int):
+    """CHAIN-LENGTH stress edges (nodes CONSTANT, chain length = 8·K):
+    node n redirects to n-1 except at multiples of 8K (the terminals),
+    so the edge count stays ~constant while the longest chain grows
+    8 → 32 → 128. Pointer doubling's round count is log2(8K) — the
+    thing being measured — while the linear follow's is 8K."""
+    period = 8 * k
+    return (
+        spark.range(N_REDIR_NODES)
+        .filter(F.col("id") % period != 0)
+        .select(
+            F.concat(F.lit("u"), F.col("id")).alias("src"),
+            F.concat(F.lit("u"), F.col("id") - 1).alias("dst"),
+        )
+    )
 
 
 def graph_density_edges(spark, k: int):
@@ -268,6 +297,20 @@ def main() -> None:
     _LINK_AGREE = [("l_name", "r_name", 4), ("l_seg", "r_seg", 2),
                    ("l_bal", "r_bal", 3)]
 
+    from xeloader_spark.operators import crawl as cr
+
+    def _redirect_linear(k: int):
+        inputs[k]["redir"].createOrReplaceTempView("_redir_edges")
+        # raise the (tunable) analyzer cap so the recorded K=16 failure
+        # is the fundamental one: whole-stage codegen StackOverflowError
+        # on a 128-deep join tree, not a config default
+        spark.conf.set("spark.sql.analyzer.maxIterations", "1000")
+        return spark.sql(
+            cr.redirects_oracle_sql(
+                "SELECT src, dst FROM _redir_edges", 8 * k
+            )
+        ).filter("n_hops >= 1")
+
     def _link(k: int, hot: bool):
         left, right = linkage_frames(inputs[k]["cust"], hot=hot)
         return blocked_link(
@@ -377,6 +420,16 @@ def main() -> None:
         "harmonic_exact_density": lambda k: gr.harmonic_centrality(
             inputs[k]["graph"], rounds=4
         ).filter("harmonic_scaled >= 0 AND n_reaching >= 0"),
+        # r9 CHAIN-LENGTH axis: src URLs constant (~20k), longest chain
+        # = 8K. Pointer doubling resolves in log2(8K) self-joins (3/5/7
+        # rounds — expected strongly sub-linear) ...
+        "redirect_doubling_chainlen": lambda k: cr.resolve_redirects(
+            inputs[k]["redir"], max_hops=8 * k
+        ).filter("n_hops >= 1"),
+        # ... vs the linear one-edge-per-step follow (the oracle
+        # formulation, run as a Spark plan over the same edges): 8K
+        # chained joins (DELIBERATE; see NOTES)
+        "redirect_linear_chainlen": lambda k: _redirect_linear(k),
     }
     _FILE_CONF_DEFAULTS = {
         key: spark.conf.get(key)
@@ -416,6 +469,7 @@ def main() -> None:
                 docs0, DOCLEN_ROWS, doclen_base, k
             ).localCheckpoint(),
             "graph": graph_density_edges(spark, k).localCheckpoint(),
+            "redir": redirect_chain_edges(spark, k).localCheckpoint(),
         }
         for k in KS
     }
@@ -434,10 +488,23 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for name, mk in OPS.items():
-        rows_at, secs_at = {}, {}
+        rows_at, secs_at, errs = {}, {}, {}
         for k in KS:
             t0 = time.perf_counter()
-            n = mk(k).count()
+            try:
+                n = mk(k).count()
+            except Exception as exc:  # a K that cannot even run IS data
+                dt = time.perf_counter() - t0
+                rows_at[k], secs_at[k] = None, None
+                errs[str(k)] = " | ".join(str(exc).splitlines()[:2])[:200]
+                _restore_file_confs()
+                dd.release_persisted()
+                print(
+                    f"[stress] {name} K={k}: FAILED after {dt:.2f}s "
+                    f"({errs[str(k)]})",
+                    file=sys.stderr, flush=True,
+                )
+                continue
             dt = time.perf_counter() - t0
             rows_at[k], secs_at[k] = n, round(dt, 3)
             _restore_file_confs()  # warc reader ops shrink split confs
@@ -448,19 +515,25 @@ def main() -> None:
             )
         exp16 = (
             round(math.log(secs_at[16] / secs_at[1]) / math.log(16), 3)
-            if secs_at[1] > 0
+            if secs_at.get(1) and secs_at.get(16)
             else None
         )
         rec = {
             "seconds": {str(k): secs_at[k] for k in KS},
             "rows": {str(k): rows_at[k] for k in KS},
             "exp16": exp16,
+            # an op is flagged when it scales past the cap OR cannot
+            # complete a K at all — unless that is the documented point
             "flag": bool(
-                exp16 is not None
-                and exp16 > FLAG_EXPONENT
+                (
+                    (exp16 is not None and exp16 > FLAG_EXPONENT)
+                    or errs
+                )
                 and name not in DELIBERATE
             ),
         }
+        if errs:
+            rec["errors"] = errs
         if name in DELIBERATE:
             rec["note"] = DELIBERATE[name]
         if name == "token_diversity_doclen":
@@ -479,6 +552,16 @@ def main() -> None:
                 " whose reachable-pair frame heads to n^2. The register-"
                 "table-vs-pair-frame contrast is WHY hyperball_harmonic"
                 " is the registered 100 TB centrality path"
+            )
+        if name == "redirect_doubling_chainlen":
+            rec["note"] = (
+                f"CHAIN-LENGTH axis: {N_REDIR_NODES} src URLs constant,"
+                " longest chain = 8*K (8/32/128); pointer doubling runs"
+                " log2(8K) self-joins (3/5/7), so time tracks the round"
+                " count, not the chain length — compare"
+                " redirect_linear_chainlen (same edges, 8K chained"
+                " joins), the measured reason resolve_redirects uses"
+                " doubling"
             )
         if name.startswith("warc_parse_"):
             rec["note"] = (

@@ -1,0 +1,245 @@
+"""Crawl-planning operators — redirect resolution, sitemap discovery,
+and fetcher sharding: the second half of the crawl family (round 9).
+
+Round 8 built the archive→graph read side (WARC records → links →
+host centrality); these three operators are the PLANNING side a real
+crawler runs between hops, each re-expressed Spark-first:
+
+- `resolve_redirects` — HTTP redirect chains (301/302/308 maps) folded
+  to their terminal URL by POINTER DOUBLING: O(log max_hops) self
+  equi-joins over slim (url, cur) pairs instead of O(max_hops) linear
+  follows — the connected-components trick applied to the functional
+  graph. A 100 TB crawl's redirect map is billions of rows; 3 joins vs
+  8 matters, and every round is an equi-join on a URL key (AQE-
+  planable, skew-saltable), never a driver-side walk.
+- `parse_sitemap` — sitemap.xml → typed (loc, lastmod, priority) rows
+  with ONE regexp_extract_all + explode, the reference's opaque
+  container → typed rows premise (XELoader/FileProcessor.cs:203)
+  applied to the crawl's discovery channel. Zero shuffles.
+- `rendezvous_assign` — highest-random-weight (rendezvous / HRW)
+  hashing of hosts onto fetcher shards. The shard is a PURE FUNCTION
+  of (key, live-shard set): argmax over per-shard md5 scores, computed
+  as one zero-shuffle HOF projection — no coordination table, no
+  window, no join. The HRW property is the whole point at fleet
+  scale: when a fetcher dies, ONLY the keys it owned move (a mod-N
+  hash remaps (N-1)/N of all keys and dumps every politeness queue in
+  the fleet); `q_rendezvous_shards` pins exactly that invariant.
+
+Shared-template discipline (the `sources/warc.py` pattern): the HRW
+expression is rendered from one builder for both engines; redirect
+resolution ships `redirects_oracle_sql`, the linear-unroll replay whose
+results are proven step-exact against the doubling plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.truncate import round_truncate
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Resolve every source URL in a redirect map to its terminal URL.
+
+    `edges` is a FUNCTIONAL map — at most one `dst` per `src` (an HTTP
+    server sends one Location header); the caller owns that contract
+    (dedupe upstream if a crawl observed conflicting redirects).
+
+    Returns one row per distinct src: (url, terminal_url, n_hops,
+    resolved). `terminal_url` is the first URL in the chain with no
+    outgoing redirect; `n_hops` the exact edge count walked to reach
+    it. Chains that do not terminate within `max_hops` — loops, or
+    genuinely longer chains (browsers cap around 20; crawlers lower) —
+    come back resolved=false, terminal_url NULL, n_hops = max_hops.
+
+    Pointer doubling: state(u) = (cur, steps, done) where cur is the
+    node `steps` edges down u's chain and done means cur has no
+    outgoing edge. Each round substitutes state(cur) into state(u),
+    doubling the walked distance of every unfinished row — so
+    log2(max_hops) self-joins cover max_hops hops, with `steps` kept
+    EXACT by summing the two walk lengths (never-finished rows double
+    1→2→…→max_hops, which is why max_hops must be a power of two: the
+    linear oracle counts the same walk one edge at a time and lands on
+    the identical n_hops). Per-round lineage truncation goes through
+    `round_truncate` (`checkpoint_dir` switches executor-local
+    blocks to reliable checkpoints at cluster scale)."""
+    rounds = max_hops.bit_length() - 1
+    if max_hops < 2 or 2**rounds != max_hops:
+        raise ValueError(f"max_hops must be a power of two >= 2: {max_hops}")
+    e = edges.select(F.col(src_col).alias("url"), F.col(dst_col).alias("cur"))
+    srcs = e.select(F.col("url").alias("_s")).distinct()
+    state = e.join(srcs, e["cur"] == srcs["_s"], "left").select(
+        "url",
+        "cur",
+        F.lit(1).cast("long").alias("steps"),
+        F.col("_s").isNull().alias("done"),
+    )
+    state = round_truncate(state, checkpoint_dir)
+    for _ in range(rounds):
+        nxt = state.select(
+            F.col("url").alias("_u2"),
+            F.col("cur").alias("_c2"),
+            F.col("steps").alias("_s2"),
+            F.col("done").alias("_d2"),
+        )
+        # a not-done row's cur has an outgoing edge, i.e. cur IS a src,
+        # so the join always matches exactly one state row; done rows
+        # match nothing (their cur left the src set) and pass through
+        state = state.join(nxt, state["cur"] == nxt["_u2"], "left").select(
+            "url",
+            F.when(F.col("done"), F.col("cur"))
+            .otherwise(F.col("_c2"))
+            .alias("cur"),
+            F.when(F.col("done"), F.col("steps"))
+            .otherwise(F.col("steps") + F.col("_s2"))
+            .alias("steps"),
+            F.when(F.col("done"), F.lit(True))
+            .otherwise(F.col("_d2"))
+            .alias("done"),
+        )
+        state = round_truncate(state, checkpoint_dir)
+    return state.select(
+        "url",
+        F.when(F.col("done"), F.col("cur")).alias("terminal_url"),
+        F.col("steps").alias("n_hops"),
+        F.col("done").alias("resolved"),
+    )
+
+
+def redirects_oracle_sql(edges_sql: str, max_hops: int = 8) -> str:
+    """The linear-follow replay of `resolve_redirects` as one ANSI CTE
+    chain (runs in DuckDB and Spark SQL alike): init walks edge 1, each
+    subsequent CTE walks one more edge for unfinished rows. Step-exact
+    against the doubling plan because max_hops is a power of two (the
+    operator validates) — finished rows carry the true chain length in
+    both formulations, unfinished rows land on exactly max_hops."""
+    steps = [
+        f"""
+        e AS (SELECT src, dst FROM ({edges_sql})),
+        sset AS (SELECT DISTINCT src FROM e),
+        s0 AS (
+            SELECT e.src AS url, e.dst AS cur, CAST(1 AS BIGINT) AS steps,
+                   s.src IS NULL AS done
+            FROM e LEFT JOIN sset s ON e.dst = s.src
+        )"""
+    ]
+    for i in range(1, max_hops):
+        steps.append(
+            f"""
+        s{i} AS (
+            SELECT s.url,
+                   CASE WHEN s.done THEN s.cur ELSE e.dst END AS cur,
+                   CAST(CASE WHEN s.done THEN s.steps
+                        ELSE s.steps + 1 END AS BIGINT) AS steps,
+                   CASE WHEN s.done THEN TRUE
+                        ELSE s2.src IS NULL END AS done
+            FROM s{i - 1} s
+            LEFT JOIN e ON NOT s.done AND s.cur = e.src
+            LEFT JOIN sset s2 ON e.dst = s2.src
+        )"""
+        )
+    return (
+        "WITH "
+        + ",".join(steps)
+        + f"""
+        SELECT url,
+               CASE WHEN done THEN cur END AS terminal_url,
+               steps AS n_hops,
+               done AS resolved
+        FROM s{max_hops - 1}
+    """
+    )
+
+
+# one <url>…</url> element; (?s) so entries formatted across lines
+# still parse, non-greedy so adjacent entries never merge
+SITEMAP_URL_RE = "(?s)<url>.*?</url>"
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """Sitemap XML → one row per <url> entry: (…, loc, lastmod,
+    priority), keeping every other input column (host, fetch time —
+    the lineage the frontier needs). Missing optional fields are NULL,
+    not '' (regexp_extract's no-match empty string is nullif'd — the
+    loud-NULL contract every reader in this repo follows). Zero
+    shuffles: extract_all + explode + three per-element extracts in
+    one codegen stage; the XML blob never outlives its task."""
+    blocks = df.select(
+        "*",
+        F.explode(
+            F.expr(f"regexp_extract_all({xml_col}, '{SITEMAP_URL_RE}', 0)")
+        ).alias("_u"),
+    ).drop(xml_col)
+    out = blocks.select(
+        "*",
+        F.expr(
+            "nullif(regexp_extract(_u, '<loc>([^<]*)</loc>', 1), '')"
+        ).alias("loc"),
+        F.expr(
+            "nullif(regexp_extract(_u, '<lastmod>([^<]*)</lastmod>', 1), '')"
+        ).alias("lastmod"),
+        F.expr(
+            "nullif(regexp_extract(_u, '<priority>([^<]*)</priority>', 1),"
+            " '')"
+        ).alias("priority"),
+    )
+    return out.drop("_u").filter(F.col("loc").isNotNull())
+
+
+# HRW dialect hooks: literal int-array + lambda-transform + "pick the
+# max struct" (struct comparison is lexicographic in both engines — the
+# same ordering trick operators/robots.py leans on)
+HRW_SPARK = {
+    "arr": lambda ints: "array(" + ", ".join(str(i) for i in ints) + ")",
+    "transform": lambda arr, lam: f"transform({arr}, {lam})",
+    "best": lambda arr: f"try_element_at(reverse(array_sort({arr})), 1)",
+    "s": lambda x: f"CAST({x} AS STRING)",
+    "mk": lambda sc, i: f"named_struct('sc', {sc}, 'i', {i})",
+}
+HRW_DUCK = {
+    "arr": lambda ints: "[" + ", ".join(str(i) for i in ints) + "]",
+    "transform": lambda arr, lam: f"list_transform({arr}, {lam})",
+    "best": lambda arr: f"(list_reverse(list_sort({arr})))[1]",
+    "s": lambda x: f"CAST({x} AS VARCHAR)",
+    "mk": lambda sc, i: f"{{'sc': {sc}, 'i': {i}}}",
+}
+
+
+def hrw_shard_sql(d: dict, key_sql: str, shard_ids: list[int]) -> str:
+    """Rendezvous (HRW) shard pick as ONE dialect-parametric expression:
+    score every live shard id with md5(key '#' id), take the argmax
+    (ties — md5 collisions — broken by the higher id, deterministically;
+    never observed, but the ordering must be total). Zero shuffles,
+    zero joins: the assignment is a pure per-row function, which is
+    exactly why HRW needs no coordination service at fleet scale."""
+    if not shard_ids:
+        raise ValueError("shard_ids must be non-empty")
+    scored = d["transform"](
+        d["arr"](sorted(shard_ids)),
+        "i -> "
+        + d["mk"](f"md5(concat({key_sql}, '#', {d['s']('i')}))", "i"),
+    )
+    return f"CAST(({d['best'](scored)}).i AS BIGINT)"
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "host",
+    out_col: str = "shard",
+    exclude: frozenset[int] | None = None,
+) -> DataFrame:
+    """Assign each row's key to a fetcher shard by rendezvous hashing
+    over shards 0..n_shards-1 minus `exclude` (the dead-fetcher set).
+    Minimal-disruption guarantee (pinned by `q_rendezvous_shards`):
+    removing a shard moves ONLY the keys that shard owned — every
+    other key's argmax is untouched because its scores didn't change."""
+    ids = [i for i in range(n_shards) if not exclude or i not in exclude]
+    return df.withColumn(out_col, F.expr(hrw_shard_sql(HRW_SPARK, key_col, ids)))

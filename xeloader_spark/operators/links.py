@@ -101,6 +101,50 @@ def extract_links(
     )
 
 
+# the full anchor ELEMENT (open tag + text + close), group 0: same
+# attribute-boundary discipline as HREF_RE, anchor text restricted to
+# non-'<' characters (nested markup inside <a> is the documented
+# simplification — the string-level extractor again), any-case </a>.
+# Literal whitespace characters for the same two-dialect-embedding
+# reason as HREF_RE.
+ANCHOR_RE = (
+    '(?i)<a[ \t\r\n](?:[^>]*?[ \t\r\n])?href="[^"]*"[^>]*>[^<]*</a>'
+)
+# within one extracted element: the text between '>' and the close tag
+ANCHOR_TEXT_RE = "(?i)>([^<]*)</a>$"
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", src_host_col: str = "src_host"
+) -> DataFrame:
+    """Per-document anchor rows: (…, href, anchor_text, dst_url,
+    dst_host) — link extraction WITH the anchor text, the classic
+    web-search relevance signal (what other pages *call* a URL). Same
+    zero-shuffle shape as `extract_links`: one regexp_extract_all over
+    the page, explode, per-element extracts and the shared resolution
+    CASE, all in one codegen stage."""
+    exploded = df.select(
+        "*",
+        F.explode(
+            F.expr(f"regexp_extract_all({html_col}, '{ANCHOR_RE}', 0)")
+        ).alias("_a"),
+    ).drop(html_col)
+    resolved = (
+        exploded.withColumn(
+            "href", F.expr(f"regexp_extract(_a, '{HREF_RE}', 1)")
+        )
+        .withColumn(
+            "anchor_text",
+            F.expr(f"trim(regexp_extract(_a, '{ANCHOR_TEXT_RE}', 1))"),
+        )
+        .drop("_a")
+        .withColumn("dst_url", F.expr(resolve_href_sql("href", src_host_col)))
+    )
+    return resolved.filter(F.col("dst_url").isNotNull()).withColumn(
+        "dst_host", F.expr(dst_host_sql("dst_url"))
+    )
+
+
 def decode_numeric_refs_sql(d: dict, text_sql: str) -> str:
     """Decode HTML numeric character references — `&#8217;` and
     `&#x2019;` style — as ONE dialect-parametric expression (r9,

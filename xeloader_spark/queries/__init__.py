@@ -47,6 +47,10 @@ _ROUND_PRIORITY = [
     "q_profit_by_nation",
     "q_warc_reader_contract",
     "q_host_hits",
+    "q_anchor_text",
+    "q_redirect_resolution",
+    "q_rendezvous_shards",
+    "q_sitemap_seed",
     "q_weighted_sample",  # recheck (last green r3)
     "q_training_data_build",  # recheck (last green r3)
     "q_classifier_inference",  # recheck (last green r3)
@@ -87,10 +91,6 @@ _ROUND_PRIORITY = [
     "q_hll_intersection",  # recheck (last green r4)
     "q_hopping_window_agg",  # recheck (last green r4)
     "q_hourly_autocorrelation",  # recheck (last green r4)
-    "q_incremental_rollup",  # recheck (last green r4)
-    "q_interarrival_stats",  # recheck (last green r4)
-    "q_iqr_outliers",  # recheck (last green r4)
-    "q_join_key_skew",  # recheck (last green r4)
 ]
 
 
@@ -128,6 +128,7 @@ def _modules():
         "sampling",
         "pipeline",
         "classify",
+        "crawl",
     ):
         try:
             mods.append(__import__(f"{__name__}.{modname}", fromlist=[modname]))

@@ -1,0 +1,405 @@
+"""Crawl-planning queries (round 9) — the scheduling half of the crawl
+family: redirect-map resolution, sitemap discovery feeding the
+frontier, anchor-text relevance signals, and rendezvous fetcher
+sharding. Each derives its input deterministically in-plan from the
+`documents` fixture (the URL/HTML-seeding discipline of
+`queries/text.py`) and carries an exact DuckDB oracle rendered from
+the SAME SQL templates as the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.crawl import (
+    HRW_DUCK,
+    hrw_shard_sql,
+    parse_sitemap,
+    redirects_oracle_sql,
+    rendezvous_assign,
+    resolve_redirects,
+)
+from ..operators.links import (
+    ANCHOR_RE,
+    ANCHOR_TEXT_RE,
+    HREF_RE,
+    dst_host_sql,
+    resolve_href_sql,
+)
+from ..operators.robots import DUCK_D, robots_exprs, robots_filter
+from .text import _ROBOTS_RULES, _SRC_HOST
+
+ORACLES: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# redirect resolution
+
+# Redirect map seeded from doc_id arithmetic: nodes 0..119, every node
+# not a multiple of 8 redirects one step down (chains up to 7 hops into
+# terminals 0,8,16,…), EXCEPT 41→42→43→41 — a deliberate 3-cycle whose
+# members and feeders (44..47 walk into it) must come back unresolved.
+_REDIR_CASE = (
+    "CASE WHEN n = 41 THEN 42 WHEN n = 42 THEN 43 WHEN n = 43 THEN 41 "
+    "WHEN n % 8 <> 0 THEN n - 1 END"
+)
+_REDIR_HOPS = 8
+
+
+def _r_url(n_sql: str, s_type: str) -> str:
+    return (
+        f"concat('https://www.src', CAST(({n_sql}) % 20 AS {s_type}), "
+        f"'.com/r/', CAST({n_sql} AS {s_type}))"
+    )
+
+
+def _redirect_edges_sql(s_type: str) -> str:
+    """The seeded redirect map as SQL over `documents` (DuckDB form;
+    the Spark plan builds the identical frame from the same templates
+    with DataFrame ops)."""
+    return f"""
+        SELECT {_r_url("n", s_type)} AS src,
+               {_r_url("dst_n", s_type)} AS dst
+        FROM (
+            SELECT n, {_REDIR_CASE} AS dst_n
+            FROM (SELECT DISTINCT doc_id % 120 AS n FROM documents)
+        ) WHERE dst_n IS NOT NULL
+    """
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect chains folded to terminal URLs by pointer doubling
+    (`operators/crawl.resolve_redirects`) — the crawl's URL-identity
+    step: a frontier that doesn't resolve redirects fetches the same
+    page once per alias and poisons its dedup keys. log2(8)=3 slim
+    self equi-joins cover 8 hops (the linear walk is the oracle);
+    loops and over-long chains come back resolved=false with NULL
+    terminal — never an infinite job."""
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select((F.col("doc_id") % 120).alias("n")).distinct()
+    edges = (
+        nodes.withColumn("dst_n", F.expr(_REDIR_CASE))
+        .filter(F.col("dst_n").isNotNull())
+        .selectExpr(
+            f"{_r_url('n', 'STRING')} AS src",
+            f"{_r_url('dst_n', 'STRING')} AS dst",
+        )
+    )
+    return resolve_redirects(edges, max_hops=_REDIR_HOPS)
+
+
+ORACLES["q_redirect_resolution"] = redirects_oracle_sql(
+    _redirect_edges_sql("VARCHAR"), _REDIR_HOPS
+)
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+
+# Anchor-seeded pages: multi-word anchor texts (the signal being
+# aggregated), any-case tags and an upper-case absolute scheme (the
+# ADVICE r8 cases), plus the two drop classes (mailto:, fragment).
+def _anchor_html_sql(s_type: str) -> str:
+    return f"""
+    concat(
+      '<html><body>',
+      '<a href="https://www.src',
+      CAST(1 + (doc_id * 7 + 3) % 10 AS {s_type}),
+      '.com/g/', CAST(doc_id % 31 AS {s_type}),
+      '">read the full guide</a>',
+      '<p>', substr(text, 1, 30), '</p>',
+      '<a class="nav" href="/local/', CAST(doc_id % 17 AS {s_type}),
+      '">more from this site</a>',
+      CASE WHEN doc_id % 3 = 0
+           THEN concat('<A HREF="HTTPS://WWW.SRC',
+                       CAST(1 + (doc_id * 5 + 1) % 10 AS {s_type}),
+                       '.COM/Top/">best ', source, ' picks</A>')
+           ELSE '' END,
+      CASE WHEN doc_id % 4 = 1
+           THEN concat('<a href="https://www.src',
+                       CAST(1 + doc_id % 10 AS {s_type}),
+                       '.com/news">breaking news today</a>')
+           ELSE '' END,
+      '<a href="mailto:x@y.z">contact us</a>',
+      '<a href="#top">back to top</a>',
+      '</body></html>')
+    """
+
+
+_TOP_TERMS = 3
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (`operators/links.extract_anchors`) —
+    what the web *calls* each host, the classic off-page relevance
+    signal (anchor terms describe the target better than the target's
+    own boilerplate): anchors extracted WITH their text in one
+    zero-shuffle pass, resolved through the shared href CASE, then one
+    (dst_host, term) aggregate and a top-3-per-host rank window
+    (count desc, term asc — total order, so the selected set is
+    engine-independent). Two slim shuffles; pages never move."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SRC_HOST).alias("src_host"),
+        F.expr(_anchor_html_sql("STRING")).alias("html"),
+    )
+    from ..operators.links import extract_anchors
+
+    terms = (
+        extract_anchors(docs)
+        .select(
+            "dst_host",
+            F.explode(F.split(F.lower("anchor_text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    agg = terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+    return agg.withColumn(
+        "rnk",
+        F.expr(
+            "CAST(row_number() OVER (PARTITION BY dst_host "
+            "ORDER BY n_refs DESC, term ASC) AS BIGINT)"
+        ),
+    ).filter(F.col("rnk") <= _TOP_TERMS)
+
+
+def _anchor_text_sql() -> str:
+    resolved = resolve_href_sql("href", "src_host")
+    return f"""
+        WITH el AS (
+            SELECT doc_id, src_host,
+                   unnest(regexp_extract_all(html, '{ANCHOR_RE}', 0)) AS a
+            FROM (
+                SELECT doc_id, {_SRC_HOST} AS src_host,
+                       {_anchor_html_sql("VARCHAR")} AS html
+                FROM documents
+            )
+        ),
+        rows_ AS (
+            SELECT src_host,
+                   regexp_extract(a, '{HREF_RE}', 1) AS href,
+                   trim(regexp_extract(a, '{ANCHOR_TEXT_RE}', 1))
+                       AS anchor_text
+            FROM el
+        ),
+        good AS (
+            SELECT {dst_host_sql(resolved)} AS dst_host, anchor_text
+            FROM rows_ WHERE {resolved} IS NOT NULL
+        ),
+        terms AS (
+            SELECT dst_host, t AS term FROM (
+                SELECT dst_host,
+                       unnest(string_split(lower(anchor_text), ' ')) AS t
+                FROM good
+            ) WHERE t <> ''
+        ),
+        agg AS (
+            SELECT dst_host, term, CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT dst_host, term, n_refs, rnk FROM (
+            SELECT dst_host, term, n_refs,
+                   CAST(row_number() OVER (PARTITION BY dst_host
+                        ORDER BY n_refs DESC, term ASC) AS BIGINT) AS rnk
+            FROM agg
+        ) WHERE rnk <= {_TOP_TERMS}
+    """
+
+
+ORACLES["q_anchor_text"] = _anchor_text_sql()
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery
+
+# Sitemap entries per host: loc numbers (doc_id*7)%50 — hosts whose
+# source index ≡ 0 (mod 5) re-list exactly their crawled residues (all
+# entries known), every other host lists residues the crawl has never
+# seen (all entries new) — so is_new carries signal in both directions.
+_SM_M = "(doc_id * 7) % 50"
+_CRAWLED_M = "doc_id % 50"
+
+
+def _sm_entry_sql(s_type: str) -> str:
+    """One <url> element from (source, m) — shared by both engines."""
+    return (
+        "concat('<url><loc>https://www.', source, '.com/articles/', "
+        f"CAST(m AS {s_type}), '</loc><lastmod>2026-01-', "
+        f"lpad(CAST(1 + m % 28 AS {s_type}), 2, '0'), "
+        f"'</lastmod><priority>0.', CAST(1 + m % 9 AS {s_type}), "
+        "'</priority></url>')"
+    )
+
+
+_LOC_M_RE = "/articles/([0-9]+)$"
+
+
+def q_sitemap_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery feeding the frontier
+    (`operators/crawl.parse_sitemap`): per-host sitemap.xml synthesized
+    in-plan (one aggregate — entries sorted by loc number so both
+    engines build byte-identical XML), parsed back to typed (loc,
+    lastmod, priority) rows with zero shuffles, REP-gated with the
+    fixture ruleset (a compliant crawler checks robots BEFORE queueing
+    sitemap finds), and anti-checked against the already-crawled
+    (host, article) set — `is_new` marks genuinely novel URLs. Plan:
+    two slim aggregates + one broadcastable left join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(
+        "source", f"CAST({_SM_M} AS BIGINT) AS m"
+    ).distinct()
+    sm = pairs.groupBy("source").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
+            ")), x -> x.e), '')"
+        ).alias("body")
+    )
+    xml = sm.select(
+        F.expr(
+            "concat('<?xml version=\"1.0\"?><urlset>', body, '</urlset>')"
+        ).alias("sitemap_xml")
+    )
+    gated = robots_filter(parse_sitemap(xml), _ROBOTS_RULES, url_col="loc")
+    crawled = docs.selectExpr(
+        f"{_SRC_HOST} AS c_host", f"CAST({_CRAWLED_M} AS BIGINT) AS c_m"
+    ).distinct()
+    out = gated.withColumn(
+        "loc_m",
+        F.expr(f"CAST(regexp_extract(loc, '{_LOC_M_RE}', 1) AS BIGINT)"),
+    ).join(
+        crawled,
+        (F.col("host") == F.col("c_host")) & (F.col("loc_m") == F.col("c_m")),
+        "left",
+    )
+    return out.select(
+        "host",
+        "loc",
+        "lastmod",
+        "priority",
+        "matched_len",
+        "allowed",
+        F.col("c_host").isNull().alias("is_new"),
+    )
+
+
+def _sitemap_seed_sql() -> str:
+    e = robots_exprs(DUCK_D, _ROBOTS_RULES, "loc")
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+            FROM documents
+        ),
+        sm AS (
+            SELECT source,
+                   string_agg({_sm_entry_sql("VARCHAR")}, '' ORDER BY m)
+                       AS body
+            FROM pairs GROUP BY source
+        ),
+        xml AS (
+            SELECT concat('<?xml version="1.0"?><urlset>', body,
+                          '</urlset>') AS sitemap_xml
+            FROM sm
+        ),
+        blocks AS (
+            SELECT unnest(regexp_extract_all(sitemap_xml,
+                          '(?s)<url>.*?</url>', 0)) AS u
+            FROM xml
+        ),
+        parsed AS (
+            SELECT nullif(regexp_extract(u, '<loc>([^<]*)</loc>', 1), '')
+                       AS loc,
+                   nullif(regexp_extract(u,
+                          '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod,
+                   nullif(regexp_extract(u,
+                          '<priority>([^<]*)</priority>', 1), '')
+                       AS priority
+            FROM blocks
+        ),
+        gated AS (
+            SELECT loc, lastmod, priority,
+                   {e["host"]} AS host,
+                   {e["matched_len"]} AS matched_len,
+                   {e["allowed"]} AS allowed,
+                   CAST(regexp_extract(loc, '{_LOC_M_RE}', 1) AS BIGINT)
+                       AS loc_m
+            FROM parsed WHERE loc IS NOT NULL
+        ),
+        crawled AS (
+            SELECT DISTINCT {_SRC_HOST} AS c_host,
+                   CAST({_CRAWLED_M} AS BIGINT) AS c_m
+            FROM documents
+        )
+        SELECT g.host, g.loc, g.lastmod, g.priority, g.matched_len,
+               g.allowed, c.c_host IS NULL AS is_new
+        FROM gated g
+        LEFT JOIN crawled c ON g.host = c.c_host AND g.loc_m = c.c_m
+    """
+
+
+ORACLES["q_sitemap_seed"] = _sitemap_seed_sql()
+
+
+# ---------------------------------------------------------------------------
+# rendezvous fetcher sharding
+
+_N_FETCHERS = 8
+_LOST_FETCHER = 0
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) fetcher sharding
+    (`operators/crawl.rendezvous_assign`) with its minimal-disruption
+    contract made falsifiable: assign every host to one of 8 fetcher
+    shards, re-assign with fetcher 0 dead, and pin per host that it
+    moved IF AND ONLY IF it was on the lost fetcher (`stability_ok`) —
+    the property that makes HRW the fleet-scale answer (a mod-N hash
+    remaps 7/8 of all hosts and dumps every politeness queue). Both
+    assignments are zero-shuffle per-row HOF projections; the oracle
+    replays the identical md5 argmax."""
+    hosts = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(f"{_SRC_HOST} AS host")
+        .distinct()
+    )
+    a = rendezvous_assign(hosts, _N_FETCHERS, out_col="shard")
+    b = rendezvous_assign(
+        a,
+        _N_FETCHERS,
+        exclude=frozenset({_LOST_FETCHER}),
+        out_col="shard_after_loss",
+    )
+    moved = F.col("shard") != F.col("shard_after_loss")
+    return b.select(
+        "host",
+        "shard",
+        "shard_after_loss",
+        moved.alias("moved"),
+        (moved == (F.col("shard") == _LOST_FETCHER)).alias("stability_ok"),
+    )
+
+
+def _rendezvous_sql() -> str:
+    full = hrw_shard_sql(HRW_DUCK, "host", list(range(_N_FETCHERS)))
+    minus = hrw_shard_sql(
+        HRW_DUCK,
+        "host",
+        [i for i in range(_N_FETCHERS) if i != _LOST_FETCHER],
+    )
+    return f"""
+        SELECT host, shard, shard_after_loss,
+               shard <> shard_after_loss AS moved,
+               (shard <> shard_after_loss) = (shard = {_LOST_FETCHER})
+                   AS stability_ok
+        FROM (
+            SELECT host, {full} AS shard, {minus} AS shard_after_loss
+            FROM (SELECT DISTINCT {_SRC_HOST} AS host FROM documents)
+        )
+    """
+
+
+ORACLES["q_rendezvous_shards"] = _rendezvous_sql()
