@@ -196,3 +196,41 @@ def test_rendezvous_zero_shuffle_and_validation(spark):
     assert count_exchanges(rendezvous_assign(df, 8)) == 0
     with pytest.raises(ValueError):
         hrw_shard_sql(HRW_DUCK, "host", [])
+
+
+def test_robots_parse_to_table_matches_literal_gate(spark):
+    """End-to-end REP: raw robots.txt → parse_robots_txt → rules table
+    → robots_filter_table must produce the SAME verdicts as the literal
+    robots_filter over the original rule list — the full raw-file
+    pipeline pinned against the fixture gate both drivers check."""
+    from pyspark.sql import functions as F
+
+    from xeloader_spark.operators.robots import (
+        parse_robots_txt,
+        robots_filter,
+        robots_filter_table,
+    )
+    from xeloader_spark.queries.crawl import _ROBOTS_AGENT, _robots_txt_files
+    from xeloader_spark.queries.text import _ROBOTS_RULES, _URL_SEED_SPARK
+
+    from xeloader_spark.catalog import load_table
+
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    rules_df = parse_robots_txt(files, agent=_ROBOTS_AGENT).select(
+        "host", "prefix", "allow"
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "url", F.expr(_URL_SEED_SPARK)
+    )
+    cols = ["doc_id", "url", "host", "path", "matched_len", "allowed"]
+    via_parse = {
+        tuple(r)
+        for r in robots_filter_table(docs, rules_df).select(*cols).collect()
+    }
+    via_literal = {
+        tuple(r)
+        for r in robots_filter(docs, _ROBOTS_RULES).select(*cols).collect()
+    }
+    assert via_parse == via_literal and via_parse

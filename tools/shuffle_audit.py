@@ -98,6 +98,11 @@ AUDIT_QUERIES = [
     # two fact-sized composite-key joins)
     "q_profit_by_nation",
     "q_potential_promotion",
+    # round-9 crawl-planning + retrieval additions: the two with real
+    # shuffle stories (pointer-doubling self-joins; postings join) —
+    # anchor/sitemap/rendezvous audit ≤2 slim exchanges by construction
+    "q_redirect_resolution",
+    "q_phrase_search",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

@@ -1811,3 +1811,70 @@ def sorted_neighborhood_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication — the C4/RefinedWeb cleaning
+    step between document dedup and quality scoring: navigation bars,
+    cookie banners, and footer boilerplate repeat verbatim across
+    thousands of pages, and removing every occurrence but the FIRST
+    (corpus order: lowest id, then line position) strips them while
+    keeping one copy of genuinely shared content.
+
+    Returns one row per document WITH at least one non-empty line:
+    (id, clean_text, n_lines, n_kept) — clean_text is the document
+    reassembled from its surviving lines in original order ('' when
+    every line was a duplicate; whitespace-only documents produce no
+    row at all).
+
+    Semantics: lines split on `line_sep` and trimmed; EMPTY lines are
+    layout, not content — they are dropped before dedup and do not
+    appear in clean_text (so n_lines counts non-empty lines only).
+    First-occurrence ranking runs over md5(line) rather than the raw
+    line so only (id, line_no, 16-byte digest) triples cross the wire
+    for the ranking shuffle (a 128-bit collision on a 10¹² line corpus
+    is ~10⁻¹³ — the standard digest-equality trade, same as
+    `exact_dedup`).
+
+    Scale shape: 2 shuffles — the first-occurrence rank partitions by
+    line digest (a boilerplate line shared by d docs makes a partition
+    of size d, linear, never d²), the reassembly aggregates by doc.
+    """
+    # escape the separator for embedding in a Spark SQL string literal
+    # (the default '\n' must arrive as the two-char escape, not a raw
+    # newline inside the expression text)
+    sep = line_sep.replace("\\", "\\\\").replace("\n", "\\n").replace(
+        "'", "\\'"
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(split({text_col}, '{sep}'), x -> trim(x))")
+        ).alias("line_no", "line"),
+    ).filter(F.col("line") != "")
+    ranked = lines.withColumn(
+        "_rk",
+        F.expr(
+            f"row_number() OVER (PARTITION BY md5(line) "
+            f"ORDER BY {id_col}, line_no)"
+        ),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(CASE WHEN "
+                "_rk = 1 THEN named_struct('ln', line_no, 'l', line) END)), "
+                "x -> x.l), '\\n')"
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.expr("CASE WHEN _rk = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

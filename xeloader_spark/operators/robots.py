@@ -204,3 +204,199 @@ def robots_filter_table(
     ).withColumn(
         "allowed", F.expr(f"coalesce(({best}).allow, true)")
     ).drop("_rules")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt PARSING (r9) — raw file text → the (host, prefix, allow)
+# rules table `robots_filter_table` consumes, completing raw-REP →
+# rules-as-data → gate. Scalar line expressions are ONE template per
+# concern, embedded identically in the Spark plan and the DuckDB
+# oracle replay (instr/substr/trim/lower behave the same).
+
+# comment stripped (first '#' to end — regexp_replace's single
+# anchored-at-first-match replacement is all that's needed, so DuckDB's
+# first-match default and Spark's global default agree), then trimmed
+ROBOTS_CLEAN_SQL = "trim(regexp_replace({raw}, '#.*', ''))"
+# directive key (lowercased) / value; lines without a colon yield ''
+ROBOTS_KEY_SQL = (
+    "CASE WHEN instr({c}, ':') > 0 "
+    "THEN lower(trim(substr({c}, 1, instr({c}, ':') - 1))) ELSE '' END"
+)
+ROBOTS_VAL_SQL = (
+    "CASE WHEN instr({c}, ':') > 0 "
+    "THEN trim(substr({c}, instr({c}, ':') + 1)) ELSE '' END"
+)
+
+
+def parse_robots_txt(
+    df: DataFrame,
+    agent: str,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse per-host robots.txt file contents into the (host, prefix,
+    allow) rules rows `robots_filter_table` takes — RFC 9309 group
+    semantics for ONE product token:
+
+    - groups are runs of User-agent lines followed by their rules; a
+      User-agent line after a rule line starts a NEW group;
+    - comments ('#' to end of line) and blank lines are insignificant;
+    - a group applies when one of its agent tokens equals `agent`
+      (case-insensitive) or is '*'; if ANY group names the agent
+      exactly, only exact groups apply (the RFC's most-specific rule at
+      the exact-vs-wildcard level — full substring-specificity between
+      distinct named tokens is out of scope and documented here);
+    - empty Allow/Disallow values are no-ops (RFC: an empty Disallow
+      means unrestricted) and rules before any User-agent line belong
+      to no group and are dropped;
+    - duplicate rules survive verbatim (the longest-match evaluator
+      tolerates them; deduping here would mask authoring duplicates the
+      audit wants to see).
+
+    Scale shape: one posexplode over file lines, two same-spec windows
+    (group-start flag via lag, then the running group id — ONE exchange
+    on host), a group-level aggregate and the rules join back — every
+    frame is host-keyed and a robots.txt is ≤500 KB by RFC, so
+    partitions stay file-sized at any host count."""
+    c = ROBOTS_CLEAN_SQL.format(raw="_raw")
+    lines = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(
+                F.expr(f"split({robots_col}, '\\\\n')")
+            ).alias("ln", "_raw"),
+        )
+        .withColumn("c", F.expr(c))
+        .filter(F.col("c") != "")
+        .withColumn("k", F.expr(ROBOTS_KEY_SQL.format(c="c")))
+        .withColumn("v", F.expr(ROBOTS_VAL_SQL.format(c="c")))
+        .withColumn("is_ua", F.expr("k = 'user-agent'"))
+    )
+    # lag rejects an explicit frame (both engines); the running sum
+    # carries one so the two engines agree on the frame exactly
+    wo = "PARTITION BY host ORDER BY ln"
+    w = f"{wo} ROWS UNBOUNDED PRECEDING"
+    grouped = lines.withColumn(
+        "grp_start",
+        F.expr(
+            f"CASE WHEN is_ua AND NOT coalesce(lag(is_ua, 1, false) "
+            f"OVER ({wo}), false) THEN 1 ELSE 0 END"
+        ),
+    ).withColumn("grp", F.expr(f"sum(grp_start) OVER ({w})"))
+    agent_lit = agent.lower().replace("'", "''")
+    gsel = grouped.groupBy("host", "grp").agg(
+        F.expr(
+            f"max(CASE WHEN is_ua AND lower(v) = '{agent_lit}' "
+            "THEN 1 ELSE 0 END)"
+        ).alias("exact"),
+        F.expr(
+            "max(CASE WHEN is_ua AND v = '*' THEN 1 ELSE 0 END)"
+        ).alias("star"),
+    )
+    gsel = gsel.withColumn(
+        "has_exact", F.expr("max(exact) OVER (PARTITION BY host)")
+    ).filter(
+        "(has_exact = 1 AND exact = 1) OR (has_exact = 0 AND star = 1)"
+    )
+    rules = grouped.filter(
+        "k IN ('allow', 'disallow') AND v <> '' AND grp >= 1"
+    ).select(
+        "host",
+        "grp",
+        "ln",
+        F.col("v").alias("prefix"),
+        F.expr("k = 'allow'").alias("allow"),
+    )
+    return (
+        rules.join(gsel.select("host", "grp"), ["host", "grp"])
+        .select("host", "ln", "prefix", "allow")
+    )
+
+
+def parse_robots_oracle_sql(files_sql: str, agent: str) -> str:
+    """The DuckDB replay of `parse_robots_txt` over `files_sql(host,
+    robots_txt)` — identical scalar templates, identical windows (the
+    explicit ROWS frame pins both engines to the same running sum)."""
+    c = ROBOTS_CLEAN_SQL.format(raw="_raw")
+    wo = "PARTITION BY host ORDER BY ln"
+    w = f"{wo} ROWS UNBOUNDED PRECEDING"
+    agent_lit = agent.lower().replace("'", "''")
+    return f"""
+        WITH files AS ({files_sql}),
+        raw_lines AS (
+            SELECT host,
+                   generate_subscripts(ls, 1) - 1 AS ln,
+                   unnest(ls) AS _raw
+            FROM (
+                SELECT host, string_split(robots_txt, chr(10)) AS ls
+                FROM files
+            )
+        ),
+        lines_ AS (
+            SELECT host, ln, c,
+                   {ROBOTS_KEY_SQL.format(c="c")} AS k,
+                   {ROBOTS_VAL_SQL.format(c="c")} AS v,
+                   {ROBOTS_KEY_SQL.format(c="c")} = 'user-agent' AS is_ua
+            FROM (SELECT host, ln, {c} AS c FROM raw_lines)
+            WHERE c <> ''
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN is_ua AND NOT coalesce(
+                       lag(is_ua, 1, false) OVER ({wo}), false)
+                   THEN 1 ELSE 0 END AS grp_start
+            FROM lines_
+        ),
+        grouped AS (
+            SELECT *, sum(grp_start) OVER ({w}) AS grp FROM flagged
+        ),
+        gsel0 AS (
+            SELECT host, grp,
+                   max(CASE WHEN is_ua AND lower(v) = '{agent_lit}'
+                       THEN 1 ELSE 0 END) AS exact,
+                   max(CASE WHEN is_ua AND v = '*' THEN 1 ELSE 0 END)
+                       AS star
+            FROM grouped GROUP BY host, grp
+        ),
+        gsel AS (
+            SELECT host, grp FROM (
+                SELECT *, max(exact) OVER (PARTITION BY host)
+                           AS has_exact
+                FROM gsel0
+            )
+            WHERE (has_exact = 1 AND exact = 1)
+               OR (has_exact = 0 AND star = 1)
+        )
+        SELECT r.host, r.ln, r.v AS prefix, r.k = 'allow' AS allow
+        FROM grouped r JOIN gsel g ON r.host = g.host AND r.grp = g.grp
+        WHERE r.k IN ('allow', 'disallow') AND r.v <> '' AND r.grp >= 1
+    """
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Extract `Sitemap:` directives from robots.txt files — the link
+    between the REP gate and sitemap discovery (`operators/crawl.
+    parse_sitemap`): RFC 9309 records the directive as global metadata
+    (NOT group-scoped — it applies regardless of user-agent, so no
+    group machinery is needed), one absolute sitemap URL per line.
+    One posexplode + the shared key/value templates, zero shuffles;
+    the URL value is kept verbatim (spec: absolute URL required —
+    validation belongs to the fetcher, which sees the loud original)."""
+    c = ROBOTS_CLEAN_SQL.format(raw="_raw")
+    lines = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(
+                F.expr(f"split({robots_col}, '\\\\n')")
+            ).alias("ln", "_raw"),
+        )
+        .withColumn("c", F.expr(c))
+        .withColumn("k", F.expr(ROBOTS_KEY_SQL.format(c="c")))
+        .withColumn("v", F.expr(ROBOTS_VAL_SQL.format(c="c")))
+    )
+    return lines.filter("k = 'sitemap' AND v <> ''").select(
+        "host", "ln", F.col("v").alias("sitemap_url")
+    )

@@ -51,6 +51,11 @@ _ROUND_PRIORITY = [
     "q_redirect_resolution",
     "q_rendezvous_shards",
     "q_sitemap_seed",
+    "q_phrase_search",
+    "q_bucketed_join_contract",
+    "q_line_dedup",
+    "q_robots_parse",
+    "q_robots_sitemaps",
     "q_weighted_sample",  # recheck (last green r3)
     "q_training_data_build",  # recheck (last green r3)
     "q_classifier_inference",  # recheck (last green r3)
@@ -86,11 +91,6 @@ _ROUND_PRIORITY = [
     "q_cooccurrence_lift",  # recheck (last green r4)
     "q_distribution_drift",  # recheck (last green r4)
     "q_exact_median_twopass",  # recheck (last green r4)
-    "q_hist_quantile_sketch",  # recheck (last green r4)
-    "q_hll_distinct_users",  # recheck (last green r4)
-    "q_hll_intersection",  # recheck (last green r4)
-    "q_hopping_window_agg",  # recheck (last green r4)
-    "q_hourly_autocorrelation",  # recheck (last green r4)
 ]
 
 

@@ -403,3 +403,141 @@ def _rendezvous_sql() -> str:
 
 
 ORACLES["q_rendezvous_shards"] = _rendezvous_sql()
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing — raw file text → rules table (completing raw REP
+# → rules-as-data → gate). Files are rendered in Python from the SAME
+# _ROBOTS_RULES fixture both robots gates use, wrapped in the noise a
+# real file carries: a decoy group for another product token, comments
+# (inline and whole-line), case-varied keys/tokens, a multi-token
+# group, an empty Disallow (RFC no-op), Sitemap directives, and — on
+# src1 — a trailing wildcard group that MUST be ignored because an
+# exact group exists.
+
+_ROBOTS_AGENT = "xelbot"
+
+
+def _robots_txt_files() -> list[tuple[str, str]]:
+    from collections import defaultdict
+
+    by_host: dict[str, list[tuple[str, bool]]] = defaultdict(list)
+    for h, p, a in _ROBOTS_RULES:
+        by_host[h].append((p, a))
+    files = []
+    for host, rules in sorted(by_host.items()):
+        lines = [
+            "# synthetic fixture file",
+            "User-agent: megabot",
+            "Disallow: /megabot-only",
+            "",
+        ]
+        if host == "www.src4.com":
+            lines += ["User-agent: *  # star fallback — xelbot unnamed"]
+        elif host == "www.src2.com":
+            lines += [
+                "User-agent: xelbot",
+                "User-agent: otherbot  # multi-token group",
+            ]
+        else:
+            lines += ["user-agent: XelBot  # case-insensitive key+token"]
+        lines += [
+            ("Allow: " if a else "Disallow: ") + p for p, a in rules
+        ]
+        lines += [
+            "Disallow:   # empty value: RFC no-op",
+            f"Sitemap: https://{host}/sitemap.xml",
+        ]
+        if host == "www.src1.com":
+            lines += ["", "User-agent: *", "Disallow: /starline-decoy"]
+        files.append((host, "\n".join(lines)))
+    return files
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt files parsed to the rules table
+    (`operators/robots.parse_robots_txt`) — RFC 9309 group semantics
+    for one product token: runs of User-agent lines own the rules that
+    follow; exact-token groups beat wildcard groups host-wide;
+    comments/blank lines/empty values/Sitemap directives are noise.
+    Every fixture file carries a decoy group (and src1 a trailing
+    wildcard group) that MUST NOT leak into the output. The oracle is
+    the full SQL replay of the parse — shared scalar templates, same
+    explicit-frame windows."""
+    from ..operators.robots import parse_robots_txt
+
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    return parse_robots_txt(files, agent=_ROBOTS_AGENT)
+
+
+def _robots_parse_sql() -> str:
+    from ..operators.robots import parse_robots_oracle_sql
+
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    return parse_robots_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)",
+        _ROBOTS_AGENT,
+    )
+
+
+ORACLES["q_robots_parse"] = _robots_parse_sql()
+
+
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap directives extracted from the robots.txt fixture files
+    (`operators/robots.robots_sitemaps`) — the hop that CONNECTS the
+    REP family to sitemap discovery: a compliant crawler learns each
+    host's sitemap URL from robots.txt, then `q_sitemap_seed` parses
+    what it fetches there. Global metadata per RFC 9309 (not
+    group-scoped), so extraction is one zero-shuffle line scan with
+    the shared key/value templates."""
+    from ..operators.robots import robots_sitemaps
+
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    return robots_sitemaps(files)
+
+
+def _robots_sitemaps_sql() -> str:
+    from ..operators.robots import (
+        ROBOTS_CLEAN_SQL,
+        ROBOTS_KEY_SQL,
+        ROBOTS_VAL_SQL,
+    )
+
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    c = ROBOTS_CLEAN_SQL.format(raw="_raw")
+    return f"""
+        WITH files AS (
+            SELECT * FROM (VALUES {vals}) v(host, robots_txt)
+        ),
+        raw_lines AS (
+            SELECT host,
+                   generate_subscripts(ls, 1) - 1 AS ln,
+                   unnest(ls) AS _raw
+            FROM (
+                SELECT host, string_split(robots_txt, chr(10)) AS ls
+                FROM files
+            )
+        ),
+        lines_ AS (
+            SELECT host, ln,
+                   {ROBOTS_KEY_SQL.format(c="c")} AS k,
+                   {ROBOTS_VAL_SQL.format(c="c")} AS v
+            FROM (SELECT host, ln, {c} AS c FROM raw_lines)
+        )
+        SELECT host, ln, v AS sitemap_url
+        FROM lines_ WHERE k = 'sitemap' AND v <> ''
+    """
+
+
+ORACLES["q_robots_sitemaps"] = _robots_sitemaps_sql()

@@ -1568,3 +1568,90 @@ def _snm_eval_sql() -> str:
 
 
 ORACLES["q_snm_recall_eval"] = _snm_eval_sql()
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup (r9) — the C4/RefinedWeb boilerplate-line
+# removal. The fixture corpus is single-line, so each doc renders a
+# deterministic multi-LINE page (the URL/HTML-seeding discipline):
+# one global footer (every doc), one per-source subscribe banner, a
+# cookie line on every 4th doc, and two content lines from the doc's
+# own text — the first occurrence of each shared line must survive,
+# every other copy must be stripped.
+
+_LINE_PAGE_SPARK = """
+    concat_ws(chr(10),
+      '  all rights reserved example press ',
+      concat('subscribe to ', source, ' newsletter'),
+      substr(text, 1, 40),
+      CASE WHEN doc_id % 4 = 0 THEN 'cookie consent required'
+           ELSE substr(text, 41, 40) END,
+      concat('article ', CAST(doc_id AS STRING)))
+"""
+
+_LINE_PAGE_DUCK = """
+    concat_ws(chr(10),
+      '  all rights reserved example press ',
+      concat('subscribe to ', source, ' newsletter'),
+      substr(text, 1, 40),
+      CASE WHEN doc_id % 4 = 0 THEN 'cookie consent required'
+           ELSE substr(text, 41, 40) END,
+      concat('article ', CAST(doc_id AS VARCHAR)))
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line deduplication (`operators/dedup.line_dedup`)
+    — the cleaning step between document dedup and quality scoring:
+    repeated boilerplate lines (footers, banners, cookie notices)
+    stripped corpus-wide, keeping only the FIRST occurrence (lowest
+    doc_id, then line position); documents reassembled from surviving
+    lines with per-doc retention stats. Two shuffles: the
+    first-occurrence rank over line digests and the per-doc reassembly
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_LINE_PAGE_SPARK).alias("text")
+    )
+    out = dd.line_dedup(docs)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        "n_lines",
+        "n_kept",
+    )
+
+
+ORACLES["q_line_dedup"] = f"""
+    WITH pages AS (
+        SELECT doc_id, {_LINE_PAGE_DUCK} AS text FROM documents
+    ),
+    lines_ AS (
+        SELECT doc_id, line_no, line FROM (
+            SELECT doc_id,
+                   generate_subscripts(ls, 1) - 1 AS line_no,
+                   trim(unnest(ls)) AS line
+            FROM (
+                SELECT doc_id, string_split(text, chr(10)) AS ls
+                FROM pages
+            )
+        ) WHERE line <> ''
+    ),
+    ranked AS (
+        SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY md5(line)
+                                  ORDER BY doc_id, line_no) AS rk
+        FROM lines_
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN rk = 1 THEN line END,
+                                   chr(10) ORDER BY line_no), ''))
+               AS clean_md5,
+           CAST(length(coalesce(string_agg(
+                CASE WHEN rk = 1 THEN line END,
+                chr(10) ORDER BY line_no), '')) AS BIGINT) AS clean_len,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM ranked GROUP BY doc_id
+"""

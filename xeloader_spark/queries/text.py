@@ -2754,3 +2754,46 @@ def _blocklist_sql() -> str:
 
 
 ORACLES["q_blocklist_filter"] = _blocklist_sql()
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search (r9) — the third retrieval form beside BM25
+# (ranked bags of words) and blocklists (plan-literal contains()):
+# phrases as DATA over a positional inverted index.
+
+_PHRASES = [
+    "table table",        # self-repeating: overlapping occurrences
+    "window spark",
+    "table value part",   # 3-term
+    "row fast",
+    "quantum flux",       # zero hits — proves no-match exclusion
+]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-word phrase matching over the corpus
+    (`operators/phrase.phrase_match`): a positional posting list built
+    in ONE tokenization pass, phrase terms joined on term, candidate
+    starts witnessed per offset, a start real iff every offset is
+    witnessed. Output: (phrase, doc_id, first_idx, n_matches) for docs
+    containing each phrase — overlapping occurrences of the
+    self-repeating fixture phrase counted positionally (the case a
+    substring-count formulation gets wrong, which is why the oracle
+    replays the index algorithm). Phrase frame is query-set-sized →
+    broadcast under threshold; postings shuffle once on term."""
+    from ..operators.phrase import phrase_match
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [(p,) for p in _PHRASES], "phrase string"
+    )
+    return phrase_match(docs, phrases)
+
+
+def _phrase_search_sql() -> str:
+    from ..operators.phrase import phrase_match_oracle_sql
+
+    return phrase_match_oracle_sql(_PHRASES)
+
+
+ORACLES["q_phrase_search"] = _phrase_search_sql()
