@@ -113,6 +113,18 @@ AUDIT_QUERIES = [
 # UNJUSTIFIED — loud in the artifact, so either the plan regressed or a
 # new row needs a reviewed reason.
 RATIO_JUSTIFIED: dict[str, str] = {
+    "q_phrase_search": (
+        "positional-index witness aggregate: the candidate frame is one"
+        " (doc, phrase, start) triple per posting matching ANY phrase"
+        " term, so shuffle bytes scale with sum(df) over the phrase"
+        " terms — and the fixture phrases deliberately use"
+        " corpus-common terms ('table', 'window', 'row') so the join"
+        " actually carries volume; on real corpora with stopword-heavy"
+        " phrases the documented lever is df-stoplisting the posting"
+        " side / AQE skew-join (operators/phrase.py docstring), and the"
+        " literal-HOF twin (streaming/phrase_stream.py) handles"
+        " bounded phrase sets with ZERO shuffles"
+    ),
     "q_kcore_membership": (
         "iterative peeling over the kNN edge frame: per-round edge-sized"
         " shuffles, measured against the compact embeddings parquet —"
