@@ -1304,3 +1304,124 @@ def test_extract_links_matches_python_model(spark, hrefs):
         m = _re.match(r"^[a-zA-Z]+://([^/:?#]+)", dst)
         exp.append((h, dst, m.group(1).lower() if m else ""))
     assert got == sorted(exp), (got, exp, hrefs)
+
+
+# --- round-9 operator properties -------------------------------------------
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_redirect_doubling_matches_linear_on_random_graphs(spark, pairs):
+    """Pointer doubling must agree with the linear one-edge-at-a-time
+    follow on ARBITRARY functional graphs — chains, trees into cycles,
+    self-loops, whatever Hypothesis dreams up. Duplicate srcs are
+    deduped (the operator's functional-map contract)."""
+    import duckdb
+
+    from xeloader_spark.operators.crawl import (
+        redirects_oracle_sql,
+        resolve_redirects,
+    )
+
+    fn: dict[int, int] = {}
+    for a, b in pairs:
+        fn.setdefault(a, b)
+    edges = [(f"u{a}", f"u{b}") for a, b in fn.items()]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r.url, r.terminal_url, r.n_hops, r.resolved)
+        for r in resolve_redirects(df, max_hops=8).collect()
+    )
+    vals = ", ".join(f"('{a}','{b}')" for a, b in edges)
+    con = duckdb.connect()
+    try:
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                redirects_oracle_sql(
+                    f"SELECT * FROM (VALUES {vals}) t(src, dst)", 8
+                )
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
+
+
+_TOKENS = st.sampled_from(["a", "b", "ab", "zz"])
+_DOC_TEXT = st.lists(_TOKENS, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(_DOC_TEXT, min_size=1, max_size=6),
+    st.lists(
+        st.lists(_TOKENS, min_size=1, max_size=3).map(" ".join),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_phrase_index_and_literal_forms_agree(spark, texts, phrases):
+    """The postings-index matcher and the stateless literal-HOF twin
+    must agree on random repeated-token corpora — the overlap cases
+    (phrase 'a a' over 'a a a a') are exactly what Hypothesis hits."""
+    from xeloader_spark.operators.phrase import phrase_match
+    from xeloader_spark.streaming.phrase_stream import match_phrases
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    via_index = {
+        (r.phrase, r.doc_id): (r.first_idx, r.n_matches)
+        for r in phrase_match(docs, pdf).collect()
+    }
+    via_literal = {
+        (r.phrase, r.doc_id): (r.first_idx, r.n_matches)
+        for r in match_phrases(docs, list(phrases)).collect()
+    }
+    assert via_index == via_literal
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "zz", ""]), max_size=5).map(
+            "\n".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_line_dedup_conservation(spark, texts):
+    """Invariants on random corpora: every distinct non-empty line
+    survives EXACTLY once across all clean_texts (conservation), and
+    per-doc n_kept <= n_lines with clean_text holding exactly n_kept
+    lines."""
+    from xeloader_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = line_dedup(docs).collect()
+    all_lines = [
+        ln
+        for t in texts
+        for ln in (s.strip() for s in t.split("\n"))
+        if ln != ""
+    ]
+    kept = [
+        ln for r in rows if r.clean_text != "" for ln in r.clean_text.split("\n")
+    ]
+    assert sorted(set(all_lines)) == sorted(kept)  # once each, exactly
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_lines
+        n_in_text = 0 if r.clean_text == "" else len(r.clean_text.split("\n"))
+        assert n_in_text == r.n_kept
