@@ -234,3 +234,25 @@ def test_robots_parse_to_table_matches_literal_gate(spark):
         for r in robots_filter(docs, _ROBOTS_RULES).select(*cols).collect()
     }
     assert via_parse == via_literal and via_parse
+
+
+def test_robots_crawl_delay_closed_form(spark):
+    """Closed-form expectation (NOT a replay — catches bugs a
+    replay-identical oracle would mirror): decoy group's 99 never
+    leaks, the non-numeric value drops, the star-fallback host still
+    gets its delay, the silent host is absent."""
+    from xeloader_spark.operators.robots import robots_crawl_delay
+    from xeloader_spark.queries.crawl import _ROBOTS_AGENT, _robots_txt_files
+
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    got = {
+        r.host: r.crawl_delay
+        for r in robots_crawl_delay(files, agent=_ROBOTS_AGENT).collect()
+    }
+    assert got == {
+        "www.src1.com": 2.5,
+        "www.src2.com": 1.0,
+        "www.src4.com": 10.0,
+    }

@@ -96,3 +96,16 @@ def test_match_phrases_streaming_stateless_and_batch_equal(spark, tmp_path):
         for r in match_phrases(docs, phrases).collect()
     }
     assert got == want and got
+
+
+def test_phrase_query_plan_shape(spark):
+    """q_phrase_search plan budget: the phrase side broadcasts (query-
+    set-sized), and only the witness agg + final agg shuffle — a
+    regression here means the postings join started moving the corpus."""
+    from xeloader_spark.plans.inspect import physical_plan
+    from xeloader_spark.queries.text import q_phrase_search
+
+    df = q_phrase_search(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert count_exchanges(df) <= 2, plan

@@ -228,36 +228,17 @@ ROBOTS_VAL_SQL = (
 )
 
 
-def parse_robots_txt(
+def _robots_grouped(
     df: DataFrame,
     agent: str,
-    robots_col: str = "robots_txt",
-    host_col: str = "host",
-) -> DataFrame:
-    """Parse per-host robots.txt file contents into the (host, prefix,
-    allow) rules rows `robots_filter_table` takes — RFC 9309 group
-    semantics for ONE product token:
-
-    - groups are runs of User-agent lines followed by their rules; a
-      User-agent line after a rule line starts a NEW group;
-    - comments ('#' to end of line) and blank lines are insignificant;
-    - a group applies when one of its agent tokens equals `agent`
-      (case-insensitive) or is '*'; if ANY group names the agent
-      exactly, only exact groups apply (the RFC's most-specific rule at
-      the exact-vs-wildcard level — full substring-specificity between
-      distinct named tokens is out of scope and documented here);
-    - empty Allow/Disallow values are no-ops (RFC: an empty Disallow
-      means unrestricted) and rules before any User-agent line belong
-      to no group and are dropped;
-    - duplicate rules survive verbatim (the longest-match evaluator
-      tolerates them; deduping here would mask authoring duplicates the
-      audit wants to see).
-
-    Scale shape: one posexplode over file lines, two same-spec windows
-    (group-start flag via lag, then the running group id — ONE exchange
-    on host), a group-level aggregate and the rules join back — every
-    frame is host-keyed and a robots.txt is ≤500 KB by RFC, so
-    partitions stay file-sized at any host count."""
+    robots_col: str,
+    host_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared RFC 9309 group machinery behind `parse_robots_txt`
+    and `robots_crawl_delay`: classified file lines with their group id
+    (`grouped`: host, ln, k, v, is_ua, grp), and the groups that apply
+    to `agent` (`gsel`: host, grp — exact-token groups when any exist
+    on the host, wildcard groups otherwise)."""
     c = ROBOTS_CLEAN_SQL.format(raw="_raw")
     lines = (
         df.select(
@@ -293,11 +274,49 @@ def parse_robots_txt(
             "max(CASE WHEN is_ua AND v = '*' THEN 1 ELSE 0 END)"
         ).alias("star"),
     )
-    gsel = gsel.withColumn(
-        "has_exact", F.expr("max(exact) OVER (PARTITION BY host)")
-    ).filter(
-        "(has_exact = 1 AND exact = 1) OR (has_exact = 0 AND star = 1)"
+    gsel = (
+        gsel.withColumn(
+            "has_exact", F.expr("max(exact) OVER (PARTITION BY host)")
+        )
+        .filter(
+            "(has_exact = 1 AND exact = 1) OR (has_exact = 0 AND star = 1)"
+        )
+        .select("host", "grp")
     )
+    return grouped, gsel
+
+
+def parse_robots_txt(
+    df: DataFrame,
+    agent: str,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse per-host robots.txt file contents into the (host, prefix,
+    allow) rules rows `robots_filter_table` takes — RFC 9309 group
+    semantics for ONE product token:
+
+    - groups are runs of User-agent lines followed by their rules; a
+      User-agent line after a rule line starts a NEW group;
+    - comments ('#' to end of line) and blank lines are insignificant;
+    - a group applies when one of its agent tokens equals `agent`
+      (case-insensitive) or is '*'; if ANY group names the agent
+      exactly, only exact groups apply (the RFC's most-specific rule at
+      the exact-vs-wildcard level — full substring-specificity between
+      distinct named tokens is out of scope and documented here);
+    - empty Allow/Disallow values are no-ops (RFC: an empty Disallow
+      means unrestricted) and rules before any User-agent line belong
+      to no group and are dropped;
+    - duplicate rules survive verbatim (the longest-match evaluator
+      tolerates them; deduping here would mask authoring duplicates the
+      audit wants to see).
+
+    Scale shape: one posexplode over file lines, two same-spec windows
+    (group-start flag via lag, then the running group id — ONE exchange
+    on host), a group-level aggregate and the rules join back — every
+    frame is host-keyed and a robots.txt is ≤500 KB by RFC, so
+    partitions stay file-sized at any host count."""
+    grouped, gsel = _robots_grouped(df, agent, robots_col, host_col)
     rules = grouped.filter(
         "k IN ('allow', 'disallow') AND v <> '' AND grp >= 1"
     ).select(
@@ -307,9 +326,35 @@ def parse_robots_txt(
         F.col("v").alias("prefix"),
         F.expr("k = 'allow'").alias("allow"),
     )
+    return rules.join(gsel, ["host", "grp"]).select(
+        "host", "ln", "prefix", "allow"
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame,
+    agent: str,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Per-host Crawl-delay for `agent` — the de-facto politeness
+    directive (not in RFC 9309, but honored by most major crawlers):
+    group-scoped like Allow/Disallow, so the SAME exact-beats-wildcard
+    selection applies. Returns (host, crawl_delay) in seconds for hosts
+    that declare one; when the applicable groups state several values,
+    the MINIMUM wins here only as a deterministic tie-break on
+    malformed files — fetchers wanting the conservative read should
+    take the max upstream (documented trade: this operator reports,
+    policy decides). Non-numeric values are dropped loudly (try_cast →
+    NULL → filtered), matching the empty-value no-op rule."""
+    grouped, gsel = _robots_grouped(df, agent, robots_col, host_col)
+    delays = grouped.filter("k = 'crawl-delay' AND grp >= 1").select(
+        "host", "grp", F.expr("try_cast(v AS DOUBLE)").alias("_d")
+    ).filter(F.col("_d").isNotNull())
     return (
-        rules.join(gsel.select("host", "grp"), ["host", "grp"])
-        .select("host", "ln", "prefix", "allow")
+        delays.join(gsel, ["host", "grp"])
+        .groupBy("host")
+        .agg(F.min("_d").alias("crawl_delay"))
     )
 
 
@@ -370,6 +415,23 @@ def parse_robots_oracle_sql(files_sql: str, agent: str) -> str:
         FROM grouped r JOIN gsel g ON r.host = g.host AND r.grp = g.grp
         WHERE r.k IN ('allow', 'disallow') AND r.v <> '' AND r.grp >= 1
     """
+
+
+def crawl_delay_oracle_sql(files_sql: str, agent: str) -> str:
+    """DuckDB replay of `robots_crawl_delay`: the parse oracle's group
+    CTEs with the crawl-delay tail (try_cast drops non-numeric values,
+    min per host over the applicable groups)."""
+    head = parse_robots_oracle_sql(files_sql, agent)
+    head = head[: head.rindex("SELECT r.host")]
+    return (
+        head
+        + """SELECT r.host, min(try_cast(r.v AS DOUBLE)) AS crawl_delay
+        FROM grouped r JOIN gsel g ON r.host = g.host AND r.grp = g.grp
+        WHERE r.k = 'crawl-delay' AND r.grp >= 1
+          AND try_cast(r.v AS DOUBLE) IS NOT NULL
+        GROUP BY r.host
+    """
+    )
 
 
 def robots_sitemaps(

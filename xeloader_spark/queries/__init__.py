@@ -56,6 +56,7 @@ _ROUND_PRIORITY = [
     "q_line_dedup",
     "q_robots_parse",
     "q_robots_sitemaps",
+    "q_robots_crawl_delay",
     "q_weighted_sample",  # recheck (last green r3)
     "q_training_data_build",  # recheck (last green r3)
     "q_classifier_inference",  # recheck (last green r3)
@@ -90,7 +91,6 @@ _ROUND_PRIORITY = [
     "q_cdc_snapshot",  # recheck (last green r4)
     "q_cooccurrence_lift",  # recheck (last green r4)
     "q_distribution_drift",  # recheck (last green r4)
-    "q_exact_median_twopass",  # recheck (last green r4)
 ]
 
 

@@ -430,6 +430,7 @@ def _robots_txt_files() -> list[tuple[str, str]]:
             "# synthetic fixture file",
             "User-agent: megabot",
             "Disallow: /megabot-only",
+            "Crawl-delay: 99  # decoy group's delay — must not leak",
             "",
         ]
         if host == "www.src4.com":
@@ -444,6 +445,16 @@ def _robots_txt_files() -> list[tuple[str, str]]:
         lines += [
             ("Allow: " if a else "Disallow: ") + p for p, a in rules
         ]
+        if host == "www.src1.com":
+            lines += ["Crawl-delay: 2.5"]
+        elif host == "www.src2.com":
+            lines += [
+                "Crawl-delay: fast  # non-numeric: dropped loudly",
+                "Crawl-delay: 1",
+            ]
+        elif host == "www.src4.com":
+            lines += ["Crawl-delay: 10"]  # via the star fallback group
+        # src3 declares none — absent from the crawl-delay output
         lines += [
             "Disallow:   # empty value: RFC no-op",
             f"Sitemap: https://{host}/sitemap.xml",
@@ -541,3 +552,34 @@ def _robots_sitemaps_sql() -> str:
 
 
 ORACLES["q_robots_sitemaps"] = _robots_sitemaps_sql()
+
+
+def q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Crawl-delay for the fixture agent
+    (`operators/robots.robots_crawl_delay`) — the politeness directive
+    resolved through the SAME exact-beats-wildcard group selection as
+    the rules parse: the decoy group's delay must not leak, the
+    non-numeric value must drop loudly, the star-fallback host must
+    still get its delay, and the silent host must be absent."""
+    from ..operators.robots import robots_crawl_delay
+
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    return robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+
+
+def _robots_crawl_delay_sql() -> str:
+    from ..operators.robots import crawl_delay_oracle_sql
+
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    return crawl_delay_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)",
+        _ROBOTS_AGENT,
+    )
+
+
+ORACLES["q_robots_crawl_delay"] = _robots_crawl_delay_sql()
