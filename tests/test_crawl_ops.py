@@ -256,3 +256,34 @@ def test_robots_crawl_delay_closed_form(spark):
         "www.src2.com": 1.0,
         "www.src4.com": 10.0,
     }
+
+
+def test_robots_parser_handles_crlf_files(spark):
+    """CRLF robots.txt (the common on-disk form) must parse identically
+    to LF — r9 review: a '\\n'-only split left '\\r' on every value and
+    the agent never matched, silently default-allowing the host."""
+    from xeloader_spark.operators.robots import (
+        parse_robots_txt,
+        robots_crawl_delay,
+        robots_sitemaps,
+    )
+
+    body = (
+        "User-agent: xelbot\r\nDisallow: /private\r\n"
+        "Crawl-delay: 2\r\nSitemap: https://h1/sm.xml\r\n"
+    )
+    files = spark.createDataFrame(
+        [("h1", body)], "host string, robots_txt string"
+    )
+    rules = [
+        (r.host, r.prefix, r.allow)
+        for r in parse_robots_txt(files, agent="xelbot").collect()
+    ]
+    assert rules == [("h1", "/private", False)]
+    assert {
+        r.host: r.crawl_delay
+        for r in robots_crawl_delay(files, agent="xelbot").collect()
+    } == {"h1": 2.0}
+    assert [r.sitemap_url for r in robots_sitemaps(files).collect()] == [
+        "https://h1/sm.xml"
+    ]

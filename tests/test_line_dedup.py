@@ -36,3 +36,17 @@ def test_first_occurrence_survives_and_later_copies_drop(spark):
 
 def test_whitespace_only_doc_produces_no_row(spark):
     assert 4 not in _run(spark)
+
+
+def test_line_sep_regex_metachar_is_literal(spark):
+    """r9 review: line_sep='|' reached split() unquoted and shredded
+    every character via the empty-alternation regex."""
+    df = spark.createDataFrame(
+        [(1, "abc|def"), (2, "abc|xyz")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_kept)
+        for r in line_dedup(df, line_sep="|").collect()
+    }
+    assert out[1] == ("abc\ndef", 2, 2)
+    assert out[2] == ("xyz", 2, 1)  # 'abc' deduped against doc 1

@@ -109,3 +109,56 @@ def test_phrase_query_plan_shape(spark):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert count_exchanges(df) <= 2, plan
+
+
+def test_phrase_match_duplicate_phrase_rows_deduped(spark):
+    """r9 review: a duplicated phrase row doubled every offset witness,
+    making half-matches pass (count = n_terms) and true matches fail
+    (count = 2·n_terms)."""
+    from xeloader_spark.operators.phrase import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a x")], "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame([("a b",), ("a b",)], "phrase string")
+    got = {
+        (r.phrase, r.doc_id): (r.first_idx, r.n_matches)
+        for r in phrase_match(docs, pdf).collect()
+    }
+    assert got == {("a b", 1): (0, 1)}
+
+
+def test_literal_form_backslash_and_nbsp_parity(spark):
+    """r9 review: the literal form's SQL embedding ate backslashes, and
+    Python .split() tokenized unicode whitespace Java \\s+ does not —
+    both silently broke literal↔index parity."""
+    from xeloader_spark.operators.phrase import phrase_match
+    from xeloader_spark.streaming.phrase_stream import match_phrases
+
+    docs = spark.createDataFrame(
+        [(1, "foo\\bar baz"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    phrases = ["foo\\bar baz", "a b", "a b c"]
+    pdf = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    via_index = {
+        (r.phrase, r.doc_id): (r.first_idx, r.n_matches)
+        for r in phrase_match(docs, pdf).collect()
+    }
+    via_literal = {
+        (r.phrase, r.doc_id): (r.first_idx, r.n_matches)
+        for r in match_phrases(docs, phrases).collect()
+    }
+    assert via_index == via_literal
+    assert ("foo\\bar baz", 1) in via_index
+
+
+def test_match_phrases_empty_list_matches_index_form(spark):
+    """r9 review: array() of zero structs was an AnalysisException; the
+    index form returns an empty frame and the twin must too."""
+    from xeloader_spark.streaming.phrase_stream import match_phrases
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = match_phrases(docs, [])
+    assert out.columns == ["doc_id", "phrase", "first_idx", "n_matches"]
+    assert out.count() == 0

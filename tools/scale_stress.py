@@ -436,6 +436,9 @@ def main() -> None:
         for key in (
             "spark.sql.files.maxPartitionBytes",
             "spark.sql.files.openCostInBytes",
+            # _redirect_linear raises this; restore so any op appended
+            # after it in OPS is measured under defaults (r9 review)
+            "spark.sql.analyzer.maxIterations",
         )
     }
 

@@ -1845,11 +1845,18 @@ def line_dedup(
     line digest (a boilerplate line shared by d docs makes a partition
     of size d, linear, never d²), the reassembly aggregates by doc.
     """
-    # escape the separator for embedding in a Spark SQL string literal
-    # (the default '\n' must arrive as the two-char escape, not a raw
-    # newline inside the expression text)
-    sep = line_sep.replace("\\", "\\\\").replace("\n", "\\n").replace(
-        "'", "\\'"
+    # split()'s pattern is a Java REGEX: quote the separator's regex
+    # metacharacters first (r9 review: line_sep='|' otherwise splits on
+    # the empty alternation, shredding every character), THEN escape
+    # for the Spark SQL string literal (the default '\n' must arrive as
+    # the two-char escape, not a raw newline in the expression text)
+    _meta = set("\\.[]{}()*+?^$|")
+    rx = "".join(("\\" + ch) if ch in _meta else ch for ch in line_sep)
+    sep = (
+        rx.replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("'", "\\'")
     )
     lines = df.select(
         F.col(id_col),

@@ -82,12 +82,23 @@ def phrase_match(
     count (overlapping occurrences of self-repeating phrases counted
     separately, as a position-aware matcher must)."""
     post = build_postings(df, text_col=text_col, id_col=id_col)
-    toks = TOKENS_SPARK.format(c=phrase_col)
-    pterms = phrases.select(
-        F.col(phrase_col).alias("phrase"),
-        F.expr(f"size({toks})").cast("long").alias("n_terms"),
-        F.posexplode(F.expr(toks)).alias("off", "term"),
-    ).filter(F.col("n_terms") >= 1)
+    # dedupe the phrase table first (r9 review): a duplicated phrase row
+    # doubles every offset witness, so counts hit 2·n_terms at true
+    # matches (dropped) and n_terms at half-matches (false positives)
+    pterms = (
+        phrases.select(F.col(phrase_col).alias("phrase"))
+        .distinct()
+        .select(
+            "phrase",
+            F.expr(
+                f"size({TOKENS_SPARK.format(c='phrase')})"
+            ).cast("long").alias("n_terms"),
+            F.posexplode(
+                F.expr(TOKENS_SPARK.format(c="phrase"))
+            ).alias("off", "term"),
+        )
+        .filter(F.col("n_terms") >= 1)
+    )
     hits = (
         post.join(pterms, "term")
         .select(
@@ -118,7 +129,11 @@ def phrase_match_oracle_sql(
     overlapping occurrences of self-repeating phrases — the exact case
     the positional matcher exists for). Parallel unnest +
     generate_subscripts emit (term, pos) pairs aligned by position."""
-    vals = ", ".join("('" + p.replace("'", "''") + "')" for p in phrases)
+    # dict.fromkeys: dedupe while keeping order (the operator dedupes
+    # its phrase table the same way)
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in dict.fromkeys(phrases)
+    )
     doc_toks = TOKENS_DUCK.format(c="text")
     ph_toks = TOKENS_DUCK.format(c="phrase")
     return f"""

@@ -244,7 +244,7 @@ def _robots_grouped(
         df.select(
             F.col(host_col).alias("host"),
             F.posexplode(
-                F.expr(f"split({robots_col}, '\\\\n')")
+                F.expr(f"split({robots_col}, '\\\\r?\\\\n')")
             ).alias("ln", "_raw"),
         )
         .withColumn("c", F.expr(c))
@@ -373,7 +373,7 @@ def parse_robots_oracle_sql(files_sql: str, agent: str) -> str:
                    generate_subscripts(ls, 1) - 1 AS ln,
                    unnest(ls) AS _raw
             FROM (
-                SELECT host, string_split(robots_txt, chr(10)) AS ls
+                SELECT host, regexp_split_to_array(robots_txt, '\r?\n') AS ls
                 FROM files
             )
         ),
@@ -452,7 +452,7 @@ def robots_sitemaps(
         df.select(
             F.col(host_col).alias("host"),
             F.posexplode(
-                F.expr(f"split({robots_col}, '\\\\n')")
+                F.expr(f"split({robots_col}, '\\\\r?\\\\n')")
             ).alias("ln", "_raw"),
         )
         .withColumn("c", F.expr(c))

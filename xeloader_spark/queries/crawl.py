@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.crawl import (
     HRW_DUCK,
+    SITEMAP_URL_RE,
     hrw_shard_sql,
     parse_sitemap,
     redirects_oracle_sql,
@@ -307,7 +308,7 @@ def _sitemap_seed_sql() -> str:
         ),
         blocks AS (
             SELECT unnest(regexp_extract_all(sitemap_xml,
-                          '(?s)<url>.*?</url>', 0)) AS u
+                          '{SITEMAP_URL_RE}', 0)) AS u
             FROM xml
         ),
         parsed AS (

@@ -19,14 +19,30 @@ first_idx 0-based."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.phrase import TOKENS_SPARK
 
+# Java's \s — ASCII-only, unlike Python's unicode-aware \s. The phrase
+# must be tokenized with the SAME whitespace class the documents are
+# (TOKENS_SPARK splits with Java \s+), or a unicode-space phrase would
+# silently diverge between the literal and index forms (r9 review).
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _sql_str(s: str) -> str:
+    """Escape for a Spark SQL single-quoted literal: backslashes FIRST
+    (Spark literals process C escapes — an unescaped backslash in a
+    phrase silently changed the literal form's tokens, r9 review),
+    then quotes."""
+    return s.replace("\\", "\\\\").replace("'", "''")
+
 
 def _lit_arr(tokens: list[str]) -> str:
-    items = ", ".join("'" + t.replace("'", "''") + "'" for t in tokens)
+    items = ", ".join("'" + _sql_str(t) + "'" for t in tokens)
     return f"array({items})"
 
 
@@ -37,7 +53,7 @@ def phrase_hits_sql(phrase: str, toks_sql: str) -> str:
     (greatest(…, 0) + an in-lambda length check) keeps the sequence
     ascending and the result a typed empty array when the document is
     shorter than the phrase."""
-    toks = [t for t in phrase.lower().split() if t]
+    toks = [t for t in _JAVA_WS.split(phrase.lower()) if t]
     if not toks:
         raise ValueError("phrase must contain at least one token")
     n = len(toks)
@@ -46,7 +62,7 @@ def phrase_hits_sql(phrase: str, toks_sql: str) -> str:
         f"s -> s + {n} <= size({toks_sql}) "
         f"AND slice({toks_sql}, s + 1, {n}) = {_lit_arr(toks)})"
     )
-    ph = "'" + phrase.replace("'", "''") + "'"
+    ph = "'" + _sql_str(phrase) + "'"
     return (
         f"named_struct('phrase', {ph}, "
         f"'first_idx', CAST(try_element_at({starts}, 1) AS BIGINT), "
@@ -63,8 +79,18 @@ def match_phrases(
     explode, keep hits. Columns: input columns (minus text) + (phrase,
     first_idx, n_matches) — the schema of the index operator's output,
     so the two forms compare row-for-row."""
+    if not phrases:
+        # the index form returns an empty frame for an empty phrase
+        # table; the literal form must match (an untyped array() of
+        # zero structs is an AnalysisException, r9 review)
+        return df.select(
+            *[c for c in df.columns if c != text_col],
+            F.lit(None).cast("string").alias("phrase"),
+            F.lit(None).cast("long").alias("first_idx"),
+            F.lit(None).cast("long").alias("n_matches"),
+        ).filter(F.lit(False))
     structs = ", ".join(
-        phrase_hits_sql(p, "_toks") for p in phrases
+        phrase_hits_sql(p, "_toks") for p in dict.fromkeys(phrases)
     )
     return (
         df.withColumn("_toks", F.expr(TOKENS_SPARK.format(c=text_col)))
