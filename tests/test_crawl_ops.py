@@ -129,6 +129,75 @@ def test_extract_anchors_pairs_href_with_text(spark):
     # decoy data-href, fragment, mailto never became rows
 
 
+def test_href_three_quoting_forms_both_engines(spark):
+    """r10 widening (VERDICT r9): double-quoted, single-quoted and
+    unquoted href values must all extract, with the SAME result from
+    the Spark plan and the DuckDB rendering of the shared templates —
+    href_all_sql (document scan) and href_value_sql (per-element)."""
+    from xeloader_spark.operators.links import (
+        ANCHOR_RE,
+        extract_anchors,
+        extract_links,
+        href_all_sql,
+        href_value_sql,
+    )
+
+    html = (
+        '<p>x</p><a href="/dq/1">d</a>'
+        "<a class='k' href='/sq/2'>s</a>"
+        "<a href=/uq/3 rel=nofollow>u</a>"
+        "<a href = '/sq ws/4'>sw</a>"
+        '<a href="">empty</a>'
+        "<a data-href=/decoy/5>n</a>"
+    )
+    expect = ["/dq/1", "/sq/2", "/uq/3", "/sq ws/4"]
+
+    links = extract_links(
+        spark.createDataFrame(
+            [(1, "h.me", html)], "doc_id long, src_host string, html string"
+        )
+    )
+    assert sorted(r.href for r in links.collect()) == sorted(expect)
+
+    con = duckdb.connect()
+    try:
+        duck_all = [
+            r[0]
+            for r in con.execute(
+                f"SELECT unnest({href_all_sql('html', 'duckdb')}) "
+                "FROM (SELECT ? AS html)",
+                [html],
+            ).fetchall()
+        ]
+        duck_vals = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {href_value_sql('a')} FROM (SELECT unnest("
+                f"regexp_extract_all(?, '{ANCHOR_RE}', 0)) AS a)",
+                [html],
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    # the raw scan keeps href="" as '' (the resolution CASE drops it)
+    assert sorted(v for v in duck_all if v) == sorted(expect)
+    # per-element: the empty-value anchor matches ANCHOR_RE but yields
+    # NULL (dropped later by the resolution CASE)
+    assert sorted(v for v in duck_vals if v is not None) == sorted(expect)
+
+    anchors = extract_anchors(
+        spark.createDataFrame(
+            [(1, "h.me", html)], "doc_id long, src_host string, html string"
+        )
+    )
+    assert sorted((r.href, r.anchor_text) for r in anchors.collect()) == [
+        ("/dq/1", "d"),
+        ("/sq ws/4", "sw"),
+        ("/sq/2", "s"),
+        ("/uq/3", "u"),
+    ]
+
+
 def test_extract_anchors_zero_shuffle(spark):
     df = spark.createDataFrame(
         [(1, "h", ANCHOR_HTML)], "doc_id long, src_host string, html string"
@@ -142,6 +211,9 @@ SITEMAP = (
     "<priority>0.8</priority></url>"
     "<url>\n  <loc>https://a/2</loc>\n</url>"
     "<url><lastmod>2026-01-03</lastmod></url>"  # loc-less: dropped
+    # malformed priority: try_cast NULLs it loudly (ADVICE r9) while
+    # the entry itself survives
+    "<url><loc>https://a/3</loc><priority>high</priority></url>"
     "</urlset>"
 )
 
@@ -155,8 +227,9 @@ def test_parse_sitemap_fields_and_loud_nulls(spark):
         for r in parse_sitemap(df).collect()
     )
     assert rows == [
-        ("h1", "https://a/1", "2026-01-02", "0.8"),
+        ("h1", "https://a/1", "2026-01-02", 0.8),
         ("h1", "https://a/2", None, None),
+        ("h1", "https://a/3", None, None),
     ]
 
 
@@ -256,6 +329,90 @@ def test_robots_crawl_delay_closed_form(spark):
         "www.src2.com": 1.0,
         "www.src4.com": 10.0,
     }
+
+
+def test_robots_parser_handles_tab_whitespace(spark):
+    """RFC 9309 allows TABS around directive keys and values — ADVICE
+    r9: bare trim() kept them, so 'Disallow:\\t/private' produced a
+    prefix that matches no URL path (the rule failed OPEN) and a
+    tab-indented line was dropped entirely."""
+    from xeloader_spark.operators.robots import (
+        parse_robots_txt,
+        robots_crawl_delay,
+    )
+
+    body = (
+        "User-agent: xelbot\n"
+        "Disallow:\t/private\n"
+        "\tAllow:\t/private/ok\t\n"
+        "Crawl-delay\t: 3\n"
+    )
+    files = spark.createDataFrame(
+        [("h1", body)], "host string, robots_txt string"
+    )
+    rules = sorted(
+        (r.prefix, r.allow)
+        for r in parse_robots_txt(files, agent="xelbot").collect()
+    )
+    assert rules == [("/private", False), ("/private/ok", True)]
+    assert {
+        r.host: r.crawl_delay
+        for r in robots_crawl_delay(files, agent="xelbot").collect()
+    } == {"h1": 3.0}
+
+
+def test_robots_groups_with_same_agent_merge(spark):
+    """RFC 9309 §2.2.1 conformance: when MULTIPLE groups name the same
+    agent, the rules of ALL of them apply (they merge) — pinned on the
+    shared fixture's src3, which carries two exact xelbot groups."""
+    from xeloader_spark.operators.robots import parse_robots_txt
+    from xeloader_spark.queries.crawl import _ROBOTS_AGENT, _robots_txt_files
+
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    src3 = {
+        (r.prefix, r.allow)
+        for r in parse_robots_txt(files, agent=_ROBOTS_AGENT)
+        .filter("host = 'www.src3.com'")
+        .collect()
+    }
+    # first group's rules AND the second group's rule both present
+    assert ("/", False) in src3
+    assert ("/articles/23", True) in src3
+    assert ("/second-group-block", False) in src3
+
+
+def test_robots_agent_with_backslash_selects_same_group(spark):
+    """A backslash in the agent token must not diverge the Spark plan
+    from the DuckDB oracle (ADVICE r9: Spark C-escape-processes string
+    literals, DuckDB doesn't — the same bug phrase_stream._sql_str
+    fixed). Both engines must select the exact group verbatim."""
+    import duckdb
+
+    from xeloader_spark.operators.robots import (
+        parse_robots_oracle_sql,
+        parse_robots_txt,
+    )
+
+    agent = r"xel\bot"
+    body = f"User-agent: {agent}\nDisallow: /a\n\nUser-agent: *\nDisallow: /b\n"
+    files = spark.createDataFrame(
+        [("h1", body)], "host string, robots_txt string"
+    )
+    got = sorted(
+        (r.host, r.ln, r.prefix, r.allow)
+        for r in parse_robots_txt(files, agent=agent).collect()
+    )
+    lit = body.replace("'", "''")
+    oracle = duckdb.sql(
+        parse_robots_oracle_sql(
+            f"SELECT * FROM (VALUES ('h1', '{lit}')) v(host, robots_txt)",
+            agent,
+        )
+    ).fetchall()
+    assert got == sorted(tuple(r) for r in oracle)
+    assert got == [("h1", 1, "/a", False)]
 
 
 def test_robots_parser_handles_crlf_files(spark):

@@ -1266,9 +1266,10 @@ def test_extract_links_matches_python_model(spark, hrefs):
     absolute http(s) pass through (scheme case-insensitive — r9),
     leading-'/' resolves against the source host, everything else
     (protocol-relative, fragment, mailto, javascript, non-http
-    schemes) drops. Anchor forms alternate between first-attribute
-    lowercase and attribute-prefixed uppercase (the r9 widened
-    HREF_RE), so the pattern's recall cases are all exercised."""
+    schemes) drops. Anchor forms cycle through first-attribute
+    lowercase double-quoted, attribute-prefixed uppercase (r9),
+    single-quoted, and unquoted with spaces around '=' (r10 widening),
+    so the pattern family's recall cases are all exercised."""
     from xeloader_spark.operators.links import extract_links
 
     html = (
@@ -1276,9 +1277,12 @@ def test_extract_links_matches_python_model(spark, hrefs):
         # never be extracted (r9 review — the boundary in HREF_RE)
         '<p>t</p><a data-href="https://decoy.example/no">d</a>'
         + "".join(
-            f'<a href="{h}">x</a>'
-            if i % 2 == 0
-            else f'<A CLASS="k"\n\tHREF="{h}">x</A>'
+            [
+                f'<a href="{h}">x</a>',
+                f'<A CLASS="k"\n\tHREF="{h}">x</A>',
+                f"<a href='{h}' rel='x'>x</a>",
+                f"<a href = {h} rel=nofollow>x</a>",
+            ][i % 4]
             for i, h in enumerate(hrefs)
         )
     )

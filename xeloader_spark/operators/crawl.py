@@ -168,9 +168,15 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
     priority), keeping every other input column (host, fetch time —
     the lineage the frontier needs). Missing optional fields are NULL,
     not '' (regexp_extract's no-match empty string is nullif'd — the
-    loud-NULL contract every reader in this repo follows). Zero
-    shuffles: extract_all + explode + three per-element extracts in
-    one codegen stage; the XML blob never outlives its task."""
+    loud-NULL contract every reader in this repo follows). `priority`
+    is typed DOUBLE via try_cast — malformed values go NULL loudly
+    instead of passing through as strings whose downstream comparisons
+    would be lexicographic (r10, ADVICE r9); `lastmod` stays a VERBATIM
+    string because the sitemaps spec admits both date and full
+    datetime-with-zone forms — temporal typing belongs to the consumer
+    that knows which it needs. Zero shuffles: extract_all + explode +
+    three per-element extracts in one codegen stage; the XML blob never
+    outlives its task."""
     blocks = df.select(
         "*",
         F.explode(
@@ -186,8 +192,8 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
             "nullif(regexp_extract(_u, '<lastmod>([^<]*)</lastmod>', 1), '')"
         ).alias("lastmod"),
         F.expr(
-            "nullif(regexp_extract(_u, '<priority>([^<]*)</priority>', 1),"
-            " '')"
+            "try_cast(nullif(regexp_extract(_u, "
+            "'<priority>([^<]*)</priority>', 1), '') AS DOUBLE)"
         ).alias("priority"),
     )
     return out.drop("_u").filter(F.col("loc").isNotNull())

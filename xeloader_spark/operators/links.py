@@ -41,7 +41,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# group 1 = the href value of a double-quoted anchor attribute.
+# href extraction, all three HTML quoting forms (r10, VERDICT r9:
+# double-quoted-only extraction left link recall materially low —
+# single-quoted and unquoted values are common in real templates).
 # Case-insensitive, and href may be preceded by other attributes
 # (r9, ADVICE r8: '<a class=.. href=..>' and '<A HREF=..>' are common
 # in real crawl HTML; the old first-attribute-only pattern missed
@@ -51,10 +53,57 @@ from pyspark.sql import functions as F
 # whitespace class is spelled with LITERAL space/tab/CR/LF characters
 # (not backslash escapes) so the ONE pattern string embeds identically
 # in Spark SQL literals (which process C escapes) and DuckDB literals
-# (which don't). Remaining documented simplification: the href value
-# must be double-quoted — single-quoted and unquoted attribute values
-# are not extracted.
-HREF_RE = '(?i)<a[ \t\r\n](?:[^>]*?[ \t\r\n])?href="([^"]*)"'
+# (which don't); the single-quote characters are spelled DOUBLED ('')
+# because every use site embeds the pattern inside a single-quoted SQL
+# literal of either dialect — both render '' as one quote, so the
+# regex engines see the same text. One capture group per form (a
+# single alternation can't share a group: Spark is Java regex, DuckDB
+# is RE2 — no backreferences), and the three forms are mutually
+# exclusive at any given `href=` site (the char after `=` picks one),
+# so concatenating the three extractions loses nothing and dups
+# nothing. Whitespace is tolerated around `=` (HTML5). Remaining
+# documented simplification of the string-level extractor: a quoted
+# value containing a literal ` href=` can fabricate a phantom match
+# inside itself.
+_A_HREF_PRE = "(?i)<a[ \t\r\n](?:[^>]*?[ \t\r\n])?href[ \t\r\n]*=[ \t\r\n]*"
+HREF_DQ_RE = _A_HREF_PRE + '"([^"]*)"'
+HREF_SQ_RE = _A_HREF_PRE + "''([^'']*)''"
+# HTML5 unquoted attribute values exclude whitespace, quotes, =, <, >
+# and backtick; at least one char (an empty value needs quotes)
+HREF_UQ_RE = _A_HREF_PRE + "([^ \t\r\n<>\"''=`]+)"
+# the legacy name keeps pointing at the double-quoted form (narrow
+# uses: re-extraction from an element already matched by ANCHOR_RE)
+HREF_RE = HREF_DQ_RE
+_HREF_RES = (HREF_DQ_RE, HREF_SQ_RE, HREF_UQ_RE)
+
+
+def href_all_sql(html_sql: str, engine: str = "spark") -> str:
+    """Array of ALL href values in `html_sql` across the three quoting
+    forms — the extract_all each link consumer explodes/unnests. Three
+    sibling scans of the same string in one codegen stage (still zero
+    shuffles, still column-pruned); form order, not document order —
+    no consumer is position-sensitive (they explode into bags)."""
+    parts = [
+        f"regexp_extract_all({html_sql}, '{p}', 1)" for p in _HREF_RES
+    ]
+    if engine == "spark":
+        return "concat(" + ", ".join(parts) + ")"
+    if engine == "duckdb":
+        return " || ".join(parts)  # list concatenation
+    raise ValueError(f"unknown engine: {engine}")
+
+
+def href_value_sql(elem_sql: str) -> str:
+    """The href value of ONE anchor element (e.g. an ANCHOR_RE match):
+    first non-empty extraction across the three forms — dialect-free
+    (coalesce/nullif/regexp_extract agree). An explicitly empty value
+    (href=\"\") comes back NULL, which the resolution CASE drops — the
+    same fate '' met before."""
+    ex = [
+        f"nullif(regexp_extract({elem_sql}, '{p}', 1), '')"
+        for p in _HREF_RES
+    ]
+    return "coalesce(" + ", ".join(ex) + ")"
 
 _HOST_RE = "^[a-zA-Z]+://([^/:?#]+)"
 
@@ -89,9 +138,7 @@ def extract_links(
     string functions inside one codegen stage."""
     exploded = df.select(
         "*",
-        F.explode(
-            F.expr(f"regexp_extract_all({html_col}, '{HREF_RE}', 1)")
-        ).alias("href"),
+        F.explode(F.expr(href_all_sql(html_col, "spark"))).alias("href"),
     ).drop(html_col)
     resolved = exploded.withColumn(
         "dst_url", F.expr(resolve_href_sql("href", src_host_col))
@@ -102,13 +149,15 @@ def extract_links(
 
 
 # the full anchor ELEMENT (open tag + text + close), group 0: same
-# attribute-boundary discipline as HREF_RE, anchor text restricted to
-# non-'<' characters (nested markup inside <a> is the documented
-# simplification — the string-level extractor again), any-case </a>.
-# Literal whitespace characters for the same two-dialect-embedding
-# reason as HREF_RE.
+# attribute-boundary discipline and three-quoting-form alternation as
+# the HREF_*_RE family (non-capturing here — the element is the
+# match), anchor text restricted to non-'<' characters (nested markup
+# inside <a> is the documented simplification — the string-level
+# extractor again), any-case </a>. Literal whitespace characters and
+# doubled single-quotes for the same two-dialect-embedding reason.
 ANCHOR_RE = (
-    '(?i)<a[ \t\r\n](?:[^>]*?[ \t\r\n])?href="[^"]*"[^>]*>[^<]*</a>'
+    _A_HREF_PRE
+    + "(?:\"[^\"]*\"|''[^'']*''|[^ \t\r\n<>\"''=`]+)[^>]*>[^<]*</a>"
 )
 # within one extracted element: the text between '>' and the close tag
 ANCHOR_TEXT_RE = "(?i)>([^<]*)</a>$"
@@ -130,9 +179,7 @@ def extract_anchors(
         ).alias("_a"),
     ).drop(html_col)
     resolved = (
-        exploded.withColumn(
-            "href", F.expr(f"regexp_extract(_a, '{HREF_RE}', 1)")
-        )
+        exploded.withColumn("href", F.expr(href_value_sql("_a")))
         .withColumn(
             "anchor_text",
             F.expr(f"trim(regexp_extract(_a, '{ANCHOR_TEXT_RE}', 1))"),

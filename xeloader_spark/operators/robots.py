@@ -213,18 +213,33 @@ def robots_filter_table(
 # concern, embedded identically in the Spark plan and the DuckDB
 # oracle replay (instr/substr/trim/lower behave the same).
 
+# RFC 9309's grammar allows horizontal TABS as well as spaces around
+# directive keys and values, but bare trim() strips only spaces in both
+# engines — a tab-indented line or a 'Disallow:\t/private' value kept
+# its tab and the rule silently failed OPEN (r10, ADVICE r9). The ANSI
+# `trim(BOTH <chars> FROM x)` form takes a character SET and parses
+# identically in Spark SQL and DuckDB; the set is spelled with a
+# LITERAL tab character (not a backslash escape) so the one template
+# embeds identically in both dialects' string literals.
+_WS_TRIM = "trim(BOTH ' \t' FROM {x})"
+
 # comment stripped (first '#' to end — regexp_replace's single
 # anchored-at-first-match replacement is all that's needed, so DuckDB's
 # first-match default and Spark's global default agree), then trimmed
-ROBOTS_CLEAN_SQL = "trim(regexp_replace({raw}, '#.*', ''))"
+# (spaces AND tabs)
+ROBOTS_CLEAN_SQL = _WS_TRIM.format(
+    x="regexp_replace({raw}, '#.*', '')"
+)
 # directive key (lowercased) / value; lines without a colon yield ''
 ROBOTS_KEY_SQL = (
-    "CASE WHEN instr({c}, ':') > 0 "
-    "THEN lower(trim(substr({c}, 1, instr({c}, ':') - 1))) ELSE '' END"
+    "CASE WHEN instr({c}, ':') > 0 THEN lower("
+    + _WS_TRIM.format(x="substr({c}, 1, instr({c}, ':') - 1)")
+    + ") ELSE '' END"
 )
 ROBOTS_VAL_SQL = (
-    "CASE WHEN instr({c}, ':') > 0 "
-    "THEN trim(substr({c}, instr({c}, ':') + 1)) ELSE '' END"
+    "CASE WHEN instr({c}, ':') > 0 THEN "
+    + _WS_TRIM.format(x="substr({c}, instr({c}, ':') + 1)")
+    + " ELSE '' END"
 )
 
 
@@ -264,7 +279,12 @@ def _robots_grouped(
             f"OVER ({wo}), false) THEN 1 ELSE 0 END"
         ),
     ).withColumn("grp", F.expr(f"sum(grp_start) OVER ({w})"))
-    agent_lit = agent.lower().replace("'", "''")
+    # Spark literals process C escapes (DuckDB's don't), so the Spark
+    # side escapes backslashes FIRST, then doubles quotes — the same
+    # per-dialect split phrase_stream._sql_str pinned (r10, ADVICE r9:
+    # a backslash in `agent` silently diverged the two group
+    # selections). `parse_robots_oracle_sql` renders the DuckDB form.
+    agent_lit = agent.lower().replace("\\", "\\\\").replace("'", "''")
     gsel = grouped.groupBy("host", "grp").agg(
         F.expr(
             f"max(CASE WHEN is_ua AND lower(v) = '{agent_lit}' "
@@ -365,6 +385,8 @@ def parse_robots_oracle_sql(files_sql: str, agent: str) -> str:
     c = ROBOTS_CLEAN_SQL.format(raw="_raw")
     wo = "PARTITION BY host ORDER BY ln"
     w = f"{wo} ROWS UNBOUNDED PRECEDING"
+    # DuckDB literals do NOT process backslash escapes — quote-doubling
+    # only (the Spark side in `_robots_grouped` escapes backslashes too)
     agent_lit = agent.lower().replace("'", "''")
     return f"""
         WITH files AS ({files_sql}),

@@ -25,8 +25,8 @@ from ..operators.crawl import (
 from ..operators.links import (
     ANCHOR_RE,
     ANCHOR_TEXT_RE,
-    HREF_RE,
     dst_host_sql,
+    href_value_sql,
     resolve_href_sql,
 )
 from ..operators.robots import DUCK_D, robots_exprs, robots_filter
@@ -123,6 +123,10 @@ def _anchor_html_sql(s_type: str) -> str:
                        CAST(1 + doc_id % 10 AS {s_type}),
                        '.com/news">breaking news today</a>')
            ELSE '' END,
+      '<a href=''/sq-local/', CAST(doc_id % 13 AS {s_type}),
+      ''' title=''t''>single quoted pick</a>',
+      '<a href=/uq-local/', CAST(doc_id % 11 AS {s_type}),
+      '>bare value link</a>',
       '<a href="mailto:x@y.z">contact us</a>',
       '<a href="#top">back to top</a>',
       '</body></html>')
@@ -182,7 +186,7 @@ def _anchor_text_sql() -> str:
         ),
         rows_ AS (
             SELECT src_host,
-                   regexp_extract(a, '{HREF_RE}', 1) AS href,
+                   {href_value_sql('a')} AS href,
                    trim(regexp_extract(a, '{ANCHOR_TEXT_RE}', 1))
                        AS anchor_text
             FROM el
@@ -316,9 +320,9 @@ def _sitemap_seed_sql() -> str:
                        AS loc,
                    nullif(regexp_extract(u,
                           '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod,
-                   nullif(regexp_extract(u,
+                   try_cast(nullif(regexp_extract(u,
                           '<priority>([^<]*)</priority>', 1), '')
-                       AS priority
+                       AS DOUBLE) AS priority
             FROM blocks
         ),
         gated AS (
@@ -446,6 +450,13 @@ def _robots_txt_files() -> list[tuple[str, str]]:
         lines += [
             ("Allow: " if a else "Disallow: ") + p for p, a in rules
         ]
+        # RFC 9309 allows TABS around keys and values (ADVICE r9: bare
+        # trim() kept them and the rules failed open) — every host
+        # carries a tab-valued and a tab-indented rule that MUST parse
+        lines += [
+            "Disallow:\t/tab-value-block",
+            "\tAllow:\t/tab-value-block/ok\t",
+        ]
         if host == "www.src1.com":
             lines += ["Crawl-delay: 2.5"]
         elif host == "www.src2.com":
@@ -462,7 +473,19 @@ def _robots_txt_files() -> list[tuple[str, str]]:
         ]
         if host == "www.src1.com":
             lines += ["", "User-agent: *", "Disallow: /starline-decoy"]
-        files.append((host, "\n".join(lines)))
+        elif host == "www.src3.com":
+            # RFC 9309 §2.2.1: MULTIPLE groups naming the same agent
+            # all apply (rules merge) — src3 carries a second exact
+            # group whose rule must appear alongside the first group's
+            lines += [
+                "",
+                "User-agent: XELBOT  # second exact group — rules merge",
+                "Disallow: /second-group-block",
+            ]
+        # src2 is authored with CRLF line endings (the Windows-authored
+        # robots.txt case) — both engines split on \r?\n
+        sep = "\r\n" if host == "www.src2.com" else "\n"
+        files.append((host, sep.join(lines)))
     return files
 
 
@@ -537,7 +560,8 @@ def _robots_sitemaps_sql() -> str:
                    generate_subscripts(ls, 1) - 1 AS ln,
                    unnest(ls) AS _raw
             FROM (
-                SELECT host, string_split(robots_txt, chr(10)) AS ls
+                SELECT host,
+                       regexp_split_to_array(robots_txt, '\r?\n') AS ls
                 FROM files
             )
         ),

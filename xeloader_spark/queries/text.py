@@ -708,6 +708,8 @@ def _link_html_sql(s_type: str) -> str:
                        '">g</A>')
            ELSE '' END,
       '<a data-href="https://decoy.invalid/x">h</a>',
+      '<a href=''/sq/', CAST(doc_id % 13 AS {s_type}), '''>i</a>',
+      '<a href=/uq/', CAST(doc_id % 11 AS {s_type}), ' rel=nofollow>j</a>',
       '<script>var q="', CAST(doc_id % 97 AS {s_type}),
       '";</script><style>.c', CAST(doc_id % 7 AS {s_type}),
       '{{color:red}}</style>',
@@ -2321,7 +2323,7 @@ def _link_rows_sql() -> str:
     """Shared link-extraction replay: synthesis + regexp_extract_all +
     the SAME resolution CASE the Spark plan renders
     (`operators/links.resolve_href_sql`)."""
-    from ..operators.links import HREF_RE, dst_host_sql, resolve_href_sql
+    from ..operators.links import dst_host_sql, href_all_sql, resolve_href_sql
 
     return f"""
         SELECT doc_id, src_host, href,
@@ -2330,8 +2332,8 @@ def _link_rows_sql() -> str:
                    AS dst_host
         FROM (
             SELECT doc_id, {_SRC_HOST} AS src_host,
-                   unnest(regexp_extract_all({_link_html_sql("VARCHAR")},
-                          '{HREF_RE}', 1)) AS href
+                   unnest({href_all_sql(_link_html_sql("VARCHAR"), "duckdb")})
+                       AS href
             FROM documents
         )
         WHERE {resolve_href_sql('href', 'src_host')} IS NOT NULL
@@ -2507,7 +2509,11 @@ def _crawl_pipeline_sql() -> str:
     shared dialect builders, href extraction + resolution via the shared
     links templates, REP verdicts via the shared robots builder, the
     canonicalizer core CTE, then the frontier group + wave window."""
-    from ..operators.links import HREF_RE, dst_host_sql, resolve_href_sql
+    from ..operators.links import (
+        dst_host_sql,
+        href_all_sql,
+        resolve_href_sql,
+    )
     from ..operators.robots import DUCK_D, robots_exprs
     from ..sources.warc import (
         DUCK_DIALECT,
@@ -2536,7 +2542,7 @@ def _crawl_pipeline_sql() -> str:
         ),
         lx AS (
             SELECT doc_id, src_host,
-                   unnest(regexp_extract_all(html, '{HREF_RE}', 1)) AS href
+                   unnest({href_all_sql("html", "duckdb")}) AS href
             FROM pages
         ),
         resolved AS (
