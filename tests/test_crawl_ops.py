@@ -240,6 +240,60 @@ def test_parse_sitemap_zero_shuffle(spark):
     assert count_exchanges(parse_sitemap(df)) == 0
 
 
+SITEMAP_INDEX = (
+    '<?xml version="1.0"?><sitemapindex>'
+    "<sitemap><loc>https://h/a.xml</loc>"
+    "<lastmod>2026-02-01</lastmod></sitemap>"
+    "<sitemap>\n  <loc>https://h/b.xml</loc>\n</sitemap>"
+    "<sitemap><lastmod>2026-02-02</lastmod></sitemap>"  # loc-less: dropped
+    "</sitemapindex>"
+)
+
+
+def test_parse_sitemap_index_fields_and_loud_nulls(spark):
+    from xeloader_spark.operators.crawl import parse_sitemap_index
+
+    df = spark.createDataFrame(
+        [("h1", SITEMAP_INDEX)], "host string, sitemap_index_xml string"
+    )
+    rows = sorted(
+        (r.host, r.sitemap_loc, r.sitemap_lastmod)
+        for r in parse_sitemap_index(df).collect()
+    )
+    assert rows == [
+        ("h1", "https://h/a.xml", "2026-02-01"),
+        ("h1", "https://h/b.xml", None),
+    ]
+    assert count_exchanges(parse_sitemap_index(df)) == 0
+
+
+def test_fetch_schedule_closed_form(spark):
+    """Offsets are (wave-1)×delay with url-ascending waves per host;
+    hosts without a declared Crawl-delay get the default."""
+    from xeloader_spark.operators.crawl import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [("h1", "u/b"), ("h1", "u/a"), ("h1", "u/c"), ("h2", "u/a"),
+         ("h2", "u/b")],
+        "host string, url string",
+    )
+    delays = spark.createDataFrame(
+        [("h1", 2.5)], "host string, crawl_delay double"
+    )
+    got = {
+        (r.host, r.url): (r.wave, r.delay, r.scheduled_offset)
+        for r in fetch_schedule(frontier, delays, default_delay=5.0)
+        .collect()
+    }
+    assert got == {
+        ("h1", "u/a"): (1, 2.5, 0.0),
+        ("h1", "u/b"): (2, 2.5, 2.5),
+        ("h1", "u/c"): (3, 2.5, 5.0),
+        ("h2", "u/a"): (1, 5.0, 0.0),
+        ("h2", "u/b"): (2, 5.0, 5.0),
+    }
+
+
 def _hrw_assignments(spark, n_keys=64, n_shards=5, exclude=None):
     df = spark.range(n_keys).selectExpr(
         "concat('host-', CAST(id AS STRING)) AS host"
@@ -329,6 +383,55 @@ def test_robots_crawl_delay_closed_form(spark):
         "www.src2.com": 1.0,
         "www.src4.com": 10.0,
     }
+
+
+# RFC 9309 §2.2.3 / Google robots.txt documentation match cases: the
+# wildcard-and-anchor table every compliant matcher must reproduce.
+REP_MATCH_CASES = [
+    ("/fish", "/fish", True), ("/fish", "/fishheads", True),
+    ("/fish", "/Fish", False), ("/fish", "/catfish", False),
+    ("/fish*", "/fishheads/yummy.html", True), ("/fish*", "/fis", False),
+    ("/fish/", "/fish/salmon", True), ("/fish/", "/fish", False),
+    ("/*.php", "/index.php", True), ("/*.php", "/filename.php?p=1", True),
+    ("/*.php", "/", False), ("/*.php", "/windows.PHP", False),
+    ("/*.php$", "/filename.php", True),
+    ("/*.php$", "/filename.php?p=1", False),
+    ("/*.php$", "/filename.php5", False),
+    ("/fish*.php", "/fish.php", True),
+    ("/fish*.php", "/fishheads/catfish.php?p=1", True),
+    ("/fish*.php", "/Fish.PHP", False),
+    # empty-segment and n=1-anchored edges
+    ("/a*", "/a", True), ("/a*a$", "/a", False), ("/a*a$", "/aa", True),
+    ("/a**b", "/ab", True), ("/fish$", "/fish", True),
+    ("/fish$", "/fishheads", False),
+]
+
+
+def test_rep_wildcard_match_both_engines(spark):
+    """rule_match_sql must reproduce the RFC/Google case table from the
+    SAME template in BOTH dialects (r10: '*' and trailing-'$' support —
+    §2.2.3 says crawlers MUST support them; the matcher was
+    prefix-only)."""
+    from xeloader_spark.operators.robots import (
+        DUCK_D,
+        SPARK_D,
+        rule_match_sql,
+    )
+
+    con = duckdb.connect()
+    try:
+        for pat, path, exp in REP_MATCH_CASES:
+            s = spark.sql(
+                "SELECT "
+                + rule_match_sql(SPARK_D, f"'{path}'", f"'{pat}'")
+                + " AS m"
+            ).collect()[0].m
+            d = con.execute(
+                "SELECT " + rule_match_sql(DUCK_D, f"'{path}'", f"'{pat}'")
+            ).fetchone()[0]
+            assert s == exp and d == exp, (pat, path, s, d, exp)
+    finally:
+        con.close()
 
 
 def test_robots_parser_handles_tab_whitespace(spark):

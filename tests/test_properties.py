@@ -1078,7 +1078,13 @@ def test_kneser_ney_matches_integer_model_and_tracks_float(spark, token_lists):
         st.tuples(
             st.sampled_from(["a.com", "b.com", "A.COM"]),
             st.sampled_from(
-                ["/", "/x", "/x/y", "/xy", "/z", "/x?q=", "/?l="]
+                [
+                    "/", "/x", "/x/y", "/xy", "/z", "/x?q=", "/?l=",
+                    # RFC 9309 §2.2.3 specials (r10): '*' runs and
+                    # trailing-'$' anchors, incl. empty-segment edges
+                    "/x*", "/*y", "/x*y", "/x$", "/x*y$", "/*q=*",
+                    "/**z", "/*",
+                ]
             ),
             st.booleans(),
         ),
@@ -1107,13 +1113,24 @@ def test_kneser_ney_matches_integer_model_and_tracks_float(spark, token_lists):
 )
 def test_robots_matches_python_rep_model(spark, rules, urls):
     """robots_filter AND robots_filter_table == the direct RFC 9309
-    model for any rule set and URL set: longest matching prefix (over
-    path + query) wins, Allow wins length ties, hosts case-insensitive,
-    no match → allowed."""
+    model for any rule set and URL set: most-specific matching PATTERN
+    (over path + query; '*' = any run, trailing '$' = end anchor, plain
+    rules = prefix) wins by pattern-octet length, Allow wins length
+    ties, hosts case-insensitive, no match → allowed. The model is an
+    INDEPENDENT Python re translation, not the SQL replayed — it
+    catches bugs the shared-template oracles would mirror."""
+    import re
+
     from xeloader_spark.operators.robots import (
         robots_filter,
         robots_filter_table,
     )
+
+    def rep_match(path: str, pat: str) -> bool:
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        rx = ".*".join(re.escape(s) for s in core.split("*"))
+        return re.match(rx + (r"\Z" if anchored else ""), path) is not None
 
     rows = [
         (i, f"https://{h}{p}") for i, (h, p) in enumerate(urls)
@@ -1134,7 +1151,7 @@ def test_robots_matches_python_rep_model(spark, rules, urls):
         matches = [
             (len(rp), allow)
             for rh, rp, allow in rules
-            if rh.lower() == h.lower() and p.startswith(rp)
+            if rh.lower() == h.lower() and rep_match(p, rp)
         ]
         if matches:
             exp = (max(matches)[1], max(matches)[0])

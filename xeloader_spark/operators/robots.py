@@ -4,9 +4,12 @@ Completes the crawl-ingestion trio: `sources/warc.py` (the container),
 `operators/text.url_canonicalize` (frontier dedup), and this — which
 URLs a compliant crawler may fetch at all. Semantics are the public
 REP rules as specified in RFC 9309 (and Google's documented
-tie-breaks): per host, Allow/Disallow PATH-PREFIX rules; the longest
-matching prefix wins; on a length tie, Allow wins; no matching rule
-means allowed.
+tie-breaks): per host, Allow/Disallow PATH-PATTERN rules — literal
+octets plus `*` (any run of characters) and a trailing `$` (end
+anchor), the two specials §2.2.3 says crawlers MUST support (r10; see
+`rule_match_sql`); the most specific (most-octets, measured on the
+pattern as written) matching rule wins; on a length tie, Allow wins;
+no matching rule means allowed.
 
 Two physical forms, one longest-match HOF:
 
@@ -54,6 +57,19 @@ SPARK_D = {
     "filter": lambda arr, lam: f"filter({arr}, {lam})",
     "transform": lambda arr, lam: f"transform({arr}, {lam})",
     "best": lambda arr: f"try_element_at(reverse(array_sort({arr})), 1)",
+    # r10 wildcard-matcher hooks
+    "split_star": lambda x: f"split({x}, '[*]')",
+    "size": lambda a: f"size({a})",
+    "at": lambda a, i: f"element_at({a}, {i})",
+    "slice_mid": lambda a, n: f"slice({a}, 2, greatest({n} - 2, 0))",
+    "fold": lambda arr, init, lam: f"aggregate({arr}, {init}, {lam})",
+    "str": lambda x: f"CAST({x} AS STRING)",
+    # let-binding via a 1-element transform: HOF lambdas are evaluated
+    # INTERPRETED (no codegen CSE), so a subexpression referenced N
+    # times is computed N times unless bound once here
+    "let": lambda val, var, body: (
+        f"element_at(transform(array({val}), {var} -> {body}), 1)"
+    ),
 }
 DUCK_D = {
     "struct": lambda host, prefix, allow: (
@@ -67,7 +83,100 @@ DUCK_D = {
     "filter": lambda arr, lam: f"list_filter({arr}, {lam})",
     "transform": lambda arr, lam: f"list_transform({arr}, {lam})",
     "best": lambda arr: f"(list_reverse(list_sort({arr})))[1]",
+    # r10 wildcard-matcher hooks (list_reduce has no init parameter, so
+    # the init is prepended — acc and elements must share a type, which
+    # is why the fold accumulator is a STRING in both dialects)
+    "split_star": lambda x: f"regexp_split_to_array({x}, '[*]')",
+    "size": lambda a: f"len({a})",
+    "at": lambda a, i: f"({a})[{i}]",
+    "slice_mid": lambda a, n: f"list_slice({a}, 2, {n} - 1)",
+    "fold": lambda arr, init, lam: (
+        f"list_reduce(list_prepend({init}, {arr}), {lam})"
+    ),
+    "str": lambda x: f"CAST({x} AS VARCHAR)",
+    "let": lambda val, var, body: (
+        f"(list_transform([{val}], {var} -> {body}))[1]"
+    ),
 }
+
+
+def rule_match_sql(d: dict, path_sql: str, pat_sql: str) -> str:
+    """RFC 9309 §2.2.3 path-pattern match as ONE dialect-parametric
+    boolean expression: `pat_sql` may contain `*` (matches any run of
+    characters, including empty) and a trailing `$` (anchors the match
+    to the END of the path) — special characters crawlers MUST support
+    per the RFC; everywhere else the pattern is literal octets, and a
+    pattern with neither special is today's plain prefix match (r10;
+    the matcher was prefix-only before, a real-robots.txt conformance
+    gap — `/*.php$` and `Disallow: /*?utm_source=` style rules are
+    everywhere).
+
+    Algorithm (pure scalar/HOF SQL, no regex — regex would need
+    per-dialect metacharacter escaping, the exact divergence the shared
+    templates exist to avoid): strip the `$`, split on `*`; the first
+    segment must PREFIX the path; middle segments are found
+    left-to-right greedily with instr (earliest occurrence ≥ the
+    running position — earliest-match is complete here because every
+    later segment only needs MORE room, never less); the last segment
+    must occur after the middles (unanchored) or suffix the path at a
+    position ≥ the running position (anchored). The fold accumulator is
+    the next allowed 1-based start position, carried as a STRING
+    (`'-1'` = dead) so one template serves Spark's `aggregate` and
+    DuckDB's init-less `list_reduce`. Empty segments (from `*` runs or
+    a trailing `*`) match trivially: `instr(x, '') = 1` in both
+    engines, pinned by the conformance tests.
+
+    Cost discipline: rules with NEITHER special short-circuit to the
+    plain prefix test before any of the machinery runs (real robots.txt
+    rules are overwhelmingly plain, and SQL CASE branches evaluate
+    lazily), and within the wildcard branch the split result and the
+    fold result are LET-BOUND via 1-element transform lambdas (HOF
+    lambdas evaluate interpreted — no codegen CSE — so an unbound
+    subexpression referenced N times re-splits/re-folds N times: the
+    unbound draft re-rendered the split ~6× and the fold up to 3× per
+    rule per row)."""
+    plain = f"instr({pat_sql}, '*') = 0 AND right({pat_sql}, 1) <> '$'"
+    plain_match = f"left({path_sql}, length({pat_sql})) = {pat_sql}"
+    anchored = f"right({pat_sql}, 1) = '$'"
+    core = (
+        f"CASE WHEN {anchored} THEN left({pat_sql}, length({pat_sql}) - 1) "
+        f"ELSE {pat_sql} END"
+    )
+    segs = d["split_star"](core)
+    # inside the let body, `wg` IS the segments array
+    n = d["size"]("wg")
+    s1 = d["at"]("wg", 1)
+    sn = d["at"]("wg", n)
+    first_ok = f"left({path_sql}, length({s1})) = {s1}"
+    init = d["str"](f"1 + length({s1})")
+    lam = (
+        "(wacc, wseg) -> CASE WHEN CAST(wacc AS INT) < 0 "
+        f"OR instr(substr({path_sql}, CAST(wacc AS INT)), wseg) = 0 "
+        "THEN '-1' ELSE "
+        + d["str"](
+            f"CAST(wacc AS INT) "
+            f"+ instr(substr({path_sql}, CAST(wacc AS INT)), wseg) "
+            "- 1 + length(wseg)"
+        )
+        + " END"
+    )
+    acc = f"CAST({d['fold'](d['slice_mid']('wg', n), init, lam)} AS INT)"
+    q = f"length({path_sql}) - length({sn}) + 1"
+    verdict = (
+        f"CASE WHEN {n} = 1 THEN (NOT ({anchored})) "
+        f"OR length({path_sql}) = length({s1}) "
+        "WHEN wp < 0 THEN false "
+        f"WHEN {anchored} THEN {q} >= wp "
+        f"AND right({path_sql}, length({sn})) = {sn} "
+        f"ELSE {sn} = '' "
+        f"OR instr(substr({path_sql}, wp), {sn}) > 0 END"
+    )
+    wild = d["let"](
+        segs, "wg", f"{first_ok} AND " + d["let"](acc, "wp", verdict)
+    )
+    return (
+        f"(CASE WHEN {plain} THEN {plain_match} ELSE {wild} END)"
+    )
 
 _HOST_RE = "^[a-zA-Z]+://([^/:?#]+)"
 # group 2 = path, group 3 = ?query. RFC 9309 matches rules against the
@@ -112,8 +221,11 @@ def _check_rules(rules: list[Rule]) -> list[Rule]:
 
 def robots_exprs(d: dict, rules: list[Rule], url_sql: str) -> dict[str, str]:
     """Column expressions evaluating `rules` against the URL named by
-    `url_sql`: host, path (default '/'), matched_len (longest matching
-    prefix length, -1 when no rule matched) and allowed."""
+    `url_sql`: host, path (default '/'), matched_len (specificity of
+    the winning rule = octet length of its pattern as written,
+    `*`/`$` included — the RFC's most-octets measure; -1 when no rule
+    matched) and allowed. Patterns may use `*` and trailing `$`
+    (`rule_match_sql`)."""
     rules = _check_rules(rules)
     host, path = _url_exprs(url_sql)
     if not rules:
@@ -128,7 +240,8 @@ def robots_exprs(d: dict, rules: list[Rule], url_sql: str) -> dict[str, str]:
     rules_arr = d["arr"]([d["struct"](h, p, a) for h, p, a in rules])
     matches = d["filter"](
         rules_arr,
-        f"r -> r.host = {host} AND left({path}, length(r.prefix)) = r.prefix",
+        f"r -> r.host = {host} AND "
+        + rule_match_sql(d, path, "r.prefix"),
     )
     best = d["best"](d["transform"](matches, "r -> " + d["mk_match"]("r")))
     return {
@@ -193,7 +306,9 @@ def robots_filter_table(
         host_rules, annotated["host"] == host_rules["_rhost"], "left"
     ).drop("_rhost")
     matches = (
-        "filter(_rules, r -> left(path, length(r.prefix)) = r.prefix)"
+        "filter(_rules, r -> "
+        + rule_match_sql(SPARK_D, "path", "r.prefix")
+        + ")"
     )
     best = (
         f"try_element_at(reverse(array_sort(transform({matches}, "

@@ -35,64 +35,63 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-9 ROTATION (installed from tools/gen_round_priority.py output,
-# re-run + reinstalled after every query addition): 253 registered at
-# round open, 0 unverified — the 4 r3-stale queries lead the window
-# (VERDICT r8 #1), then the r4 cohort oldest-first fills the remaining
-# slots. New registrations this round take priority slots on reinstall.
+# ROUND-10 ROTATION (tools/gen_round_priority.py 50 4 — the new
+# drain-first mode, VERDICT r9 #1): the 20 r4-stale re-checks are
+# PINNED to slots 1-20 ahead of the round's 3 new registrations, so a
+# third displacement is structurally impossible; oldest-r5 re-checks
+# fill the rest. 272 registered at install.
 _ROUND_PRIORITY = [
-    "q_important_stock",
-    "q_mincost_supplier",
-    "q_potential_promotion",
-    "q_profit_by_nation",
-    "q_warc_reader_contract",
-    "q_host_hits",
-    "q_anchor_text",
-    "q_redirect_resolution",
-    "q_rendezvous_shards",
-    "q_sitemap_seed",
-    "q_phrase_search",
-    "q_bucketed_join_contract",
-    "q_line_dedup",
-    "q_robots_parse",
-    "q_robots_sitemaps",
-    "q_robots_crawl_delay",
-    "q_weighted_sample",  # recheck (last green r3)
-    "q_training_data_build",  # recheck (last green r3)
-    "q_classifier_inference",  # recheck (last green r3)
-    "q_domain_classifier",  # recheck (last green r3)
-    "q_forecast_revenue_change",  # recheck (last green r4)
-    "q_order_reconciliation",  # recheck (last green r4)
-    "q_pivot_user_matrix",  # recheck (last green r4)
-    "q_referential_integrity",  # recheck (last green r4)
-    "q_revenue_pareto",  # recheck (last green r4)
-    "q_fixedwidth_roundtrip",  # recheck (last green r4)
-    "q_dedup_eval",  # recheck (last green r4)
-    "q_golden_records",  # recheck (last green r4)
-    "q_prefix_jaccard_pairs",  # recheck (last green r4)
-    "q_source_dup_rates",  # recheck (last green r4)
-    "q_image_phash",  # recheck (last green r4)
-    "q_image_phash_neardup",  # recheck (last green r4)
-    "q_label_propagation",  # recheck (last green r4)
-    "q_media_integrity",  # recheck (last green r4)
-    "q_pagerank_knn",  # recheck (last green r4)
-    "q_pagerank_personalized",  # recheck (last green r4)
-    "q_rank_fusion",  # recheck (last green r4)
-    "q_triangle_stats",  # recheck (last green r4)
-    "q_pmi_collocations",  # recheck (last green r4)
-    "q_source_diversity",  # recheck (last green r4)
-    "q_conditional_aggs",  # recheck (last green r4)
-    "q_id_islands",  # recheck (last green r4)
-    "q_null_semantics",  # recheck (last green r4)
-    "q_string_agg_ordered",  # recheck (last green r4)
-    "q_vector_norms",  # recheck (last green r4)
-    "q_attribution_first_touch",  # recheck (last green r4)
-    "q_bounce_rate",  # recheck (last green r4)
-    "q_cdc_snapshot",  # recheck (last green r4)
-    "q_cooccurrence_lift",  # recheck (last green r4)
-    "q_distribution_drift",  # recheck (last green r4)
+    "q_exact_median_twopass",  # recheck (last green r4)
+    "q_hist_quantile_sketch",  # recheck (last green r4)
+    "q_hll_distinct_users",  # recheck (last green r4)
+    "q_hll_intersection",  # recheck (last green r4)
+    "q_hopping_window_agg",  # recheck (last green r4)
+    "q_hourly_autocorrelation",  # recheck (last green r4)
+    "q_incremental_rollup",  # recheck (last green r4)
+    "q_interarrival_stats",  # recheck (last green r4)
+    "q_iqr_outliers",  # recheck (last green r4)
+    "q_join_key_skew",  # recheck (last green r4)
+    "q_join_size_sketch",  # recheck (last green r4)
+    "q_json_payload_stats",  # recheck (last green r4)
+    "q_markov_transitions",  # recheck (last green r4)
+    "q_rollup_hierarchy",  # recheck (last green r4)
+    "q_scd2_history",  # recheck (last green r4)
+    "q_scd2_pointintime",  # recheck (last green r4)
+    "q_series_correlation",  # recheck (last green r4)
+    "q_user_lifetime",  # recheck (last green r4)
+    "q_weekly_profile",  # recheck (last green r4)
+    "q_classifier_calibration",  # recheck (last green r4)
+    "q_fetch_schedule",
+    "q_sitemap_index",
+    "q_phrase_index_contract",
+    "q_event_sequence_order",  # recheck (last green r5)
+    "q_event_type_filter_project",  # recheck (last green r5)
+    "q_hash_match_join",  # recheck (last green r5)
+    "q_lineage_join",  # recheck (last green r5)
+    "q_local_time_report",  # recheck (last green r5)
+    "q_time_bucket_agg",  # recheck (last green r5)
+    "q_topk_heavy_hitters",  # recheck (last green r5)
+    "q_truncation_audit",  # recheck (last green r5)
+    "q_bloom_join_prune",  # recheck (last green r5)
+    "q_correlated_subquery",  # recheck (last green r5)
+    "q_cross_join_small",  # recheck (last green r5)
+    "q_cube_agg",  # recheck (last green r5)
+    "q_distinct_agg",  # recheck (last green r5)
+    "q_exists_semi_join",  # recheck (last green r5)
+    "q_frequent_pairs",  # recheck (last green r5)
+    "q_having_filter",  # recheck (last green r5)
+    "q_not_exists_anti_join",  # recheck (last green r5)
+    "q_order_count_histogram",  # recheck (last green r5)
+    "q_outer_join_coverage",  # recheck (last green r5)
+    "q_pivot_segments",  # recheck (last green r5)
+    "q_pricing_summary",  # recheck (last green r5)
+    "q_region_revenue",  # recheck (last green r5)
+    "q_rollup_agg",  # recheck (last green r5)
+    "q_cross_source_contamination",  # recheck (last green r5)
+    "q_incremental_neardup",  # recheck (last green r5)
+    "q_jaccard_threshold_curve",  # recheck (last green r5)
+    "q_leakage_safe_split",  # recheck (last green r5)
 ]
-
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collected: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -350,6 +350,159 @@ ORACLES["q_sitemap_seed"] = _sitemap_seed_sql()
 
 
 # ---------------------------------------------------------------------------
+# sitemap INDEX discovery (r10, VERDICT r9 #2) — the two-level form
+# every large site actually publishes: robots.txt points at a
+# <sitemapindex>, whose members are the real urlsets. Members partition
+# the host's _SM_M residues by m % 3 into three part files.
+
+_N_SM_PARTS = 3
+
+
+def _sm_member_url_sql(s_type: str) -> str:
+    return (
+        "concat('https://www.', source, '.com/sitemaps/part', "
+        f"CAST(p AS {s_type}), '.xml')"
+    )
+
+
+def _sm_member_entry_sql(s_type: str) -> str:
+    """One <sitemap> member entry of the index, from (source, p)."""
+    return (
+        f"concat('<sitemap><loc>', {_sm_member_url_sql(s_type)}, "
+        f"'</loc><lastmod>2026-02-0', CAST(1 + p AS {s_type}), "
+        "'</lastmod></sitemap>')"
+    )
+
+
+def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap discovery
+    (`operators/crawl.parse_sitemap_index` → fetch → `parse_sitemap`):
+    each host's <sitemapindex> lists three member part files; the index
+    parses to (host, sitemap_loc, sitemap_lastmod) rows, the member
+    bodies are joined in by URL (the fetch step as an equi-join —
+    rows-as-files, the WARC-fixture discipline), and each member parses
+    to the final typed url entries WITH index lineage. Plan: two slim
+    aggregates build the fixture XML, one zero-shuffle parse per level,
+    one member-count-sized equi-join. At crawl scale the member join is
+    the fetcher's (url → body) table — host-keyed on both sides."""
+    from ..operators.crawl import parse_sitemap_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = docs.selectExpr(
+        "source", f"CAST({_SM_M} AS BIGINT) AS m"
+    ).distinct().withColumn("p", F.expr(f"m % {_N_SM_PARTS}"))
+    bodies = parts.groupBy("source", "p").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
+            ")), x -> x.e), '')"
+        ).alias("body")
+    )
+    members = bodies.select(
+        F.expr(_sm_member_url_sql("STRING")).alias("member_url"),
+        F.expr(
+            "concat('<?xml version=\"1.0\"?><urlset>', body, '</urlset>')"
+        ).alias("sitemap_xml"),
+    )
+    index = bodies.groupBy("source").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            f"named_struct('p', p, 'e', {_sm_member_entry_sql('STRING')})"
+            ")), x -> x.e), '')"
+        ).alias("ibody")
+    ).select(
+        F.expr("lower(concat('www.', source, '.com'))").alias("host"),
+        F.expr(
+            "concat('<?xml version=\"1.0\"?><sitemapindex>', ibody, "
+            "'</sitemapindex>')"
+        ).alias("sitemap_index_xml"),
+    )
+    discovered = parse_sitemap_index(index)
+    fetched = discovered.join(
+        members,
+        discovered["sitemap_loc"] == members["member_url"],
+    ).drop("member_url")
+    from ..operators.crawl import parse_sitemap
+
+    return parse_sitemap(fetched).select(
+        "host", "sitemap_loc", "sitemap_lastmod", "loc", "lastmod",
+        "priority",
+    )
+
+
+def _sitemap_index_sql() -> str:
+    from ..operators.crawl import SITEMAP_MEMBER_RE
+
+    loc = "nullif(regexp_extract(u, '<loc>([^<]*)</loc>', 1), '')"
+    return f"""
+        WITH parts AS (
+            SELECT source, m, m % {_N_SM_PARTS} AS p FROM (
+                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        bodies AS (
+            SELECT source, p,
+                   string_agg({_sm_entry_sql("VARCHAR")}, '' ORDER BY m)
+                       AS body
+            FROM parts GROUP BY source, p
+        ),
+        members AS (
+            SELECT {_sm_member_url_sql("VARCHAR")} AS member_url,
+                   concat('<?xml version="1.0"?><urlset>', body,
+                          '</urlset>') AS sitemap_xml
+            FROM bodies
+        ),
+        index_ AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('<?xml version="1.0"?><sitemapindex>',
+                          string_agg({_sm_member_entry_sql("VARCHAR")},
+                                     '' ORDER BY p),
+                          '</sitemapindex>') AS xml
+            FROM bodies GROUP BY source
+        ),
+        disc AS (
+            SELECT host,
+                   nullif(regexp_extract(s, '<loc>([^<]*)</loc>', 1), '')
+                       AS sitemap_loc,
+                   nullif(regexp_extract(s,
+                          '<lastmod>([^<]*)</lastmod>', 1), '')
+                       AS sitemap_lastmod
+            FROM (
+                SELECT host,
+                       unnest(regexp_extract_all(xml,
+                              '{SITEMAP_MEMBER_RE}', 0)) AS s
+                FROM index_
+            )
+        ),
+        fetched AS (
+            SELECT d.host, d.sitemap_loc, d.sitemap_lastmod, m.sitemap_xml
+            FROM disc d JOIN members m ON d.sitemap_loc = m.member_url
+            WHERE d.sitemap_loc IS NOT NULL
+        ),
+        ub AS (
+            SELECT host, sitemap_loc, sitemap_lastmod,
+                   unnest(regexp_extract_all(sitemap_xml,
+                          '{SITEMAP_URL_RE}', 0)) AS u
+            FROM fetched
+        )
+        SELECT host, sitemap_loc, sitemap_lastmod,
+               {loc} AS loc,
+               nullif(regexp_extract(u,
+                      '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod,
+               try_cast(nullif(regexp_extract(u,
+                      '<priority>([^<]*)</priority>', 1), '')
+                   AS DOUBLE) AS priority
+        FROM ub WHERE {loc} IS NOT NULL
+    """
+
+
+ORACLES["q_sitemap_index"] = _sitemap_index_sql()
+
+
+
+
+# ---------------------------------------------------------------------------
 # rendezvous fetcher sharding
 
 _N_FETCHERS = 8
@@ -608,3 +761,71 @@ def _robots_crawl_delay_sql() -> str:
 
 
 ORACLES["q_robots_crawl_delay"] = _robots_crawl_delay_sql()
+
+
+# ---------------------------------------------------------------------------
+# politeness-aware fetch schedule (r10, VERDICT r9 #4)
+
+_DEFAULT_CRAWL_DELAY = 5.0
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch schedule
+    (`operators/crawl.fetch_schedule`): the per-host frontier order
+    composed with each host's Crawl-delay — resolved from the SAME
+    robots.txt fixture files through the exact-beats-wildcard group
+    selection (`robots_crawl_delay`) — into (host, url, wave, delay,
+    scheduled_offset). Hosts without a directive get the 5 s default;
+    the offset arithmetic ((wave-1) × delay with exact-binary delays)
+    is oracle-exact. One host window + one host-dimension left join."""
+    from ..operators.crawl import fetch_schedule
+    from ..operators.robots import robots_crawl_delay
+
+    docs = load_table(spark, sf_dir, "documents")
+    frontier = docs.selectExpr(
+        f"{_SRC_HOST} AS host",
+        f"concat('https://', {_SRC_HOST}, '/articles/', "
+        "CAST(doc_id % 50 AS STRING)) AS url",
+    ).distinct()
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    return fetch_schedule(
+        frontier, delays, default_delay=_DEFAULT_CRAWL_DELAY
+    )
+
+
+def _fetch_schedule_sql() -> str:
+    from ..operators.robots import crawl_delay_oracle_sql
+
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    delays = crawl_delay_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)",
+        _ROBOTS_AGENT,
+    )
+    d = f"coalesce(d.crawl_delay, CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))"
+    return f"""
+        WITH delays AS ({delays}),
+        frontier AS (
+            SELECT DISTINCT {_SRC_HOST} AS host,
+                   concat('https://', {_SRC_HOST}, '/articles/',
+                          CAST(doc_id % 50 AS VARCHAR)) AS url
+            FROM documents
+        ),
+        w AS (
+            SELECT host, url,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY url) AS BIGINT) AS wave
+            FROM frontier
+        )
+        SELECT w.host, w.url, w.wave, {d} AS delay,
+               CAST(w.wave - 1 AS DOUBLE) * {d} AS scheduled_offset
+        FROM w LEFT JOIN delays d ON w.host = d.host
+    """
+
+
+ORACLES["q_fetch_schedule"] = _fetch_schedule_sql()

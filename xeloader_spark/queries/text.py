@@ -577,15 +577,23 @@ _URL_SEED_SPARK = """
 # prefix (r8: RFC 9309 matches rules against path + query — fires on
 # src2 docs ≡ 62 mod 300, whose URL renders '/articles/12?ref=home&…',
 # disallowed at matched_len 17; verified firing at sf0.01 like every
-# other rule). Unlisted hosts default-allow.
+# other rule). r10 adds the RFC §2.2.3 SPECIALS (crawlers MUST support
+# them): a mid-'*' tracking-param block on src1 (fires on id 21 — its
+# odd doc_ids always render '?utm_source=…'; scoped to '/articles/2'
+# so it never shadows the 1/11/31 prefix cases) and a '$'-anchored
+# rule on src2 (fires on id 32 when the query ENDS '&ref=home' — the
+# doc_id % 6 ≠ 2 branches — and must NOT fire on the '?ref=home&id=…'
+# ordering, the anchor's whole point). Unlisted hosts default-allow.
 _ROBOTS_RULES = [
     ("www.src1.com", "/articles/1", False),
     ("www.src1.com", "/articles/11", True),
     ("www.src1.com", "/articles/31", True),
     ("www.src1.com", "/articles/31", False),
+    ("www.src1.com", "/articles/2*utm_source=*", False),
     ("www.src4.com", "/articles/44/", False),
     ("www.src2.com", "/articles/42/", False),
     ("www.src2.com", "/articles/12?ref=", False),
+    ("www.src2.com", "/articles/32*&ref=home$", False),
     ("www.src3.com", "/", False),
     ("www.src3.com", "/articles/23", True),
 ]
@@ -2275,7 +2283,7 @@ def _robots_table_sql() -> str:
     """DuckDB replay of q_robots_filter_table: rules from a VALUES
     table, per-host list() aggregate, LEFT join on host, then the same
     longest-match HOF the literal oracle uses (DUCK_D lambdas)."""
-    from ..operators.robots import DUCK_D, _url_exprs
+    from ..operators.robots import DUCK_D, _url_exprs, rule_match_sql
 
     host, path = _url_exprs("url")
     values = ",\n            ".join(
@@ -2283,7 +2291,7 @@ def _robots_table_sql() -> str:
         for h, p, a in _ROBOTS_RULES
     )
     matches = DUCK_D["filter"](
-        "rules", "r -> left(path, length(r.prefix)) = r.prefix"
+        "rules", "r -> " + rule_match_sql(DUCK_D, "path", "r.prefix")
     )
     best = DUCK_D["best"](
         DUCK_D["transform"](
@@ -2803,3 +2811,105 @@ def _phrase_search_sql() -> str:
 
 
 ORACLES["q_phrase_search"] = _phrase_search_sql()
+
+
+_PIC_BUCKETS = 8
+
+
+def q_phrase_index_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phrase-search SCALE claim made falsifiable (r10; the
+    `q_bucketed_join_contract` move applied to retrieval): at 100 TB the
+    positional posting frame is the REUSABLE index artifact — "write it
+    bucketed by term and every later phrase batch joins shuffle-free"
+    (`operators/phrase.py` docstring). This row writes the postings AND
+    a phrase-term batch as managed tables bucketed+sorted on term, and
+    pins from the live plans and data:
+
+    - `bucketed_zero_exchange`: the term join over the bucketed tables
+      plans ZERO shuffle Exchanges (hint('merge') so the tiny fixture
+      phrase side can't take the broadcast path and make the pin
+      vacuous);
+    - `unbucketed_shuffles`: the identical join over the raw frames
+      plans >= 2 hash Exchanges — the per-batch cost the stored index
+      removes;
+    - `values_agree`: full-row md5-fold fingerprints of both joins'
+      witness rows match (layout changes placement, never values);
+    - `n_witnesses` value-checked against the DuckDB replay of the same
+      postings × phrase-terms join."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..operators.phrase import TOKENS_SPARK, build_postings
+    from ..operators.skew import write_bucketed
+    from ..plans.inspect import count_exchanges
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = build_postings(docs)
+    pt = spark.createDataFrame(
+        [(p,) for p in _PHRASES], "phrase string"
+    ).select(
+        "phrase",
+        F.posexplode(F.expr(TOKENS_SPARK.format(c="phrase"))).alias(
+            "off", "term"
+        ),
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("xel_pic_post", "xel_pic_terms"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    write_bucketed(post, "xel_pic_post", "term", _PIC_BUCKETS,
+                   sort_by="term")
+    write_bucketed(pt, "xel_pic_terms", "term", _PIC_BUCKETS,
+                    sort_by="term")
+    bj = (
+        spark.table("xel_pic_post")
+        .hint("merge")
+        .join(spark.table("xel_pic_terms"), "term")
+    )
+    uj = post.hint("merge").join(pt, "term")
+    zero_exchange = count_exchanges(bj) == 0
+    unbucketed_shuffles = count_exchanges(uj) >= 2
+    fp = (
+        "sum(CAST(conv(substr(md5(concat_ws('|', term, "
+        "CAST(doc_id AS STRING), CAST(pos AS STRING), phrase, "
+        "CAST(off AS STRING))), 1, 8), 16, 10) AS BIGINT))"
+    )
+    a = bj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_witnesses"),
+        F.expr(fp).alias("_fb"),
+    )
+    b = uj.agg(F.expr(fp).alias("_fu"))
+    return a.crossJoin(b).select(
+        "n_witnesses",
+        F.lit(zero_exchange).alias("bucketed_zero_exchange"),
+        F.lit(unbucketed_shuffles).alias("unbucketed_shuffles"),
+        (F.col("_fb") == F.col("_fu")).alias("values_agree"),
+    )
+
+
+def _phrase_index_contract_sql() -> str:
+    from ..operators.phrase import TOKENS_DUCK
+
+    vals = ", ".join(
+        "('" + p.replace("'", "''") + "')" for p in _PHRASES
+    )
+    doc_toks = TOKENS_DUCK.format(c="text")
+    ph_toks = TOKENS_DUCK.format(c="phrase")
+    return f"""
+        WITH post AS (
+            SELECT doc_id, unnest(toks) AS term
+            FROM (SELECT doc_id, {doc_toks} AS toks FROM documents)
+        ),
+        pt AS (
+            SELECT unnest({ph_toks}) AS term
+            FROM (SELECT * FROM (VALUES {vals}) v(phrase))
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_witnesses,
+               TRUE AS bucketed_zero_exchange,
+               TRUE AS unbucketed_shuffles,
+               TRUE AS values_agree
+        FROM post JOIN pt USING (term)
+    """
+
+
+ORACLES["q_phrase_index_contract"] = _phrase_index_contract_sql()

@@ -48,6 +48,15 @@ way. Not implemented behind a flag here because a silent flag that
 breaks the exactly-once contract is worse than a documented decision;
 the timeout variant is a ~10-line change at the `applyInPandasWithState`
 call site when a deployment needs it.
+
+Politeness scheduling (r10): the batch side composes waves with
+per-host Crawl-delay into concrete fetch offsets
+(`operators/crawl.fetch_schedule`, `q_fetch_schedule`). That stays
+batch BY DESIGN too, for the same reason as the wave window — an
+offset is a position in the host's total order; the streaming
+admission path emits URLs, and pacing them is the fetcher's rate
+limiter (per-host token bucket keyed by the same `crawl_delay`
+column), not a state operator.
 """
 
 from __future__ import annotations
