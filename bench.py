@@ -5,6 +5,13 @@ compact JSON line (≤1500 chars: total, slowest queries, recall@10,
 pass totals, loadavg); the full per-query map is written to
 BENCH_DETAIL.json (override path via $SPARK_GRAFT_BENCH_DETAIL).
 
+BENCH_DETAIL.json is TRACKED in git as of round 10 (VERDICT r9 #6: the
+driver's BENCH_r{N}.json captures only the stdout tail, so per-row
+cross-round audits died at the top-8 truncation while the sidecar was
+untracked). Each round-opening commit also preserves the PREVIOUS
+driver run's sidecar as BENCH_DETAIL_r{N}.json, so every round's full
+98-row map is diffable from artifacts alone.
+
 Queries are fully materialized through the `noop` sink (no collect, no
 column-pruning shortcuts), which is how a downstream consumer would pay
 for them.

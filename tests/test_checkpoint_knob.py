@@ -109,6 +109,40 @@ def test_harmonic_and_hyperball_identical(spark, tmp_path):
     assert _sorted(local_b) == _sorted(reliable_b)
 
 
+def test_frequent_pairs_identical(spark, tmp_path):
+    # itemsets' shared basket frame goes through the knob too (r10,
+    # VERDICT r9 #5 — the last operator-level truncation not threaded)
+    from xeloader_spark.operators.itemsets import frequent_pairs
+
+    tx = spark.createDataFrame(
+        [(b, i) for b in range(6) for i in range(b % 4 + 2)],
+        "basket long, item long",
+    )
+    local = frequent_pairs(tx, "basket", "item", 2, 2)
+    reliable = frequent_pairs(
+        tx, "basket", "item", 2, 2, checkpoint_dir=str(tmp_path / "fp")
+    )
+    assert _sorted(local) == _sorted(reliable) and _sorted(local)
+
+
+def test_bpe_train_identical_under_reliable_checkpoint(spark, tmp_path):
+    # the BPE merge loop's per-round truncation (checkpoint_every)
+    from xeloader_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [("low lower lowest newer newest",), ("low newer low widest",)],
+        "text string",
+    )
+    local = bpe_train(df, iters=4, checkpoint_every=2)
+    reliable = bpe_train(
+        df,
+        iters=4,
+        checkpoint_every=2,
+        checkpoint_dir=str(tmp_path / "bpe"),
+    )
+    assert _sorted(local) == _sorted(reliable) and _sorted(local)
+
+
 def test_connected_components_identical(spark, tmp_path):
     pairs = _edges(spark).select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b")

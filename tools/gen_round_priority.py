@@ -8,7 +8,15 @@ their first driver row), then regression re-checks ordered by the round
 of their last green row (oldest first) up to the driver's ~50-slot
 window.
 
-Usage:  python tools/gen_round_priority.py [window]
+With `drain_until` set (r10, VERDICT r9 #1: two rounds running, new
+registrations displaced the planned stale-cohort re-checks because
+unverified-first put them at the top), re-checks whose last green row
+is ≤ that round are pinned to the FRONT of the window — ahead of new
+registrations — so a staleness drain cannot be displaced by the
+round's own additions. Everything green in the committed PARITY_SWEEP
+stays verified either way; this only orders the driver rotation.
+
+Usage:  python tools/gen_round_priority.py [window] [drain_until]
 """
 
 from __future__ import annotations
@@ -45,18 +53,23 @@ def main() -> None:
             if name in registry:
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
+    drain_until = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+
     unverified = [q for q in registry if q not in last_green]
     rechecks = sorted(
         (q for q in registry if q in last_green),
         key=lambda q: (last_green[q], registry.index(q)),
     )
-    chosen = (unverified + rechecks)[:window]
+    drain = [q for q in rechecks if last_green[q] <= drain_until]
+    rest = [q for q in rechecks if last_green[q] > drain_until]
+    chosen = (drain + unverified + rest)[:window]
 
-    overflow = max(0, len(unverified) - window)
+    overflow = max(0, len(drain) + len(unverified) - window)
     print(
         f"# {len(registry)} registered; {len(unverified)} unverified; "
+        f"{len(drain)} stale (≤r{drain_until}) pinned first; "
         f"window {window} → {len(chosen)} slots "
-        f"({overflow} unverified beyond the window)"
+        f"({overflow} unverified/stale beyond the window)"
     )
     if overflow:
         print(

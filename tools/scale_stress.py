@@ -73,6 +73,48 @@ DELIBERATE = {
 N_GRAPH_NODES = 2000  # fixed node set for the graph-density axis
 N_REDIR_NODES = 20000  # fixed src-URL set for the chain-length axis
 
+# r10 PHRASE axes (VERDICT r9 #7): the fixture vocabulary (30 uniform
+# ~9k-occurrence terms at sf0.1) from which the K-scaled phrase tables
+# are composed deterministically
+_PH_TERMS = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch",
+]
+N_PHRASES_BASE = 16  # phrase count = 16·K on the phrase-count axes
+
+
+def phrase_frames(spark, k: int):
+    """(cold, hot) phrase tables for the phrase-COUNT axis: 16·K
+    unique 3-term phrases over the uniform fixture vocabulary. Cold
+    spreads leading terms across all 30 terms; hot makes EVERY phrase
+    lead with the same term ('spark'), so all of that term's ~9k
+    posting rows replicate once per phrase ONTO ONE JOIN KEY — the
+    stopword-leading skew lever operators/phrase.py documents
+    (df-stoplist / AQE skew-join at scale), measured here against the
+    spread-lead twin on identical corpus, arity, and phrase count."""
+    n = N_PHRASES_BASE * k
+    m = len(_PH_TERMS)
+    cold = [
+        (
+            f"{_PH_TERMS[p % m]} {_PH_TERMS[(p + 1 + p // m) % m]} "
+            f"{_PH_TERMS[(p + 2 + p // m) % m]}",
+        )
+        for p in range(n)
+    ]
+    hot = [
+        (
+            f"spark {_PH_TERMS[p % m]} "
+            f"{_PH_TERMS[(p + 1 + p // m) % m]}",
+        )
+        for p in range(n)
+    ]
+    return (
+        spark.createDataFrame(cold, "phrase string"),
+        spark.createDataFrame(hot, "phrase string"),
+    )
+
 
 def redirect_chain_edges(spark, k: int):
     """CHAIN-LENGTH stress edges (nodes CONSTANT, chain length = 8·K):
@@ -298,6 +340,7 @@ def main() -> None:
                    ("l_bal", "r_bal", 3)]
 
     from xeloader_spark.operators import crawl as cr
+    from xeloader_spark.operators import phrase as ph
 
     def _redirect_linear(k: int):
         inputs[k]["redir"].createOrReplaceTempView("_redir_edges")
@@ -430,6 +473,36 @@ def main() -> None:
         # formulation, run as a Spark plan over the same edges): 8K
         # chained joins (DELIBERATE; see NOTES)
         "redirect_linear_chainlen": lambda k: _redirect_linear(k),
+        # r10 PHRASE axes (VERDICT r9 #7). Doc-LENGTH: 128 rows
+        # constant, tokens/doc grows K× — the posting build (the
+        # corpus's one tokenization pass) is the measured cost; the
+        # fixed 4-phrase table matches only repeat 0, so match volume
+        # is constant. Filters force per-row eval (the .count() trap).
+        "phrase_search_doclen": lambda k: ph.phrase_match(
+            inputs[k]["docs_long"], phrases_doclen
+        ).filter("first_idx >= 0 AND n_matches >= 1"),
+        # phrase-COUNT: corpus constant (K=1 docs), 16·K unique 3-term
+        # phrases with spread leading terms — witness-join volume grows
+        # linearly with the phrase table, the queries-as-data scaling
+        # claim measured
+        "phrase_search_phrases": lambda k: ph.phrase_match(
+            inputs[1]["docs"], inputs[k]["ph_cold"]
+        ).filter("first_idx >= 0 AND n_matches >= 1"),
+        # ... vs the HOT-LEAD twin: same corpus/count/arity, every
+        # phrase leading with 'spark' — all of that term's postings
+        # replicate per phrase onto ONE join key (the stopword-leading
+        # skew lever the operator documents; compare seconds against
+        # phrase_search_phrases row-for-row)
+        "phrase_search_hotlead": lambda k: ph.phrase_match(
+            inputs[1]["docs"], inputs[k]["ph_hot"]
+        ).filter("first_idx >= 0 AND n_matches >= 1"),
+        # r10 HITS on the graph-density axis (VERDICT r9 #7): per-round
+        # state is two node-sized score frames (K-independent); only
+        # the edge joins grow with K — expect ~linear, the same shape
+        # argument as hyperball_density
+        "hits_density": lambda k: gr.hits(
+            inputs[k]["graph"], iters=4
+        ).filter("hub_scaled >= 0 AND auth_scaled >= 0"),
     }
     _FILE_CONF_DEFAULTS = {
         key: spark.conf.get(key)
@@ -476,6 +549,22 @@ def main() -> None:
         }
         for k in KS
     }
+    for k in KS:
+        cold_k, hot_k = phrase_frames(spark, k)
+        inputs[k]["ph_cold"] = cold_k.localCheckpoint()
+        inputs[k]["ph_hot"] = hot_k.localCheckpoint()
+    # doc-LENGTH phrase axis: fixed phrases over repeat 0's tokens (the
+    # lengthened docs suffix each repeat's tokens with its index), so
+    # match volume stays constant while the posting build grows K×
+    phrases_doclen = spark.createDataFrame(
+        [
+            ("table_0 table_0",),
+            ("window_0 spark_0",),
+            ("table_0 value_0 part_0",),
+            ("row_0 fast_0",),
+        ],
+        "phrase string",
+    ).localCheckpoint()
     for k in KS:
         blobs_k, dir_k = warc_fixture(warc_docs, k, warc_tmp)
         inputs[k]["warc_blobs"] = blobs_k

@@ -103,6 +103,11 @@ AUDIT_QUERIES = [
     # anchor/sitemap/rendezvous audit ≤2 slim exchanges by construction
     "q_redirect_resolution",
     "q_phrase_search",
+    # round-10 additions: two-level sitemap discovery (member-body
+    # equi-join) and the politeness schedule (host window + host-dim
+    # left join) — both expected ≪ 1
+    "q_sitemap_index",
+    "q_fetch_schedule",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0
@@ -234,6 +239,9 @@ CHECKPOINT_TRUNCATED_TABLES: dict[str, set[str]] = {
     # ivfpq persists the quantized frame for the qrows collect, so the
     # executed candidate plan can be cache-truncated
     "q_ann_topk_ivfpq": {"embeddings"},
+    # pointer doubling round_truncates its state frame every doubling
+    # round (r10: was recorded tables=['unknown'] with a loud warning)
+    "q_redirect_resolution": {"documents"},
     # global_row_number localCheckpoints its range-partitioned frame
     "q_quantile_normalize_scores": {"documents"},
     # the slim (doc_id, fp) set is checkpointed for its three consumers

