@@ -82,34 +82,48 @@ _PH_TERMS = [
     "customer", "sort", "order", "slow", "line", "part", "fast", "the",
     "row", "agg", "key", "query", "a", "scan", "batch",
 ]
-N_PHRASES_BASE = 16  # phrase count = 16·K on the phrase-count axes
+# phrase count = 48·K on the phrase-count axes: sized so the witness
+# join (3 terms × ~9k postings each × phrases) dominates the fixed
+# tokenize cost — at 16·K the curve measured FLAT 0.6s at every K (the
+# posting build swamped 16..256 phrases) and the axis proved nothing;
+# 48·K tops out at 768, inside the 30·29 = 870 distinct ordered pairs
+# the injective generator below can produce
+N_PHRASES_BASE = 48
 
 
 def phrase_frames(spark, k: int):
-    """(cold, hot) phrase tables for the phrase-COUNT axis: 16·K
-    unique 3-term phrases over the uniform fixture vocabulary. Cold
-    spreads leading terms across all 30 terms; hot makes EVERY phrase
-    lead with the same term ('spark'), so all of that term's ~9k
-    posting rows replicate once per phrase ONTO ONE JOIN KEY — the
-    stopword-leading skew lever operators/phrase.py documents
-    (df-stoplist / AQE skew-join at scale), measured here against the
-    spread-lead twin on identical corpus, arity, and phrase count."""
+    """(cold, hot) phrase tables for the phrase-COUNT axis: 48·K
+    unique 3-term phrases over the uniform fixture vocabulary, both
+    keyed by the same injective (x, y) pair walk (p → distinct ordered
+    term pair while p < 870). Cold spreads leading terms across all 30
+    terms; hot makes EVERY phrase lead with the same term ('spark'),
+    so all of that term's ~9k posting rows replicate once per phrase
+    ONTO ONE JOIN KEY — the stopword-leading skew lever
+    operators/phrase.py documents (df-stoplist / AQE skew-join at
+    scale), measured against the spread-lead twin on identical corpus,
+    arity, and phrase count. Matches are incidental (random triples
+    rarely occur adjacently) — the measured work is the witness join
+    + the (doc, phrase, start) aggregate, which run in full either
+    way."""
     n = N_PHRASES_BASE * k
     m = len(_PH_TERMS)
-    cold = [
-        (
-            f"{_PH_TERMS[p % m]} {_PH_TERMS[(p + 1 + p // m) % m]} "
-            f"{_PH_TERMS[(p + 2 + p // m) % m]}",
-        )
-        for p in range(n)
-    ]
-    hot = [
-        (
-            f"spark {_PH_TERMS[p % m]} "
-            f"{_PH_TERMS[(p + 1 + p // m) % m]}",
-        )
-        for p in range(n)
-    ]
+
+    def pair(p):
+        x = p % m
+        return x, (x + 1 + (p // m) % (m - 1)) % m
+
+    # the K=1 corpus is replicate_docs(docs, 1): every token carries
+    # the '_r0' replica suffix, so phrase terms MUST carry it too or
+    # the term join matches nothing and the axis measures overhead
+    # (the first run of this axis made exactly that mistake: flat
+    # 0.44s at every K, zero witness rows)
+    t = [f"{w}_r0" for w in _PH_TERMS]
+    cold = []
+    hot = []
+    for p in range(n):
+        x, y = pair(p)
+        cold.append((f"{t[x]} {t[y]} {t[(x + y) % m]}",))
+        hot.append((f"{t[0]} {t[x]} {t[y]}",))
     return (
         spark.createDataFrame(cold, "phrase string"),
         spark.createDataFrame(hot, "phrase string"),
@@ -654,6 +668,46 @@ def main() -> None:
                 " redirect_linear_chainlen (same edges, 8K chained"
                 " joins), the measured reason resolve_redirects uses"
                 " doubling"
+            )
+        if name == "phrase_search_doclen":
+            rec["note"] = (
+                f"doc-LENGTH axis: {DOCLEN_ROWS} rows constant,"
+                " tokens/doc scales with K — the posting build (one"
+                " tokenization pass) is the measured cost; the fixed"
+                " 4-phrase table matches only repeat 0, so output rows"
+                " stay constant by construction"
+            )
+        if name in ("phrase_search_phrases", "phrase_search_hotlead"):
+            rec["note"] = (
+                f"phrase-COUNT axis: corpus constant (K=1 docs),"
+                f" {N_PHRASES_BASE}*K unique 3-term phrases — the"
+                " witness join + (doc, phrase, start) aggregate are"
+                " the measured work and grow with the phrase table."
+                + (
+                    " HOT-LEAD twin: every phrase leads with the same"
+                    " term, concentrating its postings x phrases on"
+                    " ONE join key — the stopword-leading skew lever."
+                    " Measured contrast vs phrase_search_phrases is"
+                    " SMALL here and that is itself the finding: the"
+                    " fixture vocabulary is uniform (every term"
+                    " ~equal df, no true stopword), and the one hot"
+                    " key's partition still fits a single core on"
+                    " local[32]; at web scale a stopword's df is"
+                    " orders of magnitude above the median and the"
+                    " hot task becomes the stage — the documented"
+                    " df-stoplist / AQE skew-join lever"
+                    if name == "phrase_search_hotlead"
+                    else " Spread leading terms (the cold twin of"
+                    " phrase_search_hotlead)"
+                )
+            )
+        if name == "hits_density":
+            rec["note"] = (
+                f"GRAPH-DENSITY axis ({N_GRAPH_NODES} nodes constant,"
+                " out-degree = K): HITS per-round state is two"
+                " node-sized score frames (K-independent); only the"
+                " edge joins grow — same shape argument as"
+                " hyperball_density"
             )
         if name.startswith("warc_parse_"):
             rec["note"] = (
