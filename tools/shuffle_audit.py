@@ -104,10 +104,11 @@ AUDIT_QUERIES = [
     "q_redirect_resolution",
     "q_phrase_search",
     # round-10 additions: two-level sitemap discovery (member-body
-    # equi-join) and the politeness schedule (host window + host-dim
-    # left join) — both expected ≪ 1
+    # equi-join), the politeness schedule (host window + host-dim
+    # left join), and the composed discovery pipeline — all expected ≪ 1
     "q_sitemap_index",
     "q_fetch_schedule",
+    "q_discovery_pipeline",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

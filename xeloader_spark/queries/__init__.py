@@ -37,9 +37,9 @@ from . import core
 # tools/gen_round_priority.py.)
 # ROUND-10 ROTATION (tools/gen_round_priority.py 50 4 — the new
 # drain-first mode, VERDICT r9 #1): the 20 r4-stale re-checks are
-# PINNED to slots 1-20 ahead of the round's 3 new registrations, so a
+# PINNED to slots 1-20 ahead of the round's 4 new registrations, so a
 # third displacement is structurally impossible; oldest-r5 re-checks
-# fill the rest. 272 registered at install.
+# fill the rest. 273 registered at install.
 _ROUND_PRIORITY = [
     "q_exact_median_twopass",  # recheck (last green r4)
     "q_hist_quantile_sketch",  # recheck (last green r4)
@@ -64,6 +64,7 @@ _ROUND_PRIORITY = [
     "q_fetch_schedule",
     "q_sitemap_index",
     "q_phrase_index_contract",
+    "q_discovery_pipeline",
     "q_event_sequence_order",  # recheck (last green r5)
     "q_event_type_filter_project",  # recheck (last green r5)
     "q_hash_match_join",  # recheck (last green r5)
@@ -90,7 +91,6 @@ _ROUND_PRIORITY = [
     "q_cross_source_contamination",  # recheck (last green r5)
     "q_incremental_neardup",  # recheck (last green r5)
     "q_jaccard_threshold_curve",  # recheck (last green r5)
-    "q_leakage_safe_split",  # recheck (last green r5)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

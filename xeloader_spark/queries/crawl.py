@@ -829,3 +829,204 @@ def _fetch_schedule_sql() -> str:
 
 
 ORACLES["q_fetch_schedule"] = _fetch_schedule_sql()
+
+
+# ---------------------------------------------------------------------------
+# the discovery story end-to-end (r10): robots.txt → Sitemap directive →
+# sitemap INDEX → member urlsets → REP gate → politeness schedule, one plan
+
+
+def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL discovery end-to-end in ONE plan — every hop a compliant
+    crawler actually takes, each already proven alone, composed here so
+    the seams are driver-checked too: parse robots.txt and follow its
+    `Sitemap:` directive (`robots_sitemaps`), fetch the sitemap INDEX
+    it names and recurse into the member urlsets
+    (`parse_sitemap_index` → member-body join → `parse_sitemap`),
+    REP-gate every discovered URL against the fixture ruleset
+    (wildcard rules included — `robots_filter`), and schedule the
+    allowed ones politely (`fetch_schedule` with the SAME files'
+    Crawl-delays). Hosts without a robots.txt file are never
+    discovered at all (the fixture names 4 of the 10 corpus hosts —
+    realistic: discovery starts from robots, not from the corpus).
+
+    Scale shape: 10 exchanges on the static plan, and MOST belong to
+    the fixture synthesis (the distinct + two aggregates that build
+    the XML, and the robots-parse windows behind the Crawl-delay
+    table) — the discovery hops themselves contribute the member join,
+    the REP gate (zero), the schedule window and the delays join, all
+    member-count- or host-dimension-sized (AQE broadcasts the small
+    sides at runtime). XML bodies never outlive their parse tasks; the
+    only frame that persists is the final (host, url) schedule."""
+    from ..operators.crawl import (
+        fetch_schedule,
+        parse_sitemap,
+        parse_sitemap_index,
+    )
+    from ..operators.robots import robots_crawl_delay, robots_sitemaps
+
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    sm = robots_sitemaps(files).select("sitemap_url")
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = docs.selectExpr(
+        "source", f"CAST({_SM_M} AS BIGINT) AS m"
+    ).distinct().withColumn("p", F.expr(f"m % {_N_SM_PARTS}"))
+    bodies = parts.groupBy("source", "p").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
+            ")), x -> x.e), '')"
+        ).alias("body")
+    )
+    members = bodies.select(
+        F.expr(_sm_member_url_sql("STRING")).alias("member_url"),
+        F.expr(
+            "concat('<?xml version=\"1.0\"?><urlset>', body, '</urlset>')"
+        ).alias("sitemap_xml"),
+    )
+    index = bodies.groupBy("source").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            f"named_struct('p', p, 'e', {_sm_member_entry_sql('STRING')})"
+            ")), x -> x.e), '')"
+        ).alias("ibody")
+    ).select(
+        F.expr(
+            "concat('https://', lower(concat('www.', source, '.com')), "
+            "'/sitemap.xml')"
+        ).alias("index_url"),
+        F.expr(
+            "concat('<?xml version=\"1.0\"?><sitemapindex>', ibody, "
+            "'</sitemapindex>')"
+        ).alias("sitemap_index_xml"),
+    )
+    # the "fetch" of the directive target: only indexes a robots.txt
+    # actually named are ever read
+    discovered = sm.join(
+        index, sm["sitemap_url"] == index["index_url"]
+    ).drop("index_url")
+    midx = parse_sitemap_index(discovered)
+    fetched = midx.join(
+        members, midx["sitemap_loc"] == members["member_url"]
+    ).drop("member_url")
+    urls = parse_sitemap(fetched)
+    gated = robots_filter(urls, _ROBOTS_RULES, url_col="loc")
+    frontier = gated.filter("allowed").select(
+        "host", F.col("loc").alias("url"), "matched_len"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    return fetch_schedule(
+        frontier, delays, default_delay=_DEFAULT_CRAWL_DELAY
+    ).select("host", "url", "matched_len", "wave", "delay",
+             "scheduled_offset")
+
+
+def _discovery_pipeline_sql() -> str:
+    from ..operators.crawl import SITEMAP_MEMBER_RE
+    from ..operators.robots import (
+        DUCK_D,
+        ROBOTS_CLEAN_SQL,
+        ROBOTS_KEY_SQL,
+        ROBOTS_VAL_SQL,
+        crawl_delay_oracle_sql,
+        robots_exprs,
+    )
+
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    files_sql = f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)"
+    delays = crawl_delay_oracle_sql(files_sql, _ROBOTS_AGENT)
+    c = ROBOTS_CLEAN_SQL.format(raw="_raw")
+    e = robots_exprs(DUCK_D, _ROBOTS_RULES, "loc")
+    d = f"coalesce(dl.crawl_delay, CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))"
+    loc = "nullif(regexp_extract(u, '<loc>([^<]*)</loc>', 1), '')"
+    return f"""
+        WITH files AS ({files_sql}),
+        sm AS (
+            SELECT {ROBOTS_VAL_SQL.format(c="c")} AS sitemap_url
+            FROM (
+                SELECT {c} AS c FROM (
+                    SELECT unnest(regexp_split_to_array(robots_txt,
+                           '\r?\n')) AS _raw
+                    FROM files
+                )
+            )
+            WHERE {ROBOTS_KEY_SQL.format(c="c")} = 'sitemap'
+              AND {ROBOTS_VAL_SQL.format(c="c")} <> ''
+        ),
+        parts AS (
+            SELECT source, m, m % {_N_SM_PARTS} AS p FROM (
+                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        bodies AS (
+            SELECT source, p,
+                   string_agg({_sm_entry_sql("VARCHAR")}, '' ORDER BY m)
+                       AS body
+            FROM parts GROUP BY source, p
+        ),
+        members AS (
+            SELECT {_sm_member_url_sql("VARCHAR")} AS member_url,
+                   concat('<?xml version="1.0"?><urlset>', body,
+                          '</urlset>') AS sitemap_xml
+            FROM bodies
+        ),
+        index_ AS (
+            SELECT concat('https://',
+                          lower(concat('www.', source, '.com')),
+                          '/sitemap.xml') AS index_url,
+                   concat('<?xml version="1.0"?><sitemapindex>',
+                          string_agg({_sm_member_entry_sql("VARCHAR")},
+                                     '' ORDER BY p),
+                          '</sitemapindex>') AS xml
+            FROM bodies GROUP BY source
+        ),
+        disc AS (
+            SELECT i.xml FROM sm s JOIN index_ i
+            ON s.sitemap_url = i.index_url
+        ),
+        midx AS (
+            SELECT nullif(regexp_extract(s, '<loc>([^<]*)</loc>', 1), '')
+                       AS sitemap_loc
+            FROM (
+                SELECT unnest(regexp_extract_all(xml,
+                       '{SITEMAP_MEMBER_RE}', 0)) AS s
+                FROM disc
+            )
+        ),
+        fetched AS (
+            SELECT m.sitemap_xml
+            FROM midx x JOIN members m ON x.sitemap_loc = m.member_url
+            WHERE x.sitemap_loc IS NOT NULL
+        ),
+        ub AS (
+            SELECT unnest(regexp_extract_all(sitemap_xml,
+                   '{SITEMAP_URL_RE}', 0)) AS u
+            FROM fetched
+        ),
+        gated AS (
+            SELECT {e["host"]} AS host, loc AS url,
+                   {e["matched_len"]} AS matched_len
+            FROM (SELECT {loc} AS loc FROM ub)
+            WHERE loc IS NOT NULL AND {e["allowed"]}
+        ),
+        delays AS ({delays}),
+        w AS (
+            SELECT host, url, matched_len,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY url) AS BIGINT) AS wave
+            FROM gated
+        )
+        SELECT w.host, w.url, w.matched_len, w.wave, {d} AS delay,
+               CAST(w.wave - 1 AS DOUBLE) * {d} AS scheduled_offset
+        FROM w LEFT JOIN delays dl ON w.host = dl.host
+    """
+
+
+ORACLES["q_discovery_pipeline"] = _discovery_pipeline_sql()
