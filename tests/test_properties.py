@@ -594,8 +594,12 @@ _url_host = st.text(
 ).filter(lambda h: not h.startswith(".") )
 _url_port = st.sampled_from(["", ":80", ":443", ":8080"])
 _url_path = st.lists(
-    st.text(st.sampled_from("abc09_-."), min_size=1, max_size=5),
-    max_size=3,
+    st.one_of(
+        st.text(st.sampled_from("abc09_-.%AF"), min_size=1, max_size=5),
+        # r10 axes: explicit dot segments and percent-encoding case
+        st.sampled_from([".", "..", "%3a", "%3A", "%6cx", "a%2Fb", "%"]),
+    ),
+    max_size=4,
 ).map(lambda segs: "".join("/" + s for s in segs))
 _url_param = st.one_of(
     st.tuples(st.sampled_from(["id", "ref", "page", "q"]),
@@ -619,13 +623,37 @@ def _py_canonicalize(url: str) -> str:
         m = _re.search(pat, url)
         return m.group(1) if m else ""
 
+    def pct_upper(s):
+        parts = s.split("%")
+        out = parts[0]
+        for c in parts[1:]:
+            if _re.match(r"^[0-9a-fA-F]{2}", c):
+                out += "%" + c[:2].upper() + c[2:]
+            else:
+                out += "%" + c
+        return out
+
+    def remove_dots(p):
+        # RFC 3986 §5.2.4 mirror of remove_dot_segments_sql
+        if p == "":
+            return ""
+        acc = ""
+        for seg in p.split("/")[1:]:
+            if seg == ".":
+                continue
+            if seg == "..":
+                acc = acc[: acc.rfind("/")] if "/" in acc else ""
+            else:
+                acc += "/" + seg
+        return acc or "/"
+
     scheme = ext(r"^([a-zA-Z]+)://").lower()
     hostport = _re.sub(
         r":(443|80)$", "", ext(r"^[a-zA-Z]+://([^/?#]+)").lower()
     )
-    path = ext(r"^[a-zA-Z]+://[^/?#]+([^?#]*)")
+    path = remove_dots(pct_upper(ext(r"^[a-zA-Z]+://[^/?#]+([^?#]*)")))
     path = _re.sub(r"/+$", "", path) or "/"
-    q = ext(r"\?([^#]*)")
+    q = pct_upper(ext(r"\?([^#]*)"))
     params = sorted(
         x for x in q.split("&")
         if x != "" and x[:4] != "utm_" and x[:7] != "fbclid="
@@ -639,7 +667,8 @@ def _py_canonicalize(url: str) -> str:
 def test_url_canonicalize_matches_python_model(spark, url_parts):
     """The Spark canonicalizer must agree with a pure-Python replay of
     its regex pipeline on arbitrary structured URLs (case, ports,
-    tracking params, param order, fragments, trailing slashes)."""
+    tracking params, param order, fragments, trailing slashes, and
+    r10: dot segments + percent-encoding hex case)."""
     from xeloader_spark.operators.text import url_canonicalize
 
     urls = []

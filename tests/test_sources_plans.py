@@ -1480,6 +1480,12 @@ class TestRound8LinkGraph:
             (2, "http://b.com:80/y"),
             (3, "https://c.com"),
             (4, "https://d.com/z?utm_source=x"),  # query strips to empty
+            # r10 axes: RFC 3986 dot segments + percent-hex case —
+            # shared-builder parity in BOTH engines
+            (5, "https://e.com/a/./b/../c"),
+            (6, "https://f.com/x%3a/y?q=%2fv"),
+            (7, "https://g.com/../x/.."),
+            (8, "https://h.com/p%ZZq"),  # bare '%': re-emitted verbatim
         ]
         df = spark.createDataFrame(urls, "doc_id long, url string")
         got = {

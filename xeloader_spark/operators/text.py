@@ -970,6 +970,77 @@ def bm25_passages(
     )
 
 
+# URL-canonicalization dialect hooks (r10): the percent-case and
+# dot-segment steps render from ONE builder into the Spark plan and the
+# DuckDB oracle (the robots `rule_match_sql` discipline) — hand-mirrored
+# CTEs were the drift risk these normalizations would have doubled.
+CANON_SPARK = {
+    "split": lambda x, sep: f"split({x}, '{sep}')",
+    "at": lambda a, i: f"element_at({a}, {i})",
+    "tail": lambda a: f"slice({a}, 2, greatest(size({a}) - 1, 0))",
+    "transform": lambda a, lam: f"transform({a}, {lam})",
+    "join": lambda a, sep: f"array_join({a}, '{sep}')",
+    "fold": lambda a, init, lam: f"aggregate({a}, {init}, {lam})",
+}
+CANON_DUCK = {
+    "split": lambda x, sep: f"string_split({x}, '{sep}')",
+    "at": lambda a, i: f"({a})[{i}]",
+    "tail": lambda a: f"list_slice({a}, 2, len({a}))",
+    "transform": lambda a, lam: f"list_transform({a}, {lam})",
+    "join": lambda a, sep: f"array_to_string({a}, '{sep}')",
+    "fold": lambda a, init, lam: (
+        f"list_reduce(list_prepend({init}, {a}), {lam})"
+    ),
+}
+
+
+def pct_upper_sql(d: dict, x: str) -> str:
+    """RFC 3986 §6.2.2.1 case normalization of percent-encodings:
+    '%3a' and '%3A' are the SAME octet, so hex digits are uppercased —
+    split on '%', uppercase the two leading hex chars of each later
+    chunk (a chunk NOT starting with two hex digits was a bare '%' in
+    the input and is re-emitted verbatim — lossless on malformed
+    URLs). Decoding unreserved characters (%7E → ~) is documented out
+    of scope: it needs a hex→char table per dialect and is far rarer
+    in the wild than case variance."""
+    arr = d["split"](x, "%")
+    fixed = d["transform"](
+        d["tail"](arr),
+        "wc -> concat('%', CASE WHEN "
+        "regexp_extract(wc, '^[0-9a-fA-F]{2}', 0) <> '' "
+        "THEN concat(upper(substr(wc, 1, 2)), substr(wc, 3)) "
+        "ELSE wc END)",
+    )
+    return f"concat({d['at'](arr, 1)}, {d['join'](fixed, '')})"
+
+
+def remove_dot_segments_sql(d: dict, path_sql: str) -> str:
+    """RFC 3986 §5.2.4 dot-segment removal over an absolute path:
+    '/a/./b/../c' → '/a/c' — relative links resolved against a base
+    routinely leave './'/'../' in crawl frontiers, and without this
+    step the SAME page gets distinct dedup keys. One fold over the
+    path's segments building a segment stack as a string ('.' skips,
+    '..' pops to the previous '/', anything else — including the ''
+    segments of '//' runs, which RFC keeps distinct — pushes);
+    popping past the root stays at root. A path reduced to nothing
+    comes back '/'; the empty path stays empty (the caller's
+    empty→'/' default owns that case). Trailing-slash distinctions
+    ('/a/.' vs '/a/..') die in the caller's existing trailing-slash
+    strip, so the fold doesn't track them."""
+    segs = d["tail"](d["split"](path_sql, "/"))
+    lam = (
+        "(wacc, ws) -> CASE WHEN ws = '.' THEN wacc "
+        "WHEN ws = '..' THEN left(wacc, length(wacc) "
+        "- instr(reverse(wacc), '/')) "
+        "ELSE concat(wacc, '/', ws) END"
+    )
+    folded = d["fold"](segs, "''", lam)
+    return (
+        f"CASE WHEN {path_sql} = '' THEN '' "
+        f"WHEN {folded} = '' THEN '/' ELSE {folded} END"
+    )
+
+
 def url_canonicalize(
     df: DataFrame,
     url_col: str = "url",
@@ -980,21 +1051,28 @@ def url_canonicalize(
     Crawl-style pipelines dedup by canonical URL before any content
     pass). Collapses the variance that makes byte-identical pages look
     distinct: scheme/host case, default ports (:80/:443), tracking
-    params (utm_*, fbclid), query-parameter order, fragments, and
-    trailing slashes.
+    params (utm_*, fbclid), query-parameter order, fragments, trailing
+    slashes, and (r10) RFC 3986 dot segments ('/a/./b/../c' → '/a/c')
+    plus percent-encoding hex case ('%3a' → '%3A').
 
     Pure string/array expressions (regexp_extract + split + filter +
-    array_sort + array_join), zero shuffles, engine-deterministic —
-    the whole normalization replays in the oracle. Param filtering
-    compares exact prefixes via substr (LIKE's `_` wildcard would make
-    'utm_%' match 'utmX…')."""
+    array_sort + array_join + the two shared-builder normalizations),
+    zero shuffles, engine-deterministic — the whole normalization
+    replays in the oracle. Param filtering compares exact prefixes via
+    substr (LIKE's `_` wildcard would make 'utm_%' match 'utmX…')."""
     u = url_col
     scheme = f"lower(regexp_extract({u}, '^([a-zA-Z]+)://', 1))"
     hostport = (
         f"regexp_replace(lower(regexp_extract({u}, '^[a-zA-Z]+://([^/?#]+)', 1)),"
         f" ':(443|80)$', '')"
     )
-    path = f"regexp_extract({u}, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)"
+    path = remove_dot_segments_sql(
+        CANON_SPARK,
+        pct_upper_sql(
+            CANON_SPARK,
+            f"regexp_extract({u}, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)",
+        ),
+    )
     path_norm = (
         f"CASE WHEN regexp_replace({path}, '/+$', '') = '' THEN '/' "
         f"ELSE regexp_replace({path}, '/+$', '') END"
@@ -1002,9 +1080,11 @@ def url_canonicalize(
     keep = " AND ".join(
         f"substr(x, 1, {len(p)}) != '{p}'" for p in strip_param_prefixes
     )
+    qraw = pct_upper_sql(
+        CANON_SPARK, f"regexp_extract({u}, '\\\\?([^#]*)', 1)"
+    )
     qcanon = (
-        f"array_join(array_sort(filter(split("
-        f"regexp_extract({u}, '\\\\?([^#]*)', 1), '&'), "
+        f"array_join(array_sort(filter(split({qraw}, '&'), "
         f"x -> x != '' AND {keep})), '&')"
     )
     canonical = (

@@ -1025,13 +1025,16 @@ def q_hyperball_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over seeded messy URLs: normalize scheme/host
-    case, default ports, tracking params, param order, fragments and
-    trailing slashes (`operators/text.url_canonicalize`), then group —
+    case, default ports, tracking params, param order, fragments,
+    trailing slashes, and (r10) RFC 3986 dot segments + percent-hex
+    case (`operators/text.url_canonicalize`; the seed plants
+    '/articles/./', '/sec/../articles/' and '%6c'/'%6C' variants that
+    must all collapse), then group —
     per canonical URL the variant count, distinct raw forms, and keeper
     doc. The crawl-dedup pre-pass that runs before any content ever
     moves; normalization itself is zero-shuffle string/array codegen."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
-        "url", F.expr(_URL_SEED_SPARK)
+        "url", F.expr(_canon_mess_seed(_URL_SEED_SPARK))
     )
     return (
         tx.url_canonicalize(docs)
@@ -1477,15 +1480,37 @@ _URL_SEED_DUCK = """
 
 # parts+canon CTE chain shared by the canonicalize oracle and the crawl-
 # frontier oracle (expects a CTE `u(doc_id, url)` in scope)
-_URL_CANON_CORE = """parts AS (
+def _url_canon_core_sql() -> str:
+    """The DuckDB canonicalizer core CTE — pth and the query string run
+    through the SAME shared builders (`operators/text.pct_upper_sql`,
+    `remove_dot_segments_sql` with the DuckDB dialect dict) the Spark
+    operator renders, so the r10 normalizations cannot drift between
+    the engines."""
+    from ..operators.text import (
+        CANON_DUCK,
+        pct_upper_sql,
+        remove_dot_segments_sql,
+    )
+
+    pth = remove_dot_segments_sql(
+        CANON_DUCK,
+        pct_upper_sql(
+            CANON_DUCK,
+            "regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)",
+        ),
+    )
+    qraw = pct_upper_sql(
+        CANON_DUCK, "regexp_extract(url, '\\?([^#]*)', 1)"
+    )
+    return f"""parts AS (
             SELECT doc_id, url,
                 lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
                 regexp_replace(
                     lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
                     ':(443|80)$', '') AS hostport,
-                regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1) AS pth,
+                {pth} AS pth,
                 coalesce(array_to_string(list_sort(list_filter(
-                    string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                    string_split({qraw}, '&'),
                     x -> x != '' AND substr(x, 1, 4) != 'utm_'
                          AND substr(x, 1, 7) != 'fbclid=')), '&'), '')
                     AS qcanon
@@ -1501,20 +1526,49 @@ _URL_CANON_CORE = """parts AS (
             FROM parts
         )"""
 
-_URL_CANON_DUCK = (
-    """
+
+_URL_CANON_CORE = _url_canon_core_sql()
+
+
+# canon-only messy-seed wrapper (r10): layers the two RFC 3986
+# variance axes the r10 normalizations collapse — dot segments
+# ('/articles/./', '/sec/../articles/') and percent-encoding hex case
+# ('arti%6cles' vs 'arti%6Cles', both '%6C' canonical) — over the
+# shared URL seed. Canon-ONLY deliberately: the robots-gate queries
+# share _URL_SEED and their rule fixtures target literal '/articles/N'
+# paths. Every pattern occurs exactly once per URL, so Spark's
+# global-replace and DuckDB's first-match regexp_replace agree.
+def _canon_mess_seed(base: str) -> str:
+    return f"""regexp_replace(regexp_replace({base},
+        '/articles/',
+        CASE WHEN doc_id % 3 = 1 THEN '/articles/./'
+             WHEN doc_id % 3 = 2 THEN '/sec/../articles/'
+             ELSE '/articles/' END),
+        'articles',
+        CASE WHEN doc_id % 5 = 2 THEN 'arti%6cles'
+             WHEN doc_id % 5 = 3 THEN 'arti%6Cles'
+             ELSE 'articles' END)"""
+
+
+def _url_canon_duck(seed: str) -> str:
+    # plain concatenation, NOT str.format: the core now contains regex
+    # quantifier braces from the shared builders
+    return (
+        """
         WITH u AS (
-            SELECT doc_id, {seed} AS url FROM documents
+            SELECT doc_id, """
+        + seed
+        + """ AS url FROM documents
         ),
         """
-    + _URL_CANON_CORE
-    + """        SELECT canonical_url,
+        + _URL_CANON_CORE
+        + """        SELECT canonical_url,
                CAST(COUNT(*) AS BIGINT) AS n_urls,
                CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
                CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
         FROM canon GROUP BY 1
 """
-)
+    )
 
 
 
@@ -1646,7 +1700,7 @@ ORACLES: dict[str, str] = {
         FROM documents docs LEFT JOIN d USING (doc_id)
     """,
     "q_tfidf_search": _tfidf_search_sql(),
-    "q_url_canonicalize": _URL_CANON_DUCK.format(seed=_URL_SEED_DUCK),
+    "q_url_canonicalize": _url_canon_duck(_canon_mess_seed(_URL_SEED_DUCK)),
     "q_bm25_passages": _bm25_passages_sql(),
     "q_bm25_topk": _bm25_search_sql(),
     "q_token_fertility": f"""
