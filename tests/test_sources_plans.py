@@ -1437,6 +1437,12 @@ class TestRound8LinkGraph:
             # zero-padded spec-valid refs decode; > bound stays literal
             (8, "&#00000065; &#x0000041; &#99999999999;"),
             (9, None),  # NULL html stays NULL in BOTH engines
+            # r10: curated NAMED entities beyond the XML core —
+            # &nbsp; maps to plain space (whitespace collapse follows),
+            # '&amp;nbsp;' single-unescapes to the TEXT '&nbsp;',
+            # unknown names stay literal
+            (10, "5&nbsp;km&mdash;done&hellip; &rsquo;x&rsquo; &copy;"
+                 " &amp;nbsp; &unknown; 2&times;3&deg;"),
         ]
         df = spark.createDataFrame(cases, "doc_id long, html string")
         got = {r.doc_id: r.text_out for r in html_to_text(df).collect()}
@@ -1449,6 +1455,9 @@ class TestRound8LinkGraph:
         assert got[7] == "Ahead tailb"
         assert got[8] == "A A &#99999999999;"
         assert got[9] is None
+        assert got[10] == (
+            "5 km—done… ’x’ © &nbsp; &unknown; 2×3°"
+        )
         con = duckdb.connect()
         con.execute(
             "CREATE TABLE h(doc_id BIGINT, html VARCHAR);"

@@ -236,6 +236,45 @@ def decode_numeric_refs_sql(d: dict, text_sql: str) -> str:
     return d["fold_tail"](parts, body)
 
 
+# Named character references decoded by html_to_text (r10: widened
+# from the XML core four — real crawl text is full of &nbsp;/&mdash;/
+# &rsquo;-class entities that survive tag-stripping and pollute every
+# downstream token/quality statistic). A CURATED set, deliberately:
+# the full HTML5 table is ~2,200 names (out of scope, documented), but
+# these cover the overwhelming share of occurrences in web text, and
+# NUMERIC references already decode the entire Unicode range
+# (`decode_numeric_refs_sql`). &nbsp; maps to a PLAIN space on purpose
+# — the extractor's whitespace collapse follows, and a U+00A0 would
+# silently split tokenizers downstream. Replacement chars embed as
+# UTF-8 text in both engines' string literals; '&amp;' is NOT here —
+# it must run LAST (see html_to_text_sql). Order within this table is
+# free: no name is a prefix of another's expansion site.
+NAMED_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&rsquo;", "’"),
+    ("&lsquo;", "‘"),
+    ("&rdquo;", "”"),
+    ("&ldquo;", "“"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&middot;", "·"),
+    ("&bull;", "•"),
+    ("&deg;", "°"),
+    ("&euro;", "€"),
+    ("&pound;", "£"),
+    ("&times;", "×"),
+    ("&sect;", "§"),
+)
+
+
 def html_to_text_sql(d: dict, html_sql: str) -> str:
     """HTML → visible text, as ONE dialect-parametric expression (the
     `sources/warc.py` template discipline — `d` is SPARK_DIALECT or
@@ -245,7 +284,8 @@ def html_to_text_sql(d: dict, html_sql: str) -> str:
        payload spans lines; non-greedy so adjacent blocks don't merge),
     2. strip remaining tags to a space (block boundaries become token
        boundaries, never word-joins),
-    3. unescape the named core entities, then NUMERIC character
+    3. unescape the curated NAMED entities (`NAMED_ENTITIES` — r10
+       widened beyond the XML core four), then NUMERIC character
        references (`decode_numeric_refs_sql` — full Unicode range),
        then &amp; LAST — so '&amp;lt;' yields '&lt;' and '&#38;lt;'
        also yields '&lt;', never double-unescaping. (The one corner
@@ -261,12 +301,9 @@ def html_to_text_sql(d: dict, html_sql: str) -> str:
     for blk in ("script", "style"):
         x = d["gsub"](x, d["re"](rf"(?s)<{blk}[^>]*>.*?</{blk}>"), " ")
     x = d["gsub"](x, d["re"]("<[^>]*>"), " ")
-    for ent, ch in (
-        ("&lt;", "<"),
-        ("&gt;", ">"),
-        ("&quot;", '"'),
-    ):
-        x = f"replace({x}, '{ent}', '{ch}')"
+    for ent, ch in NAMED_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{ch_sql}')"
     # numeric refs (covers the old explicit &#39; entry) BEFORE &amp;:
     # '&amp;#8217;' single-unescapes to the text '&#8217;' (correct)
     # because its '&#' only appears after the amp replace runs

@@ -722,7 +722,8 @@ def _link_html_sql(s_type: str) -> str:
       '";</script><style>.c', CAST(doc_id % 7 AS {s_type}),
       '{{color:red}}</style>',
       '<p>Q&amp;A &lt;b&gt; &quot;q', CAST(doc_id % 13 AS {s_type}),
-      '&quot; &#39;s&#39; &amp;lt;</p>',
+      '&quot; &#39;s&#39; &amp;lt; 5&nbsp;km&mdash;ok&hellip; ',
+      '&rsquo;r10&rsquo; &copy;&unknown;</p>',
       CASE WHEN doc_id % 6 = 2
            THEN '<p>it&#8217;s &#x2019;q&#x2019; &#955; &#38;lt; &amp;#8217; &#1114112;&#xD800;</p>'
            ELSE '' END,
