@@ -294,6 +294,94 @@ def test_fetch_schedule_closed_form(spark):
     }
 
 
+def test_fetch_schedule_priority_order(spark):
+    """With priority_col set (r11), waves order by (priority DESC
+    NULLS LAST, url): high-priority URLs consume the host's politeness
+    budget first, NULL-priority entries queue last, url breaks ties."""
+    from xeloader_spark.operators.crawl import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [("h1", "u/a", 0.2), ("h1", "u/b", 0.9), ("h1", "u/c", None),
+         ("h1", "u/d", 0.9), ("h2", "u/a", None), ("h2", "u/b", 0.1)],
+        "host string, url string, priority double",
+    )
+    delays = spark.createDataFrame(
+        [("h1", 2.0)], "host string, crawl_delay double"
+    )
+    got = {
+        (r.host, r.url): (r.wave, r.scheduled_offset)
+        for r in fetch_schedule(
+            frontier, delays, default_delay=5.0, priority_col="priority"
+        ).collect()
+    }
+    assert got == {
+        ("h1", "u/b"): (1, 0.0),   # 0.9, tie broken by url
+        ("h1", "u/d"): (2, 2.0),   # 0.9
+        ("h1", "u/a"): (3, 4.0),   # 0.2
+        ("h1", "u/c"): (4, 6.0),   # NULL priority queues last
+        ("h2", "u/b"): (1, 0.0),
+        ("h2", "u/a"): (2, 5.0),
+    }
+
+
+def test_recrawl_delta_classification(spark):
+    """new/stale/fresh over every evidence combination, including the
+    NULL-lastmod no-evidence branch (fresh — cadence is revisit_policy's
+    job, not the delta's) and the ISO string compare."""
+    from xeloader_spark.operators.crawl import recrawl_delta
+
+    sitemap = spark.createDataFrame(
+        [("u/a", "2026-02-10"), ("u/b", "2026-02-10"),
+         ("u/c", "2026-02-10"), ("u/d", None), ("u/e", None)],
+        "loc string, lastmod string",
+    )
+    state = spark.createDataFrame(
+        [("u/b", "2026-02-09"), ("u/c", "2026-02-10"),
+         ("u/d", "2026-01-01")],
+        "url string, last_crawled string",
+    )
+    got = {
+        r.loc: (r.status, r.needs_fetch)
+        for r in recrawl_delta(sitemap, state).collect()
+    }
+    assert got == {
+        "u/a": ("new", True),       # never crawled
+        "u/b": ("stale", True),     # lastmod after crawl date
+        "u/c": ("fresh", False),    # same day: conservative, no refetch
+        "u/d": ("fresh", False),    # NULL lastmod + state: no evidence
+        "u/e": ("new", True),       # NULL lastmod, never crawled
+    }
+
+
+def test_revisit_policy_closed_form(spark):
+    """Interval = clamp(base·(nv−1) DIV max(nc,1), min, max), integer
+    exact; single-visit URLs take base verbatim."""
+    from xeloader_spark.operators.crawl import revisit_policy
+
+    rows = []
+    # u1: 4 visits, fp changes every visit (3 changes) → 100·3/3 = 100
+    rows += [("u1", i, f"f{i}") for i in range(4)]
+    # u2: 4 visits, never changes → 100·3/1 = 300 → clamped to 250
+    rows += [("u2", i, "same") for i in range(4)]
+    # u3: 6 visits, changes every visit (5) → 100·5/5 = 100 → min 120
+    rows += [("u3", i, f"g{i}") for i in range(6)]
+    # u4: single visit → base verbatim (no clamp)
+    rows += [("u4", 0, "x")]
+    got = {
+        r.url: (r.n_visits, r.n_changes, r.revisit_interval_s)
+        for r in revisit_policy(
+            spark.createDataFrame(rows, "url string, visit_idx int, fp string"),
+            base_s=100, min_s=120, max_s=250,
+        ).collect()
+    }
+    assert got == {
+        "u1": (4, 3, 120),   # 100 clamped up to 120
+        "u2": (4, 0, 250),   # 300 clamped down to 250
+        "u3": (6, 5, 120),   # 100 clamped up to 120
+        "u4": (1, 0, 100),   # base verbatim, bypasses clamps
+    }
+
+
 def _hrw_assignments(spark, n_keys=64, n_shards=5, exclude=None):
     df = spark.range(n_keys).selectExpr(
         "concat('host-', CAST(id AS STRING)) AS host"

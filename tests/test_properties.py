@@ -596,8 +596,13 @@ _url_port = st.sampled_from(["", ":80", ":443", ":8080"])
 _url_path = st.lists(
     st.one_of(
         st.text(st.sampled_from("abc09_-.%AF"), min_size=1, max_size=5),
-        # r10 axes: explicit dot segments and percent-encoding case
-        st.sampled_from([".", "..", "%3a", "%3A", "%6cx", "a%2Fb", "%"]),
+        # r10 axes: explicit dot segments and percent-encoding case;
+        # r11: unreserved decodes ('%6cx'→'lx', '%7E'→'~'), and '%2e'
+        # decodes to '.' BEFORE dot-segment removal sees it
+        st.sampled_from(
+            [".", "..", "%3a", "%3A", "%6cx", "a%2Fb", "%",
+             "%7E", "%2e", "%2E%2e", "x%5F"]
+        ),
     ),
     max_size=4,
 ).map(lambda segs: "".join("/" + s for s in segs))
@@ -624,11 +629,20 @@ def _py_canonicalize(url: str) -> str:
         return m.group(1) if m else ""
 
     def pct_upper(s):
+        # RFC 3986 §6.2.2.2: decode unreserved octets; §6.2.2.1:
+        # uppercase the hex of everything that stays encoded (mirror
+        # of pct_upper_sql's numeric-range check)
+        unres = set(range(48, 58)) | set(range(65, 91)) \
+            | set(range(97, 123)) | {45, 46, 95, 126}
         parts = s.split("%")
         out = parts[0]
         for c in parts[1:]:
             if _re.match(r"^[0-9a-fA-F]{2}", c):
-                out += "%" + c[:2].upper() + c[2:]
+                code = int(c[:2], 16)
+                if code in unres:
+                    out += chr(code) + c[2:]
+                else:
+                    out += "%" + c[:2].upper() + c[2:]
             else:
                 out += "%" + c
         return out

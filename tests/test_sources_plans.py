@@ -1495,6 +1495,13 @@ class TestRound8LinkGraph:
             (6, "https://f.com/x%3a/y?q=%2fv"),
             (7, "https://g.com/../x/.."),
             (8, "https://h.com/p%ZZq"),  # bare '%': re-emitted verbatim
+            # r11 axes: §6.2.2.2 unreserved decode in both engines —
+            # '%6c'/'%41' decode, '%2e' decodes to '.' and THEN the
+            # dot-segment fold removes it, reserved '%2f'/'%3D' stay
+            (9, "https://i.com/arti%6cles/%41"),
+            (10, "https://j.com/a/%2e/b/%2E%2e/c?t=x%2fy"),
+            (11, "https://k.com/%7Euser?q=a%3Db"),
+            (12, "https://l.com/%00x/%ff"),  # non-unreserved: stay encoded
         ]
         df = spark.createDataFrame(urls, "doc_id long, url string")
         got = {

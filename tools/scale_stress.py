@@ -130,6 +130,68 @@ def phrase_frames(spark, k: int):
     )
 
 
+# r11 DISCOVERY axis (VERDICT r10 #7): hosts grow K× — the crawl's
+# natural partition axis — each publishing a 2-level sitemap tree
+N_DISC_HOSTS = 40  # hosts at K=1
+N_DISC_PARTS = 4   # index members (urlset parts) per host
+N_DISC_URLS = 60   # urls per member urlset
+
+
+def discovery_frames(spark, k: int):
+    """Two-level discovery fixture at K: N_DISC_HOSTS·K hosts, each
+    with a <sitemapindex> naming N_DISC_PARTS member urlsets of
+    N_DISC_URLS <url> entries (so URL volume grows linearly in K).
+    Priorities cycle 0.1..0.9 with every 10th entry omitting
+    <priority> entirely (the schedule's NULLS-LAST leg exercised by
+    real parse output). XML synthesis is array-side string building in
+    one projection per frame — the fixtures are localCheckpoint'd by
+    the harness, so the measured op isolates the member join + the two
+    parses + the per-host schedule window, not the synthesis
+    (q_discovery_pipeline's static plan is 10 exchanges MOSTLY in
+    fixture synthesis; this axis times the discovery hops alone).
+    Returns (index, members, delays): delays declare a Crawl-delay for
+    every third host, the rest take the schedule default."""
+    hosts = spark.range(N_DISC_HOSTS * k).selectExpr(
+        "concat('www.h', CAST(id AS STRING), '.com') AS host",
+        "id AS hid",
+    )
+    n = "(p * {u} + u)".format(u=N_DISC_URLS)
+    entry = (
+        f"concat('<url><loc>https://', host, '/a/', CAST({n} AS STRING), "
+        f"'</loc>', CASE WHEN {n} % 10 = 0 THEN '' "
+        f"ELSE concat('<priority>0.', CAST(1 + {n} % 9 AS STRING), "
+        "'</priority>') END, '</url>')"
+    )
+    members = hosts.select(
+        "host", F.explode(F.expr(f"sequence(0, {N_DISC_PARTS - 1})")).alias("p")
+    ).select(
+        F.expr(
+            "concat('https://', host, '/sm/', CAST(p AS STRING), '.xml')"
+        ).alias("member_url"),
+        F.expr(
+            f"concat('<urlset>', array_join(transform("
+            f"sequence(0, {N_DISC_URLS - 1}), u -> {entry}), ''), "
+            "'</urlset>')"
+        ).alias("sitemap_xml"),
+    )
+    ientry = (
+        "concat('<sitemap><loc>https://', host, '/sm/', "
+        "CAST(p AS STRING), '.xml</loc></sitemap>')"
+    )
+    index = hosts.select(
+        "host",
+        F.expr(
+            f"concat('<sitemapindex>', array_join(transform("
+            f"sequence(0, {N_DISC_PARTS - 1}), p -> {ientry}), ''), "
+            "'</sitemapindex>')"
+        ).alias("sitemap_index_xml"),
+    )
+    delays = hosts.filter("hid % 3 = 0").selectExpr(
+        "host", "CAST(2.0 AS DOUBLE) AS crawl_delay"
+    )
+    return index, members, delays
+
+
 def redirect_chain_edges(spark, k: int):
     """CHAIN-LENGTH stress edges (nodes CONSTANT, chain length = 8·K):
     node n redirects to n-1 except at multiples of 8K (the terminals),
@@ -375,6 +437,25 @@ def main() -> None:
             agreements=_LINK_AGREE, threshold=5,
         )
 
+    def _discovery(k: int):
+        midx = cr.parse_sitemap_index(inputs[k]["disc_idx"])
+        fetched = midx.join(
+            inputs[k]["disc_members"],
+            midx["sitemap_loc"] == inputs[k]["disc_members"]["member_url"],
+        ).drop("member_url")
+        urls = cr.parse_sitemap(fetched)
+        frontier = urls.select(
+            "host", F.col("loc").alias("url"), "priority"
+        )
+        return cr.fetch_schedule(
+            frontier,
+            inputs[k]["disc_delays"],
+            default_delay=5.0,
+            priority_col="priority",
+        ).filter("wave >= 1 AND scheduled_offset >= 0").select(
+            "host", "url", "wave"
+        )
+
     OPS = {
         "exact_dedup": lambda k: dd.exact_dedup(inputs[k]["docs"]),
         "minhash_neardup": lambda k: dd.minhash_neardup(
@@ -495,7 +576,7 @@ def main() -> None:
         "phrase_search_doclen": lambda k: ph.phrase_match(
             inputs[k]["docs_long"], phrases_doclen
         ).filter("first_idx >= 0 AND n_matches >= 1"),
-        # phrase-COUNT: corpus constant (K=1 docs), 16·K unique 3-term
+        # phrase-COUNT: corpus constant (K=1 docs), 48·K unique 3-term
         # phrases with spread leading terms — witness-join volume grows
         # linearly with the phrase table, the queries-as-data scaling
         # claim measured
@@ -517,6 +598,13 @@ def main() -> None:
         "hits_density": lambda k: gr.hits(
             inputs[k]["graph"], iters=4
         ).filter("hub_scaled >= 0 AND auth_scaled >= 0"),
+        # r11 DISCOVERY axis (VERDICT r10 #7): hosts grow K× while
+        # parts/urls per host stay constant — the member join, the two
+        # zero-shuffle parses and the per-host priority-schedule window
+        # all grow linearly, and per-host window work is K-independent
+        # (the reason host is the frontier's partition key). Fixture
+        # synthesis is checkpointed out; filter forces per-row eval.
+        "discovery_hosts": lambda k: _discovery(k),
     }
     _FILE_CONF_DEFAULTS = {
         key: spark.conf.get(key)
@@ -567,6 +655,10 @@ def main() -> None:
         cold_k, hot_k = phrase_frames(spark, k)
         inputs[k]["ph_cold"] = cold_k.localCheckpoint()
         inputs[k]["ph_hot"] = hot_k.localCheckpoint()
+        d_idx, d_mem, d_del = discovery_frames(spark, k)
+        inputs[k]["disc_idx"] = d_idx.localCheckpoint()
+        inputs[k]["disc_members"] = d_mem.localCheckpoint()
+        inputs[k]["disc_delays"] = d_del.localCheckpoint()
     # doc-LENGTH phrase axis: fixed phrases over repeat 0's tokens (the
     # lengthened docs suffix each repeat's tokens with its index), so
     # match volume stays constant while the posting build grows K×

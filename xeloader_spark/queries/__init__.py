@@ -35,62 +35,63 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-10 ROTATION (tools/gen_round_priority.py 50 4 — the new
-# drain-first mode, VERDICT r9 #1): the 20 r4-stale re-checks are
-# PINNED to slots 1-20 ahead of the round's 4 new registrations, so a
-# third displacement is structurally impossible; oldest-r5 re-checks
-# fill the rest. 273 registered at install.
+# ROUND-11 ROTATION (tools/gen_round_priority.py 50 5 — drain-first,
+# VERDICT r10 #1): the FULL 24-query r5-stale cohort is pinned to slots
+# 1-24 ahead of the round's 5 new registrations (slots 25-29), so the
+# final drain step cannot be displaced; oldest-r6 re-checks fill 28-50.
+# 278 registered at install; after this round no query should be
+# last-driver-checked before r6.
 _ROUND_PRIORITY = [
-    "q_exact_median_twopass",  # recheck (last green r4)
-    "q_hist_quantile_sketch",  # recheck (last green r4)
-    "q_hll_distinct_users",  # recheck (last green r4)
-    "q_hll_intersection",  # recheck (last green r4)
-    "q_hopping_window_agg",  # recheck (last green r4)
-    "q_hourly_autocorrelation",  # recheck (last green r4)
-    "q_incremental_rollup",  # recheck (last green r4)
-    "q_interarrival_stats",  # recheck (last green r4)
-    "q_iqr_outliers",  # recheck (last green r4)
-    "q_join_key_skew",  # recheck (last green r4)
-    "q_join_size_sketch",  # recheck (last green r4)
-    "q_json_payload_stats",  # recheck (last green r4)
-    "q_markov_transitions",  # recheck (last green r4)
-    "q_rollup_hierarchy",  # recheck (last green r4)
-    "q_scd2_history",  # recheck (last green r4)
-    "q_scd2_pointintime",  # recheck (last green r4)
-    "q_series_correlation",  # recheck (last green r4)
-    "q_user_lifetime",  # recheck (last green r4)
-    "q_weekly_profile",  # recheck (last green r4)
-    "q_classifier_calibration",  # recheck (last green r4)
-    "q_fetch_schedule",
-    "q_sitemap_index",
-    "q_phrase_index_contract",
-    "q_discovery_pipeline",
-    "q_event_sequence_order",  # recheck (last green r5)
-    "q_event_type_filter_project",  # recheck (last green r5)
-    "q_hash_match_join",  # recheck (last green r5)
-    "q_lineage_join",  # recheck (last green r5)
-    "q_local_time_report",  # recheck (last green r5)
-    "q_time_bucket_agg",  # recheck (last green r5)
-    "q_topk_heavy_hitters",  # recheck (last green r5)
-    "q_truncation_audit",  # recheck (last green r5)
-    "q_bloom_join_prune",  # recheck (last green r5)
-    "q_correlated_subquery",  # recheck (last green r5)
-    "q_cross_join_small",  # recheck (last green r5)
-    "q_cube_agg",  # recheck (last green r5)
-    "q_distinct_agg",  # recheck (last green r5)
-    "q_exists_semi_join",  # recheck (last green r5)
-    "q_frequent_pairs",  # recheck (last green r5)
-    "q_having_filter",  # recheck (last green r5)
-    "q_not_exists_anti_join",  # recheck (last green r5)
-    "q_order_count_histogram",  # recheck (last green r5)
-    "q_outer_join_coverage",  # recheck (last green r5)
-    "q_pivot_segments",  # recheck (last green r5)
-    "q_pricing_summary",  # recheck (last green r5)
-    "q_region_revenue",  # recheck (last green r5)
-    "q_rollup_agg",  # recheck (last green r5)
-    "q_cross_source_contamination",  # recheck (last green r5)
-    "q_incremental_neardup",  # recheck (last green r5)
-    "q_jaccard_threshold_curve",  # recheck (last green r5)
+    "q_leakage_safe_split",  # recheck (last green r5)
+    "q_snm_multipass",  # recheck (last green r5)
+    "q_snm_recall_eval",  # recheck (last green r5)
+    "q_sorted_neighborhood_pairs",  # recheck (last green r5)
+    "q_ann_topk_ivfpq",  # recheck (last green r5)
+    "q_degree_distribution",  # recheck (last green r5)
+    "q_kcenter_diverse_sample",  # recheck (last green r5)
+    "q_kcore_membership",  # recheck (last green r5)
+    "q_label_separation",  # recheck (last green r5)
+    "q_matryoshka_recall",  # recheck (last green r5)
+    "q_mmr_rerank",  # recheck (last green r5)
+    "q_modularity_score",  # recheck (last green r5)
+    "q_blocklist_filter",  # recheck (last green r5)
+    "q_bm25_passages",  # recheck (last green r5)
+    "q_bm25_topk",  # recheck (last green r5)
+    "q_dsir_resample",  # recheck (last green r5)
+    "q_k_anonymity",  # recheck (last green r5)
+    "q_url_canonicalize",  # recheck (last green r5)
+    "q_vocab_coverage",  # recheck (last green r5)
+    "q_ab_test_zscore",  # recheck (last green r5)
+    "q_ewma_smooth",  # recheck (last green r5)
+    "q_seasonal_anomaly",  # recheck (last green r5)
+    "q_type_duration_percentiles",  # recheck (last green r5)
+    "q_packing_boundary_stats",  # recheck (last green r5)
+    "q_binary_truncation",
+    "q_coercion_nulling",
+    "q_priority_schedule",
+    "q_recrawl_delta",
+    "q_revisit_policy",
+    "q_record_linkage",  # recheck (last green r6)
+    "q_running_total",  # recheck (last green r6)
+    "q_scalar_subquery",  # recheck (last green r6)
+    "q_set_operations",  # recheck (last green r6)
+    "q_shipping_priority",  # recheck (last green r6)
+    "q_supplier_breadth_per_part",  # recheck (last green r6)
+    "q_top_customer_per_nation",  # recheck (last green r6)
+    "q_windowed_pair_supports",  # recheck (last green r6)
+    "q_callstack_decode",  # recheck (last green r6)
+    "q_demux_counts",  # recheck (last green r6)
+    "q_error_budget",  # recheck (last green r6)
+    "q_event_lead_lag",  # recheck (last green r6)
+    "q_flatten_projection",  # recheck (last green r6)
+    "q_hash_bin_derivation",  # recheck (last green r6)
+    "q_lineage_stamp",  # recheck (last green r6)
+    "q_props_extract",  # recheck (last green r6)
+    "q_run_stats",  # recheck (last green r6)
+    "q_session_pattern_extract",  # recheck (last green r6)
+    "q_smalldatetime_round",  # recheck (last green r6)
+    "q_string_truncation",  # recheck (last green r6)
+    "q_xml_roundtrip",  # recheck (last green r6)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -832,6 +832,358 @@ ORACLES["q_fetch_schedule"] = _fetch_schedule_sql()
 
 
 # ---------------------------------------------------------------------------
+# priority-driven fetch schedule (r11, VERDICT r10 #5) — compose the two
+# r10 families: parse_sitemap's typed DOUBLE priority ORDERS each host's
+# politeness queue (priority DESC NULLS LAST, url), so the budget goes
+# to the URLs the site itself marked important. Entries with m % 10 = 0
+# have their <priority> element knocked out of the fixture XML, so the
+# NULLS-LAST leg is exercised by real parse output, not a synthetic NULL.
+
+
+def _sm_entry_pri_sql(s_type: str) -> str:
+    """The shared sitemap <url> entry with the priority element removed
+    for m % 10 = 0 (one occurrence per entry, so Spark's global
+    regexp_replace and DuckDB's first-match agree)."""
+    e = _sm_entry_sql(s_type)
+    return (
+        f"CASE WHEN m % 10 = 0 THEN regexp_replace({e}, "
+        f"'<priority>[^<]*</priority>', '') ELSE {e} END"
+    )
+
+
+def q_priority_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-priority-driven politeness schedule
+    (`operators/crawl.fetch_schedule` with `priority_col` — r11,
+    VERDICT r10 #5): per-host sitemaps carry <priority> on most entries
+    (knocked out where m % 10 = 0), `parse_sitemap` types them DOUBLE,
+    and each host's fetch waves order by (priority DESC NULLS LAST,
+    url) — high-priority URLs consume the host's Crawl-delay budget
+    first, entries whose sitemap omitted priority queue last, and the
+    offset arithmetic stays oracle-exact ((wave-1) × delay, exact-binary
+    delays). Plan: one fixture aggregate, one zero-shuffle parse, one
+    host window + one host-dimension left join (AQE broadcasts it)."""
+    from ..operators.crawl import fetch_schedule
+    from ..operators.robots import robots_crawl_delay
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(
+        "source", f"CAST({_SM_M} AS BIGINT) AS m"
+    ).distinct()
+    sm = (
+        pairs.groupBy("source")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                f"named_struct('m', m, 'e', {_sm_entry_pri_sql('STRING')})"
+                ")), x -> x.e), '')"
+            ).alias("body")
+        )
+        .select(
+            F.expr("lower(concat('www.', source, '.com'))").alias("host"),
+            F.expr(
+                "concat('<?xml version=\"1.0\"?><urlset>', body, '</urlset>')"
+            ).alias("sitemap_xml"),
+        )
+    )
+    frontier = parse_sitemap(sm).select(
+        "host", F.col("loc").alias("url"), "priority"
+    )
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    return fetch_schedule(
+        frontier,
+        delays,
+        default_delay=_DEFAULT_CRAWL_DELAY,
+        priority_col="priority",
+    ).select("host", "url", "priority", "wave", "delay", "scheduled_offset")
+
+
+def _priority_schedule_sql() -> str:
+    from ..operators.robots import crawl_delay_oracle_sql
+
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    delays = crawl_delay_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)",
+        _ROBOTS_AGENT,
+    )
+    d = f"coalesce(dl.crawl_delay, CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))"
+    loc = "nullif(regexp_extract(u, '<loc>([^<]*)</loc>', 1), '')"
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+            FROM documents
+        ),
+        sm AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('<?xml version="1.0"?><urlset>',
+                          string_agg({_sm_entry_pri_sql("VARCHAR")},
+                                     '' ORDER BY m),
+                          '</urlset>') AS sitemap_xml
+            FROM pairs GROUP BY source
+        ),
+        ub AS (
+            SELECT host,
+                   unnest(regexp_extract_all(sitemap_xml,
+                          '{SITEMAP_URL_RE}', 0)) AS u
+            FROM sm
+        ),
+        parsed AS (
+            SELECT host, {loc} AS url,
+                   try_cast(nullif(regexp_extract(u,
+                          '<priority>([^<]*)</priority>', 1), '')
+                       AS DOUBLE) AS priority
+            FROM ub
+        ),
+        delays AS ({delays}),
+        w AS (
+            SELECT host, url, priority,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC NULLS LAST, url)
+                       AS BIGINT) AS wave
+            FROM parsed WHERE url IS NOT NULL
+        )
+        SELECT w.host, w.url, w.priority, w.wave, {d} AS delay,
+               CAST(w.wave - 1 AS DOUBLE) * {d} AS scheduled_offset
+        FROM w LEFT JOIN delays dl ON w.host = dl.host
+    """
+
+
+ORACLES["q_priority_schedule"] = _priority_schedule_sql()
+
+
+# ---------------------------------------------------------------------------
+# incremental recrawl (r11): the two halves of the recrawl decision —
+# change EVIDENCE (sitemap lastmod vs stored crawl state → delta) and
+# change RATE (per-URL fingerprint history → revisit cadence), the
+# Cho & Garcia-Molina incremental-crawler split.
+
+
+def _sm_entry_lm_sql(s_type: str) -> str:
+    """The shared sitemap <url> entry with <lastmod> removed for
+    m % 7 = 0 — real sitemaps routinely omit it, and a NULL lastmod is
+    the delta pass's no-evidence branch (classifies fresh; cadence
+    belongs to `revisit_policy`)."""
+    e = _sm_entry_sql(s_type)
+    return (
+        f"CASE WHEN m % 7 = 0 THEN regexp_replace({e}, "
+        f"'<lastmod>[^<]*</lastmod>', '') ELSE {e} END"
+    )
+
+
+def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl delta (`operators/crawl.recrawl_delta`):
+    freshly-parsed sitemap entries (lastmod knocked out where
+    m % 7 = 0) joined against the stored crawl state — the state
+    covers only m % 3 != 0 URLs (the rest classify `new`) with crawl
+    dates on a different day cycle than the sitemap's lastmod cycle
+    (so both `stale` and `fresh` occur) — and every URL classified
+    new/stale/fresh with the needs_fetch verdict. ISO date strings
+    compare lexicographically = chronologically, identically in both
+    engines. Plan: one fixture aggregate, one zero-shuffle parse, ONE
+    URL-keyed left join (the state table is the crawl's own
+    bookkeeping — bucketable to zero-exchange at scale)."""
+    from ..operators.crawl import recrawl_delta
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(
+        "source", f"CAST({_SM_M} AS BIGINT) AS m"
+    ).distinct()
+    sm = (
+        pairs.groupBy("source")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                f"named_struct('m', m, 'e', {_sm_entry_lm_sql('STRING')})"
+                ")), x -> x.e), '')"
+            ).alias("body")
+        )
+        .select(
+            F.expr("lower(concat('www.', source, '.com'))").alias("host"),
+            F.expr(
+                "concat('<?xml version=\"1.0\"?><urlset>', body, '</urlset>')"
+            ).alias("sitemap_xml"),
+        )
+    )
+    urls = parse_sitemap(sm)
+    state = (
+        docs.selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS c_m")
+        .distinct()
+        .filter("c_m % 3 != 0")
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(c_m AS STRING)) AS url",
+            "concat('2026-01-', lpad(CAST(1 + (c_m * 5) % 28 AS STRING), "
+            "2, '0')) AS last_crawled",
+        )
+    )
+    out = recrawl_delta(urls, state)
+    return out.select(
+        "host",
+        F.col("loc").alias("url"),
+        "lastmod",
+        "last_crawled",
+        "status",
+        "needs_fetch",
+    )
+
+
+def _recrawl_delta_sql() -> str:
+    loc = "nullif(regexp_extract(u, '<loc>([^<]*)</loc>', 1), '')"
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+            FROM documents
+        ),
+        sm AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('<?xml version="1.0"?><urlset>',
+                          string_agg({_sm_entry_lm_sql("VARCHAR")},
+                                     '' ORDER BY m),
+                          '</urlset>') AS sitemap_xml
+            FROM pairs GROUP BY source
+        ),
+        ub AS (
+            SELECT host,
+                   unnest(regexp_extract_all(sitemap_xml,
+                          '{SITEMAP_URL_RE}', 0)) AS u
+            FROM sm
+        ),
+        parsed AS (
+            SELECT host, {loc} AS url,
+                   nullif(regexp_extract(u,
+                          '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod
+            FROM ub
+        ),
+        state AS (
+            SELECT concat('https://www.', source, '.com/articles/',
+                          CAST(c_m AS VARCHAR)) AS s_url,
+                   concat('2026-01-',
+                          lpad(CAST(1 + (c_m * 5) % 28 AS VARCHAR), 2, '0'))
+                       AS last_crawled
+            FROM (
+                SELECT DISTINCT source, CAST(doc_id % 50 AS BIGINT) AS c_m
+                FROM documents
+            )
+            WHERE c_m % 3 != 0
+        ),
+        classified AS (
+            SELECT p.host, p.url, p.lastmod, s.last_crawled,
+                   CASE WHEN s.last_crawled IS NULL THEN 'new'
+                        WHEN p.lastmod IS NOT NULL
+                             AND p.lastmod > s.last_crawled THEN 'stale'
+                        ELSE 'fresh' END AS status
+            FROM parsed p LEFT JOIN state s ON p.url = s.s_url
+            WHERE p.url IS NOT NULL
+        )
+        SELECT host, url, lastmod, last_crawled, status,
+               status IN ('new', 'stale') AS needs_fetch
+        FROM classified
+    """
+
+
+ORACLES["q_recrawl_delta"] = _recrawl_delta_sql()
+
+
+_RV_BASE, _RV_MIN, _RV_MAX = 86_400, 50_000, 300_000
+
+
+def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate revisit policy (`operators/crawl.revisit_policy`,
+    Cho & Garcia-Molina): each URL's visit history is synthesized
+    in-plan — 2 + m%5 visits whose content fingerprint rolls over
+    every 1 + m%4 visits (md5 of the visit epoch), so change counts
+    span 0..5 — and the operator estimates the change rate from
+    lag-compared fingerprints and sets the clamped inverse-rate
+    revisit interval. The [50 000, 300 000] clamp bounds are chosen so
+    BOTH clamps actually fire across the matrix (ratio range
+    17 280..432 000 s). Integer-exact: counts, one DIV, two clamps —
+    the whole policy value-hashes across engines. One shuffle total
+    (window + aggregate share the url key)."""
+    from ..operators.crawl import revisit_policy
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        docs.selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+            "m",
+        )
+    )
+    visits = u.select(
+        "url",
+        "m",
+        F.explode(
+            F.expr("sequence(0, 1 + CAST(m % 5 AS INT))")
+        ).alias("visit_idx"),
+    ).selectExpr(
+        "url",
+        "visit_idx",
+        "md5(concat(url, ':', CAST(visit_idx DIV (1 + m % 4) AS STRING)))"
+        " AS fp",
+    )
+    return revisit_policy(
+        visits, base_s=_RV_BASE, min_s=_RV_MIN, max_s=_RV_MAX
+    )
+
+
+def _revisit_policy_sql() -> str:
+    return f"""
+        WITH urls AS (
+            SELECT DISTINCT source, CAST(doc_id % 50 AS BIGINT) AS m
+            FROM documents
+        ),
+        u2 AS (
+            SELECT concat('https://www.', source, '.com/articles/',
+                          CAST(m AS VARCHAR)) AS url, m
+            FROM urls
+        ),
+        v AS (
+            SELECT url, m,
+                   unnest(generate_series(0, 1 + CAST(m % 5 AS INT)))
+                       AS visit_idx
+            FROM u2
+        ),
+        f AS (
+            SELECT url, visit_idx,
+                   md5(concat(url, ':',
+                       CAST(visit_idx // (1 + m % 4) AS VARCHAR))) AS fp
+            FROM v
+        ),
+        c AS (
+            SELECT url,
+                   CASE WHEN lag(fp) OVER w IS NULL THEN 0
+                        WHEN fp != lag(fp) OVER w THEN 1
+                        ELSE 0 END AS chg
+            FROM f
+            WINDOW w AS (PARTITION BY url ORDER BY visit_idx)
+        ),
+        a AS (
+            SELECT url, CAST(COUNT(*) AS BIGINT) AS n_visits,
+                   CAST(SUM(chg) AS BIGINT) AS n_changes
+            FROM c GROUP BY url
+        )
+        SELECT url, n_visits, n_changes,
+               CASE WHEN n_visits < 2 THEN CAST({_RV_BASE} AS BIGINT)
+                    ELSE least(CAST({_RV_MAX} AS BIGINT),
+                               greatest(CAST({_RV_MIN} AS BIGINT),
+                                        {_RV_BASE} * (n_visits - 1)
+                                        // greatest(n_changes, 1)))
+               END AS revisit_interval_s
+        FROM a
+    """
+
+
+ORACLES["q_revisit_policy"] = _revisit_policy_sql()
+
+
+# ---------------------------------------------------------------------------
 # the discovery story end-to-end (r10): robots.txt → Sitemap directive →
 # sitemap INDEX → member urlsets → REP gate → politeness schedule, one plan
 

@@ -53,6 +53,79 @@ def q_string_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binary_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: width-bounding BINARY truncation on the driver path
+    (VERDICT r10 #6 — the last pytest-only value transform): the
+    reference's binary path (EventHolder.cs:319-339) truncates LOB
+    bytes to the binary width; its `:327` bug (copying the STRING
+    width instead) is deliberately NOT replicated (SURVEY §5), so this
+    row pins the CORRECT width cross-engine. Fixture: md5(props)
+    repeated 1-3× and unhex'd gives 16/32/48-byte payloads straddling
+    the 24-byte width; the result is re-hex'd so DuckDB value-hashes
+    the exact truncated BYTES (the oracle replays on the hex string —
+    byte-aligned truncation is substr(hex, 1, 2·width)). Zero
+    shuffles; flag mirrors S27's truncation counters."""
+    from ..functions.truncation import truncate_binary, truncation_flag
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        F.unhex(
+            F.expr("repeat(md5(props), CAST(1 + event_id % 3 AS INT))")
+        ).alias("raw"),
+    )
+    return b.select(
+        "event_id",
+        F.length("raw").cast("long").alias("n_bytes"),
+        F.hex(truncate_binary("raw", 24)).alias("c_payload_hex"),
+        truncation_flag("raw", 24).alias("was_truncated"),
+    )
+
+
+def q_coercion_nulling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: non-primitive→string coercion + module statement nulling on
+    the driver path (VERDICT r10 #6): the reference stringifies
+    map/XML values in its fields/actions loops (EventHolder.cs:135-183)
+    and NULLS `module_start`/`module_end`.`statement` — a known data
+    bug in SQL 2012/2014 traces (EventHolder.cs:166-171). Fixture: an
+    event_type × payload matrix cycling 5 types by event_id so both
+    module_* types actually occur, each row carrying a statement and a
+    MAP payload; `null_module_statement` gates the statement,
+    `stringify_columns` JSON-ifies the map (to_json, not Spark's
+    `{k -> v}` cast rendering). Aggregated per type: the null counts
+    pin the gate's selectivity, min/max pin the surviving statement
+    values and the exact JSON serialization cross-engine."""
+    from ..functions.coercion import null_module_statement, stringify_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        F.expr(
+            "element_at(array('module_start', 'module_end', "
+            "'sql_batch_completed', 'rpc_completed', 'wait_info'), "
+            "CAST(event_id % 5 AS INT) + 1)"
+        ).alias("etype"),
+        F.expr("concat('SELECT ', CAST(event_id AS STRING))").alias(
+            "c_statement"
+        ),
+        F.create_map(
+            F.lit("k"), F.col("event_id").cast("string")
+        ).alias("payload"),
+    )
+    nulled = null_module_statement(m, event_type_col="etype")
+    flat = stringify_columns(nulled, "payload")
+    return flat.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("c_statement").isNull().cast("long"))
+        .cast("long")
+        .alias("n_stmt_nulled"),
+        F.min("c_statement").alias("min_stmt"),
+        F.max("c_statement").alias("max_stmt"),
+        F.min("payload").alias("min_payload_json"),
+        F.max("payload").alias("max_payload_json"),
+    )
+
+
 def q_hash_bin_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14: UInt64 → big-endian hex image (the string form of the
     `a_query_hash_bin` dual column, EventHolder.cs:218-225). The binary
@@ -631,6 +704,48 @@ ORACLES: dict[str, str] = {
                substr(props, 1, 8) AS c_props,
                CAST(CASE WHEN length(props) > 8 THEN 1 ELSE 0 END AS BIGINT) AS was_truncated
         FROM events
+    """,
+    # S13 replay sidesteps BLOB ops entirely: byte-aligned truncation
+    # on the hex STRING (2 hex chars per byte) is value-identical to
+    # hex(truncate_binary(raw, 24)); Spark's hex() is uppercase
+    "q_binary_truncation": """
+        SELECT event_id,
+               CAST(length(h) // 2 AS BIGINT) AS n_bytes,
+               upper(substr(h, 1, 48)) AS c_payload_hex,
+               CAST(CASE WHEN length(h) // 2 > 24 THEN 1 ELSE 0 END
+                    AS BIGINT) AS was_truncated
+        FROM (
+            SELECT event_id,
+                   repeat(md5(props), CAST(1 + event_id % 3 AS INT)) AS h
+            FROM events
+        )
+    """,
+    "q_coercion_nulling": """
+        WITH e AS (
+            SELECT event_id,
+                   ['module_start', 'module_end', 'sql_batch_completed',
+                    'rpc_completed', 'wait_info'
+                   ][CAST(event_id % 5 AS INT) + 1] AS etype,
+                   'SELECT ' || CAST(event_id AS VARCHAR) AS stmt,
+                   '{"k":"' || CAST(event_id AS VARCHAR) || '"}' AS pj
+            FROM events
+        ),
+        n AS (
+            SELECT etype,
+                   CASE WHEN etype IN ('module_start', 'module_end')
+                        THEN NULL ELSE stmt END AS stmt,
+                   pj
+            FROM e
+        )
+        SELECT etype,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN stmt IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stmt_nulled,
+               MIN(stmt) AS min_stmt,
+               MAX(stmt) AS max_stmt,
+               MIN(pj) AS min_payload_json,
+               MAX(pj) AS max_payload_json
+        FROM n GROUP BY 1
     """,
     "q_hash_bin_derivation": """
         SELECT event_id,

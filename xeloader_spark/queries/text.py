@@ -1027,13 +1027,17 @@ def q_hyperball_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over seeded messy URLs: normalize scheme/host
     case, default ports, tracking params, param order, fragments,
-    trailing slashes, and (r10) RFC 3986 dot segments + percent-hex
-    case (`operators/text.url_canonicalize`; the seed plants
-    '/articles/./', '/sec/../articles/' and '%6c'/'%6C' variants that
-    must all collapse), then group —
-    per canonical URL the variant count, distinct raw forms, and keeper
-    doc. The crawl-dedup pre-pass that runs before any content ever
-    moves; normalization itself is zero-shuffle string/array codegen."""
+    trailing slashes, (r10) RFC 3986 dot segments, and (r11) full
+    §6.2.2 percent normalization (`operators/text.url_canonicalize`).
+    The seed plants '/articles/./', '/sec/../articles/' and
+    'arti%6cles'/'arti%6Cles' variants that ALL collapse with the
+    plain 'articles' spelling ('l' is unreserved, so §6.2.2.2 decodes
+    it), plus 'ref=ho%2fme'/'ref=ho%2Fme' query values that collapse
+    ONLY with each other as the encoded '%2F' ('/' is reserved — a
+    distinct group from 'ref=home'); then group — per canonical URL
+    the variant count, distinct raw forms, and keeper doc. The
+    crawl-dedup pre-pass that runs before any content ever moves;
+    normalization itself is zero-shuffle string/array codegen."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "url", F.expr(_canon_mess_seed(_URL_SEED_SPARK))
     )
@@ -1531,16 +1535,20 @@ def _url_canon_core_sql() -> str:
 _URL_CANON_CORE = _url_canon_core_sql()
 
 
-# canon-only messy-seed wrapper (r10): layers the two RFC 3986
-# variance axes the r10 normalizations collapse — dot segments
-# ('/articles/./', '/sec/../articles/') and percent-encoding hex case
-# ('arti%6cles' vs 'arti%6Cles', both '%6C' canonical) — over the
-# shared URL seed. Canon-ONLY deliberately: the robots-gate queries
-# share _URL_SEED and their rule fixtures target literal '/articles/N'
-# paths. Every pattern occurs exactly once per URL, so Spark's
-# global-replace and DuckDB's first-match regexp_replace agree.
+# canon-only messy-seed wrapper (r10/r11): layers the RFC 3986
+# variance axes the normalizations collapse — dot segments
+# ('/articles/./', '/sec/../articles/'), percent-encodings of the
+# UNRESERVED 'l' ('arti%6cles'/'arti%6Cles', which §6.2.2.2 decodes
+# back to plain 'articles' since r11), and (r11) mixed-case hex of the
+# RESERVED '/' in a query value ('ref=ho%2fme'/'ref=ho%2Fme' — both
+# canonicalize to the ENCODED uppercase '%2F' form, never to a bare
+# '/') — over the shared URL seed. Canon-ONLY deliberately: the
+# robots-gate queries share _URL_SEED and their rule fixtures target
+# literal '/articles/N' paths. Every pattern occurs at most once per
+# URL, so Spark's global-replace and DuckDB's first-match
+# regexp_replace agree.
 def _canon_mess_seed(base: str) -> str:
-    return f"""regexp_replace(regexp_replace({base},
+    return f"""regexp_replace(regexp_replace(regexp_replace({base},
         '/articles/',
         CASE WHEN doc_id % 3 = 1 THEN '/articles/./'
              WHEN doc_id % 3 = 2 THEN '/sec/../articles/'
@@ -1548,7 +1556,11 @@ def _canon_mess_seed(base: str) -> str:
         'articles',
         CASE WHEN doc_id % 5 = 2 THEN 'arti%6cles'
              WHEN doc_id % 5 = 3 THEN 'arti%6Cles'
-             ELSE 'articles' END)"""
+             ELSE 'articles' END),
+        'ref=home',
+        CASE WHEN doc_id % 11 = 4 THEN 'ref=ho%2fme'
+             WHEN doc_id % 11 = 7 THEN 'ref=ho%2Fme'
+             ELSE 'ref=home' END)"""
 
 
 def _url_canon_duck(seed: str) -> str:
