@@ -208,12 +208,13 @@ def test_extract_anchors_zero_shuffle(spark):
 SITEMAP = (
     '<?xml version="1.0"?><urlset>'
     "<url><loc>https://a/1</loc><lastmod>2026-01-02</lastmod>"
-    "<priority>0.8</priority></url>"
+    "<priority>0.8</priority><changefreq>Daily</changefreq></url>"
     "<url>\n  <loc>https://a/2</loc>\n</url>"
     "<url><lastmod>2026-01-03</lastmod></url>"  # loc-less: dropped
     # malformed priority: try_cast NULLs it loudly (ADVICE r9) while
     # the entry itself survives
-    "<url><loc>https://a/3</loc><priority>high</priority></url>"
+    "<url><loc>https://a/3</loc><priority>high</priority>"
+    "<changefreq>sometimes</changefreq></url>"
     "</urlset>"
 )
 
@@ -223,14 +224,46 @@ def test_parse_sitemap_fields_and_loud_nulls(spark):
         [("h1", SITEMAP)], "host string, sitemap_xml string"
     )
     rows = sorted(
-        (r.host, r.loc, r.lastmod, r.priority)
+        (r.host, r.loc, r.lastmod, r.priority, r.changefreq)
         for r in parse_sitemap(df).collect()
     )
     assert rows == [
-        ("h1", "https://a/1", "2026-01-02", 0.8),
-        ("h1", "https://a/2", None, None),
-        ("h1", "https://a/3", None, None),
+        ("h1", "https://a/1", "2026-01-02", 0.8, "Daily"),
+        ("h1", "https://a/2", None, None, None),
+        # out-of-vocabulary changefreq survives VERBATIM here; the
+        # seconds mapper is where it goes NULL loudly
+        ("h1", "https://a/3", None, None, "sometimes"),
     ]
+
+
+def test_changefreq_seconds_vocabulary(spark):
+    """Spec vocabulary (case-insensitive) → seconds; 'never' and
+    unknown tokens → NULL loudly — identical CASE in both engines."""
+    import duckdb
+
+    from xeloader_spark.operators.crawl import changefreq_seconds_sql
+
+    toks = ["always", "Hourly", "daily", "WEEKLY", "monthly", "yearly",
+            "never", "sometimes", None]
+    df = spark.createDataFrame([(t,) for t in toks], "cf string")
+    got = [
+        r.s
+        for r in df.select(
+            F.expr(changefreq_seconds_sql("cf")).alias("s")
+        ).collect()
+    ]
+    assert got == [0, 3600, 86400, 604800, 2592000, 31536000,
+                   None, None, None]
+    con = duckdb.connect()
+    vals = ", ".join("(NULL)" if t is None else f"('{t}')" for t in toks)
+    exp = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {changefreq_seconds_sql('cf')} "
+            f"FROM (VALUES {vals}) v(cf)"
+        ).fetchall()
+    ]
+    assert got == exp
 
 
 def test_parse_sitemap_zero_shuffle(spark):
@@ -380,6 +413,49 @@ def test_revisit_policy_closed_form(spark):
         "u3": (6, 5, 120),   # 100 clamped up to 120
         "u4": (1, 0, 100),   # base verbatim, bypasses clamps
     }
+
+
+def test_crawl_budget_allocate_closed_form(spark):
+    """Hamilton's method by hand: floors + largest remainders, host
+    ascending as the deterministic tie-break."""
+    from xeloader_spark.operators.crawl import crawl_budget_allocate
+
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "host string, weight long"
+    )
+    got = {r.host: r.quota for r in crawl_budget_allocate(hosts, 11).collect()}
+    # bases 5/3/2 (sum 10), leftover 1, remainders 5/3/2 -> a gets it
+    assert got == {"a": 6, "b": 3, "c": 2}
+
+    ties = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "host string, weight long"
+    )
+    got = {r.host: r.quota for r in crawl_budget_allocate(ties, 4).collect()}
+    # equal remainders: host-ascending tie-break hands the +1 to 'a'
+    assert got == {"a": 2, "b": 1, "c": 1}
+
+
+def test_crawl_budget_conservation_and_quota_rule(spark):
+    """Σ quota == budget EXACTLY, and every quota is within 1 of its
+    ideal real share (the quota rule Hamilton satisfies) — on 50 varied
+    weights with a prime budget so remainders are non-trivial."""
+    import math
+
+    from xeloader_spark.operators.crawl import crawl_budget_allocate
+
+    rows = [(f"h{i:02d}", 1 + (i * 37) % 19) for i in range(50)]
+    budget = 997
+    df = spark.createDataFrame(rows, "host string, weight long")
+    out = crawl_budget_allocate(df, budget).collect()
+    assert len(out) == 50
+    assert sum(r.quota for r in out) == budget
+    tw = sum(w for _, w in rows)
+    wmap = dict(rows)
+    for r in out:
+        ideal = budget * wmap[r.host] / tw
+        assert math.floor(ideal) <= r.quota <= math.ceil(ideal), (
+            r.host, r.quota, ideal
+        )
 
 
 def _hrw_assignments(spark, n_keys=64, n_shards=5, exclude=None):

@@ -2130,3 +2130,99 @@ def test_streaming_html_text_extract_matches_batch(spark, tmp_path):
         for r in q_html_text_extract(spark, SF).collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_streaming_revisit_matches_batch(spark, tmp_path):
+    """Streamed change-rate state == batch `revisit_policy` over the
+    same visit log: the latest emission per URL (max n_visits) after a
+    two-slice in-order replay carries exactly the batch counters and
+    the bit-identical clamped integer interval. State is the 3-field
+    sufficient statistic, never the history."""
+    import time
+
+    from xeloader_spark.operators.crawl import revisit_policy
+    from xeloader_spark.queries.crawl import _RV_BASE, _RV_MAX, _RV_MIN
+    from xeloader_spark.streaming.revisit_stream import revisit_stream
+
+    src = str(tmp_path / "rv_in")
+    out = str(tmp_path / "rv_out")
+    ckpt = str(tmp_path / "rv_ckpt")
+
+    # the q_revisit_policy visit matrix: 2 + m%5 visits per url, fp
+    # rolling over every 1 + m%4 visits
+    visits = (
+        load_table(spark, SF, "documents")
+        .selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+            "m",
+        )
+        .select(
+            "url",
+            "m",
+            F.explode(
+                F.expr("sequence(0, 1 + CAST(m % 5 AS INT))")
+            ).alias("visit_idx"),
+        )
+        .selectExpr(
+            "url",
+            "CAST(visit_idx AS BIGINT) AS visit_idx",
+            "md5(concat(url, ':', CAST(visit_idx DIV (1 + m % 4) "
+            "AS STRING))) AS fp",
+        )
+    )
+    rows = [
+        (r.url, int(r.visit_idx), r.fp)
+        for r in visits.orderBy("url", "visit_idx").collect()
+    ]
+    schema = "url string, visit_idx long, fp string"
+    os.makedirs(src, exist_ok=True)
+    # slice by visit_idx: every URL's later visits arrive in the later
+    # file — the in-order cross-batch contract the twin documents
+    slices = ([r for r in rows if r[1] < 2], [r for r in rows if r[1] >= 2])
+    for i, chunk in enumerate(slices):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)  # distinct mod times → deterministic arrival
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        revisit_stream(
+            stream, base_s=_RV_BASE, min_s=_RV_MIN, max_s=_RV_MAX
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out).collect()
+    latest = {}
+    for r in emitted:
+        if r.url not in latest or r.n_visits > latest[r.url].n_visits:
+            latest[r.url] = r
+    got = {
+        u: (r.n_visits, r.n_changes, r.revisit_interval_s)
+        for u, r in latest.items()
+    }
+    exp = {
+        r.url: (r.n_visits, r.n_changes, r.revisit_interval_s)
+        for r in revisit_policy(
+            visits, base_s=_RV_BASE, min_s=_RV_MIN, max_s=_RV_MAX
+        ).collect()
+    }
+    assert got == exp
+    # one emission per micro-batch that touched the URL: slice 0 holds
+    # every URL's first 2 visits; slice 1 only URLs with ≥3 visits
+    n_expected = sum(1 + (1 if nv > 2 else 0) for nv, _, _ in exp.values())
+    assert len(emitted) == n_expected

@@ -109,6 +109,16 @@ AUDIT_QUERIES = [
     "q_sitemap_index",
     "q_fetch_schedule",
     "q_discovery_pipeline",
+    # round-11 additions: the recrawl lifecycle — priority schedule
+    # (host window), delta join (URL-keyed state join), revisit policy
+    # (one url-keyed window+agg shuffle), budget apportionment (two
+    # 1-row broadcasts + the global_row_number range shuffle) — all
+    # slim-string/dimension frames, expected ≪ 1
+    "q_priority_schedule",
+    "q_recrawl_delta",
+    "q_revisit_policy",
+    "q_crawl_budget",
+    "q_changefreq_policy",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

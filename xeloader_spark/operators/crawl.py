@@ -165,18 +165,22 @@ SITEMAP_URL_RE = "(?s)<url>.*?</url>"
 
 def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
     """Sitemap XML → one row per <url> entry: (…, loc, lastmod,
-    priority), keeping every other input column (host, fetch time —
-    the lineage the frontier needs). Missing optional fields are NULL,
-    not '' (regexp_extract's no-match empty string is nullif'd — the
-    loud-NULL contract every reader in this repo follows). `priority`
-    is typed DOUBLE via try_cast — malformed values go NULL loudly
-    instead of passing through as strings whose downstream comparisons
-    would be lexicographic (r10, ADVICE r9); `lastmod` stays a VERBATIM
-    string because the sitemaps spec admits both date and full
-    datetime-with-zone forms — temporal typing belongs to the consumer
-    that knows which it needs. Zero shuffles: extract_all + explode +
-    three per-element extracts in one codegen stage; the XML blob never
-    outlives its task."""
+    priority, changefreq) — the COMPLETE optional-element surface of
+    the sitemaps protocol — keeping every other input column (host,
+    fetch time — the lineage the frontier needs). Missing optional
+    fields are NULL, not '' (regexp_extract's no-match empty string is
+    nullif'd — the loud-NULL contract every reader in this repo
+    follows). `priority` is typed DOUBLE via try_cast — malformed
+    values go NULL loudly instead of passing through as strings whose
+    downstream comparisons would be lexicographic (r10, ADVICE r9);
+    `lastmod` stays a VERBATIM string because the sitemaps spec admits
+    both date and full datetime-with-zone forms — temporal typing
+    belongs to the consumer that knows which it needs; `changefreq`
+    stays the verbatim token (r11) and `changefreq_seconds_sql` owns
+    the vocabulary mapping, where unknown tokens go NULL loudly by the
+    same rule. Zero shuffles: extract_all + explode + four per-element
+    extracts in one codegen stage; the XML blob never outlives its
+    task."""
     blocks = df.select(
         "*",
         F.explode(
@@ -195,8 +199,33 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
             "try_cast(nullif(regexp_extract(_u, "
             "'<priority>([^<]*)</priority>', 1), '') AS DOUBLE)"
         ).alias("priority"),
+        F.expr(
+            "nullif(regexp_extract(_u, "
+            "'<changefreq>([^<]*)</changefreq>', 1), '')"
+        ).alias("changefreq"),
     )
     return out.drop("_u").filter(F.col("loc").isNotNull())
+
+
+def changefreq_seconds_sql(cf_sql: str) -> str:
+    """The sitemaps-protocol <changefreq> vocabulary mapped to seconds
+    — one plain-ANSI CASE rendered identically into both engines
+    (always → 0 means "every access may differ"; `never` means
+    archived, which is NOT a finite interval, so it maps NULL like
+    unknown tokens — the caller's coalesce/least decides what a
+    missing hint does, the mapper never invents a number). Tokens are
+    case-insensitive per common practice; anything outside the spec
+    vocabulary goes NULL loudly (the try_cast discipline)."""
+    return (
+        f"CASE lower({cf_sql}) "
+        "WHEN 'always' THEN CAST(0 AS BIGINT) "
+        "WHEN 'hourly' THEN CAST(3600 AS BIGINT) "
+        "WHEN 'daily' THEN CAST(86400 AS BIGINT) "
+        "WHEN 'weekly' THEN CAST(604800 AS BIGINT) "
+        "WHEN 'monthly' THEN CAST(2592000 AS BIGINT) "
+        "WHEN 'yearly' THEN CAST(31536000 AS BIGINT) "
+        "ELSE CAST(NULL AS BIGINT) END"
+    )
 
 
 # one <sitemap>…</sitemap> member entry of a <sitemapindex> file; same
@@ -455,3 +484,65 @@ def revisit_policy(
         f"{base_s} * (n_visits - 1) DIV greatest(n_changes, 1))) END"
     )
     return agg.withColumn("revisit_interval_s", F.expr(interval))
+
+
+def crawl_budget_allocate(
+    hosts: DataFrame,
+    budget: int,
+    weight_col: str = "weight",
+    host_col: str = "host",
+) -> DataFrame:
+    """Largest-remainder apportionment (Hamilton's method, public) of a
+    global fetch budget across hosts (r11): given non-negative integer
+    weights w_h (host quality, backlog, PageRank mass — whatever the
+    frontier scores by) and a total budget B, allocate
+
+        quota_h = floor(B·w_h / Σw) + 1[remainder-rank ≤ B − Σ floor]
+
+    where remainder-rank orders hosts by (B·w_h mod Σw) descending with
+    host ascending as the deterministic tie-break. Σ quota = B EXACTLY
+    (the floors under-spend by exactly the number of +1s handed out),
+    every quota is within 1 of its ideal real-valued share (the quota
+    rule Hamilton satisfies by construction), and everything is integer
+    arithmetic — the whole allocation value-hashes across engines.
+    Requires Σw > 0 and w_h ≥ 0 (weights are counts/scores; a zero
+    total budget-shares nothing meaningful — the DIV would go NULL
+    loudly, not silently misallocate).
+
+    This is the global knob `fetch_schedule` is the per-host half of:
+    allocate ONCE per cycle how many fetches each host gets, then
+    schedule those fetches politely within the host.
+
+    Scale shape: two 1-row aggregates broadcast back (the Σw and
+    leftover scalars), one projection for floor/remainder, and ONE
+    range shuffle for the remainder rank via `rank.global_row_number`
+    (the documented no-global-window discipline — a naive
+    row_number().over(orderBy) would funnel every host through one
+    task). Hosts are the unit of allocation, so the frame is
+    dimension-sized relative to the crawl."""
+    from .rank import global_row_number
+
+    b = int(budget)
+    tot = hosts.agg(F.sum(weight_col).cast("long").alias("_tw"))
+    based = hosts.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.expr(f"CAST({b} AS BIGINT) * {weight_col} DIV _tw").alias("_base"),
+        F.expr(f"CAST({b} AS BIGINT) * {weight_col} % _tw").alias("_rem"),
+    )
+    leftover = based.agg(
+        (F.lit(b).cast("long") - F.sum("_base")).alias("_left")
+    )
+    ranked = global_row_number(
+        based, [F.desc("_rem"), F.col(host_col)], out_col="_rr"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "quota",
+            F.expr(
+                "CAST(_base + CASE WHEN _rr <= _left THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ),
+        )
+        .drop("_tw", "_base", "_rem", "_rr", "_left")
+    )

@@ -37,9 +37,9 @@ from . import core
 # tools/gen_round_priority.py.)
 # ROUND-11 ROTATION (tools/gen_round_priority.py 50 5 — drain-first,
 # VERDICT r10 #1): the FULL 24-query r5-stale cohort is pinned to slots
-# 1-24 ahead of the round's 5 new registrations (slots 25-29), so the
+# 1-24 ahead of the round's new registrations (slots 25+), so the
 # final drain step cannot be displaced; oldest-r6 re-checks fill 28-50.
-# 278 registered at install; after this round no query should be
+# 280 registered at install; after this round no query should be
 # last-driver-checked before r6.
 _ROUND_PRIORITY = [
     "q_leakage_safe_split",  # recheck (last green r5)
@@ -71,6 +71,8 @@ _ROUND_PRIORITY = [
     "q_priority_schedule",
     "q_recrawl_delta",
     "q_revisit_policy",
+    "q_crawl_budget",
+    "q_changefreq_policy",
     "q_record_linkage",  # recheck (last green r6)
     "q_running_total",  # recheck (last green r6)
     "q_scalar_subquery",  # recheck (last green r6)
@@ -90,8 +92,6 @@ _ROUND_PRIORITY = [
     "q_run_stats",  # recheck (last green r6)
     "q_session_pattern_extract",  # recheck (last green r6)
     "q_smalldatetime_round",  # recheck (last green r6)
-    "q_string_truncation",  # recheck (last green r6)
-    "q_xml_roundtrip",  # recheck (last green r6)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1092,6 +1092,34 @@ ORACLES["q_recrawl_delta"] = _recrawl_delta_sql()
 _RV_BASE, _RV_MIN, _RV_MAX = 86_400, 50_000, 300_000
 
 
+def _visit_matrix(docs: DataFrame) -> DataFrame:
+    """The shared visit-history fixture: per (source, m) URL,
+    2 + m%5 visits whose fingerprint rolls over every 1 + m%4 visits —
+    used by q_revisit_policy and q_changefreq_policy (same URLs, so
+    the declared-hint join below is exact)."""
+    u = (
+        docs.selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+            "m",
+        )
+    )
+    return u.select(
+        "url",
+        "m",
+        F.explode(
+            F.expr("sequence(0, 1 + CAST(m % 5 AS INT))")
+        ).alias("visit_idx"),
+    ).selectExpr(
+        "url",
+        "visit_idx",
+        "md5(concat(url, ':', CAST(visit_idx DIV (1 + m % 4) AS STRING)))"
+        " AS fp",
+    )
+
+
 def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-rate revisit policy (`operators/crawl.revisit_policy`,
     Cho & Garcia-Molina): each URL's visit history is synthesized
@@ -1107,29 +1135,8 @@ def q_revisit_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.crawl import revisit_policy
 
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        docs.selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS m")
-        .distinct()
-        .selectExpr(
-            "concat('https://www.', source, '.com/articles/', "
-            "CAST(m AS STRING)) AS url",
-            "m",
-        )
-    )
-    visits = u.select(
-        "url",
-        "m",
-        F.explode(
-            F.expr("sequence(0, 1 + CAST(m % 5 AS INT))")
-        ).alias("visit_idx"),
-    ).selectExpr(
-        "url",
-        "visit_idx",
-        "md5(concat(url, ':', CAST(visit_idx DIV (1 + m % 4) AS STRING)))"
-        " AS fp",
-    )
     return revisit_policy(
-        visits, base_s=_RV_BASE, min_s=_RV_MIN, max_s=_RV_MAX
+        _visit_matrix(docs), base_s=_RV_BASE, min_s=_RV_MIN, max_s=_RV_MAX
     )
 
 
@@ -1181,6 +1188,212 @@ def _revisit_policy_sql() -> str:
 
 
 ORACLES["q_revisit_policy"] = _revisit_policy_sql()
+
+
+# the <changefreq> token per entry: the 6 spec values + 'never' + an
+# out-of-vocabulary token ('often' → NULL loudly in the seconds
+# mapper), with m % 9 = 0 entries omitting the element entirely
+_CF_TOKENS = (
+    "array('always', 'hourly', 'daily', 'weekly', 'monthly', "
+    "'yearly', 'never', 'often')"
+)
+_CF_LIST_DUCK = (
+    "['always', 'hourly', 'daily', 'weekly', 'monthly', "
+    "'yearly', 'never', 'often']"
+)
+
+
+def q_changefreq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-hint × observed-rate revisit composition: sitemaps
+    carry <changefreq> (the 4th and last optional element of the
+    sitemaps protocol — `parse_sitemap` now extracts it, r11),
+    `changefreq_seconds_sql` maps the vocabulary to seconds (case-
+    insensitive; 'never' and out-of-vocabulary tokens NULL loudly),
+    and the operative cadence per URL is the FRESHNESS-FIRST
+    composition with `revisit_policy`'s observed estimate over the
+    same URLs:
+
+        effective = declared IS NULL ? estimate
+                  : greatest(min_s, least(declared, estimate))
+
+    — a site hinting 'hourly' gets checked sooner than a no-change
+    history alone would schedule, observed churn beats a lazy 'yearly'
+    hint, the policy floor stops 'always' (0 s) from melting the
+    politeness budget, and a missing/unknown/never hint defers wholly
+    to observation. Fixture entries cycle all 8 tokens with m % 9 = 0
+    omitting the element. Integer-exact throughout; one URL-keyed
+    equi-join between the two dimension-sized frames (AQE broadcasts
+    it)."""
+    from ..operators.crawl import (
+        changefreq_seconds_sql,
+        parse_sitemap,
+        revisit_policy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(
+        "source", "CAST(doc_id % 50 AS BIGINT) AS m"
+    ).distinct()
+    entry = (
+        "concat('<url><loc>https://www.', source, '.com/articles/', "
+        "CAST(m AS STRING), '</loc>', "
+        "CASE WHEN m % 9 = 0 THEN '' ELSE concat('<changefreq>', "
+        f"element_at({_CF_TOKENS}, CAST(1 + m % 8 AS INT)), "
+        "'</changefreq>') END, '</url>')"
+    )
+    sm = pairs.groupBy("source").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            f"named_struct('m', m, 'e', {entry})"
+            ")), x -> x.e), '')"
+        ).alias("body")
+    ).select(
+        F.expr(
+            "concat('<?xml version=\"1.0\"?><urlset>', body, '</urlset>')"
+        ).alias("sitemap_xml")
+    )
+    declared = parse_sitemap(sm).select(
+        F.col("loc").alias("url"),
+        "changefreq",
+        F.expr(changefreq_seconds_sql("changefreq")).alias("declared_s"),
+    )
+    est = revisit_policy(
+        _visit_matrix(docs), base_s=_RV_BASE, min_s=_RV_MIN, max_s=_RV_MAX
+    )
+    joined = declared.join(est, "url")
+    return joined.select(
+        "url",
+        "changefreq",
+        "declared_s",
+        "n_visits",
+        "n_changes",
+        "revisit_interval_s",
+        F.expr(
+            "CASE WHEN declared_s IS NULL THEN revisit_interval_s "
+            f"ELSE greatest(CAST({_RV_MIN} AS BIGINT), "
+            "least(declared_s, revisit_interval_s)) END"
+        ).alias("effective_revisit_s"),
+    )
+
+
+def _changefreq_policy_sql() -> str:
+    from ..operators.crawl import changefreq_seconds_sql
+
+    entry = (
+        "concat('<url><loc>https://www.', source, '.com/articles/', "
+        "CAST(m AS VARCHAR), '</loc>', "
+        "CASE WHEN m % 9 = 0 THEN '' ELSE concat('<changefreq>', "
+        f"{_CF_LIST_DUCK}[CAST(1 + m % 8 AS INT)], "
+        "'</changefreq>') END, '</url>')"
+    )
+    loc = "nullif(regexp_extract(u, '<loc>([^<]*)</loc>', 1), '')"
+    return f"""
+        WITH est AS ({_revisit_policy_sql()}),
+        pairs AS (
+            SELECT DISTINCT source, CAST(doc_id % 50 AS BIGINT) AS m
+            FROM documents
+        ),
+        sm AS (
+            SELECT concat('<?xml version="1.0"?><urlset>',
+                          string_agg({entry}, '' ORDER BY m),
+                          '</urlset>') AS sitemap_xml
+            FROM pairs GROUP BY source
+        ),
+        ub AS (
+            SELECT unnest(regexp_extract_all(sitemap_xml,
+                          '{SITEMAP_URL_RE}', 0)) AS u
+            FROM sm
+        ),
+        declared AS (
+            SELECT {loc} AS url,
+                   nullif(regexp_extract(u,
+                          '<changefreq>([^<]*)</changefreq>', 1), '')
+                       AS changefreq
+            FROM ub
+        ),
+        d2 AS (
+            SELECT url, changefreq,
+                   {changefreq_seconds_sql("changefreq")} AS declared_s
+            FROM declared WHERE url IS NOT NULL
+        )
+        SELECT d2.url, d2.changefreq, d2.declared_s,
+               est.n_visits, est.n_changes, est.revisit_interval_s,
+               CASE WHEN d2.declared_s IS NULL THEN est.revisit_interval_s
+                    ELSE greatest(CAST({_RV_MIN} AS BIGINT),
+                                  least(d2.declared_s,
+                                        est.revisit_interval_s)) END
+                   AS effective_revisit_s
+        FROM d2 JOIN est ON d2.url = est.url
+    """
+
+
+ORACLES["q_changefreq_policy"] = _changefreq_policy_sql()
+
+
+_BUDGET_TOTAL = 9_973  # prime: forces non-trivial remainders everywhere
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fetch-budget apportionment
+    (`operators/crawl.crawl_budget_allocate`, Hamilton's
+    largest-remainder method): 500 host-sections (source × article
+    residue — the granularity a frontier actually budgets, finer than
+    host) weighted by doc count + a doc_id-derived backlog score, a
+    prime total budget so floors under-spend and the remainder ranking
+    decides real +1s. Σ quota = budget EXACTLY and every quota is
+    within 1 of its ideal share — both integer-exact, so the whole
+    allocation value-hashes in the oracle (whose replay may use a
+    plain global window; the Spark side goes through the distributed
+    `global_row_number` range-rank instead)."""
+    from ..operators.crawl import crawl_budget_allocate
+
+    docs = load_table(spark, sf_dir, "documents")
+    units = docs.groupBy(
+        F.expr(
+            "concat(lower(concat('www.', source, '.com')), '/s', "
+            "CAST(doc_id % 50 AS STRING))"
+        ).alias("host")
+    ).agg(
+        F.expr(
+            "CAST(COUNT(*) + SUM(doc_id % 97) AS BIGINT)"
+        ).alias("weight")
+    )
+    return crawl_budget_allocate(units, _BUDGET_TOTAL).select(
+        "host", "weight", "quota"
+    )
+
+
+def _crawl_budget_sql() -> str:
+    B = _BUDGET_TOTAL
+    return f"""
+        WITH w AS (
+            SELECT concat(lower(concat('www.', source, '.com')), '/s',
+                          CAST(doc_id % 50 AS VARCHAR)) AS host,
+                   CAST(COUNT(*) + SUM(doc_id % 97) AS BIGINT) AS weight
+            FROM documents GROUP BY 1
+        ),
+        t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM w),
+        b AS (
+            SELECT host, weight,
+                   ({B} * weight) // tw AS base,
+                   ({B} * weight) % tw AS rem
+            FROM w, t
+        ),
+        l AS (
+            SELECT CAST({B} - SUM(base) AS BIGINT) AS leftover FROM b
+        ),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rr
+            FROM b
+        )
+        SELECT host, weight,
+               CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS quota
+        FROM r, l
+    """
+
+
+ORACLES["q_crawl_budget"] = _crawl_budget_sql()
 
 
 # ---------------------------------------------------------------------------
