@@ -52,6 +52,11 @@ WHITELIST: dict[str, list[str]] = {
         'snap_long.join(F.broadcast(new_long.withColumnRenamed("id", "new_id")),',
         'tr.join(F.broadcast(ev), "shingle")',
     ],
+    # budget apportionment's two 1-row scalars (Σ weight, leftover)
+    "operators/crawl.py": [
+        "based = hosts.crossJoin(F.broadcast(tot)).select(",
+        "ranked.crossJoin(F.broadcast(leftover))",
+    ],
     # 1-row edge total; HITS per-round 1-row normalization totals
     "operators/graph.py": [
         ".crossJoin(F.broadcast(tot))",
