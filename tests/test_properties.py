@@ -1489,3 +1489,80 @@ def test_line_dedup_conservation(spark, texts):
         assert 0 <= r.n_kept <= r.n_lines
         n_in_text = 0 if r.clean_text == "" else len(r.clean_text.split("\n"))
         assert n_in_text == r.n_kept
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 40), min_size=1, max_size=30, unique=True),
+    st.lists(st.integers(0, 40), max_size=30, unique=True),
+    st.data(),
+)
+def test_recrawl_delta_matches_python_model(spark, sm_ids, state_ids, data):
+    """For ANY sitemap/state URL sets with arbitrary (possibly NULL)
+    ISO dates, the delta classification matches a pure-Python replay,
+    and the three statuses partition the sitemap exactly."""
+    from xeloader_spark.operators.crawl import recrawl_delta
+
+    def date_for(seed):
+        if seed is None:
+            return None
+        return f"2026-0{1 + seed % 9}-{1 + seed % 28:02d}"
+
+    sm_rows = [
+        (f"u/{i}", date_for(data.draw(st.one_of(st.none(), st.integers(0, 99)))))
+        for i in sm_ids
+    ]
+    state_rows = [
+        (f"u/{i}", date_for(data.draw(st.integers(0, 99))))
+        for i in state_ids
+    ]
+    sm = spark.createDataFrame(sm_rows, "loc string, lastmod string")
+    state = spark.createDataFrame(
+        state_rows, "url string, last_crawled string"
+    ) if state_rows else spark.createDataFrame(
+        [], "url string, last_crawled string"
+    )
+    got = {
+        r.loc: (r.status, r.needs_fetch)
+        for r in recrawl_delta(sm, state).collect()
+    }
+    crawled = dict(state_rows)
+    exp = {}
+    for loc, lastmod in sm_rows:
+        if loc not in crawled:
+            exp[loc] = ("new", True)
+        elif lastmod is not None and lastmod > crawled[loc]:
+            exp[loc] = ("stale", True)
+        else:
+            exp[loc] = ("fresh", False)
+    assert got == exp
+    assert len(got) == len(sm_rows)  # the statuses partition the sitemap
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 1_000), min_size=1, max_size=40),
+    st.integers(0, 10_000),
+)
+def test_crawl_budget_conservation_property(spark, weights, budget):
+    """For ANY non-negative weights (Σw > 0) and ANY budget:
+    Σ quota == budget EXACTLY, and every quota is within 1 of its ideal
+    real share (Hamilton's quota rule) — including budget 0, weights 0,
+    budget smaller than the host count, and massive skew."""
+    import math
+
+    from hypothesis import assume
+
+    from xeloader_spark.operators.crawl import crawl_budget_allocate
+
+    assume(sum(weights) > 0)
+    rows = [(f"h{i:03d}", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "host string, weight long")
+    out = crawl_budget_allocate(df, budget).collect()
+    assert len(out) == len(rows)
+    assert sum(r.quota for r in out) == budget
+    tw = sum(weights)
+    wmap = dict(rows)
+    for r in out:
+        ideal = budget * wmap[r.host] / tw
+        assert math.floor(ideal) <= r.quota <= math.ceil(ideal)
