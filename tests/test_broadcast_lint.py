@@ -52,10 +52,12 @@ WHITELIST: dict[str, list[str]] = {
         'snap_long.join(F.broadcast(new_long.withColumnRenamed("id", "new_id")),',
         'tr.join(F.broadcast(ev), "shingle")',
     ],
-    # budget apportionment's two 1-row scalars (Σ weight, leftover)
+    # budget apportionment's three 1-row scalars (Σ weight, leftover,
+    # feasible surplus)
     "operators/crawl.py": [
         "based = hosts.crossJoin(F.broadcast(tot)).select(",
         "ranked.crossJoin(F.broadcast(leftover))",
+        "pref.crossJoin(F.broadcast(surplus))",
     ],
     # 1-row edge total; HITS per-round 1-row normalization totals
     "operators/graph.py": [
@@ -75,9 +77,10 @@ WHITELIST: dict[str, list[str]] = {
         '.join(F.broadcast(sup_b), "item_b")',
         'pairs.join(F.broadcast(sup_a), "item_a")',
     ],
-    # partition-count-sized offset frame
+    # partition-count-sized offset frames (rank + running-sum twins)
     "operators/rank.py": [
         'local.join(F.broadcast(offset_df), "_gr_pid")',
+        'local.join(F.broadcast(offset_df), "_gs_pid")',
     ],
     # query-set sized (search entry points)
     "operators/similarity.py": [

@@ -711,3 +711,66 @@ def test_robots_parser_handles_crlf_files(spark):
     assert [r.sitemap_url for r in robots_sitemaps(files).collect()] == [
         "https://h1/sm.xml"
     ]
+
+
+def test_feasible_budget_closed_form(spark):
+    """Caps bind, surplus refills biggest headroom first (host breaks
+    ties), and the total lands on min(budget, sum(cap)) exactly."""
+    from xeloader_spark.operators.crawl import feasible_budget_allocate
+
+    # budget unspendable: caps total 20 < budget 30
+    hosts = spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 1, 5.0), ("c", 1, 2.0)],
+        "host string, weight long, delay double",
+    )
+    got = {
+        r.host: (r.cap, r.refill, r.quota)
+        for r in feasible_budget_allocate(hosts, 30, 10).collect()
+    }
+    # quotas 10 each; caps 11/3/6; capped 10/3/6; surplus 11;
+    # headroom a=1 (b,c have none) -> a takes 1
+    assert got == {"a": (11, 1, 11), "b": (3, 0, 3), "c": (6, 0, 6)}
+    assert sum(q for _, _, q in got.values()) == min(30, 11 + 3 + 6)
+
+    # partial refill: one surplus unit, two equal headrooms -> host asc
+    hosts2 = spark.createDataFrame(
+        [("a", 1, 5.0), ("b", 1, 1.0), ("c", 1, 1.0)],
+        "host string, weight long, delay double",
+    )
+    got2 = {
+        r.host: (r.cap, r.refill, r.quota)
+        for r in feasible_budget_allocate(hosts2, 10, 10).collect()
+    }
+    # quotas 4/3/3; caps 3/11/11; capped 3/3/3; surplus 1; headroom
+    # 0/8/8 -> b (tie with c, host asc) takes the single unit
+    assert got2 == {"a": (3, 0, 3), "b": (11, 1, 4), "c": (11, 0, 3)}
+
+
+def test_feasible_budget_invariants(spark):
+    """On a 40-host varied matrix: Σ quota == min(budget, Σ cap),
+    quota ≤ cap everywhere, and with no binding cap the allocation
+    equals the uncapped Hamilton quotas."""
+    from xeloader_spark.operators.crawl import (
+        crawl_budget_allocate,
+        feasible_budget_allocate,
+    )
+
+    rows = [
+        (f"h{i:02d}", 1 + (i * 37) % 19, float(1 + i % 7)) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "host string, weight long, delay double")
+    budget, cycle = 997, 60
+    out = feasible_budget_allocate(df, budget, cycle).collect()
+    caps = {r.host: r.cap for r in out}
+    assert all(r.quota <= caps[r.host] for r in out)
+    assert sum(r.quota for r in out) == min(budget, sum(caps.values()))
+
+    # giant cycle -> no cap binds -> identical to the uncapped quotas
+    out2 = {
+        r.host: r.quota
+        for r in feasible_budget_allocate(df, budget, 10**6).collect()
+    }
+    exp = {
+        r.host: r.quota for r in crawl_budget_allocate(df, budget).collect()
+    }
+    assert out2 == exp

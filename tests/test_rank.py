@@ -94,3 +94,41 @@ def test_detector_passes_partitioned_and_bounded(spark):
         .withColumn("rn", F.row_number().over(Window.orderBy("id")))
     )
     assert find_global_windows(lim) == []
+
+
+@pytest.mark.parametrize("n", [0, 3, 10, 11, 1000, 1003])
+def test_global_running_sum_matches_window(spark, n):
+    """The running-sum twin must equal SUM(...) OVER an unpartitioned
+    ROWS-framed window under a TOTAL order — including empty input,
+    tied order keys broken by id, and negative values."""
+    from xeloader_spark.operators.rank import global_running_sum
+
+    df = _frame(spark, n).withColumn(
+        "v", (F.col("id") % 13 - 3).cast("long")
+    )
+    order = [F.desc("score"), F.asc("id")]
+    got = {
+        r.id: r.rs
+        for r in global_running_sum(df, order, "v", "rs").collect()
+    }
+    exp = {
+        r.id: r.rs
+        for r in df.withColumn(
+            "rs",
+            F.sum("v").over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    release_persisted()
+    assert got == exp
+
+
+def test_global_running_sum_plan_no_global_window(spark):
+    from xeloader_spark.operators.rank import global_running_sum
+
+    df = _frame(spark, 100).withColumn("v", F.lit(2).cast("long"))
+    assert_no_global_window(global_running_sum(df, ["score", "id"], "v"))
+    release_persisted()

@@ -119,6 +119,7 @@ AUDIT_QUERIES = [
     "q_revisit_policy",
     "q_crawl_budget",
     "q_changefreq_policy",
+    "q_feasible_budget",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

@@ -546,3 +546,79 @@ def crawl_budget_allocate(
         )
         .drop("_tw", "_base", "_rem", "_rr", "_left")
     )
+
+
+def feasible_budget_allocate(
+    hosts: DataFrame,
+    budget: int,
+    cycle_s: int,
+    weight_col: str = "weight",
+    host_col: str = "host",
+    delay_col: str = "delay",
+) -> DataFrame:
+    """Politeness-FEASIBLE fetch-budget allocation (r11): Hamilton
+    apportionment (`crawl_budget_allocate`) capped by what each host's
+    Crawl-delay physically admits inside one crawl cycle —
+    ``cap = floor(cycle_s / delay) + 1`` fetches (offsets 0, delay,
+    2·delay … ≤ cycle_s) — with the capped-off surplus refilled
+    greedily into the remaining headroom in (headroom DESC, host)
+    order:
+
+        take_h = clamp(surplus − headroom_prefix_before_h,
+                       0, headroom_h)
+
+    where the prefix sums come from `rank.global_running_sum` (range
+    partition + per-slice running sum — never a single-task window).
+    Invariants, all integer-exact: Σ quota = min(budget, Σ cap)
+    (the budget is spent unless politeness itself makes that
+    impossible), quota_h ≤ cap_h always, and uncapped allocation is
+    unchanged when no cap binds (surplus 0 ⇒ take 0 everywhere).
+    A host's ideal share above its cap is NOT preserved — the greedy
+    refill deliberately favors big-headroom hosts (fewest leftover
+    fetches stranded), with host ascending as the deterministic
+    tie-break.
+
+    The delay column is the same terminating-binary IEEE doubles
+    `fetch_schedule` documents, so floor(cycle/delay) rounds
+    identically in both engines.
+
+    Scale shape: `crawl_budget_allocate`'s two 1-row scalars + range
+    rank, one more 1-row scalar (the surplus), one prefix-sum pass —
+    everything host-dimension-sized."""
+    from .rank import global_running_sum
+
+    base = crawl_budget_allocate(
+        hosts, budget, weight_col=weight_col, host_col=host_col
+    )
+    capped = base.select(
+        "*",
+        F.expr(
+            f"CAST(floor({cycle_s} / {delay_col}) AS BIGINT) + 1"
+        ).alias("cap"),
+    ).withColumn(
+        "capped_quota", F.expr("least(quota, cap)")
+    ).withColumn(
+        "headroom", F.expr("cap - least(quota, cap)")
+    )
+    surplus = capped.agg(
+        (F.lit(int(budget)).cast("long") - F.sum("capped_quota"))
+        .alias("_surplus")
+    )
+    pref = global_running_sum(
+        capped,
+        [F.desc("headroom"), F.col(host_col)],
+        "headroom",
+        out_col="_hr_incl",
+    )
+    return (
+        pref.crossJoin(F.broadcast(surplus))
+        .withColumn(
+            "refill",
+            F.expr(
+                "greatest(CAST(0 AS BIGINT), least(headroom, "
+                "_surplus - (_hr_incl - headroom)))"
+            ),
+        )
+        .withColumn("quota", F.expr("capped_quota + refill"))
+        .drop("_hr_incl", "_surplus", "capped_quota")
+    )

@@ -131,3 +131,69 @@ def _global_rank_with_total(
         .drop("_gr_pid", "_gr_local", "_gr_offset")
     )
     return out, acc
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    val_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = the exact INCLUSIVE prefix sum of
+    ``val_col`` under a total order ``order_by`` — the running-sum twin
+    of `global_row_number`, without a single-partition window:
+    repartitionByRange on the order keys, a per-partition running sum
+    (each task scans only its range slice), then per-partition TOTALS
+    (≤ shuffle-partitions rows) collected, turned into cumulative
+    offsets and broadcast-joined back. Same determinism contract as
+    `global_row_number`: pass a tie-breaking key, or rows tied on the
+    order keys get arbitrary-but-consistent relative positions (their
+    prefix sums differ by their own values either way). Exactness
+    requires an integer ``val_col`` (LongType result); float prefix
+    sums would be order-sensitive in the last ulp, which is the
+    opposite of what a prefix-sum primitive is for.
+
+    Backs `operators/crawl.feasible_budget_allocate`'s greedy headroom
+    fill — any "take until the budget runs out, in THIS order" logic is
+    one clamp over this column."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_gs_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_gs_local",
+        F.sum(val_col).over(
+            Window.partitionBy("_gs_pid")
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # Eager checkpoint for the same reason as _global_rank_with_total:
+    # the totals collect and the returned plan must see identical
+    # partition contents (range boundaries come from sampling).
+    local = local.localCheckpoint(eager=True)
+    totals = sorted(
+        (r["_gs_pid"], r["s"] or 0)
+        for r in local.groupBy("_gs_pid")
+        .agg(F.sum(val_col).alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in totals:
+        offsets.append((pid, acc))
+        acc += int(s)
+    offset_df = spark.createDataFrame(offsets, "_gs_pid int, _gs_offset long")
+    return (
+        local.join(F.broadcast(offset_df), "_gs_pid")
+        .withColumn(
+            out_col,
+            (F.col("_gs_local") + F.col("_gs_offset")).cast("long"),
+        )
+        .drop("_gs_pid", "_gs_local", "_gs_offset")
+    )

@@ -39,7 +39,7 @@ from . import core
 # VERDICT r10 #1): the FULL 24-query r5-stale cohort is pinned to slots
 # 1-24 ahead of the round's new registrations (slots 25+), so the
 # final drain step cannot be displaced; oldest-r6 re-checks fill 28-50.
-# 280 registered at install; after this round no query should be
+# 281 registered at install; after this round no query should be
 # last-driver-checked before r6.
 _ROUND_PRIORITY = [
     "q_leakage_safe_split",  # recheck (last green r5)
@@ -73,6 +73,7 @@ _ROUND_PRIORITY = [
     "q_revisit_policy",
     "q_crawl_budget",
     "q_changefreq_policy",
+    "q_feasible_budget",
     "q_record_linkage",  # recheck (last green r6)
     "q_running_total",  # recheck (last green r6)
     "q_scalar_subquery",  # recheck (last green r6)
@@ -91,7 +92,6 @@ _ROUND_PRIORITY = [
     "q_props_extract",  # recheck (last green r6)
     "q_run_stats",  # recheck (last green r6)
     "q_session_pattern_extract",  # recheck (last green r6)
-    "q_smalldatetime_round",  # recheck (last green r6)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1396,6 +1396,132 @@ def _crawl_budget_sql() -> str:
 ORACLES["q_crawl_budget"] = _crawl_budget_sql()
 
 
+_FB_BUDGET, _FB_CYCLE = 400, 200  # caps bind for slow hosts at these
+
+
+def q_feasible_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-FEASIBLE budget allocation
+    (`operators/crawl.feasible_budget_allocate`): the Hamilton
+    apportionment capped by each host's Crawl-delay ceiling
+    (floor(cycle/delay)+1 fetches per cycle — the fixture's
+    10 s host CAN'T absorb its fair share at cycle 200, the 1 s host
+    can absorb far more), with the capped surplus refilled greedily
+    into remaining headroom in (headroom DESC, host) order via the
+    distributed prefix sum (`rank.global_running_sum` — never a
+    single-task window; the oracle's plain global window is the
+    DuckDB-side replay). Integer-exact: Σ quota = min(budget, Σ cap),
+    quota ≤ cap per host, refill traceable per row."""
+    from ..operators.crawl import feasible_budget_allocate
+    from ..operators.robots import robots_crawl_delay
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy(
+        F.expr("lower(concat('www.', source, '.com'))").alias("host")
+    ).agg(
+        F.expr("CAST(COUNT(*) + SUM(doc_id % 97) AS BIGINT)").alias("weight")
+    )
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    hosts = (
+        w.join(
+            delays.select(
+                F.col("host").alias("_dh"), F.col("crawl_delay")
+            ),
+            w["host"] == F.col("_dh"),
+            "left",
+        )
+        .drop("_dh")
+        .withColumn(
+            "delay",
+            F.expr(
+                f"coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY}"
+                " AS DOUBLE))"
+            ),
+        )
+        .drop("crawl_delay")
+    )
+    return feasible_budget_allocate(
+        hosts, _FB_BUDGET, _FB_CYCLE
+    ).select("host", "weight", "delay", "cap", "headroom", "refill", "quota")
+
+
+def _feasible_budget_sql() -> str:
+    from ..operators.robots import crawl_delay_oracle_sql
+
+    B, C = _FB_BUDGET, _FB_CYCLE
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    delays = crawl_delay_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)",
+        _ROBOTS_AGENT,
+    )
+    return f"""
+        WITH w AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   CAST(COUNT(*) + SUM(doc_id % 97) AS BIGINT) AS weight
+            FROM documents GROUP BY 1
+        ),
+        delays AS ({delays}),
+        h AS (
+            SELECT w.host, w.weight,
+                   coalesce(d.crawl_delay,
+                            CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)) AS delay
+            FROM w LEFT JOIN delays d ON w.host = d.host
+        ),
+        t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM h),
+        b AS (
+            SELECT host, weight, delay,
+                   ({B} * weight) // tw AS base,
+                   ({B} * weight) % tw AS rem
+            FROM h, t
+        ),
+        l AS (SELECT CAST({B} - SUM(base) AS BIGINT) AS leftover FROM b),
+        r AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rr
+            FROM b
+        ),
+        q AS (
+            SELECT host, weight, delay,
+                   CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS quota0,
+                   CAST(floor({C} / delay) AS BIGINT) + 1 AS cap
+            FROM r, l
+        ),
+        c2 AS (
+            SELECT *, least(quota0, cap) AS capped,
+                   cap - least(quota0, cap) AS headroom
+            FROM q
+        ),
+        s AS (
+            SELECT CAST({B} - SUM(capped) AS BIGINT) AS surplus FROM c2
+        ),
+        p AS (
+            SELECT *, CAST(SUM(headroom) OVER (
+                       ORDER BY headroom DESC, host
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS hr_incl
+            FROM c2
+        ),
+        f AS (
+            SELECT p.*, greatest(CAST(0 AS BIGINT),
+                       least(p.headroom,
+                             s.surplus - (p.hr_incl - p.headroom)))
+                   AS refill
+            FROM p, s
+        )
+        SELECT host, weight, delay, cap, headroom, refill,
+               CAST(capped + refill AS BIGINT) AS quota
+        FROM f
+    """
+
+
+ORACLES["q_feasible_budget"] = _feasible_budget_sql()
+
+
 # ---------------------------------------------------------------------------
 # the discovery story end-to-end (r10): robots.txt → Sitemap directive →
 # sitemap INDEX → member urlsets → REP gate → politeness schedule, one plan
