@@ -35,63 +35,63 @@ from . import core
 # authoritative per-query verification status; regenerate with
 # tools/gen_coverage_ledger.py. Regenerate this list each round with
 # tools/gen_round_priority.py.)
-# ROUND-11 ROTATION (tools/gen_round_priority.py 50 5 — drain-first,
-# VERDICT r10 #1): the FULL 24-query r5-stale cohort is pinned to slots
-# 1-24 ahead of the round's new registrations (slots 25+), so the
-# final drain step cannot be displaced; oldest-r6 re-checks fill 28-50.
-# 281 registered at install; after this round no query should be
-# last-driver-checked before r6.
+# ROUND-12 ROTATION (tools/gen_round_priority.py 50 6 — drain-first,
+# VERDICT r11 #1): the FULL 31-query r6-stale cohort (core dedup +
+# multimodal + embedding/ANN families) is pinned to slots 1-31 ahead of
+# the round's new registrations; oldest-r7 re-checks fill the remaining
+# slots to 50. 281 registered at round open; after this round no query
+# should be last-driver-checked before r7.
 _ROUND_PRIORITY = [
-    "q_leakage_safe_split",  # recheck (last green r5)
-    "q_snm_multipass",  # recheck (last green r5)
-    "q_snm_recall_eval",  # recheck (last green r5)
-    "q_sorted_neighborhood_pairs",  # recheck (last green r5)
-    "q_ann_topk_ivfpq",  # recheck (last green r5)
-    "q_degree_distribution",  # recheck (last green r5)
-    "q_kcenter_diverse_sample",  # recheck (last green r5)
-    "q_kcore_membership",  # recheck (last green r5)
-    "q_label_separation",  # recheck (last green r5)
-    "q_matryoshka_recall",  # recheck (last green r5)
-    "q_mmr_rerank",  # recheck (last green r5)
-    "q_modularity_score",  # recheck (last green r5)
-    "q_blocklist_filter",  # recheck (last green r5)
-    "q_bm25_passages",  # recheck (last green r5)
-    "q_bm25_topk",  # recheck (last green r5)
-    "q_dsir_resample",  # recheck (last green r5)
-    "q_k_anonymity",  # recheck (last green r5)
-    "q_url_canonicalize",  # recheck (last green r5)
-    "q_vocab_coverage",  # recheck (last green r5)
-    "q_ab_test_zscore",  # recheck (last green r5)
-    "q_ewma_smooth",  # recheck (last green r5)
-    "q_seasonal_anomaly",  # recheck (last green r5)
-    "q_type_duration_percentiles",  # recheck (last green r5)
-    "q_packing_boundary_stats",  # recheck (last green r5)
-    "q_binary_truncation",
-    "q_coercion_nulling",
-    "q_priority_schedule",
-    "q_recrawl_delta",
-    "q_revisit_policy",
-    "q_crawl_budget",
-    "q_changefreq_policy",
-    "q_feasible_budget",
-    "q_record_linkage",  # recheck (last green r6)
-    "q_running_total",  # recheck (last green r6)
-    "q_scalar_subquery",  # recheck (last green r6)
-    "q_set_operations",  # recheck (last green r6)
-    "q_shipping_priority",  # recheck (last green r6)
-    "q_supplier_breadth_per_part",  # recheck (last green r6)
-    "q_top_customer_per_nation",  # recheck (last green r6)
-    "q_windowed_pair_supports",  # recheck (last green r6)
-    "q_callstack_decode",  # recheck (last green r6)
-    "q_demux_counts",  # recheck (last green r6)
-    "q_error_budget",  # recheck (last green r6)
-    "q_event_lead_lag",  # recheck (last green r6)
-    "q_flatten_projection",  # recheck (last green r6)
-    "q_hash_bin_derivation",  # recheck (last green r6)
-    "q_lineage_stamp",  # recheck (last green r6)
-    "q_props_extract",  # recheck (last green r6)
-    "q_run_stats",  # recheck (last green r6)
-    "q_session_pattern_extract",  # recheck (last green r6)
+    "q_smalldatetime_round",  # recheck (last green r6)
+    "q_string_truncation",  # recheck (last green r6)
+    "q_xml_roundtrip",  # recheck (last green r6)
+    "q_bloom_decontaminate",  # recheck (last green r6)
+    "q_chunk_dedup",  # recheck (last green r6)
+    "q_containment_pairs",  # recheck (last green r6)
+    "q_decontaminate",  # recheck (last green r6)
+    "q_dedup_clusters",  # recheck (last green r6)
+    "q_dedup_exact",  # recheck (last green r6)
+    "q_dedup_minhash_lsh",  # recheck (last green r6)
+    "q_dedup_shingle_jaccard",  # recheck (last green r6)
+    "q_embedding_clusters",  # recheck (last green r6)
+    "q_embedding_neardup",  # recheck (last green r6)
+    "q_incremental_dedup",  # recheck (last green r6)
+    "q_simhash_neardup",  # recheck (last green r6)
+    "q_simhash_signature",  # recheck (last green r6)
+    "q_substring_dup_spans",  # recheck (last green r6)
+    "q_ann_topk_dot",  # recheck (last green r6)
+    "q_ann_topk_ivf",  # recheck (last green r6)
+    "q_ann_topk_lsh_quantized",  # recheck (last green r6)
+    "q_frame_sample",  # recheck (last green r6)
+    "q_label_centroids",  # recheck (last green r6)
+    "q_multimodal_audio_codec",  # recheck (last green r6)
+    "q_multimodal_feature_values",  # recheck (last green r6)
+    "q_multimodal_features",  # recheck (last green r6)
+    "q_multimodal_real_codec",  # recheck (last green r6)
+    "q_multimodal_resize",  # recheck (last green r6)
+    "q_bpe_pair_counts",  # recheck (last green r6)
+    "q_doc_fingerprint",  # recheck (last green r6)
+    "q_token_diversity",  # recheck (last green r6)
+    "q_quantile_normalize_scores",  # recheck (last green r6)
+    "q_constraint_checks",  # recheck (last green r7)
+    "q_disjunctive_filter_revenue",  # recheck (last green r7)
+    "q_grouping_sets",  # recheck (last green r7)
+    "q_large_orders",  # recheck (last green r7)
+    "q_last_ship_supplier",  # recheck (last green r7)
+    "q_warc_extract",  # recheck (last green r7)
+    "q_bigram_backoff_quality",  # recheck (last green r7)
+    "q_bm25_topk_logidf",  # recheck (last green r7)
+    "q_crawl_frontier",  # recheck (last green r7)
+    "q_gopher_quality",  # recheck (last green r7)
+    "q_kneser_ney_quality",  # recheck (last green r7)
+    "q_lang_id",  # recheck (last green r7)
+    "q_mix_weights",  # recheck (last green r7)
+    "q_pii_redaction",  # recheck (last green r7)
+    "q_repetition_stats",  # recheck (last green r7)
+    "q_robots_filter",  # recheck (last green r7)
+    "q_text_quality",  # recheck (last green r7)
+    "q_tfidf_search",  # recheck (last green r7)
+    "q_token_count",  # recheck (last green r7)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
