@@ -1566,3 +1566,44 @@ def test_crawl_budget_conservation_property(spark, weights, budget):
     for r in out:
         ideal = budget * wmap[r.host] / tw
         assert math.floor(ideal) <= r.quota <= math.ceil(ideal)
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1_000),
+            st.sampled_from([None, 0.0, 0.5, 1.0, 2.5, 10.0, 3600.0]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(0, 5_000),
+    st.integers(1, 3_600),
+)
+def test_feasible_budget_laws_property(spark, hostspecs, budget, cycle_s):
+    """For ANY weights and ANY delays — including NULL and the
+    ``Crawl-delay: 0`` edge (VERDICT r11 #2) — the politeness-feasible
+    allocation satisfies its three laws: delay≤0/NULL ⇒ cap == budget
+    (uncapped, never a zero-divide), quota ≤ cap per host, and
+    Σ quota == min(budget, Σ cap) — the budget is spent unless
+    politeness itself makes that impossible."""
+    import math
+
+    from hypothesis import assume
+
+    from xeloader_spark.operators.crawl import feasible_budget_allocate
+
+    assume(sum(w for w, _ in hostspecs) > 0)
+    rows = [(f"h{i:03d}", w, d) for i, (w, d) in enumerate(hostspecs)]
+    df = spark.createDataFrame(rows, "host string, weight long, delay double")
+    out = feasible_budget_allocate(df, budget, cycle_s).collect()
+    assert len(out) == len(rows)
+    caps = {
+        host: (budget if d is None or d <= 0 else math.floor(cycle_s / d) + 1)
+        for host, _, d in rows
+    }
+    for r in out:
+        assert r.cap == caps[r.host]
+        assert 0 <= r.quota <= r.cap
+    assert sum(r.quota for r in out) == min(budget, sum(caps.values()))

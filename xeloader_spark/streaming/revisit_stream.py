@@ -10,7 +10,10 @@ the stored one; the emitted interval applies the SAME integer formula
 as the batch operator (base·(n_visits−1) DIV max(n_changes,1), clamped
 into [min_s, max_s]; Python's // equals Spark's DIV on the non-negative
 counters involved), so the twin's output for a URL after its k-th visit
-is bit-identical to batch `revisit_policy` over those k visits.
+is bit-identical to batch `revisit_policy` over those k visits —
+including NULL fingerprints, which follow the batch window's SQL
+three-valued comparison (a NULL on either side of ``fp != lag`` is
+never a counted change; the visit still counts toward n_visits).
 
 Parity contract (the `frontier_stream`/`dedup_stream` discipline):
 visits for a URL must arrive in visit order ACROSS micro-batches (a
@@ -64,11 +67,11 @@ def _make_update(base_s: int, min_s: int, max_s: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (url,) = key
-        rows: list[tuple[int, str]] = []
+        rows: list[tuple[int, str | None]] = []
         for pdf in pdfs:
             if len(pdf):
                 rows.extend(
-                    (int(i), str(f))
+                    (int(i), None if pd.isna(f) else str(f))
                     for i, f in zip(pdf["visit_idx"], pdf["fp"])
                 )
         if not rows:
@@ -77,9 +80,15 @@ def _make_update(base_s: int, min_s: int, max_s: int):
             last_fp, nv, nc = state.get
         else:
             last_fp, nv, nc = None, 0, 0
-        # in-batch sort mirrors the batch lag window's ORDER BY
-        for _, fp in sorted(rows):
-            if nv > 0 and fp != last_fp:
+        # in-batch sort mirrors the batch lag window's ORDER BY (key
+        # only — fp is not a tie-break and may be None)
+        for _, fp in sorted(rows, key=lambda r: r[0]):
+            # batch parity on NULL fps (ADVICE r11 #2): the batch
+            # (fp != lag) is SQL three-valued — a NULL on EITHER side
+            # yields NULL, which SUM skips — so a NULL fingerprint
+            # never counts as a change here either (the r11 str(f)
+            # coercion made it the literal 'None' and counted it)
+            if nv > 0 and fp is not None and last_fp is not None and fp != last_fp:
                 nc += 1
             nv += 1
             last_fp = fp
