@@ -125,6 +125,12 @@ HEADLINE = [
     "q_chunk_dedup",
     "q_corpus_clean_pipeline",
     "q_training_data_build",
+    # round-12 additions (VERDICT r11 #6): the crawl/recrawl families
+    # entered r9-r11 with stress axes but no bench rows — make their
+    # cross-round drift diffable like everything else
+    "q_discovery_pipeline",
+    "q_feasible_budget",
+    "q_crawl_cycle",
 ]
 
 

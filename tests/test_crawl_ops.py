@@ -774,3 +774,53 @@ def test_feasible_budget_invariants(spark):
         r.host: r.quota for r in crawl_budget_allocate(df, budget).collect()
     }
     assert out2 == exp
+
+
+def test_crawl_state_merge_semantics(spark):
+    """All four merge behaviors on a hand-built matrix: ok-fetch of
+    known URL updates date AND fingerprint; failed fetch carries BOTH
+    unchanged; unfetched state carries; ok first-fetch inserts; failed
+    first-fetch yields NO row."""
+    from xeloader_spark.operators.crawl import crawl_state_merge
+
+    state = spark.createDataFrame(
+        [
+            ("u/known-ok", "2026-01-03", "fp-old-1"),
+            ("u/known-fail", "2026-01-05", "fp-old-2"),
+            ("u/unfetched", "2026-01-07", "fp-old-3"),
+        ],
+        "url string, last_crawled string, fp string",
+    )
+    fetched = spark.createDataFrame(
+        [
+            ("u/known-ok", "2026-02-01", "fp-new-1", True),
+            ("u/known-fail", "2026-02-01", "fp-new-2", False),
+            ("u/new-ok", "2026-02-01", "fp-new-4", True),
+            ("u/new-fail", "2026-02-01", "fp-new-5", False),
+        ],
+        "url string, fetch_date string, new_fp string, ok boolean",
+    )
+    got = {
+        r.url: (r.last_crawled, r.fp, r.merge_action)
+        for r in crawl_state_merge(state, fetched, fp_col="fp").collect()
+    }
+    assert got == {
+        "u/known-ok": ("2026-02-01", "fp-new-1", "updated"),
+        "u/known-fail": ("2026-01-05", "fp-old-2", "carried"),
+        "u/unfetched": ("2026-01-07", "fp-old-3", "carried"),
+        "u/new-ok": ("2026-02-01", "fp-new-4", "inserted"),
+    }  # u/new-fail: never crawled -> no state row
+
+    # dateless variant (no fingerprint tracking)
+    got2 = {
+        r.url: r.merge_action
+        for r in crawl_state_merge(
+            state.drop("fp"), fetched.drop("new_fp")
+        ).collect()
+    }
+    assert got2 == {
+        "u/known-ok": "updated",
+        "u/known-fail": "carried",
+        "u/unfetched": "carried",
+        "u/new-ok": "inserted",
+    }

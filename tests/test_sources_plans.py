@@ -63,6 +63,73 @@ class TestXmlSource:
         assert sb.c_duration is None
         assert sb.c_batch_text == "SELECT 1"
 
+    XEM_SIDECAR = (
+        "<metadata>"
+        '<event name="wait_info" package="sqlos">'
+        '<data name="duration" type="UInt64"/>'
+        '<data name="wait_type" type="unicode_string"/>'
+        '<data name="signal_duration" type="UInt64"/>'
+        "</event>"
+        '<event name="sql_batch_completed" package="sqlserver">'
+        '<data name="batch_text" type="unicode_string"/>'
+        "</event>"
+        '<action name="session_id" package="sqlserver" type="Int32"/>'
+        "</metadata>"
+    )
+
+    def test_xem_dual_file_explicit_schema(self, spark, xml_dir, tmp_path):
+        """S5 over the XML reader (`FileProcessor.cs:280-334`'s
+        metadata-from-sidecar contract, VERDICT r11 #7): the sidecar —
+        not the data — decides the column inventory and types. A
+        declared field absent from every event in the batch
+        (signal_duration) still comes out as a typed NULL column; the
+        inferred path can't know it exists. Types apply per §1.3
+        (UInt64 → decimal(38,0)). Undeclared data fields are dropped."""
+        xem = tmp_path / "trace.xem.xml"
+        xem.write_text(self.XEM_SIDECAR)
+        flat = xe_xml.read_xml_events_with_xem(spark, xml_dir, str(xem))
+        cols = set(flat.columns)
+        assert {
+            "c_duration", "c_wait_type", "c_signal_duration",
+            "c_batch_text", "a_session_id",
+        } <= cols
+        # declared-but-absent: present, typed, all NULL
+        sd_type = dict(flat.dtypes)["c_signal_duration"]
+        assert sd_type == "decimal(38,0)"
+        assert flat.filter("c_signal_duration IS NOT NULL").count() == 0
+        wi = flat.filter(F.col("event_type") == "wait_info").orderBy("ts").collect()
+        assert int(wi[0].c_duration) == 42 and wi[0].a_session_id == 53
+        assert wi[0].c_batch_text is None  # foreign event's field: NULL
+
+    def test_xem_sidecar_drops_undeclared(self, spark, tmp_path):
+        """A data field the sidecar does NOT declare never becomes a
+        column (the declared schema is the contract), and the explicit
+        flatten matches the inferred flatten on the shared columns."""
+        xml = (
+            '<event name="wait_info" package="sqlos" '
+            'timestamp="2024-01-01T00:00:01Z">'
+            '<data name="duration"><value>9</value></data>'
+            '<data name="undeclared_extra"><value>zzz</value></data>'
+            "</event>"
+        )
+        parsed = xe_xml.parse_events_xml(
+            spark.createDataFrame([(xml,)], "xml string")
+        )
+        fields, actions = xe_xml.parse_xem_metadata(
+            '<metadata><event name="wait_info">'
+            '<data name="duration" type="UInt64"/></event></metadata>'
+        )
+        assert fields == {"duration": "UInt64"} and actions == {}
+        flat = xe_xml.flatten_xml_events_explicit(parsed, fields, actions)
+        assert "c_undeclared_extra" not in flat.columns
+        inferred = xe_xml.flatten_xml_events(
+            parsed, field_types={"duration": "UInt64"}
+        )
+        assert (
+            flat.select("event_type", "c_duration").collect()
+            == inferred.select("event_type", "c_duration").collect()
+        )
+
     def test_nested_value_text_and_entities(self, spark):
         """The SDK's readable-map shape nests values under <value><text>;
         plain values sit in the element text; entities unescape. All three

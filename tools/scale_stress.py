@@ -72,6 +72,13 @@ DELIBERATE = {
 
 N_GRAPH_NODES = 2000  # fixed node set for the graph-density axis
 N_REDIR_NODES = 20000  # fixed src-URL set for the chain-length axis
+# r12 BUDGET axis (VERDICT r11 #4): hosts grow K× (200k → 3.2M) with a
+# DELIBERATELY skewed headroom distribution — 1% fast hosts (delay 0.5,
+# cap 121) hold nearly all refill headroom while 99% slow hosts (delay
+# 30, cap 3) mostly cap-bind under their Hamilton quota — the refill
+# concentrates on a thin ordered band, the worst case for any
+# implementation that funnels the running sum through one task
+N_BUDGET_HOSTS = 200_000
 
 # r10 PHRASE axes (VERDICT r9 #7): the fixture vocabulary (30 uniform
 # ~9k-occurrence terms at sf0.1) from which the K-scaled phrase tables
@@ -135,6 +142,20 @@ def phrase_frames(spark, k: int):
 N_DISC_HOSTS = 40  # hosts at K=1
 N_DISC_PARTS = 4   # index members (urlset parts) per host
 N_DISC_URLS = 60   # urls per member urlset
+
+
+def budget_host_frame(spark, k: int):
+    """The budget axis's host dimension at K: N_BUDGET_HOSTS·K hosts,
+    cycling weights 1..97, with the skewed delay split (1% fast /
+    99% slow — see the constant's comment). Deterministic, synthesized
+    by `spark.range` in one projection; localCheckpoint'd by the
+    harness so the measured op isolates the allocation itself."""
+    return spark.range(N_BUDGET_HOSTS * k).selectExpr(
+        "concat('h', lpad(CAST(id AS STRING), 9, '0')) AS host",
+        "CAST(1 + id % 97 AS BIGINT) AS weight",
+        "CASE WHEN id % 100 = 0 THEN CAST(0.5 AS DOUBLE) "
+        "ELSE CAST(30.0 AS DOUBLE) END AS delay",
+    )
 
 
 def discovery_frames(spark, k: int):
@@ -598,6 +619,19 @@ def main() -> None:
         "hits_density": lambda k: gr.hits(
             inputs[k]["graph"], iters=4
         ).filter("hub_scaled >= 0 AND auth_scaled >= 0"),
+        # r12 BUDGET axis (VERDICT r11 #4): hosts grow K× (3.2M at
+        # K=16) with budget 4·hosts, so the slow 99%'s cap (3) binds
+        # under their quota (~4) every round and the surplus refills
+        # the 1% fast band via the distributed prefix sum
+        # (rank.global_running_sum: range partition + per-slice running
+        # window + ≤#partitions-row totals collect) — expect ~linear;
+        # a single-task global window would flatline one core here.
+        # Filter forces per-row eval (the .count() prune trap).
+        "feasible_budget_hosts": lambda k: cr.feasible_budget_allocate(
+            inputs[k]["budget_hosts"],
+            budget=4 * N_BUDGET_HOSTS * k,
+            cycle_s=60,
+        ).filter("quota >= 0 AND cap >= 1 AND refill >= 0"),
         # r11 DISCOVERY axis (VERDICT r10 #7): hosts grow K× while
         # parts/urls per host stay constant — the member join, the two
         # zero-shuffle parses and the per-host priority-schedule window
@@ -648,6 +682,7 @@ def main() -> None:
             ).localCheckpoint(),
             "graph": graph_density_edges(spark, k).localCheckpoint(),
             "redir": redirect_chain_edges(spark, k).localCheckpoint(),
+            "budget_hosts": budget_host_frame(spark, k).localCheckpoint(),
         }
         for k in KS
     }
@@ -812,6 +847,19 @@ def main() -> None:
                 " 2 GB-row wall as files grow); read_warc splits the"
                 " bigger files (maxPartitionBytes 256K here) and stays"
                 " flat — the measured form of VERDICT r7 finding #1"
+            )
+        if name == "feasible_budget_hosts":
+            rec["note"] = (
+                f"BUDGET axis (r12, VERDICT r11 #4): {N_BUDGET_HOSTS}*K"
+                " hosts, budget 4*hosts, skewed headroom (1% fast hosts"
+                " hold most refill headroom; high-weight slow hosts cap-bound"
+                " at 3 < quota ~4) — times the full allocation: Hamilton"
+                " scalars + range rank (global_row_number) + the"
+                " distributed prefix sum (global_running_sum:"
+                " repartitionByRange + per-slice running window +"
+                " <=#partitions-row totals collect + broadcast offsets)."
+                " Expect ~linear; a single-task global window here"
+                " would serialize 3.2M rows through one core at K=16"
             )
         out[name] = rec
     path = os.path.join(

@@ -555,6 +555,80 @@ def crawl_budget_allocate(
     )
 
 
+def crawl_state_merge(
+    crawl_state: DataFrame,
+    fetched: DataFrame,
+    url_col: str = "url",
+    crawled_col: str = "last_crawled",
+    fp_col: str | None = None,
+    fetch_url_col: str = "url",
+    fetch_date_col: str = "fetch_date",
+    fetch_fp_col: str = "new_fp",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Close the incremental-crawl loop (r12): merge a cycle's fetch
+    results back into the crawl-state bookkeeping table — the write
+    half whose read half is `recrawl_delta`. Per URL:
+
+    - fetched ok          → crawl date (and fingerprint, when tracked)
+                            advance to the fetch's (``updated``, or
+                            ``inserted`` when the URL had no state row);
+    - fetch failed        → the old state row carries UNCHANGED
+                            (``carried``: a failed fetch is not a
+                            crawl — the URL stays due and retries next
+                            cycle);
+    - not fetched         → unchanged (``carried``);
+    - new URL, fetch fail → NO state row (it was never crawled;
+                            inventing one would mask it from the next
+                            delta's ``new`` classification).
+
+    ONE full-outer equi-join on the URL key between two URL-unique
+    frames plus a zero-shuffle projection; both sides are the crawl's
+    own bookkeeping (URL-keyed, bucketable to zero-exchange — the
+    `recrawl_delta` shape). Same uniqueness precondition as the delta:
+    duplicate state or fetch rows would fan out the join, and the
+    operator does not dedupe silently. ``merge_action`` is emitted per
+    row so a cycle's effect on the state table is auditable (and
+    replayable in the oracle).
+
+    Scale: at a billion-URL state table this is the one unavoidable
+    URL-keyed shuffle per cycle — identical key to the delta's join,
+    so a bucketed state layout pays for both."""
+    s = crawl_state.select(
+        F.col(url_col).alias("_s_url"),
+        F.col(crawled_col).alias("_s_date"),
+        *([F.col(fp_col).alias("_s_fp")] if fp_col else []),
+    )
+    f = fetched.select(
+        F.col(fetch_url_col).alias("_f_url"),
+        F.col(fetch_date_col).alias("_f_date"),
+        F.col(ok_col).alias("_f_ok"),
+        *([F.col(fetch_fp_col).alias("_f_fp")] if fp_col else []),
+    )
+    joined = s.join(f, s["_s_url"] == f["_f_url"], "full_outer")
+    ok = "_f_ok IS NOT NULL AND _f_ok"
+    merged = joined.select(
+        F.expr("coalesce(_s_url, _f_url)").alias(url_col),
+        F.expr(f"CASE WHEN {ok} THEN _f_date ELSE _s_date END").alias(
+            crawled_col
+        ),
+        *(
+            [
+                F.expr(f"CASE WHEN {ok} THEN _f_fp ELSE _s_fp END").alias(
+                    fp_col
+                )
+            ]
+            if fp_col
+            else []
+        ),
+        F.expr(
+            f"CASE WHEN _s_url IS NULL THEN 'inserted' "
+            f"WHEN {ok} THEN 'updated' ELSE 'carried' END"
+        ).alias("merge_action"),
+    )
+    return merged.filter(f"{crawled_col} IS NOT NULL")
+
+
 def feasible_budget_allocate(
     hosts: DataFrame,
     budget: int,

@@ -73,6 +73,8 @@ _ROUND_PRIORITY = [
     "q_doc_fingerprint",  # recheck (last green r6)
     "q_token_diversity",  # recheck (last green r6)
     "q_quantile_normalize_scores",  # recheck (last green r6)
+    "q_crawl_cycle",
+    "q_crawl_state_merge",
     "q_constraint_checks",  # recheck (last green r7)
     "q_disjunctive_filter_revenue",  # recheck (last green r7)
     "q_grouping_sets",  # recheck (last green r7)
@@ -90,8 +92,6 @@ _ROUND_PRIORITY = [
     "q_repetition_stats",  # recheck (last green r7)
     "q_robots_filter",  # recheck (last green r7)
     "q_text_quality",  # recheck (last green r7)
-    "q_tfidf_search",  # recheck (last green r7)
-    "q_token_count",  # recheck (last green r7)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

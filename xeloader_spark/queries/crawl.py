@@ -1410,7 +1410,12 @@ def q_feasible_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix sum (`rank.global_running_sum` — never a
     single-task window; the oracle's plain global window is the
     DuckDB-side replay). Integer-exact: Σ quota = min(budget, Σ cap),
-    quota ≤ cap per host, refill traceable per row."""
+    quota ≤ cap per host, refill traceable per row.
+
+    www.src5.com is pinned to ``Crawl-delay: 0`` (a host that imposes
+    no politeness wait) to exercise the delay≤0 guard: the cap must
+    come out as the whole budget — never a zero-divide, which Spark
+    nulls and DuckDB sends to +inf (VERDICT r11 #2)."""
     from ..operators.crawl import feasible_budget_allocate
     from ..operators.robots import robots_crawl_delay
 
@@ -1436,8 +1441,9 @@ def q_feasible_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "delay",
             F.expr(
-                f"coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY}"
-                " AS DOUBLE))"
+                "CASE WHEN host = 'www.src5.com' THEN CAST(0 AS DOUBLE) "
+                f"ELSE coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY}"
+                " AS DOUBLE)) END"
             ),
         )
         .drop("crawl_delay")
@@ -1447,31 +1453,17 @@ def q_feasible_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "weight", "delay", "cap", "headroom", "refill", "quota")
 
 
-def _feasible_budget_sql() -> str:
-    from ..operators.robots import crawl_delay_oracle_sql
-
-    B, C = _FB_BUDGET, _FB_CYCLE
-    vals = ", ".join(
-        "('" + h + "', '" + txt.replace("'", "''") + "')"
-        for h, txt in _robots_txt_files()
-    )
-    delays = crawl_delay_oracle_sql(
-        f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)",
-        _ROBOTS_AGENT,
-    )
+def _feasible_alloc_ctes(budget: int, cycle_s: int) -> str:
+    """The oracle replay of `operators/crawl.feasible_budget_allocate`
+    as a CTE chain over an in-scope CTE named ``h`` (host, weight,
+    delay) — Hamilton apportionment (plain global window in the
+    replay), the delay≤0-guarded politeness cap, and the greedy
+    headroom refill. Ends with ``alloc`` (host, weight, delay, cap,
+    headroom, refill, quota). Shared by `q_feasible_budget` and
+    `q_crawl_cycle` so the allocation replay has ONE source of
+    truth."""
+    B, C = budget, cycle_s
     return f"""
-        WITH w AS (
-            SELECT lower(concat('www.', source, '.com')) AS host,
-                   CAST(COUNT(*) + SUM(doc_id % 97) AS BIGINT) AS weight
-            FROM documents GROUP BY 1
-        ),
-        delays AS ({delays}),
-        h AS (
-            SELECT w.host, w.weight,
-                   coalesce(d.crawl_delay,
-                            CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)) AS delay
-            FROM w LEFT JOIN delays d ON w.host = d.host
-        ),
         t AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM h),
         b AS (
             SELECT host, weight, delay,
@@ -1488,7 +1480,10 @@ def _feasible_budget_sql() -> str:
             SELECT host, weight, delay,
                    CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
                         AS BIGINT) AS quota0,
-                   CAST(floor({C} / delay) AS BIGINT) + 1 AS cap
+                   CASE WHEN delay IS NULL OR delay <= 0
+                        THEN CAST({B} AS BIGINT)
+                        ELSE CAST(floor({C} / delay) AS BIGINT) + 1
+                   END AS cap
             FROM r, l
         ),
         c2 AS (
@@ -1512,14 +1507,338 @@ def _feasible_budget_sql() -> str:
                              s.surplus - (p.hr_incl - p.headroom)))
                    AS refill
             FROM p, s
-        )
-        SELECT host, weight, delay, cap, headroom, refill,
-               CAST(capped + refill AS BIGINT) AS quota
-        FROM f
+        ),
+        alloc AS (
+            SELECT host, weight, delay, cap, headroom, refill,
+                   CAST(capped + refill AS BIGINT) AS quota
+            FROM f
+        )"""
+
+
+def _robots_delays_cte() -> str:
+    """The fixture robots files' Crawl-delay table as oracle SQL."""
+    from ..operators.robots import crawl_delay_oracle_sql
+
+    vals = ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in _robots_txt_files()
+    )
+    return crawl_delay_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) v(host, robots_txt)",
+        _ROBOTS_AGENT,
+    )
+
+
+def _feasible_budget_sql() -> str:
+    return f"""
+        WITH w AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   CAST(COUNT(*) + SUM(doc_id % 97) AS BIGINT) AS weight
+            FROM documents GROUP BY 1
+        ),
+        delays AS ({_robots_delays_cte()}),
+        h AS (
+            SELECT w.host, w.weight,
+                   CASE WHEN w.host = 'www.src5.com' THEN CAST(0 AS DOUBLE)
+                        ELSE coalesce(d.crawl_delay,
+                             CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))
+                   END AS delay
+            FROM w LEFT JOIN delays d ON w.host = d.host
+        ),
+        {_feasible_alloc_ctes(_FB_BUDGET, _FB_CYCLE)}
+        SELECT host, weight, delay, cap, headroom, refill, quota
+        FROM alloc
     """
 
 
 ORACLES["q_feasible_budget"] = _feasible_budget_sql()
+
+
+# the crawl-cycle composition (r12, VERDICT r11 #3): budget/cycle sized
+# against the ~96-URL fixture frontier (~5 per host) so ALL THREE
+# mechanisms bind — Hamilton (budget 100 ≈ backlog, cutting 18 of 20
+# hosts), the politeness cap (cycle 15 → src4's Crawl-delay 10 caps at
+# 2 < its quota), and the headroom refill (the capped surplus lands on
+# fast hosts, src2 refilled to its cap); "now" is a
+# fixed day-of-month inside the state's 2026-01 date cycle so both due
+# and not-yet-due cadence rows occur.
+_CC_BUDGET, _CC_CYCLE, _CC_DAY = 100, 15, 15
+
+
+def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental-crawl cycle as one plan (r12, VERDICT r11
+    #3) — the composition a real crawler runs every cycle, gluing the
+    r11 recrawl family end-to-end:
+
+    1. sitemap refresh → `recrawl_delta` against the stored crawl
+       state: new/stale URLs need a fetch on change EVIDENCE;
+    2. evidence-less (`fresh`) URLs fall to the change-RATE half:
+       `revisit_policy` over their visit history, due when the days
+       since last crawl (fixed "now" = 2026-01-{_CC_DAY}, integer day
+       arithmetic — no engine date parsing) reach the estimated
+       interval;
+    3. the merged frontier is weighted per host (URL backlog) and run
+       through `feasible_budget_allocate` — Hamilton quota capped by
+       each host's Crawl-delay ceiling, surplus refilled by headroom;
+    4. `fetch_schedule` orders each host's queue evidence-first
+       (priority DESC, url) and the cycle fetches exactly the first
+       quota_h waves.
+
+    Every half is individually driver-green (q_recrawl_delta,
+    q_revisit_policy, q_feasible_budget, q_priority_schedule); the
+    composition pins the key shapes BETWEEN them — the delta's (host,
+    url) carries through the cadence join, the weights aggregate, the
+    allocation, and the wave cut. Integer/exact-double end to end.
+
+    Scale shape: two dimension-sized fixture aggregates + the delta's
+    one URL-keyed join + the cadence URL join (both bucketable), a
+    host-dimension allocation (1-row broadcast scalars + range-
+    partitioned rank/prefix sum, never a global window), one host
+    window for waves, and a host-keyed broadcast join for the quota
+    cut. Nothing content-sized shuffles twice."""
+    from ..operators.crawl import (
+        fetch_schedule,
+        feasible_budget_allocate,
+        recrawl_delta,
+        revisit_policy,
+    )
+    from ..operators.robots import robots_crawl_delay
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(
+        "source", f"CAST({_SM_M} AS BIGINT) AS m"
+    ).distinct()
+    sm = (
+        pairs.groupBy("source")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                f"named_struct('m', m, 'e', {_sm_entry_lm_sql('STRING')})"
+                ")), x -> x.e), '')"
+            ).alias("body")
+        )
+        .select(
+            F.expr("lower(concat('www.', source, '.com'))").alias("host"),
+            F.expr(
+                "concat('<?xml version=\"1.0\"?><urlset>', body, '</urlset>')"
+            ).alias("sitemap_xml"),
+        )
+    )
+    state = (
+        docs.selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS c_m")
+        .distinct()
+        .filter("c_m % 3 != 0")
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(c_m AS STRING)) AS url",
+            "concat('2026-01-', lpad(CAST(1 + (c_m * 5) % 28 AS STRING), "
+            "2, '0')) AS last_crawled",
+        )
+    )
+    delta = recrawl_delta(parse_sitemap(sm), state)
+    evidence = delta.filter("needs_fetch").select(
+        "host", F.col("loc").alias("url"), F.lit("evidence").alias("reason")
+    )
+    est = revisit_policy(
+        _visit_matrix(docs), base_s=_RV_BASE, min_s=_RV_MIN, max_s=_RV_MAX
+    )
+    due = (
+        delta.filter("status = 'fresh'")
+        .select("host", F.col("loc").alias("url"), "last_crawled")
+        .join(est, "url")
+        .filter(
+            f"CAST(greatest(0, {_CC_DAY} - "
+            "CAST(substr(last_crawled, 9, 2) AS INT)) AS BIGINT) * 86400"
+            " >= revisit_interval_s"
+        )
+        .select("host", "url", F.lit("cadence").alias("reason"))
+    )
+    frontier = evidence.unionByName(due)
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    hosts = (
+        frontier.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .join(
+            delays.select(F.col("host").alias("_dh"), "crawl_delay"),
+            F.col("host") == F.col("_dh"),
+            "left",
+        )
+        .drop("_dh")
+        .withColumn(
+            "delay",
+            F.expr(
+                f"coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY}"
+                " AS DOUBLE))"
+            ),
+        )
+        .drop("crawl_delay")
+    )
+    alloc = feasible_budget_allocate(hosts, _CC_BUDGET, _CC_CYCLE)
+    sched = fetch_schedule(
+        frontier.withColumn(
+            "pri",
+            F.expr("CASE WHEN reason = 'evidence' THEN 1.0 ELSE 0.0 END"),
+        ),
+        delays,
+        default_delay=_DEFAULT_CRAWL_DELAY,
+        priority_col="pri",
+    )
+    return (
+        sched.join(
+            alloc.select(F.col("host").alias("_ah"), "quota"),
+            sched["host"] == F.col("_ah"),
+        )
+        .drop("_ah")
+        .filter("wave <= quota")
+        .select(
+            "host", "url", "reason", "wave", "quota",
+            "delay", "scheduled_offset",
+        )
+    )
+
+
+def _crawl_cycle_sql() -> str:
+    return f"""
+        WITH delta AS ({_recrawl_delta_sql()}),
+        est AS ({_revisit_policy_sql()}),
+        evidence AS (
+            SELECT host, url, 'evidence' AS reason
+            FROM delta WHERE needs_fetch
+        ),
+        due AS (
+            SELECT d.host, d.url, 'cadence' AS reason
+            FROM delta d JOIN est ON d.url = est.url
+            WHERE d.status = 'fresh'
+              AND CAST(greatest(0, {_CC_DAY} -
+                       CAST(substr(d.last_crawled, 9, 2) AS INT))
+                  AS BIGINT) * 86400 >= est.revisit_interval_s
+        ),
+        frontier AS (
+            SELECT * FROM evidence UNION ALL SELECT * FROM due
+        ),
+        delays AS ({_robots_delays_cte()}),
+        w AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM frontier GROUP BY host
+        ),
+        h AS (
+            SELECT w.host, w.weight,
+                   coalesce(d.crawl_delay,
+                            CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)) AS delay
+            FROM w LEFT JOIN delays d ON w.host = d.host
+        ),
+        {_feasible_alloc_ctes(_CC_BUDGET, _CC_CYCLE)},
+        sched AS (
+            SELECT host, url, reason,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY (CASE WHEN reason = 'evidence'
+                                  THEN 1.0 ELSE 0.0 END) DESC NULLS LAST,
+                                 url) AS BIGINT) AS wave
+            FROM frontier
+        )
+        SELECT sched.host, sched.url, sched.reason, sched.wave, a.quota,
+               a.delay, CAST(sched.wave - 1 AS DOUBLE) * a.delay
+                   AS scheduled_offset
+        FROM sched JOIN alloc a ON sched.host = a.host
+        WHERE sched.wave <= a.quota
+    """
+
+
+ORACLES["q_crawl_cycle"] = _crawl_cycle_sql()
+
+
+def q_crawl_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cycle's WRITE half (`operators/crawl.crawl_state_merge`):
+    fetch results merged back into the crawl-state table that
+    `recrawl_delta` reads. The fixture reuses the delta's state table
+    (fingerprints tracked) against a fetch log over the sitemap URL set
+    dated after every state date, with every 4th URL's fetch failing —
+    so all four merge behaviors occur and are pinned by count:
+    state URLs never fetched carry, failed fetches of known URLs carry
+    (date AND fingerprint unchanged — a failed fetch is not a crawl),
+    successful fetches update, successful first fetches insert, and
+    failed first fetches produce NO row. One URL-keyed full-outer join,
+    the same key (and bucketability) as the delta's read join."""
+    from ..operators.crawl import crawl_state_merge
+
+    docs = load_table(spark, sf_dir, "documents")
+    state = (
+        docs.selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS c_m")
+        .distinct()
+        .filter("c_m % 3 != 0")
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(c_m AS STRING)) AS url",
+            "concat('2026-01-', lpad(CAST(1 + (c_m * 5) % 28 AS STRING), "
+            "2, '0')) AS last_crawled",
+            "md5(concat('https://www.', source, '.com/articles/', "
+            "CAST(c_m AS STRING), ':old')) AS fp",
+        )
+    )
+    fetched = (
+        docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+            "'2026-02-01' AS fetch_date",
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS u2",
+            "m % 4 != 0 AS ok",
+        )
+        .selectExpr("url", "fetch_date", "md5(concat(u2, ':new')) AS new_fp", "ok")
+    )
+    return crawl_state_merge(state, fetched, fp_col="fp")
+
+
+def _crawl_state_merge_sql() -> str:
+    return f"""
+        WITH state AS (
+            SELECT concat('https://www.', source, '.com/articles/',
+                          CAST(c_m AS VARCHAR)) AS url,
+                   concat('2026-01-',
+                          lpad(CAST(1 + (c_m * 5) % 28 AS VARCHAR), 2, '0'))
+                       AS last_crawled,
+                   md5(concat('https://www.', source, '.com/articles/',
+                          CAST(c_m AS VARCHAR), ':old')) AS fp
+            FROM (
+                SELECT DISTINCT source, CAST(doc_id % 50 AS BIGINT) AS c_m
+                FROM documents
+            )
+            WHERE c_m % 3 != 0
+        ),
+        fetched AS (
+            SELECT concat('https://www.', source, '.com/articles/',
+                          CAST(m AS VARCHAR)) AS url,
+                   '2026-02-01' AS fetch_date,
+                   md5(concat('https://www.', source, '.com/articles/',
+                          CAST(m AS VARCHAR), ':new')) AS new_fp,
+                   m % 4 != 0 AS ok
+            FROM (
+                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        merged AS (
+            SELECT coalesce(s.url, f.url) AS url,
+                   CASE WHEN f.ok IS NOT NULL AND f.ok THEN f.fetch_date
+                        ELSE s.last_crawled END AS last_crawled,
+                   CASE WHEN f.ok IS NOT NULL AND f.ok THEN f.new_fp
+                        ELSE s.fp END AS fp,
+                   CASE WHEN s.url IS NULL THEN 'inserted'
+                        WHEN f.ok IS NOT NULL AND f.ok THEN 'updated'
+                        ELSE 'carried' END AS merge_action
+            FROM state s FULL OUTER JOIN fetched f ON s.url = f.url
+        )
+        SELECT url, last_crawled, fp, merge_action
+        FROM merged WHERE last_crawled IS NOT NULL
+    """
+
+
+ORACLES["q_crawl_state_merge"] = _crawl_state_merge_sql()
 
 
 # ---------------------------------------------------------------------------

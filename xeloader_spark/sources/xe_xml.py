@@ -169,6 +169,96 @@ def read_xml_events(
     )
 
 
+def parse_xem_metadata(xml_text: str) -> tuple[dict[str, str], dict[str, str]]:
+    """Parse an explicit-schema sidecar (the public XML rendering of
+    XEvent metadata — the `.xem`-era dual-file contract of
+    `XELoader/FileProcessor.cs:280-334`, where `QueryableXEventData`
+    takes the event file AND a metadata file and the schema comes from
+    the sidecar, extracted ONCE, not inferred from events):
+
+        <metadata>
+          <event name="wait_info" package="sqlos">
+            <data name="duration" type="uint64"/>
+            <data name="wait_type" type="unicode_string"/>
+          </event>
+          <action name="session_id" package="sqlserver" type="uint16"/>
+        </metadata>
+
+    Returns ({field → XEvent type}, {action → XEvent type}) merged
+    across events — the engine's table model is one wide table over
+    the union of fields (S9), exactly like the inferred path; S5's
+    difference is WHERE the inventory comes from. A sidecar is
+    KB-sized and read once on the driver (stdlib parse — the same
+    one-time `ExtractMetadataFromFile` shape as the reference; no
+    data-dependent work)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    fields: dict[str, str] = {}
+    actions: dict[str, str] = {}
+    for ev in root.iter("event"):
+        for d in ev.iter("data"):
+            fields[d.attrib["name"]] = d.attrib.get("type", "unicode_string")
+    for a in root.iter("action"):
+        actions[a.attrib["name"]] = a.attrib.get("type", "unicode_string")
+    return fields, actions
+
+
+def flatten_xml_events_explicit(
+    parsed: DataFrame,
+    fields: dict[str, str],
+    actions: dict[str, str],
+) -> DataFrame:
+    """S5: project map-typed event rows to the flat `c_`/`a_` model with
+    an EXPLICIT column inventory — the sidecar decides the columns and
+    their §1.3 types. No inference scan runs (compare
+    `flatten_xml_events`, which must first distinct-scan the maps for
+    key names — two jobs over the data before the real one). Declared
+    columns missing from this batch come out typed and NULL (the
+    sidecar is the contract, not the sample); undeclared fields in the
+    data are dropped (they are not part of the declared schema).
+
+    At 100 TB this is the difference between a metadata-only plan
+    build and two extra full scans of the event store."""
+    from ..schema import action_column, field_column, spark_type_for
+
+    cols = [F.col("event_type"), F.col("ts")]
+    for fname in sorted(fields):
+        t = spark_type_for(fields[fname])
+        cols.append(
+            F.element_at(F.col("fields"), fname)
+            .cast(t)
+            .alias(field_column(fname))
+        )
+    for aname in sorted(actions):
+        t = spark_type_for(actions[aname])
+        cols.append(
+            F.element_at(F.col("actions"), aname)
+            .cast(t)
+            .alias(action_column(aname))
+        )
+    if "e_source_file" in parsed.columns:
+        cols.append(F.col("e_source_file"))
+    return parsed.select(*cols)
+
+
+def read_xml_events_with_xem(
+    spark: SparkSession,
+    path: str,
+    xem_path: str,
+    pattern: str = "*.xml",
+) -> DataFrame:
+    """The dual-file path (S5 over the XML reader): read the event
+    files AND the explicit-schema sidecar, flatten with the sidecar's
+    inventory. The reference's `ProcessXELwithXEM` analog for the
+    public text format."""
+    with open(xem_path, encoding="utf-8") as fh:
+        fields, actions = parse_xem_metadata(fh.read())
+    return flatten_xml_events_explicit(
+        read_xml_events(spark, path, pattern=pattern), fields, actions
+    )
+
+
 def flatten_xml_events(parsed: DataFrame, field_types: dict[str, str] | None = None) -> DataFrame:
     """Project the map-typed event rows to the flat `c_`/`a_` column model
     (S9) for a known field/action inventory, applying §1.3 type mapping.
