@@ -1607,3 +1607,43 @@ def test_feasible_budget_laws_property(spark, hostspecs, budget, cycle_s):
         assert r.cap == caps[r.host]
         assert 0 <= r.quota <= r.cap
     assert sum(r.quota for r in out) == min(budget, sum(caps.values()))
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.sets(st.integers(0, 60), max_size=30),
+    st.sets(st.integers(0, 60), min_size=1, max_size=30),
+    st.data(),
+)
+def test_crawl_state_merge_matches_python_model(spark, state_ids, fetch_ids, data):
+    """For ANY URL-unique state/fetch sets with arbitrary ok flags, the
+    merge matches a pure-Python replay: output URLs = state ∪ ok-fetched
+    exactly; ok advances the date, failure/no-fetch carries it; actions
+    label the three cases correctly."""
+    from xeloader_spark.operators.crawl import crawl_state_merge
+
+    state_rows = [(f"u/{i}", f"2026-01-{1 + i % 28:02d}") for i in state_ids]
+    fetch_rows = [
+        (f"u/{i}", "2026-02-01", data.draw(st.booleans())) for i in fetch_ids
+    ]
+    state = spark.createDataFrame(
+        state_rows, "url string, last_crawled string"
+    ) if state_rows else spark.createDataFrame(
+        [], "url string, last_crawled string"
+    )
+    fetched = spark.createDataFrame(
+        fetch_rows, "url string, fetch_date string, ok boolean"
+    )
+    got = {
+        r.url: (r.last_crawled, r.merge_action)
+        for r in crawl_state_merge(state, fetched).collect()
+    }
+    old = dict(state_rows)
+    exp = {}
+    for url, date in state_rows:
+        exp[url] = (date, "carried")
+    for url, fdate, ok in fetch_rows:
+        if ok:
+            exp[url] = (fdate, "updated" if url in old else "inserted")
+        # not ok: state row (if any) already carried; no-state → no row
+    assert got == exp

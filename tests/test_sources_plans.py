@@ -130,6 +130,26 @@ class TestXmlSource:
             == inferred.select("event_type", "c_duration").collect()
         )
 
+    def test_cli_entry_point_c_dual_file(self, spark, xml_dir, tmp_path, capsys):
+        """S28 entry point C (`-f` + `-m`, InputParameters.cs:82-85):
+        the CLI loads the XML event file with the sidecar-declared
+        schema and demux-writes typed tables — flag-for-flag with
+        ProcessXELwithXEM's dual-file contract."""
+        import json as _json
+
+        from xeloader_spark.__main__ import main
+
+        xem = tmp_path / "trace.xem.xml"
+        xem.write_text(self.XEM_SIDECAR)
+        out = str(tmp_path / "xem_cli_out")
+        rc = main(["-f", xml_dir, "-m", str(xem), "-o", out, "-w"])
+        printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0
+        assert printed["n_events"] == 3 and printed["event_types"] == 2
+        loaded = spark.read.parquet(out)
+        assert dict(loaded.dtypes)["c_signal_duration"] == "decimal(38,0)"
+        assert loaded.filter("event_type = 'wait_info'").count() == 2
+
     def test_nested_value_text_and_entities(self, spark):
         """The SDK's readable-map shape nests values under <value><text>;
         plain values sit in the element text; entities unescape. All three

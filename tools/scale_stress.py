@@ -57,6 +57,15 @@ DELIBERATE = {
         "(same edges, register-table rounds) is the registered 100 TB "
         "path and this exact form is the bounded-host validation twin"
     ),
+    "feasible_budget_singletask": (
+        "deliberate single-task-window contrast (r12): the oracle's "
+        "formulation of feasible_budget_allocate run AS the Spark plan "
+        "— a global row_number window for the remainder rank and a "
+        "global running-sum window for the headroom prefix serialize "
+        "every host row through ONE task; compare feasible_budget_hosts "
+        "(same data, same arithmetic, range rank + distributed prefix "
+        "sum), the measured reason the operator uses them"
+    ),
     "redirect_linear_chainlen": (
         "deliberate linear-follow contrast (r9): the oracle's "
         "one-edge-per-step formulation run AS the Spark plan — join "
@@ -458,6 +467,68 @@ def main() -> None:
             agreements=_LINK_AGREE, threshold=5,
         )
 
+    def _feasible_singletask(k: int):
+        # the oracle's formulation run AS the Spark plan (the
+        # redirect_linear framing): the SAME allocation arithmetic with
+        # plain GLOBAL windows — row_number().over(orderBy) for the
+        # remainder rank and sum().over(orderBy rows-unbounded) for the
+        # headroom prefix — which funnel every host row through ONE
+        # task. The registered operator's range-rank + distributed
+        # prefix sum is the measured contrast.
+        from pyspark.sql import Window
+
+        hosts = inputs[k]["budget_hosts"]
+        B, C = 4 * N_BUDGET_HOSTS * k, 60
+        tot = hosts.agg(F.sum("weight").cast("long").alias("_tw"))
+        based = hosts.crossJoin(F.broadcast(tot)).selectExpr(
+            "*",
+            f"CAST({B} AS BIGINT) * weight DIV _tw AS _base",
+            f"CAST({B} AS BIGINT) * weight % _tw AS _rem",
+        )
+        leftover = based.agg(
+            (F.lit(B).cast("long") - F.sum("_base")).alias("_left")
+        )
+        ranked = based.withColumn(
+            "_rr",
+            F.row_number().over(Window.orderBy(F.desc("_rem"), F.col("host"))),
+        )
+        capped = (
+            ranked.crossJoin(F.broadcast(leftover))
+            .selectExpr(
+                "host",
+                "CAST(_base + CASE WHEN _rr <= _left THEN 1 ELSE 0 END"
+                " AS BIGINT) AS quota0",
+                "CASE WHEN delay IS NULL OR delay <= 0"
+                f" THEN CAST({B} AS BIGINT)"
+                f" ELSE CAST(floor({C} / delay) AS BIGINT) + 1 END AS cap",
+            )
+            .selectExpr(
+                "*",
+                "least(quota0, cap) AS capped_quota",
+                "cap - least(quota0, cap) AS headroom",
+            )
+        )
+        surplus = capped.agg(
+            (F.lit(B).cast("long") - F.sum("capped_quota")).alias("_surplus")
+        )
+        pref = capped.withColumn(
+            "_hr_incl",
+            F.sum("headroom").over(
+                Window.orderBy(F.desc("headroom"), F.col("host")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        return (
+            pref.crossJoin(F.broadcast(surplus))
+            .selectExpr(
+                "host", "cap",
+                "capped_quota + greatest(CAST(0 AS BIGINT), least(headroom,"
+                " _surplus - (_hr_incl - headroom))) AS quota",
+            )
+            .filter("quota >= 0 AND cap >= 1")
+        )
+
     def _discovery(k: int):
         midx = cr.parse_sitemap_index(inputs[k]["disc_idx"])
         fetched = midx.join(
@@ -632,6 +703,9 @@ def main() -> None:
             budget=4 * N_BUDGET_HOSTS * k,
             cycle_s=60,
         ).filter("quota >= 0 AND cap >= 1 AND refill >= 0"),
+        # ... vs the DELIBERATE single-task twin: identical arithmetic,
+        # plain global windows (the oracle formulation as a Spark plan)
+        "feasible_budget_singletask": lambda k: _feasible_singletask(k),
         # r11 DISCOVERY axis (VERDICT r10 #7): hosts grow K× while
         # parts/urls per host stay constant — the member join, the two
         # zero-shuffle parses and the per-host priority-schedule window

@@ -120,6 +120,12 @@ AUDIT_QUERIES = [
     "q_crawl_budget",
     "q_changefreq_policy",
     "q_feasible_budget",
+    # round-12 additions: the composed crawl cycle (all of the above in
+    # one plan — evidence delta + cadence join + allocation + waves)
+    # and the state-merge write half (one URL-keyed full-outer join) —
+    # host/URL-dimension frames, expected ≪ 1
+    "q_crawl_cycle",
+    "q_crawl_state_merge",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

@@ -5,6 +5,12 @@ reference user's invocation translates flag-for-flag:
     python -m xeloader_spark -D /data/xe_parquet -o /warehouse/xe \
         -p '*.parquet' -L 1024 -X 4000 -B 1024 -e 100 -z UTC -I ColumnStore -w
 
+Entry point C (`-f` + `-m`, InputParameters.cs:82-85 →
+FileProcessor.cs:280-334) is the dual-file load: the event file is the
+public XML form and `-m` names the explicit-schema sidecar — the
+sidecar, not the data, supplies columns and types
+(`sources/xe_xml.read_xml_events_with_xem`).
+
 Differences from the reference, by design: the sink is a path (parquet
 demux tables; use the JDBC-parity sink programmatically for SQL Server),
 and -t/-b/-R have no effect (Spark owns task parallelism, writer
@@ -26,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("-D", "--directory", help="input directory (entry point A)")
     src.add_argument("-f", "--file", help="single input file (entry point B)")
+    ap.add_argument("-m", "--xem", default=None,
+                    help="explicit-schema sidecar for -f (entry point C, "
+                         "InputParameters.cs:82-85 / ProcessXELwithXEM): the "
+                         "event file is XML (the public decoded form) and "
+                         "the sidecar — not the data — supplies the column "
+                         "inventory and types")
     ap.add_argument("-o", "--output", required=True, help="output path (demux root)")
     ap.add_argument("-p", "--pattern", default="*.parquet", help="file wildcard (-p)")
     ap.add_argument("--no-session-filter", action="store_true",
@@ -81,6 +93,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark(app_name="xeloader-cli")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.xem:
+        # entry point C (FileProcessor.cs:280-334): dual-file load — the
+        # XML event file plus the sidecar-declared schema, no inference
+        if not args.file:
+            print("error: -m requires -f (the XML event file)", file=sys.stderr)
+            return 2
+        from .operators.ingest import demux_write
+        from .sources.xe_xml import read_xml_events_with_xem
+
+        # the -p default targets the parquet entry points; the XML
+        # dual-file path reads *.xml unless the user overrode -p
+        pattern = "*.xml" if args.pattern == "*.parquet" else args.pattern
+        flat = read_xml_events_with_xem(
+            spark, args.file, args.xem, pattern=pattern
+        )
+        demux_write(flat.drop("e_source_file"), args.output, cfg)
+        loaded = spark.read.format(cfg.storage_format)
+        if cfg.storage_format == "csv":
+            loaded = loaded.option("header", "true")
+        out_df = loaded.load(args.output)
+        print(json.dumps({
+            "n_files": 1,
+            "n_files_aborted": 0,
+            "n_events": out_df.count(),
+            "event_types": out_df.select("event_type").distinct().count(),
+        }))
+        return 0
     run = ingest_incremental if args.incremental else ingest
     report = run(spark, args.directory or args.file, args.output, cfg)
     print(json.dumps(report.as_dict()))

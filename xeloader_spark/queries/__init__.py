@@ -39,7 +39,9 @@ from . import core
 # VERDICT r11 #1): the FULL 31-query r6-stale cohort (core dedup +
 # multimodal + embedding/ANN families) is pinned to slots 1-31 ahead of
 # the round's new registrations; oldest-r7 re-checks fill the remaining
-# slots to 50. 281 registered at round open; after this round no query
+# slots to 50 (precisely: drain slots 1-31, the round's 2 new
+# registrations at 32-33, r7 re-checks 34-50). 281 registered at round
+# open, 283 after the r12 registrations; after this round no query
 # should be last-driver-checked before r7.
 _ROUND_PRIORITY = [
     "q_smalldatetime_round",  # recheck (last green r6)

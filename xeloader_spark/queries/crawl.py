@@ -1595,7 +1595,14 @@ def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     host-dimension allocation (1-row broadcast scalars + range-
     partitioned rank/prefix sum, never a global window), one host
     window for waves, and a host-keyed broadcast join for the quota
-    cut. Nothing content-sized shuffles twice."""
+    cut. Nothing content-sized shuffles twice. The composed FIXTURE
+    plan recomputes the delta/frontier subtrees where they fan out
+    (evidence+cadence, weights+waves) because a driver query must stay
+    a pure replayable plan; a production cycle materializes exactly
+    those two frames as tables anyway (the state table this cycle's
+    `crawl_state_merge` writes, and the frontier it schedules), so
+    each stage is one pass there — the audit's byte numbers, not the
+    fixture's exchange count, are the scale-relevant measure."""
     from ..operators.crawl import (
         fetch_schedule,
         feasible_budget_allocate,
