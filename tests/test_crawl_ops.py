@@ -824,3 +824,113 @@ def test_crawl_state_merge_semantics(spark):
         "u/unfetched": "carried",
         "u/new-ok": "inserted",
     }
+
+
+def test_url_trap_score_shapes(spark):
+    """Hand-built URLs hit each signal: cycling segments and session
+    ids flag alone (strong), two medium signals compose, weak signals
+    alone never flag, and a clean URL scores 0."""
+    from xeloader_spark.operators.crawl import url_trap_score
+
+    urls = [
+        ("https://h.com/a/b/a/b/a/b",),                      # repeats: 3(+2 if deep)
+        ("https://h.com/x?PHPSESSID=deadbeef&p=1",),          # session (case-insens): 3
+        ("https://h.com/c/idx/arc/2019/1/2020/2/2021/x",),    # 3 years + depth 9: 2+2
+        ("https://h.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8",), # params only: 1
+        ("https://h.com/items/" + "x" * 600,),                # length only: 1
+        ("https://h.com/articles/7?id=3",),                   # clean: 0
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = {r.url[:30]: (r.trap_score, r.is_trap)
+           for r in url_trap_score(df).collect()}
+    vals = {k: v for k, v in got.items()}
+    assert vals["https://h.com/a/b/a/b/a/b"[:30]] == (3, True)
+    assert vals["https://h.com/x?PHPSESSID=dead"[:30]] == (3, True)
+    assert vals["https://h.com/c/idx/arc/2019/1"[:30]] == (4, True)
+    assert vals["https://h.com/p?a=1&b=2&c=3&d="[:30]] == (1, False)
+    assert vals[("https://h.com/items/" + "x" * 600)[:30]] == (1, False)
+    assert vals["https://h.com/articles/7?id=3"[:30]] == (0, False)
+
+
+def test_host_backoff_trailing_and_ladder(spark):
+    """Trailing-failure run counted without a sort; the factor ladder
+    caps at 2^max_level; a host with NO success backs off on its whole
+    log; Retry-After surfaces only from 429/503."""
+    from xeloader_spark.operators.crawl import host_backoff
+
+    rows = [
+        # healthy: 3 fetches, no errors
+        ("a", 0, 200, None), ("a", 1, 304, None), ("a", 2, 404, None),
+        # ends with 2 failures after a success
+        ("b", 0, 200, None), ("b", 1, 503, 30), ("b", 2, 500, None),
+        # never succeeded: trailing = all 4, capped at level 3
+        ("c", 0, 503, 10), ("c", 1, 500, None), ("c", 2, 429, 99),
+        ("c", 3, 503, 44),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, fetch_idx long, status int, retry_after long"
+    )
+    got = {
+        r.host: (r.n_errors, r.trailing_failures, r.backoff_factor,
+                 r.retry_after_s)
+        for r in host_backoff(df, retry_after_col="retry_after").collect()
+    }
+    # 404 is an answer, not pressure; c's retry_after max is 99 (the 429)
+    assert got == {
+        "a": (0, 0, 1, None),
+        "b": (2, 2, 4, 30),
+        "c": (4, 4, 8, 99),
+    }
+
+
+def test_robots_cache_policy_classes(spark):
+    """All four RFC 9309 access classes + freshness orthogonality:
+    a use_cached host with a fresh success is NOT refetch-due."""
+    from xeloader_spark.operators.crawl import robots_cache_policy
+
+    now, day = 1_000_000, 86_400
+    rows = [
+        ("fresh-ok", now - 100, 200),
+        ("stale-ok", now - 2 * day, 200),
+        ("gone", now - 50, 404),
+        ("down-cached-fresh", now - 3_600, 200),
+        ("down-cached-fresh", now - 100, 503),
+        ("down-cached-stale", now - 2 * day, 200),
+        ("down-cached-stale", now - 100, 503),
+        ("never-up", now - 500, 0),
+        ("never-up", now - 100, 503),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, fetched_at_s long, status int"
+    )
+    got = {
+        r.host: (r.access_class, r.refetch_due)
+        for r in robots_cache_policy(df, now_s=now, max_age_s=day).collect()
+    }
+    assert got == {
+        "fresh-ok": ("use_robots", False),
+        "stale-ok": ("use_robots", True),
+        "gone": ("allow_all", False),
+        "down-cached-fresh": ("use_cached", False),
+        "down-cached-stale": ("use_cached", True),
+        "never-up": ("disallow_all", True),
+    }
+
+
+def test_sitemap_conformance_defaults(spark):
+    """Spec defaults: a small file conforms; the parameterized
+    thresholds flag URL-count and byte overruns independently."""
+    from xeloader_spark.operators.crawl import sitemap_conformance
+
+    xml3 = (
+        "<urlset>" + "".join(
+            f"<url><loc>https://h.com/{i}</loc></url>" for i in range(3)
+        ) + "</urlset>"
+    )
+    df = spark.createDataFrame([(xml3,)], "sitemap_xml string")
+    r = sitemap_conformance(df).first()
+    assert (r.n_urls, r.urls_ok, r.bytes_ok, r.conformant) == (3, True, True, True)
+    r2 = sitemap_conformance(df, max_urls=2).first()
+    assert (r2.urls_ok, r2.bytes_ok, r2.conformant) == (False, True, False)
+    r3 = sitemap_conformance(df, max_bytes=50).first()
+    assert (r3.urls_ok, r3.bytes_ok, r3.conformant) == (True, False, False)

@@ -121,11 +121,18 @@ AUDIT_QUERIES = [
     "q_changefreq_policy",
     "q_feasible_budget",
     # round-12 additions: the composed crawl cycle (all of the above in
-    # one plan — evidence delta + cadence join + allocation + waves)
-    # and the state-merge write half (one URL-keyed full-outer join) —
-    # host/URL-dimension frames, expected ≪ 1
+    # one plan — evidence delta + cadence join + allocation + waves),
+    # the state-merge write half (one URL-keyed full-outer join), and
+    # the operations rails (trap score: zero-shuffle projection;
+    # backoff: two host-keyed aggregates; sitemap limits: blob-local
+    # counts; robots cache: one host aggregate) — host/URL-dimension
+    # frames, expected ≪ 1
     "q_crawl_cycle",
     "q_crawl_state_merge",
+    "q_url_trap_score",
+    "q_host_backoff",
+    "q_sitemap_limits",
+    "q_robots_cache",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

@@ -555,6 +555,340 @@ def crawl_budget_allocate(
     )
 
 
+# URL-trap dialect hooks (r12): the canonicalizer's CANON dicts extended
+# with the list-size/distinct forms the trap heuristics need; rendered
+# from ONE builder into the Spark plan and the DuckDB oracle.
+TRAP_SPARK = {
+    "split": lambda x, sep: f"split({x}, '{sep}')",
+    "tail": lambda a: f"slice({a}, 2, greatest(size({a}) - 1, 0))",
+    "size": lambda a: f"size({a})",
+    "distinct": lambda a: f"array_distinct({a})",
+    "rx_count": lambda x, re: f"size(regexp_extract_all({x}, '{re}', 0))",
+}
+TRAP_DUCK = {
+    "split": lambda x, sep: f"string_split({x}, '{sep}')",
+    "tail": lambda a: f"list_slice({a}, 2, len({a}))",
+    "size": lambda a: f"len({a})",
+    "distinct": lambda a: f"list_distinct({a})",
+    "rx_count": lambda x, re: f"len(regexp_extract_all({x}, '{re}'))",
+}
+
+# session-id-ish query parameters (classic crawler folklore — Mercator-
+# era trap heuristics, Heydon & Najork 1999): each distinct session
+# token mints a "new" URL for the same page, so frontiers drown
+_TRAP_SESSION_RE = (
+    "(?i)(^|&)(sid|sessid|sessionid|phpsessid|jsessionid"
+    "|aspsessionid[a-z]*|cfid|cftoken)="
+)
+# year-like path segments: two or more in one path is the calendar-
+# pagination shape (archives that enumerate forever)
+_TRAP_DATE_RE = "/(19|20)[0-9][0-9](/|$)"
+
+
+def url_trap_exprs(
+    d: dict,
+    url_sql: str,
+    path_sql: str,
+    query_sql: str,
+    max_depth: int = 8,
+    repeat_k: int = 2,
+    max_len: int = 512,
+    max_params: int = 8,
+    threshold: int = 3,
+) -> dict[str, str]:
+    """Spider-trap heuristics as dialect-rendered SQL (r12): the public
+    Mercator-era signals a frontier scores BEFORE queueing a URL —
+    traps are infinite URL families (session ids, cycling path
+    segments, calendar pagination), and the only scalable defense is a
+    per-URL score computed in the ingest projection, never a
+    per-host crawl history lookup. Returns named expressions:
+
+    - ``path_depth``      segment count of the path
+    - ``dup_segments``    segments repeated anywhere in the path
+                          ('/a/b/a/b/a' — the cycling-symlink shape)
+    - ``n_params``        query-parameter count
+    - ``has_session_param`` session-id-like parameter present
+    - ``date_segments``   year-like path segments (≥2 = calendar shape)
+    - ``trap_score``      weighted integer sum
+    - ``is_trap``         trap_score ≥ threshold
+
+    Weights are graded by signal strength: STRONG signals flag alone
+    at the default threshold 3 (segment repetition and session-id
+    params — each one mints an unbounded URL family by itself);
+    MEDIUM signals are 2 (extreme depth; ≥3 year segments — the
+    calendar-pagination shape) so any two flag; WEAK signals are 1
+    (raw length, parameter count) — suspicious only in combination,
+    because long/parameter-heavy URLs are routine on legitimate
+    e-commerce. A graded score, not a verdict, is the point: the
+    frontier can queue score-1-2 URLs at reduced priority instead of
+    binary-dropping them.
+
+    All integer arithmetic over split/length/regex-count primitives —
+    identical in both engines (the caller passes engine-appropriate
+    path/query extracts, the `url_canonicalize` discipline). Zero
+    shuffles, zero lambdas (plain expressions get codegen CSE)."""
+    segs = d["tail"](d["split"](path_sql, "/"))
+    depth = d["size"](segs)
+    dup = f"({depth} - {d['size'](d['distinct'](segs))})"
+    n_params = (
+        f"CASE WHEN {query_sql} = '' THEN 0 "
+        f"ELSE {d['size'](d['split'](query_sql, '&'))} END"
+    )
+    sess = f"CAST({d['rx_count'](query_sql, _TRAP_SESSION_RE)} > 0 AS INT)"
+    dates = d["rx_count"](path_sql, _TRAP_DATE_RE)
+    score = (
+        f"3 * CAST({dup} >= {repeat_k} AS INT)"
+        f" + 3 * ({sess})"
+        f" + 2 * CAST({depth} >= {max_depth} AS INT)"
+        f" + 2 * CAST(({dates}) >= 3 AS INT)"
+        f" + CAST(length({url_sql}) >= {max_len} AS INT)"
+        f" + CAST(({n_params}) >= {max_params} AS INT)"
+    )
+    return {
+        "path_depth": f"CAST({depth} AS INT)",
+        "dup_segments": f"CAST({dup} AS INT)",
+        "n_params": f"CAST({n_params} AS INT)",
+        "has_session_param": f"CAST({sess} AS INT)",
+        "date_segments": f"CAST({dates} AS INT)",
+        "trap_score": f"CAST({score} AS INT)",
+        "is_trap": f"({score}) >= {threshold}",
+    }
+
+
+def url_trap_score(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 8,
+    repeat_k: int = 2,
+    max_len: int = 512,
+    max_params: int = 8,
+    threshold: int = 3,
+) -> DataFrame:
+    """Score every URL for spider-trap shape (see `url_trap_exprs`) —
+    the frontier gate that keeps infinite URL families from eating the
+    politeness budget. One zero-shuffle projection."""
+    u = url_col
+    path = f"regexp_extract({u}, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)"
+    query = f"regexp_extract({u}, '\\\\?([^#]*)', 1)"
+    exprs = url_trap_exprs(
+        TRAP_SPARK, u, path, query,
+        max_depth=max_depth, repeat_k=repeat_k, max_len=max_len,
+        max_params=max_params, threshold=threshold,
+    )
+    out = df
+    for name, sql in exprs.items():
+        out = out.withColumn(name, F.expr(sql))
+    return out
+
+
+def backoff_factor_sql(trailing_sql: str, max_level: int = 3) -> str:
+    """2^min(trailing, max_level) as a bounded integer CASE ladder —
+    exact in both engines (no float pow), and every value is a power
+    of two, so `delay × factor` stays an EXACT IEEE product for the
+    terminating-binary delays `fetch_schedule` documents."""
+    arms = " ".join(
+        f"WHEN {lvl} THEN {2 ** lvl}" for lvl in range(max_level)
+    )
+    return (
+        f"CASE least({trailing_sql}, {max_level}) {arms} "
+        f"ELSE {2 ** max_level} END"
+    )
+
+
+def host_backoff(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    order_col: str = "fetch_idx",
+    status_col: str = "status",
+    retry_after_col: str | None = None,
+    max_level: int = 3,
+) -> DataFrame:
+    """Adaptive politeness backoff from the fetch log (r12): hosts
+    answering 429 (rate limited) or 5xx (server pressure) get their
+    Crawl-delay multiplied by 2^consecutive-trailing-failures, capped
+    at 2^max_level — the standard exponential-backoff response to
+    server pressure (HTTP 429/Retry-After semantics, RFC 6585 §4 /
+    RFC 9110 §10.2.3). Per host:
+
+    - ``n_fetches`` / ``n_errors``: error = status 429 or ≥ 500
+      (a 404 is an answer, not pressure);
+    - ``err_pm``: errors per mille, integer DIV (exact both engines);
+    - ``trailing_failures``: fetches after the last non-error response
+      — two host-keyed conditional aggregates (max idx where ok, then
+      count of idx beyond it), no window, no sort;
+    - ``backoff_factor``: 2^min(trailing, max_level) via the integer
+      CASE ladder (`backoff_factor_sql`);
+    - ``retry_after_s`` (when the log carries Retry-After): the max
+      declared wait among 429/503 responses — the server's OWN number
+      outranks the heuristic, per RFC 9110.
+
+    Scale shape: one groupBy on the host key — the log never sorts,
+    state per host is four counters. The factor composes with
+    `fetch_schedule`/`feasible_budget_allocate` as effective_delay =
+    delay × factor (exact: power-of-two × terminating-binary)."""
+    err = f"({status_col} = 429 OR {status_col} >= 500)"
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(F.expr(f"CAST({err} AS INT)")).cast("long").alias("n_errors"),
+        F.max(F.expr(f"CASE WHEN NOT {err} THEN {order_col} END")).alias(
+            "_last_ok"
+        ),
+        F.max(F.col(order_col)).alias("_last_idx"),
+    ]
+    if retry_after_col:
+        aggs.append(
+            F.max(
+                F.expr(
+                    f"CASE WHEN {status_col} IN (429, 503) "
+                    f"THEN {retry_after_col} END"
+                )
+            ).cast("long").alias("retry_after_s")
+        )
+    agg = fetch_log.groupBy(host_col).agg(*aggs)
+    # trailing failures = log rows strictly after the host's last OK
+    # (all rows when no OK exists): a second pass over the log against
+    # the host-dimension _last_ok — two host-keyed aggregates total,
+    # still no window and no sort
+    with_tf = fetch_log.join(
+        agg.select(
+            F.col(host_col).alias("_bh"), "_last_ok"
+        ),
+        fetch_log[host_col] == F.col("_bh"),
+    ).drop("_bh")
+    tf = with_tf.groupBy(host_col).agg(
+        F.sum(
+            F.expr(
+                f"CAST(_last_ok IS NULL OR {order_col} > _last_ok AS INT)"
+            )
+        ).cast("long").alias("trailing_failures")
+    )
+    joined = agg.join(tf, host_col)
+    return (
+        joined.withColumn(
+            "err_pm", F.expr("n_errors * 1000 DIV n_fetches")
+        )
+        .withColumn(
+            "backoff_factor",
+            F.expr(
+                "CAST("
+                + backoff_factor_sql("trailing_failures", max_level)
+                + " AS BIGINT)"
+            ),
+        )
+        .drop("_last_ok", "_last_idx")
+    )
+
+
+def sitemap_conformance(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    max_urls: int = 50_000,
+    max_bytes: int = 52_428_800,
+) -> DataFrame:
+    """Sitemaps-protocol file limits (sitemaps.org 0.9, public): a
+    single sitemap file MUST hold ≤ 50,000 <url> entries and be
+    ≤ 50 MB (52,428,800 bytes) uncompressed — oversize files are why
+    real discovery is two-level (`parse_sitemap_index`). Per file:
+    n_urls (regex count, no explode — the blob is scanned once and
+    never row-multiplied), n_bytes (octet_length — the spec limit is
+    bytes, not characters), the two limit verdicts, and ``conformant``.
+    Zero shuffles; thresholds parameterizable so tests exercise the
+    violation paths without 50 MB fixtures."""
+    return df.select(
+        "*",
+        F.expr(
+            f"CAST(size(regexp_extract_all({xml_col}, "
+            f"'{SITEMAP_URL_RE}', 0)) AS BIGINT)"
+        ).alias("n_urls"),
+        F.expr(f"CAST(octet_length({xml_col}) AS BIGINT)").alias("n_bytes"),
+    ).select(
+        "*",
+        F.expr(f"n_urls <= {int(max_urls)}").alias("urls_ok"),
+        F.expr(f"n_bytes <= {int(max_bytes)}").alias("bytes_ok"),
+        F.expr(
+            f"n_urls <= {int(max_urls)} AND n_bytes <= {int(max_bytes)}"
+        ).alias("conformant"),
+    )
+
+
+def robots_cache_policy(
+    robots_fetches: DataFrame,
+    now_s: int,
+    host_col: str = "host",
+    fetched_col: str = "fetched_at_s",
+    status_col: str = "status",
+    max_age_s: int = 86_400,
+) -> DataFrame:
+    """RFC 9309 robots.txt caching + availability policy (§2.4,
+    §2.3.1.3-4, public) over a per-host fetch-attempt log: the latest
+    attempt decides the ACCESS class and the latest success decides
+    FRESHNESS —
+
+    - latest status 2xx → ``use_robots``: parse and obey;
+    - latest status 4xx (§2.3.1.3 "unavailable") → ``allow_all``: the
+      crawler MAY access any resources;
+    - latest status 5xx/0 (§2.3.1.4 "unreachable"; 0 models a network
+      error) → ``disallow_all`` if no cached success exists, else
+      ``use_cached``: §2.4 allows serving the cached copy beyond the
+      24-hour window while the file is unreachable;
+    - ``refetch_due``: the latest DEFINITIVE answer (2xx success or
+      4xx unavailable — both are cacheable knowledge per §2.4; 5xx/0
+      are non-answers) is older than ``max_age_s`` (§2.4: cache up to
+      24 hours), or no definitive answer exists. Freshness is
+      orthogonal to the access class: a ``use_cached`` host whose last
+      success is still inside the window is NOT yet due (the failed
+      latest attempt doesn't age the copy) and a 404 re-confirmed
+      today is not re-fetched tomorrow morning, while a stale copy or
+      a never-answered host is due — §2.4 sanctions USING the stale
+      copy while unreachable, not skipping the refetch.
+
+    All integer second arithmetic against a caller-supplied ``now_s``
+    (no engine clock, the determinism rule). ONE groupBy on host —
+    conditional max aggregates, no window, no sort; host-dimension
+    output. Precondition: ``fetched_at_s`` unique per host (a fetch
+    log's natural key) — max_by's tie-break is engine-arbitrary."""
+    definitive = (
+        f"(({status_col} >= 200 AND {status_col} < 300) "
+        f"OR ({status_col} >= 400 AND {status_col} < 500))"
+    )
+    agg = robots_fetches.groupBy(host_col).agg(
+        F.max(
+            F.expr(
+                f"CASE WHEN {status_col} >= 200 AND {status_col} < 300 "
+                f"THEN {fetched_col} END"
+            )
+        ).cast("long").alias("last_success_at"),
+        F.max(
+            F.expr(f"CASE WHEN {definitive} THEN {fetched_col} END")
+        ).cast("long").alias("last_definitive_at"),
+        F.max_by(
+            F.col(status_col), F.col(fetched_col)
+        ).alias("last_status"),
+    )
+    n = int(now_s)
+    cls = (
+        "CASE WHEN last_status >= 200 AND last_status < 300 "
+        "THEN 'use_robots' "
+        "WHEN last_status >= 400 AND last_status < 500 THEN 'allow_all' "
+        "WHEN last_success_at IS NOT NULL THEN 'use_cached' "
+        "ELSE 'disallow_all' END"
+    )
+    return (
+        agg.withColumn(
+            "age_s",
+            F.expr(f"CAST({n} - last_definitive_at AS BIGINT)"),
+        )
+        .withColumn("access_class", F.expr(cls))
+        .withColumn(
+            "refetch_due",
+            F.expr(
+                f"last_definitive_at IS NULL OR {n} - last_definitive_at"
+                f" > {int(max_age_s)}"
+            ),
+        )
+    )
+
+
 def crawl_state_merge(
     crawl_state: DataFrame,
     fetched: DataFrame,

@@ -39,9 +39,9 @@ from . import core
 # VERDICT r11 #1): the FULL 31-query r6-stale cohort (core dedup +
 # multimodal + embedding/ANN families) is pinned to slots 1-31 ahead of
 # the round's new registrations; oldest-r7 re-checks fill the remaining
-# slots to 50 (precisely: drain slots 1-31, the round's 2 new
-# registrations at 32-33, r7 re-checks 34-50). 281 registered at round
-# open, 283 after the r12 registrations; after this round no query
+# slots to 50 (precisely: drain slots 1-31, the round's 6 new
+# registrations at 32-37, r7 re-checks 38-50). 281 registered at round
+# open, 287 after the r12 registrations; after this round no query
 # should be last-driver-checked before r7.
 _ROUND_PRIORITY = [
     "q_smalldatetime_round",  # recheck (last green r6)
@@ -77,6 +77,10 @@ _ROUND_PRIORITY = [
     "q_quantile_normalize_scores",  # recheck (last green r6)
     "q_crawl_cycle",
     "q_crawl_state_merge",
+    "q_host_backoff",
+    "q_robots_cache",
+    "q_sitemap_limits",
+    "q_url_trap_score",
     "q_constraint_checks",  # recheck (last green r7)
     "q_disjunctive_filter_revenue",  # recheck (last green r7)
     "q_grouping_sets",  # recheck (last green r7)
@@ -90,10 +94,6 @@ _ROUND_PRIORITY = [
     "q_kneser_ney_quality",  # recheck (last green r7)
     "q_lang_id",  # recheck (last green r7)
     "q_mix_weights",  # recheck (last green r7)
-    "q_pii_redaction",  # recheck (last green r7)
-    "q_repetition_stats",  # recheck (last green r7)
-    "q_robots_filter",  # recheck (last green r7)
-    "q_text_quality",  # recheck (last green r7)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

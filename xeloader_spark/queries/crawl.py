@@ -1849,6 +1849,417 @@ ORACLES["q_crawl_state_merge"] = _crawl_state_merge_sql()
 
 
 # ---------------------------------------------------------------------------
+# crawl OPERATIONS rails (r12 second wave): trap scoring, adaptive
+# backoff, sitemap conformance, robots cache policy — the safety rails a
+# crawler runs continuously around the discovery/recrawl cycle.
+
+# per-doc URL variety cycling all five trap shapes + a clean control;
+# rendered identically in both engines (s_type VARCHAR/STRING)
+def _trap_url_sql(s_type: str) -> str:
+    m = "m"
+    return (
+        "concat('https://www.', source, '.com', "
+        f"CASE CAST({m} % 6 AS INT) "
+        # cycling path segments: '/p/q' repeated — dup_segments high
+        f"WHEN 0 THEN repeat('/p/q', CAST(2 + {m} % 7 AS INT)) "
+        # calendar shape: three year segments + depth 9 — two MEDIUM
+        # signals compose to a flag (the graded-score design)
+        f"WHEN 1 THEN concat('/cal/idx/archive/2019/', "
+        f"CAST(1 + {m} % 12 AS {s_type}), "
+        f"'/2020/', CAST(1 + {m} % 28 AS {s_type}), '/2021/item', "
+        f"CAST({m} AS {s_type})) "
+        # session-id param
+        f"WHEN 2 THEN concat('/a/b?phpsessid=', md5(CAST({m} AS {s_type})), "
+        "'&x=1') "
+        # oversize URL
+        f"WHEN 3 THEN concat('/items/', repeat('x', CAST(520 + {m} AS INT))) "
+        # parameter explosion
+        "WHEN 4 THEN '/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9' "
+        # clean control
+        f"ELSE concat('/articles/', CAST({m} AS {s_type}), '?id=', "
+        f"CAST({m} % 25 AS {s_type})) END)"
+    )
+
+
+def q_url_trap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap scoring (`operators/crawl.url_trap_score`,
+    Mercator-era heuristics): the fixture cycles all five trap shapes —
+    cycling path segments, calendar pagination, session-id params,
+    oversize URLs, parameter explosions — plus a clean control, and the
+    scorer flags each with integer weights. Both engines render the
+    SAME `url_trap_exprs` builder (TRAP_SPARK/TRAP_DUCK dialect dicts),
+    so every component column value-hashes. Zero shuffles beyond the
+    fixture's distinct."""
+    from ..operators.crawl import url_trap_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    urls = (
+        docs.selectExpr("source", "CAST(doc_id % 60 AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(f"{_trap_url_sql('STRING')} AS url")
+    )
+    return url_trap_score(urls).select(
+        "url", "path_depth", "dup_segments", "n_params",
+        "has_session_param", "date_segments", "trap_score", "is_trap",
+    )
+
+
+def _url_trap_score_sql() -> str:
+    from ..operators.crawl import TRAP_DUCK, url_trap_exprs
+
+    exprs = url_trap_exprs(
+        TRAP_DUCK,
+        "url",
+        "regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)",
+        "regexp_extract(url, '\\?([^#]*)', 1)",
+    )
+    cols = ",\n               ".join(
+        f"{sql} AS {name}" for name, sql in exprs.items()
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT source, CAST(doc_id % 60 AS BIGINT) AS m
+            FROM documents
+        ),
+        u AS (SELECT {_trap_url_sql("VARCHAR")} AS url FROM pairs)
+        SELECT url,
+               {cols}
+        FROM u
+    """
+
+
+ORACLES["q_url_trap_score"] = _url_trap_score_sql()
+
+
+# backoff fixture: 40 fetches per host; src index drives the failure
+# shape so healthy, scattered-error, trailing-failure-run, and
+# rate-limited hosts ALL occur
+_BK_N = 40
+
+
+def _backoff_log_sql(s_type: str) -> str:
+    """One fetch-log row's status from (s, i) — shared by both engines,
+    covering every backoff level: s ≡ 1 (mod 4) ends with 5 failures
+    (trailing 5, level capped at 3, factor 8); s ≡ 6 (mod 8) ends with
+    2 (factor 4); s ≡ 4 (mod 8) ends with 1 (factor 2); s ≡ 2 (mod 8)
+    fails every 7th fetch but ends clean (scattered pressure, trailing
+    0); s ≡ 3 (mod 4) takes one 429 + Retry-After at i=20 and ends
+    clean; s ≡ 0 (mod 8) is fully healthy."""
+    return (
+        "CASE WHEN s % 4 = 1 AND i >= 35 THEN 503 "
+        "WHEN s % 8 = 6 AND i >= 38 THEN 500 "
+        "WHEN s % 8 = 4 AND i = 39 THEN 503 "
+        "WHEN s % 8 = 2 AND i % 7 = 0 THEN 500 "
+        "WHEN s % 4 = 3 AND i = 20 THEN 429 "
+        "ELSE 200 END"
+    )
+
+
+def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive politeness backoff (`operators/crawl.host_backoff`):
+    per-host error counts, per-mille error rate, trailing-failure run
+    (two conditional aggregates, never a sort), the exact power-of-two
+    backoff factor, the server's own Retry-After maximum — composed
+    with the robots Crawl-delay into effective_delay = delay × factor
+    (EXACT: power-of-two × terminating-binary double). The fixture's
+    hosts cycle healthy / trailing-run / scattered-error /
+    rate-limited shapes."""
+    from ..operators.crawl import host_backoff
+    from ..operators.robots import robots_crawl_delay
+
+    docs = load_table(spark, sf_dir, "documents")
+    log = (
+        docs.selectExpr("source").distinct()
+        .selectExpr(
+            "source",
+            "lower(concat('www.', source, '.com')) AS host",
+            "CAST(substr(source, 4) AS INT) AS s",
+        )
+        .select(
+            "host", "s",
+            F.explode(F.expr(f"sequence(0, {_BK_N - 1})")).alias("i"),
+        )
+        .selectExpr(
+            "host",
+            "CAST(i AS BIGINT) AS fetch_idx",
+            f"{_backoff_log_sql('STRING')} AS status",
+            "CASE WHEN s % 4 = 3 AND i = 20 THEN CAST(60 + s AS BIGINT) "
+            "END AS retry_after",
+        )
+    )
+    bk = host_backoff(log, retry_after_col="retry_after")
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    return (
+        bk.join(
+            delays.select(F.col("host").alias("_dh"), "crawl_delay"),
+            bk["host"] == F.col("_dh"),
+            "left",
+        )
+        .drop("_dh")
+        .selectExpr(
+            "host", "n_fetches", "n_errors", "err_pm",
+            "trailing_failures", "backoff_factor", "retry_after_s",
+            f"coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))"
+            " AS delay",
+            f"coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))"
+            " * backoff_factor AS effective_delay",
+        )
+    )
+
+
+def _host_backoff_sql() -> str:
+    from ..operators.crawl import backoff_factor_sql
+
+    factor = backoff_factor_sql("trailing_failures", 3)
+    return f"""
+        WITH hosts AS (
+            SELECT DISTINCT lower(concat('www.', source, '.com')) AS host,
+                   CAST(substr(source, 4) AS INT) AS s
+            FROM documents
+        ),
+        log AS (
+            SELECT host, CAST(i AS BIGINT) AS fetch_idx,
+                   {_backoff_log_sql("VARCHAR")} AS status,
+                   CASE WHEN s % 4 = 3 AND i = 20
+                        THEN CAST(60 + s AS BIGINT) END AS retry_after
+            FROM hosts, unnest(generate_series(0, {_BK_N - 1})) t(i)
+        ),
+        agg AS (
+            SELECT host,
+                   CAST(COUNT(*) AS BIGINT) AS n_fetches,
+                   CAST(SUM(CAST(status = 429 OR status >= 500 AS INT))
+                        AS BIGINT) AS n_errors,
+                   max(CASE WHEN NOT (status = 429 OR status >= 500)
+                            THEN fetch_idx END) AS last_ok,
+                   CAST(max(CASE WHEN status IN (429, 503)
+                            THEN retry_after END) AS BIGINT)
+                       AS retry_after_s
+            FROM log GROUP BY host
+        ),
+        tf AS (
+            SELECT l.host,
+                   CAST(SUM(CAST(a.last_ok IS NULL
+                        OR l.fetch_idx > a.last_ok AS INT)) AS BIGINT)
+                       AS trailing_failures
+            FROM log l JOIN agg a ON l.host = a.host
+            GROUP BY l.host
+        ),
+        delays AS ({_robots_delays_cte()}),
+        bk AS (
+            SELECT a.host, a.n_fetches, a.n_errors,
+                   a.n_errors * 1000 // a.n_fetches AS err_pm,
+                   t.trailing_failures,
+                   CAST({factor} AS BIGINT) AS backoff_factor,
+                   a.retry_after_s
+            FROM agg a JOIN tf t ON a.host = t.host
+        )
+        SELECT bk.host, bk.n_fetches, bk.n_errors, bk.err_pm,
+               bk.trailing_failures, bk.backoff_factor, bk.retry_after_s,
+               coalesce(d.crawl_delay,
+                        CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)) AS delay,
+               coalesce(d.crawl_delay,
+                        CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))
+                   * bk.backoff_factor AS effective_delay
+        FROM bk LEFT JOIN delays d ON bk.host = d.host
+    """
+
+
+ORACLES["q_host_backoff"] = _host_backoff_sql()
+
+
+# conformance fixture thresholds: lowered so both violation paths fire
+# without 50 MB fixtures (the operator's defaults are the spec's 50k
+# URLs / 52,428,800 bytes)
+_SC_MAX_URLS, _SC_MAX_BYTES = 6, 900
+
+
+def q_sitemap_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemaps-protocol file limits
+    (`operators/crawl.sitemap_conformance`): per-host sitemaps whose
+    entry count varies by host index (s % 4 extra entries appended —
+    the only per-host variation that is NOT degenerate under the
+    fixture's m-residues, which are constant mod 10 per source) and
+    every third host carries comment padding. Both limit verdicts and
+    the combined `conformant` flag occur in both polarities and replay
+    exactly — n_urls is a regex count over the blob (never an
+    explode), n_bytes is the byte length (the spec limit is bytes:
+    octet_length in Spark, strlen in the DuckDB replay)."""
+    from ..operators.crawl import sitemap_conformance
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.selectExpr(
+        "source", f"CAST({_SM_M} AS BIGINT) AS m"
+    ).distinct().selectExpr(
+        "source", "m", "CAST(substr(source, 4) AS INT) AS s"
+    )
+    sm = (
+        pairs.groupBy("source", "s")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
+                ")), x -> x.e), '')"
+            ).alias("body")
+        )
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "concat('<?xml version=\"1.0\"?><urlset>', body, "
+            "repeat(concat('<url><loc>https://www.', source, "
+            "'.com/extra</loc></url>'), CAST(s % 4 AS INT)), "
+            "CASE WHEN s % 3 = 0 THEN repeat('<!-- pad -->', 40) "
+            "ELSE '' END, '</urlset>') AS sitemap_xml",
+        )
+    )
+    return sitemap_conformance(
+        sm, max_urls=_SC_MAX_URLS, max_bytes=_SC_MAX_BYTES
+    ).select("host", "n_urls", "n_bytes", "urls_ok", "bytes_ok", "conformant")
+
+
+def _sitemap_limits_sql() -> str:
+    from ..operators.crawl import SITEMAP_URL_RE
+
+    return f"""
+        WITH pairs AS (
+            SELECT source, m, CAST(substr(source, 4) AS INT) AS s
+            FROM (
+                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        sm AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('<?xml version="1.0"?><urlset>',
+                          string_agg({_sm_entry_sql("VARCHAR")},
+                                     '' ORDER BY m),
+                          repeat(concat('<url><loc>https://www.', source,
+                                 '.com/extra</loc></url>'),
+                                 CAST(s % 4 AS INT)),
+                          CASE WHEN s % 3 = 0
+                               THEN repeat('<!-- pad -->', 40)
+                               ELSE '' END,
+                          '</urlset>') AS sitemap_xml
+            FROM pairs GROUP BY source, s
+        ),
+        c AS (
+            SELECT host,
+                   CAST(len(regexp_extract_all(sitemap_xml,
+                        '{SITEMAP_URL_RE}')) AS BIGINT) AS n_urls,
+                   CAST(strlen(sitemap_xml) AS BIGINT) AS n_bytes
+            FROM sm
+        )
+        SELECT host, n_urls, n_bytes,
+               n_urls <= {_SC_MAX_URLS} AS urls_ok,
+               n_bytes <= {_SC_MAX_BYTES} AS bytes_ok,
+               n_urls <= {_SC_MAX_URLS} AND n_bytes <= {_SC_MAX_BYTES}
+                   AS conformant
+        FROM c
+    """
+
+
+ORACLES["q_sitemap_limits"] = _sitemap_limits_sql()
+
+
+# robots cache fixture: 4 attempts per host at unique times; "now" and
+# the status script per host index cycle all four access classes and
+# both freshness outcomes
+_RC_NOW, _RC_MAX_AGE = 200_000, 86_400
+
+
+def _robots_fetch_status_sql() -> str:
+    """Status of attempt j for host index s — shared by both engines.
+    s%5=0: always 200 (freshness decided by age alone); 1: last 404
+    (allow_all); 2: 200s then a final 503 (use_cached); 3: never
+    reachable — 0/503 only (disallow_all); 4: like 0 but old."""
+    return (
+        "CASE WHEN s % 5 = 1 AND j = 3 THEN 404 "
+        "WHEN s % 5 = 2 AND j = 3 THEN 503 "
+        "WHEN s % 5 = 3 THEN CASE WHEN j % 2 = 0 THEN 0 ELSE 503 END "
+        "ELSE 200 END"
+    )
+
+
+def q_robots_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.4 + §2.3.1.3-4 cache/availability policy
+    (`operators/crawl.robots_cache_policy`): per-host fetch-attempt
+    logs cycling all four access classes — obey a fresh file, 4xx ⇒
+    allow_all, 5xx with an old success ⇒ use_cached (stale serving is
+    sanctioned while unreachable), never-reachable ⇒ disallow_all —
+    and both freshness outcomes (hosts s ≥ 10 fetch 30,000 s later, so
+    their last success sits inside the 24 h window while earlier
+    hosts' sits outside) against a fixed integer "now". One host-keyed aggregate, no
+    window."""
+    from ..operators.crawl import robots_cache_policy
+
+    docs = load_table(spark, sf_dir, "documents")
+    log = (
+        docs.selectExpr("source").distinct()
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "CAST(substr(source, 4) AS INT) AS s",
+        )
+        .select("host", "s", F.explode(F.expr("sequence(0, 3)")).alias("j"))
+        .selectExpr(
+            "host",
+            "s",
+            "CAST(1000 * s + 30000 * j + CASE WHEN s >= 10 THEN 30000 ELSE 0 END AS BIGINT) AS fetched_at_s",
+            f"{_robots_fetch_status_sql()} AS status",
+        )
+    )
+    return robots_cache_policy(
+        log, now_s=_RC_NOW, max_age_s=_RC_MAX_AGE
+    ).select(
+        "host", "last_status", "last_success_at", "age_s",
+        "access_class", "refetch_due",
+    )
+
+
+def _robots_cache_sql() -> str:
+    return f"""
+        WITH hosts AS (
+            SELECT DISTINCT lower(concat('www.', source, '.com')) AS host,
+                   CAST(substr(source, 4) AS INT) AS s
+            FROM documents
+        ),
+        log AS (
+            SELECT host,
+                   CAST(1000 * s + 30000 * j + CASE WHEN s >= 10 THEN 30000 ELSE 0 END AS BIGINT) AS fetched_at_s,
+                   {_robots_fetch_status_sql()} AS status
+            FROM hosts, unnest(generate_series(0, 3)) t(j)
+        ),
+        agg AS (
+            SELECT host,
+                   CAST(max(CASE WHEN status >= 200 AND status < 300
+                            THEN fetched_at_s END) AS BIGINT)
+                       AS last_success_at,
+                   CAST(max(CASE WHEN (status >= 200 AND status < 300)
+                            OR (status >= 400 AND status < 500)
+                            THEN fetched_at_s END) AS BIGINT)
+                       AS last_definitive_at,
+                   max_by(status, fetched_at_s) AS last_status
+            FROM log GROUP BY host
+        )
+        SELECT host, last_status, last_success_at,
+               CAST({_RC_NOW} - last_definitive_at AS BIGINT) AS age_s,
+               CASE WHEN last_status >= 200 AND last_status < 300
+                    THEN 'use_robots'
+                    WHEN last_status >= 400 AND last_status < 500
+                    THEN 'allow_all'
+                    WHEN last_success_at IS NOT NULL THEN 'use_cached'
+                    ELSE 'disallow_all' END AS access_class,
+               last_definitive_at IS NULL
+                   OR {_RC_NOW} - last_definitive_at > {_RC_MAX_AGE}
+                   AS refetch_due
+        FROM agg
+    """
+
+
+ORACLES["q_robots_cache"] = _robots_cache_sql()
+
+
+# ---------------------------------------------------------------------------
 # the discovery story end-to-end (r10): robots.txt → Sitemap directive →
 # sitemap INDEX → member urlsets → REP gate → politeness schedule, one plan
 
