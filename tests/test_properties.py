@@ -1647,3 +1647,112 @@ def test_crawl_state_merge_matches_python_model(spark, state_ids, fetch_ids, dat
             exp[url] = (fdate, "updated" if url in old else "inserted")
         # not ok: state row (if any) already carried; no-state → no row
     assert got == exp
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([200, 304, 404, 429, 500, 503]),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.data(),
+)
+def test_host_backoff_matches_python_model(spark, host_logs, data):
+    """For ANY per-host status sequences (with optional Retry-After on
+    429/503 rows), the aggregate backoff matches a sequential Python
+    fold: error counts, the trailing-failure run, the capped
+    power-of-two factor, and the Retry-After max."""
+    from xeloader_spark.operators.crawl import host_backoff
+
+    rows = []
+    exp = {}
+    for h, statuses in enumerate(host_logs):
+        host = f"h{h}"
+        n = errors = trailing = 0
+        ra_max = None
+        for i, status in enumerate(statuses):
+            ra = (
+                data.draw(st.one_of(st.none(), st.integers(1, 300)))
+                if status in (429, 503)
+                else None
+            )
+            rows.append((host, i, status, ra))
+            err = status == 429 or status >= 500
+            n += 1
+            if err:
+                errors += 1
+                trailing += 1
+            else:
+                trailing = 0
+            if status in (429, 503) and ra is not None:
+                ra_max = ra if ra_max is None else max(ra_max, ra)
+        exp[host] = (n, errors, trailing, 2 ** min(trailing, 3), ra_max)
+    df = spark.createDataFrame(
+        rows, "host string, fetch_idx long, status int, retry_after long"
+    )
+    got = {
+        r.host: (r.n_fetches, r.n_errors, r.trailing_failures,
+                 r.backoff_factor, r.retry_after_s)
+        for r in host_backoff(df, retry_after_col="retry_after").collect()
+    }
+    assert got == exp
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from([0, 200, 204, 301, 404, 410, 500, 503]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_robots_cache_policy_matches_python_model(spark, host_logs):
+    """For ANY per-host attempt sequences, the cache policy matches a
+    pure-Python replay of RFC 9309 §2.4/§2.3.1.3-4: class from the
+    latest attempt, freshness from the latest definitive answer."""
+    from xeloader_spark.operators.crawl import robots_cache_policy
+
+    now, max_age = 500_000, 86_400
+    rows = []
+    exp = {}
+    for h, statuses in enumerate(host_logs):
+        host = f"h{h}"
+        # unique, increasing times; stride straddles the 24 h window
+        times = [1_000 * h + 50_000 * j for j in range(len(statuses))]
+        for t, status in zip(times, statuses):
+            rows.append((host, t, status))
+        last_status = statuses[-1]
+        succ = [t for t, s in zip(times, statuses) if 200 <= s < 300]
+        defin = [
+            t for t, s in zip(times, statuses)
+            if 200 <= s < 300 or 400 <= s < 500
+        ]
+        if 200 <= last_status < 300:
+            cls = "use_robots"
+        elif 400 <= last_status < 500:
+            cls = "allow_all"
+        elif succ:
+            cls = "use_cached"
+        else:
+            cls = "disallow_all"
+        exp[host] = (
+            cls,
+            (not defin) or now - max(defin) > max_age,
+        )
+    df = spark.createDataFrame(
+        rows, "host string, fetched_at_s long, status int"
+    )
+    got = {
+        r.host: (r.access_class, r.refetch_due)
+        for r in robots_cache_policy(df, now_s=now, max_age_s=max_age).collect()
+    }
+    assert got == exp

@@ -2213,6 +2213,93 @@ def test_streaming_recrawl_delta_matches_batch(spark, tmp_path):
     assert {s for _, _, s, _ in got.values()} == {"new", "stale", "fresh"}
 
 
+def test_streaming_backoff_matches_batch(spark, tmp_path):
+    """Streamed per-host backoff state == batch `host_backoff` over the
+    same fetch log: latest emission per host after a two-slice in-order
+    replay carries the batch counters, the identical power-of-two
+    factor, and the Retry-After running max."""
+    import time
+
+    from xeloader_spark.operators.crawl import host_backoff
+    from xeloader_spark.queries.crawl import _BK_N, _backoff_log_sql
+    from xeloader_spark.streaming.backoff_stream import backoff_stream
+
+    src = str(tmp_path / "bk_in")
+    out = str(tmp_path / "bk_out")
+    ckpt = str(tmp_path / "bk_ckpt")
+
+    log = (
+        load_table(spark, SF, "documents")
+        .selectExpr("source").distinct()
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "CAST(substr(source, 4) AS INT) AS s",
+        )
+        .select(
+            "host", "s",
+            F.explode(F.expr(f"sequence(0, {_BK_N - 1})")).alias("i"),
+        )
+        .selectExpr(
+            "host",
+            "CAST(i AS BIGINT) AS fetch_idx",
+            f"CAST({_backoff_log_sql('STRING')} AS INT) AS status",
+            "CASE WHEN s % 4 = 3 AND i = 20 THEN CAST(60 + s AS BIGINT) "
+            "END AS retry_after",
+        )
+    )
+    rows = [
+        (r.host, int(r.fetch_idx), int(r.status),
+         int(r.retry_after) if r.retry_after is not None else None)
+        for r in log.collect()
+    ]
+    schema = "host string, fetch_idx long, status int, retry_after long"
+    os.makedirs(src, exist_ok=True)
+    slices = (
+        [r for r in rows if r[1] < _BK_N // 2],
+        [r for r in rows if r[1] >= _BK_N // 2],
+    )
+    for i, chunk in enumerate(slices):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        backoff_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out).collect()
+    latest = {}
+    for r in emitted:
+        if r.host not in latest or r.n_fetches > latest[r.host].n_fetches:
+            latest[r.host] = r
+    got = {
+        h: (r.n_fetches, r.n_errors, r.trailing_failures,
+            r.backoff_factor, r.retry_after_s)
+        for h, r in latest.items()
+    }
+    exp = {
+        r.host: (r.n_fetches, r.n_errors, r.trailing_failures,
+                 r.backoff_factor, r.retry_after_s)
+        for r in host_backoff(log, retry_after_col="retry_after").collect()
+    }
+    assert got == exp and len(got) > 0
+    # two emissions per host (every host appears in both slices)
+    assert len(emitted) == 2 * len(exp)
+
+
 def test_streaming_revisit_matches_batch(spark, tmp_path):
     """Streamed change-rate state == batch `revisit_policy` over the
     same visit log: the latest emission per URL (max n_visits) after a
