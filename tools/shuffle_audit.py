@@ -133,6 +133,7 @@ AUDIT_QUERIES = [
     "q_host_backoff",
     "q_sitemap_limits",
     "q_robots_cache",
+    "q_adaptive_schedule",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0

@@ -39,9 +39,9 @@ from . import core
 # VERDICT r11 #1): the FULL 31-query r6-stale cohort (core dedup +
 # multimodal + embedding/ANN families) is pinned to slots 1-31 ahead of
 # the round's new registrations; oldest-r7 re-checks fill the remaining
-# slots to 50 (precisely: drain slots 1-31, the round's 6 new
-# registrations at 32-37, r7 re-checks 38-50). 281 registered at round
-# open, 287 after the r12 registrations; after this round no query
+# slots to 50 (precisely: drain slots 1-31, the round's 7 new
+# registrations at 32-38, r7 re-checks 39-50). 281 registered at round
+# open, 288 after the r12 registrations; after this round no query
 # should be last-driver-checked before r7.
 _ROUND_PRIORITY = [
     "q_smalldatetime_round",  # recheck (last green r6)
@@ -81,6 +81,7 @@ _ROUND_PRIORITY = [
     "q_robots_cache",
     "q_sitemap_limits",
     "q_url_trap_score",
+    "q_adaptive_schedule",
     "q_constraint_checks",  # recheck (last green r7)
     "q_disjunctive_filter_revenue",  # recheck (last green r7)
     "q_grouping_sets",  # recheck (last green r7)
@@ -93,7 +94,6 @@ _ROUND_PRIORITY = [
     "q_gopher_quality",  # recheck (last green r7)
     "q_kneser_ney_quality",  # recheck (last green r7)
     "q_lang_id",  # recheck (last green r7)
-    "q_mix_weights",  # recheck (last green r7)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2259,6 +2259,164 @@ def _robots_cache_sql() -> str:
 ORACLES["q_robots_cache"] = _robots_cache_sql()
 
 
+def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operations rails composed into the schedule (r12) — what the
+    fetcher actually executes once health enters the picture:
+
+    1. `robots_cache_policy` gates hosts: ``disallow_all`` hosts are
+       EXCLUDED from the cycle; ``allow_all`` (4xx robots) hosts take
+       the DEFAULT delay — a file that doesn't exist declares no
+       Crawl-delay, so the declared value must NOT leak through;
+    2. `host_backoff` scales each usable host's politeness:
+       effective_delay = delay × 2^trailing (exact product), and the
+       server's Retry-After (if any) pushes the host's whole queue
+       back by that many seconds;
+    3. `fetch_schedule` orders each host's frontier into waves over
+       the EFFECTIVE delay: scheduled_offset = retry_wait +
+       (wave−1) × effective_delay.
+
+    Pins the key shapes between all three rails and the scheduler the
+    same way `q_crawl_cycle` pins the recrawl halves. Scale shape:
+    three host-dimension aggregates, one per-host window over the
+    frontier, two host-keyed broadcastable joins — nothing
+    URL-volume-sized shuffles more than once."""
+    from ..operators.crawl import (
+        fetch_schedule,
+        host_backoff,
+        robots_cache_policy,
+    )
+    from ..operators.robots import robots_crawl_delay
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.selectExpr("source").distinct().selectExpr(
+        "source",
+        "lower(concat('www.', source, '.com')) AS host",
+        "CAST(substr(source, 4) AS INT) AS s",
+    )
+    rlog = hosts.select(
+        "host", "s", F.explode(F.expr("sequence(0, 3)")).alias("j")
+    ).selectExpr(
+        "host",
+        "CAST(1000 * s + 30000 * j + CASE WHEN s >= 10 THEN 30000 "
+        "ELSE 0 END AS BIGINT) AS fetched_at_s",
+        f"{_robots_fetch_status_sql()} AS status",
+    )
+    flog = hosts.select(
+        "host", "s", F.explode(F.expr(f"sequence(0, {_BK_N - 1})")).alias("i")
+    ).selectExpr(
+        "host",
+        "CAST(i AS BIGINT) AS fetch_idx",
+        f"{_backoff_log_sql('STRING')} AS status",
+        "CASE WHEN s % 4 = 3 AND i = 20 THEN CAST(60 + s AS BIGINT) "
+        "END AS retry_after",
+    )
+    usable = robots_cache_policy(
+        rlog, now_s=_RC_NOW, max_age_s=_RC_MAX_AGE
+    ).filter("access_class != 'disallow_all'").select("host", "access_class")
+    bk = host_backoff(flog, retry_after_col="retry_after").select(
+        "host", "backoff_factor", "retry_after_s"
+    )
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    eff = (
+        usable.join(
+            delays.select(F.col("host").alias("_dh"), "crawl_delay"),
+            usable["host"] == F.col("_dh"),
+            "left",
+        )
+        .drop("_dh")
+        .join(bk.withColumnRenamed("host", "_bh"), F.col("host") == F.col("_bh"))
+        .drop("_bh")
+        .selectExpr(
+            "host",
+            "access_class",
+            "backoff_factor",
+            "CASE WHEN access_class = 'allow_all' "
+            f"THEN CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE) "
+            f"ELSE coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY}"
+            " AS DOUBLE)) END * backoff_factor AS crawl_delay",
+            "coalesce(retry_after_s, CAST(0 AS BIGINT)) AS retry_wait",
+        )
+    )
+    frontier = (
+        docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+        )
+        .join(eff.select(F.col("host").alias("_uh")),
+              F.col("host") == F.col("_uh"))
+        .drop("_uh")
+    )
+    sched = fetch_schedule(
+        frontier, eff.select("host", "crawl_delay"),
+        default_delay=_DEFAULT_CRAWL_DELAY,
+    )
+    return (
+        sched.join(
+            eff.selectExpr(
+                "host AS _eh", "access_class", "backoff_factor", "retry_wait"
+            ),
+            sched["host"] == F.col("_eh"),
+        )
+        .drop("_eh")
+        .selectExpr(
+            "host", "url", "access_class", "backoff_factor", "wave",
+            "delay AS effective_delay", "retry_wait",
+            "retry_wait + scheduled_offset AS start_offset",
+        )
+    )
+
+
+def _adaptive_schedule_sql() -> str:
+    return f"""
+        WITH bk AS ({_host_backoff_sql()}),
+        pol AS ({_robots_cache_sql()}),
+        delays AS ({_robots_delays_cte()}),
+        eff AS (
+            SELECT p.host, p.access_class, b.backoff_factor,
+                   CASE WHEN p.access_class = 'allow_all'
+                        THEN CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)
+                        ELSE coalesce(d.crawl_delay,
+                             CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)) END
+                       * b.backoff_factor AS crawl_delay,
+                   coalesce(b.retry_after_s, CAST(0 AS BIGINT))
+                       AS retry_wait
+            FROM pol p
+            JOIN bk b ON p.host = b.host
+            LEFT JOIN delays d ON p.host = d.host
+            WHERE p.access_class != 'disallow_all'
+        ),
+        frontier AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('https://www.', source, '.com/articles/',
+                          CAST(m AS VARCHAR)) AS url
+            FROM (
+                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        w AS (
+            SELECT f.host, f.url,
+                   CAST(row_number() OVER (PARTITION BY f.host
+                        ORDER BY f.url) AS BIGINT) AS wave
+            FROM frontier f JOIN eff e ON f.host = e.host
+        )
+        SELECT w.host, w.url, e.access_class, e.backoff_factor, w.wave,
+               e.crawl_delay AS effective_delay, e.retry_wait,
+               e.retry_wait + CAST(w.wave - 1 AS DOUBLE) * e.crawl_delay
+                   AS start_offset
+        FROM w JOIN eff e ON w.host = e.host
+    """
+
+
+ORACLES["q_adaptive_schedule"] = _adaptive_schedule_sql()
+
+
 # ---------------------------------------------------------------------------
 # the discovery story end-to-end (r10): robots.txt → Sitemap directive →
 # sitemap INDEX → member urlsets → REP gate → politeness schedule, one plan
