@@ -797,6 +797,9 @@ def test_crawl_state_merge_semantics(spark):
             ("u/known-fail", "2026-02-01", "fp-new-2", False),
             ("u/new-ok", "2026-02-01", "fp-new-4", True),
             ("u/new-fail", "2026-02-01", "fp-new-5", False),
+            # malformed log row: ok but no date — must carry, never
+            # delete the state row
+            ("u/unfetched", None, "fp-new-3", True),
         ],
         "url string, fetch_date string, new_fp string, ok boolean",
     )
@@ -841,9 +844,8 @@ def test_url_trap_score_shapes(spark):
         ("https://h.com/articles/7?id=3",),                   # clean: 0
     ]
     df = spark.createDataFrame(urls, "url string")
-    got = {r.url[:30]: (r.trap_score, r.is_trap)
-           for r in url_trap_score(df).collect()}
-    vals = {k: v for k, v in got.items()}
+    vals = {r.url[:30]: (r.trap_score, r.is_trap)
+            for r in url_trap_score(df).collect()}
     assert vals["https://h.com/a/b/a/b/a/b"[:30]] == (3, True)
     assert vals["https://h.com/x?PHPSESSID=dead"[:30]] == (3, True)
     assert vals["https://h.com/c/idx/arc/2019/1"[:30]] == (4, True)
@@ -866,6 +868,9 @@ def test_host_backoff_trailing_and_ladder(spark):
         # never succeeded: trailing = all 4, capped at level 3
         ("c", 0, 503, 10), ("c", 1, 500, None), ("c", 2, 429, 99),
         ("c", 3, 503, 44),
+        # recovered: the 429's Retry-After mandate is SPENT by the
+        # later success (RFC 9110: it governs the next request)
+        ("d", 0, 429, 120), ("d", 1, 200, None),
     ]
     df = spark.createDataFrame(
         rows, "host string, fetch_idx long, status int, retry_after long"
@@ -880,6 +885,7 @@ def test_host_backoff_trailing_and_ladder(spark):
         "a": (0, 0, 1, None),
         "b": (2, 2, 4, 30),
         "c": (4, 4, 8, 99),
+        "d": (1, 0, 1, None),
     }
 
 
@@ -892,6 +898,10 @@ def test_robots_cache_policy_classes(spark):
     rows = [
         ("fresh-ok", now - 100, 200),
         ("stale-ok", now - 2 * day, 200),
+        # conditional-GET revalidation: the old 200 plus a fresh 304 —
+        # the 304 refreshes the clock AND classes use_robots
+        ("revalidated", now - 2 * day, 200),
+        ("revalidated", now - 200, 304),
         ("gone", now - 50, 404),
         ("down-cached-fresh", now - 3_600, 200),
         ("down-cached-fresh", now - 100, 503),
@@ -910,6 +920,7 @@ def test_robots_cache_policy_classes(spark):
     assert got == {
         "fresh-ok": ("use_robots", False),
         "stale-ok": ("use_robots", True),
+        "revalidated": ("use_robots", False),
         "gone": ("allow_all", False),
         "down-cached-fresh": ("use_cached", False),
         "down-cached-stale": ("use_cached", True),

@@ -1666,7 +1666,8 @@ def test_host_backoff_matches_python_model(spark, host_logs, data):
     """For ANY per-host status sequences (with optional Retry-After on
     429/503 rows), the aggregate backoff matches a sequential Python
     fold: error counts, the trailing-failure run, the capped
-    power-of-two factor, and the Retry-After max."""
+    power-of-two factor, and the ACTIVE Retry-After (spent by any
+    later success)."""
     from xeloader_spark.operators.crawl import host_backoff
 
     rows = []
@@ -1688,7 +1689,10 @@ def test_host_backoff_matches_python_model(spark, host_logs, data):
                 errors += 1
                 trailing += 1
             else:
+                # a success ends the run AND spends the Retry-After
+                # mandate (RFC 9110: it governs the next request)
                 trailing = 0
+                ra_max = None
             if status in (429, 503) and ra is not None:
                 ra_max = ra if ra_max is None else max(ra_max, ra)
         exp[host] = (n, errors, trailing, 2 ** min(trailing, 3), ra_max)
@@ -1707,7 +1711,7 @@ def test_host_backoff_matches_python_model(spark, host_logs, data):
 @given(
     st.lists(
         st.lists(
-            st.sampled_from([0, 200, 204, 301, 404, 410, 500, 503]),
+            st.sampled_from([0, 200, 204, 301, 304, 404, 410, 500, 503]),
             min_size=1,
             max_size=6,
         ),
@@ -1718,7 +1722,8 @@ def test_host_backoff_matches_python_model(spark, host_logs, data):
 def test_robots_cache_policy_matches_python_model(spark, host_logs):
     """For ANY per-host attempt sequences, the cache policy matches a
     pure-Python replay of RFC 9309 §2.4/§2.3.1.3-4: class from the
-    latest attempt, freshness from the latest definitive answer."""
+    latest attempt (304 revalidates like a 2xx), freshness from the
+    latest definitive answer."""
     from xeloader_spark.operators.crawl import robots_cache_policy
 
     now, max_age = 500_000, 86_400
@@ -1731,12 +1736,15 @@ def test_robots_cache_policy_matches_python_model(spark, host_logs):
         for t, status in zip(times, statuses):
             rows.append((host, t, status))
         last_status = statuses[-1]
-        succ = [t for t, s in zip(times, statuses) if 200 <= s < 300]
+        succ = [
+            t for t, s in zip(times, statuses)
+            if 200 <= s < 300 or s == 304
+        ]
         defin = [
             t for t, s in zip(times, statuses)
-            if 200 <= s < 300 or 400 <= s < 500
+            if 200 <= s < 300 or s == 304 or 400 <= s < 500
         ]
-        if 200 <= last_status < 300:
+        if 200 <= last_status < 300 or last_status == 304:
             cls = "use_robots"
         elif 400 <= last_status < 500:
             cls = "allow_all"

@@ -2242,8 +2242,9 @@ def test_streaming_backoff_matches_batch(spark, tmp_path):
         .selectExpr(
             "host",
             "CAST(i AS BIGINT) AS fetch_idx",
-            f"CAST({_backoff_log_sql('STRING')} AS INT) AS status",
+            f"CAST({_backoff_log_sql()} AS INT) AS status",
             "CASE WHEN s % 4 = 3 AND i = 20 THEN CAST(60 + s AS BIGINT) "
+            "WHEN s % 4 = 1 AND i = 37 THEN CAST(90 + s AS BIGINT) "
             "END AS retry_after",
         )
     )

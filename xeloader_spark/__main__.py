@@ -99,6 +99,8 @@ def main(argv: list[str] | None = None) -> int:
         if not args.file:
             print("error: -m requires -f (the XML event file)", file=sys.stderr)
             return 2
+        from pyspark.sql import functions as F
+
         from .operators.ingest import demux_write
         from .sources.xe_xml import read_xml_events_with_xem
 
@@ -109,15 +111,26 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.file, args.xem, pattern=pattern
         )
         demux_write(flat.drop("e_source_file"), args.output, cfg)
-        loaded = spark.read.format(cfg.storage_format)
-        if cfg.storage_format == "csv":
-            loaded = loaded.option("header", "true")
-        out_df = loaded.load(args.output)
+        # real counts from the loaded frame (a -f DIRECTORY globs many
+        # files): n_files = distinct sources actually read, n_errors =
+        # rows whose <event> failed the structural parse (NULL
+        # event_type — the only error class this path has; the parquet
+        # entry points' -e budget / truncation flags do not apply to
+        # the sidecar-typed XML load and are intentionally ignored)
+        counts = flat.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("e_source_file").alias("n_files"),
+            F.count_distinct("event_type").alias("event_types"),
+            F.sum(
+                F.expr("CAST(event_type IS NULL AS INT)")
+            ).alias("n_errors"),
+        ).first()
         print(json.dumps({
-            "n_files": 1,
+            "n_files": counts["n_files"],
             "n_files_aborted": 0,
-            "n_events": out_df.count(),
-            "event_types": out_df.select("event_type").distinct().count(),
+            "n_events": counts["n_events"],
+            "n_errors": int(counts["n_errors"] or 0),
+            "event_types": counts["event_types"],
         }))
         return 0
     run = ingest_incremental if args.incremental else ingest

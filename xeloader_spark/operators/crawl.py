@@ -555,19 +555,22 @@ def crawl_budget_allocate(
     )
 
 
-# URL-trap dialect hooks (r12): the canonicalizer's CANON dicts extended
-# with the list-size/distinct forms the trap heuristics need; rendered
-# from ONE builder into the Spark plan and the DuckDB oracle.
+# URL-trap dialect hooks (r12): the canonicalizer's CANON dicts
+# EXTENDED (literally — {**CANON_*}, so a future fix to the shared
+# split/tail forms reaches the trap scorer too) with the
+# list-size/distinct forms the heuristics need; rendered from ONE
+# builder into the Spark plan and the DuckDB oracle.
+from .text import CANON_DUCK as _CANON_DUCK
+from .text import CANON_SPARK as _CANON_SPARK
+
 TRAP_SPARK = {
-    "split": lambda x, sep: f"split({x}, '{sep}')",
-    "tail": lambda a: f"slice({a}, 2, greatest(size({a}) - 1, 0))",
+    **_CANON_SPARK,
     "size": lambda a: f"size({a})",
     "distinct": lambda a: f"array_distinct({a})",
     "rx_count": lambda x, re: f"size(regexp_extract_all({x}, '{re}', 0))",
 }
 TRAP_DUCK = {
-    "split": lambda x, sep: f"string_split({x}, '{sep}')",
-    "tail": lambda a: f"list_slice({a}, 2, len({a}))",
+    **_CANON_DUCK,
     "size": lambda a: f"len({a})",
     "distinct": lambda a: f"list_distinct({a})",
     "rx_count": lambda x, re: f"len(regexp_extract_all({x}, '{re}'))",
@@ -719,49 +722,54 @@ def host_backoff(
     - ``backoff_factor``: 2^min(trailing, max_level) via the integer
       CASE ladder (`backoff_factor_sql`);
     - ``retry_after_s`` (when the log carries Retry-After): the max
-      declared wait among 429/503 responses — the server's OWN number
-      outranks the heuristic, per RFC 9110.
+      declared wait among 429/503 responses that occurred AFTER the
+      host's last OK response — the server's OWN number outranks the
+      heuristic per RFC 9110 §10.2.3, but it governs the NEXT request,
+      not the host forever: once a success follows it, the mandate is
+      spent and the column goes NULL (a recovered host must not carry
+      a stale queue push-back into every later cycle).
 
-    Scale shape: one groupBy on the host key — the log never sorts,
-    state per host is four counters. The factor composes with
-    `fetch_schedule`/`feasible_budget_allocate` as effective_delay =
-    delay × factor (exact: power-of-two × terminating-binary)."""
+    Scale shape: two host-keyed aggregates (the second resolves the
+    trailing run and the active Retry-After against the first's
+    last-OK index) — the log never sorts, state per host is four
+    counters. The factor composes with `fetch_schedule`/
+    `feasible_budget_allocate` as effective_delay = delay × factor
+    (exact: power-of-two × terminating-binary)."""
     err = f"({status_col} = 429 OR {status_col} >= 500)"
-    aggs = [
+    agg = fetch_log.groupBy(host_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_fetches"),
         F.sum(F.expr(f"CAST({err} AS INT)")).cast("long").alias("n_errors"),
         F.max(F.expr(f"CASE WHEN NOT {err} THEN {order_col} END")).alias(
             "_last_ok"
         ),
-        F.max(F.col(order_col)).alias("_last_idx"),
+    )
+    # second pass over the log against the host-dimension _last_ok:
+    # trailing failures = rows strictly after the last OK (all rows when
+    # no OK exists), and the ACTIVE Retry-After = the max declared wait
+    # among 429/503 rows in that same suffix — two host-keyed
+    # aggregates total, no window, no sort
+    after_ok = f"(_last_ok IS NULL OR {order_col} > _last_ok)"
+    tf_aggs = [
+        F.sum(F.expr(f"CAST({after_ok} AS INT)"))
+        .cast("long")
+        .alias("trailing_failures"),
     ]
     if retry_after_col:
-        aggs.append(
+        tf_aggs.append(
             F.max(
                 F.expr(
-                    f"CASE WHEN {status_col} IN (429, 503) "
+                    f"CASE WHEN {after_ok} AND {status_col} IN (429, 503) "
                     f"THEN {retry_after_col} END"
                 )
             ).cast("long").alias("retry_after_s")
         )
-    agg = fetch_log.groupBy(host_col).agg(*aggs)
-    # trailing failures = log rows strictly after the host's last OK
-    # (all rows when no OK exists): a second pass over the log against
-    # the host-dimension _last_ok — two host-keyed aggregates total,
-    # still no window and no sort
     with_tf = fetch_log.join(
         agg.select(
             F.col(host_col).alias("_bh"), "_last_ok"
         ),
         fetch_log[host_col] == F.col("_bh"),
     ).drop("_bh")
-    tf = with_tf.groupBy(host_col).agg(
-        F.sum(
-            F.expr(
-                f"CAST(_last_ok IS NULL OR {order_col} > _last_ok AS INT)"
-            )
-        ).cast("long").alias("trailing_failures")
-    )
+    tf = with_tf.groupBy(host_col).agg(*tf_aggs)
     joined = agg.join(tf, host_col)
     return (
         joined.withColumn(
@@ -775,7 +783,7 @@ def host_backoff(
                 + " AS BIGINT)"
             ),
         )
-        .drop("_last_ok", "_last_idx")
+        .drop("_last_ok")
     )
 
 
@@ -824,16 +832,24 @@ def robots_cache_policy(
     attempt decides the ACCESS class and the latest success decides
     FRESHNESS —
 
-    - latest status 2xx → ``use_robots``: parse and obey;
+    - latest status 2xx or 304 → ``use_robots``: parse and obey (a 304
+      Not Modified is the conditional-GET revalidation — the server
+      CONFIRMING the cached copy is current is as good as re-sending
+      it, and it refreshes the cache clock);
     - latest status 4xx (§2.3.1.3 "unavailable") → ``allow_all``: the
       crawler MAY access any resources;
     - latest status 5xx/0 (§2.3.1.4 "unreachable"; 0 models a network
       error) → ``disallow_all`` if no cached success exists, else
       ``use_cached``: §2.4 allows serving the cached copy beyond the
-      24-hour window while the file is unreachable;
-    - ``refetch_due``: the latest DEFINITIVE answer (2xx success or
-      4xx unavailable — both are cacheable knowledge per §2.4; 5xx/0
-      are non-answers) is older than ``max_age_s`` (§2.4: cache up to
+      24-hour window while the file is unreachable. Non-304 3xx rows
+      are treated the same non-answer way DELIBERATELY: §2.3.1.2 says
+      to FOLLOW robots redirects, so a compliant fetcher logs the
+      redirect TARGET's response as the host's attempt — a bare
+      301/302 in this log means the follow never completed, which is
+      an unreachable-shaped outcome, not an answer;
+    - ``refetch_due``: the latest DEFINITIVE answer (2xx/304 success or
+      4xx unavailable — all cacheable knowledge per §2.4; 5xx/0 and
+      unfollowed 3xx are non-answers) is older than ``max_age_s`` (§2.4: cache up to
       24 hours), or no definitive answer exists. Freshness is
       orthogonal to the access class: a ``use_cached`` host whose last
       success is still inside the window is NOT yet due (the failed
@@ -847,16 +863,16 @@ def robots_cache_policy(
     conditional max aggregates, no window, no sort; host-dimension
     output. Precondition: ``fetched_at_s`` unique per host (a fetch
     log's natural key) — max_by's tie-break is engine-arbitrary."""
-    definitive = (
+    success = (
         f"(({status_col} >= 200 AND {status_col} < 300) "
-        f"OR ({status_col} >= 400 AND {status_col} < 500))"
+        f"OR {status_col} = 304)"
+    )
+    definitive = (
+        f"({success} OR ({status_col} >= 400 AND {status_col} < 500))"
     )
     agg = robots_fetches.groupBy(host_col).agg(
         F.max(
-            F.expr(
-                f"CASE WHEN {status_col} >= 200 AND {status_col} < 300 "
-                f"THEN {fetched_col} END"
-            )
+            F.expr(f"CASE WHEN {success} THEN {fetched_col} END")
         ).cast("long").alias("last_success_at"),
         F.max(
             F.expr(f"CASE WHEN {definitive} THEN {fetched_col} END")
@@ -867,8 +883,8 @@ def robots_cache_policy(
     )
     n = int(now_s)
     cls = (
-        "CASE WHEN last_status >= 200 AND last_status < 300 "
-        "THEN 'use_robots' "
+        "CASE WHEN (last_status >= 200 AND last_status < 300) "
+        "OR last_status = 304 THEN 'use_robots' "
         "WHEN last_status >= 400 AND last_status < 500 THEN 'allow_all' "
         "WHEN last_success_at IS NOT NULL THEN 'use_cached' "
         "ELSE 'disallow_all' END"
@@ -914,7 +930,9 @@ def crawl_state_merge(
     - not fetched         → unchanged (``carried``);
     - new URL, fetch fail → NO state row (it was never crawled;
                             inventing one would mask it from the next
-                            delta's ``new`` classification).
+                            delta's ``new`` classification);
+    - ok but date NULL     → carried, like a failed fetch (a malformed
+                            log row must not destroy bookkeeping).
 
     ONE full-outer equi-join on the URL key between two URL-unique
     frames plus a zero-shuffle projection; both sides are the crawl's
@@ -940,7 +958,11 @@ def crawl_state_merge(
         *([F.col(fetch_fp_col).alias("_f_fp")] if fp_col else []),
     )
     joined = s.join(f, s["_s_url"] == f["_f_url"], "full_outer")
-    ok = "_f_ok IS NOT NULL AND _f_ok"
+    # an "ok" row with a NULL fetch date is a malformed log entry, not
+    # a crawl — treating it as a success would DELETE the URL's state
+    # row (NULL date fails the final filter) and silently reclassify it
+    # `new` next delta; it carries like a failed fetch instead
+    ok = "_f_ok IS NOT NULL AND _f_ok AND _f_date IS NOT NULL"
     merged = joined.select(
         F.expr("coalesce(_s_url, _f_url)").alias(url_col),
         F.expr(f"CASE WHEN {ok} THEN _f_date ELSE _s_date END").alias(

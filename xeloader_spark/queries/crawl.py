@@ -1831,12 +1831,15 @@ def _crawl_state_merge_sql() -> str:
         ),
         merged AS (
             SELECT coalesce(s.url, f.url) AS url,
-                   CASE WHEN f.ok IS NOT NULL AND f.ok THEN f.fetch_date
+                   CASE WHEN f.ok IS NOT NULL AND f.ok
+                             AND f.fetch_date IS NOT NULL THEN f.fetch_date
                         ELSE s.last_crawled END AS last_crawled,
-                   CASE WHEN f.ok IS NOT NULL AND f.ok THEN f.new_fp
+                   CASE WHEN f.ok IS NOT NULL AND f.ok
+                             AND f.fetch_date IS NOT NULL THEN f.new_fp
                         ELSE s.fp END AS fp,
                    CASE WHEN s.url IS NULL THEN 'inserted'
-                        WHEN f.ok IS NOT NULL AND f.ok THEN 'updated'
+                        WHEN f.ok IS NOT NULL AND f.ok
+                             AND f.fetch_date IS NOT NULL THEN 'updated'
                         ELSE 'carried' END AS merge_action
             FROM state s FULL OUTER JOIN fetched f ON s.url = f.url
         )
@@ -1937,7 +1940,7 @@ ORACLES["q_url_trap_score"] = _url_trap_score_sql()
 _BK_N = 40
 
 
-def _backoff_log_sql(s_type: str) -> str:
+def _backoff_log_sql() -> str:
     """One fetch-log row's status from (s, i) — shared by both engines,
     covering every backoff level: s ≡ 1 (mod 4) ends with 5 failures
     (trailing 5, level capped at 3, factor 8); s ≡ 6 (mod 8) ends with
@@ -1982,8 +1985,9 @@ def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "host",
             "CAST(i AS BIGINT) AS fetch_idx",
-            f"{_backoff_log_sql('STRING')} AS status",
+            f"{_backoff_log_sql()} AS status",
             "CASE WHEN s % 4 = 3 AND i = 20 THEN CAST(60 + s AS BIGINT) "
+            "WHEN s % 4 = 1 AND i = 37 THEN CAST(90 + s AS BIGINT) "
             "END AS retry_after",
         )
     )
@@ -2022,9 +2026,11 @@ def _host_backoff_sql() -> str:
         ),
         log AS (
             SELECT host, CAST(i AS BIGINT) AS fetch_idx,
-                   {_backoff_log_sql("VARCHAR")} AS status,
+                   {_backoff_log_sql()} AS status,
                    CASE WHEN s % 4 = 3 AND i = 20
-                        THEN CAST(60 + s AS BIGINT) END AS retry_after
+                        THEN CAST(60 + s AS BIGINT)
+                        WHEN s % 4 = 1 AND i = 37
+                        THEN CAST(90 + s AS BIGINT) END AS retry_after
             FROM hosts, unnest(generate_series(0, {_BK_N - 1})) t(i)
         ),
         agg AS (
@@ -2033,17 +2039,19 @@ def _host_backoff_sql() -> str:
                    CAST(SUM(CAST(status = 429 OR status >= 500 AS INT))
                         AS BIGINT) AS n_errors,
                    max(CASE WHEN NOT (status = 429 OR status >= 500)
-                            THEN fetch_idx END) AS last_ok,
-                   CAST(max(CASE WHEN status IN (429, 503)
-                            THEN retry_after END) AS BIGINT)
-                       AS retry_after_s
+                            THEN fetch_idx END) AS last_ok
             FROM log GROUP BY host
         ),
         tf AS (
             SELECT l.host,
                    CAST(SUM(CAST(a.last_ok IS NULL
                         OR l.fetch_idx > a.last_ok AS INT)) AS BIGINT)
-                       AS trailing_failures
+                       AS trailing_failures,
+                   CAST(max(CASE WHEN (a.last_ok IS NULL
+                            OR l.fetch_idx > a.last_ok)
+                            AND l.status IN (429, 503)
+                            THEN l.retry_after END) AS BIGINT)
+                       AS retry_after_s
             FROM log l JOIN agg a ON l.host = a.host
             GROUP BY l.host
         ),
@@ -2053,7 +2061,7 @@ def _host_backoff_sql() -> str:
                    a.n_errors * 1000 // a.n_fetches AS err_pm,
                    t.trailing_failures,
                    CAST({factor} AS BIGINT) AS backoff_factor,
-                   a.retry_after_s
+                   t.retry_after_s
             FROM agg a JOIN tf t ON a.host = t.host
         )
         SELECT bk.host, bk.n_fetches, bk.n_errors, bk.err_pm,
@@ -2172,11 +2180,14 @@ def _robots_fetch_status_sql() -> str:
     """Status of attempt j for host index s — shared by both engines.
     s%5=0: always 200 (freshness decided by age alone); 1: last 404
     (allow_all); 2: 200s then a final 503 (use_cached); 3: never
-    reachable — 0/503 only (disallow_all); 4: like 0 but old."""
+    reachable — 0/503 only (disallow_all); 4: 200s then a final 304 —
+    the conditional-GET revalidation that refreshes the cache clock
+    without a body."""
     return (
         "CASE WHEN s % 5 = 1 AND j = 3 THEN 404 "
         "WHEN s % 5 = 2 AND j = 3 THEN 503 "
         "WHEN s % 5 = 3 THEN CASE WHEN j % 2 = 0 THEN 0 ELSE 503 END "
+        "WHEN s % 5 = 4 AND j = 3 THEN 304 "
         "ELSE 200 END"
     )
 
@@ -2231,10 +2242,12 @@ def _robots_cache_sql() -> str:
         ),
         agg AS (
             SELECT host,
-                   CAST(max(CASE WHEN status >= 200 AND status < 300
+                   CAST(max(CASE WHEN (status >= 200 AND status < 300)
+                            OR status = 304
                             THEN fetched_at_s END) AS BIGINT)
                        AS last_success_at,
                    CAST(max(CASE WHEN (status >= 200 AND status < 300)
+                            OR status = 304
                             OR (status >= 400 AND status < 500)
                             THEN fetched_at_s END) AS BIGINT)
                        AS last_definitive_at,
@@ -2243,7 +2256,8 @@ def _robots_cache_sql() -> str:
         )
         SELECT host, last_status, last_success_at,
                CAST({_RC_NOW} - last_definitive_at AS BIGINT) AS age_s,
-               CASE WHEN last_status >= 200 AND last_status < 300
+               CASE WHEN (last_status >= 200 AND last_status < 300)
+                    OR last_status = 304
                     THEN 'use_robots'
                     WHEN last_status >= 400 AND last_status < 500
                     THEN 'allow_all'
@@ -2306,8 +2320,9 @@ def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "host",
         "CAST(i AS BIGINT) AS fetch_idx",
-        f"{_backoff_log_sql('STRING')} AS status",
+        f"{_backoff_log_sql()} AS status",
         "CASE WHEN s % 4 = 3 AND i = 20 THEN CAST(60 + s AS BIGINT) "
+        "WHEN s % 4 = 1 AND i = 37 THEN CAST(90 + s AS BIGINT) "
         "END AS retry_after",
     )
     usable = robots_cache_policy(

@@ -6,8 +6,9 @@ scheduler wants each host's CURRENT backoff factor without replaying the
 log: state per host is exactly the batch operator's sufficient
 statistic — (n_fetches, n_errors, trailing_failures, retry_after_s),
 four slim fields — folded per arriving row (an error extends the
-trailing run, a success resets it; Retry-After keeps a running max over
-429/503 responses). The emitted factor applies the SAME bounded
+trailing run, a success resets it AND spends any pending Retry-After
+mandate; 429/503 responses raise the running Retry-After max until the
+next success clears it). The emitted factor applies the SAME bounded
 power-of-two ladder as the batch operator
 (`operators/crawl.backoff_factor_sql`'s semantics in Python:
 2^min(trailing, max_level) — integer-exact), so the twin's output for a
@@ -87,7 +88,11 @@ def _make_update(max_level: int):
                 errors += 1
                 trailing += 1
             else:
+                # a success both ends the trailing run AND spends any
+                # pending Retry-After mandate (RFC 9110: it governs the
+                # next request, not the host forever) — batch parity
                 trailing = 0
+                retry_after = None
             if status in (429, 503) and ra is not None:
                 retry_after = ra if retry_after is None else max(retry_after, ra)
         state.update((n, errors, trailing, retry_after))
