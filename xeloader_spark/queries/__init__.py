@@ -28,72 +28,62 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import core
 
-
-# The round driver checks at most ~50 queries per round, in registry
-# (dict insertion) order. Names not in _ROUND_PRIORITY keep module order
-# after it. (The generated ledger at the end of COVERAGE.md is the
-# authoritative per-query verification status; regenerate with
-# tools/gen_coverage_ledger.py. Regenerate this list each round with
-# tools/gen_round_priority.py.)
-# ROUND-12 ROTATION (tools/gen_round_priority.py 50 6 — drain-first,
-# VERDICT r11 #1): the FULL 31-query r6-stale cohort (core dedup +
-# multimodal + embedding/ANN families) is pinned to slots 1-31 ahead of
-# the round's new registrations; oldest-r7 re-checks fill the remaining
-# slots to 50 (precisely: drain slots 1-31, the round's 7 new
-# registrations at 32-38, r7 re-checks 39-50). 281 registered at round
-# open, 288 after the r12 registrations; after this round no query
-# should be last-driver-checked before r7.
+# Round 13 rotation: the full 38-query r7-stale cohort (text-analysis +
+# sketch/temporal + sampling/packing families) is pinned to slots 1-38
+# ahead of the round's new registrations; oldest-r8 re-checks fill the
+# remaining slots to 50. After this round no query should be
+# last-driver-checked before r8.
 _ROUND_PRIORITY = [
-    "q_smalldatetime_round",  # recheck (last green r6)
-    "q_string_truncation",  # recheck (last green r6)
-    "q_xml_roundtrip",  # recheck (last green r6)
-    "q_bloom_decontaminate",  # recheck (last green r6)
-    "q_chunk_dedup",  # recheck (last green r6)
-    "q_containment_pairs",  # recheck (last green r6)
-    "q_decontaminate",  # recheck (last green r6)
-    "q_dedup_clusters",  # recheck (last green r6)
-    "q_dedup_exact",  # recheck (last green r6)
-    "q_dedup_minhash_lsh",  # recheck (last green r6)
-    "q_dedup_shingle_jaccard",  # recheck (last green r6)
-    "q_embedding_clusters",  # recheck (last green r6)
-    "q_embedding_neardup",  # recheck (last green r6)
-    "q_incremental_dedup",  # recheck (last green r6)
-    "q_simhash_neardup",  # recheck (last green r6)
-    "q_simhash_signature",  # recheck (last green r6)
-    "q_substring_dup_spans",  # recheck (last green r6)
-    "q_ann_topk_dot",  # recheck (last green r6)
-    "q_ann_topk_ivf",  # recheck (last green r6)
-    "q_ann_topk_lsh_quantized",  # recheck (last green r6)
-    "q_frame_sample",  # recheck (last green r6)
-    "q_label_centroids",  # recheck (last green r6)
-    "q_multimodal_audio_codec",  # recheck (last green r6)
-    "q_multimodal_feature_values",  # recheck (last green r6)
-    "q_multimodal_features",  # recheck (last green r6)
-    "q_multimodal_real_codec",  # recheck (last green r6)
-    "q_multimodal_resize",  # recheck (last green r6)
-    "q_bpe_pair_counts",  # recheck (last green r6)
-    "q_doc_fingerprint",  # recheck (last green r6)
-    "q_token_diversity",  # recheck (last green r6)
-    "q_quantile_normalize_scores",  # recheck (last green r6)
-    "q_crawl_cycle",
-    "q_crawl_state_merge",
-    "q_host_backoff",
-    "q_robots_cache",
-    "q_sitemap_limits",
-    "q_url_trap_score",
-    "q_adaptive_schedule",
-    "q_constraint_checks",  # recheck (last green r7)
-    "q_disjunctive_filter_revenue",  # recheck (last green r7)
-    "q_grouping_sets",  # recheck (last green r7)
-    "q_large_orders",  # recheck (last green r7)
-    "q_last_ship_supplier",  # recheck (last green r7)
-    "q_warc_extract",  # recheck (last green r7)
-    "q_bigram_backoff_quality",  # recheck (last green r7)
-    "q_bm25_topk_logidf",  # recheck (last green r7)
-    "q_crawl_frontier",  # recheck (last green r7)
-    "q_gopher_quality",  # recheck (last green r7)
-    "q_kneser_ney_quality",  # recheck (last green r7)
-    "q_lang_id",  # recheck (last green r7)
+    "q_mix_weights",  # recheck (last green r7)
+    "q_pii_redaction",  # recheck (last green r7)
+    "q_repetition_stats",  # recheck (last green r7)
+    "q_robots_filter",  # recheck (last green r7)
+    "q_text_quality",  # recheck (last green r7)
+    "q_tfidf_search",  # recheck (last green r7)
+    "q_token_count",  # recheck (last green r7)
+    "q_token_fertility",  # recheck (last green r7)
+    "q_top_terms_per_source",  # recheck (last green r7)
+    "q_unigram_doc_prob",  # recheck (last green r7)
+    "q_winnow_overlap_pairs",  # recheck (last green r7)
+    "q_winnowing_fingerprints",  # recheck (last green r7)
+    "q_array_funcs",  # recheck (last green r7)
+    "q_datetime_parts",  # recheck (last green r7)
+    "q_string_funcs",  # recheck (last green r7)
+    "q_approx_distinct_users",  # recheck (last green r7)
+    "q_approx_percentile_value",  # recheck (last green r7)
+    "q_asof_purchase_attribution",  # recheck (last green r7)
+    "q_cms_heavy_hitters",  # recheck (last green r7)
+    "q_hll_mergeable_distinct",  # recheck (last green r7)
+    "q_interval_error_click_window",  # recheck (last green r7)
+    "q_moving_avg_time_range",  # recheck (last green r7)
+    "q_rollup_gapfill_hourly",  # recheck (last green r7)
+    "q_session_window_agg",  # recheck (last green r7)
+    "q_sessionize_gap_batch",  # recheck (last green r7)
+    "q_value_percentiles",  # recheck (last green r7)
+    "q_curriculum_schedule",  # recheck (last green r7)
+    "q_length_bucket_batches",  # recheck (last green r7)
+    "q_pack_sequences",  # recheck (last green r7)
+    "q_preference_pairs",  # recheck (last green r7)
+    "q_sample_deterministic",  # recheck (last green r7)
+    "q_source_cap",  # recheck (last green r7)
+    "q_stratified_sample",  # recheck (last green r7)
+    "q_token_budget_mix",  # recheck (last green r7)
+    "q_train_test_split",  # recheck (last green r7)
+    "q_corpus_clean_pipeline",  # recheck (last green r7)
+    "q_dataset_card",  # recheck (last green r7)
+    "q_quality_scorecard",  # recheck (last green r7)
+    "q_market_share",  # recheck (last green r8)
+    "q_order_priority_check",  # recheck (last green r8)
+    "q_promo_revenue",  # recheck (last green r8)
+    "q_returned_item_customers",  # recheck (last green r8)
+    "q_rich_inactive_customers",  # recheck (last green r8)
+    "q_ship_delay_priority",  # recheck (last green r8)
+    "q_small_quantity_revenue",  # recheck (last green r8)
+    "q_table_profile",  # recheck (last green r8)
+    "q_top_revenue_supplier",  # recheck (last green r8)
+    "q_volume_shipping",  # recheck (last green r8)
+    "q_csv_roundtrip",  # recheck (last green r8)
+    "q_jsonl_roundtrip",  # recheck (last green r8)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
