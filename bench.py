@@ -131,6 +131,11 @@ HEADLINE = [
     "q_discovery_pipeline",
     "q_feasible_budget",
     "q_crawl_cycle",
+    # round-13 additions: the health-rails compositions (backoff ×
+    # Retry-After driving the budget caps) and the trap-gated frontier
+    "q_adaptive_schedule",
+    "q_adaptive_cycle",
+    "q_trap_frontier",
 ]
 
 

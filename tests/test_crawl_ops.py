@@ -945,3 +945,79 @@ def test_sitemap_conformance_defaults(spark):
     assert (r2.urls_ok, r2.bytes_ok, r2.conformant) == (False, True, False)
     r3 = sitemap_conformance(df, max_bytes=50).first()
     assert (r3.urls_ok, r3.bytes_ok, r3.conformant) == (True, False, False)
+
+
+def test_merge_assert_unique_guard(spark):
+    """`assert_unique=True` (r13, ADVICE r12 #3): the happy path is
+    value-identical to the unguarded merge/delta, and a duplicated
+    state or fetch URL FAILS the job naming the key instead of
+    silently fanning out the full-outer join."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from xeloader_spark.operators.crawl import (
+        crawl_state_merge,
+        recrawl_delta,
+    )
+
+    state = spark.createDataFrame(
+        [("u1", "2026-01-01", "f1"), ("u2", "2026-01-05", "f2")],
+        "url string, last_crawled string, fp string",
+    )
+    fetched = spark.createDataFrame(
+        [("u2", "2026-02-01", "n2", True), ("u3", "2026-02-01", "n3", True)],
+        "url string, fetch_date string, new_fp string, ok boolean",
+    )
+    plain = {
+        (r.url, r.merge_action)
+        for r in crawl_state_merge(state, fetched, fp_col="fp").collect()
+    }
+    guarded = {
+        (r.url, r.merge_action)
+        for r in crawl_state_merge(
+            state, fetched, fp_col="fp", assert_unique=True
+        ).collect()
+    }
+    assert plain == guarded == {
+        ("u1", "carried"), ("u2", "updated"), ("u3", "inserted")
+    }
+
+    dup_state = state.unionAll(
+        spark.createDataFrame(
+            [("u1", "2026-01-02", "f1b")],
+            "url string, last_crawled string, fp string",
+        )
+    )
+    # unguarded: the duplicate silently fans out (the documented hazard)
+    assert crawl_state_merge(dup_state, fetched, fp_col="fp").count() == 4
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as ei:
+        crawl_state_merge(
+            dup_state, fetched, fp_col="fp", assert_unique=True
+        ).count()
+    assert "duplicate crawl-state row" in str(ei.value)
+
+    dup_fetch = fetched.unionAll(fetched.limit(1))
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        crawl_state_merge(
+            state, dup_fetch, fp_col="fp", assert_unique=True
+        ).count()
+
+    sm = spark.createDataFrame(
+        [("u1", "2026-01-03"), ("u9", None)], "loc string, lastmod string"
+    )
+    delta_plain = {
+        (r.loc, r.status)
+        for r in recrawl_delta(sm, state.drop("fp")).collect()
+    }
+    delta_guarded = {
+        (r.loc, r.status)
+        for r in recrawl_delta(
+            sm, state.drop("fp"), assert_unique=True
+        ).collect()
+    }
+    assert delta_plain == delta_guarded == {("u1", "stale"), ("u9", "new")}
+    # collect(), not count(): the left join's right side is
+    # distinct-keyed after the guard aggregate, so a bare count() lets
+    # Catalyst eliminate the join (guard subtree never executes)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        recrawl_delta(sm, dup_state.drop("fp"), assert_unique=True).collect()

@@ -1764,3 +1764,79 @@ def test_robots_cache_policy_matches_python_model(spark, host_logs):
         for r in robots_cache_policy(df, now_s=now, max_age_s=max_age).collect()
     }
     assert got == exp
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(
+                    ["a", "b", "p", "q", "2019", "2020", "1999", "", "x" * 60]
+                ),
+                min_size=0,
+                max_size=10,
+            ),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["a", "b", "sid", "PHPSESSID", "x"]),
+                    st.sampled_from(["1", "2", "zz"]),
+                ),
+                min_size=0,
+                max_size=10,
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_url_trap_score_matches_python_model(spark, parts):
+    """For ANY path-segment/query-parameter combination, the trap
+    scorer's components and graded score match a pure-Python replay of
+    the Mercator heuristics — the (VERDICT r12 #4) model pin the
+    backoff and cache-policy rails already have. Segments include
+    repeats, year-likes, empties (double slashes), and 60-char tokens
+    so every weighted signal fires somewhere."""
+    import re
+
+    from xeloader_spark.operators.crawl import (
+        _TRAP_DATE_RE,
+        _TRAP_SESSION_RE,
+        url_trap_score,
+    )
+
+    rows = []
+    exp = []
+    for segs, params in parts:
+        path = "" if not segs else "/" + "/".join(segs)
+        query = "&".join(f"{k}={v}" for k, v in params)
+        url = "https://www.ex.com" + path + (("?" + query) if query else "")
+        # the model replays the engine split/tail semantics exactly:
+        # split('', '/') is [''], tail drops the leading '' element
+        tail = path.split("/")[1:]
+        depth = len(tail)
+        dup = depth - len(set(tail))
+        n_params = 0 if query == "" else len(query.split("&"))
+        sess = 1 if re.search(_TRAP_SESSION_RE, query) else 0
+        dates = len(re.findall(_TRAP_DATE_RE, path))
+        score = (
+            3 * (dup >= 2)
+            + 3 * sess
+            + 2 * (depth >= 8)
+            + 2 * (dates >= 3)
+            + (len(url) >= 512)
+            + (n_params >= 8)
+        )
+        rows.append((url,))
+        exp.append(
+            (depth, dup, n_params, sess, dates, score, score >= 3)
+        )
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        r.url: (r.path_depth, r.dup_segments, r.n_params,
+                r.has_session_param, r.date_segments, r.trap_score,
+                r.is_trap)
+        for r in url_trap_score(df).collect()
+    }
+    for (u,), e in zip(rows, exp):
+        assert got[u] == e, u

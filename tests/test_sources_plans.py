@@ -134,21 +134,34 @@ class TestXmlSource:
         """S28 entry point C (`-f` + `-m`, InputParameters.cs:82-85):
         the CLI loads the XML event file with the sidecar-declared
         schema and demux-writes typed tables — flag-for-flag with
-        ProcessXELwithXEM's dual-file contract."""
+        ProcessXELwithXEM's dual-file contract. A structurally broken
+        <event> (no name) is REPORTED as n_errors and EXCLUDED from the
+        demux output (r13, ADVICE r12 #4 — error rows are not data)."""
         import json as _json
+        import shutil
 
         from xeloader_spark.__main__ import main
 
+        src = tmp_path / "xml_in"
+        shutil.copytree(xml_dir, src)
+        (src / "Trace_2_3.xml").write_text(
+            '<event timestamp="2024-01-01T00:00:09Z">'
+            '<data name="duration"><value>1</value></data></event>\n'
+        )
         xem = tmp_path / "trace.xem.xml"
         xem.write_text(self.XEM_SIDECAR)
         out = str(tmp_path / "xem_cli_out")
-        rc = main(["-f", xml_dir, "-m", str(xem), "-o", out, "-w"])
+        rc = main(["-f", str(src), "-m", str(xem), "-o", out, "-w"])
         printed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0
-        assert printed["n_events"] == 3 and printed["event_types"] == 2
+        assert printed["n_events"] == 4 and printed["event_types"] == 2
+        assert printed["n_errors"] == 1 and printed["n_files"] == 3
         loaded = spark.read.parquet(out)
         assert dict(loaded.dtypes)["c_signal_duration"] == "decimal(38,0)"
         assert loaded.filter("event_type = 'wait_info'").count() == 2
+        # the error row was counted but never written
+        assert loaded.count() == 3
+        assert loaded.filter("event_type IS NULL").count() == 0
 
     def test_nested_value_text_and_entities(self, spark):
         """The SDK's readable-map shape nests values under <value><text>;

@@ -2400,3 +2400,275 @@ def test_streaming_revisit_matches_batch(spark, tmp_path):
     # every URL's first 2 visits; slice 1 only URLs with ≥3 visits
     n_expected = sum(1 + (1 if nv > 2 else 0) for nv, _, _ in exp.values())
     assert len(emitted) == n_expected
+
+
+def test_streaming_robots_cache_matches_batch(spark, tmp_path):
+    """Streamed per-host robots-cache policy == batch
+    `robots_cache_policy` over the same attempt log: the latest
+    emission per host after a two-slice in-order replay carries the
+    identical access class, freshness verdict, and clocks. The
+    q_robots_cache fixture log cycles all four access classes and both
+    freshness outcomes, and the mid-log slice boundary (j<2 / j≥2)
+    makes several hosts' INTERIM class differ from their final one —
+    the state fold, not the batch replay, is what's pinned."""
+    import time
+
+    from xeloader_spark.operators.crawl import robots_cache_policy
+    from xeloader_spark.queries.crawl import (
+        _RC_MAX_AGE,
+        _RC_NOW,
+        _robots_fetch_status_sql,
+    )
+    from xeloader_spark.streaming.robots_cache_stream import (
+        robots_cache_stream,
+    )
+
+    src = str(tmp_path / "rc_in")
+    out = str(tmp_path / "rc_out")
+    ckpt = str(tmp_path / "rc_ckpt")
+
+    log = (
+        load_table(spark, SF, "documents")
+        .selectExpr("source").distinct()
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "CAST(substr(source, 4) AS INT) AS s",
+        )
+        .select("host", "s", F.explode(F.expr("sequence(0, 3)")).alias("j"))
+        .selectExpr(
+            "host",
+            "j",
+            "CAST(1000 * s + 30000 * j + CASE WHEN s >= 10 THEN 30000 "
+            "ELSE 0 END AS BIGINT) AS fetched_at_s",
+            f"CAST({_robots_fetch_status_sql()} AS INT) AS status",
+        )
+    )
+    rows = [
+        (r.host, int(r.j), int(r.fetched_at_s), int(r.status))
+        for r in log.collect()
+    ]
+    schema = "host string, j int, fetched_at_s long, status int"
+    os.makedirs(src, exist_ok=True)
+    slices = ([r for r in rows if r[1] < 2], [r for r in rows if r[1] >= 2])
+    for i, chunk in enumerate(slices):
+        spark.createDataFrame(chunk, schema).drop("j").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("host string, fetched_at_s long, status int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        robots_cache_stream(stream, now_s=_RC_NOW, max_age_s=_RC_MAX_AGE)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out).collect()
+    latest = {}
+    for r in emitted:
+        # the definitive clock only advances, so the final emission per
+        # host is the one with the SMALLEST age_s; hosts whose age is
+        # NULL in both emissions (never-definitive: disallow_all) have
+        # identical interim and final states, so first-seen is safe
+        if r.host not in latest or (
+            r.age_s is not None
+            and (latest[r.host].age_s is None or r.age_s < latest[r.host].age_s)
+        ):
+            latest[r.host] = r
+    got = {
+        h: (r.last_status, r.last_success_at, r.age_s, r.access_class,
+            r.refetch_due)
+        for h, r in latest.items()
+    }
+    exp = {
+        r.host: (r.last_status, r.last_success_at, r.age_s, r.access_class,
+                 r.refetch_due)
+        for r in robots_cache_policy(
+            log.drop("j"), now_s=_RC_NOW, max_age_s=_RC_MAX_AGE
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    # all four access classes occur in the final states
+    assert {c for _, _, _, c, _ in got.values()} == {
+        "use_robots", "allow_all", "use_cached", "disallow_all"
+    }
+    # two emissions per host (every host appears in both slices)
+    assert len(emitted) == 2 * len(exp)
+
+
+def test_streaming_state_merge_matches_batch(spark, tmp_path):
+    """Streamed crawl-state store == batch `crawl_state_merge` over the
+    same cycle: after seeding the state snapshot (kind-0 rows) and
+    replaying the fetch log in two slices, every emission matches the
+    batch merge row for that URL, never-fetched state URLs match the
+    batch 'carried' rows by staying untouched, and failed FIRST fetches
+    produce no row in either engine."""
+    import time
+
+    from xeloader_spark.operators.crawl import crawl_state_merge
+    from xeloader_spark.streaming.state_merge_stream import (
+        state_merge_stream,
+    )
+
+    src = str(tmp_path / "sm_in")
+    out = str(tmp_path / "sm_out")
+    ckpt = str(tmp_path / "sm_ckpt")
+
+    docs = load_table(spark, SF, "documents")
+    # the q_crawl_state_merge fixture, verbatim
+    state = (
+        docs.selectExpr("source", "CAST(doc_id % 50 AS BIGINT) AS c_m")
+        .distinct()
+        .filter("c_m % 3 != 0")
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(c_m AS STRING)) AS url",
+            "concat('2026-01-', lpad(CAST(1 + (c_m * 5) % 28 AS STRING), "
+            "2, '0')) AS last_crawled",
+            "md5(concat('https://www.', source, '.com/articles/', "
+            "CAST(c_m AS STRING), ':old')) AS fp",
+        )
+    )
+    fetched = (
+        docs.selectExpr("source", "CAST((doc_id * 7) % 50 AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+            "'2026-02-01' AS fetch_date",
+            "md5(concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING), ':new')) AS new_fp",
+            "m % 4 != 0 AS ok",
+            "m",
+        )
+    )
+    schema = (
+        "url string, kind int, `order` long, fetch_date string, "
+        "fp string, ok boolean"
+    )
+    seeds = [
+        (r.url, 0, 0, r.last_crawled, r.fp, None) for r in state.collect()
+    ]
+    frows = [
+        (r.url, 1, 1, r.fetch_date, r.new_fp, bool(r.ok), int(r.m))
+        for r in fetched.collect()
+    ]
+    os.makedirs(src, exist_ok=True)
+    slices = (
+        seeds,
+        [r[:6] for r in frows if r[6] % 2 == 0],
+        [r[:6] for r in frows if r[6] % 2 == 1],
+    )
+    for i, chunk in enumerate(slices):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        state_merge_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.url: (r.last_crawled, r.fp, r.merge_action)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        r.url: (r.last_crawled, r.fp, r.merge_action)
+        for r in crawl_state_merge(state, fetched.drop("m"), fp_col="fp")
+        .collect()
+    }
+    state_rows = {r.url: (r.last_crawled, r.fp) for r in state.collect()}
+    assert set(got) <= set(exp)
+    for url, row in exp.items():
+        if url in got:
+            assert got[url] == row, url
+        else:
+            # never-fetched state URL: batch says carried-unchanged,
+            # the store just kept it (no emission)
+            assert row == (*state_rows[url], "carried"), url
+    # all three actions occur among the emissions
+    assert {a for _, _, a in got.values()} == {
+        "inserted", "updated", "carried"
+    }
+    # failed first fetches produced no row in either engine
+    failed_first = {
+        r[0] for r in frows
+        if not r[5] and r[0] not in state_rows
+    }
+    assert failed_first and not (failed_first & set(got))
+    assert not (failed_first & set(exp))
+
+
+def test_streaming_frontier_trap_gate(spark, tmp_path):
+    """`trap_threshold` composes the spider-trap gate into streaming
+    admission (r13): trap-scored URLs (session ids, cycling segments)
+    never reach the state store, graded score-1–2 URLs still admit
+    (demotion is the batch scheduler's job), and without the flag the
+    twin behaves exactly as before."""
+    import time
+
+    from xeloader_spark.streaming.frontier_stream import frontier_stream
+
+    src = str(tmp_path / "tg_in")
+    rows = [
+        (1, "https://www.ex.com/articles/1"),
+        (2, "https://www.ex.com/a/b?phpsessid=deadbeef"),      # trap: 3
+        (3, "https://www.ex.com/p/q/p/q/p"),                   # trap: 3
+        (4, "https://www.ex.com/s?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"),  # 1
+    ]
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, url string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/slice=0")
+    time.sleep(0.2)
+
+    def run(out, ckpt, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/slice=*")
+        )
+        q = (
+            frontier_stream(stream, [], **kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.canonical_url for r in spark.read.parquet(out).collect()
+        }
+
+    gated = run(str(tmp_path / "tg_out1"), str(tmp_path / "tg_ck1"),
+                trap_threshold=3)
+    plain = run(str(tmp_path / "tg_out2"), str(tmp_path / "tg_ck2"))
+    assert len(plain) == 4  # no gate: all four admit
+    assert len(gated) == 2  # gate: the two trap shapes never admit
+    assert not {u for u in gated if "phpsessid" in u or "/p/q/p" in u}
+    assert any("a=1" in u for u in gated)  # score-1 URL still admits

@@ -107,24 +107,39 @@ def main(argv: list[str] | None = None) -> int:
         # the -p default targets the parquet entry points; the XML
         # dual-file path reads *.xml unless the user overrode -p
         pattern = "*.xml" if args.pattern == "*.parquet" else args.pattern
+        # persist: the demux write and the summary aggregate both
+        # consume the parsed frame — without it every XML file is read
+        # and parsed twice (r13, ADVICE r12 #4)
         flat = read_xml_events_with_xem(
             spark, args.file, args.xem, pattern=pattern
-        )
-        demux_write(flat.drop("e_source_file"), args.output, cfg)
-        # real counts from the loaded frame (a -f DIRECTORY globs many
-        # files): n_files = distinct sources actually read, n_errors =
-        # rows whose <event> failed the structural parse (NULL
-        # event_type — the only error class this path has; the parquet
-        # entry points' -e budget / truncation flags do not apply to
-        # the sidecar-typed XML load and are intentionally ignored)
-        counts = flat.agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("e_source_file").alias("n_files"),
-            F.count_distinct("event_type").alias("event_types"),
-            F.sum(
-                F.expr("CAST(event_type IS NULL AS INT)")
-            ).alias("n_errors"),
-        ).first()
+        ).persist()
+        try:
+            # rows whose <event> failed the structural parse (NULL
+            # event_type) are ERRORS, not data: they are counted below
+            # and EXCLUDED from the demux output (the parquet entry
+            # points' -e budget applies the same reported-not-loaded
+            # rule; ADVICE r12 #4)
+            demux_write(
+                flat.filter("event_type IS NOT NULL")
+                .drop("e_source_file"),
+                args.output,
+                cfg,
+            )
+            # real counts from the loaded frame (a -f DIRECTORY globs
+            # many files): n_files = distinct sources actually read,
+            # n_errors = the structural-parse failures (the only error
+            # class this path has; truncation flags do not apply to
+            # the sidecar-typed XML load and are intentionally ignored)
+            counts = flat.agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("e_source_file").alias("n_files"),
+                F.count_distinct("event_type").alias("event_types"),
+                F.sum(
+                    F.expr("CAST(event_type IS NULL AS INT)")
+                ).alias("n_errors"),
+            ).first()
+        finally:
+            flat.unpersist()
         print(json.dumps({
             "n_files": counts["n_files"],
             "n_files_aborted": 0,

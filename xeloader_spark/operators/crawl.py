@@ -380,6 +380,37 @@ def rendezvous_assign(
     return df.withColumn(out_col, F.expr(hrw_shard_sql(HRW_SPARK, key_col, ids)))
 
 
+def _enforce_unique(df: DataFrame, key_col: str, side: str) -> DataFrame:
+    """Opt-in loud enforcement of a URL-uniqueness precondition (r13,
+    ADVICE r12 #3): group on the key and `assert_true` the count is 1,
+    so a duplicate bookkeeping row FAILS the job with the offending key
+    in the message instead of silently fanning out the downstream
+    join. The groupBy shuffles on the SAME key as the join that
+    follows, so the exchange is reused — the cost is the aggregate,
+    which is why callers opt in (`assert_unique=True`) rather than
+    paying it on every cycle. `first()` is arbitrary only when the
+    guard is already failing. The check is a short-circuited
+    `raise_error` FILTER predicate, not `assert_true(...).isNull()` —
+    assert_true's NullType makes that filter constant-foldable and
+    Catalyst deletes it wholesale in some plans. Caveat: the guard
+    fires only when the guarded side is executed — a bare `.count()`
+    over a LEFT join whose right side became distinct-keyed by this
+    very aggregate lets Catalyst eliminate the join (and the guard
+    subtree with it); any action that reads the joined columns
+    evaluates it."""
+    agg = [F.count(F.lit(1)).alias("_dup_n")] + [
+        F.first(c).alias(c) for c in df.columns if c != key_col
+    ]
+    counted = df.groupBy(key_col).agg(*agg)
+    return counted.filter(
+        F.expr(
+            "_dup_n = 1 OR CAST(raise_error(concat("
+            f"'duplicate {side} row for URL key: ', {key_col}"
+            ")) AS BOOLEAN)"
+        )
+    ).drop("_dup_n")
+
+
 def recrawl_delta(
     sitemap_urls: DataFrame,
     crawl_state: DataFrame,
@@ -387,6 +418,7 @@ def recrawl_delta(
     lastmod_col: str = "lastmod",
     state_url_col: str = "url",
     crawled_col: str = "last_crawled",
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Incremental recrawl delta (r11): join freshly-parsed sitemap
     entries against the stored crawl state and classify each URL —
@@ -418,7 +450,10 @@ def recrawl_delta(
     would fan out the left join, so statuses would no longer partition
     the sitemap — the invariant the property test pins. The operator
     does NOT dedupe silently: a state table with duplicates is a
-    bookkeeping bug upstream and deduping here would hide it.
+    bookkeeping bug upstream and deduping here would hide it. Pass
+    ``assert_unique=True`` to ENFORCE the precondition loudly (r13,
+    ADVICE r12 #3): the job fails naming the duplicated URL instead of
+    emitting fanned-out rows.
 
     Scale shape: ONE equi-join on the URL key (the state side is the
     crawl's own bookkeeping table, URL-keyed and bucketable to make
@@ -428,6 +463,8 @@ def recrawl_delta(
         F.col(state_url_col).alias("_s_url"),
         F.col(crawled_col).alias(crawled_col),
     )
+    if assert_unique:
+        state = _enforce_unique(state, "_s_url", "crawl-state")
     joined = sitemap_urls.join(
         state, sitemap_urls[url_col] == state["_s_url"], "left"
     ).drop("_s_url")
@@ -915,6 +952,7 @@ def crawl_state_merge(
     fetch_date_col: str = "fetch_date",
     fetch_fp_col: str = "new_fp",
     ok_col: str = "ok",
+    assert_unique: bool = False,
 ) -> DataFrame:
     """Close the incremental-crawl loop (r12): merge a cycle's fetch
     results back into the crawl-state bookkeeping table — the write
@@ -939,7 +977,10 @@ def crawl_state_merge(
     own bookkeeping (URL-keyed, bucketable to zero-exchange — the
     `recrawl_delta` shape). Same uniqueness precondition as the delta:
     duplicate state or fetch rows would fan out the join, and the
-    operator does not dedupe silently. ``merge_action`` is emitted per
+    operator does not dedupe silently — pass ``assert_unique=True`` to
+    enforce it loudly on BOTH sides (r13, ADVICE r12 #3: the job fails
+    naming the duplicated URL instead of corrupting merge_action
+    counts downstream). ``merge_action`` is emitted per
     row so a cycle's effect on the state table is auditable (and
     replayable in the oracle).
 
@@ -957,6 +998,9 @@ def crawl_state_merge(
         F.col(ok_col).alias("_f_ok"),
         *([F.col(fetch_fp_col).alias("_f_fp")] if fp_col else []),
     )
+    if assert_unique:
+        s = _enforce_unique(s, "_s_url", "crawl-state")
+        f = _enforce_unique(f, "_f_url", "fetch-log")
     joined = s.join(f, s["_s_url"] == f["_f_url"], "full_outer")
     # an "ok" row with a NULL fetch date is a malformed log entry, not
     # a crawl — treating it as a success would DELETE the URL's state

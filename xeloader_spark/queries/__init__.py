@@ -72,6 +72,8 @@ _ROUND_PRIORITY = [
     "q_corpus_clean_pipeline",  # recheck (last green r7)
     "q_dataset_card",  # recheck (last green r7)
     "q_quality_scorecard",  # recheck (last green r7)
+    "q_adaptive_cycle",
+    "q_trap_frontier",
     "q_market_share",  # recheck (last green r8)
     "q_order_priority_check",  # recheck (last green r8)
     "q_promo_revenue",  # recheck (last green r8)
@@ -82,8 +84,6 @@ _ROUND_PRIORITY = [
     "q_table_profile",  # recheck (last green r8)
     "q_top_revenue_supplier",  # recheck (last green r8)
     "q_volume_shipping",  # recheck (last green r8)
-    "q_csv_roundtrip",  # recheck (last green r8)
-    "q_jsonl_roundtrip",  # recheck (last green r8)
 ]
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

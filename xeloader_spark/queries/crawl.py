@@ -1934,6 +1934,144 @@ def _url_trap_score_sql() -> str:
 ORACLES["q_url_trap_score"] = _url_trap_score_sql()
 
 
+# trap-gated frontier fixture (r13, VERDICT r12 #4): src7/src14 publish
+# ONLY the clean control URL (n_trapped = 0 polarity), and every host
+# gets one extra '/zz/…' clean URL that sorts lexicographically AFTER
+# the demoted shapes — so the trap-score demotion visibly REORDERS the
+# waves (without it, URL order and priority order would coincide)
+_TRAP_KEEP_WHERE = "s % 7 != 0"
+
+
+def q_trap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`url_trap_score` composed into frontier ADMISSION (r13, VERDICT
+    r12 #4) — the way the REP gate composes in `q_crawl_pipeline`:
+
+    - ``is_trap`` URLs (score ≥ 3: cycling segments, session ids,
+      calendar shapes) are EXCLUDED from the schedule entirely, and
+      each host's dropped count is carried as ``n_trapped`` (0 for the
+      clean-only hosts — the gate is auditable, not silent);
+    - graded score-1–2 URLs are DEMOTED to trailing waves
+      (`fetch_schedule` with priority = −trap_score: the politeness
+      budget is spent on clean URLs first — the fixture's '/zz/…'
+      clean URL sorts AFTER the demoted '/items/…' and '/s?…' shapes,
+      so demotion measurably reorders the waves);
+    - clean URLs schedule normally over the host's Crawl-delay.
+
+    Scale shape: the scorer is a zero-shuffle projection in the
+    ingest path; admission adds one host-dimension count aggregate and
+    the schedule's per-host window + broadcastable delays join —
+    nothing URL-volume-sized shuffles twice."""
+    from ..operators.crawl import fetch_schedule, url_trap_score
+    from ..operators.robots import robots_crawl_delay
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.selectExpr("source", "CAST(doc_id % 60 AS BIGINT) AS m")
+        .distinct()
+        .selectExpr("source", "m", "CAST(substr(source, 4) AS INT) AS s")
+    )
+    variety = pairs.filter(_TRAP_KEEP_WHERE).selectExpr(
+        "lower(concat('www.', source, '.com')) AS host",
+        f"{_trap_url_sql('STRING')} AS url",
+    )
+    extra = pairs.groupBy("source").agg(F.min("m").alias("m")).selectExpr(
+        "lower(concat('www.', source, '.com')) AS host",
+        "concat('https://www.', source, '.com/zz/', CAST(m AS STRING))"
+        " AS url",
+    )
+    scored = url_trap_score(variety.unionByName(extra))
+    trapped = (
+        scored.filter("is_trap")
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trapped"))
+    )
+    kept = scored.filter("NOT is_trap").withColumn(
+        "pri", F.expr("CAST(-trap_score AS DOUBLE)")
+    )
+    files = spark.createDataFrame(
+        _robots_txt_files(), "host string, robots_txt string"
+    )
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    sched = fetch_schedule(
+        kept, delays, default_delay=_DEFAULT_CRAWL_DELAY, priority_col="pri"
+    )
+    return (
+        sched.join(
+            trapped.withColumnRenamed("host", "_th"),
+            sched["host"] == F.col("_th"),
+            "left",
+        )
+        .drop("_th")
+        .selectExpr(
+            "host", "url", "trap_score", "wave", "delay",
+            "scheduled_offset",
+            "coalesce(n_trapped, CAST(0 AS BIGINT)) AS n_trapped",
+        )
+    )
+
+
+def _trap_frontier_sql() -> str:
+    from ..operators.crawl import TRAP_DUCK, url_trap_exprs
+
+    exprs = url_trap_exprs(
+        TRAP_DUCK,
+        "url",
+        "regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1)",
+        "regexp_extract(url, '\\?([^#]*)', 1)",
+    )
+    d = f"coalesce(dl.crawl_delay, CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE))"
+    return f"""
+        WITH pairs AS (
+            SELECT source, m, CAST(substr(source, 4) AS INT) AS s
+            FROM (
+                SELECT DISTINCT source, CAST(doc_id % 60 AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        urls AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   {_trap_url_sql("VARCHAR")} AS url
+            FROM pairs WHERE {_TRAP_KEEP_WHERE}
+            UNION ALL
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('https://www.', source, '.com/zz/',
+                          CAST(min(m) AS VARCHAR)) AS url
+            FROM pairs GROUP BY source
+        ),
+        scored AS (
+            SELECT host, url,
+                   {exprs["trap_score"]} AS trap_score,
+                   {exprs["is_trap"]} AS is_trap
+            FROM urls
+        ),
+        trapped AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_trapped
+            FROM scored WHERE is_trap GROUP BY host
+        ),
+        kept AS (
+            SELECT host, url, trap_score FROM scored WHERE NOT is_trap
+        ),
+        delays AS ({_robots_delays_cte()}),
+        w AS (
+            SELECT host, url, trap_score,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY CAST(-trap_score AS DOUBLE)
+                                 DESC NULLS LAST, url)
+                   AS BIGINT) AS wave
+            FROM kept
+        )
+        SELECT w.host, w.url, w.trap_score, w.wave, {d} AS delay,
+               CAST(w.wave - 1 AS DOUBLE) * {d} AS scheduled_offset,
+               coalesce(t.n_trapped, CAST(0 AS BIGINT)) AS n_trapped
+        FROM w
+        LEFT JOIN delays dl ON w.host = dl.host
+        LEFT JOIN trapped t ON w.host = t.host
+    """
+
+
+ORACLES["q_trap_frontier"] = _trap_frontier_sql()
+
+
 # backoff fixture: 40 fetches per host; src index drives the failure
 # shape so healthy, scattered-error, trailing-failure-run, and
 # rate-limited hosts ALL occur
@@ -2014,15 +2152,23 @@ def q_host_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _host_backoff_sql() -> str:
+def _host_backoff_sql(where: str = "TRUE") -> str:
+    """Oracle replay of the backoff fixture + aggregate. ``where`` is a
+    host-index predicate (over ``s``) restricting which hosts have any
+    fetch history at all — `q_adaptive_schedule` holds src7/src17 out
+    of the fetch log to pin the never-fetched default (r13,
+    ADVICE r12 #1)."""
     from ..operators.crawl import backoff_factor_sql
 
     factor = backoff_factor_sql("trailing_failures", 3)
     return f"""
         WITH hosts AS (
-            SELECT DISTINCT lower(concat('www.', source, '.com')) AS host,
-                   CAST(substr(source, 4) AS INT) AS s
-            FROM documents
+            SELECT * FROM (
+                SELECT DISTINCT lower(concat('www.', source, '.com'))
+                           AS host,
+                       CAST(substr(source, 4) AS INT) AS s
+                FROM documents
+            ) WHERE {where}
         ),
         log AS (
             SELECT host, CAST(i AS BIGINT) AS fetch_idx,
@@ -2273,35 +2419,27 @@ def _robots_cache_sql() -> str:
 ORACLES["q_robots_cache"] = _robots_cache_sql()
 
 
-def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The operations rails composed into the schedule (r12) — what the
-    fetcher actually executes once health enters the picture:
+# r13 (ADVICE r12 #1): hosts src7/src17 are held OUT of the backoff
+# fetch log — a host present in the robots log but never fetched must
+# still schedule, at backoff_factor 1 / retry_wait 0 (src17 is the
+# load-bearing contrast: with history it would carry factor 8 and an
+# active Retry-After)
+_BK_ABSENT_WHERE = "s % 10 != 7"
 
-    1. `robots_cache_policy` gates hosts: ``disallow_all`` hosts are
-       EXCLUDED from the cycle; ``allow_all`` (4xx robots) hosts take
-       the DEFAULT delay — a file that doesn't exist declares no
-       Crawl-delay, so the declared value must NOT leak through;
-    2. `host_backoff` scales each usable host's politeness:
-       effective_delay = delay × 2^trailing (exact product), and the
-       server's Retry-After (if any) pushes the host's whole queue
-       back by that many seconds;
-    3. `fetch_schedule` orders each host's frontier into waves over
-       the EFFECTIVE delay: scheduled_offset = retry_wait +
-       (wave−1) × effective_delay.
 
-    Pins the key shapes between all three rails and the scheduler the
-    same way `q_crawl_cycle` pins the recrawl halves. Scale shape:
-    three host-dimension aggregates, one per-host window over the
-    frontier, two host-keyed broadcastable joins — nothing
-    URL-volume-sized shuffles more than once."""
-    from ..operators.crawl import (
-        fetch_schedule,
-        host_backoff,
-        robots_cache_policy,
-    )
+def _adaptive_eff(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The health-rails effective-politeness frame shared by
+    `q_adaptive_schedule` and `q_adaptive_cycle` (ONE builder, like the
+    oracle's `_adaptive_eff_ctes`): per usable host — robots-cache
+    gate (``disallow_all`` excluded, ``allow_all`` forced to the
+    DEFAULT delay so a dead file's declared value can't leak),
+    LEFT-joined backoff state with never-fetched hosts defaulting to
+    factor 1 / no Retry-After (r13, ADVICE r12 #1 — an inner join made
+    them vanish), effective crawl_delay = delay × factor (exact), and
+    retry_wait = the server's active Retry-After or 0."""
+    from ..operators.crawl import host_backoff, robots_cache_policy
     from ..operators.robots import robots_crawl_delay
 
-    docs = load_table(spark, sf_dir, "documents")
     hosts = docs.selectExpr("source").distinct().selectExpr(
         "source",
         "lower(concat('www.', source, '.com')) AS host",
@@ -2315,7 +2453,7 @@ def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE 0 END AS BIGINT) AS fetched_at_s",
         f"{_robots_fetch_status_sql()} AS status",
     )
-    flog = hosts.select(
+    flog = hosts.filter(_BK_ABSENT_WHERE).select(
         "host", "s", F.explode(F.expr(f"sequence(0, {_BK_N - 1})")).alias("i")
     ).selectExpr(
         "host",
@@ -2335,26 +2473,88 @@ def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         _robots_txt_files(), "host string, robots_txt string"
     )
     delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
-    eff = (
+    return (
         usable.join(
             delays.select(F.col("host").alias("_dh"), "crawl_delay"),
             usable["host"] == F.col("_dh"),
             "left",
         )
         .drop("_dh")
-        .join(bk.withColumnRenamed("host", "_bh"), F.col("host") == F.col("_bh"))
+        .join(
+            bk.withColumnRenamed("host", "_bh"),
+            F.col("host") == F.col("_bh"),
+            "left",
+        )
         .drop("_bh")
         .selectExpr(
             "host",
             "access_class",
-            "backoff_factor",
+            "coalesce(backoff_factor, CAST(1 AS BIGINT)) AS backoff_factor",
             "CASE WHEN access_class = 'allow_all' "
             f"THEN CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE) "
             f"ELSE coalesce(crawl_delay, CAST({_DEFAULT_CRAWL_DELAY}"
-            " AS DOUBLE)) END * backoff_factor AS crawl_delay",
+            " AS DOUBLE)) END"
+            " * coalesce(backoff_factor, CAST(1 AS BIGINT)) AS crawl_delay",
             "coalesce(retry_after_s, CAST(0 AS BIGINT)) AS retry_wait",
         )
     )
+
+
+def _adaptive_eff_ctes() -> str:
+    """Oracle twin of `_adaptive_eff`: the CTE chain ``bk, pol, delays,
+    eff`` (eff: host, access_class, backoff_factor, crawl_delay,
+    retry_wait). Spliced by both composed oracles so the health-rails
+    replay has ONE source of truth."""
+    return f"""bk AS ({_host_backoff_sql(where=_BK_ABSENT_WHERE)}),
+        pol AS ({_robots_cache_sql()}),
+        delays AS ({_robots_delays_cte()}),
+        eff AS (
+            SELECT p.host, p.access_class,
+                   coalesce(b.backoff_factor, CAST(1 AS BIGINT))
+                       AS backoff_factor,
+                   CASE WHEN p.access_class = 'allow_all'
+                        THEN CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)
+                        ELSE coalesce(d.crawl_delay,
+                             CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)) END
+                       * coalesce(b.backoff_factor, CAST(1 AS BIGINT))
+                       AS crawl_delay,
+                   coalesce(b.retry_after_s, CAST(0 AS BIGINT))
+                       AS retry_wait
+            FROM pol p
+            LEFT JOIN bk b ON p.host = b.host
+            LEFT JOIN delays d ON p.host = d.host
+            WHERE p.access_class != 'disallow_all'
+        )"""
+
+
+def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operations rails composed into the schedule (r12) — what the
+    fetcher actually executes once health enters the picture:
+
+    1. `robots_cache_policy` gates hosts: ``disallow_all`` hosts are
+       EXCLUDED from the cycle; ``allow_all`` (4xx robots) hosts take
+       the DEFAULT delay — a file that doesn't exist declares no
+       Crawl-delay, so the declared value must NOT leak through;
+    2. `host_backoff` scales each usable host's politeness:
+       effective_delay = delay × 2^trailing (exact product), and the
+       server's Retry-After (if any) pushes the host's whole queue
+       back by that many seconds. The join is LEFT (r13, ADVICE r12
+       #1): a usable host with NO fetch history — the fixture holds
+       src7/src17 out of the fetch log — schedules at factor 1 /
+       retry_wait 0 instead of vanishing;
+    3. `fetch_schedule` orders each host's frontier into waves over
+       the EFFECTIVE delay: scheduled_offset = retry_wait +
+       (wave−1) × effective_delay.
+
+    Pins the key shapes between all three rails and the scheduler the
+    same way `q_crawl_cycle` pins the recrawl halves. Scale shape:
+    three host-dimension aggregates, one per-host window over the
+    frontier, two host-keyed broadcastable joins — nothing
+    URL-volume-sized shuffles more than once."""
+    from ..operators.crawl import fetch_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    eff = _adaptive_eff(spark, docs)
     frontier = (
         docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
         .distinct()
@@ -2389,23 +2589,7 @@ def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _adaptive_schedule_sql() -> str:
     return f"""
-        WITH bk AS ({_host_backoff_sql()}),
-        pol AS ({_robots_cache_sql()}),
-        delays AS ({_robots_delays_cte()}),
-        eff AS (
-            SELECT p.host, p.access_class, b.backoff_factor,
-                   CASE WHEN p.access_class = 'allow_all'
-                        THEN CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)
-                        ELSE coalesce(d.crawl_delay,
-                             CAST({_DEFAULT_CRAWL_DELAY} AS DOUBLE)) END
-                       * b.backoff_factor AS crawl_delay,
-                   coalesce(b.retry_after_s, CAST(0 AS BIGINT))
-                       AS retry_wait
-            FROM pol p
-            JOIN bk b ON p.host = b.host
-            LEFT JOIN delays d ON p.host = d.host
-            WHERE p.access_class != 'disallow_all'
-        ),
+        WITH {_adaptive_eff_ctes()},
         frontier AS (
             SELECT lower(concat('www.', source, '.com')) AS host,
                    concat('https://www.', source, '.com/articles/',
@@ -2432,9 +2616,149 @@ def _adaptive_schedule_sql() -> str:
 ORACLES["q_adaptive_schedule"] = _adaptive_schedule_sql()
 
 
+# the adaptive-cycle composition (r13, VERDICT r12 #2): the health
+# rails DRIVE the budget — effective_delay (declared × backoff factor,
+# allow_all forced to default) feeds `feasible_budget_allocate`'s
+# politeness cap, so a backed-off host's cap measurably SHRINKS
+# (factor-8 hosts at cycle 60: cap floor(60/40)+1 = 2 vs 13 over the
+# raw delay 5), and the Retry-After queue push lands on every
+# start_offset.
+# Budget 60 < the ~80-URL usable backlog so Hamilton binds; the capped
+# surplus refills fast hosts (src2's effective delay 1 s).
+_AC_BUDGET, _AC_CYCLE = 60, 60
+
+
+def q_adaptive_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 health rails composed INTO the budget (r13, VERDICT r12
+    #2 — the last seam between the recrawl halves and the ops rails):
+    `q_crawl_cycle` allocated its fetch budget over RAW Crawl-delays;
+    this cycle allocates over the EFFECTIVE delay the fetcher will
+    actually honor —
+
+    1. `_adaptive_eff`: robots-cache gate → usable hosts; backoff
+       factor × declared delay (allow_all → default) = effective
+       delay; active Retry-After = queue push;
+    2. the URL backlog weights each host and
+       `feasible_budget_allocate` runs with delay = EFFECTIVE delay:
+       cap = floor(cycle/eff)+1, so a backed-off host's cap shrinks by
+       exactly its factor's worth and the freed budget refills healthy
+       hosts' headroom (Σ quota = min(budget, Σ cap) still exact);
+    3. `fetch_schedule` orders each host's queue over the effective
+       delay, the wave cut keeps quota_h fetches, and every offset is
+       pushed back by the host's retry_wait.
+
+    Scale shape: `q_adaptive_schedule`'s three host-dimension
+    aggregates + `q_feasible_budget`'s allocation (1-row broadcast
+    scalars + distributed rank/prefix sum) + one per-host frontier
+    window and two host-keyed broadcastable joins — the composition
+    adds NO new URL-volume shuffle."""
+    from ..operators.crawl import feasible_budget_allocate, fetch_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    eff = _adaptive_eff(spark, docs)
+    frontier = (
+        docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+        )
+        .join(eff.select(F.col("host").alias("_uh")),
+              F.col("host") == F.col("_uh"))
+        .drop("_uh")
+    )
+    hosts = (
+        frontier.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .join(
+            eff.selectExpr("host AS _eh", "crawl_delay AS delay"),
+            F.col("host") == F.col("_eh"),
+        )
+        .drop("_eh")
+    )
+    alloc = feasible_budget_allocate(hosts, _AC_BUDGET, _AC_CYCLE)
+    sched = fetch_schedule(
+        frontier, eff.select("host", "crawl_delay"),
+        default_delay=_DEFAULT_CRAWL_DELAY,
+    )
+    return (
+        sched.join(
+            alloc.selectExpr("host AS _ah", "quota", "cap"),
+            sched["host"] == F.col("_ah"),
+        )
+        .drop("_ah")
+        .join(
+            eff.selectExpr(
+                "host AS _eh", "access_class", "backoff_factor", "retry_wait"
+            ),
+            F.col("host") == F.col("_eh"),
+        )
+        .drop("_eh")
+        .filter("wave <= quota")
+        .selectExpr(
+            "host", "url", "access_class", "backoff_factor", "wave",
+            "quota", "cap", "delay AS effective_delay", "retry_wait",
+            "retry_wait + scheduled_offset AS start_offset",
+        )
+    )
+
+
+def _adaptive_cycle_sql() -> str:
+    return f"""
+        WITH {_adaptive_eff_ctes()},
+        fr AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('https://www.', source, '.com/articles/',
+                          CAST(m AS VARCHAR)) AS url
+            FROM (
+                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        frontier AS (
+            SELECT fr.host, fr.url FROM fr JOIN eff e ON fr.host = e.host
+        ),
+        w AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM frontier GROUP BY host
+        ),
+        h AS (
+            SELECT w.host, w.weight, e.crawl_delay AS delay
+            FROM w JOIN eff e ON w.host = e.host
+        ),
+        {_feasible_alloc_ctes(_AC_BUDGET, _AC_CYCLE)},
+        sched AS (
+            SELECT host, url,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY url) AS BIGINT) AS wave
+            FROM frontier
+        )
+        SELECT s.host, s.url, e.access_class, e.backoff_factor, s.wave,
+               a.quota, a.cap, a.delay AS effective_delay, e.retry_wait,
+               e.retry_wait + CAST(s.wave - 1 AS DOUBLE) * a.delay
+                   AS start_offset
+        FROM sched s
+        JOIN alloc a ON s.host = a.host
+        JOIN eff e ON s.host = e.host
+        WHERE s.wave <= a.quota
+    """
+
+
+ORACLES["q_adaptive_cycle"] = _adaptive_cycle_sql()
+
+
 # ---------------------------------------------------------------------------
 # the discovery story end-to-end (r10): robots.txt → Sitemap directive →
 # sitemap INDEX → member urlsets → REP gate → politeness schedule, one plan
+
+
+# discovery conformance-gate thresholds (r13): fixture-lowered so the
+# 2-entry members (~252 B) violate both limits while the 1-entry
+# members (~146 B) pass — `conformant` occurs in both polarities
+# without 50 MB fixtures (component-verdict polarities are
+# q_sitemap_limits' job)
+_GD_MAX_URLS, _GD_MAX_BYTES = 1, 250
 
 
 def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2451,6 +2775,17 @@ def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovered at all (the fixture names 4 of the 10 corpus hosts —
     realistic: discovery starts from robots, not from the corpus).
 
+    r13 (VERDICT r12 #5): each fetched MEMBER passes through
+    `sitemap_conformance` before its URLs are admitted — sitemaps.org
+    0.9 caps a file at 50k URLs / 50 MB and says split oversize files,
+    so a compliant crawler refuses to ingest violators. Non-conformant
+    members are loudly FLAGGED, not silently dropped: their URLs
+    appear with ``admitted = false`` and NULL wave/delay/offset (the
+    thresholds are fixture-lowered so the 2-entry members violate both
+    limits while 1-entry members pass — both polarities occur; a
+    production pipeline short-circuits the parse instead of carrying
+    the rows, this row carries them so the gate is auditable).
+
     Scale shape: 10 exchanges on the static plan, and MOST belong to
     the fixture synthesis (the distinct + two aggregates that build
     the XML, and the robots-parse windows behind the Crawl-delay
@@ -2463,6 +2798,7 @@ def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fetch_schedule,
         parse_sitemap,
         parse_sitemap_index,
+        sitemap_conformance,
     )
     from ..operators.robots import robots_crawl_delay, robots_sitemaps
 
@@ -2513,16 +2849,36 @@ def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched = midx.join(
         members, midx["sitemap_loc"] == members["member_url"]
     ).drop("member_url")
-    urls = parse_sitemap(fetched)
+    conf = sitemap_conformance(
+        fetched, max_urls=_GD_MAX_URLS, max_bytes=_GD_MAX_BYTES
+    )
+    urls = parse_sitemap(
+        conf.select("sitemap_loc", "n_urls", "conformant", "sitemap_xml")
+    )
     gated = robots_filter(urls, _ROBOTS_RULES, url_col="loc")
-    frontier = gated.filter("allowed").select(
-        "host", F.col("loc").alias("url"), "matched_len"
+    base = gated.filter("allowed").select(
+        "host",
+        F.col("loc").alias("url"),
+        "matched_len",
+        F.col("sitemap_loc").alias("member_url"),
+        F.col("n_urls").alias("member_n_urls"),
+        F.col("conformant").alias("admitted"),
     )
     delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
-    return fetch_schedule(
-        frontier, delays, default_delay=_DEFAULT_CRAWL_DELAY
-    ).select("host", "url", "matched_len", "wave", "delay",
-             "scheduled_offset")
+    sched = fetch_schedule(
+        base.filter("admitted"), delays, default_delay=_DEFAULT_CRAWL_DELAY
+    ).select(
+        "host", "url", "matched_len", "member_url", "member_n_urls",
+        "admitted", "wave", "delay", "scheduled_offset",
+    )
+    skipped = base.filter("NOT admitted").selectExpr(
+        "host", "url", "matched_len", "member_url", "member_n_urls",
+        "admitted",
+        "CAST(NULL AS BIGINT) AS wave",
+        "CAST(NULL AS DOUBLE) AS delay",
+        "CAST(NULL AS DOUBLE) AS scheduled_offset",
+    )
+    return sched.unionByName(skipped)
 
 
 def _discovery_pipeline_sql() -> str:
@@ -2602,31 +2958,52 @@ def _discovery_pipeline_sql() -> str:
             )
         ),
         fetched AS (
-            SELECT m.sitemap_xml
+            SELECT x.sitemap_loc, m.sitemap_xml
             FROM midx x JOIN members m ON x.sitemap_loc = m.member_url
             WHERE x.sitemap_loc IS NOT NULL
         ),
-        ub AS (
-            SELECT unnest(regexp_extract_all(sitemap_xml,
-                   '{SITEMAP_URL_RE}', 0)) AS u
+        conf AS (
+            SELECT sitemap_loc, sitemap_xml,
+                   CAST(len(regexp_extract_all(sitemap_xml,
+                        '{SITEMAP_URL_RE}')) AS BIGINT) AS n_urls,
+                   CAST(strlen(sitemap_xml) AS BIGINT) AS n_bytes
             FROM fetched
+        ),
+        ub AS (
+            SELECT sitemap_loc, n_urls,
+                   n_urls <= {_GD_MAX_URLS}
+                       AND n_bytes <= {_GD_MAX_BYTES} AS conformant,
+                   unnest(regexp_extract_all(sitemap_xml,
+                   '{SITEMAP_URL_RE}', 0)) AS u
+            FROM conf
         ),
         gated AS (
             SELECT {e["host"]} AS host, loc AS url,
-                   {e["matched_len"]} AS matched_len
-            FROM (SELECT {loc} AS loc FROM ub)
+                   {e["matched_len"]} AS matched_len,
+                   sitemap_loc AS member_url, n_urls AS member_n_urls,
+                   conformant AS admitted
+            FROM (SELECT sitemap_loc, n_urls, conformant, {loc} AS loc
+                  FROM ub)
             WHERE loc IS NOT NULL AND {e["allowed"]}
         ),
         delays AS ({delays}),
         w AS (
-            SELECT host, url, matched_len,
+            SELECT host, url, matched_len, member_url, member_n_urls,
+                   admitted,
                    CAST(row_number() OVER (PARTITION BY host
                         ORDER BY url) AS BIGINT) AS wave
-            FROM gated
+            FROM gated WHERE admitted
         )
-        SELECT w.host, w.url, w.matched_len, w.wave, {d} AS delay,
+        SELECT w.host, w.url, w.matched_len, w.member_url,
+               w.member_n_urls, w.admitted, w.wave, {d} AS delay,
                CAST(w.wave - 1 AS DOUBLE) * {d} AS scheduled_offset
         FROM w LEFT JOIN delays dl ON w.host = dl.host
+        UNION ALL
+        SELECT host, url, matched_len, member_url, member_n_urls,
+               admitted, CAST(NULL AS BIGINT) AS wave,
+               CAST(NULL AS DOUBLE) AS delay,
+               CAST(NULL AS DOUBLE) AS scheduled_offset
+        FROM gated WHERE NOT admitted
     """
 
 

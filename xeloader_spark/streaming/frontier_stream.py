@@ -116,13 +116,32 @@ def frontier_stream(
     rules: list[Rule],
     url_col: str = "url",
     id_col: str = "doc_id",
+    trap_threshold: int | None = None,
 ) -> DataFrame:
     """Admit each robots-allowed canonical URL exactly once:
-    (host, canonical_url, keeper_doc_id) emitted on first sighting."""
+    (host, canonical_url, keeper_doc_id) emitted on first sighting.
+
+    With ``trap_threshold`` set (r13, VERDICT r12 #4), spider-trap
+    shapes are excluded the same way the REP gate composes: the
+    zero-shuffle `url_trap_score` projection runs on the canonical
+    form BEFORE the state store, so trap families (session ids,
+    cycling segments, calendar pagination) never enter state — the
+    store's bound stays "admissible URLs", which is the whole point of
+    trap defense: an infinite URL family must not grow the frontier.
+    Graded DEMOTION of score-1–2 URLs is the batch scheduler's job
+    (`q_trap_frontier` spends each host's politeness budget clean-
+    first); the streaming side only owns admission, exactly as waves
+    stay batch-side (see module docstring)."""
     canon = tx.url_canonicalize(urls, url_col=url_col)
     gated = robots_filter(canon, rules, url_col="canonical_url").filter(
         F.col("allowed")
     )
+    if trap_threshold is not None:
+        from ..operators.crawl import url_trap_score
+
+        gated = url_trap_score(
+            gated, url_col="canonical_url", threshold=trap_threshold
+        ).filter("NOT is_trap")
     slim = gated.select(
         F.col(id_col).cast("long").alias("doc_id"), "canonical_url", "host"
     )
