@@ -134,6 +134,13 @@ AUDIT_QUERIES = [
     "q_sitemap_limits",
     "q_robots_cache",
     "q_adaptive_schedule",
+    # round-13 additions: the health-rails budget composition (the
+    # adaptive eff frame + feasible allocation + waves in one plan)
+    # and the trap-gated frontier (zero-shuffle scorer + one dropped-
+    # count host aggregate + schedule window) — host/URL-dimension
+    # frames, expected ≪ 1
+    "q_adaptive_cycle",
+    "q_trap_frontier",
 ]
 
 # One-line justifications for every query EXPECTED to audit above 1.0
@@ -309,6 +316,14 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.port": str(ui_port),
+            # the audit reads cumulative stage totals from the UI store;
+            # the default retainedStages (1000) evicts early stages once
+            # the suite passes ~76 queries, making later before/after
+            # deltas NEGATIVE (r13: the two new rows underflowed by the
+            # evicted early-stage bytes). Retain far more than the
+            # ~2,000 stages a full audit generates.
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "50000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

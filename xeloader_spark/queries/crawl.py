@@ -1934,7 +1934,8 @@ def _url_trap_score_sql() -> str:
 ORACLES["q_url_trap_score"] = _url_trap_score_sql()
 
 
-# trap-gated frontier fixture (r13, VERDICT r12 #4): src7/src14 publish
+# trap-gated frontier fixture (r13, VERDICT r12 #4): src0/src7/src14
+# (s % 7 = 0) publish
 # ONLY the clean control URL (n_trapped = 0 polarity), and every host
 # gets one extra '/zz/…' clean URL that sorts lexicographically AFTER
 # the demoted shapes — so the trap-score demotion visibly REORDERS the
@@ -2527,6 +2528,43 @@ def _adaptive_eff_ctes() -> str:
         )"""
 
 
+def _adaptive_frontier(docs: DataFrame, eff: DataFrame) -> DataFrame:
+    """The '/articles/…' URL backlog restricted to usable hosts — the
+    frontier frame shared by both adaptive compositions (ONE builder,
+    the `_adaptive_eff` discipline; oracle twin
+    `_adaptive_frontier_ctes`)."""
+    return (
+        docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
+        .distinct()
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "concat('https://www.', source, '.com/articles/', "
+            "CAST(m AS STRING)) AS url",
+        )
+        .join(eff.select(F.col("host").alias("_uh")),
+              F.col("host") == F.col("_uh"))
+        .drop("_uh")
+    )
+
+
+def _adaptive_frontier_ctes() -> str:
+    """Oracle twin of `_adaptive_frontier`: CTE chain ``fr, frontier``
+    (frontier: host, url — usable hosts only; expects ``eff`` in
+    scope)."""
+    return f"""fr AS (
+            SELECT lower(concat('www.', source, '.com')) AS host,
+                   concat('https://www.', source, '.com/articles/',
+                          CAST(m AS VARCHAR)) AS url
+            FROM (
+                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
+                FROM documents
+            )
+        ),
+        frontier AS (
+            SELECT fr.host, fr.url FROM fr JOIN eff e ON fr.host = e.host
+        )"""
+
+
 def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operations rails composed into the schedule (r12) — what the
     fetcher actually executes once health enters the picture:
@@ -2555,18 +2593,7 @@ def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     eff = _adaptive_eff(spark, docs)
-    frontier = (
-        docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
-        .distinct()
-        .selectExpr(
-            "lower(concat('www.', source, '.com')) AS host",
-            "concat('https://www.', source, '.com/articles/', "
-            "CAST(m AS STRING)) AS url",
-        )
-        .join(eff.select(F.col("host").alias("_uh")),
-              F.col("host") == F.col("_uh"))
-        .drop("_uh")
-    )
+    frontier = _adaptive_frontier(docs, eff)
     sched = fetch_schedule(
         frontier, eff.select("host", "crawl_delay"),
         default_delay=_DEFAULT_CRAWL_DELAY,
@@ -2590,20 +2617,12 @@ def q_adaptive_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _adaptive_schedule_sql() -> str:
     return f"""
         WITH {_adaptive_eff_ctes()},
-        frontier AS (
-            SELECT lower(concat('www.', source, '.com')) AS host,
-                   concat('https://www.', source, '.com/articles/',
-                          CAST(m AS VARCHAR)) AS url
-            FROM (
-                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
-                FROM documents
-            )
-        ),
+        {_adaptive_frontier_ctes()},
         w AS (
-            SELECT f.host, f.url,
-                   CAST(row_number() OVER (PARTITION BY f.host
-                        ORDER BY f.url) AS BIGINT) AS wave
-            FROM frontier f JOIN eff e ON f.host = e.host
+            SELECT host, url,
+                   CAST(row_number() OVER (PARTITION BY host
+                        ORDER BY url) AS BIGINT) AS wave
+            FROM frontier
         )
         SELECT w.host, w.url, e.access_class, e.backoff_factor, w.wave,
                e.crawl_delay AS effective_delay, e.retry_wait,
@@ -2656,18 +2675,7 @@ def q_adaptive_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     eff = _adaptive_eff(spark, docs)
-    frontier = (
-        docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
-        .distinct()
-        .selectExpr(
-            "lower(concat('www.', source, '.com')) AS host",
-            "concat('https://www.', source, '.com/articles/', "
-            "CAST(m AS STRING)) AS url",
-        )
-        .join(eff.select(F.col("host").alias("_uh")),
-              F.col("host") == F.col("_uh"))
-        .drop("_uh")
-    )
+    frontier = _adaptive_frontier(docs, eff)
     hosts = (
         frontier.groupBy("host")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
@@ -2707,18 +2715,7 @@ def q_adaptive_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _adaptive_cycle_sql() -> str:
     return f"""
         WITH {_adaptive_eff_ctes()},
-        fr AS (
-            SELECT lower(concat('www.', source, '.com')) AS host,
-                   concat('https://www.', source, '.com/articles/',
-                          CAST(m AS VARCHAR)) AS url
-            FROM (
-                SELECT DISTINCT source, CAST({_SM_M} AS BIGINT) AS m
-                FROM documents
-            )
-        ),
-        frontier AS (
-            SELECT fr.host, fr.url FROM fr JOIN eff e ON fr.host = e.host
-        ),
+        {_adaptive_frontier_ctes()},
         w AS (
             SELECT host, CAST(COUNT(*) AS BIGINT) AS weight
             FROM frontier GROUP BY host

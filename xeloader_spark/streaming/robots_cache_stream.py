@@ -107,12 +107,17 @@ def _make_update(now_s: int, max_age_s: int):
         else:
             last_success = last_definitive = last_status = None
             last_fetched = None
+        # every clock folds as a conditional MAX (not a bare assign), so
+        # the state matches the batch aggregates even if a row arrives
+        # late relative to state already folded in an earlier batch —
+        # the in-order contract is for EMISSION equivalence, the clocks
+        # themselves are order-insensitive
         for t, status in sorted(rows):
             success = 200 <= status < 300 or status == 304
             definitive = success or 400 <= status < 500
-            if success:
+            if success and (last_success is None or t > last_success):
                 last_success = t
-            if definitive:
+            if definitive and (last_definitive is None or t > last_definitive):
                 last_definitive = t
             if last_fetched is None or t > last_fetched:
                 last_fetched, last_status = t, status

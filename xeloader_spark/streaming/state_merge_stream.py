@@ -89,8 +89,12 @@ def _update(
     out: list[tuple[str, str | None, str | None, str]] = []
     for kind, _, date, fp, ok in sorted(rows, key=lambda r: (r[0], r[1])):
         if kind == 0:
-            # state-snapshot seed: installs only when no state exists
-            if cur is None:
+            # state-snapshot seed: installs only when no state exists.
+            # A NULL-date seed is skipped — the batch merge's final
+            # `last_crawled IS NOT NULL` filter means no merge-produced
+            # state table can carry one, and installing it would emit
+            # NULL-date 'carried' rows batch parity filters out
+            if cur is None and date is not None:
                 cur = (date, fp)
             continue
         ok_eff = bool(ok) and date is not None
