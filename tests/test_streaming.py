@@ -2672,3 +2672,91 @@ def test_streaming_frontier_trap_gate(spark, tmp_path):
     assert len(gated) == 2  # gate: the two trap shapes never admit
     assert not {u for u in gated if "phpsessid" in u or "/p/q/p" in u}
     assert any("a=1" in u for u in gated)  # score-1 URL still admits
+
+
+def test_streaming_robots_cache_out_of_order_slices(spark, tmp_path):
+    """The cache-policy clocks fold as conditional MAX, so replaying
+    the slices OUT of order (late attempts first, early attempts
+    second) cannot regress last_success/last_definitive — the final
+    per-host state still equals the batch aggregate (r13 review fix:
+    a half-guarded assign silently rewound the freshness clock)."""
+    import time
+
+    from xeloader_spark.operators.crawl import robots_cache_policy
+    from xeloader_spark.queries.crawl import (
+        _RC_MAX_AGE,
+        _RC_NOW,
+        _robots_fetch_status_sql,
+    )
+    from xeloader_spark.streaming.robots_cache_stream import (
+        robots_cache_stream,
+    )
+
+    src = str(tmp_path / "rco_in")
+    out = str(tmp_path / "rco_out")
+    ckpt = str(tmp_path / "rco_ckpt")
+
+    log = (
+        load_table(spark, SF, "documents")
+        .selectExpr("source").distinct()
+        .selectExpr(
+            "lower(concat('www.', source, '.com')) AS host",
+            "CAST(substr(source, 4) AS INT) AS s",
+        )
+        .select("host", "s", F.explode(F.expr("sequence(0, 3)")).alias("j"))
+        .selectExpr(
+            "host",
+            "j",
+            "CAST(1000 * s + 30000 * j + CASE WHEN s >= 10 THEN 30000 "
+            "ELSE 0 END AS BIGINT) AS fetched_at_s",
+            f"CAST({_robots_fetch_status_sql()} AS INT) AS status",
+        )
+    )
+    rows = [
+        (r.host, int(r.j), int(r.fetched_at_s), int(r.status))
+        for r in log.collect()
+    ]
+    schema = "host string, j int, fetched_at_s long, status int"
+    os.makedirs(src, exist_ok=True)
+    # REVERSED slice order: the late half of every host's log arrives
+    # in micro-batch 0, the early half in micro-batch 1
+    slices = ([r for r in rows if r[1] >= 2], [r for r in rows if r[1] < 2])
+    for i, chunk in enumerate(slices):
+        spark.createDataFrame(chunk, schema).drop("j").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/slice={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("host string, fetched_at_s long, status int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/slice=*")
+    )
+    q = (
+        robots_cache_stream(stream, now_s=_RC_NOW, max_age_s=_RC_MAX_AGE)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # with the late half folded FIRST, the second emission's clocks
+    # must equal the first's (nothing in the early half may advance or
+    # rewind them) — so EVERY emission equals the batch row
+    emitted = spark.read.parquet(out).collect()
+    exp = {
+        r.host: (r.last_status, r.last_success_at, r.age_s, r.access_class,
+                 r.refetch_due)
+        for r in robots_cache_policy(
+            log.drop("j"), now_s=_RC_NOW, max_age_s=_RC_MAX_AGE
+        ).collect()
+    }
+    assert len(emitted) == 2 * len(exp)
+    for r in emitted:
+        assert (
+            r.last_status, r.last_success_at, r.age_s, r.access_class,
+            r.refetch_due,
+        ) == exp[r.host], r.host

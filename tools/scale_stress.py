@@ -167,6 +167,48 @@ def budget_host_frame(spark, k: int):
     )
 
 
+def adaptive_cycle_frames(spark, k: int):
+    """The r13 COMPOSITION axis's four inputs at N_BUDGET_HOSTS·K
+    hosts — fetch log (8 attempts/host, shapes giving backoff factors
+    1/2/4 plus an active Retry-After band), robots-attempt log
+    (2 attempts/host; ~20% of hosts never reachable → gated out, ~20%
+    4xx → allow_all), a declared-delay table covering only some hosts
+    (1% fast 0.5 s, a slow declared band, the rest defaulting), and a
+    4-URL-per-host frontier. All deterministic `spark.range`
+    projections; localCheckpoint'd by the harness."""
+    n = N_BUDGET_HOSTS * k
+    host = "concat('h', lpad(CAST(id DIV {d} AS STRING), 9, '0')) AS host"
+    flog = spark.range(n * 8).selectExpr(
+        host.format(d=8),
+        "CAST(id % 8 AS BIGINT) AS fetch_idx",
+        "CAST(CASE WHEN (id DIV 8) % 4 = 1 AND id % 8 >= 6 THEN 503 "
+        "WHEN (id DIV 8) % 8 = 5 AND id % 8 = 7 THEN 500 "
+        "WHEN (id DIV 8) % 4 = 3 AND id % 8 = 2 THEN 500 "
+        "ELSE 200 END AS INT) AS status",
+        "CASE WHEN (id DIV 8) % 4 = 1 AND id % 8 = 6 "
+        "THEN CAST(60 + (id DIV 8) % 37 AS BIGINT) END AS retry_after",
+    )
+    rlog = spark.range(n * 2).selectExpr(
+        host.format(d=2),
+        "CAST(1000 * (id DIV 2) + 50000 * (id % 2) AS BIGINT)"
+        " AS fetched_at_s",
+        "CAST(CASE WHEN (id DIV 2) % 5 = 3 THEN 503 "
+        "WHEN (id DIV 2) % 5 = 1 AND id % 2 = 1 THEN 404 "
+        "ELSE 200 END AS INT) AS status",
+    )
+    delays = spark.range(n).filter("id % 3 = 0").selectExpr(
+        host.format(d=1),
+        "CASE WHEN id % 100 = 0 THEN CAST(0.5 AS DOUBLE) "
+        "ELSE CAST(30.0 AS DOUBLE) END AS crawl_delay",
+    )
+    frontier = spark.range(n * 4).selectExpr(
+        host.format(d=4),
+        "concat('https://h', CAST(id DIV 4 AS STRING), '/a/', "
+        "CAST(id % 4 AS STRING)) AS url",
+    )
+    return flog, rlog, delays, frontier
+
+
 def discovery_frames(spark, k: int):
     """Two-level discovery fixture at K: N_DISC_HOSTS·K hosts, each
     with a <sitemapindex> naming N_DISC_PARTS member urlsets of
@@ -529,6 +571,73 @@ def main() -> None:
             .filter("quota >= 0 AND cap >= 1")
         )
 
+    def _adaptive_cycle(k: int):
+        # the r13 composition end-to-end (q_adaptive_cycle's plan with
+        # table-sourced delays): cache gate + backoff LEFT join →
+        # effective delay → backlog weights → politeness-feasible
+        # allocation over the EFFECTIVE delay → per-host waves cut at
+        # quota. Every stage host-dimension or frontier-window-sized.
+        flog = inputs[k]["ac_flog"]
+        rlog = inputs[k]["ac_rlog"]
+        delays = inputs[k]["ac_delays"]
+        frontier = inputs[k]["ac_frontier"]
+        usable = (
+            cr.robots_cache_policy(rlog, now_s=10 ** 9)
+            .filter("access_class != 'disallow_all'")
+            .select("host", "access_class")
+        )
+        bk = cr.host_backoff(flog, retry_after_col="retry_after").select(
+            "host", "backoff_factor", "retry_after_s"
+        )
+        eff = (
+            usable.join(
+                delays.withColumnRenamed("host", "_dh"),
+                F.col("host") == F.col("_dh"),
+                "left",
+            )
+            .drop("_dh")
+            .join(
+                bk.withColumnRenamed("host", "_bh"),
+                F.col("host") == F.col("_bh"),
+                "left",
+            )
+            .drop("_bh")
+            .selectExpr(
+                "host",
+                "CASE WHEN access_class = 'allow_all' "
+                "THEN CAST(5.0 AS DOUBLE) "
+                "ELSE coalesce(crawl_delay, CAST(5.0 AS DOUBLE)) END"
+                " * coalesce(backoff_factor, CAST(1 AS BIGINT))"
+                " AS crawl_delay",
+                "coalesce(retry_after_s, CAST(0 AS BIGINT)) AS retry_wait",
+            )
+        )
+        fr = frontier.join(
+            eff.select(F.col("host").alias("_uh")),
+            F.col("host") == F.col("_uh"),
+        ).drop("_uh")
+        hosts = (
+            fr.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+            .join(
+                eff.selectExpr("host AS _eh", "crawl_delay AS delay"),
+                F.col("host") == F.col("_eh"),
+            )
+            .drop("_eh")
+        )
+        alloc = cr.feasible_budget_allocate(
+            hosts, budget=4 * N_BUDGET_HOSTS * k, cycle_s=60
+        )
+        sched = cr.fetch_schedule(fr, eff.select("host", "crawl_delay"))
+        return (
+            sched.join(
+                alloc.selectExpr("host AS _ah", "quota"),
+                sched["host"] == F.col("_ah"),
+            )
+            .drop("_ah")
+            .filter("wave <= quota AND scheduled_offset >= 0")
+        )
+
     def _discovery(k: int):
         midx = cr.parse_sitemap_index(inputs[k]["disc_idx"])
         fetched = midx.join(
@@ -713,6 +822,11 @@ def main() -> None:
         # (the reason host is the frontier's partition key). Fixture
         # synthesis is checkpointed out; filter forces per-row eval.
         "discovery_hosts": lambda k: _discovery(k),
+        # r13 COMPOSITION axis: the adaptive cycle end-to-end at K×
+        # hosts — proves the composed plan (gate + backoff + effective
+        # delay + allocation + waves), not just the allocator, stays
+        # flat; filter forces per-row eval
+        "adaptive_cycle_hosts": lambda k: _adaptive_cycle(k),
     }
     _FILE_CONF_DEFAULTS = {
         key: spark.conf.get(key)
@@ -760,6 +874,12 @@ def main() -> None:
         }
         for k in KS
     }
+    for k in KS:
+        ac_f, ac_r, ac_d, ac_u = adaptive_cycle_frames(spark, k)
+        inputs[k]["ac_flog"] = ac_f.localCheckpoint()
+        inputs[k]["ac_rlog"] = ac_r.localCheckpoint()
+        inputs[k]["ac_delays"] = ac_d.localCheckpoint()
+        inputs[k]["ac_frontier"] = ac_u.localCheckpoint()
     for k in KS:
         cold_k, hot_k = phrase_frames(spark, k)
         inputs[k]["ph_cold"] = cold_k.localCheckpoint()
@@ -921,6 +1041,19 @@ def main() -> None:
                 " 2 GB-row wall as files grow); read_warc splits the"
                 " bigger files (maxPartitionBytes 256K here) and stays"
                 " flat — the measured form of VERDICT r7 finding #1"
+            )
+        if name == "adaptive_cycle_hosts":
+            rec["note"] = (
+                f"COMPOSITION axis (r13): {N_BUDGET_HOSTS}*K hosts, the"
+                " q_adaptive_cycle plan end-to-end with table-sourced"
+                " delays — robots-cache gate (~20% of hosts dropped),"
+                " backoff LEFT join (factors 1/2/4 + an active"
+                " Retry-After band), effective delay, 4-URL/host backlog"
+                " weights, the politeness-feasible allocation over the"
+                " EFFECTIVE delay, and the per-host wave cut. Proves the"
+                " composed plan, not just the allocator"
+                " (feasible_budget_hosts), stays flat: every stage is"
+                " host-dimension or per-host-window work"
             )
         if name == "feasible_budget_hosts":
             rec["note"] = (
