@@ -235,6 +235,14 @@ def triangle_stats(
     Returns (id, degree, n_tri, clust_coeff) for every node of the
     undirected graph; isolated orientation sinks included (n_tri = 0,
     coefficient 0.0 for degree < 2 nodes by convention).
+
+    The shared frames (`und`, `deg`, `oriented`, `tris`) each feed 2-3
+    consumers; they are materialized once (`localCheckpoint`, the
+    one-shot-share exemption documented in `plans.truncate`) instead of
+    re-deriving the whole upstream per consumer — before this the
+    composed physical plan held 238 Exchange nodes at the k-NN query
+    (r13 measurement), re-running the edge producer and the wedge join
+    up to 3× each.
     """
     a, b = F.col(src_col), F.col(dst_col)
     und = (
@@ -243,12 +251,14 @@ def triangle_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
     )
     # total order for orientation: (degree, id) packed into one bigint
     # comparison via struct ordering
@@ -277,6 +287,7 @@ def triangle_stats(
             .alias("o")
         )
         .select("o.u", "o.v", "o.dv")
+        .localCheckpoint(eager=True)
     )
     e1 = oriented.select(
         F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
@@ -291,7 +302,11 @@ def triangle_stats(
     closing = oriented.select(
         F.col("u").alias("x"), F.col("v").alias("y")
     )
-    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    tris = (
+        wedges.join(closing, ["x", "y"])
+        .select("u", "x", "y")
+        .localCheckpoint(eager=True)
+    )
     per_node = (
         tris.select(F.col("u").alias("id"))
         .unionAll(tris.select(F.col("x").alias("id")))
@@ -531,9 +546,22 @@ def kcore(
 
     def ck(d: DataFrame) -> DataFrame:
         return round_truncate(d, checkpoint_dir)
+    # symmetrize in ONE pass over `edges` (explode both orientations per
+    # row) instead of union(edges, reverse(edges)) — the union form
+    # consumed the edge producer twice, re-running an expensive upstream
+    # (e.g. the banded k-NN self-join) for each leg (r13, guide §2.4)
     und = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .transform(ck)
@@ -586,7 +614,10 @@ def modularity(
     Shape: one distinct over (lo, hi) pairs, two broadcast-joined
     community lookups, community-sized aggregates; the 1-row edge total
     broadcasts back via cross join. Nothing corpus-wide shuffles more
-    than once.
+    than once. (r13 note: `und`'s and `comm`'s multiple consumers embed
+    IDENTICAL subtrees, which Spark's ReuseExchange already deduplicates
+    at runtime — an explicit materialization was measured 10-14% SLOWER
+    here, so the plan is deliberately left lazy.)
     """
     und = (
         edges.filter(F.col(src_col) != F.col(dst_col))

@@ -1203,26 +1203,36 @@ def winnowing_fingerprints(
     whatever k-grams exist); docs shorter than k yield nothing."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
-    toks = _tok_array(text_col)
-    # h_i = first-15-hex-of-md5 of the space-joined k-gram starting at i
+    # r13: bind the token array once per row (`_t`) — the inlined
+    # `_tok_array` string was re-splitting the text 3× per row (two
+    # size() probes + the slice source); and let-bind each window's
+    # slice via the single-element-transform trick (ADVICE r11 #1's
+    # let-binding discipline) so slice/array_min run once per window
+    # instead of 3×/2×. Same expressions over the same values —
+    # bit-identical output, oracle untouched. Note
+    # least(size(_h) − j, w) ≡ size(slice(_h, j+1, w)) = size(s).
     hashes = (
-        f"CASE WHEN size({toks}) < {k} THEN array() "
-        f"ELSE transform(sequence(0, size({toks}) - {k}), "
+        f"CASE WHEN size(_t) < {k} THEN array() "
+        f"ELSE transform(sequence(0, size(_t) - {k}), "
         f"i -> CAST(conv(substr(md5(array_join("
-        f"slice({toks}, i + 1, {k}), ' ')), 1, 15), 16, 10) AS BIGINT)) END"
+        f"slice(_t, i + 1, {k}), ' ')), 1, 15), 16, 10) AS BIGINT)) END"
     )
     # window j covers hashes[j .. j+wlen-1]; rightmost min via the
     # first position of the min in the REVERSED slice
     sel = (
         "CASE WHEN size(_h) = 0 THEN array() ELSE array_distinct("
         f"transform(sequence(0, greatest(size(_h) - {w}, 0)), j -> "
-        "named_struct('pos', j + least(size(_h) - j, "
-        f"{w}) - array_position(reverse(slice(_h, j + 1, {w})), "
-        f"array_min(slice(_h, j + 1, {w}))), "
-        f"'fp', array_min(slice(_h, j + 1, {w}))))) END"
+        f"transform(array(slice(_h, j + 1, {w})), s -> "
+        "named_struct('pos', j + size(s) - "
+        "array_position(reverse(s), array_min(s)), "
+        "'fp', array_min(s)))[0])) END"
     )
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.expr(hashes).alias("_h"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(_tok_array(text_col)).alias("_t"),
+        )
+        .select("doc_id", F.expr(hashes).alias("_h"))
         .select("doc_id", F.explode(F.expr(sel)).alias("_s"))
         .select(
             "doc_id",

@@ -391,13 +391,17 @@ def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = docs.selectExpr(
         "source", f"CAST({_SM_M} AS BIGINT) AS m"
     ).distinct().withColumn("p", F.expr(f"m % {_N_SM_PARTS}"))
+    # `bodies` feeds both the member urlsets and the index synthesis —
+    # materialize it once (localCheckpoint, one-shot-share exemption)
+    # instead of replaying the docs distinct + collect_list aggregate
+    # per consumer.
     bodies = parts.groupBy("source", "p").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list("
             f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
             ")), x -> x.e), '')"
         ).alias("body")
-    )
+    ).localCheckpoint(eager=True)
     members = bodies.select(
         F.expr(_sm_member_url_sql("STRING")).alias("member_url"),
         F.expr(
@@ -1642,7 +1646,17 @@ def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "2, '0')) AS last_crawled",
         )
     )
-    delta = recrawl_delta(parse_sitemap(sm), state)
+    # Materialize the fan-out frames once (localCheckpoint, the
+    # one-shot-share exemption in `plans.truncate`): `delta` feeds both
+    # the evidence and cadence halves, `frontier` feeds the weights
+    # aggregate and the wave window, `delays` feeds the allocation and
+    # the scheduler — exactly the two frames the docstring's production
+    # cycle materializes as tables. Without this the composed plan
+    # re-derived the sitemap-parse + state join per consumer (36
+    # Exchange nodes, r13 measurement).
+    delta = recrawl_delta(parse_sitemap(sm), state).localCheckpoint(
+        eager=True
+    )
     evidence = delta.filter("needs_fetch").select(
         "host", F.col("loc").alias("url"), F.lit("evidence").alias("reason")
     )
@@ -1660,11 +1674,13 @@ def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("host", "url", F.lit("cadence").alias("reason"))
     )
-    frontier = evidence.unionByName(due)
+    frontier = evidence.unionByName(due).localCheckpoint(eager=True)
     files = spark.createDataFrame(
         _robots_txt_files(), "host string, robots_txt string"
     )
-    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT).localCheckpoint(
+        eager=True
+    )
     hosts = (
         frontier.groupBy("host")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
@@ -1966,10 +1982,15 @@ def q_trap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.robots import robots_crawl_delay
 
     docs = load_table(spark, sf_dir, "documents")
+    # `pairs` feeds both URL builders and `scored` feeds both the trap
+    # count and the kept schedule — materialize each once
+    # (localCheckpoint, one-shot-share exemption) instead of replaying
+    # the docs distinct / scorer per consumer.
     pairs = (
         docs.selectExpr("source", "CAST(doc_id % 60 AS BIGINT) AS m")
         .distinct()
         .selectExpr("source", "m", "CAST(substr(source, 4) AS INT) AS s")
+        .localCheckpoint(eager=True)
     )
     variety = pairs.filter(_TRAP_KEEP_WHERE).selectExpr(
         "lower(concat('www.', source, '.com')) AS host",
@@ -1980,7 +2001,9 @@ def q_trap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('https://www.', source, '.com/zz/', CAST(m AS STRING))"
         " AS url",
     )
-    scored = url_trap_score(variety.unionByName(extra))
+    scored = url_trap_score(variety.unionByName(extra)).localCheckpoint(
+        eager=True
+    )
     trapped = (
         scored.filter("is_trap")
         .groupBy("host")
@@ -2437,7 +2460,17 @@ def _adaptive_eff(spark: SparkSession, docs: DataFrame) -> DataFrame:
     LEFT-joined backoff state with never-fetched hosts defaulting to
     factor 1 / no Retry-After (r13, ADVICE r12 #1 — an inner join made
     them vanish), effective crawl_delay = delay × factor (exact), and
-    retry_wait = the server's active Retry-After or 0."""
+    retry_wait = the server's active Retry-After or 0.
+
+    The returned host-dimension frame is materialized once
+    (localCheckpoint — the one-shot-share exemption in
+    `plans.truncate`): both composed queries consume it 3-4× (frontier
+    gate, weights join, scheduler delays, final attach), and without
+    the materialization each consumer re-derives the whole cache-policy
+    + backoff + robots-parse subtree (r13 measurement: 24-40 Exchange
+    nodes in the composed plans, most of them these repeats). This is
+    also the production shape — a cycle materializes its health frame
+    and reads it everywhere."""
     from ..operators.crawl import host_backoff, robots_cache_policy
     from ..operators.robots import robots_crawl_delay
 
@@ -2498,6 +2531,7 @@ def _adaptive_eff(spark: SparkSession, docs: DataFrame) -> DataFrame:
             " * coalesce(backoff_factor, CAST(1 AS BIGINT)) AS crawl_delay",
             "coalesce(retry_after_s, CAST(0 AS BIGINT)) AS retry_wait",
         )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -2532,7 +2566,10 @@ def _adaptive_frontier(docs: DataFrame, eff: DataFrame) -> DataFrame:
     """The '/articles/…' URL backlog restricted to usable hosts — the
     frontier frame shared by both adaptive compositions (ONE builder,
     the `_adaptive_eff` discipline; oracle twin
-    `_adaptive_frontier_ctes`)."""
+    `_adaptive_frontier_ctes`). Materialized once (localCheckpoint):
+    both compositions consume it 2× (weights aggregate + wave window),
+    and the backlog-build + usable-host gate would otherwise replay per
+    consumer."""
     return (
         docs.selectExpr("source", f"CAST({_SM_M} AS BIGINT) AS m")
         .distinct()
@@ -2544,6 +2581,7 @@ def _adaptive_frontier(docs: DataFrame, eff: DataFrame) -> DataFrame:
         .join(eff.select(F.col("host").alias("_uh")),
               F.col("host") == F.col("_uh"))
         .drop("_uh")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -2808,13 +2846,17 @@ def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = docs.selectExpr(
         "source", f"CAST({_SM_M} AS BIGINT) AS m"
     ).distinct().withColumn("p", F.expr(f"m % {_N_SM_PARTS}"))
+    # `bodies` feeds both the member urlsets and the index synthesis —
+    # materialize it once (localCheckpoint, one-shot-share exemption)
+    # instead of replaying the docs distinct + collect_list aggregate
+    # per consumer.
     bodies = parts.groupBy("source", "p").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list("
             f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
             ")), x -> x.e), '')"
         ).alias("body")
-    )
+    ).localCheckpoint(eager=True)
     members = bodies.select(
         F.expr(_sm_member_url_sql("STRING")).alias("member_url"),
         F.expr(
@@ -2860,7 +2902,7 @@ def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sitemap_loc").alias("member_url"),
         F.col("n_urls").alias("member_n_urls"),
         F.col("conformant").alias("admitted"),
-    )
+    ).localCheckpoint(eager=True)
     delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
     sched = fetch_schedule(
         base.filter("admitted"), delays, default_delay=_DEFAULT_CRAWL_DELAY

@@ -58,6 +58,14 @@ def get_spark(
         # tz-aware functions (unix_micros, from_utc_timestamp…) resolve.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9): same results,
+        # no sort pass. Applies at any scale; the SHJ size conditions
+        # still gate the choice.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Arrow serialization for any scalar @udf boundary (guide §4.3);
+        # the engine's hot paths are UDF-free, this covers the rest.
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -74,4 +82,14 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # r13 (guide §3.1/§9): a driver-provided session otherwise runs at
+    # the 10 MB default broadcast threshold and always prefers
+    # sort-merge — align it with the factory so dimension joins
+    # broadcast and bounded joins may hash instead of sort. Both are
+    # plan-strategy knobs; results are identical.
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+    )
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.execution.pythonUDF.arrow.enabled", "true")
     return spark
