@@ -116,16 +116,141 @@ def _dist_to(centroid: list[int]) -> Column:
     return F.expr(_dist_sql(centroid, "qarr"))
 
 
+def _np_argmin_dist(qm, C):
+    """(cluster idx int32, dist int64) of each row of `qm` (n × dim
+    int64) against centroid matrix `C` (k × dim int64) — exact integer
+    arithmetic, first-minimal-index tie-break (np.argmin), i.e. the
+    same (dist, code) ordering as the struct-least expression form.
+    Loops over k to keep the intermediate n × dim, not n × k × dim."""
+    import numpy as np
+
+    n = qm.shape[0]
+    k = C.shape[0]
+    d = np.empty((n, k), dtype=np.int64)
+    for j in range(k):
+        diff = qm - C[j]
+        d[:, j] = (diff * diff).sum(axis=1)
+    cl = d.argmin(axis=1)
+    return cl.astype("int32"), d[np.arange(n), cl]
+
+
+def _batch_qarr_matrix(batch):
+    """The qarr column of an Arrow batch as an n × dim int64 matrix."""
+    import numpy as np
+
+    return np.stack(
+        batch.column("qarr").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+
+
 def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """Add (cluster, dist) via a pure projection: one struct-min over the
-    k literal centroid arrays — zero joins, zero shuffles."""
-    best = F.expr(_argmin_struct_sql(centroids, "qarr"))
-    return q.select(
-        "id",
-        "qarr",
-        best.getField("c").alias("cluster"),
-        best.getField("d").alias("dist"),
+    """Add (cluster, dist): argmin over the k literal centroids with the
+    (dist, code) struct-least tie-break — zero joins, zero shuffles.
+
+    r13 (guide §4.2): evaluated via mapInArrow + numpy instead of the
+    struct-least SQL expression. The expression form's k aggregate/
+    zip_with folds are CodegenFallback — interpreted per row, boxing
+    every element — and measured 0.90 s per corpus scan at sf0.1
+    (k=16, dim=64) vs 0.28 s vectorized, bit-identical output (int64
+    arithmetic throughout; np.argmin's first-minimal-index = the
+    struct-least (d, c) tie-break; equality pinned in pytest). A flat
+    subscripted-SQL variant was also tried and measured 5× WORSE
+    (optimizer/codegen cost on the huge literal tree). The hot columns
+    only (id, qarr) cross the Arrow boundary."""
+    import numpy as np
+    import pyarrow as pa
+
+    C = np.asarray(centroids, dtype=np.int64)
+
+    def batches(it):
+        for b in it:
+            if b.num_rows == 0:
+                yield pa.record_batch(
+                    [
+                        b.column("id"),
+                        b.column("qarr"),
+                        pa.array([], pa.int32()),
+                        pa.array([], pa.int64()),
+                    ],
+                    names=["id", "qarr", "cluster", "dist"],
+                )
+                continue
+            cl, dist = _np_argmin_dist(_batch_qarr_matrix(b), C)
+            yield pa.record_batch(
+                [
+                    b.column("id"),
+                    b.column("qarr"),
+                    pa.array(cl, pa.int32()),
+                    pa.array(dist, pa.int64()),
+                ],
+                names=["id", "qarr", "cluster", "dist"],
+            )
+
+    return q.select("id", "qarr").mapInArrow(
+        batches, schema="id long, qarr array<bigint>, cluster int, dist long"
     )
+
+
+def _np_codes(qm, codebooks, sub):
+    """Per-subspace argmin codes (list of int32 arrays) for `qm`
+    (n × dim int64) against `codebooks` (m × sub_k × sub ints) — the
+    vectorized twin of the per-subspace struct-least encode, same
+    first-minimal-index tie-break, exact int64 arithmetic."""
+    import numpy as np
+
+    out = []
+    for s, cb in enumerate(codebooks):
+        cl, _ = _np_argmin_dist(
+            np.ascontiguousarray(qm[:, s * sub : (s + 1) * sub]),
+            np.asarray(cb, dtype=np.int64),
+        )
+        out.append(cl)
+    return out
+
+
+def _encode_codes(
+    q: DataFrame,
+    codebooks: list[list[list[int]]],
+    sub: int,
+    with_qarr: bool = False,
+    with_cluster: bool = False,
+) -> DataFrame:
+    """(id[, cluster], code_0..code_{m-1}[, qarr]): one-scan PQ encode
+    of a `_quantized` frame against literal codebooks — the mapInArrow
+    + numpy twin of the m struct-least subspace argmins (guide §4.2;
+    see `_assign` for the measured interpreted-HOF cost this removes).
+    Bit-identical codes (int64 arithmetic, first-minimal-index
+    tie-break). `with_cluster` passes an existing int `cluster` column
+    through (the IVFPQ list-build encodes AFTER the probed-cluster
+    filter, so encode cost tracks the probed fraction, not the
+    corpus)."""
+    import pyarrow as pa
+
+    m = len(codebooks)
+    names = ["id"] + (["cluster"] if with_cluster else [])
+    schema = "id long" + (", cluster int" if with_cluster else "")
+    names += [f"code_{s}" for s in range(m)]
+    schema += ", " + ", ".join(f"code_{s} int" for s in range(m))
+    if with_qarr:
+        names.append("qarr")
+        schema += ", qarr array<bigint>"
+    in_cols = ["id"] + (["cluster"] if with_cluster else []) + ["qarr"]
+
+    def batches(it):
+        for b in it:
+            cols = [b.column("id")]
+            if with_cluster:
+                cols.append(b.column("cluster"))
+            if b.num_rows == 0:
+                cols += [pa.array([], pa.int32()) for _ in range(m)]
+            else:
+                codes = _np_codes(_batch_qarr_matrix(b), codebooks, sub)
+                cols += [pa.array(c, pa.int32()) for c in codes]
+            if with_qarr:
+                cols.append(b.column("qarr"))
+            yield pa.record_batch(cols, names=names)
+
+    return q.select(*in_cols).mapInArrow(batches, schema=schema)
 
 
 def kmeans_fit(
@@ -283,21 +408,12 @@ def _pq_fit_joint(
         for s in range(m)
     ]
     for _ in range(iters):
-        code_cols = [
-            F.expr(
-                _argmin_struct_sql(
-                    codebooks[s], f"slice(qarr, {s * sub + 1}, {sub})"
-                )
-                + ".c"
-            ).alias(f"code_{s}")
-            for s in range(m)
-        ]
         # one aggregate covers every (subspace, cluster, dim) cell: each
         # exploded component keys on its own subspace's assignment.
-        # NB: the struct-least assignment exprs and posexplode must live
-        # in SEPARATE projections — Spark's generator rewrite drops the
-        # struct field names when they share a select.
-        coded = q_full.select(*code_cols, "qarr")
+        # r13: the per-subspace argmin encode runs vectorized
+        # (`_encode_codes`, mapInArrow + numpy — guide §4.2), replacing
+        # the interpreted struct-least expressions; codes bit-identical.
+        coded = _encode_codes(q_full, codebooks, sub, with_qarr=True)
         stats = (
             coded.select(
                 *[f"code_{s}" for s in range(m)],
@@ -606,17 +722,10 @@ def pq_topk(
                 f"model trained at scale={model.scale}, query at {scale}"
             )
 
-    def sub_arr(s: int) -> str:
-        return f"slice(qarr, {s * sub + 1}, {sub})"
-
-    # one-scan encode: per subspace, argmin over its literal codebook
-    code_cols = [
-        F.expr(
-            _argmin_struct_sql(codebooks[s], sub_arr(s)) + ".c"
-        ).alias(f"code_{s}")
-        for s in range(m)
-    ]
-    encoded = q_full.select("id", *code_cols)
+    # one-scan encode: per subspace, argmin over its literal codebook —
+    # vectorized (mapInArrow + numpy, guide §4.2), codes bit-identical
+    # to the struct-least expression form
+    encoded = _encode_codes(q_full, codebooks, sub)
 
     # driver-side ADC tables: query × subspace × centroid (integer-exact)
     qrows = {
@@ -963,15 +1072,8 @@ def ivfpq_topk(
     assigned = _assign(
         _quantized(emb_df, id_col, vec_col, scale), centroids
     ).filter(F.col("cluster").isin(probed_clusters))
-    code_cols = [
-        F.expr(
-            _argmin_struct_sql(codebooks[s], f"slice(qarr, {s * sub + 1}, {sub})")
-            + ".c"
-        ).alias(f"code_{s}")
-        for s in range(m)
-    ]
     encoded = (
-        assigned.select("id", "cluster", *code_cols)
+        _encode_codes(assigned, codebooks, sub, with_cluster=True)
         .join(F.broadcast(probe_df), "cluster")
         .filter(F.col("id") != F.col("query_id"))
         .select(
