@@ -42,6 +42,9 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import _dot_sql as _sim_dot_sql
+from .similarity import _sq_dist_sql as _sim_sq_dist_sql
+
 K = 8
 ITERS = 3
 SCALE = 1000
@@ -539,8 +542,7 @@ def semantic_dedup(
         .withColumn(
             "dot",
             F.expr(
-                "aggregate(zip_with(a.qdarr, b.qdarr, (x, y) -> x * y), "
-                "0L, (s, v) -> s + v)"
+                _sim_dot_sql("a.qdarr", "b.qdarr", len(centroids[0]))
             ),
         )
         .filter(F.col("dot") >= min_dot_q)
@@ -928,10 +930,9 @@ def ivf_topk_exact(
         .select(
             "query_id",
             F.col("id").alias("candidate_id"),
-            F.expr(
-                "aggregate(zip_with(qarr, q_qarr, (a, b) -> (a - b) * (a - b)), "
-                "0L, (s, x) -> s + x)"
-            ).alias("dist_q"),
+            F.expr(_sim_sq_dist_sql("qarr", "q_qarr", dim_q)).alias(
+                "dist_q"
+            ),
         )
     )
     from pyspark.sql import Window

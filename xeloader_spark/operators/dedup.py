@@ -1156,14 +1156,14 @@ def embedding_neardup(
         return _embedding_neardup_blocked(
             emb_df, threshold, id_col, vec_col, scale, n_planes, bands, seed
         )
+    from ..operators import similarity as sim
+
     q = emb_df.select(
         F.col(id_col).alias("id"),
         F.expr(
             f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
         ).alias("qarr"),
-    ).withColumn(
-        "nrm", F.expr("aggregate(qarr, 0L, (s, v) -> s + v * v)")
-    )
+    ).withColumn("nrm", F.expr(sim._sq_norm_sql("qarr")))
     # The corpus side arrives as one partition (small parquet) — without a
     # repartition the broadcast-NL join's whole O(n²) pair space runs in a
     # single task. Spread the probe side across the cluster explicitly.
@@ -1174,9 +1174,7 @@ def embedding_neardup(
     b = q.select(F.col("id").alias("id_b"), F.col("qarr").alias("qb"), F.col("nrm").alias("n_b"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "dot", F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)")
-        )
+        .withColumn("dot", F.expr(sim._dot_sql("qa", "qb")))
         .withColumn(
             "cosine", F.col("dot") / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b")))
         )
@@ -1205,9 +1203,10 @@ def _embedding_neardup_blocked(
 
     rows_per_band = n_planes // bands
     mask = (1 << rows_per_band) - 1
+    dim = sim._vec_dim(emb_df, vec_col)
     sigs = sim.quantized_hyperplane_signature(
-        emb_df, n_planes, id_col, vec_col, scale, seed
-    ).withColumn("nrm", F.expr("aggregate(qarr, 0L, (s, v) -> s + v * v)"))
+        emb_df, n_planes, id_col, vec_col, scale, seed, dim=dim
+    ).withColumn("nrm", F.expr(sim._sq_norm_sql("qarr", dim)))
     sigs = _persist(sigs)
 
     band_pairs = ", ".join(
@@ -1238,10 +1237,7 @@ def _embedding_neardup_blocked(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(
-            "dot",
-            F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, v) -> s + v)"),
-        )
+        .withColumn("dot", F.expr(sim._dot_sql("qa", "qb")))
         .withColumn(
             "cosine", F.col("dot") / (F.sqrt(F.col("n_a")) * F.sqrt(F.col("n_b")))
         )

@@ -122,8 +122,11 @@ def dot_topk_quantized(
     )
 
 
-def _cosine_cols(a: str, b: str) -> F.Column:
-    """Float cosine of two array columns, reduced JVM-side."""
+def _cosine_cols(a: str, b: str, dim: int | None = None) -> F.Column:
+    """Float cosine of two array columns, reduced JVM-side (fold form —
+    the expanded-sum variant measured 2.4× SLOWER on the IVF candidate
+    path; see the note on `_dot_sql`)."""
+    del dim
     dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), 0D, (s, v) -> s + v)")
     na = F.expr(f"aggregate({a}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v)")
     nb = F.expr(f"aggregate({b}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v)")
@@ -316,9 +319,65 @@ def _vec_dim(emb_df: DataFrame, vec_col: str) -> int | None:
     return len(row[0]) if row is not None and row[0] is not None else None
 
 
+def _dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """Integer dot of two array columns as one SQL string — the
+    aggregate/zip_with fold.
+
+    MEASURED NEGATIVE (r13, do not retry): emitting the dot as an
+    expanded `a[0]*b[0] + … + a[63]*b[63]` term sum — nominally
+    codegen-friendly vs the CodegenFallback fold — made every consumer
+    2.4–10× SLOWER at dim 64 (knn graph 3.2→13.4 s, banded LSH
+    2.1→22.2 s, embedding near-dup 2.3→10.8 s at sf0.1): the generated
+    projection methods blow past the JIT/codegen size limits, so the
+    whole stage (join included) degrades, the same failure mode as the
+    flat subscripted argmin variant (5× worse) recorded in
+    `cluster._assign`. The interpreted fold is the fastest JVM-side
+    form for per-pair dots; corpus-scan (non-join) dot paths use the
+    Arrow matmul instead (`dot_topk_quantized`). `dim` is accepted so
+    call sites keep declaring the known width cheaply."""
+    del dim
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+        "(s, v) -> s + v)"
+    )
+
+
+def _sq_norm_sql(arr: str, dim: int | None = None) -> str:
+    """Integer squared L2 norm of an array column (fold form — see the
+    measured-negative note on `_dot_sql` for why it is not expanded)."""
+    del dim
+    return f"aggregate({arr}, 0L, (s, v) -> s + v * v)"
+
+
+def _sq_dist_sql(a: str, b: str, dim: int | None = None) -> str:
+    """Integer squared L2 distance of two array columns (fold form —
+    see the measured-negative note on `_dot_sql`)."""
+    del dim
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0L, (s, v) -> s + v)"
+    )
+
+
+def _signed_sum_sql(arr: str, signs: list[int]) -> str:
+    """`Σ_i signs[i]·arr[i]` with ±1 literal signs as one expanded SQL
+    string — the codegen'd twin of the fold over a literal sign array
+    (see `_dot_sql`); same left-to-right integer accumulation, so the
+    projection is bit-identical."""
+    parts = [f"(- {arr}[0])" if signs[0] < 0 else f"{arr}[0]"]
+    for i, s in enumerate(signs[1:], start=1):
+        parts.append(f"{'-' if s < 0 else '+'} {arr}[{i}]")
+    return " ".join(parts)
+
+
 def _plane_proj_expr(p: int, seed: int, dim: int | None):
     """Integer projection of `qarr` onto plane `p`: literal-sign-array
-    fast path when the width is known, md5-CASE fallback otherwise."""
+    fast path when the width is known, md5-CASE fallback otherwise.
+    (The expanded signed-sum form is measured-negative HERE — the
+    n_planes projections nest inside ONE signature expression and the
+    generated method blows the codegen size limits, 1.7–10× slower;
+    see `_dot_sql`. It wins only where each projection is its own
+    output column — `random_project_quantized`.)"""
     if dim is not None:
         signs = ",".join(str(s) for s in _plane_signs(p, seed, dim))
         return F.expr(
@@ -339,18 +398,20 @@ def quantized_hyperplane_signature(
     vec_col: str = "embedding",
     scale: int = 1000,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, qarr, sig): integer-quantized vector + n_planes-bit hyperplane
     signature, all JVM-side. `qarr` is materialized in its own projection
-    before the per-plane aggregates reference it (higher-order-function
-    lambdas run interpreted and re-evaluate inlined expressions)."""
+    before the per-plane projections reference it. Callers that already
+    know the embedding width pass `dim` to skip the first-row probe."""
     q = emb_df.select(
         F.col(id_col).alias("id"),
         F.expr(
             f"transform({vec_col}, v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
         ).alias("qarr"),
     )
-    dim = _vec_dim(emb_df, vec_col)
+    if dim is None:
+        dim = _vec_dim(emb_df, vec_col)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = _plane_proj_expr(p, seed, dim)
@@ -402,8 +463,9 @@ def lsh_ann_topk_quantized(
     DuckDB oracle reproduces the result set bit-for-bit while the plan
     keeps the 100 TB shape (bucketed candidate sets, broadcast queries,
     no all-pairs)."""
+    dim = _vec_dim(emb_df, vec_col)
     sigs = quantized_hyperplane_signature(
-        emb_df, n_planes, id_col, vec_col, scale, seed
+        emb_df, n_planes, id_col, vec_col, scale, seed, dim=dim
     )
     queries = F.broadcast(
         sigs.filter(F.col("id").isin(query_ids)).select(
@@ -418,9 +480,7 @@ def lsh_ann_topk_quantized(
         .select(
             "query_id",
             F.col("id").alias("candidate_id"),
-            F.expr(
-                "aggregate(zip_with(qarr, q_qarr, (x, y) -> x * y), 0L, (s, v) -> s + v)"
-            ).alias("dot"),
+            F.expr(_dot_sql("qarr", "q_qarr", dim)).alias("dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("candidate_id"))
@@ -439,12 +499,14 @@ def banded_quantized_signatures(
     vec_col: str = "embedding",
     scale: int = 1000,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, qarr, band, bsig): one row per (vector, band); `bsig` is the
     band's planes_per_band-bit quantized-hyperplane signature. Plane p of
     band b uses GLOBAL plane index b·planes_per_band + p, so every band
     hashes with independent hyperplanes. All integer arithmetic — the
-    signatures replay bit-for-bit in SQL."""
+    signatures replay bit-for-bit in SQL. Callers that already know the
+    embedding width pass `dim` to skip the first-row probe."""
     q = emb_df.select(
         F.col(id_col).alias("id"),
         F.expr(
@@ -452,7 +514,8 @@ def banded_quantized_signatures(
             f"CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
         ).alias("qarr"),
     )
-    dim = _vec_dim(emb_df, vec_col)
+    if dim is None:
+        dim = _vec_dim(emb_df, vec_col)
     band_structs = []
     for b in range(bands):
         bsig = F.lit(0).cast("long")
@@ -493,8 +556,10 @@ def lsh_ann_topk_banded(
     rows), and no all-pairs path exists. Every step stays integer-exact,
     so the full pipeline — banding, collision set, dot, rank — replays in
     the DuckDB oracle."""
+    dim = _vec_dim(emb_df, vec_col)
     sigs = banded_quantized_signatures(
-        emb_df, bands, planes_per_band, id_col, vec_col, scale, seed
+        emb_df, bands, planes_per_band, id_col, vec_col, scale, seed,
+        dim=dim,
     )
     queries = F.broadcast(
         sigs.filter(F.col("id").isin(query_ids)).select(
@@ -514,10 +579,7 @@ def lsh_ann_topk_banded(
         .select(
             "query_id",
             F.col("id").alias("candidate_id"),
-            F.expr(
-                "aggregate(zip_with(qarr, q_qarr, (x, y) -> x * y), 0L, "
-                "(s, v) -> s + v)"
-            ).alias("dot"),
+            F.expr(_dot_sql("qarr", "q_qarr", dim)).alias("dot"),
         )
         # a pair may collide in several bands; the dot is identical, so
         # max() is a pure dedup (one shuffle on the pair key)
@@ -623,15 +685,21 @@ def random_project_quantized(
             f"v -> CAST(round(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
         ).alias("qarr"),
     )
+    dim = _vec_dim(emb_df, vec_col)
     projs = []
     for p in range(out_dim):
-        sign = _plane_sign_case(p, seed, "d", "instr")
-        projs.append(
-            F.expr(
+        if dim is not None:
+            # expanded signed sum over precomputed md5 signs — codegen'd
+            # (the md5-CASE fold below re-hashes per row × plane × dim
+            # inside an interpreted lambda; see `_dot_sql`)
+            proj = F.expr(_signed_sum_sql("qarr", _plane_signs(p, seed, dim)))
+        else:
+            sign = _plane_sign_case(p, seed, "d", "instr")
+            proj = F.expr(
                 "aggregate(zip_with(qarr, sequence(0, size(qarr) - 1), "
                 f"(v, d) -> v * {sign}), 0L, (s, x) -> s + x)"
-            ).alias(f"p{p}")
-        )
+            )
+        projs.append(proj.alias(f"p{p}"))
     wide = q.select("vec_id", *projs)
     stack = ", ".join(f"{p}, p{p}" for p in range(out_dim))
     return wide.selectExpr(
@@ -662,8 +730,10 @@ def knn_graph(
     the two quantized vectors in a second pass — here the vectors ride
     the band join directly, which is one shuffle cheaper while rows
     remain modest."""
+    dim = _vec_dim(emb_df, vec_col)
     sigs = banded_quantized_signatures(
-        emb_df, bands, planes_per_band, id_col, vec_col, scale, seed
+        emb_df, bands, planes_per_band, id_col, vec_col, scale, seed,
+        dim=dim,
     ).localCheckpoint(eager=True)  # self-join: evaluate signatures ONCE
     # Pin the self-join's width explicitly: the signature table is tiny
     # relative to the pair space it produces (Σ bucket² per band), and
@@ -687,10 +757,7 @@ def knn_graph(
         .select(
             "src",
             "dst",
-            F.expr(
-                "aggregate(zip_with(s_qarr, d_qarr, (x, y) -> x * y), 0L, "
-                "(s, v) -> s + v)"
-            ).alias("dot"),
+            F.expr(_dot_sql("s_qarr", "d_qarr", dim)).alias("dot"),
         )
         .groupBy("src", "dst")
         .agg(F.max("dot").alias("dot"))
