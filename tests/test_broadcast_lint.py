@@ -90,7 +90,6 @@ WHITELIST: dict[str, list[str]] = {
         "qc = queries.crossJoin(F.broadcast(cdf)).withColumn(",
         "queries = F.broadcast(",
         "queries = F.broadcast(",
-        "queries = F.broadcast(",
     ],
     # sketch-sized (d x buckets literal bound)
     "operators/sketch.py": [

@@ -529,7 +529,7 @@ def containment_pairs(
 def minhash_signatures(
     token_df: DataFrame, k: int = 12
 ) -> DataFrame:
-    """k-permutation MinHash signature per id over a (id, tok)-distinct
+    """k-permutation MinHash signature per id over a (id, tok) token
     set. Hash family: md5(j||'|'||tok) split into its two 16-hex-char
     halves — each 64-bit half is an independent-enough permutation, so k
     signatures cost ⌈k/2⌉ md5 evaluations. The digests are materialized
@@ -537,9 +537,17 @@ def minhash_signatures(
     don't CSE — inline they'd be computed once per substring reference).
     Fixed-width lowercase hex compares lexicographically = numerically,
     so MIN over the hex string is MIN over the 64-bit value, and the
-    DuckDB oracle replays it exactly. One shuffle on id."""
+    DuckDB oracle replays it exactly. One shuffle on id.
+
+    No distinct on the way in: MIN is duplicate-insensitive, so the
+    signature is identical whether or not (id, tok) repeats — and every
+    caller in this repo feeds `shingles()` output, which is already
+    distinct, so the distinct this used to do was a full second shuffle
+    of already-unique rows for nothing (r13: removing it cut one
+    Exchange from every minhash pipeline). Duplicate input rows only
+    cost their own md5 evaluations, never a changed value."""
     n_md5 = (k + 1) // 2
-    dt = token_df.select("id", "tok").distinct()
+    dt = token_df.select("id", "tok")
     for j in range(n_md5):
         dt = dt.withColumn(
             f"_m{j}", F.md5(F.concat(F.lit(f"{j}|"), F.col("tok")))
@@ -1736,14 +1744,21 @@ def sorted_neighborhood_pairs(
     # DIFFERENT key so pairs missed in one order meet in another
     if key_sql is None:
         key_sql = f"lower(array_join(slice(_toks, 1, {key_tokens}), ' '))"
-    keyed = docs.select(
+    # Persisted: three consumers (the rank path below plus BOTH verify
+    # join sides sa/sb) would otherwise each re-run the tokenize+shingle
+    # projection over the whole corpus — r13 measured the un-persisted
+    # form ~25% slower end-to-end at sf0.1. The cache is columnar, so
+    # the rank consumer still reads only (id, _sk); the shingle arrays
+    # stay out of every shuffle exactly as before (the audit's 38×
+    # shuffle-bytes rule is about exchanges, which a cache read is not).
+    keyed = _persist(docs.select(
         F.col(id_col).alias("id"), F.expr(toks).alias("_toks")
     ).select(
         "id",
         F.expr(key_sql).alias("_sk"),
         F.expr(sh).alias("_sh"),
         F.expr("size(_toks)").cast("long").alias("_n_toks"),
-    )
+    ))
     # rank ONLY (id, key): the shingle arrays are decompressed-text-sized
     # and must not ride the range partition or the block joins (the
     # shuffle-bytes audit measured 22.6 MB / 38× when they did). They

@@ -943,16 +943,24 @@ def bm25_passages(
     if S <= 0 or P <= 0:
         raise ValueError("passage_len and stride must be positive")
     toks = _tok_array(text_col)
+    # The token array is bound ONCE in its own projection (`_tk`): the
+    # window transform runs interpreted (HOF, no codegen CSE), so an
+    # inlined split would re-tokenize the full document once per window
+    # reference — the same per-row duplication the winnowing fingerprints
+    # fix removed (r13, −67% there). Same expressions over `_tk`, same
+    # values.
     nw = (
-        f"CASE WHEN size({toks}) = 0 THEN 0 "
-        f"ELSE 1 + CAST((greatest(0, size({toks}) - {P}) + {S} - 1) / {S} AS INT) END"
+        f"CASE WHEN size(_tk) = 0 THEN 0 "
+        f"ELSE 1 + CAST((greatest(0, size(_tk) - {P}) + {S} - 1) / {S} AS INT) END"
     )
     windows = (
         f"CASE WHEN ({nw}) <= 0 THEN array() "
         f"ELSE transform(sequence(0, ({nw}) - 1), "
-        f"w -> array_join(slice({toks}, w * {S} + 1, {P}), ' ')) END"
+        f"w -> array_join(slice(_tk, w * {S} + 1, {P}), ' ')) END"
     )
     passages = df.select(
+        F.col(id_col), F.expr(toks).alias("_tk")
+    ).select(
         F.col(id_col), F.posexplode(F.expr(windows)).alias("pidx", "ptext")
     ).select(
         (F.col(id_col) * pkey_base + F.col("pidx")).alias("pkey"),
@@ -1163,12 +1171,22 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> Da
     word n-grams — stable under local edits, usable as a near-dup
     pre-cluster key. Array-side, no explode."""
     toks = _tok_array(text_col)
+    # Token array let-bound once per row via the single-element-transform
+    # trick (`_rt`): the window transform runs interpreted, so the inlined
+    # split used to re-tokenize the document once per window reference
+    # (the winnowing/bm25_passages defect, r13). Same expressions over
+    # the bound array, same values.
     sh = (
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE transform(sequence(0, size({toks}) - {n}), "
-        f"i -> md5(array_join(slice({toks}, i + 1, {n}), ' '))) END"
+        f"CASE WHEN size(_rt) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(_rt) - {n}), "
+        f"i -> md5(array_join(slice(_rt, i + 1, {n}), ' '))) END"
     )
-    return df.withColumn("rolling_fp", F.expr(f"array_min({sh})"))
+    return df.withColumn(
+        "rolling_fp",
+        F.expr(
+            f"element_at(transform(array({toks}), _rt -> array_min({sh})), 1)"
+        ),
+    )
 
 
 def winnowing_fingerprints(

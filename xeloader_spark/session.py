@@ -63,6 +63,16 @@ def get_spark(
         # no sort pass. Applies at any scale; the SHJ size conditions
         # still gate the choice.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # AQE's runtime SMJ→SHJ rewrite (guide §3.1): fires only when
+        # every post-shuffle partition of the build side measures under
+        # the threshold, so it is gated on actual bytes, not cluster
+        # shape. 64 MB pairs with the AQE advisory partition size.
+        # r13 interleaved sweep at sf0.1: kcore 7.73→6.54, golden
+        # records 3.74→3.19, label-prop 5.08→4.79, rest within noise.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # Arrow serialization for any scalar @udf boundary (guide §4.3);
         # the engine's hot paths are UDF-free, this covers the rest.
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
@@ -91,5 +101,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
     )
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        str(64 * 1024 * 1024),
+    )
     spark.conf.set("spark.sql.execution.pythonUDF.arrow.enabled", "true")
     return spark
