@@ -507,20 +507,30 @@ def containment_pairs(
         .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
     )
-    fwd = common.select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_super"),
-        "n_common",
-        F.col("n_a").alias("n_sub"),
-    )
-    rev = common.select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_super"),
-        "n_common",
-        F.col("n_b").alias("n_sub"),
-    )
+    # one explode, as documented — a fwd/rev self-UNION consumed the
+    # whole inverted-index pair subtree twice (r13: the code had drifted
+    # to exactly the union the docstring warns against; measured A/B at
+    # sf0.1 before fixing)
+    dirs = common.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_sub"),
+                    F.col("id_b").alias("id_super"),
+                    F.col("n_common").alias("n_common"),
+                    F.col("n_a").alias("n_sub"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_sub"),
+                    F.col("id_a").alias("id_super"),
+                    F.col("n_common").alias("n_common"),
+                    F.col("n_b").alias("n_sub"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.id_sub", "_d.id_super", "_d.n_common", "_d.n_sub")
     return (
-        fwd.unionByName(rev)
+        dirs
         .withColumn("containment", F.col("n_common") / F.col("n_sub"))
         .filter(F.col("containment") >= threshold)
     )

@@ -436,11 +436,16 @@ def pagerank_weighted(
 
     def ck(d: DataFrame) -> DataFrame:
         return round_truncate(d, checkpoint_dir)
+    # materialize the edge list ONCE (same discipline as `pagerank` and
+    # `hits`; r13): without this checkpoint the node-set action and the
+    # weight-normalization action each re-derived the edge PRODUCER —
+    # for the personalized-PageRank driver that producer is the banded
+    # k-NN self-join, re-run 2-3× for nothing
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("long").alias("w"),
-    ).filter(F.col("w") > 0)
+    ).filter(F.col("w") > 0).transform(ck)
     # teleport seeds are UNIONED into the node set: a seed with no edges
     # is a dangling node that still receives its share of the (1−d)
     # restart mass every round (rather than silently vanishing while

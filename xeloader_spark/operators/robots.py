@@ -261,12 +261,42 @@ def robots_filter(
     matched_len, allowed). Callers drop `allowed = false` rows before
     fetching; keeping the verdict columns makes the compliance decision
     auditable (and exactly oracle-checkable). Zero-shuffle projection —
-    the ruleset is a plan literal, evaluation is per-row HOFs."""
-    exprs = robots_exprs(SPARK_D, rules, url_col)
-    out = df
-    for name, sql in exprs.items():
-        out = out.withColumn(name, F.expr(sql))
-    return out
+    the ruleset is a plan literal, evaluation is per-row HOFs.
+
+    r13 (guide §4.1): the verdict columns are built over the BOUND
+    `host`/`path` columns and the longest-match struct is bound once
+    (`_rep_best`). `robots_exprs` (shared with the oracle replay, which
+    stays byte-identical) inlines the URL regex extraction inside the
+    per-rule filter lambda and repeats the whole match pipeline in both
+    matched_len and allowed — interpreted HOFs get no CSE, so each row
+    paid 2 × n_rules host/path re-extractions plus two array sorts;
+    measured ~4.5 s of the 10 s q_crawl_frontier isolated run. Same
+    expressions over the bound columns, same values."""
+    rules = _check_rules(rules)
+    host_sql, path_sql = _url_exprs(url_col)
+    out = df.withColumn("host", F.expr(host_sql)).withColumn(
+        "path", F.expr(path_sql)
+    )
+    if not rules:
+        return out.withColumn(
+            "matched_len", F.expr("CAST(-1 AS BIGINT)")
+        ).withColumn("allowed", F.expr("true"))
+    d = SPARK_D
+    rules_arr = d["arr"]([d["struct"](h, p, a) for h, p, a in rules])
+    matches = d["filter"](
+        rules_arr,
+        "r -> r.host = host AND " + rule_match_sql(d, "path", "r.prefix"),
+    )
+    best = d["best"](d["transform"](matches, "r -> " + d["mk_match"]("r")))
+    return (
+        out.withColumn("_rep_best", F.expr(best))
+        .withColumn(
+            "matched_len",
+            F.expr("CAST(coalesce(_rep_best.len, -1) AS BIGINT)"),
+        )
+        .withColumn("allowed", F.expr("coalesce(_rep_best.allow, true)"))
+        .drop("_rep_best")
+    )
 
 
 def robots_filter_table(
@@ -314,11 +344,16 @@ def robots_filter_table(
         f"try_element_at(reverse(array_sort(transform({matches}, "
         "r -> named_struct('len', length(r.prefix), 'allow', r.allow)))), 1)"
     )
+    # r13: bind the longest-match struct once — matched_len and allowed
+    # previously each re-ran the filter+sort pipeline (interpreted HOFs,
+    # no CSE); same expressions, same values (see robots_filter)
     return joined.withColumn(
-        "matched_len", F.expr(f"CAST(coalesce(({best}).len, -1) AS BIGINT)")
+        "_rep_best", F.expr(best)
     ).withColumn(
-        "allowed", F.expr(f"coalesce(({best}).allow, true)")
-    ).drop("_rules")
+        "matched_len", F.expr("CAST(coalesce(_rep_best.len, -1) AS BIGINT)")
+    ).withColumn(
+        "allowed", F.expr("coalesce(_rep_best.allow, true)")
+    ).drop("_rules", "_rep_best")
 
 
 # ---------------------------------------------------------------------------

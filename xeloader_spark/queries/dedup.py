@@ -269,13 +269,16 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall rows."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dd._persist(dd.shingles(docs, n=3))
-    true_pairs = dd.jaccard_pairs(sh, threshold=_JACCARD_T).select(
-        "id_a", "id_b"
+    # Both pair frames persist (r13): each feeds TWO counts (its own
+    # plus the intersection join), and un-persisted each count re-ran
+    # the exhaustive-join / banding pipeline from the shingle cache.
+    true_pairs = dd._persist(
+        dd.jaccard_pairs(sh, threshold=_JACCARD_T).select("id_a", "id_b")
     )
     sigs = dd.minhash_signatures(
         sh.withColumnRenamed("shingle", "tok"), k=_K
     )
-    cands = dd.lsh_candidate_pairs(sigs, bands=_BANDS, rows=_ROWS)
+    cands = dd._persist(dd.lsh_candidate_pairs(sigs, bands=_BANDS, rows=_ROWS))
     n_true = true_pairs.count()
     n_cand = cands.count()
     n_hit = cands.join(true_pairs, ["id_a", "id_b"]).count()
@@ -1470,9 +1473,13 @@ def q_snm_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_pairs = dd.jaccard_pairs(
         dd.shingles(docs, n=3), threshold=_JACCARD_T
     ).select("id_a", "id_b")
-    p1 = dd.sorted_neighborhood_pairs(
-        docs, window=_SNM_WINDOW, key_tokens=_SNM_KEY_TOKENS
-    ).select("id_a", "id_b")
+    # persisted (r13): p1 feeds BOTH its own count and the multi-pass
+    # union — un-persisted the whole pass-1 SNM pipeline ran twice
+    p1 = dd._persist(
+        dd.sorted_neighborhood_pairs(
+            docs, window=_SNM_WINDOW, key_tokens=_SNM_KEY_TOKENS
+        ).select("id_a", "id_b")
+    )
     p2 = dd.sorted_neighborhood_pairs(
         docs, window=_SNM_WINDOW, key_sql=_SNM_SUFFIX_KEY_SPARK
     ).select("id_a", "id_b")
