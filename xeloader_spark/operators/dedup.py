@@ -555,7 +555,14 @@ def minhash_signatures(
     distinct, so the distinct this used to do was a full second shuffle
     of already-unique rows for nothing (r13: removing it cut one
     Exchange from every minhash pipeline). Duplicate input rows only
-    cost their own md5 evaluations, never a changed value."""
+    cost their own md5 evaluations, never a changed value.
+
+    Measured NEGATIVE (r13, keep): a mapInArrow + hashlib variant with
+    per-batch partial mins (value-identical, verified exceptAll-empty)
+    timed 1.09–1.13 s vs 0.85–0.89 s for this md5 fold over the cached
+    sf0.1 shingle frame (interleaved A/B, min-of-3 × 2 rounds) — the
+    codegen'd JVM md5 + map-side partial MIN already beats the Python
+    boundary, so don't retry the Arrow form here."""
     n_md5 = (k + 1) // 2
     dt = token_df.select("id", "tok")
     for j in range(n_md5):
@@ -621,7 +628,17 @@ def minhash_neardup(
     measured ~3× slower end-to-end at sf0.1. `max_df` (off by default)
     drops boilerplate shingles first — on the LSH path this bounds BOTH
     the band-bucket skew and the verify fan-out (see
-    cap_document_frequency)."""
+    cap_document_frequency).
+
+    Measured NEGATIVE (r13, keep): verifying via per-doc collected
+    shingle ARRAYS (collect_list once, attach both arrays to each
+    candidate pair, in-row array_intersect — no pair-sized groupBy)
+    is value-identical but timed flat-to-worse (2.02–2.12 s vs
+    1.65–2.18 s, interleaved A/B over the cached sf0.1 shingle frame):
+    the candidate set is band-bounded, so the exploded re-join +
+    partial-aggregating pair count already beats shuffling whole
+    shingle arrays to the pairs. Don't retry while candidates stay
+    bounded."""
     sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
     if max_df is not None:
         sh = cap_document_frequency(sh, max_df)
