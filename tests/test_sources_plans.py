@@ -692,12 +692,14 @@ class TestRound3LateAdditionShapes:
         from xeloader_spark.queries import similarity as qsim
 
         df = qsim.q_knn_graph(spark, SF)
-        # 3 = deliberate REPARTITION_BY_NUM before the band self-join
+        # 2 = deliberate REPARTITION_BY_NUM before the band self-join
         # (AQE coalesces by input size and is blind to join expansion —
         # without it the tiny signature shuffle folds to one partition
         # and the whole Σ bucket² pair space runs single-task;
-        # 39s → 3s at sf0.1) + pair-dedup aggregate + per-src rank window.
-        plans.assert_max_shuffles(df, 3)
+        # 39s → 3s at sf0.1) + ONE src repartition that serves both the
+        # pair-dedup aggregate and the per-src rank window
+        # (hashpartitioning(src) satisfies both clusterings — r13).
+        plans.assert_max_shuffles(df, 2)
         plans.assert_no_cartesian(df)
 
     def test_editdistance_blocked_budget(self, spark):

@@ -722,9 +722,11 @@ def knn_graph(
     agglomerative semantic dedup. Same banded quantized-LSH construction
     as `lsh_ann_topk_banded`, but the band equi-join is a SELF-join:
     candidate volume is Σ bucket² per band — bucket sizes, not corpus
-    size, bound the fan-out, and no all-pairs path exists. A pair
-    colliding in several bands scores once (pair-key groupBy dedup);
-    ranking is per source node. Returns (src, dst, dot, rk).
+    size, bound the fan-out, and no all-pairs path exists. Only the
+    src < dst ordering is scored (the dot is symmetric; each scored row
+    mirrors into both directions with one explode), and a pair colliding
+    in several bands dedups in the pair-key groupBy; ranking is per
+    source node. Returns (src, dst, dot, rk).
 
     At extreme scale, join the (band, bsig) keys on ids FIRST and attach
     the two quantized vectors in a second pass — here the vectors ride
@@ -753,12 +755,43 @@ def knn_graph(
     )
     hits = (
         a.join(b, ["band", "bsig"])
-        .filter(F.col("src") != F.col("dst"))
+        # The dot is symmetric and the self-join emits BOTH orderings of
+        # every colliding pair: keep src < dst only (half the interpreted
+        # dot folds — the dominant per-row cost, measured ~0.8 s of the
+        # sf0.1 pipeline) and mirror each scored row into both directions
+        # with one explode (the one-pass symmetrize trick).
+        .filter(F.col("src") < F.col("dst"))
         .select(
             "src",
             "dst",
             F.expr(_dot_sql("s_qarr", "d_qarr", dim)).alias("dot"),
         )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst"), F.col("dot")),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                        F.col("dot"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        # One exchange serves both the pair dedup AND the per-src rank:
+        # hashpartitioning(src) satisfies the clustering of
+        # groupBy(src,dst) and of Window.partitionBy(src), so an explicit
+        # src repartition here removes the Exchange(src,dst) +
+        # Exchange(src) pair the planner would otherwise insert. The
+        # band-collision duplication this shuffles un-combined is only
+        # ~1.27x (measured sf0.1), far below the cost of a second
+        # pair-sized exchange + sort. (A/B at sf0.1, min-of-4,
+        # interleaved: original 2.49 s, single-exchange 2.26, half-join
+        # + mirror 2.16, both combined 2.07; the ids-first/attach-later
+        # docstring shape measured 3.26 here — right at extreme scale,
+        # wrong while vectors ride the band join cheaply.)
+        .repartition(n_part, "src")
         .groupBy("src", "dst")
         .agg(F.max("dot").alias("dot"))
     )
