@@ -76,6 +76,16 @@ def get_spark(
         # Arrow serialization for any scalar @udf boundary (guide §4.3);
         # the engine's hot paths are UDF-free, this covers the rest.
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # Bigger Arrow batches for the mapInArrow paths (guide §4.2:
+        # "raise it for narrow numeric data"): the PQ/IVFPQ/classifier
+        # kernels cross as (id, long-array) rows, where 10k-row batches
+        # under-amortize the numpy matmul per batch. Safe for wide rows:
+        # Spark 4's maxBytesPerBatch (default 64 MB) still caps batches
+        # by bytes, and the multimodal blob paths measured flat under
+        # this setting. r13 interleaved A/B at sf0.1: q_ann_topk_pq
+        # 2.21→2.02, q_ann_topk_ivfpq 3.80→3.55, classifier ~flat,
+        # q_shot_boundaries/q_image_phash_neardup flat.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -106,4 +116,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
         str(64 * 1024 * 1024),
     )
     spark.conf.set("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+    # Narrow-numeric Arrow batches amortize better at 64k rows; the
+    # byte-size cap (maxBytesPerBatch, 64 MB default) still governs wide
+    # rows. See get_spark for the r13 A/B numbers.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
     return spark
