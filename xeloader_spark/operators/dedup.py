@@ -562,7 +562,17 @@ def minhash_signatures(
     timed 1.09–1.13 s vs 0.85–0.89 s for this md5 fold over the cached
     sf0.1 shingle frame (interleaved A/B, min-of-3 × 2 rounds) — the
     codegen'd JVM md5 + map-side partial MIN already beats the Python
-    boundary, so don't retry the Arrow form here."""
+    boundary, so don't retry the Arrow form here.
+
+    Second measured NEGATIVE (r13, keep): MIN(string) plans as
+    SortAggregate (variable-width buffers aren't hash-aggregable); an
+    order-isomorphic signed-long encoding of each hex half
+    ((conv(hi8)−2³¹)·2³² + conv(lo8), hex'd back after the agg) yields
+    pure HashAggregate and identical output, but measured ~35% SLOWER
+    over the cached sf0.1 shingle frame (0.557 → 0.774 s interleaved
+    min-of-4) — 24 conv() parses per row cost more than the id-sort
+    they remove. Re-measure before adopting at much larger
+    rows-per-partition."""
     n_md5 = (k + 1) // 2
     dt = token_df.select("id", "tok")
     for j in range(n_md5):
