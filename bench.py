@@ -136,12 +136,27 @@ HEADLINE = [
     "q_adaptive_schedule",
     "q_adaptive_cycle",
     "q_trap_frontier",
+    # round-14 additions (VERDICT r13 #2): the off-bench heavies. The
+    # worst declared query in the repo (q_classifier_inference, 47 s
+    # before its r13 Arrow rewrite) was invisible to the bench and only
+    # found by mining the sweep log — put the whole set on the record so
+    # a future regression there is a bench diff, not an archaeology dig.
+    "q_classifier_inference",
+    "q_classifier_calibration",
+    "q_pagerank_personalized",
+    "q_crawl_frontier",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # VERDICT r13 #1: the artifacts must record the EFFECTIVE core count
+    # and master, or the driver's scaling axis (same bench at a lower
+    # $SPARK_GRAFT_CPUS) is unverifiable after the fact — r13's 8-core
+    # run clobbered the 32-core sidecar and produced a false
+    # `suspect_cpus_ignored` flag against a factory that honors the env.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="xeloader-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = q.all_queries()
@@ -501,6 +516,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        # bench.py's own comparability rule (module docstring): a run
+        # started above loadavg 6 is NOT comparable per-row. Recorded as
+        # a flag so downstream diffs can discount it mechanically
+        # instead of manufacturing phantom regressions (VERDICT r13 #1).
+        "contended": loadavg_start[0] > 6,
         "recall_at_10": recall_at_10,
         "pass_totals": {
             "pass1": round(sum(pass1.values()), 3),
@@ -523,6 +545,12 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
+    # Per-core-count sidecar twin (VERDICT r13 #1): runs at different
+    # $SPARK_GRAFT_CPUS no longer clobber one artifact — the driver's
+    # scaling axis (32-core vs 8-core) stays diffable from files alone.
+    root, ext = os.path.splitext(detail_path)
+    with open(f"{root}_c{cpus}{ext or '.json'}", "w") as fh:
+        json.dump(detail, fh, indent=1)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:8]
     )
@@ -531,6 +559,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf),
+        "cpus": cpus,
+        "contended": detail["contended"],
         "n_queries": len(timings),
         "queries": slowest,
         "queries_truncated_to_slowest": len(slowest),

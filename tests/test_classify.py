@@ -142,3 +142,28 @@ class TestProjectionInference:
             for r in spark.read.parquet(out).collect()
         }
         assert got == batch
+
+
+class TestTrainFeeds:
+    def test_class_tf_feed_trains_identical_model(self, spark):
+        """r14: the (label, bucket, tf=1) training feed skips the per-doc
+        aggregate but must train the EXACT same dense model — Σ per-doc
+        tf is the global token count."""
+        docs = _fixture(spark)
+        via_docs = cl.train_hashed_linear(
+            cl.hashed_token_features(docs, keep_cols=("label",))
+        )
+        direct = cl.train_hashed_linear(cl.hashed_class_tf(docs))
+        assert via_docs.exceptAll(direct).count() == 0
+        assert direct.exceptAll(via_docs).count() == 0
+
+    def test_class_tf_single_exchange(self, spark):
+        """The training feed's aggregation plans exactly ONE exchange
+        (label,bucket partial+final) — the point of the fast path."""
+        from xeloader_spark.plans.inspect import count_exchanges
+
+        docs = _fixture(spark)
+        counts = cl.hashed_class_tf(docs).groupBy("label", "bucket").agg(
+            F.sum("tf").alias("cnt")
+        )
+        assert count_exchanges(counts) == 1

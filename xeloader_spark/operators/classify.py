@@ -73,6 +73,36 @@ def hashed_token_features(
     )
 
 
+def hashed_class_tf(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    salt: str = FEAT_SALT,
+) -> DataFrame:
+    """(label, bucket, tf=1) token rows straight off the corpus — the
+    TRAINING-side feed for `train_hashed_linear`, without the per-doc
+    aggregation `hashed_token_features` pays.
+
+    Training only ever consumes Σ_docs tf(doc, bucket) per (label,
+    bucket) — identical to counting tokens directly — so the per-doc
+    groupBy is a pure cost on this path: its key space is docs ×
+    buckets (millions of groups, near-zero map-side reduction, one full
+    token-sized exchange), while grouping by (label, bucket) directly
+    collapses to n_classes × n_buckets groups that partial aggregation
+    crushes before the shuffle (guide §2.3 "aggregate before you
+    shuffle"; r14 — the oracle's tr_feat CTE already aggregates this
+    way). Scoring still needs per-doc tf and keeps using
+    `hashed_token_features`."""
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.expr(_tok_array(text_col))).alias("tok"),
+    )
+    return toks.select(
+        "label", hash_bucket("tok", salt, n_buckets)
+    ).withColumn("tf", F.lit(1).cast("long"))
+
+
 def train_hashed_linear(
     feats: DataFrame,
     label_col: str = "label",

@@ -48,16 +48,18 @@ def _persist(df: DataFrame) -> DataFrame:
 
 def release_persisted() -> int:
     """Unpersist every intermediate persisted by this module's pipelines
-    (and by operators/rank, which this module's SSJoin uses); returns how
-    many were released. Safe to call at any time — Spark unpersist is
-    lazy-tolerant (no-op for already-freed blocks)."""
+    (and by operators/rank, which this module's SSJoin uses), plus every
+    registered localCheckpoint block (plans.truncate registry, r14);
+    returns how many were released. Safe to call at any time — Spark
+    unpersist is lazy-tolerant (no-op for already-freed blocks)."""
     from xeloader_spark.operators import rank as _rank
+    from xeloader_spark.plans.truncate import release_checkpoints
 
     n = len(_PERSISTED)
     for df in _PERSISTED:
         df.unpersist()
     _PERSISTED.clear()
-    return n + _rank.release_persisted()
+    return n + _rank.release_persisted() + release_checkpoints()
 
 
 def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

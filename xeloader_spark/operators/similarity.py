@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..plans.truncate import registered_local_checkpoint
 
 
 def explode_quantized(
@@ -736,7 +737,7 @@ def knn_graph(
     sigs = banded_quantized_signatures(
         emb_df, bands, planes_per_band, id_col, vec_col, scale, seed,
         dim=dim,
-    ).localCheckpoint(eager=True)  # self-join: evaluate signatures ONCE
+    ).transform(registered_local_checkpoint)  # self-join: evaluate signatures ONCE
     # Pin the self-join's width explicitly: the signature table is tiny
     # relative to the pair space it produces (Σ bucket² per band), and
     # AQE coalesces shuffles by INPUT size — left to itself it folds the
@@ -846,7 +847,7 @@ def mmr_rerank(
     cands = (
         rel.join(q, rel.candidate_id == q.id)
         .select("query_id", "candidate_id", F.col("dot").alias("rel_dot"), "qarr")
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     a, b = cands.alias("a"), cands.alias("b")
     sims = (
@@ -863,7 +864,7 @@ def mmr_rerank(
                 "aggregate(zip_with(a.qarr, b.qarr, (x, y) -> x * y), 0L, (s, v) -> s + v)"
             ).alias("sim"),
         )
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     slim = cands.select("query_id", "candidate_id", "rel_dot")
     w = Window.partitionBy("query_id")
@@ -883,7 +884,7 @@ def mmr_rerank(
             F.lit(0).cast("long").alias("div_penalty"),
             F.col("rel_dot").alias("mmr_score"),
         )
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     selected = pick
     for t in range(2, int(k) + 1):
@@ -925,7 +926,7 @@ def mmr_rerank(
                 F.col("div_penalty").cast("long").alias("div_penalty"),
                 F.col("mmr_score").cast("long").alias("mmr_score"),
             )
-            .localCheckpoint(eager=True)
+            .transform(registered_local_checkpoint)
         )
         selected = selected.unionByName(nxt)
     return selected

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..plans.truncate import registered_local_checkpoint
 
 # Marker stopwords per language for the n-gram-free heuristic language ID.
 # Deliberately tiny: language ID here is a deterministic scoring operator,
@@ -383,7 +384,7 @@ def backoff_train_stats(
         .agg(F.count(F.lit(1)).cast("long").alias("c_uni"))
     )
     if checkpoint:
-        ug = ug.localCheckpoint(eager=True)
+        ug = ug.transform(registered_local_checkpoint)
     bi = (
         base.select(F.explode(F.expr(bigram_array_sql())).alias("_b"))
         .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
@@ -399,7 +400,7 @@ def backoff_train_stats(
         )
     )
     if checkpoint:
-        bi = bi.localCheckpoint(eager=True)
+        bi = bi.transform(registered_local_checkpoint)
     n_train = ug.agg(F.sum("c_uni").cast("long").alias("_n_train"))
     return bi, ug, n_train
 
@@ -571,7 +572,7 @@ def kneser_ney_score(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c_bi"))
         # one shuffle on (w1,w2); the three stats tables derive from it
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     ctx = train_bi.groupBy("w1").agg(
         F.sum("c_bi").cast("long").alias("c_ctx"),

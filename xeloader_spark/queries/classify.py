@@ -32,10 +32,11 @@ def q_domain_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
 
-    train_feats = cl.hashed_token_features(train, keep_cols=("source",))
-    model = cl.train_hashed_linear(
-        train_feats.withColumnRenamed("source", "label")
-    )
+    # r14: train on (label, bucket, tf=1) token rows — the per-doc
+    # aggregate added a docs×buckets-keyed exchange training never
+    # needed (Σ per-doc tf ≡ token count; the oracle's tr_feat CTE
+    # already aggregates straight to (label, bucket))
+    model = cl.train_hashed_linear(cl.hashed_class_tf(train, "source"))
     test_feats = cl.hashed_token_features(test, keep_cols=("source",))
     preds = cl.classify(
         test_feats.withColumnRenamed("source", "actual_source"),
@@ -61,10 +62,8 @@ def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     split = sp.split_train_test(docs, "doc_id", test_fraction=_TEST_FRAC)
     train = split.filter(F.col("split") == "train")
-    model = cl.train_hashed_linear(
-        cl.hashed_token_features(train, keep_cols=("source",))
-        .withColumnRenamed("source", "label")
-    )
+    # r14: (label, bucket, tf=1) training feed — see q_domain_classifier
+    model = cl.train_hashed_linear(cl.hashed_class_tf(train, "source"))
     packed = cl.pack_model_hex(model)
     scored = cl.score_projection(docs, packed, keep_cols=("source",))
     return scored.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..plans.truncate import registered_local_checkpoint
 
 from ..catalog import load_table
 from ..operators.crawl import (
@@ -401,7 +402,7 @@ def q_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
             ")), x -> x.e), '')"
         ).alias("body")
-    ).localCheckpoint(eager=True)
+    ).transform(registered_local_checkpoint)
     members = bodies.select(
         F.expr(_sm_member_url_sql("STRING")).alias("member_url"),
         F.expr(
@@ -1654,8 +1655,8 @@ def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cycle materializes as tables. Without this the composed plan
     # re-derived the sitemap-parse + state join per consumer (36
     # Exchange nodes, r13 measurement).
-    delta = recrawl_delta(parse_sitemap(sm), state).localCheckpoint(
-        eager=True
+    delta = recrawl_delta(parse_sitemap(sm), state).transform(
+        registered_local_checkpoint
     )
     evidence = delta.filter("needs_fetch").select(
         "host", F.col("loc").alias("url"), F.lit("evidence").alias("reason")
@@ -1674,12 +1675,12 @@ def q_crawl_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("host", "url", F.lit("cadence").alias("reason"))
     )
-    frontier = evidence.unionByName(due).localCheckpoint(eager=True)
+    frontier = evidence.unionByName(due).transform(registered_local_checkpoint)
     files = spark.createDataFrame(
         _robots_txt_files(), "host string, robots_txt string"
     )
-    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT).localCheckpoint(
-        eager=True
+    delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT).transform(
+        registered_local_checkpoint
     )
     hosts = (
         frontier.groupBy("host")
@@ -1990,7 +1991,7 @@ def q_trap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.selectExpr("source", "CAST(doc_id % 60 AS BIGINT) AS m")
         .distinct()
         .selectExpr("source", "m", "CAST(substr(source, 4) AS INT) AS s")
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     variety = pairs.filter(_TRAP_KEEP_WHERE).selectExpr(
         "lower(concat('www.', source, '.com')) AS host",
@@ -2001,8 +2002,8 @@ def q_trap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('https://www.', source, '.com/zz/', CAST(m AS STRING))"
         " AS url",
     )
-    scored = url_trap_score(variety.unionByName(extra)).localCheckpoint(
-        eager=True
+    scored = url_trap_score(variety.unionByName(extra)).transform(
+        registered_local_checkpoint
     )
     trapped = (
         scored.filter("is_trap")
@@ -2531,7 +2532,7 @@ def _adaptive_eff(spark: SparkSession, docs: DataFrame) -> DataFrame:
             " * coalesce(backoff_factor, CAST(1 AS BIGINT)) AS crawl_delay",
             "coalesce(retry_after_s, CAST(0 AS BIGINT)) AS retry_wait",
         )
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
 
 
@@ -2581,7 +2582,7 @@ def _adaptive_frontier(docs: DataFrame, eff: DataFrame) -> DataFrame:
         .join(eff.select(F.col("host").alias("_uh")),
               F.col("host") == F.col("_uh"))
         .drop("_uh")
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
 
 
@@ -2856,7 +2857,7 @@ def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"named_struct('m', m, 'e', {_sm_entry_sql('STRING')})"
             ")), x -> x.e), '')"
         ).alias("body")
-    ).localCheckpoint(eager=True)
+    ).transform(registered_local_checkpoint)
     members = bodies.select(
         F.expr(_sm_member_url_sql("STRING")).alias("member_url"),
         F.expr(
@@ -2902,7 +2903,7 @@ def q_discovery_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sitemap_loc").alias("member_url"),
         F.col("n_urls").alias("member_n_urls"),
         F.col("conformant").alias("admitted"),
-    ).localCheckpoint(eager=True)
+    ).transform(registered_local_checkpoint)
     delays = robots_crawl_delay(files, agent=_ROBOTS_AGENT)
     sched = fetch_schedule(
         base.filter("admitted"), delays, default_delay=_DEFAULT_CRAWL_DELAY

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..plans.truncate import registered_local_checkpoint
 
 from ..catalog import load_table
 from ..operators import sampling as sp
@@ -300,7 +301,7 @@ def quantile_normalize_docs(docs: DataFrame) -> DataFrame:
                 f" ELSE ({num} * {_QN_SCALE}) DIV ({n} * ({n} - 1)) END"
             ).alias("rp_ppm"),
         )
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     w_src = Window.partitionBy("source").orderBy("rp_ppm", "doc_id")
     ranked = base.withColumn(
@@ -844,7 +845,7 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.partitionBy("lang", "source"))
             .cast("long"),
         )
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     chosen = ranked.filter(
         F.col("rk") <= F.expr("n_bucket DIV 2")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..plans.truncate import registered_local_checkpoint
 
 from ..catalog import load_table
 from ..operators import cluster as cls
@@ -462,7 +463,7 @@ def q_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle at sf0.01 in SHUFFLE_AUDIT)
     edges = sim.knn_graph(
         emb, k=_KNN_K, bands=_KNN_BANDS, planes_per_band=_KNN_PPB
-    ).localCheckpoint(eager=True)
+    ).transform(registered_local_checkpoint)
     seeds = emb.filter(
         hash_bucket("vec_id", "lpseed") < _LP_SEED_THR
     ).select(

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..plans.truncate import registered_local_checkpoint
 
 from ..catalog import load_table
 from ..operators import text as tx
@@ -115,7 +116,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("_df") <= _WINNOW_MAX_DF)
         .select("doc_id", "fp")
-        .localCheckpoint(eager=True)
+        .transform(registered_local_checkpoint)
     )
     sizes = slim.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
