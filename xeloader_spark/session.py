@@ -14,6 +14,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Arrow rows-per-batch for EVERY Arrow boundary in the session (the
+# mapInArrow kernels AND any arrow-enabled scalar UDF / toPandas path —
+# the setting is session-global, ADVICE r13 #2, hence one named
+# constant instead of duplicated literals). 64k rows amortizes the
+# numpy matmuls of the narrow (id, long-array) kernels; Spark 4's
+# maxBytesPerBatch (64 MB default) still caps wide rows by bytes.
+ARROW_RECORDS_PER_BATCH = 65536
+
 
 def get_spark(
     app_name: str = "xeloader-spark",
@@ -85,7 +93,10 @@ def get_spark(
         # this setting. r13 interleaved A/B at sf0.1: q_ann_topk_pq
         # 2.21→2.02, q_ann_topk_ivfpq 3.80→3.55, classifier ~flat,
         # q_shot_boundaries/q_image_phash_neardup flat.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_RECORDS_PER_BATCH),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
@@ -119,5 +130,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # Narrow-numeric Arrow batches amortize better at 64k rows; the
     # byte-size cap (maxBytesPerBatch, 64 MB default) still governs wide
     # rows. See get_spark for the r13 A/B numbers.
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(ARROW_RECORDS_PER_BATCH),
+    )
     return spark
